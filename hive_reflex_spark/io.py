@@ -1,0 +1,60 @@
+"""Readers for the driver-generated parquet fixtures.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table per scale factor.
+
+Scale note: `spark.read.parquet` gives us the vectorized columnar reader
+with predicate pushdown and column pruning for free; at 100 TB the same
+call reads a partitioned directory tree and Catalyst prunes partitions.
+Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hive_reflex_spark.session import pin_session
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Path layout: {sf_dir}/{name}.parquet.
+
+    The ``events`` fixture stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects by default; read nanos as long and truncate to micros —
+    the same truncation DuckDB applies, so oracle comparisons stay exact.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, *names: str
+) -> dict[str, DataFrame]:
+    """Read the named fixture tables (all of TABLES when none given)."""
+    pin_session(spark)
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}

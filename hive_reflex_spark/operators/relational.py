@@ -1,0 +1,997 @@
+"""Declared relational surface (SURVEY.md §2B) over the TPC-H-ish fixtures.
+
+Every 2A operator of the reference decomposes onto this closed set of
+scan / project / filter / join / aggregate / window / sort / set-op
+primitives, so this module is the foundation the tensor & time-series
+operators build on. Each query is a DataFrame program with a DuckDB
+oracle twin registered for the driver's hash-match harness.
+
+Scale notes (apply to every query here):
+- filters/projections sit directly on the parquet scan (Catalyst pushes
+  them into `PushedFilters`/`ReadSchema`);
+- dimension joins (region/nation/supplier/part) are broadcast — no
+  shuffle of the fact side;
+- aggregations are partial+final hash aggregates (map-side combine), so
+  shuffle volume is O(groups), not O(rows);
+- window functions shuffle once on the partition key, then sort within
+  partitions — per-key cardinality is bounded (orders per customer,
+  events per user), so no single partition can blow up at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.functions import (
+    duck_exact_sum,
+    exact_sum,
+)
+from hive_reflex_spark.io import load_tables
+from hive_reflex_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Aggregation over a scan: TPC-H Q1 analog (pricing summary).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               * 10000) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+               / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000.0
+               / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan → pushed filter → grouped multi-aggregate (mirrors the
+    reference's per-layer weight-stats rollup, `mlir_compiler/optimizer.py:226-253`,
+    at relational scale). Partial aggregation makes the shuffle O(6 groups)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(charge, 4).alias("sum_charge"),
+            (exact_sum(F.col("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+            (exact_sum(F.col("l_discount"), 4) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / scalar functions: string, math, CASE WHEN (§2B row 2).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           substr(p_type, 1, 3) AS type_prefix,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CASE WHEN p_size < 15 THEN 'small'
+                WHEN p_size < 35 THEN 'medium'
+                ELSE 'large' END AS size_class,
+           ROUND(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+           ROUND(ln(p_retailprice), 6) AS log_price,
+           CAST(ROUND(p_retailprice * 1.1 * 100) AS BIGINT) AS taxed_cents
+    FROM part
+    WHERE p_size BETWEEN 5 AND 45 AND p_name LIKE '%o%'
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: string fns, math fns, CASE WHEN, casts —
+    the relational home of the reference's elementwise ops (P1-P5/P12/P13)."""
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return (
+        part.filter(F.col("p_size").between(5, 45) & F.col("p_name").like("%o%"))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_type", 1, 3).alias("type_prefix"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+            F.when(F.col("p_size") < 15, "small")
+            .when(F.col("p_size") < 35, "medium")
+            .otherwise("large")
+            .alias("size_class"),
+            F.round(F.sqrt(F.col("p_size").cast("double")), 6).alias("size_sqrt"),
+            F.round(F.log(F.col("p_retailprice")), 6).alias("log_price"),
+            F.round(F.col("p_retailprice") * 1.1 * 100).cast("long").alias("taxed_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way join + aggregate + top-k: TPC-H Q3 analog.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_top_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+               AS BIGINT) / 10000.0 AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15'
+      AND l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with segment/date pushdown, grouped
+    revenue, global top-k. customer is the small side → broadcast: the
+    lineitem fact table never shuffles for the join, only for the final
+    O(groups) aggregate."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    ords = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("2000-03-15").cast("timestamp")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)),
+            li.l_orderkey == ords.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-join: EXISTS (TPC-H Q4 analog).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_priority_semi_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+)
+def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join — EXISTS without materializing the probe side.
+    The qty>45 filter is pushed into the lineitem scan before the join."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    big_items = t["lineitem"].filter(F.col("l_quantity") > 45)
+    return (
+        ords.join(big_items, ords.o_orderkey == big_items.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join: NOT EXISTS.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q05_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join — NOT EXISTS as a first-class plan node (the
+    reference's fusion-candidate *removal* sets, `optimizer.py:143-171`,
+    are this shape)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(
+            t["orders"],
+            t["customer"].c_custkey == t["orders"].o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast dimension joins + ROLLUP (A5/A7 grouping-sets analog).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_region_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q06_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake dimension joins (both broadcast — zero fact shuffle) +
+    ROLLUP subtotals: the Spark shape of the reference's per-mode/per-domain
+    power rollup (`tools/power_estimator.py:24-200`, SURVEY A7)."""
+    t = load_tables(spark, sf_dir, "customer", "nation", "region")
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]),
+        t["customer"].c_nationkey == t["nation"].n_nationkey,
+    ).join(
+        F.broadcast(t["region"]),
+        F.col("n_regionkey") == t["region"].r_regionkey,
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        exact_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left outer join + COALESCE.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_customer_order_stats",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+                    0) / 100.0 AS total_spent
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q07_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving order-less customers; COUNT(col) null
+    semantics; COALESCE for the empty group."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    p = 100
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.coalesce(
+                    F.sum(F.round(F.col("o_totalprice") * p).cast("long")), F.lit(0)
+                )
+                / float(p)
+            ).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta join (equi + non-equi residual).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q08_theta_join",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(ROUND((s_acctbal - c_acctbal) * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_gap
+    FROM supplier
+    JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def q08_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-key + non-equi residual predicate: Catalyst hash-joins on the
+    nation key and applies the balance comparison as a post-join filter —
+    the scalable way to run a theta join (never a cartesian product)."""
+    t = load_tables(spark, sf_dir, "supplier", "customer", "nation")
+    sup, cust, nat = t["supplier"], t["customer"], t["nation"]
+    return (
+        sup.join(
+            cust,
+            (sup.s_nationkey == cust.c_nationkey)
+            & (sup.s_acctbal > cust.c_acctbal),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            exact_sum(F.col("s_acctbal") - F.col("c_acctbal"), 2).alias("total_gap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_status_priority_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q09_status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping sets in one pass
+    (Catalyst expands then partially aggregates; shuffle stays O(groups))."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (window ranking, SURVEY W12/T1 relational analog).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_topk_per_nation",
+    oracle="""
+    SELECT n_name, c_custkey, c_acctbal, rnk FROM (
+        SELECT n_name, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY n_name
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) WHERE rnk <= 3
+    """,
+)
+def q10_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ROW_NUMBER — the argmax/top-class pattern
+    (`firmware_sim.py:63-65`, SURVEY W12) at relational scale. Spark
+    rewrites rank<=k into a per-partition top-k sort (no full sort)."""
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.col("c_custkey"))
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running / cumulative window frames (SURVEY W7/W8/W11 analog).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_running_order_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               / 100.0 AS running_total,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq,
+           COALESCE(date_diff('day',
+               lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey),
+               o_orderdate), -1) AS days_since_prev
+    FROM orders
+    """,
+)
+def q11_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum + lag over an ordered per-key window: the relational
+    form of the reference's running averages / delta decode / flash-layout
+    accumulation (SURVEY W7/W8/W11). Integer cents make the running sum
+    order-exact. One shuffle on o_custkey serves all three window exprs."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(wcum) / 100.0)
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+        F.coalesce(
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+            F.lit(-1),
+        ).alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global sort + limit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_global_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 15
+    """,
+)
+def q12_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT — Spark plans TakeOrderedAndProject: each
+    partition keeps its local top-15, the driver merges; no global sort
+    even at 100 TB."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_set_ops",
+    oracle="""
+    SELECT 'union' AS op, COUNT(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (dedup) / INTERSECT / EXCEPT — the reference's pass-pipeline
+    merge/removal sets (`optimizer.py:143-171`) as first-class set algebra."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    machinery = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "MACHINERY")
+        .select(F.col("c_custkey").alias("k"))
+    )
+    f_buyers = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("k"))
+    )
+
+    def one(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        one("union", machinery.union(f_buyers).distinct())
+        .unionAll(one("intersect", machinery.intersect(f_buyers)))
+        .unionAll(one("except", machinery.exceptAll(f_buyers.distinct()).distinct()))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct + conditional aggregation (A2 sparsity-analysis shape).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_conditional_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_high_value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT + SUM(CASE WHEN) — the exact shape of the reference's
+    sparsity analysis (`sparsity_optimizer.py:66-112`, SURVEY A2): total
+    count, conditional count, ratio-able aggregates in one pass."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high_value"),
+        exact_sum(F.col("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (T1/T3 percentile-threshold analog).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_price_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q15_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles — the reference's p99-latency log
+    analytics (`tools/ai_feedback.py:144`, SURVEY T3) and magnitude-pruning
+    thresholds (A3) both reduce to this. For 100 TB swap `percentile` for
+    `percentile_approx` (sketch-mergeable, single pass, no sort)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.25), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", 0.50), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", 0.75), 4).alias("p75"),
+        F.round(F.percentile("o_totalprice", 0.99), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / nested (C1 RLE-decode shape).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_word_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT p_partkey) AS n_parts
+    FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def q16_word_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split → explode → re-aggregate: the array↔rows bridge used by RLE
+    decode (`compression.c:23-58` → `posexplode(array_repeat(...))`,
+    SURVEY C1) and by every tokenizer downstream."""
+    part = load_tables(spark, sf_dir, "part")["part"]
+    return (
+        part.select("p_partkey", F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date functions + temporal bucketing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_monthly_orders",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS monthly_total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def q17_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month extraction + temporal grouping — at scale this is the
+    partition-pruning column (`PARTITIONED BY (year, month)` in a real
+    lake layout; the reference's flash layer-addressed reads are the same
+    idea, `flash_io_optimizer.c:73-133`)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), 2).alias("monthly_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-aggregate subquery (above-average filter).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_above_avg_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 / COUNT(*)
+        FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def q18_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery comparison against a global aggregate. The exact-sum
+    average makes the threshold bit-identical in both engines, so no row
+    can flip sides. Spark broadcasts the 1-row aggregate (no shuffle)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    avg_df = orders.agg(
+        (exact_sum(F.col("o_totalprice"), 2) / F.count("*")).alias("avg_price")
+    )
+    return (
+        orders.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands (SURVEY T4: greedy partition grouping).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_gaps_islands",
+    oracle="""
+    SELECT user_id, island, event_type, COUNT(*) AS run_length,
+           MIN(event_id) AS first_event, MAX(event_id) AS last_event
+    FROM (
+        SELECT user_id, event_id, event_type,
+               CAST(SUM(CASE WHEN event_type IS DISTINCT FROM prev_type
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS island
+        FROM (
+            SELECT user_id, event_id, event_type, ts,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events))
+    GROUP BY user_id, island, event_type
+    """,
+)
+def q19_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: run-length grouping of consecutive equal values —
+    the exact algorithm of the reference's greedy CPU/CIM partitioner
+    (`mlir_compiler/partitioner.py:63-107`, SURVEY T4) and RLE encode (C1).
+    lag + conditional cumsum + groupBy; one shuffle on user_id."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    with_island = flagged.withColumn(
+        "island", F.sum("is_boundary").over(wcum).cast("long")
+    )
+    return with_island.groupBy("user_id", "island", "event_type").agg(
+        F.count("*").alias("run_length"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (ST8 session-window analog, batch form).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_sessionize",
+    oracle="""
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_sec,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS session_value
+    FROM (
+        SELECT user_id, value, ts_us,
+               CAST(SUM(CASE WHEN prev_us IS NULL
+                             OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM (
+            SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY epoch_us(ts), event_id)
+                       AS prev_us
+            FROM events))
+    GROUP BY user_id, session_id
+    """,
+)
+def q20_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap — the batch twin
+    of `session_window` in streaming (SURVEY ST8). Microsecond integers keep
+    the gap comparison exact."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    ev = events.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    with_session = flagged.withColumn(
+        "session_id", F.sum("is_new").over(wcum).cast("long")
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000.0).alias("duration_sec"),
+        exact_sum(F.col("value"), 2).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide conditional aggregation).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_event_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q21_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-to-wide via explicit-values `.pivot()` — giving Catalyst the
+    value list keeps it a single-pass aggregate (no extra distinct scan)."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Delta encode (SURVEY W8 / C3).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_delta_encode",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - lag(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 6) AS delta
+    FROM events
+    """,
+)
+def q22_delta_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta encoding: x − lag(x) per key (`compression.c:119-140`, SURVEY
+    W8/C3). The subtraction is a single deterministic double op, so no
+    exact-sum machinery is needed."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving average (SURVEY W3) + predictive filter (W4).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q23_moving_avg_predict",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+               / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+               AS moving_avg,
+           ROUND(2 * lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 - lag(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 6) AS predicted
+    FROM events
+    """,
+)
+def q23_moving_avg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame moving average (`fixed_point_filter.c:103-141`, SURVEY
+    W3) and the linear-extrapolation predictive filter `2·x[t-1] − x[t-2]`
+    (`fixed_point_filter.c:144-198`, W4) in one window pass."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wma = w.rowsBetween(-3, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(wma)
+            / 100.0
+            / F.count("*").over(wma)
+        ).alias("moving_avg"),
+        F.round(
+            2 * F.lag("value", 1).over(w) - F.lag("value", 2).over(w), 6
+        ).alias("predicted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction (runtime-log JSON analog, SURVEY S6).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q24_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS total_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string column — the reference's batched
+    telemetry JSON (`tools/ai_feedback.py:88-118`, SURVEY S6) as a scan-side
+    projection; integer sums are exact."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.sum(k).alias("total_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex extraction + multi-predicate filter.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_regex_extract",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           MIN(CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT))
+               AS min_custnum,
+           MAX(CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT))
+               AS max_custnum
+    FROM customer
+    WHERE c_name LIKE 'Customer#%' AND c_acctbal >= 0
+    GROUP BY c_mktsegment
+    """,
+)
+def q25_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract + LIKE pushdown — the string-function surface used by
+    log parsing (SURVEY S6) and the doc pipeline (text.py)."""
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    num = F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("long")
+    return (
+        cust.filter(F.col("c_name").like("Customer#%") & (F.col("c_acctbal") >= 0))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(num).alias("min_custnum"),
+            F.max(num).alias("max_custnum"),
+        )
+    )

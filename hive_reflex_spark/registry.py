@@ -1,0 +1,38 @@
+"""Query/oracle registry — the driver-checked correctness surface.
+
+Each operator from SURVEY.md §2 that we claim as done registers here:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` and (when expressible)
+the equivalent ANSI SQL that DuckDB runs on the same parquet tables.
+``__spark_entry__.py`` re-exports these dicts to the driver.
+
+Rules for oracle-checked queries (SURVEY §7 watch-list #4/#5):
+- alias every computed column identically in Spark and SQL;
+- round float aggregates (distributed sums are order-sensitive);
+- cast DuckDB integer SUMs to BIGINT (DuckDB widens to HUGEINT);
+- keep outputs small (grouped/top-k) so value-hashing is robust.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+QUERIES: dict[str, Callable[..., Any]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query under ``name`` with an optional DuckDB oracle SQL.
+
+    Queries without an oracle get the driver's weaker rows-only check —
+    reserve that for genuinely non-SQL-expressible ops (stateful streaming,
+    iterative recurrences checked instead by pytest numpy oracles).
+    """
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = " ".join(oracle.split())
+        return fn
+
+    return deco

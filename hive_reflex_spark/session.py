@@ -1,0 +1,57 @@
+"""SparkSession builder pinned for determinism and local-mode throughput.
+
+Scale note: every config here is either scale-neutral (timezone, ANSI) or
+adaptive (AQE re-plans shuffles at runtime, coalesces small partitions,
+splits skewed ones) — the same session config is correct on local[32] and
+on a 1000-executor cluster; only `shuffle.partitions` should be raised
+(AQE's coalescing makes over-provisioning it cheap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "hive-reflex-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with deterministic, scale-ready configs."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        # AQE: runtime shuffle re-planning, small-partition coalescing and
+        # skew-join splitting — the main lever that makes one plan survive
+        # a 100x scale-up without retuning.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for all pandas-UDF exchange (the only sanctioned Python path).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ANSI off: match DuckDB-ish permissive semantics (e.g. no overflow
+        # errors on casts) used by the correctness oracle.
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return builder.master(f"local[{cpus}]").getOrCreate()
+
+
+def pin_session(spark: SparkSession) -> SparkSession:
+    """Pin runtime-settable confs on a session we did not build.
+
+    The driver passes us its own SparkSession; oracle comparisons require
+    UTC timestamps regardless of how that session was built.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Local approximation of the driver's correctness harness.
+
+Runs every registered query in Spark AND its DuckDB oracle on the same
+parquet tables, canonicalizes both results (columns sorted by name, rows
+sorted, floats rounded), and reports row-count / schema-kind / value
+matches. Use before committing any new query.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from hive_reflex_spark.io import TABLES
+from hive_reflex_spark.session import get_spark
+
+ROUND = 9
+
+
+def canon_value(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, ROUND)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon_value(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return round(float(v), ROUND)
+    except ImportError:
+        pass
+    return v
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon_value(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out, key=lambda t: tuple(map(str, t)))
+
+
+def kind(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    return type(v).__name__
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    n_pass = n_fail = n_noracle = 0
+    for name in sorted(qs):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"----  {name}: no oracle (rows-only): {len(srows)} rows "
+                  f"[{time.time()-t0:.1f}s]")
+            n_noracle += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {ex}")
+            n_fail += 1
+            continue
+
+        sc, sr = canon_rows(scols, srows)
+        dc, dr = canon_rows(dcols, drows)
+        ok = True
+        if sc != dc:
+            print(f"FAIL {name}: columns differ: spark={sc} duck={dc}")
+            ok = False
+        elif len(sr) != len(dr):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(dr)}")
+            ok = False
+        elif sr != dr:
+            diffs = [(a, b) for a, b in zip(sr, dr) if a != b]
+            print(f"FAIL {name}: {len(diffs)}/{len(sr)} rows differ; first: "
+                  f"spark={diffs[0][0]} duck={diffs[0][1]}")
+            ok = False
+        else:
+            skinds = [kind(v) for v in (sr[0] if sr else [])]
+            dkinds = [kind(v) for v in (dr[0] if dr else [])]
+            if sr and skinds != dkinds:
+                print(f"WARN {name}: value kinds differ: {skinds} vs {dkinds}")
+            print(f"PASS {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
+        n_pass += ok
+        n_fail += not ok
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
