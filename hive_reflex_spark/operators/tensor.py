@@ -1,0 +1,579 @@
+"""Tensor algebra on coordinate tables (SURVEY §1.3, §2A J/A families).
+
+A tensor is a table ``(tensor_id?, i, j, value)``; matmul is an equi-join
+on the contraction index plus a grouped sum — Catalyst picks hash vs
+sort-merge, broadcasts the small operand, and pushes sparsity filters
+into the scan, which is exactly the reference's zero-skipping sparse MAC
+(`rtl/sparse_cim_mac_array.v:93-130`) expressed declaratively.
+
+Library functions operate on arbitrary coordinate DataFrames; the
+registered queries instantiate them over the ``embeddings`` fixture
+(vec_id × 64 dims, float32) with DuckDB oracle twins.
+
+Scale notes:
+- the weight operand of a model matmul is ≤512 KB in the reference
+  (DATASHEET.md:34-38) → always broadcast-able; the activation side
+  streams through without a shuffle;
+- for big×big matmul both sides shuffle on the contraction key k —
+  at 100 TB pre-bucket both tables on k to make it a zero-shuffle join;
+- per-element products are summed with the integer-units trick
+  (functions.exact_sum) so results are partition-order independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.functions import exact_sum
+from hive_reflex_spark.functions.tensor_fns import (
+    gelu,
+    relu,
+    sigmoid,
+    silu,
+)
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Library: coordinate-table linear algebra
+# ---------------------------------------------------------------------------
+
+
+def coord_matmul(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    broadcast_b: bool = False,
+    sum_scale: int | None = None,
+) -> DataFrame:
+    """C[i,j] = Σ_k A[i,k]·B[k,j] — join on k, group by (i,j), sum.
+
+    Mirrors `imc22_sdk/imc22_cim.c:87-142` (dense MatMul) / `simulator/
+    sim_reflex.py:43-91`. Expects columns (i, k, v) on ``a`` and (k, j, v)
+    on ``b``. ``broadcast_b`` for the ≤512 KB weight side. ``sum_scale``
+    switches to the exact integer-units sum for oracle determinism.
+    """
+    bb = F.broadcast(b) if broadcast_b else b
+    prod = a.alias("a").join(bb.alias("b"), F.col("a.k") == F.col("b.k")).select(
+        F.col("a.i").alias("i"),
+        F.col("b.j").alias("j"),
+        (F.col("a.v") * F.col("b.v")).alias("p"),
+    )
+    agg = (
+        exact_sum(F.col("p"), sum_scale) if sum_scale else F.sum("p")
+    ).alias("v")
+    return prod.groupBy("i", "j").agg(agg)
+
+
+def sparse_matmul(
+    a: DataFrame, b: DataFrame, threshold: float, **kw
+) -> DataFrame:
+    """Threshold-skip matmul (`imc22.py:507-530`, J2): filter both operands
+    below |v| < threshold *before* the join — predicate pushdown gives the
+    reference's MAC-skip for free, and shrinks the shuffle by the sparsity
+    ratio."""
+    return coord_matmul(
+        a.filter(F.abs(F.col("v")) >= threshold),
+        b.filter(F.abs(F.col("v")) >= threshold),
+        **kw,
+    )
+
+
+def add_bias(c: DataFrame, bias: DataFrame) -> DataFrame:
+    """C[i,j] += bias[j] — broadcast join on the output index (J8/J9)."""
+    return (
+        c.join(F.broadcast(bias.withColumnRenamed("v", "bias_v")), "j")
+        .withColumn("v", F.col("v") + F.col("bias_v"))
+        .drop("bias_v")
+    )
+
+
+def csr_from_coords(coords: DataFrame, n_rows_col: str = "i") -> DataFrame:
+    """Reconstruct CSR row_ptr from a COO table (J3,
+    `sparsity_optimizer.py:202-229`): nnz per row + exclusive cumulative sum."""
+    per_row = coords.groupBy(n_rows_col).agg(F.count("*").alias("nnz"))
+    w = (
+        Window.orderBy(n_rows_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_row.withColumn(
+        "row_ptr", F.coalesce(F.sum("nnz").over(w), F.lit(0)).cast("long")
+    )
+
+
+def softmax(df: DataFrame, group_cols: list[str], value_col: str = "v") -> DataFrame:
+    """Numerically-stable softmax per group (P18,
+    `firmware/middleware/cascade_model.c:95-118`): exp(x−max)/Σ via one
+    window pass — no shuffle beyond the group key."""
+    w = Window.partitionBy(*group_cols)
+    e = F.exp(F.col(value_col) - F.max(value_col).over(w))
+    return df.withColumn("softmax", e / F.sum(e).over(w))
+
+
+def argmax(df: DataFrame, group_cols: list[str], value_col: str, index_col: str) -> DataFrame:
+    """Deterministic argmax per group (W12, `firmware_sim.py:63-65`):
+    row_number over (value desc, index asc) — ties break to lowest index."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(value_col), F.col(index_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def magnitude_prune_threshold(
+    df: DataFrame, pct: float, value_col: str = "v"
+) -> DataFrame:
+    """Global magnitude-pruning threshold (A3, `sparsity_optimizer.py:136-144`):
+    the pct-th percentile of |v|. Exact here; swap percentile→
+    percentile_approx for the 100 TB single-pass sketch."""
+    return df.agg(
+        F.percentile(F.abs(F.col(value_col)), pct).alias("threshold")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixture plumbing: embeddings → coordinate table
+# ---------------------------------------------------------------------------
+
+
+def embedding_coords(
+    spark: SparkSession, sf_dir: str, max_vec: int | None = None
+) -> DataFrame:
+    """embeddings(vec_id, embedding[64], label) → (vec_id, label, dim, v)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    if max_vec is not None:
+        emb = emb.filter(F.col("vec_id") < max_vec)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+
+
+def _duck_coords(max_vec: int | None = None) -> str:
+    """DuckDB twin of :func:`embedding_coords` (as a FROM-able subquery)."""
+    where = f"WHERE vec_id < {max_vec}" if max_vec is not None else ""
+    return f"""(
+        SELECT vec_id, label,
+               CAST(dim AS INTEGER) AS dim, CAST(v AS DOUBLE) AS v
+        FROM (SELECT vec_id, label,
+                     unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings {where}))"""
+
+
+# ---------------------------------------------------------------------------
+# Queries: J1/J2 matmul (Gram matrix over the embedding fixture)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_coord_matmul_gram",
+    oracle=f"""
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           CAST(SUM(CAST(ROUND(a.v * b.v * 1000000000) AS BIGINT)) AS BIGINT)
+               / 1000000000.0 AS dot
+    FROM {_duck_coords(24)} a JOIN {_duck_coords(24)} b ON a.dim = b.dim
+    WHERE a.vec_id <= b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+    """,
+)
+def q30_coord_matmul_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense coordinate matmul (J1): Gram matrix G = E·Eᵀ of the first 24
+    embedding vectors — join on the contraction index (dim) + grouped
+    exact sum, upper triangle only."""
+    coords = embedding_coords(spark, sf_dir, max_vec=24)
+    a = coords.select(F.col("vec_id").alias("i"), F.col("dim").alias("k"), "v")
+    b = coords.select(F.col("vec_id").alias("j"), F.col("dim").alias("k"), "v")
+    prod = (
+        a.alias("a")
+        .join(b.alias("b"), "k")
+        .filter(F.col("a.i") <= F.col("b.j"))
+        .select("i", "j", (F.col("a.v") * F.col("b.v")).alias("p"))
+    )
+    return prod.groupBy("i", "j").agg(exact_sum(F.col("p"), 9).alias("dot"))
+
+
+@query(
+    "q31_sparse_matmul",
+    oracle=f"""
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           CAST(SUM(CAST(ROUND(a.v * b.v * 1000000000) AS BIGINT)) AS BIGINT)
+               / 1000000000.0 AS dot,
+           COUNT(*) AS n_macs
+    FROM {_duck_coords(24)} a JOIN {_duck_coords(24)} b ON a.dim = b.dim
+    WHERE a.vec_id <= b.vec_id AND abs(a.v) >= 0.05 AND abs(b.v) >= 0.05
+    GROUP BY a.vec_id, b.vec_id
+    """,
+)
+def q31_sparse_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-skip sparse matmul (J2, `imc22.py:507-530`): |v| ≥ 0.05 on
+    both operands *before* the join — the filter reaches the scan, the MAC
+    count drops with sparsity exactly as in the reference's skip counter."""
+    coords = embedding_coords(spark, sf_dir, max_vec=24).filter(
+        F.abs(F.col("v")) >= 0.05
+    )
+    a = coords.select(F.col("vec_id").alias("i"), F.col("dim").alias("k"), "v")
+    b = coords.select(F.col("vec_id").alias("j"), F.col("dim").alias("k"), "v")
+    prod = (
+        a.alias("a")
+        .join(b.alias("b"), "k")
+        .filter(F.col("a.i") <= F.col("b.j"))
+        .select("i", "j", (F.col("a.v") * F.col("b.v")).alias("p"))
+    )
+    return prod.groupBy("i", "j").agg(
+        exact_sum(F.col("p"), 9).alias("dot"), F.count("*").alias("n_macs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries: P6/P7/P9 quantization family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_quantize_symmetric",
+    oracle=f"""
+    SELECT vec_id, dim,
+           CAST(least(greatest(ROUND(v / (mx / 127.0)), -127), 127) AS INTEGER)
+               AS q,
+           mx / 127.0 AS scale
+    FROM (SELECT vec_id, dim, v, MAX(abs(v)) OVER (PARTITION BY vec_id) AS mx
+          FROM {_duck_coords(16)})
+    """,
+)
+def q32_quantize_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (P7, `codegen_cim.py:461-464`):
+    scale = max(|x|)/127 per tensor via a window max (one shuffle on
+    vec_id), then round/clamp — all JVM-side expressions."""
+    coords = embedding_coords(spark, sf_dir, max_vec=16)
+    w = Window.partitionBy("vec_id")
+    scale = F.max(F.abs(F.col("v"))).over(w) / 127.0
+    with_scale = coords.withColumn("scale", scale)
+    return with_scale.select(
+        "vec_id",
+        "dim",
+        F.least(
+            F.greatest(F.round(F.col("v") / F.col("scale")), F.lit(-127.0)),
+            F.lit(127.0),
+        )
+        .cast("int")
+        .alias("q"),
+        "scale",
+    )
+
+
+@query(
+    "q33_quant_error",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(SUM(CAST(ROUND(abs(v - ROUND(least(greatest(ROUND(v / (mx / 127.0)),
+               -127), 127)) * (mx / 127.0)) * 1000000000) AS BIGINT)) AS BIGINT)
+               / 1000000000.0 / COUNT(*) AS mae,
+           CAST(SUM(CAST(ROUND(pow(v - ROUND(least(greatest(ROUND(v / (mx / 127.0)),
+               -127), 127)) * (mx / 127.0), 2) * 1000000000) AS BIGINT)) AS BIGINT)
+               / 1000000000.0 / COUNT(*) AS mse
+    FROM (SELECT vec_id, v, MAX(abs(v)) OVER (PARTITION BY vec_id) AS mx
+          FROM {_duck_coords(None)})
+    GROUP BY vec_id
+    """,
+)
+def q33_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization round-trip error MAE/MSE per tensor (A12,
+    `mlir_compiler/qat_trainer.py:447-479`): quantize → dequantize → join-free
+    elementwise diff → exact grouped means."""
+    coords = embedding_coords(spark, sf_dir)
+    w = Window.partitionBy("vec_id")
+    scale = F.max(F.abs(F.col("v"))).over(w) / 127.0
+    q = F.least(F.greatest(F.round(F.col("v") / scale), F.lit(-127.0)), F.lit(127.0))
+    # F.round with no scale keeps a double; DuckDB ROUND(...) likewise.
+    err = F.col("v") - F.round(q) * scale
+    with_err = coords.withColumn("abs_err", F.abs(err)).withColumn(
+        "sq_err", F.pow(err, 2)
+    )
+    return with_err.groupBy("vec_id").agg(
+        (exact_sum(F.col("abs_err"), 9) / F.count("*")).alias("mae"),
+        (exact_sum(F.col("sq_err"), 9) / F.count("*")).alias("mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries: A2 sparsity analysis (the SURVEY §7 flagship slice)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_sparsity_analysis",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(SUM(CASE WHEN abs(v) < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_zero,
+           CAST(SUM(CASE WHEN abs(v) < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1.0 / COUNT(*) AS sparsity,
+           CASE WHEN CAST(SUM(CASE WHEN abs(v) < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+                     * 1.0 / COUNT(*) > 0.5
+                THEN 'csr' ELSE 'dense' END AS recommended_format
+    FROM {_duck_coords(None)}
+    GROUP BY label
+    """,
+)
+def q34_sparsity_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layer sparsity analysis (A2, `sparsity_optimizer.py:66-112`):
+    total / exact-zero / near-zero (<0.01) counts, sparsity ratio, and the
+    reference's format recommendation rule (>50% sparse → CSR). This is the
+    SURVEY §7 minimum end-to-end slice: scan → project → conditional agg."""
+    coords = embedding_coords(spark, sf_dir)
+    near = F.sum(F.when(F.abs(F.col("v")) < 0.01, 1).otherwise(0))
+    agged = coords.groupBy("label").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
+        near.alias("n_near_zero"),
+    )
+    sparsity = F.col("n_near_zero") * 1.0 / F.col("n_total")
+    return agged.select(
+        "label",
+        "n_total",
+        "n_zero",
+        "n_near_zero",
+        sparsity.alias("sparsity"),
+        F.when(sparsity > 0.5, "csr").otherwise("dense").alias(
+            "recommended_format"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries: P18 softmax + W12 argmax
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_softmax",
+    oracle=f"""
+    SELECT vec_id, dim,
+           ROUND(e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                           OVER (PARTITION BY vec_id) AS BIGINT) / 1000000.0),
+                 6) AS softmax
+    FROM (SELECT vec_id, dim,
+                 ROUND(exp(v - MAX(v) OVER (PARTITION BY vec_id)), 6) AS e
+          FROM {_duck_coords(8)})
+    """,
+)
+def q35_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numerically-stable softmax (P18, `cascade_model.c:95-118`):
+    exp(x−max)/Σ per vector. exp() can differ by 1 ulp across engines, so
+    each exp is rounded to 6dp before the exact-integer sum — the oracle
+    contract stays bit-stable without hiding the real operator shape."""
+    coords = embedding_coords(spark, sf_dir, max_vec=8)
+    w = Window.partitionBy("vec_id")
+    e = F.round(F.exp(F.col("v") - F.max("v").over(w)), 6)
+    with_e = coords.withColumn("e", e)
+    denom = F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(w) / 1_000_000.0
+    return with_e.select(
+        "vec_id", "dim", F.round(F.col("e") / denom, 6).alias("softmax")
+    )
+
+
+@query(
+    "q36_argmax",
+    oracle=f"""
+    SELECT vec_id, dim AS argmax_dim, v AS max_v FROM (
+        SELECT vec_id, dim, v,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY v DESC, dim)
+                   AS rn
+        FROM {_duck_coords(None)})
+    WHERE rn = 1
+    """,
+)
+def q36_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-tensor argmax (W12/A13, `firmware_sim.py:63-65`):
+    classifier top-class selection; ties break to the lowest index."""
+    coords = embedding_coords(spark, sf_dir)
+    top = argmax(coords, ["vec_id"], "v", "dim")
+    return top.select(
+        "vec_id", F.col("dim").alias("argmax_dim"), F.col("v").alias("max_v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries: A3/A4 pruning
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_magnitude_prune",
+    oracle=f"""
+    WITH thr AS (SELECT ROUND(quantile_cont(abs(v), 0.75), 6) AS t
+                 FROM {_duck_coords(None)})
+    SELECT label,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN abs(v) < t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pruned,
+           CAST(SUM(CASE WHEN abs(v) < t THEN 1 ELSE 0 END) AS BIGINT) * 1.0
+               / COUNT(*) AS prune_ratio
+    FROM {_duck_coords(None)}, thr
+    GROUP BY label
+    """,
+)
+def q37_magnitude_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global magnitude pruning at the 75th percentile of |w| (A3,
+    `sparsity_optimizer.py:136-144`): percentile threshold broadcast
+    against the full table, conditional counts per layer."""
+    coords = embedding_coords(spark, sf_dir)
+    thr = coords.agg(
+        F.round(F.percentile(F.abs(F.col("v")), 0.75), 6).alias("t")
+    )
+    return (
+        coords.join(F.broadcast(thr))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.abs(F.col("v")) < F.col("t"), 1).otherwise(0)).alias(
+                "n_pruned"
+            ),
+        )
+        .select(
+            "label",
+            "n_total",
+            "n_pruned",
+            (F.col("n_pruned") * 1.0 / F.col("n_total")).alias("prune_ratio"),
+        )
+    )
+
+
+@query(
+    "q38_channel_norms",
+    oracle=f"""
+    SELECT dim,
+           ROUND(sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000) AS BIGINT))
+                           AS BIGINT) / 1000000000.0), 6) AS l2_norm,
+           ROW_NUMBER() OVER (
+               ORDER BY sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000) AS BIGINT))
+                             AS BIGINT) / 1000000000.0), dim) AS norm_rank
+    FROM {_duck_coords(None)}
+    GROUP BY dim
+    """,
+)
+def q38_channel_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured (channel) pruning metric (A4, `sparsity_optimizer.py:
+    151-159`): L2 norm per channel (dim) + rank — the lowest-norm channels
+    are drop candidates."""
+    coords = embedding_coords(spark, sf_dir)
+    norms = coords.groupBy("dim").agg(
+        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("raw_norm")
+    )
+    w = Window.orderBy("raw_norm", "dim")
+    return norms.select(
+        "dim",
+        F.round(F.col("raw_norm"), 6).alias("l2_norm"),
+        F.row_number().over(w).alias("norm_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries: activations (P1-P5) + pooling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_activation_stats",
+    oracle=f"""
+    SELECT label,
+           CAST(SUM(CAST(ROUND(greatest(v, 0) * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0 AS sum_relu,
+           CAST(SUM(CAST(ROUND(ROUND(1 / (1 + exp(-v)), 6) * 1000000) AS BIGINT))
+               AS BIGINT) / 1000000.0 AS sum_sigmoid,
+           CAST(SUM(CAST(ROUND(ROUND(1 - 2 / (exp(2 * v) + 1), 6) * 1000000)
+               AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_tanh,
+           CAST(SUM(CAST(ROUND(ROUND(0.5 * v * (2 - 2 / (exp(2 *
+               (0.7978845608028654 * (v + 0.044715 * v * v * v))) + 1)), 6)
+               * 1000000) AS BIGINT)) AS BIGINT) / 1000000.0 AS sum_gelu,
+           CAST(SUM(CAST(ROUND(ROUND(v / (1 + exp(-v)), 6) * 1000000) AS BIGINT))
+               AS BIGINT) / 1000000.0 AS sum_silu
+    FROM {_duck_coords(None)}
+    GROUP BY label
+    """,
+)
+def q39_activation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activation family P1-P5 (`imc22_cim.c:274-293`, `transformer_ops
+    .py:43-47,117-132`) as pure column expressions, aggregated per label.
+    Transcendentals are rounded to 6dp before the exact sum (libm ulp
+    differences across engines)."""
+    coords = embedding_coords(spark, sf_dir)
+    v = F.col("v")
+    return coords.groupBy("label").agg(
+        exact_sum(relu(v), 6).alias("sum_relu"),
+        exact_sum(F.round(sigmoid(v), 6), 6).alias("sum_sigmoid"),
+        exact_sum(F.round(F.tanh(v), 6), 6).alias("sum_tanh"),
+        exact_sum(F.round(gelu(v), 6), 6).alias("sum_gelu"),
+        exact_sum(F.round(silu(v), 6), 6).alias("sum_silu"),
+    )
+
+
+@query(
+    "q40_pooling",
+    oracle=f"""
+    SELECT label, CAST(dim // 8 AS INTEGER) AS bucket,
+           CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+               / 1000000000.0 / COUNT(*) AS avg_pool,
+           MAX(v) AS max_pool,
+           COUNT(*) AS n_elems
+    FROM {_duck_coords(None)}
+    GROUP BY label, CAST(dim // 8 AS INTEGER)
+    """,
+)
+def q40_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avg/max pooling over spatial buckets (`nn_topology.h:92-97,125-129`):
+    groupBy floor(dim/stride) with avg/max — pooling is just a grouped
+    aggregate over bucketed coordinates."""
+    coords = embedding_coords(spark, sf_dir)
+    bucket = (F.col("dim") / 8).cast("int")
+    return (
+        coords.withColumn("bucket", bucket)
+        .groupBy("label", "bucket")
+        .agg(
+            (exact_sum(F.col("v"), 9) / F.count("*")).alias("avg_pool"),
+            F.max("v").alias("max_pool"),
+            F.count("*").alias("n_elems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries: J7 embedding lookup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_embedding_lookup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000000)
+               AS BIGINT)) AS BIGINT) / 1000000000.0 AS sum_dim0
+    FROM events JOIN embeddings ON user_id = vec_id
+    GROUP BY event_type
+    """,
+)
+def q41_embedding_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table lookup (J7, `export_bert_tiny.py:41,50`): token/id →
+    embedding row via broadcast equi-join; the embedding table is the
+    ≤512 KB weight operand, so the fact stream never shuffles."""
+    events = read_table(spark, sf_dir, "events")
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        events.join(F.broadcast(emb), events.user_id == emb.vec_id)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum(
+                F.element_at("embedding", 1).cast("double"), 9
+            ).alias("sum_dim0"),
+        )
+    )
