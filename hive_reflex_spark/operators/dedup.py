@@ -1,0 +1,288 @@
+"""Deduplication operators over ``documents``: exact hash dedup, shingle
+Jaccard, MinHash + LSH banding, SimHash.
+
+The scale story (the whole point of this module):
+- exact dedup = hash-groupBy — embarrassingly parallel, one shuffle on the
+  content hash;
+- all-pairs Jaccard is O(n²) — only the *shingle-collision* join is run,
+  so cost is O(collisions), and at 100 TB it is replaced entirely by
+- MinHash-LSH: per-doc signatures (linear), band-bucket join (only docs
+  sharing a band ever meet), true-Jaccard verification on the tiny
+  candidate set. This is the standard web-scale near-dup pipeline
+  expressed as three DataFrame stages.
+- SimHash: 16-bit locality-sensitive fingerprint via conditional sums —
+  one grouped aggregate, no joins at all.
+
+All hashes are md5-hex (portable across engines); MinHash uses
+lexicographic-min of md5(shingle||seed) — equivalent to a random
+permutation per seed, with no integer-hash parity issues.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.operators.text import (
+    DUCK_SHINGLES,
+    DUCK_WORDS,
+    doc_shingles,
+    doc_words,
+)
+from hive_reflex_spark.registry import query
+
+N_PERMS = 8  # minhash permutations
+BAND_SIZE = 2  # rows per LSH band → 4 bands
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q46_exact_dedup",
+    oracle="""
+    SELECT substr(md5(text), 1, 1) AS hash_bucket,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dupes
+    FROM documents
+    GROUP BY substr(md5(text), 1, 1)
+    """,
+)
+def q46_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication by content hash: md5(text) → groupBy → count.
+    Reported per hash-prefix bucket (16 groups) — the bucket layout is also
+    how the shuffle partitions at scale, so the histogram doubles as a
+    skew check."""
+    docs = read_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("text"))
+    return (
+        docs.select(F.substring(h, 1, 1).alias("hash_bucket"), h.alias("h"))
+        .groupBy("hash_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("h")).alias("n_dupes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle-set Jaccard (exact near-dup)
+# ---------------------------------------------------------------------------
+
+_DUCK_DSH = f"(SELECT DISTINCT doc_id, shingle FROM {DUCK_SHINGLES} sh)"
+
+
+@query(
+    "q47_jaccard_pairs",
+    oracle=f"""
+    WITH dsh AS {_DUCK_DSH},
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          COUNT(*) AS intersection
+                   FROM dsh a JOIN dsh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, intersection,
+           sa.n + sb.n - intersection AS union_size,
+           ROUND(intersection * 1.0 / (sa.n + sb.n - intersection), 6)
+               AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE intersection * 1.0 / (sa.n + sb.n - intersection) >= 0.5
+    """,
+)
+def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs at J ≥ 0.5.
+    Only docs that *share a shingle* ever meet (the join is the candidate
+    generator), so cost is O(collisions) not O(n²); this finds the
+    corpus's planted 'dup'-marker near-duplicates."""
+    dsh = doc_shingles(spark, sf_dir).distinct()
+    sizes = dsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = dsh.alias("a")
+    b = dsh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("intersection") * 1.0 / (
+        F.col("sa.n") + F.col("sb.n") - F.col("intersection")
+    )
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            (F.col("sa.n") + F.col("sb.n") - F.col("intersection")).alias(
+                "union_size"
+            ),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, seed, sig): lexicographic-min md5(shingle||':'||seed) per
+    seed — one grouped aggregate over the shingle table, linear in corpus
+    size, the scale path's replacement for all-pairs comparison."""
+    dsh = doc_shingles(spark, sf_dir).distinct()
+    seeds = spark.range(N_PERMS).select(F.col("id").cast("int").alias("seed"))
+    return (
+        dsh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat(F.col("shingle"), F.lit(":"), F.col("seed").cast("string"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+_DUCK_MINHASH = f"""(
+    SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+           MIN(md5(shingle || ':' || seed)) AS sig
+    FROM {_DUCK_DSH} dsh,
+         (SELECT unnest(range({N_PERMS})) AS seed) seeds
+    GROUP BY doc_id, seed)"""
+
+
+@query(
+    "q48_minhash_signatures",
+    oracle=f"""
+    SELECT doc_id, seed, sig FROM {_DUCK_MINHASH} mh WHERE doc_id < 50
+    """,
+)
+def q48_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (first 50 docs shown): 8 permutations per
+    doc; P(sig_a = sig_b) per permutation equals the true Jaccard."""
+    return minhash_signatures(spark, sf_dir).filter(F.col("doc_id") < 50)
+
+
+@query(
+    "q49_lsh_candidates",
+    oracle=f"""
+    WITH mh AS {_DUCK_MINHASH},
+         bands AS (SELECT doc_id, seed // {BAND_SIZE} AS band,
+                          MIN(CASE WHEN seed % {BAND_SIZE} = 0 THEN sig END)
+                          || MIN(CASE WHEN seed % {BAND_SIZE} = 1 THEN sig END)
+                              AS band_sig
+                   FROM mh GROUP BY doc_id, seed // {BAND_SIZE})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q49_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket candidate pairs: 8 minhashes → 4 bands of 2; docs
+    sharing any band's concatenated signature become candidates. The join
+    key is (band, band_sig) — at 100 TB only near-dups collide, so the
+    join output (and shuffle) is tiny regardless of corpus size."""
+    mh = minhash_signatures(spark, sf_dir)
+    bands = mh.groupBy(
+        "doc_id", F.expr(f"seed div {BAND_SIZE}").alias("band")
+    ).agg(
+        F.concat(
+            F.min(F.when(F.col("seed") % BAND_SIZE == 0, F.col("sig"))),
+            F.min(F.when(F.col("seed") % BAND_SIZE == 1, F.col("sig"))),
+        ).alias("band_sig")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+N_BITS = 16
+
+
+def _duck_simhash() -> str:
+    bit_sums = ",\n".join(
+        f"SUM(CASE WHEN substr(md5(w), {b + 1}, 1) >= '8' THEN 1 ELSE -1 END)"
+        f" AS b{b}"
+        for b in range(N_BITS)
+    )
+    bit_val = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(N_BITS)
+    )
+    return f"""(
+        SELECT doc_id, CAST({bit_val} AS BIGINT) AS simhash
+        FROM (SELECT doc_id, {bit_sums}
+              FROM {DUCK_WORDS} words
+              GROUP BY doc_id))"""
+
+
+@query(
+    "q50_simhash",
+    oracle=f"""
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM {_duck_simhash()} sh
+    GROUP BY simhash
+    """,
+)
+def q50_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each bit is the sign of a weighted vote
+    over token hashes (hex digit ≥ '8' → +1 else −1), grouped into a
+    near-dup histogram. One aggregate pass, no joins — the cheapest
+    near-dup signal at scale; docs with equal simhash are candidates."""
+    words = doc_words(spark, sf_dir)
+    bit_sums = [
+        F.sum(
+            F.when(F.substring(F.md5("w"), b + 1, 1) >= "8", 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(N_BITS)
+    ]
+    per_doc = words.groupBy("doc_id").agg(*bit_sums)
+    simhash = sum(
+        [
+            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(N_BITS)
+        ],
+        F.lit(0),
+    ).cast("long")
+    return (
+        per_doc.select("doc_id", simhash.alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+    )

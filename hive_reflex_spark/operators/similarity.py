@@ -1,0 +1,276 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Three tiers, trading exactness for scale:
+1. q51 brute-force cosine top-k on the coordinate table — the exact
+   baseline; O(queries × corpus) but fully distributed (join on dim,
+   grouped dot products).
+2. q52 JVM array fast path — zip_with/aggregate fold over the arrays,
+   no explode, no per-dim shuffle rows; the per-row cost is a tight
+   codegen loop. Same results, ~64× fewer intermediate rows.
+3. q53 random-hyperplane LSH buckets — the ANN scale path: 8 signed
+   projections → 8-bit bucket; at 100 TB only same-bucket vectors are
+   compared (the bucket is the join key), turning ANN into an equi-join.
+
+Hyperplanes are pseudo-random but engine-portable: the sign of plane p at
+dim d is derived from a hex digit of md5(p||':'||d).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.functions import exact_sum
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
+from hive_reflex_spark.registry import query
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+N_PLANES = 8
+
+
+@query(
+    "q51_cosine_topk",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         norms AS (SELECT vec_id,
+                          sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000) AS BIGINT))
+                               AS BIGINT) / 1000000000.0) AS nrm
+                   FROM coords GROUP BY vec_id),
+         dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         CAST(SUM(CAST(ROUND(q.v * c.v * 1000000000) AS BIGINT))
+                              AS BIGINT) / 1000000000.0 AS dot
+                  FROM coords q JOIN coords c ON q.dim = c.dim
+                  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+                  GROUP BY q.vec_id, c.vec_id),
+         scored AS (SELECT query_id, neighbor_id,
+                           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+                    FROM dots
+                    JOIN norms nq ON query_id = nq.vec_id
+                    JOIN norms nc ON neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def q51_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact ANN baseline): coordinate join
+    on dim → exact grouped dot products → norms → ranked neighbors.
+    The query side is tiny → broadcast; the corpus side streams."""
+    coords = embedding_coords(spark, sf_dir)
+    norms = coords.groupBy("vec_id").agg(
+        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+    )
+    q = coords.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("v").alias("qv")
+    )
+    dots = (
+        F.broadcast(q)
+        .join(coords, "dim")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(exact_sum(F.col("qv") * F.col("v"), 9).alias("dot"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    scored = (
+        dots.join(F.broadcast(nq), F.col("query_id") == F.col("nq.vec_id"))
+        .join(F.broadcast(nc), F.col("neighbor_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@query("q52_cosine_topk_arrays")
+def q52_cosine_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM array fast path for the same top-k: cross-join queries × corpus
+    (queries broadcast), dot product via zip_with + aggregate fold — a
+    whole-stage-codegen loop, no explode, no per-dim rows. This is the
+    bench-speed variant; q51 is its exactness oracle (rows-only check here;
+    parity with q51 is asserted in tests)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qe"), F.col("e"))
+                / (norm(F.col("qe")) * norm(F.col("e"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+@query(
+    "q53_lsh_buckets",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         planes AS (SELECT unnest(range({N_PLANES})) AS p),
+         proj AS (SELECT vec_id, p,
+                         CAST(SUM(CAST(ROUND(
+                             CASE WHEN substr(md5(p || ':' || dim), 1, 1) >= '8'
+                                  THEN -v ELSE v END * 1000000000) AS BIGINT))
+                             AS BIGINT) / 1000000000.0 AS s
+                  FROM coords, planes
+                  GROUP BY vec_id, p),
+         buckets AS (SELECT vec_id,
+                            CAST(SUM(CASE WHEN s > 0
+                                     THEN CAST(pow(2, p) AS BIGINT)
+                                     ELSE 0 END) AS BIGINT) AS bucket
+                     FROM proj GROUP BY vec_id)
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM buckets GROUP BY bucket
+    """,
+)
+def q53_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8 signed
+    pseudo-random projections → sign bits → 8-bit bucket id; the bucket
+    histogram shows the partitioning an LSH-ANN join would use. Collision
+    probability per bit is 1 − θ/π — same-bucket vectors are near in
+    angle. Projections use the exact-sum trick so bucket assignment is
+    engine-deterministic."""
+    coords = embedding_coords(spark, sf_dir)
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+    signed = coords.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "p",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("p").cast("string"),
+                        F.lit(":"),
+                        F.col("dim").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            )
+            >= "8",
+            -F.col("v"),
+        )
+        .otherwise(F.col("v"))
+        .alias("sv"),
+    )
+    proj = signed.groupBy("vec_id", "p").agg(exact_sum(F.col("sv"), 9).alias("s"))
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(2, F.col("p")).cast("long")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    return buckets.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+def lsh_ann_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Library scale path: bucket both sides with the q53 hyperplanes and
+    join on bucket before scoring — only same-bucket candidates are ranked.
+    (Recall < 1 by construction; multiply probe buckets for higher recall.)
+    """
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+    def with_bucket(df: DataFrame, id_col: str) -> DataFrame:
+        coords = df.select(
+            F.col(id_col), F.posexplode("e").alias("dim", "v")
+        )
+        planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+        signed = coords.crossJoin(F.broadcast(planes)).select(
+            id_col,
+            "p",
+            F.when(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("p").cast("string"),
+                            F.lit(":"),
+                            F.col("dim").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                >= "8",
+                -F.col("v"),
+            )
+            .otherwise(F.col("v"))
+            .alias("sv"),
+        )
+        proj = signed.groupBy(id_col, "p").agg(F.sum("sv").alias("s"))
+        return df.join(
+            proj.groupBy(id_col).agg(
+                F.sum(
+                    F.when(
+                        F.col("s") > 0, F.pow(2, F.col("p")).cast("long")
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("bucket")
+            ),
+            id_col,
+        )
+
+    corpus_b = with_bucket(emb, "vec_id")
+    queries_b = with_bucket(queries, "query_id")
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    qe = queries_b.select("query_id", F.col("e").alias("qe"), "bucket")
+    scored = (
+        corpus_b.join(F.broadcast(qe), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e"))))
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )

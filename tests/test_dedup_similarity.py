@@ -1,0 +1,65 @@
+"""Semantic tests for dedup + similarity: LSH candidates must cover the
+exact-Jaccard near-dups; the array fast path must agree with the
+coordinate-table baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.operators.dedup import (
+    q47_jaccard_pairs,
+    q49_lsh_candidates,
+)
+from hive_reflex_spark.operators.similarity import (
+    lsh_ann_topk,
+    q51_cosine_topk,
+    q52_cosine_topk_arrays,
+)
+from hive_reflex_spark.io import read_table
+
+
+def test_lsh_covers_exact_jaccard_pairs(spark, sf_smoke):
+    """Every J>=0.8 pair must appear among LSH candidates (4 bands of 2,
+    P(miss) = (1-J^2)^4 < 2% at J=0.8 — the fixture's planted dups are
+    J~0.9+, so full coverage is expected)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in q47_jaccard_pairs(spark, sf_smoke).filter(
+            F.col("jaccard") >= 0.8
+        ).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in q49_lsh_candidates(spark, sf_smoke).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    missed = exact - cand
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_array_fastpath_matches_coordinate_baseline(spark, sf_smoke):
+    """q52 (zip_with/aggregate fold) must return the same ranked neighbors
+    as q51 (coordinate join) — same ids and cosines to 4dp."""
+    base = {
+        (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 4))
+        for r in q51_cosine_topk(spark, sf_smoke).collect()
+    }
+    fast = {
+        (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 4))
+        for r in q52_cosine_topk_arrays(spark, sf_smoke).collect()
+    }
+    assert base == fast
+
+
+def test_lsh_ann_returns_same_bucket_neighbors(spark, sf_smoke):
+    emb = read_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "e"
+    )
+    got = lsh_ann_topk(spark, emb, queries, k=3).collect()
+    assert len(got) > 0
+    for r in got:
+        assert -1.0 <= r.cosine <= 1.0
+        assert r.query_id != r.neighbor_id
