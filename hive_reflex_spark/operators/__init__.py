@@ -2,11 +2,25 @@
 pair into :mod:`hive_reflex_spark.registry`."""
 
 from hive_reflex_spark.operators import (  # noqa: F401
+    compiler,
     dedup,
     relational,
     similarity,
     tensor,
     text,
+    timeseries,
 )
+from hive_reflex_spark.sources import multimodal  # noqa: F401
+from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 
-__all__ = ["dedup", "relational", "similarity", "tensor", "text"]
+__all__ = [
+    "compiler",
+    "dedup",
+    "relational",
+    "similarity",
+    "streaming_ops",
+    "tensor",
+    "text",
+    "timeseries",
+    "multimodal",
+]

@@ -1,0 +1,150 @@
+"""Compiler-pass query shapes on the driver fixtures (SURVEY §3.1-3.2).
+
+The pass *library* (plans/passes.py) operates on layer-IR tables; these
+queries register the same algorithmic shapes — cost-partitioned islands,
+aligned layout accumulation, liveness intervals — over the driver's
+TPC-H-ish tables so the driver's DuckDB harness can hash-check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.registry import query
+
+
+@query(
+    "q59_cost_partition_islands",
+    oracle="""
+    SELECT l_orderkey, partition_id, target,
+           COUNT(*) AS n_layers,
+           CAST(SUM(CAST(cost_cpu AS BIGINT)) AS BIGINT) AS total_cost
+    FROM (
+        SELECT l_orderkey, target, cost_cpu,
+               CAST(SUM(CASE WHEN target IS DISTINCT FROM prev_target
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY l_orderkey
+                          ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                   l_extendedprice
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS partition_id
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   l_extendedprice,
+                   CAST(ROUND(l_quantity * l_extendedprice) AS BIGINT)
+                       AS cost_cpu,
+                   CASE WHEN l_quantity >= 2 * (l_quantity / 32.0)
+                             AND l_quantity > 25
+                        THEN 'cim' ELSE 'cpu' END AS target,
+                   lag(CASE WHEN l_quantity >= 2 * (l_quantity / 32.0)
+                                 AND l_quantity > 25
+                            THEN 'cim' ELSE 'cpu' END)
+                       OVER (PARTITION BY l_orderkey
+                             ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                      l_extendedprice)
+                       AS prev_target
+            FROM lineitem))
+    GROUP BY l_orderkey, partition_id, target
+    """,
+)
+def q59_cost_partition_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partitioner's 2x-speedup rule + greedy run-length grouping
+    (`mlir_compiler/partitioner.py:63-107`, T4) with lineitems standing in
+    for layers (order = model, linenumber = topological idx): assign a
+    target per row by a cost comparison, then island consecutive
+    same-target rows and roll up per-island cost."""
+    li = read_table(spark, sf_dir, "lineitem")
+    target = F.when(
+        (F.col("l_quantity") >= 2 * (F.col("l_quantity") / 32.0))
+        & (F.col("l_quantity") > 25),
+        "cim",
+    ).otherwise("cpu")
+    # l_linenumber alone is NOT unique per order in this fixture — extend
+    # the ordering to a unique key or island assignment is ambiguous.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        F.round(F.col("l_quantity") * F.col("l_extendedprice"))
+        .cast("long")
+        .alias("cost_cpu"),
+        target.alias("target"),
+    ).withColumn(
+        "is_boundary",
+        F.when(~F.col("target").eqNullSafe(F.lag("target").over(w)), 1).otherwise(
+            0
+        ),
+    )
+    islands = flagged.withColumn(
+        "partition_id", F.sum("is_boundary").over(wcum).cast("long")
+    )
+    return islands.groupBy("l_orderkey", "partition_id", "target").agg(
+        F.count("*").alias("n_layers"),
+        F.sum("cost_cpu").alias("total_cost"),
+    )
+
+
+@query(
+    "q60_flash_layout",
+    oracle="""
+    SELECT p_partkey, size_bytes, aligned_bytes,
+           CAST(COALESCE(SUM(aligned_bytes)
+                OVER (ORDER BY p_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS flash_addr
+    FROM (SELECT p_partkey,
+                 CAST(p_size AS BIGINT) * 1024 AS size_bytes,
+                 CAST(ceil((p_size * 1024) / 256.0) * 256 AS BIGINT)
+                     AS aligned_bytes
+          FROM part)
+    """,
+)
+def q60_flash_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative 256-B-aligned flash layout (W11, `tools/hive_compile.py:
+    181-217`): aligned size + exclusive running sum as the base address,
+    parts standing in for layer blobs."""
+    part = read_table(spark, sf_dir, "part")
+    size = F.col("p_size").cast("long") * 1024
+    aligned = (F.ceil(size / 256.0) * 256).cast("long")
+    w = Window.orderBy("p_partkey").rowsBetween(Window.unboundedPreceding, -1)
+    return part.select(
+        "p_partkey",
+        size.alias("size_bytes"),
+        aligned.alias("aligned_bytes"),
+    ).withColumn(
+        "flash_addr",
+        F.coalesce(F.sum("aligned_bytes").over(w), F.lit(0)).cast("long"),
+    )
+
+
+@query(
+    "q61_liveness",
+    oracle="""
+    SELECT user_id AS tensor_key,
+           MIN(event_id) AS first_def,
+           MAX(event_id) AS last_use,
+           CAST(MAX(event_id) - MIN(event_id) AS BIGINT) AS live_range,
+           COUNT(*) AS n_refs
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q61_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Liveness intervals (W9, `mlir_compiler/memory_planner.py:48-72`):
+    per key, [first def, last use] over a reference stream — min/max
+    grouped aggregate, the input to linear-scan buffer allocation."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy(F.col("user_id").alias("tensor_key")).agg(
+        F.min("event_id").alias("first_def"),
+        F.max("event_id").alias("last_use"),
+        (F.max("event_id") - F.min("event_id")).alias("live_range"),
+        F.count("*").alias("n_refs"),
+    )

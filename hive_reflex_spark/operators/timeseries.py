@@ -1,0 +1,301 @@
+"""Time-series operators (SURVEY §2A W1-W8, P16): FIR/IIR filters, PID,
+EWMA — the reference's firmware/middleware filter bank re-expressed for
+data scale.
+
+Two execution tiers per recurrence (SURVEY §7 watch-list #2):
+- *windowed/closed forms* (FIR taps, windup-free PID) are pure window
+  expressions — JVM-side, oracle-checkable, scale with one shuffle on the
+  partition key;
+- *exact recurrences* (IIR state, PID with windup clamp, LSTM) are not
+  frame aggregates: they run as per-key numpy loops under applyInPandas —
+  sequential *within* a key, parallel *across* keys (nodes/users), which
+  is how the reference scales too (one controller per joint node).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.functions import exact_sum
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Library: exact recurrences via grouped-map pandas (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+def iir_lowpass(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "filtered",
+) -> DataFrame:
+    """Exact IIR low-pass s = α·x + (1−α)·s (W1,
+    `fixed_point_filter.c:63-97`). Per-key sequential loop, parallel
+    across keys via applyInPandas."""
+    schema = f"{df.schema.simpleString()[7:-1]},{out_col}:double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        s = x.copy()
+        for i in range(1, len(x)):
+            s[i] = alpha * x[i] + (1.0 - alpha) * s[i - 1]
+        pdf[out_col] = s
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+def ewma(df: DataFrame, key_cols, order_col, value_col, beta: float, out_col="smoothed"):
+    """Exponential smoothing c = β·c_prev + (1−β)·raw (W6,
+    `tinyml_adaptive.c:242-244`) — the same recurrence as IIR with
+    α = 1−β."""
+    return iir_lowpass(df, key_cols, order_col, value_col, 1.0 - beta, out_col)
+
+
+def complementary_filter(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    gyro_col: str,
+    accel_col: str,
+    alpha: float,
+    dt: float,
+    out_col: str = "angle",
+) -> DataFrame:
+    """Complementary filter s = α(s + gyro·dt) + (1−α)·accel (W2,
+    `fixed_point_filter.c:13-57`): gyro integration with accel drift
+    correction, per-key stateful."""
+    schema = f"{df.schema.simpleString()[7:-1]},{out_col}:double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        g = pdf[gyro_col].to_numpy(dtype="float64")
+        a = pdf[accel_col].to_numpy(dtype="float64")
+        s = 0.0
+        out = []
+        for i in range(len(g)):
+            s = alpha * (s + g[i] * dt) + (1.0 - alpha) * a[i]
+            out.append(s)
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+def pid_controller(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    error_col: str,
+    kp: float,
+    ki: float,
+    kd: float,
+    dt: float = 1.0,
+    integral_clamp: float | None = None,
+    out_col: str = "control",
+) -> DataFrame:
+    """PID with anti-windup clamp (P16, `simulator.py:42-58`,
+    `example_reflex_node.c:45-59`). The clamp makes the integral
+    data-dependent → exact recurrence tier."""
+    schema = f"{df.schema.simpleString()[7:-1]},{out_col}:double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        e = pdf[error_col].to_numpy(dtype="float64")
+        integral = 0.0
+        prev = 0.0
+        out = []
+        for i in range(len(e)):
+            integral += e[i] * dt
+            if integral_clamp is not None:
+                integral = max(min(integral, integral_clamp), -integral_clamp)
+            deriv = (e[i] - prev) / dt
+            out.append(kp * e[i] + ki * integral + kd * deriv)
+            prev = e[i]
+        pdf[out_col] = out
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+# ---------------------------------------------------------------------------
+# Queries: exact IIR (rows-only; numpy-oracled in tests) + FIR (oracled)
+# ---------------------------------------------------------------------------
+
+
+@query("q54_iir_lowpass")
+def q54_iir_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact IIR low-pass over each user's event-value series (α=0.3).
+    A true recurrence — not SQL-expressible as a frame aggregate, so this
+    is a rows-only driver check; bit-parity vs numpy is asserted in
+    tests/test_timeseries.py."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    out = iir_lowpass(events, ["user_id"], "ts_us", "value", alpha=0.3)
+    return out.select(
+        "event_id", "user_id", F.round(F.col("filtered"), 6).alias("filtered")
+    )
+
+
+_FIR_TAPS = 12
+_FIR_ALPHA = 0.3
+
+
+def _fir_weights() -> list[float]:
+    # α(1-α)^j — the IIR impulse response truncated to 12 taps.
+    return [_FIR_ALPHA * (1 - _FIR_ALPHA) ** j for j in range(_FIR_TAPS)]
+
+
+@query(
+    "q55_fir_lowpass",
+    oracle=f"""
+    SELECT event_id, user_id,
+           ROUND(({' + '.join(
+               f"COALESCE(lag(value, {j}) OVER win, 0) * {w!r}"
+               for j, w in enumerate(_fir_weights()))})
+           / ({' + '.join(
+               f"CASE WHEN lag(value, {j}) OVER win IS NULL THEN 0 ELSE {w!r} END"
+               for j, w in enumerate(_fir_weights()))}), 6) AS filtered
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q55_fir_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-tap FIR approximation of the IIR low-pass (SURVEY W1's documented
+    windowed form): weights α(1−α)^j, normalized over available taps at
+    sequence starts. Pure window expressions — the oracle-checkable twin
+    of q54, and the form to prefer at 100 TB (no Python, no state)."""
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ws = _fir_weights()
+    num = sum(
+        [
+            F.coalesce(F.lag("value", j).over(w), F.lit(0.0)) * F.lit(wj)
+            for j, wj in enumerate(ws)
+        ],
+        F.lit(0.0),
+    )
+    den = sum(
+        [
+            F.when(F.lag("value", j).over(w).isNull(), 0.0).otherwise(F.lit(wj))
+            for j, wj in enumerate(ws)
+        ],
+        F.lit(0.0),
+    )
+    return events.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("filtered")
+    )
+
+
+@query(
+    "q56_pid_windowed",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(0.8 * err
+                 + 0.1 * (CAST(SUM(CAST(ROUND(err * 100) AS BIGINT))
+                          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) / 100.0)
+                 + 0.2 * (err - COALESCE(lag(err) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id), 0)),
+                 6) AS control
+    FROM (SELECT event_id, user_id, ts, value - 100 AS err FROM events)
+    """,
+)
+def q56_pid_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windup-free PID (P16) as pure window algebra: P = kp·e,
+    I = ki·running-Σe (exact integer cents), D = kd·(e − lag e).
+    The clamped variant lives in pid_controller() (recurrence tier)."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", (F.col("value") - 100).alias("err")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    integral = F.sum(F.round(F.col("err") * 100).cast("long")).over(wcum) / 100.0
+    deriv = F.col("err") - F.coalesce(F.lag("err").over(w), F.lit(0.0))
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(0.8 * F.col("err") + 0.1 * integral + 0.2 * deriv, 6).alias(
+            "control"
+        ),
+    )
+
+
+@query(
+    "q57_gap_detect",
+    oracle="""
+    SELECT user_id, prev_event_id, event_id,
+           ROUND((ts_us - prev_us) / 1000000.0, 6) AS gap_sec
+    FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                 lag(event_id) OVER win AS prev_event_id,
+                 lag(epoch_us(ts)) OVER win AS prev_us
+          FROM events
+          WINDOW win AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+    WHERE prev_us IS NOT NULL AND ts_us - prev_us > 7200000000
+    """,
+)
+def q57_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap / heartbeat-timeout detection (ST2/ST3,
+    `can_sync.c:63-69,85-98`): per-key lag over event time, emit gaps
+    > 2 h. The batch twin of the streaming timeout operator in
+    streaming/ops.py."""
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lag("ts_us").over(w).alias("prev_us"),
+    )
+    return flagged.filter(
+        F.col("prev_us").isNotNull()
+        & (F.col("ts_us") - F.col("prev_us") > 7_200_000_000)
+    ).select(
+        "user_id",
+        "prev_event_id",
+        "event_id",
+        F.round((F.col("ts_us") - F.col("prev_us")) / 1_000_000.0, 6).alias(
+            "gap_sec"
+        ),
+    )
+
+
+@query(
+    "q58_phase_windows",
+    oracle="""
+    SELECT CAST(phase_bucket AS INTEGER) AS phase_bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+    FROM (SELECT event_type, value,
+                 (epoch_us(ts) % 3600000000) // 600000000 AS phase_bucket
+          FROM events)
+    GROUP BY phase_bucket, event_type
+    """,
+)
+def q58_phase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-window scheduling (ST1/ST4, `can_sync.c:104-148`): phase =
+    ts mod period (1 h), bucketed into 6 slots — the Spark form of the
+    reference's sync-phase alignment check."""
+    events = read_table(spark, sf_dir, "events")
+    phase = (F.unix_micros("ts") % 3_600_000_000) / 600_000_000
+    return (
+        events.withColumn("phase_bucket", phase.cast("int"))
+        .groupBy("phase_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum(F.col("value"), 2).alias("total_value"),
+        )
+    )

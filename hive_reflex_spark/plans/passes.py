@@ -1,0 +1,134 @@
+"""Compiler passes over the layer-IR table.
+
+Schema (FIXTURES.md §4): (model, idx, name, op_type, rows, cols,
+inputs array<string>, outputs array<string>, [hidden_size]).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ALIGN = 256  # flash alignment, tools/hive_compile.py:181-187
+
+
+def fuse_matmul_add(layers: DataFrame) -> DataFrame:
+    """Operator fusion MatMul+Add → Gemm (`mlir_compiler/optimizer.py:
+    126-171`): self-join idx↔idx+1 on producer/consumer adjacency, rewrite
+    the pair, drop the consumed Add. Pattern matching over the IR table is
+    an equi-join, not graph traversal."""
+    a = layers.alias("a")
+    b = layers.alias("b")
+    fused_pairs = (
+        a.join(
+            b,
+            (F.col("a.model") == F.col("b.model"))
+            & (F.col("a.idx") + 1 == F.col("b.idx"))
+            & (F.col("a.op_type").isin("MatMul"))
+            & (F.col("b.op_type") == "Add")
+            # the Add must actually consume the MatMul's output
+            & F.arrays_overlap(F.col("a.outputs"), F.col("b.inputs")),
+        )
+        .select(
+            F.col("a.model").alias("model"),
+            F.col("a.idx").alias("idx"),
+            F.col("b.idx").alias("consumed_idx"),
+            F.col("b.outputs").alias("new_outputs"),
+        )
+    )
+    fp = F.broadcast(fused_pairs)
+    fused = (
+        layers.join(fp, ["model", "idx"], "left")
+        .withColumn(
+            "op_type",
+            F.when(F.col("consumed_idx").isNotNull(), "Gemm").otherwise(
+                F.col("op_type")
+            ),
+        )
+        .withColumn(
+            "outputs",
+            F.when(F.col("consumed_idx").isNotNull(), F.col("new_outputs")).otherwise(
+                F.col("outputs")
+            ),
+        )
+        .drop("new_outputs")
+    )
+    consumed = fused_pairs.select(
+        "model", F.col("consumed_idx").alias("idx")
+    )
+    return (
+        fused.join(F.broadcast(consumed), ["model", "idx"], "left_anti")
+        .drop("consumed_idx")
+    )
+
+
+def partition_by_cost(layers: DataFrame, speedup_threshold: float = 2.0) -> DataFrame:
+    """Cost-based CPU/CIM partitioning + greedy run-length grouping
+    (`mlir_compiler/partitioner.py:4-107`, SURVEY T4): assign each layer a
+    target by the 2x-speedup rule (matmul-family layers are CIM-eligible),
+    then gaps-and-islands to group consecutive same-target layers."""
+    cim_ops = ("MatMul", "Gemm", "Conv", "LSTM")
+    # cost model: cycles_cpu = rows*cols, cycles_cim = rows*cols/32
+    # (simulator/sim_reflex.py:91's 32-MACs-per-cycle assumption)
+    cost_cpu = F.coalesce(F.col("rows") * F.col("cols"), F.lit(0)).cast("double")
+    cost_cim = cost_cpu / 32.0
+    target = F.when(
+        F.col("op_type").isin(*cim_ops)
+        & (cost_cpu >= speedup_threshold * cost_cim),
+        "cim",
+    ).otherwise("cpu")
+    w = Window.partitionBy("model").orderBy("idx")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = layers.withColumn("target", target).withColumn(
+        "is_boundary",
+        F.when(
+            ~F.col("target").eqNullSafe(F.lag("target").over(w)), 1
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "partition_id", F.sum("is_boundary").over(wcum).cast("long")
+    ).drop("is_boundary")
+
+
+def liveness(layers: DataFrame) -> DataFrame:
+    """Tensor liveness (W9, `mlir_compiler/memory_planner.py:48-72`):
+    explode inputs/outputs → per tensor [first producer idx, last consumer
+    idx]. Buffer reuse is legal outside that interval."""
+    produced = layers.select(
+        "model", "idx", F.explode("outputs").alias("tensor")
+    )
+    consumed = layers.select(
+        "model", "idx", F.explode("inputs").alias("tensor")
+    )
+    return (
+        produced.withColumn("kind", F.lit("def"))
+        .unionByName(consumed.withColumn("kind", F.lit("use")))
+        .groupBy("model", "tensor")
+        .agg(
+            F.min(F.when(F.col("kind") == "def", F.col("idx"))).alias(
+                "first_def"
+            ),
+            F.max("idx").alias("last_use"),
+        )
+    )
+
+
+def flash_layout(layers: DataFrame, bytes_per_weight: int = 1) -> DataFrame:
+    """Cumulative 256-B-aligned flash addresses (W11,
+    `tools/hive_compile.py:181-187,206-217`): aligned size per layer,
+    exclusive running sum = base address."""
+    size = F.coalesce(F.col("rows") * F.col("cols"), F.lit(0)) * bytes_per_weight
+    aligned = (F.ceil(size / ALIGN) * ALIGN).cast("long")
+    w = (
+        Window.partitionBy("model")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        layers.withColumn("size_bytes", size.cast("long"))
+        .withColumn("aligned_bytes", aligned)
+        .withColumn(
+            "flash_addr",
+            F.coalesce(F.sum("aligned_bytes").over(w), F.lit(0)).cast("long"),
+        )
+    )

@@ -1,0 +1,192 @@
+"""Structured Streaming operators over the replayed ``events`` fixture
+(SURVEY §2A ST1-ST8): tumbling/session windows, stream-static joins,
+stateful per-key aggregation with timeouts.
+
+Replay model: the parquet file is a file-stream source driven to
+completion with an availableNow trigger + memory sink (FIXTURES.md oracle
+policy) — deterministic in CI, and the exact code path a Kafka/CAN-bus
+source would feed in production (swap the reader, keep the plan).
+
+Scale notes: windowed aggregations keep O(open windows × keys) state;
+watermarks (ST3) bound that state by evicting closed windows — without
+one, a 100 TB replay would accumulate state forever. Session windows and
+applyInPandasWithState shuffle on the grouping key once; state lives in
+the state store, not executor heap.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from hive_reflex_spark.registry import query
+
+_MEM_COUNTER = itertools.count()
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """Spark's file-stream source requires a *directory*; the fixture is a
+    single file. Stage a symlink dir under /tmp (one per sf_dir), which is
+    also where a real deployment would point the source at a landing zone.
+    """
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join("/tmp", "hrs_stream", key)
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-stream source (TIMESTAMP(NANOS) read as
+    long then truncated to micros, matching io.read_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(
+        _stage_stream_dir(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drive a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the sink table."""
+    name = f"hrs_mem_{next(_MEM_COUNTER)}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "q62_streaming_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q62_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows (ST1, `can_sync.c:35-51`'s sync-period
+    alignment): 1-hour windows × event_type via readStream → window() →
+    availableNow → memory sink. The oracle is the batch equivalent —
+    streaming and batch must agree on a bounded replay."""
+    stream = stream_events(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )
+    out = run_to_memory(agg, mode="complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q63_stream_static_join",
+    oracle="""
+    SELECT label, event_type, COUNT(*) AS n
+    FROM events JOIN embeddings ON user_id = vec_id
+    GROUP BY label, event_type
+    """,
+)
+def q63_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (ST5's sense→lookup→act loop): the event stream
+    enriched against the static embeddings dimension (broadcast — each
+    micro-batch joins without shuffling the stream), then aggregated."""
+    stream = stream_events(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", "label"
+    )
+    joined = stream.join(F.broadcast(emb), stream.user_id == emb.vec_id)
+    agg = joined.groupBy("label", "event_type").agg(F.count("*").alias("n"))
+    return run_to_memory(agg, mode="complete")
+
+
+@query("q64_streaming_sessions")
+def q64_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in streaming (ST8): session_window(ts, 30 min) per
+    user with a watermark. Rows-only driver check: append mode can only
+    emit sessions closed *before* the final watermark, so the tail of the
+    replay stays in state — batch q20_sessionize is the exact-coverage
+    twin; tests assert the emitted prefix matches it."""
+    stream = stream_events(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = run_to_memory(agg, mode="append")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+    )
+
+
+def stateful_user_counts(
+    spark: SparkSession, sf_dir: str, timeout_ms: int = 0
+) -> DataFrame:
+    """Per-key stateful aggregation via applyInPandasWithState (ST2/ST5,
+    `example_reflex_node.c:87-93`'s per-node failsafe state): running
+    event count + last-seen timestamp per user, state carried across
+    micro-batches in the state store."""
+    stream = stream_events(spark, sf_dir)
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            (count, last_us) = state.get
+        else:
+            count, last_us = 0, 0
+        for pdf in pdfs:
+            count += len(pdf)
+            if len(pdf):
+                last_us = max(
+                    last_us, int(pdf["ts"].astype("int64").max()) // 1000
+                )
+        state.update((count, last_us))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [count], "last_us": [last_us]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, n_events long, last_us long",
+        stateStructType="n_events long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, mode="update")

@@ -1,0 +1,137 @@
+"""Numpy-oracle tests for the recurrence tier (FIXTURES.md oracle policy:
+tensor/filter ops are checked against a numpy reimplementation of the
+cited reference function), plus streaming semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.operators.timeseries import (
+    complementary_filter,
+    ewma,
+    iir_lowpass,
+    pid_controller,
+)
+from hive_reflex_spark.sources.multimodal import (
+    decode_frames,
+    extract_features,
+    with_binary_payload,
+)
+from hive_reflex_spark.streaming.ops import stateful_user_counts
+
+
+def _series_df(spark, n=200, keys=3, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = [
+        (int(k), int(i), float(v))
+        for k in range(keys)
+        for i, v in enumerate(rng.normal(size=n))
+    ]
+    return spark.createDataFrame(rows, "node int, t int, x double")
+
+
+def test_iir_matches_numpy(spark):
+    """`fixed_point_filter.c:63-97` semantics: s = αx + (1−α)s, s0 = x0."""
+    df = _series_df(spark)
+    out = iir_lowpass(df, ["node"], "t", "x", alpha=0.3)
+    for node in range(3):
+        rows = sorted(
+            out.filter(F.col("node") == node).collect(), key=lambda r: r.t
+        )
+        x = np.array([r.x for r in rows])
+        s = x.copy()
+        for i in range(1, len(x)):
+            s[i] = 0.3 * x[i] + 0.7 * s[i - 1]
+        got = np.array([r.filtered for r in rows])
+        np.testing.assert_allclose(got, s, rtol=1e-12)
+
+
+def test_ewma_is_iir_complement(spark):
+    df = _series_df(spark, n=50, keys=1)
+    a = sorted(
+        iir_lowpass(df, ["node"], "t", "x", alpha=0.2, out_col="y").collect(),
+        key=lambda r: r.t,
+    )
+    b = sorted(
+        ewma(df, ["node"], "t", "x", beta=0.8, out_col="y").collect(),
+        key=lambda r: r.t,
+    )
+    # 1-0.8 differs from 0.2 by one ulp → approx, not exact
+    np.testing.assert_allclose(
+        [r.y for r in a], [r.y for r in b], rtol=1e-12
+    )
+
+
+def test_complementary_filter_matches_numpy(spark):
+    """`fixed_point_filter.c:13-57`: s = α(s + gyro·dt) + (1−α)accel."""
+    rng = np.random.default_rng(5)
+    g, a = rng.normal(size=100), rng.normal(size=100)
+    rows = [(0, int(i), float(g[i]), float(a[i])) for i in range(100)]
+    df = spark.createDataFrame(rows, "node int, t int, gyro double, accel double")
+    out = sorted(
+        complementary_filter(
+            df, ["node"], "t", "gyro", "accel", alpha=0.98, dt=0.001
+        ).collect(),
+        key=lambda r: r.t,
+    )
+    s, exp = 0.0, []
+    for i in range(100):
+        s = 0.98 * (s + g[i] * 0.001) + 0.02 * a[i]
+        exp.append(s)
+    np.testing.assert_allclose([r.angle for r in out], exp, rtol=1e-12)
+
+
+def test_pid_windup_clamp(spark):
+    """The clamp must bind: constant error drives the integral to the
+    clamp, not beyond (`example_reflex_node.c:45-59` anti-windup)."""
+    rows = [(0, i, 10.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "node int, t int, err double")
+    out = sorted(
+        pid_controller(
+            df, ["node"], "t", "err", kp=1.0, ki=1.0, kd=0.0, integral_clamp=50.0
+        ).collect(),
+        key=lambda r: r.t,
+    )
+    # steady state: u = kp*10 + ki*clamp(∑10) = 10 + 50
+    assert out[-1].control == pytest.approx(60.0)
+    # without clamp it would be 10 + 1000
+    unclamped = sorted(
+        pid_controller(df, ["node"], "t", "err", 1.0, 1.0, 0.0).collect(),
+        key=lambda r: r.t,
+    )
+    assert unclamped[-1].control == pytest.approx(1010.0)
+
+
+def test_stateful_user_counts_match_batch(spark, sf_smoke):
+    got = {
+        r.user_id: r.n_events
+        for r in stateful_user_counts(spark, sf_smoke).collect()
+    }
+    batch = {
+        r.user_id: r.n
+        for r in read_table(spark, sf_smoke, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_multimodal_frames_and_features(spark, sf_smoke):
+    docs = read_table(spark, sf_smoke, "documents").limit(20)
+    media = with_binary_payload(docs)
+    frames = decode_frames(media).collect()
+    byte_totals = {}
+    for f in frames:
+        byte_totals[f.doc_id] = byte_totals.get(f.doc_id, 0) + f.frame_bytes
+    expected = {r.doc_id: r.n_bytes for r in media.collect()}
+    assert byte_totals == expected  # frame sampling loses no bytes
+
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r.features) == 8
+        assert sum(r.features) == pytest.approx(1.0)  # normalized histogram
