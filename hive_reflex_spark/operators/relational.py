@@ -149,9 +149,10 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem with segment/date pushdown, grouped
-    revenue, global top-k. customer is the small side → broadcast: the
-    lineitem fact table never shuffles for the join, only for the final
-    O(groups) aggregate."""
+    revenue, global top-k. Only the true dimension (customer) is
+    broadcast; orders⋈lineitem is a fact-fact equi-join left to AQE —
+    forcing a broadcast there would OOM at 100 TB where orders is itself
+    billions of rows."""
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     ords = t["orders"].filter(
@@ -162,7 +163,7 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)),
+            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
             li.l_orderkey == ords.o_orderkey,
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

@@ -15,7 +15,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.io import read_table
@@ -53,21 +53,22 @@ DUCK_WORDS = """(
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-word shingles per document (the dedup unit): sliding window via
-    lead() over token position. (doc_id, shingle)."""
-    words = doc_words(spark, sf_dir)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        words.select(
-            "doc_id",
-            F.concat_ws(
-                " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w)
-            ).alias("shingle"),
-            F.lead("w", 2).over(w).alias("_w2"),
-        )
-        .filter(F.col("_w2").isNotNull())
-        .drop("_w2")
+    """3-word shingles per document (the dedup unit): array-slide via
+    transform over the token array — a pure scan-side projection (no
+    window, no shuffle, no sort), then explode. At 100 TB this keeps
+    shingling embarrassingly parallel; the first shuffle in the dedup
+    pipeline is the signature/collision join itself. (doc_id, shingle)."""
+    docs = read_table(spark, sf_dir, "documents")
+    # Materialize the token array once per row (a lambda referencing
+    # split(...) directly re-splits per element: O(len^2) per doc).
+    with_tokens = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    shingles = F.expr(
+        "CASE WHEN size(ws) >= 3 THEN "
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) "
+        "ELSE array() END"
     )
+    return with_tokens.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 DUCK_SHINGLES = f"""(

