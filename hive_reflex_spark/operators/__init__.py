@@ -2,8 +2,11 @@
 pair into :mod:`hive_reflex_spark.registry`."""
 
 from hive_reflex_spark.operators import (  # noqa: F401
+    analytics,
+    codec,
     compiler,
     dedup,
+    nn,
     relational,
     similarity,
     tensor,
@@ -14,8 +17,11 @@ from hive_reflex_spark.sources import multimodal  # noqa: F401
 from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 
 __all__ = [
+    "analytics",
+    "codec",
     "compiler",
     "dedup",
+    "nn",
     "relational",
     "similarity",
     "streaming_ops",

@@ -1,0 +1,241 @@
+"""Model-quality & telemetry analytics (SURVEY §2A A6, A11, A13, T2):
+accuracy eval, distillation loss, runtime-log statistics, cascade
+early-exit accounting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.functions import exact_sum
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
+from hive_reflex_spark.registry import query
+
+
+@query(
+    "q72_accuracy_eval",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_samples,
+           CAST(SUM(CASE WHEN argmax_dim % 10 = label THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN argmax_dim % 10 = label THEN 1 ELSE 0 END)
+               AS BIGINT) * 1.0 / COUNT(*) AS accuracy
+    FROM (SELECT vec_id, label, dim AS argmax_dim FROM (
+              SELECT vec_id, label, dim,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY v DESC, dim) AS rn
+              FROM {_duck_coords(None)}) WHERE rn = 1)
+    GROUP BY label
+    """,
+)
+def q72_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-match accuracy (A13, `distillation/distiller.py:70-77`):
+    predicted class = argmax dim mod 10 vs the labeled class, per-class
+    accuracy — the classifier-eval aggregate over the tensor table."""
+    coords = embedding_coords(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy(F.desc("v"), "dim")
+    top = (
+        coords.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("dim").alias("argmax_dim"))
+    )
+    correct = F.sum(
+        F.when(F.col("argmax_dim") % 10 == F.col("label"), 1).otherwise(0)
+    )
+    return top.groupBy("label").agg(
+        F.count("*").alias("n_samples"),
+        correct.alias("n_correct"),
+        (correct * 1.0 / F.count("*")).alias("accuracy"),
+    )
+
+
+def _softmax_cols(prefix: str) -> str:
+    """DuckDB fragment: per-vec softmax with 6dp-pre-rounded exp."""
+    return f"""(
+        SELECT vec_id, dim,
+               e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                    OVER (PARTITION BY vec_id) AS BIGINT) / 1000000.0) AS p
+        FROM (SELECT vec_id, dim,
+                     ROUND(exp(v - MAX(v) OVER (PARTITION BY vec_id)), 6) AS e
+              FROM {_duck_coords(None)}))"""
+
+
+@query(
+    "q73_distillation_kl",
+    oracle=f"""
+    WITH sm AS {_softmax_cols('sm')}
+    SELECT t.vec_id AS teacher_id, t.vec_id + 250 AS student_id,
+           CAST(SUM(CAST(ROUND(
+               ROUND(t.p * ln(t.p / s.p), 9) * 1000000000) AS BIGINT))
+               AS BIGINT) / 1000000000.0 AS kl_div
+    FROM sm t JOIN sm s ON s.vec_id = t.vec_id + 250 AND s.dim = t.dim
+    WHERE t.vec_id < 8
+    GROUP BY t.vec_id
+    """,
+)
+def q73_distillation_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distillation KL divergence (A11, `distillation/distiller.py:17-41`):
+    KL(teacher ‖ student) = Σ p·ln(p/q) between softmaxed logit rows
+    (vec i as teacher, vec i+250 as student) — the knowledge-distillation
+    loss as a join + grouped sum, per-term pre-rounded for parity."""
+    coords = embedding_coords(spark, sf_dir)
+    wv = Window.partitionBy("vec_id")
+    e = F.round(F.exp(F.col("v") - F.max("v").over(wv)), 6)
+    sm = (
+        coords.withColumn("e", e)
+        .withColumn(
+            "p",
+            F.col("e")
+            / (
+                F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wv)
+                / 1_000_000.0
+            ),
+        )
+        .select("vec_id", "dim", "p")
+    )
+    t = sm.filter(F.col("vec_id") < 8).alias("t")
+    s = sm.alias("s")
+    term = F.round(F.col("t.p") * F.log(F.col("t.p") / F.col("s.p")), 9)
+    return (
+        t.join(
+            s,
+            (F.col("s.vec_id") == F.col("t.vec_id") + 250)
+            & (F.col("s.dim") == F.col("t.dim")),
+        )
+        .groupBy(
+            F.col("t.vec_id").alias("teacher_id"),
+            (F.col("t.vec_id") + 250).alias("student_id"),
+        )
+        .agg(exact_sum(term, 9).alias("kl_div"))
+    )
+
+
+@query(
+    "q74_log_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               / COUNT(*) AS mean_value,
+           ROUND(sqrt((CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                       * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                       / 10000.0
+                       - pow(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                             AS BIGINT) / 100.0, 2) / COUNT(*))
+                      / (COUNT(*) - 1)), 6) AS std_value,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q74_log_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-log statistics (A6, `tools/ai_feedback.py:120-146`): mean,
+    sample stddev, and p99 per stream — the reference's telemetry rollup.
+    Stddev is computed from exact integer sums (Σx, Σx²) so both engines
+    agree bit-for-bit; at 100 TB swap quantile for percentile_approx."""
+    events = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    sum_c = F.sum(cents)
+    sumsq = F.sum(cents * cents)
+    n = F.count("*")
+    mean = sum_c / 100.0 / n
+    var = (sumsq / 10_000.0 - F.pow(sum_c / 100.0, 2) / n) / (n - 1)
+    return events.groupBy("event_type").agg(
+        n.alias("n"),
+        mean.alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("std_value"),
+        F.round(F.percentile("value", 0.99), 4).alias("p99_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cascade early-exit (T2): declarative stats + the real driver loop
+# ---------------------------------------------------------------------------
+
+CASCADE_STAGES: list[tuple[int, float]] = [(1, 300.0), (2, 150.0)]
+FINAL_STAGE = 3
+STAGE_COST = {1: 1.0, 2: 4.0, 3: 16.0}  # relative per-row inference cost
+
+
+def cascade_exit_stage() -> Column:
+    expr = F.lit(FINAL_STAGE)
+    for stage, thr in reversed(CASCADE_STAGES):
+        expr = F.when(F.col("value") > thr, stage).otherwise(expr)
+    return expr
+
+
+def run_cascade(events: DataFrame) -> DataFrame:
+    """The *actual* early-exit control flow (T2, `cascade_model.c:71-119`):
+    a driver-side loop that filters out exited rows between stages —
+    data-dependent control flow as iterative DataFrame construction
+    (SURVEY §4.1's 'driver loop, not a plan node'). Returns
+    (event_id, exit_stage). Tests assert it equals the declarative CASE."""
+    remaining = events
+    outs = []
+    for stage, thr in CASCADE_STAGES:
+        exited = remaining.filter(F.col("value") > thr).select(
+            "event_id", F.lit(stage).alias("exit_stage")
+        )
+        outs.append(exited)
+        remaining = remaining.filter(~(F.col("value") > thr))
+    outs.append(
+        remaining.select("event_id", F.lit(FINAL_STAGE).alias("exit_stage"))
+    )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@query(
+    "q75_cascade_stats",
+    oracle=f"""
+    SELECT exit_stage,
+           COUNT(*) AS n_exits,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               / COUNT(*) AS mean_value,
+           ROUND(COUNT(*) * CASE exit_stage WHEN 1 THEN {STAGE_COST[1]!r}
+                 WHEN 2 THEN {STAGE_COST[1] + STAGE_COST[2]!r}
+                 ELSE {STAGE_COST[1] + STAGE_COST[2] + STAGE_COST[3]!r} END, 2)
+               AS total_cost
+    FROM (SELECT event_id, value,
+                 CASE WHEN value > 300.0 THEN 1
+                      WHEN value > 150.0 THEN 2
+                      ELSE 3 END AS exit_stage
+          FROM events)
+    GROUP BY exit_stage
+    """,
+)
+def q75_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascade early-exit statistics (T2/A8, `cascade_model.c:135-171`):
+    exit histogram + cumulative inference cost per exit point — the
+    70%-exit-at-layer-2 accounting of `flash_io_benchmark.py:175-197` as a
+    grouped aggregate. The iterative execution path is run_cascade()."""
+    events = read_table(spark, sf_dir, "events")
+    cum_cost = {
+        1: STAGE_COST[1],
+        2: STAGE_COST[1] + STAGE_COST[2],
+        3: STAGE_COST[1] + STAGE_COST[2] + STAGE_COST[3],
+    }
+    cost = (
+        F.when(F.col("exit_stage") == 1, cum_cost[1])
+        .when(F.col("exit_stage") == 2, cum_cost[2])
+        .otherwise(cum_cost[3])
+    )
+    agged = (
+        events.withColumn("exit_stage", cascade_exit_stage())
+        .groupBy("exit_stage")
+        .agg(
+            F.count("*").alias("n_exits"),
+            (exact_sum(F.col("value"), 2) / F.count("*")).alias("mean_value"),
+        )
+    )
+    return agged.select(
+        "exit_stage",
+        "n_exits",
+        "mean_value",
+        F.round(F.col("n_exits") * cost, 2).alias("total_cost"),
+    )

@@ -1,0 +1,219 @@
+"""Neural-network composite operators (SURVEY §2A J4-J6): attention,
+conv2d via im2col range-join, LSTM recurrence.
+
+These are the reference's heaviest compute kernels re-expressed as
+relational algebra over coordinate tables:
+- attention = two coordinate matmuls with a softmax between them
+  (`model_zoo/export_bert_tiny.py:17-30`, `transformer_ops.py:136-143`);
+- conv2d = join pixels to a broadcast kernel-offset table, group by output
+  pixel (`nn_topology.h:47-49`; the im2col strategy of SURVEY J4);
+- LSTM = per-sequence numpy recurrence under applyInPandas
+  (`imc22_sdk/imc22_cim.c:144-172`, `rtl/lstm_unit.v:10-138`) — state is
+  sequential within a sequence, embarrassingly parallel across sequences.
+
+Scale notes: Q/K/V and kernels are the bounded operands (broadcast); the
+pixel/token stream is the unbounded side and never shuffles for the
+kernel join — only the grouped reduction shuffles, at O(output) volume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.functions import exact_sum
+from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
+from hive_reflex_spark.registry import query
+
+N_Q = 4  # attention query vectors: vec_id 0..3
+KV_LO, KV_HI = 100, 108  # keys/values: vec_id 100..107
+SQRT_D = 8.0  # sqrt(64)
+
+
+@query(
+    "q66_attention",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         q AS (SELECT vec_id AS qid, dim, v FROM coords WHERE vec_id < {N_Q}),
+         kv AS (SELECT vec_id AS kid, dim, v FROM coords
+                WHERE vec_id >= {KV_LO} AND vec_id < {KV_HI}),
+         scores AS (SELECT qid, kid,
+                           CAST(SUM(CAST(ROUND(q.v * kv.v / {SQRT_D}
+                                * 1000000000) AS BIGINT)) AS BIGINT)
+                               / 1000000000.0 AS s
+                    FROM q JOIN kv USING (dim) GROUP BY qid, kid),
+         expd AS (SELECT qid, kid,
+                         ROUND(exp(s - MAX(s) OVER (PARTITION BY qid)), 6) AS e
+                  FROM scores),
+         attn AS (SELECT qid, kid,
+                         e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                              OVER (PARTITION BY qid) AS BIGINT) / 1000000.0)
+                             AS w
+                  FROM expd)
+    SELECT qid, dim AS out_dim,
+           ROUND(CAST(SUM(CAST(ROUND(attn.w * kv.v * 1000000000) AS BIGINT))
+                 AS BIGINT) / 1000000000.0, 6) AS out_v
+    FROM attn JOIN kv USING (kid)
+    GROUP BY qid, dim
+    """,
+)
+def q66_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaled dot-product attention (J6): scores = Q·Kᵀ/√d → row softmax →
+    ·V, as two coordinate matmuls around the P18 softmax. K/V (the bounded
+    side) broadcast; exp pre-rounded to 6dp for engine parity."""
+    coords = embedding_coords(spark, sf_dir)
+    q = coords.filter(F.col("vec_id") < N_Q).select(
+        F.col("vec_id").alias("qid"), "dim", "v"
+    )
+    kv = coords.filter(
+        (F.col("vec_id") >= KV_LO) & (F.col("vec_id") < KV_HI)
+    ).select(F.col("vec_id").alias("kid"), "dim", "v")
+    scores = (
+        q.alias("q")
+        .join(F.broadcast(kv.alias("k")), "dim")
+        .groupBy("qid", "kid")
+        .agg(
+            exact_sum(F.col("q.v") * F.col("k.v") / SQRT_D, 9).alias("s")
+        )
+    )
+    wq = Window.partitionBy("qid")
+    e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
+    attn = scores.withColumn("e", e).withColumn(
+        "w",
+        F.col("e")
+        / (F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq) / 1_000_000.0),
+    )
+    return (
+        F.broadcast(attn.select("qid", "kid", "w"))
+        .join(kv, "kid")
+        .groupBy("qid", F.col("dim").alias("out_dim"))
+        .agg(
+            F.round(exact_sum(F.col("w") * F.col("v"), 9), 6).alias("out_v")
+        )
+    )
+
+
+@query(
+    "q67_conv2d",
+    oracle=f"""
+    WITH img AS (SELECT vec_id AS y, dim AS x, v
+                 FROM {_duck_coords(32)} c),
+         kernel AS (SELECT dy, dx, 1.0 / 9 AS w
+                    FROM (SELECT unnest(range(-1, 2)) AS dy) a,
+                         (SELECT unnest(range(-1, 2)) AS dx) b)
+    SELECT (y - dy) AS oy, (x - dx) AS ox,
+           ROUND(CAST(SUM(CAST(ROUND(v * w * 1000000000) AS BIGINT)) AS BIGINT)
+                 / 1000000000.0, 6) AS conv_v,
+           COUNT(*) AS n_taps
+    FROM img, kernel
+    WHERE (y - dy) BETWEEN 1 AND 30 AND (x - dx) BETWEEN 1 AND 62
+    GROUP BY oy, ox
+    """,
+)
+def q67_conv2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 box Conv2D via im2col-as-join (J4): the 32x64 'image' (vec_id ×
+    dim) cross-joins a broadcast 9-row kernel-offset table, shifts to the
+    output pixel, groups. Valid padding → every output has 9 taps. At
+    scale the image side streams; only the O(output-pixels) reduction
+    shuffles. Depthwise = add a channel equality key; stride = filter on
+    oy%s=0."""
+    coords = embedding_coords(spark, sf_dir, max_vec=32)
+    img = coords.select(
+        F.col("vec_id").alias("y"), F.col("dim").alias("x"), "v"
+    )
+    offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    kernel = spark.createDataFrame(offsets, "dy int, dx int").withColumn(
+        "w", F.lit(1.0) / 9
+    )
+    return (
+        img.crossJoin(F.broadcast(kernel))
+        .withColumn("oy", F.col("y") - F.col("dy"))
+        .withColumn("ox", F.col("x") - F.col("dx"))
+        .filter(F.col("oy").between(1, 30) & F.col("ox").between(1, 62))
+        .groupBy("oy", "ox")
+        .agg(
+            F.round(exact_sum(F.col("v") * F.col("w"), 9), 6).alias("conv_v"),
+            F.count("*").alias("n_taps"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSTM (library tier — recurrence, numpy-oracled in tests)
+# ---------------------------------------------------------------------------
+
+
+def lstm_forward(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    input_cols: list[str],
+    wx: np.ndarray,
+    wh: np.ndarray,
+    b: np.ndarray,
+    hidden: int,
+) -> DataFrame:
+    """LSTM layer over per-key sequences (J5, `imc22_cim.c:144-172`):
+    gates = σ/tanh(Wx·x + Wh·h + b) with persistent (h, c).
+
+    ``wx``: (4H, D), ``wh``: (4H, H), ``b``: (4H,) in i,f,g,o order —
+    the same packed-gate layout as `rtl/lstm_unit.v:10-138`. Weights ride
+    to executors inside the task closure (they are the ≤512 KB operand);
+    sequences stay distributed and recur independently per key.
+    """
+    hcols = ", ".join(f"h{i}:double" for i in range(hidden))
+    schema = f"{df.schema.simpleString()[7:-1]},{hcols}"
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x_seq = pdf[input_cols].to_numpy(dtype="float64")
+        h = np.zeros(hidden)
+        c = np.zeros(hidden)
+        outs = np.zeros((len(pdf), hidden))
+        for t in range(len(pdf)):
+            z = wx @ x_seq[t] + wh @ h + b
+            i, f, g, o = (
+                sigmoid(z[:hidden]),
+                sigmoid(z[hidden : 2 * hidden]),
+                np.tanh(z[2 * hidden : 3 * hidden]),
+                sigmoid(z[3 * hidden :]),
+            )
+            c = f * c + i * g
+            h = o * np.tanh(c)
+            outs[t] = h
+        for j in range(hidden):
+            pdf[f"h{j}"] = outs[:, j]
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+@query("q68_lstm_hidden")
+def q68_lstm_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSTM hidden-state trace over each user's event-value sequence
+    (4 hidden units, fixed deterministic weights). Rows-only driver check —
+    the recurrence is numpy-oracled in tests/test_nn.py."""
+    from hive_reflex_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value") / 500.0).alias("x0"),
+    )
+    rng = np.random.default_rng(42)
+    h = 4
+    wx = rng.normal(scale=0.5, size=(4 * h, 1))
+    wh = rng.normal(scale=0.5, size=(4 * h, h))
+    b = np.zeros(4 * h)
+    out = lstm_forward(events, ["user_id"], "ts_us", ["x0"], wx, wh, b, h)
+    return out.select(
+        "event_id",
+        "user_id",
+        *[F.round(F.col(f"h{i}"), 6).alias(f"h{i}") for i in range(h)],
+    )

@@ -996,3 +996,89 @@ def q25_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(num).alias("max_custnum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full ranking-function surface (rank/dense_rank/percent_rank/ntile/
+# first/last) in one pass.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26_rank_functions",
+    oracle="""
+    SELECT n_name, c_custkey,
+           CAST(bal_bucket AS BIGINT) AS bal_bucket,
+           rank() OVER wr AS rnk,
+           dense_rank() OVER wr AS drnk,
+           ROUND(percent_rank() OVER wr, 6) AS prnk,
+           ntile(4) OVER wt AS quartile,
+           first_value(c_custkey) OVER wt AS richest_cust,
+           ROW_NUMBER() OVER wt AS seq
+    FROM (SELECT n_name, c_custkey,
+                 floor(c_acctbal / 1000) AS bal_bucket
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    WINDOW wr AS (PARTITION BY n_name ORDER BY bal_bucket DESC),
+           wt AS (PARTITION BY n_name ORDER BY bal_bucket DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q26_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete ranking surface (§2B window row): rank/dense_rank/
+    percent_rank over a coarse key (real ties — the three differ), ntile +
+    first_value + row_number over the tie-broken total order. One shuffle
+    on n_name serves both windows."""
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    base = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "c_custkey",
+            F.floor(F.col("c_acctbal") / 1000).alias("bal_bucket"),
+        )
+    )
+    wr = Window.partitionBy("n_name").orderBy(F.desc("bal_bucket"))
+    wt = (
+        Window.partitionBy("n_name")
+        .orderBy(F.desc("bal_bucket"), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "n_name",
+        "c_custkey",
+        F.col("bal_bucket").cast("long").alias("bal_bucket"),
+        F.rank().over(wr).alias("rnk"),
+        F.dense_rank().over(wr).alias("drnk"),
+        F.round(F.percent_rank().over(wr), 6).alias("prnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.first("c_custkey").over(wt).alias("richest_cust"),
+        F.row_number().over(wt).alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# collect_list / array aggregation (deterministic via sort).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_collect_types",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS type_set,
+           len(list(DISTINCT event_type)) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q27_collect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (§2B nested row): per-user sorted distinct type
+    list — collect_set is order-nondeterministic across partitions, so
+    array_sort canonicalizes it (the only way array aggs can be
+    reproducible in a distributed run)."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("type_set"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
