@@ -239,3 +239,95 @@ def q75_cascade_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_value",
         F.round(F.col("n_exits") * cost, 2).alias("total_cost"),
     )
+
+
+@query(
+    "q76_weight_stats",
+    oracle=f"""
+    SELECT vec_id AS tensor_id,
+           COUNT(*) AS n,
+           MIN(v) AS min_v, MAX(v) AS max_v,
+           CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+               / 1000000000.0 / COUNT(*) AS mean_v,
+           ROUND(sqrt((CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)
+                       * CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+                       / 1e18
+                       - pow(CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT))
+                             AS BIGINT) / 1000000000.0, 2) / COUNT(*))
+                      / (COUNT(*) - 1)), 6) AS std_v,
+           ROUND(greatest(abs(MIN(v)), abs(MAX(v))) / 127.0, 9)
+               AS derived_scale
+    FROM {_duck_coords(64)}
+    GROUP BY vec_id
+    """,
+)
+def q76_weight_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration statistics per tensor (A1, `mlir_compiler/optimizer.py:
+    226-253`; `quantization.py:100-113`): min/max/mean/std + the derived
+    symmetric int8 scale — the quantization-parameter pass as one grouped
+    aggregate (stddev from exact integer sums for engine parity)."""
+    coords = embedding_coords(spark, sf_dir, max_vec=64)
+    units = F.round(F.col("v") * 1_000_000_000).cast("long")
+    sum_u = F.sum(units)
+    sumsq = F.sum(units * units)
+    n = F.count("*")
+    mean = sum_u / 1_000_000_000.0 / n
+    var = (sumsq / 1e18 - F.pow(sum_u / 1_000_000_000.0, 2) / n) / (n - 1)
+    return coords.groupBy(F.col("vec_id").alias("tensor_id")).agg(
+        n.alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        mean.alias("mean_v"),
+        F.round(F.sqrt(var), 6).alias("std_v"),
+        F.round(
+            F.greatest(F.abs(F.min("v")), F.abs(F.max("v"))) / 127.0, 9
+        ).alias("derived_scale"),
+    )
+
+
+@query(
+    "q77_mixed_precision",
+    oracle=f"""
+    WITH err AS (
+        SELECT vec_id,
+               CAST(SUM(CAST(ROUND(pow(v - ROUND(least(greatest(
+                   ROUND(v / (mx / 127.0)), -127), 127)) * (mx / 127.0), 2)
+                   * 1000000000) AS BIGINT)) AS BIGINT) / 1000000000.0
+                   / COUNT(*) AS mse
+        FROM (SELECT vec_id, v, MAX(abs(v)) OVER (PARTITION BY vec_id) AS mx
+              FROM {_duck_coords(None)})
+        GROUP BY vec_id)
+    SELECT precision, COUNT(*) AS n_tensors,
+           ROUND(MIN(mse), 9) AS min_mse, ROUND(MAX(mse), 9) AS max_mse
+    FROM (SELECT vec_id, mse,
+                 CASE WHEN mse < 0.0000004 THEN 'int8' ELSE 'float16' END
+                     AS precision
+          FROM err)
+    GROUP BY precision
+    """,
+)
+def q77_mixed_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity-driven mixed precision (`mlir_compiler/quantization.py:
+    151-172`): per-tensor int8 round-trip MSE decides int8 vs float16 —
+    the A12 error metric feeding a per-layer precision assignment, rolled
+    up as the pass summary."""
+    coords = embedding_coords(spark, sf_dir)
+    wv = Window.partitionBy("vec_id")
+    scale = F.max(F.abs(F.col("v"))).over(wv) / 127.0
+    q = F.least(F.greatest(F.round(F.col("v") / scale), F.lit(-127.0)), F.lit(127.0))
+    err = F.col("v") - F.round(q) * scale
+    mse_df = (
+        coords.withColumn("sq", F.pow(err, 2))
+        .groupBy("vec_id")
+        .agg((exact_sum(F.col("sq"), 9) / F.count("*")).alias("mse"))
+    )
+    prec = F.when(F.col("mse") < 4e-7, "int8").otherwise("float16")
+    return (
+        mse_df.withColumn("precision", prec)
+        .groupBy("precision")
+        .agg(
+            F.count("*").alias("n_tensors"),
+            F.round(F.min("mse"), 9).alias("min_mse"),
+            F.round(F.max("mse"), 9).alias("max_mse"),
+        )
+    )

@@ -1082,3 +1082,21 @@ def q27_collect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("event_type")).alias("type_set"),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct counting (sketch tier).
+# ---------------------------------------------------------------------------
+
+
+@query("q28_approx_distinct")
+def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL sketch) next to the exact count — the
+    sketch is what survives 100 TB (mergeable, single pass, fixed memory);
+    rows-only driver check because HLL estimates are engine-specific. The
+    test asserts the estimate is within the 5% rsd bound of the exact."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+    )

@@ -132,3 +132,49 @@ def flash_layout(layers: DataFrame, bytes_per_weight: int = 1) -> DataFrame:
             F.coalesce(F.sum("aligned_bytes").over(w), F.lit(0)).cast("long"),
         )
     )
+
+
+def allocate_buffers(live: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Linear-scan first-fit buffer allocation (W10,
+    `mlir_compiler/memory_planner.py:74-129`): tensors ordered by
+    [first_def, last_use] get the lowest non-overlapping offset.
+
+    Inherently sequential (each placement depends on all earlier ones) and
+    planner-scale (thousands of tensors, not billions of rows), so it runs
+    as a single-partition applyInPandas per model — models still
+    parallelize across the cluster.
+    """
+    import pandas as pd  # local: only the planner path needs it
+
+    joined = live.join(sizes, ["model", "tensor"])
+    schema = (
+        "model string, tensor string, first_def int, last_use int, "
+        "size_bytes long, offset long"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # graph inputs have no producer: first_def NaN → -1 (live from entry)
+        pdf = pdf.copy()
+        pdf["first_def"] = pdf["first_def"].fillna(-1).astype("int64")
+        pdf = pdf.sort_values(["first_def", "last_use", "tensor"]).reset_index(
+            drop=True
+        )
+        placed: list[tuple[int, int, int, int]] = []  # (off, end, first, last)
+        offsets = []
+        for r in pdf.itertuples():
+            first = int(r.first_def)
+            candidate = 0
+            # first-fit: bump past every live, overlapping allocation
+            for off, end, p_first, p_last in sorted(placed):
+                overlaps_lifetime = not (p_last < first or int(r.last_use) < p_first)
+                if overlaps_lifetime and not (end <= candidate or off >= candidate + r.size_bytes):
+                    candidate = end
+            placed.append(
+                (candidate, candidate + int(r.size_bytes), first, int(r.last_use))
+            )
+            offsets.append(candidate)
+        out = pdf[["model", "tensor", "first_def", "last_use", "size_bytes"]].copy()
+        out["offset"] = offsets
+        return out
+
+    return joined.groupBy("model").applyInPandas(fn, schema)

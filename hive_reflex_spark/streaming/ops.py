@@ -190,3 +190,32 @@ def stateful_user_counts(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, mode="update")
+
+
+def batched_log_shipping(
+    spark: SparkSession, sf_dir: str, out_dir: str, batch_rows: int = 1000
+) -> list[str]:
+    """Batched log shipping (ST6, `tools/ai_feedback.py:88-118`): the
+    event stream flushed as JSON batch files via foreachBatch — the
+    exactly-once sink pattern (each epoch writes one atomic directory).
+    Returns the written batch paths."""
+    stream = stream_events(spark, sf_dir)
+    written: list[str] = []
+
+    def sink(df: DataFrame, epoch_id: int) -> None:
+        path = os.path.join(out_dir, f"batch_{epoch_id:05d}")
+        (
+            df.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .json(path)
+        )
+        written.append(path)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return written

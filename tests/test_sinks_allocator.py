@@ -1,0 +1,108 @@
+"""Sinks (S2-S6) and the linear-scan allocator (W10): round-trip and
+invariant tests."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.plans import liveness
+from hive_reflex_spark.plans.passes import allocate_buffers
+from hive_reflex_spark.sources.sinks import (
+    load_model_binary,
+    pack_model_binary,
+    write_partitioned_parquet,
+    write_profile_csv,
+    write_runtime_log_json,
+)
+from hive_reflex_spark.streaming.ops import batched_log_shipping
+
+
+def test_pack_model_roundtrip(spark):
+    """S2/S3: quantize → pack → header+CRC validate → addresses aligned."""
+    rows = [
+        ("fc1", i, j, float((i * 3 + j) % 7 - 3) / 3)
+        for i in range(12)
+        for j in range(32)
+    ] + [("fc2", i, j, float(i - j) / 16) for i in range(32) for j in range(16)]
+    w = spark.createDataFrame(rows, "layer string, i int, j int, value double")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "model.bin")
+        manifest = pack_model_binary(w, path)
+        assert manifest["n_layers"] == 2
+        for layer in manifest["layers"]:
+            assert layer["flash_addr"] % 256 == 0
+        sizes = {m["layer"]: m["n_weights"] for m in manifest["layers"]}
+        assert sizes == {"fc1": 12 * 32, "fc2": 32 * 16}
+        # loader validates magic + body CRC + per-layer CRCs
+        loaded = load_model_binary(path)
+        assert loaded["layers"] == manifest["layers"]
+
+
+def test_csv_json_parquet_sinks(spark, sf_smoke):
+    events = read_table(spark, sf_smoke, "events").limit(100)
+    with tempfile.TemporaryDirectory() as d:
+        write_profile_csv(events.select("event_id", "event_type", "value"),
+                          os.path.join(d, "csv"))
+        back = spark.read.csv(os.path.join(d, "csv"), header=True)
+        assert back.count() == 100
+
+        write_runtime_log_json(events, os.path.join(d, "json"))
+        back = spark.read.json(os.path.join(d, "json"))
+        assert back.count() == 100
+
+        write_partitioned_parquet(events, os.path.join(d, "pq"), "event_type")
+        # partition pruning: reading one partition touches one directory
+        one = spark.read.parquet(os.path.join(d, "pq")).filter(
+            F.col("event_type") == "click"
+        )
+        assert one.count() == events.filter(F.col("event_type") == "click").count()
+        assert os.path.isdir(os.path.join(d, "pq", "event_type=click"))
+
+
+def test_allocator_no_overlap_for_live_tensors(spark):
+    """W10 invariant (`memory_planner.py:74-129`): two tensors with
+    overlapping lifetimes never share bytes; the residual input 'a' must
+    not be overlaid by 'b'."""
+    layers = spark.createDataFrame(
+        [
+            ("r", 0, "l1", "Gemm", 8, 8, ["x"], ["a"]),
+            ("r", 1, "l2", "Gemm", 8, 8, ["a"], ["b"]),
+            ("r", 2, "l3", "Add", None, None, ["a", "b"], ["y"]),
+        ],
+        "model string, idx int, name string, op_type string, rows int, "
+        "cols int, inputs array<string>, outputs array<string>",
+    )
+    live = liveness(layers)
+    sizes = spark.createDataFrame(
+        [("r", t, 64) for t in ("x", "a", "b", "y")],
+        "model string, tensor string, size_bytes long",
+    )
+    got = {r.tensor: (r.offset, r.offset + r.size_bytes, r.first_def if r.first_def is not None else -1, r.last_use)
+           for r in allocate_buffers(live, sizes).collect()}
+    # pairwise: overlapping lifetime => disjoint ranges
+    items = list(got.items())
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            (ta, (o1, e1, f1, l1)), (tb, (o2, e2, f2, l2)) = items[i], items[j]
+            lifetimes_overlap = not (l1 < f2 or l2 < f1)
+            ranges_overlap = not (e1 <= o2 or e2 <= o1)
+            assert not (lifetimes_overlap and ranges_overlap), (ta, tb, got)
+    assert not (got["a"][0] < got["b"][1] and got["b"][0] < got["a"][1])
+
+
+def test_batched_log_shipping(spark, sf_smoke):
+    """ST6: foreachBatch JSON shipping — every source row lands in exactly
+    one shipped batch."""
+    with tempfile.TemporaryDirectory() as d:
+        paths = batched_log_shipping(spark, sf_smoke, d)
+        assert paths
+        shipped = spark.read.json(glob.glob(os.path.join(d, "batch_*")))
+        n_src = read_table(spark, sf_smoke, "events").count()
+        assert shipped.count() == n_src
+        assert shipped.select("event_id").distinct().count() == n_src
