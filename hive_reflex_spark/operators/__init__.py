@@ -6,6 +6,7 @@ from hive_reflex_spark.operators import (  # noqa: F401
     codec,
     compiler,
     dedup,
+    graph,
     nn,
     relational,
     similarity,
@@ -21,6 +22,7 @@ __all__ = [
     "codec",
     "compiler",
     "dedup",
+    "graph",
     "nn",
     "relational",
     "similarity",

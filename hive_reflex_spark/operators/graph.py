@@ -1,0 +1,88 @@
+"""Graph operators for dedup clustering: connected components over the
+near-duplicate candidate pairs.
+
+Pairwise dedup (q47/q49) finds *edges*; a training-data pipeline needs
+*clusters* — "keep one doc per component, drop the rest". Components are
+computed by iterative label propagation (each vertex takes the min label
+in its neighborhood until fixpoint): a driver loop of join + min-aggregate
+rounds, converging in O(log(diameter)) iterations. This is the standard
+large-graph pattern on Spark (no GraphX dependency, pure DataFrames).
+
+Scale notes: each round is one shuffle on vertex id over the edge list;
+near-dup graphs are overwhelmingly tiny components (pairs/triples), so
+convergence is 2-3 rounds. Checkpoint every few rounds at real scale to
+truncate lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.operators.dedup import q49_lsh_candidates
+from hive_reflex_spark.registry import query
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Label propagation to fixpoint: returns (vertex, component) with
+    component = min vertex id in the component."""
+    verts = (
+        edges.select(F.col(src).alias("vertex"))
+        .union(edges.select(F.col(dst).alias("vertex")))
+        .distinct()
+    )
+    labels = verts.withColumn("component", F.col("vertex"))
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    for _ in range(max_iter):
+        # each vertex adopts min(own label, neighbors' labels)
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.vertex)
+            .groupBy(F.col("a").alias("vertex"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@query("q78_dedup_clusters")
+def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from the LSH candidate pairs: connected
+    components → per-cluster size + canonical keeper (min doc_id) + docs
+    to drop. Rows-only driver check (iterative fixpoint is not
+    SQL-expressible); cluster==pair equivalence is asserted in tests."""
+    edges = q49_lsh_candidates(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("vertex").alias("keep_doc"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
