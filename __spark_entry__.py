@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import hive_reflex_spark.operators  # noqa: F401,E402  (registers queries)
 from hive_reflex_spark.registry import ORACLES, QUERIES  # noqa: E402
 
-FLAGSHIP = "q14_conditional_agg"
+# SURVEY §7's minimum end-to-end slice: the A2 sparsity analysis.
+FLAGSHIP = "q34_sparsity_analysis"
 
 
 def entry(spark: SparkSession) -> DataFrame:

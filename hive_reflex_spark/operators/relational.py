@@ -23,10 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.functions import (
-    duck_exact_sum,
-    exact_sum,
-)
+from hive_reflex_spark.functions import exact_sum
 from hive_reflex_spark.io import load_tables
 from hive_reflex_spark.registry import query
 
