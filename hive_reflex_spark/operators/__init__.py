@@ -8,6 +8,7 @@ from hive_reflex_spark.operators import (  # noqa: F401
     dedup,
     graph,
     nn,
+    power,
     relational,
     similarity,
     tensor,
@@ -24,6 +25,7 @@ __all__ = [
     "dedup",
     "graph",
     "nn",
+    "power",
     "relational",
     "similarity",
     "streaming_ops",

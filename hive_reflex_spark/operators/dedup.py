@@ -286,3 +286,71 @@ def q50_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (the fifth dedup modality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q51a_embedding_neardup",
+    oracle="""
+    WITH coords AS (SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+                           CAST(v AS DOUBLE) AS v
+                    FROM (SELECT vec_id,
+                                 unnest(range(len(embedding))) AS dim,
+                                 unnest(embedding) AS v
+                          FROM embeddings)),
+         norms AS (SELECT vec_id,
+                          sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000)
+                               AS BIGINT)) AS BIGINT) / 1000000000.0) AS nrm
+                   FROM coords GROUP BY vec_id),
+         dots AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                         CAST(SUM(CAST(ROUND(a.v * b.v * 1000000000)
+                              AS BIGINT)) AS BIGINT) / 1000000000.0 AS dot
+                  FROM coords a JOIN coords b ON a.dim = b.dim
+                       AND a.vec_id < b.vec_id
+                  GROUP BY a.vec_id, b.vec_id)
+    SELECT vec_a, vec_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON vec_a = na.vec_id
+    JOIN norms nb ON vec_b = nb.vec_id
+    WHERE dot / (na.nrm * nb.nrm) >= 0.4
+    """,
+)
+def q51a_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup modality
+    next to exact/Jaccard/MinHash/SimHash): all pairs with cosine ≥ 0.4 (the extreme tail for this gaussian fixture)
+    via the coordinate join. Exactness baseline — at 100 TB the same
+    threshold runs inside LSH buckets (similarity.lsh_ann_topk) so only
+    near-colliding vectors are ever compared."""
+    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.operators.tensor import embedding_coords
+
+    coords = embedding_coords(spark, sf_dir)
+    norms = coords.groupBy("vec_id").agg(
+        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+    )
+    a = coords.alias("a")
+    b = coords.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(exact_sum(F.col("a.v") * F.col("b.v"), 9).alias("dot"))
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    cos = F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))
+    return (
+        dots.join(F.broadcast(na), F.col("vec_a") == F.col("na.vec_id"))
+        .join(F.broadcast(nb), F.col("vec_b") == F.col("nb.vec_id"))
+        .filter(cos >= 0.4)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+    )

@@ -217,3 +217,62 @@ def q68_lstm_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.round(F.col(f"h{i}"), 6).alias(f"h{i}") for i in range(h)],
     )
+
+
+def gru_forward(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    input_cols: list[str],
+    wx: np.ndarray,
+    wh: np.ndarray,
+    b: np.ndarray,
+    hidden: int,
+) -> DataFrame:
+    """GRU layer over per-key sequences (the LAYER_GRU enum,
+    `imc22_sdk/nn_topology.h:51`): z/r/n gates in packed order.
+
+    ``wx``: (3H, D), ``wh``: (3H, H), ``b``: (3H,) — update, reset,
+    candidate. Same distribution strategy as lstm_forward."""
+    hcols = ", ".join(f"h{i}:double" for i in range(hidden))
+    schema = f"{df.schema.simpleString()[7:-1]},{hcols}"
+
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x_seq = pdf[input_cols].to_numpy(dtype="float64")
+        h = np.zeros(hidden)
+        outs = np.zeros((len(pdf), hidden))
+        for t in range(len(pdf)):
+            zx = wx @ x_seq[t] + b
+            zh = wh @ h
+            z = sigmoid(zx[:hidden] + zh[:hidden])
+            r = sigmoid(zx[hidden : 2 * hidden] + zh[hidden : 2 * hidden])
+            n = np.tanh(zx[2 * hidden :] + r * zh[2 * hidden :])
+            h = (1 - z) * n + z * h
+            outs[t] = h
+        for j in range(hidden):
+            pdf[f"h{j}"] = outs[:, j]
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+def fold_batchnorm(
+    weights: DataFrame, bn: DataFrame, eps: float = 1e-5
+) -> DataFrame:
+    """BatchNorm folding into the preceding layer's weights
+    (`mlir_compiler/qat_trainer.py:165-257`): w' = w·γ/√(σ²+ε) per output
+    channel — a broadcast join on (layer, i) + elementwise rescale; the
+    bias shift b' = (b−μ)·γ/√(σ²+ε) + β follows the same join shape.
+
+    weights: (layer, i, j, value); bn: (layer, i, gamma, beta, mean, var).
+    """
+    scale = F.col("gamma") / F.sqrt(F.col("var") + eps)
+    return (
+        weights.join(F.broadcast(bn), ["layer", "i"])
+        .withColumn("value", F.col("value") * scale)
+        .select("layer", "i", "j", "value")
+    )

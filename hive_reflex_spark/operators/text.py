@@ -265,3 +265,41 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams.groupBy("doc_id").agg(
         F.min(F.md5(F.col("gram"))).alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q42a_bpe_token_count",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '{TOKEN_RE}'))
+               AS BIGINT)) AS BIGINT) AS total_subword_tokens,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS total_ws_tokens,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '{TOKEN_RE}'))
+               AS BIGINT)) AS BIGINT) * 1.0
+               / CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                      AS BIGINT) AS subword_per_word
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q42a_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting: alpha-runs / digit-runs / punctuation as
+    separate tokens (the regex stand-in for a subword tokenizer), next to
+    whitespace tokens — the tokens-per-word ratio every training-data
+    budget is priced in. Pure regexp expressions, scan-side."""
+    docs = read_table(spark, sf_dir, "documents")
+    subword = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0)).cast("long")
+    ws = F.size(F.split("text", " ")).cast("long")
+    return docs.groupBy("source").agg(
+        F.sum(subword).alias("total_subword_tokens"),
+        F.sum(ws).alias("total_ws_tokens"),
+        (F.sum(subword) * 1.0 / F.sum(ws)).alias("subword_per_word"),
+    )

