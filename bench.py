@@ -32,6 +32,8 @@ HEADLINE = [
     "q50_simhash",              # simhash aggregate
     "q52_cosine_topk_arrays",   # ANN array fast path
     "q53_lsh_buckets",          # ANN LSH bucketing
+    "q66_attention",            # J6 attention chain
+    "q59a_asof_join",           # temporal as-of enrichment
 ]
 
 

@@ -276,3 +276,77 @@ def fold_batchnorm(
         .withColumn("value", F.col("value") * scale)
         .select("layer", "i", "j", "value")
     )
+
+
+@query(
+    "q66a_causal_attention",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(16)} c),
+         toks AS (SELECT vec_id AS pos, dim, v FROM coords),
+         scores AS (SELECT q.pos AS qpos, k.pos AS kpos,
+                           CAST(SUM(CAST(ROUND(q.v * k.v / {SQRT_D}
+                                * 1000000000) AS BIGINT)) AS BIGINT)
+                               / 1000000000.0 AS s
+                    FROM toks q JOIN toks k USING (dim)
+                    WHERE k.pos <= q.pos
+                    GROUP BY q.pos, k.pos),
+         expd AS (SELECT qpos, kpos,
+                         ROUND(exp(s - MAX(s) OVER (PARTITION BY qpos)), 6) AS e
+                  FROM scores),
+         attn AS (SELECT qpos, kpos,
+                         e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                              OVER (PARTITION BY qpos) AS BIGINT) / 1000000.0)
+                             AS w
+                  FROM expd)
+    , ranked AS (SELECT qpos, kpos,
+                        ROW_NUMBER() OVER (PARTITION BY qpos
+                                           ORDER BY w DESC, kpos) AS rn
+                 FROM attn)
+    SELECT a.qpos, COUNT(*) AS n_visible,
+           ROUND(MAX(a.w), 6) AS max_weight,
+           MIN(r.kpos) AS top_kpos
+    FROM attn a JOIN ranked r ON a.qpos = r.qpos AND r.rn = 1
+    GROUP BY a.qpos
+    """,
+)
+def q66a_causal_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Causal (autoregressive) attention mask (FIXTURES §10's
+    `key_pos <= query_pos` filter; NanoLlama's decoder blocks,
+    `export_tinyllama.py:44-56`): the mask is a join predicate, so masked
+    pairs are never materialized — position t sees exactly t+1 keys.
+    Output: per query position, visible count + strongest key."""
+    coords = embedding_coords(spark, sf_dir, max_vec=16)
+    toks = coords.select(F.col("vec_id").alias("pos"), "dim", "v")
+    q = toks.alias("q")
+    k = toks.alias("k")
+    scores = (
+        q.join(
+            k,
+            (F.col("q.dim") == F.col("k.dim"))
+            & (F.col("k.pos") <= F.col("q.pos")),
+        )
+        .groupBy(F.col("q.pos").alias("qpos"), F.col("k.pos").alias("kpos"))
+        .agg(exact_sum(F.col("q.v") * F.col("k.v") / SQRT_D, 9).alias("s"))
+    )
+    wq = Window.partitionBy("qpos")
+    e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
+    attn = scores.withColumn("e", e).withColumn(
+        "w",
+        F.col("e")
+        / (F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq) / 1_000_000.0),
+    )
+    top = Window.partitionBy("qpos").orderBy(F.desc("w"), F.col("kpos"))
+    ranked = attn.withColumn("rn", F.row_number().over(top))
+    return (
+        attn.groupBy("qpos")
+        .agg(
+            F.count("*").alias("n_visible"),
+            F.round(F.max("w"), 6).alias("max_weight"),
+        )
+        .join(
+            ranked.filter(F.col("rn") == 1).select(
+                "qpos", F.col("kpos").alias("top_kpos")
+            ),
+            "qpos",
+        )
+    )

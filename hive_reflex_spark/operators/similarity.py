@@ -274,3 +274,117 @@ def lsh_ann_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer + cluster-restricted search
+# ---------------------------------------------------------------------------
+
+N_CENTROIDS_STRIDE = 50  # centroids = vec_id % 50 == 0 (deterministic seed)
+N_PROBE = 2
+
+
+@query(
+    "q54a_ivf_assign",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         cents AS (SELECT vec_id AS cid, dim, v FROM coords
+                   WHERE vec_id % {N_CENTROIDS_STRIDE} = 0),
+         dots AS (SELECT x.vec_id, c.cid,
+                         CAST(SUM(CAST(ROUND(x.v * c.v * 1000000000) AS BIGINT))
+                              AS BIGINT) / 1000000000.0 AS dot
+                  FROM coords x JOIN cents c USING (dim)
+                  GROUP BY x.vec_id, c.cid),
+         assign AS (SELECT vec_id, cid FROM (
+                        SELECT vec_id, cid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                  ORDER BY dot DESC, cid) AS rn
+                        FROM dots) WHERE rn = 1)
+    SELECT cid AS centroid_id, COUNT(*) AS n_assigned,
+           MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+    FROM assign GROUP BY cid
+    """,
+)
+def q54a_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization (the inverted-file ANN tier next to LSH):
+    every vector assigned to its max-dot centroid (deterministic seed
+    centroids: vec_id multiples of 50). The assignment is one
+    corpus × centroids coordinate join — centroids broadcast, corpus
+    streams; the resulting cluster id becomes the partition key for
+    cluster-restricted search (ivf_topk below). Embeddings are ~unit-norm
+    so max-dot ≡ max-cosine."""
+    coords = embedding_coords(spark, sf_dir)
+    cents = coords.filter(
+        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
+    ).select(F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv"))
+    dots = (
+        coords.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(exact_sum(F.col("v") * F.col("cv"), 9).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid")
+    assign = (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return assign.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count("*").alias("n_assigned"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = TOP_K,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF search: score queries against centroids, probe the n_probe
+    nearest clusters, rank only vectors assigned there — the
+    corpus-partitioned ANN that replaces brute force at 100 TB (recall
+    governed by n_probe; tests measure it against q51)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+    cents = emb.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    # corpus -> cluster assignment (broadcasted centroid scoring)
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("cdot"), "cid")
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cdot", dot(F.col("e"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cid")
+    )
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "cid")
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("qdot", dot(F.col("qe"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qe", "cid")
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot(F.col("qe"), F.col("e")) / (norm(F.col("qe")) * norm(F.col("e"))))
+            .alias("cosine"),
+        )
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+    )

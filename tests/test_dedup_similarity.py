@@ -63,3 +63,21 @@ def test_lsh_ann_returns_same_bucket_neighbors(spark, sf_smoke):
     for r in got:
         assert -1.0 <= r.cosine <= 1.0
         assert r.query_id != r.neighbor_id
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_smoke):
+    """IVF with n_probe=2 over 10 clusters must recover a reasonable
+    fraction of the true top-5 (random gaussian corpus → clusters are
+    weak, so the bar is recall@5 >= 0.3 and top-1-in-candidates sanity)."""
+    from hive_reflex_spark.operators.similarity import ivf_topk
+
+    base = {}
+    for r in q51_cosine_topk(spark, sf_smoke).collect():
+        base.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got = {}
+    for r in ivf_topk(spark, sf_smoke, list(range(8)), k=5).collect():
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(base[q] & got.get(q, set())) / len(base[q]) for q in base
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
