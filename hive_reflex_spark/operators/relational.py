@@ -225,20 +225,26 @@ def q04_priority_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100.0
                AS total_acctbal
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-06-01')
     GROUP BY c_mktsegment
     """,
 )
 def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_anti join — NOT EXISTS as a first-class plan node (the
     reference's fusion-candidate *removal* sets, `optimizer.py:143-171`,
-    are this shape)."""
+    are this shape). Scoped to recent orders so the anti side is
+    non-empty at every fixture SF (lapsed-customer semantics)."""
     t = load_tables(spark, sf_dir, "customer", "orders")
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
     return (
         t["customer"]
         .join(
-            t["orders"],
-            t["customer"].c_custkey == t["orders"].o_custkey,
+            recent,
+            t["customer"].c_custkey == recent.o_custkey,
             "left_anti",
         )
         .groupBy("c_mktsegment")

@@ -40,6 +40,8 @@ def get_spark(
         # ANSI off: match DuckDB-ish permissive semantics (e.g. no overflow
         # errors on casts) used by the correctness oracle.
         .config("spark.sql.ansi.enabled", "false")
+        # bucketed-table warehouse (functions/layout.py) out of the repo tree
+        .config("spark.sql.warehouse.dir", "/tmp/hrs_warehouse")
     )
     active = SparkSession.getActiveSession()
     if active is not None:

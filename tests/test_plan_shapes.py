@@ -84,3 +84,27 @@ def test_shingles_have_no_window_shuffle(spark, sf_smoke):
     )
     assert "Window" not in plan
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_smoke):
+    """Co-located join (functions/layout.py): two tables bucketed on the
+    join key must join with NO Exchange on either side — the zero-shuffle
+    layout that makes repeated fact-fact joins affordable at 100 TB."""
+    from hive_reflex_spark.functions.layout import bucket_write, colocated_join
+    from hive_reflex_spark.io import read_table
+
+    orders = read_table(spark, sf_smoke, "orders")
+    customer = read_table(spark, sf_smoke, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    bucket_write(orders, "hrs_orders_b", "o_custkey", 8)
+    bucket_write(customer, "hrs_customer_b", "o_custkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "hrs_orders_b", "hrs_customer_b", "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
