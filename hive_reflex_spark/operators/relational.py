@@ -1103,3 +1103,54 @@ def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE frames (value-based windows) + lead.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q29_range_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts_s
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+               / 100.0 AS hour_window_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_s
+                          RANGE BETWEEN 3600 PRECEDING AND 3600 FOLLOWING)
+               AS n_within_hour,
+           lead(event_id) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+               AS next_event_id
+    FROM (SELECT event_id, user_id, value, epoch_us(ts) // 1000000 AS ts_s
+          FROM events)
+    """,
+)
+def q29_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (§2B window row): value-based bounds over event-time
+    seconds — trailing-hour sums and ±1h neighbor counts — plus lead().
+    RANGE frames are how time-windowed aggregates run in batch without
+    bucketing (the streaming twin is F.window); one shuffle on user_id
+    serves all three expressions."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    base = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.unix_micros("ts") / 1_000_000).cast("long").alias("ts_s"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts_s")
+    trailing = wr.rangeBetween(-3600, Window.currentRow)
+    around = wr.rangeBetween(-3600, 3600)
+    wl = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    return base.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(trailing)
+            / 100.0
+        ).alias("hour_window_value"),
+        F.count("*").over(around).alias("n_within_hour"),
+        F.lead("event_id").over(wl).alias("next_event_id"),
+    )
