@@ -350,3 +350,42 @@ def q66a_causal_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qpos",
         )
     )
+
+
+@query(
+    "q67a_depthwise_conv1d",
+    oracle=f"""
+    WITH sig AS (SELECT vec_id AS channel, dim AS t, v
+                 FROM {_duck_coords(16)} c),
+         kernel AS (SELECT unnest(range(-2, 3)) AS dt)
+    SELECT channel, (t - dt) AS ot,
+           ROUND(CAST(SUM(CAST(ROUND(v * 0.2 * 1000000000) AS BIGINT))
+                 AS BIGINT) / 1000000000.0, 6) AS conv_v,
+           COUNT(*) AS n_taps
+    FROM sig, kernel
+    WHERE (t - dt) BETWEEN 2 AND 61
+    GROUP BY channel, ot
+    """,
+)
+def q67a_depthwise_conv1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depthwise Conv1D (J4's depthwise variant, `export_micro_kws.py:33-48`
+    DS-CNN blocks): the channel equality key means each channel convolves
+    only with its own 5-tap kernel — the join never crosses channels, so
+    at scale channels partition perfectly (shuffle key = channel)."""
+    coords = embedding_coords(spark, sf_dir, max_vec=16)
+    sig = coords.select(
+        F.col("vec_id").alias("channel"), F.col("dim").alias("t"), "v"
+    )
+    kernel = spark.createDataFrame(
+        [(dt,) for dt in range(-2, 3)], "dt int"
+    )
+    return (
+        sig.crossJoin(F.broadcast(kernel))
+        .withColumn("ot", F.col("t") - F.col("dt"))
+        .filter(F.col("ot").between(2, 61))
+        .groupBy("channel", "ot")
+        .agg(
+            F.round(exact_sum(F.col("v") * 0.2, 9), 6).alias("conv_v"),
+            F.count("*").alias("n_taps"),
+        )
+    )

@@ -398,3 +398,57 @@ def asof_join_pandas(
         .cogroup(r2.groupBy(merged_key))
         .applyInPandas(lambda l, r: cg(l, r), out_schema)
     )
+
+
+@query(
+    "q57a_late_data",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ts_us < running_max THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_order,
+           CAST(SUM(CASE WHEN ts_us < running_max THEN 1 ELSE 0 END) AS BIGINT)
+               * 1.0 / COUNT(*) AS late_ratio,
+           COALESCE(ROUND(MAX(CASE WHEN ts_us < running_max
+                         THEN (running_max - ts_us) / 1000000.0 END), 6), 0.0)
+               AS max_lateness_sec
+    FROM (SELECT user_id, ts_us,
+                 MAX(ts_us) OVER (PARTITION BY user_id
+                                  ORDER BY md5(CAST(event_id AS VARCHAR))
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS running_max
+          FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events))
+    GROUP BY user_id
+    """,
+)
+def q57a_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late/out-of-order data detection (ST3, `can_sync.c:63-69`): under a
+    deterministic pseudo-random arrival order, a row is late if its event time precedes
+    the running max — the batch measurement of what a streaming watermark
+    would drop, and the basis for choosing the watermark delay (max
+    observed lateness)."""
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    # the fixture's event_ids are time-sorted (no natural lateness), so
+    # arrival order is a deterministic md5 permutation of the ids — the
+    # same shuffled-arrival process both engines can reproduce
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.md5(F.col("event_id").cast("string")))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = events.withColumn("running_max", F.max("ts_us").over(w))
+    late = F.when(F.col("ts_us") < F.col("running_max"), 1).otherwise(0)
+    lateness = F.when(
+        F.col("ts_us") < F.col("running_max"),
+        (F.col("running_max") - F.col("ts_us")) / 1_000_000.0,
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(late).alias("n_out_of_order"),
+        (F.sum(late) * 1.0 / F.count("*")).alias("late_ratio"),
+        F.coalesce(F.round(F.max(lateness), 6), F.lit(0.0)).alias(
+            "max_lateness_sec"
+        ),
+    )
