@@ -1154,3 +1154,44 @@ def q29_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(around).alias("n_within_hour"),
         F.lead("event_id").over(wl).alias("next_event_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The SQL entry point: spark.sql over registered views.
+# ---------------------------------------------------------------------------
+
+# NB: the divisor is CAST AS DOUBLE because Spark SQL parses a bare
+# `10000.0` literal as DECIMAL (DataFrame-API float lits are DOUBLE) —
+# without the cast the two engines return different column types.
+_Q90_SQL = """
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+               AS BIGINT)) AS BIGINT) / CAST(10000.0 AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+"""
+
+
+@query("q90_sql_api", oracle=_Q90_SQL)
+def q90_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog (local-supplier revenue) through the *SQL* entry
+    point: tables registered as temp views, one spark.sql() call — the
+    same string DuckDB runs IS the Spark query, demonstrating that the
+    engine's SQL surface and the oracle dialect coincide for the §2B
+    subset. Catalyst plans it identically to the DataFrame twin (6-way
+    join with dimension broadcasts)."""
+    for name, df in load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier",
+        "nation", "region",
+    ).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(_Q90_SQL)
