@@ -144,20 +144,33 @@ def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, seed, sig): lexicographic-min md5(shingle||':'||seed) per
-    seed — one grouped aggregate over the shingle table, linear in corpus
-    size, the scale path's replacement for all-pairs comparison."""
+    """(doc_id, seed, sig): 8 pseudo-permutations derived from TWO md5s
+    per shingle — seeds 0-3 are the 8-hex-char slices of md5(shingle),
+    seeds 4-7 the slices of md5(reverse(shingle)); the per-seed signature
+    is the lexicographic min slice. 4× less hashing than md5-per-seed
+    (hashing dominated the dedup bench) with the same MinHash property:
+    each slice is an independent pseudo-random function of the shingle,
+    so P(sig_a = sig_b) per seed still equals the Jaccard similarity."""
     dsh = doc_shingles(spark, sf_dir).distinct()
-    seeds = spark.range(N_PERMS).select(F.col("id").cast("int").alias("seed"))
+    hashed = dsh.select(
+        "doc_id",
+        F.md5("shingle").alias("h1"),
+        F.md5(F.reverse(F.col("shingle"))).alias("h2"),
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("seed"),
+                F.substring("h1" if k < 4 else "h2", (k % 4) * 8 + 1, 8).alias(
+                    "h"
+                ),
+            )
+            for k in range(N_PERMS)
+        ]
+    )
     return (
-        dsh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.concat(F.col("shingle"), F.lit(":"), F.col("seed").cast("string"))
-            ).alias("h"),
-        )
+        hashed.select("doc_id", F.explode(slices).alias("s"))
+        .select("doc_id", F.col("s.seed").alias("seed"), F.col("s.h").alias("h"))
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("sig"))
     )
@@ -165,8 +178,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_MINHASH = f"""(
     SELECT doc_id, CAST(seed AS INTEGER) AS seed,
-           MIN(md5(shingle || ':' || seed)) AS sig
-    FROM {_DUCK_DSH} dsh,
+           MIN(CASE WHEN seed < 4 THEN substr(h1, seed * 8 + 1, 8)
+                    ELSE substr(h2, (seed - 4) * 8 + 1, 8) END) AS sig
+    FROM (SELECT doc_id, md5(shingle) AS h1, md5(reverse(shingle)) AS h2
+          FROM {_DUCK_DSH} dsh) hs,
          (SELECT unnest(range({N_PERMS})) AS seed) seeds
     GROUP BY doc_id, seed)"""
 
