@@ -30,7 +30,18 @@ def salted_join(
     is identical for any salt assignment, only the task-level spread
     changes. Output columns = big's + small's (minus the duplicate key),
     same as a plain join.
+
+    Only join types whose output is driven by the big side are allowed:
+    for right/full/outer, unmatched *small* rows would be emitted once per
+    salt replica — silently duplicated output.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}, got {how!r}: "
+            "right/full joins would duplicate unmatched small-side rows "
+            "once per salt replica"
+        )
     salted_big = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts))
     )

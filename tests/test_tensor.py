@@ -119,6 +119,30 @@ class TestCSR:
         got = {r["i"]: (r["nnz"], r["row_ptr"]) for r in csr_from_coords(df).collect()}
         assert got == {0: (2, 0), 2: (3, 2)}  # empty rows absent (COO form)
 
+    def test_row_ptr_distributed_prefix_sum(self, spark):
+        """The two-pass prefix sum must be exact across many partitions and
+        buckets — row_ptr[i] == total nnz of all earlier rows (exclusive),
+        with row ids sparse and shuffled across >= 2 input partitions."""
+        rng = np.random.default_rng(7)
+        # 2000 sparse row ids in [0, 100000), variable nnz per row
+        row_ids = rng.choice(100_000, size=2000, replace=False)
+        rows = []
+        expect_nnz = {}
+        for i in row_ids:
+            nnz = int(rng.integers(1, 6))
+            expect_nnz[int(i)] = nnz
+            rows += [(int(i), k, 1.0) for k in range(nnz)]
+        df = spark.createDataFrame(rows, "i long, k int, v double").repartition(8)
+        assert df.rdd.getNumPartitions() >= 2
+        got = {
+            r["i"]: (r["nnz"], r["row_ptr"])
+            for r in csr_from_coords(df, n_buckets=16).collect()
+        }
+        acc = 0
+        for i in sorted(expect_nnz):
+            assert got[i] == (expect_nnz[i], acc)
+            acc += expect_nnz[i]
+
 
 class TestElementwise:
     def test_activations_match_numpy(self, spark):
