@@ -182,15 +182,23 @@ def magnitude_prune_threshold(
 def embedding_coords(
     spark: SparkSession, sf_dir: str, max_vec: int | None = None
 ) -> DataFrame:
-    """embeddings(vec_id, embedding[64], label) → (vec_id, label, dim, v)."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    """embeddings(vec_id, embedding[64], label) → (vec_id, label, dim, v).
+    The shared input of the whole similarity family — persisted once in
+    bench mode (cached_df is a pass-through otherwise)."""
+    from hive_reflex_spark.io import cached_df
+
+    def build() -> DataFrame:
+        emb = read_table(spark, sf_dir, "embeddings")
+        return emb.select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("dim", "v"),
+        ).withColumn("v", F.col("v").cast("double"))
+
+    coords = cached_df(("emb_coords", sf_dir), build)
     if max_vec is not None:
-        emb = emb.filter(F.col("vec_id") < max_vec)
-    return emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("dim", "v"),
-    ).withColumn("v", F.col("v").cast("double"))
+        coords = coords.filter(F.col("vec_id") < max_vec)
+    return coords
 
 
 def _duck_coords(max_vec: int | None = None) -> str:

@@ -324,37 +324,67 @@ def q58_phase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q59a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (the time-sync lookup of ST1, and the pyspark-guide
     range-join pattern): each event enriched with that user's most recent
-    order at event time. Reduce-before-rank: the equi+range join feeds a
-    ``max(struct(...))`` aggregate, so partial (map-side) aggregation
-    collapses the O(matches) join output to one row per event *before* the
-    shuffle — unlike a window ``row_number`` which must shuffle and sort
-    every match. Struct comparison is lexicographic, so
-    max(struct(date, key, price)) == top-1 by (date DESC, key DESC).
-    At 100 TB pre-bucket both sides by key+time range, or use the
-    applyInPandas merge_asof path below."""
+    order at event time.
+
+    Union-then-window formulation — the LINEAR as-of shape: tag orders
+    and events, union, one shuffle+sort per user on (ts, is_event,
+    orderkey), and a running ``last(order, ignorenulls)`` window hands
+    every event the latest order at or before its timestamp. No
+    range-join, so no O(events × earlier-orders) intermediate at any
+    scale — total cost is one sort of |events| + |orders| rows. Orders
+    sort ascending by (date, key), so the running last is exactly the
+    top-1 by (date DESC, key DESC); at equal timestamps orders sort
+    before events, matching the oracle's ``<=``."""
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts"
     )
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
-    joined = events.join(
-        orders,
-        (orders.o_custkey == events.user_id)
-        & (orders.o_orderdate <= events.ts),
+    ev = events.select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast("long").alias("okey"),
+        "event_id",
+        F.lit(None)
+        .cast(dict(orders.dtypes)["o_orderdate"])
+        .alias("odate"),
+        F.lit(None)
+        .cast(dict(orders.dtypes)["o_totalprice"])
+        .alias("ototal"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.col("o_orderkey").cast("long").alias("okey"),
+        F.lit(None).cast(dict(events.dtypes)["event_id"]).alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+        F.col("o_totalprice").alias("ototal"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_event", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ev.unionByName(od).withColumn(
+        "latest",
+        F.last(
+            F.when(
+                F.col("is_event") == 0,
+                F.struct("odate", "okey", "ototal"),
+            ),
+            ignorenulls=True,
+        ).over(w),
     )
     return (
-        joined.groupBy("event_id", "user_id")
-        .agg(
-            F.max(
-                F.struct("o_orderdate", "o_orderkey", "o_totalprice")
-            ).alias("best")
-        )
+        tagged.filter((F.col("is_event") == 1) & F.col("latest").isNotNull())
         .select(
             "event_id",
             "user_id",
-            F.col("best.o_orderkey").alias("latest_orderkey"),
-            F.col("best.o_totalprice").alias("latest_total"),
+            F.col("latest.okey").alias("latest_orderkey"),
+            F.col("latest.ototal").alias("latest_total"),
         )
     )
 
