@@ -4,15 +4,24 @@ The pass *library* (plans/passes.py) operates on layer-IR tables; these
 queries register the same algorithmic shapes — cost-partitioned islands,
 aligned layout accumulation, liveness intervals — over the driver's
 TPC-H-ish tables so the driver's DuckDB harness can hash-check them.
+q80 closes the top of the funnel: a real .onnx file (parsed without the
+onnx package) through the full fuse → partition → flash-layout chain.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.io import read_table
 from hive_reflex_spark.registry import query
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+TINY_ONNX = os.path.join(_REPO_ROOT, "tests", "fixtures", "tiny.onnx")
 
 
 @query(
@@ -89,6 +98,99 @@ def q59_cost_partition_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return islands.groupBy("l_orderkey", "partition_id", "target").agg(
         F.count("*").alias("n_layers"),
         F.sum("cost_cpu").alias("total_cost"),
+    )
+
+
+@query(
+    "q80_onnx_compile",
+    oracle="""
+    WITH ir(model, idx, name, op_type, rows, cols, inputs, outputs,
+            n_params) AS (
+        VALUES
+        ('tinynet', 0, 'mm1',   'MatMul', 64, 32,
+         ['x','W1'],        ['h1'],  CAST(2048 AS BIGINT)),
+        ('tinynet', 1, 'add1',  'Add',  CAST(NULL AS INTEGER),
+         CAST(NULL AS INTEGER), ['h1','b1'], ['h1b'], CAST(32 AS BIGINT)),
+        ('tinynet', 2, 'relu1', 'Relu', CAST(NULL AS INTEGER),
+         CAST(NULL AS INTEGER), ['h1b'],     ['a1'],  CAST(0 AS BIGINT)),
+        ('tinynet', 3, 'lstm1', 'LSTM', 128, 16,
+         ['a1','Wl'],       ['s1'],  CAST(2048 AS BIGINT)),
+        ('tinynet', 4, 'fc2',   'Gemm', 16, 10,
+         ['s1','W2','b2'],  ['y'],   CAST(170 AS BIGINT))),
+    pairs AS (
+        SELECT a.model, a.idx, b.idx AS consumed_idx
+        FROM ir a JOIN ir b
+          ON a.model = b.model AND b.idx = a.idx + 1
+         AND a.op_type = 'MatMul' AND b.op_type = 'Add'
+         AND len(list_intersect(a.outputs, b.inputs)) > 0),
+    fused AS (
+        SELECT i.model, i.idx, i.name,
+               CASE WHEN p.consumed_idx IS NOT NULL
+                    THEN 'Gemm' ELSE i.op_type END AS op_type,
+               i.rows, i.cols, i.n_params
+        FROM ir i LEFT JOIN pairs p ON i.model = p.model AND i.idx = p.idx
+        WHERE i.idx NOT IN (SELECT consumed_idx FROM pairs)),
+    flagged AS (
+        SELECT *,
+               CASE WHEN op_type IN ('MatMul','Gemm','Conv','LSTM')
+                         AND COALESCE(rows * cols, 0)
+                             >= 2.0 * (COALESCE(rows * cols, 0) / 32.0)
+                    THEN 'cim' ELSE 'cpu' END AS target,
+               lag(CASE WHEN op_type IN ('MatMul','Gemm','Conv','LSTM')
+                             AND COALESCE(rows * cols, 0)
+                                 >= 2.0 * (COALESCE(rows * cols, 0) / 32.0)
+                        THEN 'cim' ELSE 'cpu' END)
+                   OVER (PARTITION BY model ORDER BY idx) AS prev_target
+        FROM fused),
+    islands AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN target IS DISTINCT FROM prev_target
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY model ORDER BY idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS partition_id
+        FROM flagged)
+    SELECT model, idx, name, op_type, target, partition_id, n_params,
+           CAST(COALESCE(rows * cols, 0) AS BIGINT) AS size_bytes,
+           CAST(ceil(COALESCE(rows * cols, 0) / 256.0) * 256 AS BIGINT)
+               AS aligned_bytes,
+           CAST(COALESCE(SUM(CAST(ceil(COALESCE(rows * cols, 0) / 256.0) * 256
+                             AS BIGINT))
+                OVER (PARTITION BY model ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS flash_addr
+    FROM islands
+    """,
+)
+def q80_onnx_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end model compile (S1 → U4 → T4 → W11): a real ``.onnx``
+    file — parsed from raw protobuf bytes, no onnx package
+    (`tools/model_parser.py:48-98`, `codegen_cim.py:194-240`) — through
+    fuse_matmul_add → partition_by_cost → flash_layout. The oracle pins
+    the golden parse of the committed fixture as a VALUES table and
+    re-implements the pass chain in independent SQL, so the driver
+    hash-checks parser AND passes together. ``sf_dir`` is unused: the
+    model is planner-scale input, not data-scale."""
+    from hive_reflex_spark.plans.passes import (
+        flash_layout,
+        fuse_matmul_add,
+        partition_by_cost,
+    )
+    from hive_reflex_spark.sources.onnx_source import read_onnx_model
+
+    ir = read_onnx_model(spark, TINY_ONNX)
+    laid = flash_layout(partition_by_cost(fuse_matmul_add(ir)))
+    return laid.select(
+        "model",
+        "idx",
+        "name",
+        "op_type",
+        "target",
+        "partition_id",
+        "n_params",
+        "size_bytes",
+        "aligned_bytes",
+        "flash_addr",
     )
 
 

@@ -1,0 +1,78 @@
+"""ONNX ingest (S1): protobuf wire-format parser + IR extraction +
+end-to-end pass chain on the committed fixture."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from hive_reflex_spark.sources.onnx_source import (
+    _parse_tensor,
+    iter_fields,
+    onnx_to_ir_rows,
+    read_onnx_model,
+)
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "tiny.onnx")
+
+
+class TestWireFormat:
+    def test_multibyte_varint_roundtrip(self):
+        # field 1, varint 300 (0xAC 0x02): tag byte 0x08
+        buf = bytes([0x08, 0xAC, 0x02])
+        fields = list(iter_fields(buf))
+        assert fields == [(1, 0, 300)]
+
+    def test_packed_and_unpacked_dims(self):
+        # TensorProto.dims (field 1): packed [300, 2] then unpacked 64
+        packed = bytes([0x0A, 0x03, 0xAC, 0x02, 0x02])  # tag(1,2) len=3
+        unpacked = bytes([0x08, 0x40])  # tag(1,0) 64
+        name = bytes([0x42, 0x01]) + b"w"  # tag(8,2) len=1 'w'
+        t = _parse_tensor(packed + unpacked + name)
+        assert t["dims"] == [300, 2, 64]
+        assert t["name"] == "w"
+
+    def test_fixed32_field(self):
+        # AttributeProto-style float field: tag(2,5) + little-endian float
+        buf = bytes([0x15]) + struct.pack("<f", 1.5)
+        (fno, wt, val) = next(iter(iter_fields(buf)))
+        assert (fno, wt) == (2, 5)
+        assert struct.unpack("<f", struct.pack("<I", val))[0] == 1.5
+
+
+class TestIRExtraction:
+    def test_fixture_parses_to_expected_ir(self):
+        rows = onnx_to_ir_rows(FIXTURE)
+        assert [r["op_type"] for r in rows] == [
+            "MatMul", "Add", "Relu", "LSTM", "Gemm",
+        ]
+        mm = rows[0]
+        assert (mm["rows"], mm["cols"], mm["n_params"]) == (64, 32, 2048)
+        add = rows[1]  # 1-D bias: no weight shape, params still counted
+        assert (add["rows"], add["cols"], add["n_params"]) == (None, None, 32)
+        lstm = rows[3]
+        assert lstm["hidden_size"] == 16
+        fc = rows[4]  # weight + bias initializers both counted
+        assert fc["n_params"] == 16 * 10 + 10
+        # raw_data sizes: float32
+        assert mm["n_bytes"] == 2048 * 4
+
+    def test_pass_chain_end_to_end(self, spark):
+        from hive_reflex_spark.plans.passes import (
+            flash_layout,
+            fuse_matmul_add,
+            partition_by_cost,
+        )
+
+        ir = read_onnx_model(spark, FIXTURE)
+        out = flash_layout(partition_by_cost(fuse_matmul_add(ir)))
+        got = {r["idx"]: r.asDict() for r in out.collect()}
+        # MatMul+Add fused into Gemm at idx 0; the Add (idx 1) is dropped
+        assert sorted(got) == [0, 2, 3, 4]
+        assert got[0]["op_type"] == "Gemm"
+        assert got[0]["target"] == "cim"
+        assert got[2]["target"] == "cpu"
+        # flash layout: 2048 | 0 | 2048 | 160->256-aligned, exclusive sums
+        assert [got[i]["flash_addr"] for i in (0, 2, 3, 4)] == [
+            0, 2048, 2048, 4096,
+        ]
