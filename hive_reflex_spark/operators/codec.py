@@ -1,10 +1,13 @@
 """Compression / encoding / integrity operators (SURVEY §2A C1-C4, P8,
-P17, S3): RLE round-trip, int4 nibble packing, artifact checksums.
+P17, S3): RLE round-trip, int4 nibble packing, artifact checksums, and
+the C4 auto-select codec dispatch.
 
 Scale notes: RLE encode is the gaps-and-islands aggregate (shuffle on the
 key); decode is array_repeat+explode — pure projection, no shuffle.
 Nibble packing pairs adjacent coordinates with integer arithmetic, not a
-self-join. Checksums are scan-side expressions.
+self-join. Checksums are scan-side expressions. Codec dispatch routes
+each artifact to its decoder by header inspection — a filtered-branch
+union, the columnar form of the reference's switch(header->type).
 """
 
 from __future__ import annotations
@@ -135,6 +138,304 @@ def q70_int4_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "unpacked_hi"
             ),
             packed.bitwiseAND(F.lit(15)).cast("int").alias("unpacked_lo"),
+        )
+    )
+
+
+_DISPATCH_CAP = 96  # vecs 0..95 → 32 artifacts per codec
+
+
+@query(
+    "q81_codec_dispatch",
+    oracle=f"""
+    WITH q8 AS (
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+               CAST(least(greatest(ROUND((v - mn) / ((mx - mn) / 255.0)), 0),
+                          255) AS INTEGER) AS val
+        FROM (SELECT vec_id, dim, v,
+                     MIN(v) OVER (PARTITION BY vec_id) AS mn,
+                     MAX(v) OVER (PARTITION BY vec_id) AS mx
+              FROM {_duck_coords(96)})),
+    lagged AS (
+        SELECT vec_id, dim, val,
+               CAST(vec_id % 3 AS INTEGER) AS codec,
+               lag(val) OVER (PARTITION BY vec_id ORDER BY dim) AS prev
+        FROM q8),
+    enc AS (
+        SELECT vec_id, dim, val, codec,
+               val - COALESCE(prev, 0) AS d,
+               CAST(SUM(CASE WHEN val IS DISTINCT FROM prev
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY vec_id ORDER BY dim
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS isl
+        FROM lagged),
+    bodies AS (
+        SELECT vec_id, codec,
+               string_agg(CAST(val AS VARCHAR), ',' ORDER BY dim) AS body
+        FROM enc WHERE codec = 0 GROUP BY vec_id, codec
+        UNION ALL
+        SELECT vec_id, codec,
+               string_agg(rv || ':' || rl, ';' ORDER BY isl) AS body
+        FROM (SELECT vec_id, codec, isl, CAST(MIN(val) AS VARCHAR) AS rv,
+                     CAST(COUNT(*) AS VARCHAR) AS rl
+              FROM enc WHERE codec = 1 GROUP BY vec_id, codec, isl)
+        GROUP BY vec_id, codec
+        UNION ALL
+        SELECT vec_id, codec,
+               string_agg(CAST(d AS VARCHAR), ',' ORDER BY dim) AS body
+        FROM enc WHERE codec = 2 GROUP BY vec_id, codec),
+    arts AS (
+        SELECT vec_id, codec,
+               CASE WHEN vec_id % 17 = 0 THEN 'XXXX' ELSE 'HRZC' END
+                   || CAST(codec AS VARCHAR) || ':' || body AS artifact
+        FROM bodies),
+    valid AS (
+        SELECT vec_id,
+               CAST(substr(artifact, 5, 1) AS INTEGER) AS typ,
+               substr(artifact, 7, len(artifact)) AS body
+        FROM arts WHERE substr(artifact, 1, 4) = 'HRZC'),
+    decoded AS (
+        SELECT vec_id, CAST(tok AS INTEGER) AS val,
+               COUNT(*) AS cnt
+        FROM (SELECT vec_id, unnest(string_split(body, ',')) AS tok
+              FROM valid WHERE typ = 0)
+        GROUP BY vec_id, CAST(tok AS INTEGER)
+        UNION ALL
+        SELECT vec_id, CAST(split_part(run, ':', 1) AS INTEGER) AS val,
+               CAST(SUM(CAST(split_part(run, ':', 2) AS BIGINT)) AS BIGINT)
+                   AS cnt
+        FROM (SELECT vec_id, unnest(string_split(body, ';')) AS run
+              FROM valid WHERE typ = 1)
+        GROUP BY vec_id, CAST(split_part(run, ':', 1) AS INTEGER)
+        UNION ALL
+        SELECT vec_id, val, COUNT(*) AS cnt FROM (
+            SELECT vec_id,
+                   CAST(SUM(CAST(toks[i + 1] AS INTEGER))
+                        OVER (PARTITION BY vec_id ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                              ROW) AS INTEGER) AS val
+            FROM (SELECT vec_id, string_split(body, ',') AS toks,
+                         unnest(range(len(string_split(body, ',')))) AS i
+                  FROM valid WHERE typ = 2))
+        GROUP BY vec_id, val),
+    orig AS (
+        SELECT vec_id, val, COUNT(*) AS cnt FROM q8 GROUP BY vec_id, val),
+    cmp AS (
+        SELECT COALESCE(d.vec_id, o.vec_id) AS vec_id,
+               CASE WHEN d.cnt IS DISTINCT FROM o.cnt THEN 1 ELSE 0 END
+                   AS mismatch
+        FROM decoded d
+        FULL OUTER JOIN (SELECT o.* FROM orig o
+                         JOIN valid v ON o.vec_id = v.vec_id) o
+          ON d.vec_id = o.vec_id AND d.val = o.val),
+    ok AS (
+        SELECT vec_id FROM cmp GROUP BY vec_id HAVING SUM(mismatch) = 0)
+    SELECT CASE codec WHEN 0 THEN 'raw' WHEN 1 THEN 'rle'
+                      ELSE 'delta' END AS codec,
+           COUNT(*) AS n_blobs,
+           CAST(SUM(CASE WHEN substr(artifact, 1, 4) = 'HRZC'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(len(artifact)) AS BIGINT) AS encoded_chars,
+           CAST(SUM(CASE WHEN vec_id IN (SELECT vec_id FROM ok)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+    FROM arts
+    GROUP BY codec
+    """,
+)
+def q81_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 codec auto-select (`firmware/middleware/compression.c:247-272`
+    Decompress_Validate + Decompress_Auto): int8-quantized vectors are
+    encoded raw / RLE / delta, wrapped in a 'HRZC'+type header (some
+    corrupted on purpose), then *auto-detected* — magic check rejects bad
+    blobs, the type byte routes each artifact to the matching decoder
+    (filtered-branch union = columnar switch(header->type)), and decoded
+    value multisets are verified against the originals. Per-codec stats:
+    blob counts, header validity, encoded size, perfect round-trips."""
+    coords = embedding_coords(spark, sf_dir, max_vec=_DISPATCH_CAP)
+    wv = Window.partitionBy("vec_id")
+    wd = Window.partitionBy("vec_id").orderBy("dim")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mn, mx = F.min("v").over(wv), F.max("v").over(wv)
+    q8 = (
+        F.least(
+            F.greatest(F.round((F.col("v") - mn) / ((mx - mn) / 255.0)), F.lit(0.0)),
+            F.lit(255.0),
+        )
+        .cast("int")
+        .alias("val")
+    )
+    qdf = coords.select("vec_id", "dim", q8)
+    enc = (
+        qdf.withColumn("codec", (F.col("vec_id") % 3).cast("int"))
+        .withColumn(
+            "d", F.col("val") - F.coalesce(F.lag("val").over(wd), F.lit(0))
+        )
+        .withColumn(
+            "isl",
+            F.sum(
+                F.when(
+                    ~F.col("val").eqNullSafe(F.lag("val").over(wd)), 1
+                ).otherwise(0)
+            )
+            .over(wcum)
+            .cast("long"),
+        )
+    )
+
+    # ordered string_agg, Spark-style: collect (order, item) structs,
+    # array_sort (lexicographic on the leading order field), project, join
+    raw_bodies = (
+        enc.filter(F.col("codec") == 0)
+        .groupBy("vec_id", "codec")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("dim").alias("o"),
+                                F.col("val").cast("string").alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                ",",
+            ).alias("body")
+        )
+    )
+    rle_runs = (
+        enc.filter(F.col("codec") == 1)
+        .groupBy("vec_id", "codec", "isl")
+        .agg(
+            F.min("val").alias("rv"), F.count("*").alias("rl")
+        )
+    )
+    rle_bodies = rle_runs.groupBy("vec_id", "codec").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("isl").alias("o"),
+                            F.concat_ws(
+                                ":",
+                                F.col("rv").cast("string"),
+                                F.col("rl").cast("string"),
+                            ).alias("s"),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            ";",
+        ).alias("body")
+    )
+    delta_bodies = (
+        enc.filter(F.col("codec") == 2)
+        .groupBy("vec_id", "codec")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("dim").alias("o"),
+                                F.col("d").cast("string").alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+                ",",
+            ).alias("body")
+        )
+    )
+    bodies = raw_bodies.unionByName(rle_bodies).unionByName(delta_bodies)
+    arts = bodies.select(
+        "vec_id",
+        "codec",
+        F.concat(
+            F.when(F.col("vec_id") % 17 == 0, F.lit("XXXX")).otherwise(
+                F.lit("HRZC")
+            ),
+            F.col("codec").cast("string"),
+            F.lit(":"),
+            F.col("body"),
+        ).alias("artifact"),
+    )
+
+    # --- auto-detect + dispatch ------------------------------------------
+    valid = arts.filter(F.substring("artifact", 1, 4) == "HRZC").select(
+        "vec_id",
+        F.substring("artifact", 5, 1).cast("int").alias("typ"),
+        F.expr("substring(artifact, 7, length(artifact))").alias("body"),
+    )
+    dec_raw = (
+        valid.filter(F.col("typ") == 0)
+        .select("vec_id", F.explode(F.split("body", ",")).alias("tok"))
+        .groupBy("vec_id", F.col("tok").cast("int").alias("val"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    dec_rle = (
+        valid.filter(F.col("typ") == 1)
+        .select("vec_id", F.explode(F.split("body", ";")).alias("run"))
+        .groupBy(
+            "vec_id",
+            F.split(F.col("run"), ":")[0].cast("int").alias("val"),
+        )
+        .agg(F.sum(F.split(F.col("run"), ":")[1].cast("long")).alias("cnt"))
+    )
+    wpos = Window.partitionBy("vec_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec_delta = (
+        valid.filter(F.col("typ") == 2)
+        .select("vec_id", F.posexplode(F.split("body", ",")).alias("i", "tok"))
+        .withColumn("val", F.sum(F.col("tok").cast("int")).over(wpos).cast("int"))
+        .groupBy("vec_id", "val")
+        .agg(F.count("*").alias("cnt"))
+    )
+    decoded = dec_raw.unionByName(dec_rle).unionByName(dec_delta)
+
+    orig = (
+        qdf.join(valid.select("vec_id").distinct(), "vec_id")
+        .groupBy("vec_id", "val")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cmp = decoded.alias("d").join(
+        orig.alias("o"),
+        (F.col("d.vec_id") == F.col("o.vec_id"))
+        & (F.col("d.val") == F.col("o.val")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("d.vec_id"), F.col("o.vec_id")).alias("vec_id"),
+        F.when(
+            ~F.col("d.cnt").eqNullSafe(F.col("o.cnt")), 1
+        ).otherwise(0).alias("mismatch"),
+    )
+    ok = (
+        cmp.groupBy("vec_id")
+        .agg(F.sum("mismatch").alias("mm"))
+        .filter(F.col("mm") == 0)
+        .select("vec_id")
+    )
+    codec_name = (
+        F.when(F.col("codec") == 0, "raw")
+        .when(F.col("codec") == 1, "rle")
+        .otherwise("delta")
+    )
+    return (
+        arts.join(ok.withColumn("is_ok", F.lit(1)), "vec_id", "left")
+        .groupBy(codec_name.alias("codec"))
+        .agg(
+            F.count("*").alias("n_blobs"),
+            F.sum(
+                F.when(F.substring("artifact", 1, 4) == "HRZC", 1).otherwise(0)
+            ).alias("n_valid"),
+            F.sum(F.length("artifact")).alias("encoded_chars"),
+            F.sum(F.coalesce(F.col("is_ok"), F.lit(0))).alias("n_roundtrip_ok"),
         )
     )
 
