@@ -192,6 +192,128 @@ def stateful_user_counts(
     return run_to_memory(out, mode="update")
 
 
+def ota_feedback_loop(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    weights: DataFrame | None = None,
+    min_samples: int = 100,
+    drift_threshold: float = 0.01,
+    min_confidence: float = 0.7,
+    n_chunks: int = 4,
+) -> dict:
+    """ST7 — the composed OTA feedback loop (`tools/ai_feedback.py:401-531`
+    AdaptiveFeedbackLoop.run_auto_loop), end to end in ONE streaming job:
+
+      collect (stream micro-batch) → aggregate (A6 stats) → decide
+      (sample-count + confidence + drift gates) → optimize (distributed
+      weight rescale) → package (pack_model_binary, versioned, CRC'd)
+      → validate (load_model_binary) → ship (JSON feedback log).
+
+    The event fixture is re-staged as ``n_chunks`` files and streamed with
+    maxFilesPerTrigger=1, so foreachBatch runs one loop iteration per
+    chunk — the reference's collect/optimize/wait cycle with micro-batches
+    as the clock. Every gate mirrors the reference: <100 samples skips
+    (ai_feedback.py:449-451), confidence < 0.7 skips (:456-458), versions
+    increment 2.1.N (:469-471). Returns the loop summary."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    # stage the replay as n_chunks files → n_chunks micro-batches
+    chunk_dir = os.path.join(out_dir, "chunks")
+    if not os.path.exists(chunk_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(os.path.join(sf_dir, "events.parquet"))
+            .repartition(n_chunks)
+            .write.parquet(chunk_dir)
+        )
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+    if weights is None:
+        # seed model: ReflexNet-shaped fc layer as a coordinate table
+        weights = spark.range(64).select(
+            F.lit("fc1").alias("layer"),
+            (F.col("id") / 8).cast("int").alias("i"),
+            (F.col("id") % 8).cast("int").alias("j"),
+            (F.sin(F.col("id").cast("double")) * 0.5).alias("value"),
+        )
+
+    state = {"version": 0, "current": weights.persist(), "log": []}
+    log_path = os.path.join(out_dir, "feedback_log.jsonl")
+
+    def step(batch_df: DataFrame, epoch_id: int) -> None:
+        from hive_reflex_spark.sources.sinks import (
+            load_model_binary,
+            pack_model_binary,
+        )
+
+        stats = batch_df.agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean_value"),
+            F.expr("percentile_approx(value, 0.99)").alias("p99_value"),
+        ).first()
+        entry = {
+            "epoch": int(epoch_id),
+            "n_samples": int(stats["n"]),
+            "mean_value": float(stats["mean_value"] or 0.0),
+            "p99_value": float(stats["p99_value"] or 0.0),
+        }
+        confidence = min(1.0, stats["n"] / (2.0 * min_samples))
+        if stats["n"] < min_samples:
+            entry["action"] = "skip_insufficient_samples"
+        elif confidence < min_confidence:
+            entry["action"] = "skip_low_confidence"
+        elif abs(entry["mean_value"]) < drift_threshold:
+            entry["action"] = "skip_no_drift"
+        else:
+            # optimize: damp weights against the observed drift (the
+            # reference's optimize_model gradient nudge, as a column op)
+            factor = 1.0 / (1.0 + abs(entry["mean_value"]) / 10.0)
+            new_w = state["current"].withColumn(
+                "value", F.col("value") * F.lit(factor)
+            )
+            state["version"] += 1
+            version = f"2.1.{state['version']}"
+            artifact = os.path.join(out_dir, f"model_v{version}.bin")
+            manifest = pack_model_binary(new_w, artifact)
+            load_model_binary(artifact)  # upload-side validation (CRC)
+            prev = state["current"]
+            state["current"] = new_w.persist()
+            prev.unpersist()
+            entry.update(
+                action="deployed",
+                version=version,
+                artifact=artifact,
+                n_layers=manifest["n_layers"],
+                factor=round(factor, 6),
+            )
+        state["log"].append(entry)
+        with open(log_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state["current"].unpersist()
+    return {
+        "iterations": len(state["log"]),
+        "deployed": [e["version"] for e in state["log"] if e.get("version")],
+        "log_path": log_path,
+        "final_version": f"2.1.{state['version']}",
+    }
+
+
 def batched_log_shipping(
     spark: SparkSession, sf_dir: str, out_dir: str, batch_rows: int = 1000
 ) -> list[str]:

@@ -106,3 +106,31 @@ def test_batched_log_shipping(spark, sf_smoke):
         n_src = read_table(spark, sf_smoke, "events").count()
         assert shipped.count() == n_src
         assert shipped.select("event_id").distinct().count() == n_src
+
+
+def test_ota_feedback_loop_end_to_end(spark, sf_smoke):
+    """ST7: the composed collect→aggregate→decide→optimize→package→ship
+    loop over the replayed events — one iteration per micro-batch, every
+    deployed artifact CRC-validates, the shipped log covers every epoch,
+    and versions increment monotonically."""
+    import json
+
+    from hive_reflex_spark.sources.sinks import load_model_binary
+    from hive_reflex_spark.streaming.ops import ota_feedback_loop
+
+    with tempfile.TemporaryDirectory() as d:
+        summary = ota_feedback_loop(spark, sf_smoke, d, n_chunks=4)
+        assert summary["iterations"] == 4
+        # the smoke fixture has 1000 events in 4 chunks -> each batch has
+        # ~250 >= min_samples and non-zero drift: every epoch deploys
+        assert summary["deployed"] == [f"2.1.{i}" for i in range(1, 5)]
+        with open(summary["log_path"]) as f:
+            log = [json.loads(line) for line in f]
+        assert [e["epoch"] for e in log] == sorted(e["epoch"] for e in log)
+        assert all(e["n_samples"] > 0 for e in log)
+        for e in log:
+            if e["action"] == "deployed":
+                manifest = load_model_binary(e["artifact"])
+                assert manifest["n_layers"] == 1
+        # the loop state advanced: final version is the last deployment
+        assert summary["final_version"] == "2.1.4"
