@@ -192,6 +192,82 @@ def stateful_user_counts(
     return run_to_memory(out, mode="update")
 
 
+CAN_CMD_ID = 0x123  # command frame id (example_reflex_node.c CAN_CMD_ID)
+
+
+def synthesize_can_frames(
+    ticks: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "timestamp",
+    n_nodes: int = 4,
+) -> DataFrame:
+    """Tick stream → CAN frames (ts, node_id, can_id, data array<int>).
+
+    Each tick becomes one 8-byte frame with the wire layout of
+    `examples/example_reflex_node.c:109-120`: data[0..1] = little-endian
+    two's-complement int16 angle in 0.01° units, data[2] = uint8
+    compliance. Deterministic in the tick value so batch and streaming
+    runs agree; every 8th frame carries a non-command id (bus noise the
+    decoder must ignore)."""
+    v = F.col(value_col).cast("long")
+    angle16 = (F.pmod(v * 37 + 13, 36000) - 18000).cast("int")  # ±180.00°
+    u16 = F.pmod(angle16.cast("long"), 65536).cast("int")  # two's complement
+    data = F.array(
+        (u16 % 256).cast("int"),
+        (u16 / 256).cast("int"),
+        F.pmod(v * 7, 256).cast("int"),
+        *[F.lit(0) for _ in range(5)],
+    )
+    return ticks.select(
+        F.col(ts_col).alias("ts"),
+        F.pmod(v, n_nodes).cast("int").alias("node_id"),
+        F.when(v % 8 == 0, F.lit(0x200))
+        .otherwise(F.lit(CAN_CMD_ID))
+        .cast("int")
+        .alias("can_id"),
+        data.alias("data"),
+    )
+
+
+def decode_can_frames(frames: DataFrame) -> DataFrame:
+    """CAN_RxCallback as column expressions (S8/P13,
+    `example_reflex_node.c:109-120`): keep command frames, reassemble the
+    little-endian int16 ((data[1] << 8) | data[0], sign-extended), scale
+    to degrees and [0,1] compliance. Works identically on a batch frame
+    table and a streaming one — swap the source, keep the plan."""
+    from hive_reflex_spark.functions.tensor_fns import (
+        decode_angle_raw,
+        decode_compliance_raw,
+    )
+
+    u16 = F.col("data")[1] * 256 + F.col("data")[0]
+    raw = F.when(u16 >= 32768, u16 - 65536).otherwise(u16)
+    return frames.filter(F.col("can_id") == CAN_CMD_ID).select(
+        "ts",
+        "node_id",
+        decode_angle_raw(raw).alias("target_angle"),
+        decode_compliance_raw(F.col("data")[2]).alias("compliance"),
+    )
+
+
+def can_bus_stream(
+    spark: SparkSession, rows_per_second: int = 500, n_nodes: int = 4
+) -> DataFrame:
+    """S8 — a real continuous bus source: Spark's rate source emits ticks
+    at bus frequency, each synthesized into a CAN frame and wire-decoded.
+    Unlike the file-replay sources, this stream has no end — the
+    continuous-ingest reality of a sensor bus. Compose with
+    window()/withWatermark for the ST1 sync-window rollups."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return decode_can_frames(
+        synthesize_can_frames(rate, n_nodes=n_nodes)
+    )
+
+
 def ota_feedback_loop(
     spark: SparkSession,
     sf_dir: str,

@@ -108,6 +108,64 @@ def test_batched_log_shipping(spark, sf_smoke):
         assert shipped.select("event_id").distinct().count() == n_src
 
 
+def test_can_frame_wire_roundtrip(spark):
+    """S8/P13: synthesized frames decode back to the exact angles and
+    compliances the tick values encode — two's-complement int16 LE
+    reassembly included — and non-command ids are dropped."""
+    from hive_reflex_spark.streaming.ops import (
+        decode_can_frames,
+        synthesize_can_frames,
+    )
+
+    ticks = spark.range(1000).select(
+        F.col("id").alias("value"),
+        F.timestamp_micros(F.col("id") * 1000).alias("timestamp"),
+    )
+    frames = synthesize_can_frames(ticks)
+    decoded = decode_can_frames(frames).collect()
+    # every 8th tick is bus noise with a foreign id -> filtered out
+    assert len(decoded) == 1000 - 125
+    got = {
+        int(r.ts.timestamp() * 1_000_000) // 1000: r for r in decoded
+    }
+    for v in (1, 2, 777, 999):
+        expect_angle = ((v * 37 + 13) % 36000 - 18000) * 0.01
+        assert abs(got[v].target_angle - expect_angle) < 1e-9, v
+        assert abs(got[v].compliance - ((v * 7) % 256) / 255.0) < 1e-9, v
+        assert 0.0 <= got[v].compliance <= 1.0
+        assert -180.0 <= got[v].target_angle <= 180.0
+
+
+def test_can_bus_stream_is_continuous(spark):
+    """S8: the rate-source bus produces decoded command frames while
+    running — a stream with no end, stopped by the consumer."""
+    import time
+
+    from hive_reflex_spark.streaming.ops import can_bus_stream
+
+    stream = can_bus_stream(spark, rows_per_second=2000)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("can_live")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        n = 0
+        while time.time() < deadline:
+            n = spark.table("can_live").count()
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0, "no frames decoded from the live bus"
+        row = spark.table("can_live").first()
+        assert -180.0 <= row.target_angle <= 180.0
+        assert 0.0 <= row.compliance <= 1.0
+    finally:
+        q.stop()
+
+
 def test_ota_feedback_loop_end_to_end(spark, sf_smoke):
     """ST7: the composed collect→aggregate→decide→optimize→package→ship
     loop over the replayed events — one iteration per micro-batch, every
