@@ -86,6 +86,35 @@ def test_shingles_have_no_window_shuffle(spark, sf_smoke):
     assert "Exchange" not in plan
 
 
+def test_q47_pairs_have_no_self_join(spark, sf_smoke):
+    """q47 generates pairs by expanding capped posting lists in place —
+    a join of the shingle table with itself (the O(df²)-exposed shape)
+    must not reappear."""
+    plan = plan_of(spark, "q47_jaccard_pairs", sf_smoke)
+    assert "SortMergeJoin" not in plan, "shingle self-join came back"
+    assert "CartesianProduct" not in plan
+
+
+def test_q53_has_no_per_row_hash_or_explosion(spark, sf_smoke):
+    """q53's hyperplane signs are broadcast constants: no md5 in the
+    executed plan (it would mean per-row hashing) and the sign join must
+    be a broadcast, never a shuffle."""
+    plan = plan_of(spark, "q53_lsh_buckets", sf_smoke)
+    assert "md5" not in plan, "per-row md5 reappeared in the bucket path"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q59a_asof_is_linear_not_range_join(spark, sf_smoke):
+    """q59a is the union-then-window as-of: exactly one Window over the
+    per-user sort and no join at all — a join here means the O(events ×
+    earlier-orders) range-join shape regressed."""
+    plan = plan_of(spark, "q59a_asof_join", sf_smoke)
+    assert "Window" in plan
+    for join_kind in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert join_kind not in plan, f"as-of regressed to {join_kind}"
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_smoke):
     """Co-located join (functions/layout.py): two tables bucketed on the
     join key must join with NO Exchange on either side — the zero-shuffle
