@@ -93,7 +93,9 @@ def main() -> int:
         )
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
-    enable_df_cache()
+    # base tables re-spread at cache build: the fixture parquet has ~3 row
+    # groups, which otherwise caps every scan stage at 3-way parallelism
+    enable_df_cache(table_partitions=2 * n_shuffle)
     qs, oracles = e.queries(), e.oracle_sql()
 
     # Warm-up (untimed): JVM/code paths via the cheapest query, then the

@@ -38,12 +38,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # a shared scan cache does. Disabled by default so correctness runs always
 # exercise the cold path.
 _DF_CACHE: dict | None = None
+_CACHE_TABLE_PARTITIONS: int | None = None
 
 
-def enable_df_cache() -> None:
-    """Turn on process-wide persist()-backed sharing of repeated reads."""
-    global _DF_CACHE
+def enable_df_cache(table_partitions: int | None = None) -> None:
+    """Turn on process-wide persist()-backed sharing of repeated reads.
+
+    ``table_partitions``: repartition base tables to this many partitions
+    at cache-build time. The fixture parquet files have few row groups
+    (~3 at sf0.1), which caps every downstream scan stage at that
+    parallelism no matter how many cores exist; one shuffle at build
+    spreads the cached columns across the cluster — the same reason real
+    deployments re-bucket hot tables instead of serving them from
+    however-the-producer-wrote-them files."""
+    global _DF_CACHE, _CACHE_TABLE_PARTITIONS
     _DF_CACHE = {}
+    _CACHE_TABLE_PARTITIONS = table_partitions
 
 
 def cached_df(key: tuple, build):
@@ -52,7 +62,10 @@ def cached_df(key: tuple, build):
     if _DF_CACHE is None:
         return build()
     if key not in _DF_CACHE:
-        _DF_CACHE[key] = build().persist()
+        df = build()
+        if _CACHE_TABLE_PARTITIONS and key[0] == "table":
+            df = df.repartition(_CACHE_TABLE_PARTITIONS)
+        _DF_CACHE[key] = df.persist()
     return _DF_CACHE[key]
 
 
