@@ -62,21 +62,48 @@ def fuse_matmul_add(layers: DataFrame) -> DataFrame:
     )
 
 
-def partition_by_cost(layers: DataFrame, speedup_threshold: float = 2.0) -> DataFrame:
+CPU_FORCED_OPS = ("Softmax", "ReduceMean", "Reshape", "Transpose")
+
+
+def partition_by_cost(
+    layers: DataFrame,
+    speedup_threshold: float = 2.0,
+    overrides: DataFrame | None = None,
+) -> DataFrame:
     """Cost-based CPU/CIM partitioning + greedy run-length grouping
     (`mlir_compiler/partitioner.py:4-107`, SURVEY T4): assign each layer a
     target by the 2x-speedup rule (matmul-family layers are CIM-eligible),
-    then gaps-and-islands to group consecutive same-target layers."""
+    then gaps-and-islands to group consecutive same-target layers.
+
+    Per-layer overrides (U3): shape/data-movement ops are always forced
+    to CPU (`partitioner.py:16-19` cpu_forced_ops), and ``overrides`` —
+    a (model, name, forced_target) table, broadcast — pins specific
+    layers regardless of the cost model (the user's per-layer override
+    hook). Precedence: explicit override > cpu-forced op > cost rule."""
     cim_ops = ("MatMul", "Gemm", "Conv", "LSTM")
     # cost model: cycles_cpu = rows*cols, cycles_cim = rows*cols/32
     # (simulator/sim_reflex.py:91's 32-MACs-per-cycle assumption)
     cost_cpu = F.coalesce(F.col("rows") * F.col("cols"), F.lit(0)).cast("double")
     cost_cim = cost_cpu / 32.0
-    target = F.when(
+    cost_target = F.when(
         F.col("op_type").isin(*cim_ops)
         & (cost_cpu >= speedup_threshold * cost_cim),
         "cim",
     ).otherwise("cpu")
+    base_target = F.when(
+        F.col("op_type").isin(*CPU_FORCED_OPS), "cpu"
+    ).otherwise(cost_target)
+    if overrides is not None:
+        layers = layers.join(
+            F.broadcast(
+                overrides.select("model", "name", "forced_target")
+            ),
+            ["model", "name"],
+            "left",
+        )
+        target = F.coalesce(F.col("forced_target"), base_target)
+    else:
+        target = base_target
     w = Window.partitionBy("model").orderBy("idx")
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = layers.withColumn("target", target).withColumn(
@@ -85,9 +112,12 @@ def partition_by_cost(layers: DataFrame, speedup_threshold: float = 2.0) -> Data
             ~F.col("target").eqNullSafe(F.lag("target").over(w)), 1
         ).otherwise(0),
     )
-    return flagged.withColumn(
+    out = flagged.withColumn(
         "partition_id", F.sum("is_boundary").over(wcum).cast("long")
     ).drop("is_boundary")
+    if overrides is not None:
+        out = out.drop("forced_target")
+    return out
 
 
 def liveness(layers: DataFrame) -> DataFrame:

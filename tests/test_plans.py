@@ -54,6 +54,31 @@ def test_partitioner_islands(spark):
     }
 
 
+def test_partitioner_per_layer_overrides(spark):
+    """U3: an overrides table pins named layers regardless of the cost
+    rule, and islands re-form around the pinned targets."""
+    overrides = spark.createDataFrame(
+        [("m", "fc2", "cpu")], "model string, name string, forced_target string"
+    )
+    got = {
+        r.idx: (r.target, r.partition_id)
+        for r in partition_by_cost(
+            _mixed_model(spark), overrides=overrides
+        ).collect()
+    }
+    # fc2 forced cpu → sm/fc2/rm merge into one cpu island
+    assert got == {
+        0: ("cim", 1),
+        1: ("cpu", 2),
+        2: ("cpu", 2),
+        3: ("cpu", 2),
+        4: ("cim", 3),
+    }
+    assert "forced_target" not in partition_by_cost(
+        _mixed_model(spark), overrides=overrides
+    ).columns
+
+
 def test_liveness_residual(spark):
     got = {
         r.tensor: (r.first_def, r.last_use)
