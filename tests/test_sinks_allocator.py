@@ -192,3 +192,42 @@ def test_ota_feedback_loop_end_to_end(spark, sf_smoke):
                 assert manifest["n_layers"] == 1
         # the loop state advanced: final version is the last deployment
         assert summary["final_version"] == "2.1.4"
+
+
+def test_lz4_block_roundtrip(spark):
+    """C2: LZ4 block codec — round-trip on repetitive, random, empty and
+    short payloads; repetitive data must actually compress; the Spark
+    pandas-UDF column path matches the pure-Python decoder."""
+    import random
+
+    from hive_reflex_spark.functions.lz4 import (
+        lz4_block_compress,
+        lz4_block_decompress,
+        lz4_decompress_col,
+    )
+
+    rng = random.Random(11)
+    payloads = [
+        b"",
+        b"a",
+        b"abcd" * 400,
+        bytes(rng.randrange(256) for _ in range(3000)),
+        (b"weights:" + bytes(range(32))) * 64,
+        b"\x00" * 5000,
+    ]
+    for p in payloads:
+        enc = lz4_block_compress(p)
+        assert lz4_block_decompress(enc) == p, len(p)
+    assert len(lz4_block_compress(b"abcd" * 400)) < 200  # 1600 -> compressed
+    assert len(lz4_block_compress(b"\x00" * 5000)) < 60
+
+    df = spark.createDataFrame(
+        [(i, lz4_block_compress(p)) for i, p in enumerate(payloads)],
+        "id int, blob binary",
+    )
+    got = {
+        r.id: bytes(r.out)
+        for r in df.select("id", lz4_decompress_col(F.col("blob")).alias("out")).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == p, i
