@@ -131,13 +131,40 @@ def q63_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="complete")
 
 
-@query("q64_streaming_sessions")
+@query(
+    "q64_streaming_sessions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, ts_us,
+               CAST(SUM(CASE WHEN prev_us IS NULL
+                             OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS sid
+        FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY epoch_us(ts), event_id)
+                         AS prev_us
+              FROM events)),
+    agg AS (SELECT user_id, sid, MIN(ts_us) AS start_us,
+                   MAX(ts_us) AS last_us, COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sid),
+    wm AS (SELECT MAX(epoch_us(ts)) - 3600000000 AS w FROM events)
+    SELECT user_id,
+           strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S')
+               AS session_start,
+           n_events
+    FROM agg, wm WHERE last_us + 1800000000 <= w
+    """,
+)
 def q64_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows in streaming (ST8): session_window(ts, 30 min) per
-    user with a watermark. Rows-only driver check: append mode can only
-    emit sessions closed *before* the final watermark, so the tail of the
-    replay stays in state — batch q20_sessionize is the exact-coverage
-    twin; tests assert the emitted prefix matches it."""
+    user with a 1-hour watermark, availableNow replay. Append mode emits
+    exactly the sessions whose end+gap precedes the final watermark
+    (max event time − 1 h) — a deterministic set on a bounded replay, so
+    the oracle is batch sessionization (q20's islands) filtered by that
+    same predicate; the in-state tail is the complement, covered by
+    batch twin q20."""
     stream = stream_events(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
