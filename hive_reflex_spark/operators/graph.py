@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.operators.dedup import q49_lsh_candidates
+from hive_reflex_spark.operators.dedup import (
+    BAND_SIZE,
+    _DUCK_MINHASH,
+    q49_lsh_candidates,
+)
 from hive_reflex_spark.registry import query
 
 
@@ -82,12 +86,40 @@ def connected_components(
     return labels
 
 
-@query("q78_dedup_clusters")
+@query(
+    "q78_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE mh AS (SELECT * FROM {_DUCK_MINHASH} m),
+    bands AS (SELECT doc_id, seed // {BAND_SIZE} AS band,
+                     MIN(CASE WHEN seed % {BAND_SIZE} = 0 THEN sig END)
+                     || MIN(CASE WHEN seed % {BAND_SIZE} = 1 THEN sig END)
+                         AS band_sig
+              FROM mh GROUP BY doc_id, seed // {BAND_SIZE}),
+    edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_sig = b.band_sig
+                   AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    sym AS (SELECT src AS a, dst AS b FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    verts AS (SELECT DISTINCT a AS v FROM sym),
+    reach AS (
+        SELECT v, v AS r FROM verts
+        UNION
+        SELECT reach.v, sym.b FROM reach JOIN sym ON reach.r = sym.a),
+    comp AS (SELECT v, MIN(r) AS component FROM reach GROUP BY v)
+    SELECT component, COUNT(*) AS cluster_size, MIN(v) AS keep_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM comp GROUP BY component ORDER BY component
+    """,
+)
 def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the LSH candidate pairs: connected
     components → per-cluster size + canonical keeper (min doc_id) + docs
-    to drop. Rows-only driver check (iterative fixpoint is not
-    SQL-expressible); cluster==pair equivalence is asserted in tests."""
+    to drop. The iterative label-propagation fixpoint is hash-checked
+    against a DuckDB recursive-CTE transitive closure (min reachable
+    vertex == min label at fixpoint); cluster==pair equivalence is also
+    asserted in tests."""
     edges = q49_lsh_candidates(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )

@@ -130,12 +130,33 @@ def pid_controller(
 # ---------------------------------------------------------------------------
 
 
-@query("q54_iir_lowpass")
+@query(
+    "q54_iir_lowpass",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+    iir AS (
+        SELECT user_id, event_id, rn, value, value AS filtered
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, s.value,
+               CAST(0.3 AS DOUBLE) * s.value
+               + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * i.filtered
+        FROM seq s JOIN iir i
+          ON s.user_id = i.user_id AND s.rn = i.rn + 1)
+    SELECT event_id, user_id, ROUND(filtered, 6) AS filtered FROM iir
+    """,
+)
 def q54_iir_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact IIR low-pass over each user's event-value series (α=0.3).
-    A true recurrence — not SQL-expressible as a frame aggregate, so this
-    is a rows-only driver check; bit-parity vs numpy is asserted in
-    tests/test_timeseries.py."""
+    A true recurrence — beyond frame aggregates, but NOT beyond SQL: the
+    DuckDB oracle replays it as a recursive CTE with the identical
+    binary64 operation order (α·x + (1−α)·s, coefficients computed the
+    same way), so the hash check covers the recurrence exactly;
+    bit-parity vs numpy is additionally asserted in tests."""
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
