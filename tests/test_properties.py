@@ -61,3 +61,30 @@ def test_quantize_roundtrip_error_bounded(spark, values):
     ).collect()
     for r in rows:
         assert abs(r.x - r.dq) <= scale / 2 + 1e-12
+
+
+def test_df_cache_and_repartition_preserve_results(spark, sf_smoke):
+    """Bench mode (persisted base tables, re-spread partitioning) must be
+    result-identical to the cold path — i.e. exact_sum really is
+    order/partitioning-independent for every float that crosses an
+    aggregate."""
+    import __spark_entry__ as e
+    from hive_reflex_spark import io as hio
+
+    qs = e.queries()
+    names = ["q01_pricing_summary", "q47_jaccard_pairs", "q53_lsh_buckets"]
+    cold = {
+        n: sorted(map(tuple, qs[n](spark, sf_smoke).collect())) for n in names
+    }
+    hio.enable_df_cache(table_partitions=4)
+    try:
+        warm = {
+            n: sorted(map(tuple, qs[n](spark, sf_smoke).collect()))
+            for n in names
+        }
+    finally:
+        for df in hio._DF_CACHE.values():
+            df.unpersist()
+        hio._DF_CACHE = None
+        hio._CACHE_TABLE_PARTITIONS = None
+    assert cold == warm
