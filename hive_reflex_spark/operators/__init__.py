@@ -57,7 +57,7 @@ _registry.finalize_order([
     "q51_cosine_topk",
     "q52_cosine_topk_arrays",
     "q53_lsh_buckets",
-    "q54a_ivf_assign",
+    "q54b_ivf_topk",
     # time-series / control
     "q54_iir_lowpass",
     "q55_fir_lowpass",

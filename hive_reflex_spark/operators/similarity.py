@@ -366,6 +366,120 @@ def q54a_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q54b_ivf_topk",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         cents AS (SELECT vec_id AS cid, dim, v AS cv FROM coords
+                   WHERE vec_id % {N_CENTROIDS_STRIDE} = 0),
+         cdots AS (SELECT x.vec_id, c.cid,
+                          CAST(SUM(CAST(ROUND(x.v * c.cv * 1000000000)
+                               AS BIGINT)) AS BIGINT) / 1000000000.0 AS dot
+                   FROM coords x JOIN cents c USING (dim)
+                   GROUP BY x.vec_id, c.cid),
+         assign AS (SELECT vec_id, cid FROM (
+                        SELECT vec_id, cid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                  ORDER BY dot DESC, cid) AS rn
+                        FROM cdots) WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cid FROM (
+                        SELECT vec_id, cid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                  ORDER BY dot DESC, cid) AS rn
+                        FROM cdots WHERE vec_id < {N_QUERIES})
+                    WHERE rn <= {N_PROBE}),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                  FROM probes p JOIN assign a ON p.cid = a.cid
+                  WHERE p.query_id != a.vec_id),
+         norms AS (SELECT vec_id,
+                          sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000)
+                               AS BIGINT)) AS BIGINT) / 1000000000.0) AS nrm
+                   FROM coords GROUP BY vec_id),
+         dots AS (SELECT k.query_id, k.neighbor_id,
+                         CAST(SUM(CAST(ROUND(q.v * c.v * 1000000000)
+                              AS BIGINT)) AS BIGINT) / 1000000000.0 AS dot
+                  FROM cand k
+                  JOIN coords q ON q.vec_id = k.query_id
+                  JOIN coords c ON c.vec_id = k.neighbor_id
+                       AND c.dim = q.dim
+                  GROUP BY k.query_id, k.neighbor_id),
+         scored AS (SELECT query_id, neighbor_id,
+                           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+                    FROM dots
+                    JOIN norms nq ON query_id = nq.vec_id
+                    JOIN norms nc ON neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored)
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def q54b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search end-to-end, driver-checked: centroid scoring →
+    corpus assignment → per-query n_probe cluster probe → exact cosine
+    rank restricted to probed clusters. The cluster id is the partition
+    key, so at 100 TB each query only touches n_probe/n_centroids of the
+    corpus. Coordinate/exact_sum formulation for engine-deterministic
+    floats; the array-fold `ivf_topk` below is the throughput path
+    (recall-tested against brute force)."""
+    coords = embedding_coords(spark, sf_dir)
+    cents = coords.filter(
+        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
+    ).select(F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv"))
+    cdots = (
+        coords.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(exact_sum(F.col("v") * F.col("cv"), 9).alias("dot"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid")
+    ranked = cdots.withColumn("rn", F.row_number().over(wv))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
+        )
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    norms = coords.groupBy("vec_id").agg(
+        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+    )
+    q = coords.select(F.col("vec_id").alias("query_id"), "dim", F.col("v").alias("qv"))
+    c = coords.select(F.col("vec_id").alias("neighbor_id"), "dim", F.col("v").alias("cv2"))
+    dots = (
+        F.broadcast(cand)
+        .join(q, "query_id")
+        .join(c, ["neighbor_id", "dim"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(exact_sum(F.col("qv") * F.col("cv2"), 9).alias("dot"))
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    scored = (
+        dots.join(F.broadcast(nq), F.col("query_id") == F.col("nq.vec_id"))
+        .join(F.broadcast(nc), F.col("neighbor_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm")), 6
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 def ivf_topk(
     spark: SparkSession,
     sf_dir: str,
