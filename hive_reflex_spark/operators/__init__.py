@@ -74,14 +74,16 @@ _registry.finalize_order([
     # new / modified this round
     "q80_onnx_compile",
     "q81_codec_dispatch",
+    "q82_lz4_roundtrip",
     "q45_fingerprint",
     "q47_jaccard_pairs",
     "q51a_embedding_neardup",
     # strongest re-checks, one per already-green family
+    # (q46_exact_dedup demoted for q82 — its r01 row stands, and dedup is
+    # still covered in-window by q47/q49/q50/q51a)
     "q01_pricing_summary",
     "q03_top_revenue",
     "q34_sparsity_analysis",
-    "q46_exact_dedup",
     "q49_lsh_candidates",
     "q50_simhash",
     "q66_attention",

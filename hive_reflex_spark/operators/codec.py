@@ -12,9 +12,11 @@ union, the columnar form of the reference's switch(header->type).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hive_reflex_spark.functions import lz4 as lz4c
 from hive_reflex_spark.io import read_table
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
@@ -437,6 +439,105 @@ def q81_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("artifact")).alias("encoded_chars"),
             F.sum(F.coalesce(F.col("is_ok"), F.lit(0))).alias("n_roundtrip_ok"),
         )
+    )
+
+
+# codec ids cycled per doc: real binary codecs from functions/lz4 —
+# NONE / RLE / LZ4 / DELTA, matching compression.h:17-23's enum
+_Q82_CODECS = (lz4c.COMPRESS_NONE, lz4c.COMPRESS_RLE,
+               lz4c.COMPRESS_LZ4, lz4c.COMPRESS_DELTA)
+
+
+def _codec_roundtrip_udf():
+    """Per-doc binary round-trip as an Arrow-batched Pandas UDF: UTF-8
+    payload → pack_artifact with the row's codec → optional header
+    corruption → Decompress_Validate + Decompress_Auto. Returns header
+    validity and the sha256 of the *decompressed* payload (None when
+    rejected) — the aggregate layer compares that digest against sha2 of
+    the source text, so losslessness is proven without shipping payloads
+    to the driver. Built lazily: pandas_udf schema parsing needs an
+    active session, so module import must not create it."""
+
+    @F.pandas_udf("valid boolean, rt_sha string")
+    def fn(
+        text: pd.Series, codec_idx: pd.Series, corrupt: pd.Series
+    ) -> pd.DataFrame:
+        import hashlib
+
+        valid, shas = [], []
+        for t, ci, bad in zip(text, codec_idx, corrupt):
+            raw = t.encode("utf-8")
+            blob = lz4c.pack_artifact(raw, _Q82_CODECS[int(ci)])
+            if bad:
+                blob = b"\x00" + blob[1:]  # break the magic word
+            valid.append(lz4c.validate_artifact(blob))
+            out = lz4c.decompress_auto(blob)
+            shas.append(
+                hashlib.sha256(out).hexdigest() if out is not None else None
+            )
+        return pd.DataFrame({"valid": valid, "rt_sha": shas})
+
+    return fn
+
+
+@query(
+    "q82_lz4_roundtrip",
+    oracle="""
+    SELECT CASE doc_id % 4 WHEN 0 THEN 'none' WHEN 1 THEN 'rle'
+                           WHEN 2 THEN 'lz4' ELSE 'delta' END AS codec,
+           COUNT(*) AS n_docs,
+           CAST(SUM(strlen(text)) AS BIGINT) AS orig_bytes,
+           CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_valid,
+           CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_roundtrip_ok,
+           MIN(CASE WHEN doc_id % 17 != 0 THEN sha256(text) END) AS min_sha,
+           MAX(CASE WHEN doc_id % 17 != 0 THEN sha256(text) END) AS max_sha
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q82_lz4_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 LZ4 + C4 binary auto-dispatch (`compression.c:60-117,145-205`):
+    every document is framed as a real HRZC binary artifact — NONE / RLE /
+    LZ4 / DELTA cycled by doc_id, 1-in-17 corrupted — then header-validated,
+    type-dispatched, decompressed, and digest-compared to the source. The
+    oracle encodes the lossless-codec invariant: valid artifacts must all
+    round-trip, and the decompressed digests must equal the originals'.
+
+    Scale shape: one Arrow-batched Pandas UDF over the scan (no shuffle
+    until the 4-group rollup); payloads never leave the executors — only
+    32-byte digests aggregate. At 100 TB this is the same per-partition
+    codec work a parquet writer does, with a 4-row result."""
+    docs = read_table(spark, sf_dir, "documents")
+    rt_udf = _codec_roundtrip_udf()
+    rt = docs.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") % 4).cast("int").alias("codec_idx"),
+        (F.col("doc_id") % 17 == 0).alias("corrupt"),
+        rt_udf(
+            F.col("text"),
+            (F.col("doc_id") % 4).cast("int"),
+            (F.col("doc_id") % 17 == 0),
+        ).alias("rt"),
+    )
+    codec_name = (
+        F.when(F.col("codec_idx") == 0, "none")
+        .when(F.col("codec_idx") == 1, "rle")
+        .when(F.col("codec_idx") == 2, "lz4")
+        .otherwise("delta")
+    )
+    return rt.groupBy(codec_name.alias("codec")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("orig_bytes"),
+        F.sum(F.col("rt.valid").cast("long")).alias("n_valid"),
+        F.sum(
+            (F.col("rt.rt_sha") == F.sha2(F.col("text"), 256))
+            .cast("long")
+        ).alias("n_roundtrip_ok"),
+        F.min("rt.rt_sha").alias("min_sha"),
+        F.max("rt.rt_sha").alias("max_sha"),
     )
 
 
