@@ -86,13 +86,26 @@ def main() -> int:
     # measured at sf0.1, 8 partitions beat both 4 (starved parallelism on
     # post-shuffle stages) and 32 (scheduling overhead); AQE still
     # coalesces/splits at runtime on top.
+    in_bytes = input_bytes(sf_dir)
     n_shuffle = int(
         os.environ.get(
             "SPARK_GRAFT_SHUFFLE",
-            min(512, max(8, input_bytes(sf_dir) // (12 << 20))),
+            min(512, max(8, in_bytes // (12 << 20))),
         )
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    # Adaptive execution is the 100-TB default (pin_session turns it on:
+    # runtime coalescing, skew-join splitting, broadcast conversion), but
+    # it re-optimizes the plan between every pair of stages — measurable
+    # fixed cost per stage, with nothing to adapt when the whole input is
+    # a few MB and partitions are already sized statically. Size-keyed,
+    # not query-keyed: ≥1 GiB input keeps AQE on (the setting any real
+    # deployment of this engine would run with), toy SFs measure the
+    # static plan. Overridable via SPARK_GRAFT_AQE=on|off; recorded in
+    # the output JSON either way.
+    aqe_env = os.environ.get("SPARK_GRAFT_AQE", "")
+    aqe_on = aqe_env == "on" or (aqe_env != "off" and in_bytes >= (1 << 30))
+    spark.conf.set("spark.sql.adaptive.enabled", str(aqe_on).lower())
     # base tables re-spread at cache build: the fixture parquet has ~3 row
     # groups, which otherwise caps every scan stage at 3-way parallelism
     enable_df_cache(table_partitions=2 * n_shuffle)
@@ -115,19 +128,22 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    # Steady-state timing: each query (and its DuckDB twin) runs twice,
-    # min is reported. Run 1 pays one-time costs no deployment pays per
-    # query — whole-stage-codegen compilation and first-use builds of the
-    # shared intermediate tables (shingles/minhash/coords, the amortized
-    # compute the cluster shares across the family); run 2 measures the
-    # plan. Cold times go to stderr for the record.
+    # Steady-state timing: each query (and its DuckDB twin) runs
+    # N_RUNS times (default 3, symmetric for both engines), min is
+    # reported. Run 1 pays one-time costs no deployment pays per query —
+    # whole-stage-codegen compilation and first-use builds of the shared
+    # intermediate tables (shingles/minhash/coords, the amortized compute
+    # the cluster shares across the family); later runs measure the plan.
+    # min-of-N because the box shows ±10-15% background-load noise and
+    # both engines sample it identically. Cold times go to stderr.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     duck_times: dict[str, float] = {}
     ratios: dict[str, float] = {}
     for name in HEADLINE:
         runs = []
         n = 0
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.time()
             n = force_eval(qs[name](spark, sf_dir))
             runs.append(time.time() - t0)
@@ -137,7 +153,7 @@ def main() -> int:
         )
         if name in oracles:
             druns = []
-            for _ in range(2):
+            for _ in range(n_runs):
                 t1 = time.time()
                 con.execute(oracles[name]).fetchall()
                 druns.append(time.time() - t1)
@@ -165,6 +181,7 @@ def main() -> int:
                 "spark_duckdb_ratio": round(comparable / max(duck_total, 1e-9), 2),
                 "ratios": ratios,
                 "shuffle_partitions": n_shuffle,
+                "aqe": aqe_on,
             }
         )
     )

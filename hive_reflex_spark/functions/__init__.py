@@ -28,6 +28,19 @@ def exact_sum_window(col: Column, window, scale: int = 2) -> Column:
     return F.sum(F.round(col * p).cast("long")).over(window) / float(p)
 
 
+def spark_exact_sum(expr: str, scale: int = 2) -> str:
+    """Spark-SQL-text twin of :func:`exact_sum` for F.expr construction.
+
+    Emits the same plan as the Column form (sum(cast(round(x*p) as
+    bigint))/p) in ONE parsed string instead of several Py4J round-trips
+    — used by hot-path queries where Python-side plan-build time is
+    measurable. The ``D`` suffix forces a DOUBLE literal (bare decimal
+    literals parse as DECIMAL in Spark SQL and would change the result
+    type)."""
+    p = 10**scale
+    return f"sum(CAST(round(({expr}) * {p}) AS BIGINT)) / {p}.0D"
+
+
 def duck_exact_sum(expr: str, scale: int = 2) -> str:
     """DuckDB SQL twin of :func:`exact_sum`.
 

@@ -326,20 +326,25 @@ def q50_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup histogram. One aggregate pass, no joins — the cheapest
     near-dup signal at scale; docs with equal simhash are candidates."""
     words = doc_words(spark, sf_dir)
+    # single-parse expression strings: 16 bit-vote aggregates built as one
+    # F.expr each (not ~10 Py4J calls each) — plan-identical, ~10× less
+    # Python-side build time on this, the chattiest headline query
     bit_sums = [
-        F.sum(
-            F.when(F.substring(F.md5("w"), b + 1, 1) >= "8", 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(
+            f"sum(CASE WHEN substring(md5(w), {b + 1}, 1) >= '8' "
+            f"THEN 1 ELSE -1 END) AS b{b}"
+        )
         for b in range(N_BITS)
     ]
     per_doc = words.groupBy("doc_id").agg(*bit_sums)
-    simhash = sum(
-        [
-            F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    simhash = F.expr(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
             for b in range(N_BITS)
-        ],
-        F.lit(0),
-    ).cast("long")
+        )
+        + " AS BIGINT)"
+    )
     return (
         per_doc.select("doc_id", simhash.alias("simhash"))
         .groupBy("simhash")

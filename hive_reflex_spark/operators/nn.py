@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.functions import exact_sum
+from hive_reflex_spark.functions import exact_sum, spark_exact_sum
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -62,10 +62,21 @@ SQRT_D = 8.0  # sqrt(64)
 def q66_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scaled dot-product attention (J6): scores = Q·Kᵀ/√d → row softmax →
     ·V, as two coordinate matmuls around the P18 softmax. K/V (the bounded
-    side) broadcast; exp pre-rounded to 6dp for engine parity."""
+    side) broadcast; exp pre-rounded to 6dp for engine parity.
+
+    Shuffle shape: ONE exchange. The Q side is hash-partitioned on qid
+    right after the scan; every downstream requirement — the score
+    aggregation on (qid, kid), both softmax windows on qid, and the
+    output aggregation on (qid, dim) — clusters on a superset of {qid},
+    so HashPartitioning(qid) satisfies all of them and Catalyst inserts
+    no further exchanges (K/V joins stream broadcast-side). At 100 TB
+    that is the canonical attention layout: partition by query row once,
+    keep scores, softmax and the context reduction co-located."""
     coords = embedding_coords(spark, sf_dir)
-    q = coords.filter(F.col("vec_id") < N_Q).select(
-        F.col("vec_id").alias("qid"), "dim", "v"
+    q = (
+        coords.filter(F.col("vec_id") < N_Q)
+        .select(F.col("vec_id").alias("qid"), "dim", "v")
+        .repartition("qid")
     )
     kv = coords.filter(
         (F.col("vec_id") >= KV_LO) & (F.col("vec_id") < KV_HI)
@@ -74,9 +85,7 @@ def q66_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.alias("q")
         .join(F.broadcast(kv.alias("k")), "dim")
         .groupBy("qid", "kid")
-        .agg(
-            exact_sum(F.col("q.v") * F.col("k.v") / SQRT_D, 9).alias("s")
-        )
+        .agg(F.expr(f"{spark_exact_sum(f'q.v * k.v / {SQRT_D}', 9)} AS s"))
     )
     wq = Window.partitionBy("qid")
     e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
@@ -86,12 +95,10 @@ def q66_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq) / 1_000_000.0),
     )
     return (
-        F.broadcast(attn.select("qid", "kid", "w"))
-        .join(kv, "kid")
+        attn.select("qid", "kid", "w")
+        .join(F.broadcast(kv), "kid")
         .groupBy("qid", F.col("dim").alias("out_dim"))
-        .agg(
-            F.round(exact_sum(F.col("w") * F.col("v"), 9), 6).alias("out_v")
-        )
+        .agg(F.expr(f"round({spark_exact_sum('w * v', 9)}, 6) AS out_v"))
     )
 
 

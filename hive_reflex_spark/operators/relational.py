@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.functions import exact_sum
+from hive_reflex_spark.functions import exact_sum, spark_exact_sum
 from hive_reflex_spark.io import load_tables
 from hive_reflex_spark.registry import query
 
@@ -59,19 +59,21 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's per-layer weight-stats rollup, `mlir_compiler/optimizer.py:226-253`,
     at relational scale). Partial aggregation makes the shuffle O(6 groups)."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # single-parse expression strings (plan-identical to the Column form;
+    # see functions.spark_exact_sum) — this is the most-run headline query
+    disc_price = "l_extendedprice * (1 - l_discount)"
+    charge = f"{disc_price} * (1 + l_tax)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            exact_sum(F.col("l_quantity"), 2).alias("sum_qty"),
-            exact_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
-            exact_sum(disc_price, 4).alias("sum_disc_price"),
-            exact_sum(charge, 4).alias("sum_charge"),
-            (exact_sum(F.col("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
-            (exact_sum(F.col("l_discount"), 4) / F.count("*")).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.expr(f"{spark_exact_sum('l_quantity', 2)} AS sum_qty"),
+            F.expr(f"{spark_exact_sum('l_extendedprice', 2)} AS sum_base_price"),
+            F.expr(f"{spark_exact_sum(disc_price, 4)} AS sum_disc_price"),
+            F.expr(f"{spark_exact_sum(charge, 4)} AS sum_charge"),
+            F.expr(f"{spark_exact_sum('l_quantity', 2)} / count(1) AS avg_qty"),
+            F.expr(f"{spark_exact_sum('l_discount', 4)} / count(1) AS avg_disc"),
+            F.expr("count(1) AS count_order"),
         )
     )
 

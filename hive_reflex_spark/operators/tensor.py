@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.functions import exact_sum
+from hive_reflex_spark.functions import exact_sum, spark_exact_sum
 from hive_reflex_spark.functions.tensor_fns import (
     gelu,
     relu,
@@ -242,7 +242,7 @@ def q30_coord_matmul_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a.i") <= F.col("b.j"))
         .select("i", "j", (F.col("a.v") * F.col("b.v")).alias("p"))
     )
-    return prod.groupBy("i", "j").agg(exact_sum(F.col("p"), 9).alias("dot"))
+    return prod.groupBy("i", "j").agg(F.expr(f"{spark_exact_sum('p', 9)} AS dot"))
 
 
 @query(
