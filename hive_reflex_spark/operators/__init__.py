@@ -14,6 +14,7 @@ from hive_reflex_spark.operators import (  # noqa: F401
     tensor,
     text,
     timeseries,
+    training,
 )
 from hive_reflex_spark.sources import multimodal  # noqa: F401
 from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
@@ -75,19 +76,21 @@ _registry.finalize_order([
     "q80_onnx_compile",
     "q81_codec_dispatch",
     "q82_lz4_roundtrip",
+    "q83_qat_probe",
+    "q84_distill_probe",
     "q45_fingerprint",
     "q47_jaccard_pairs",
     "q51a_embedding_neardup",
     # strongest re-checks, one per already-green family
     # (q46_exact_dedup demoted for q82 — its r01 row stands, and dedup is
     # still covered in-window by q47/q49/q50/q51a)
+    # (q34_sparsity_analysis / q79_power_rollup demoted for q83/q84 — both
+    # r01 hash-green; tensor aggs stay covered in-window via q66.)
     "q01_pricing_summary",
     "q03_top_revenue",
-    "q34_sparsity_analysis",
     "q49_lsh_candidates",
     "q50_simhash",
     "q66_attention",
-    "q79_power_rollup",
 ])
 
 __all__ = [
@@ -104,5 +107,6 @@ __all__ = [
     "tensor",
     "text",
     "timeseries",
+    "training",
     "multimodal",
 ]

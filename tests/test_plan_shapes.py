@@ -137,3 +137,17 @@ def test_bucketed_join_skips_shuffle(spark, sf_smoke):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_q66_attention_single_exchange(spark, sf_smoke):
+    """q66's scale claim: ONE data exchange. The qid repartition after the
+    scan satisfies every downstream clustering (scores on (qid,kid),
+    softmax windows on qid, output agg on (qid,dim)); K/V arrive by
+    broadcast. A second shuffle means the reused-partitioning layout
+    regressed to shuffle-per-stage."""
+    plan = plan_of(spark, "q66_attention", sf_smoke)
+    import re
+
+    data_exchanges = len(re.findall(r"^(?!.*Broadcast)[+:\s-]*Exchange ", plan, re.M))
+    assert data_exchanges == 1, plan
+    assert plan.count("BroadcastExchange") >= 1
