@@ -10,6 +10,7 @@ from hive_reflex_spark.operators import (  # noqa: F401
     nn,
     power,
     relational,
+    sampling,
     similarity,
     tensor,
     text,
@@ -54,9 +55,9 @@ _registry.finalize_order([
     "q28_approx_distinct",
     "q29_range_frames",
     "q90_sql_api",
-    # similarity / ANN
+    # similarity / ANN (q52 demoted — rows-only by design, its real check
+    # is the q51-parity pytest; a rows-only driver row adds little)
     "q51_cosine_topk",
-    "q52_cosine_topk_arrays",
     "q53_lsh_buckets",
     "q54b_ivf_topk",
     # time-series / control
@@ -78,16 +79,18 @@ _registry.finalize_order([
     "q82_lz4_roundtrip",
     "q83_qat_probe",
     "q84_distill_probe",
+    "q85_hash_split",
+    "q87_decontaminate",
     "q45_fingerprint",
     "q47_jaccard_pairs",
     "q51a_embedding_neardup",
     # strongest re-checks, one per already-green family
     # (q46_exact_dedup demoted for q82 — its r01 row stands, and dedup is
     # still covered in-window by q47/q49/q50/q51a)
-    # (q34_sparsity_analysis / q79_power_rollup demoted for q83/q84 — both
-    # r01 hash-green; tensor aggs stay covered in-window via q66.)
+    # (q34_sparsity_analysis / q79_power_rollup demoted for q83/q84, and
+    # q03_top_revenue for q85/q87 — all r01 hash-green with code unchanged
+    # since; the kept re-checks are queries whose code CHANGED this round.)
     "q01_pricing_summary",
-    "q03_top_revenue",
     "q49_lsh_candidates",
     "q50_simhash",
     "q66_attention",
@@ -102,6 +105,7 @@ __all__ = [
     "nn",
     "power",
     "relational",
+    "sampling",
     "similarity",
     "streaming_ops",
     "tensor",

@@ -1,0 +1,188 @@
+"""Training-data curation: deterministic splits, stratified sampling, and
+benchmark decontamination (the brief's "operations a large-scale
+training-data pipeline would need" — the selection/holdout side, next to
+dedup and quality scoring).
+
+All three are hash-deterministic — no RNG, no seed state — so the same
+document lands in the same split on any engine, any cluster size, any
+re-run. That is the property real pipelines need: membership must be a
+pure function of the record, not of partitioning or scheduling.
+
+Scale notes (100 TB):
+- q85 split assignment is a stateless projection (md5 prefix compare) —
+  embarrassingly parallel, no shuffle until the 3-row rollup.
+- q86 stratified sampling shuffles once by stratum; per-stratum
+  row_number is linear after the sort. For strata too hot for one task,
+  the production path is threshold-on-hash (take md5 < quantile cutoff,
+  one pass, no rank) — the rank form here IS the exactness oracle.
+- q87 decontamination joins the corpus against the BENCHMARK side, which
+  is tiny by construction — broadcast it and the 100-TB side never
+  shuffles for the join; the per-doc rollup ships only matched rows.
+  4-word shingles (13-grams in GPT-3-scale practice) keep stop-phrase
+  collisions out; 3-grams flag 1/3 of this corpus, 4-grams the actual
+  planted overlaps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.registry import query
+
+SAMPLE_PER_STRATUM = 10
+_BENCH_MOD = 97  # doc_id % 97 == 0 -> the held-out "benchmark" set (~1%)
+
+# split fractions in 256ths of the md5 keyspace: 205/25/26 ≈ 80/10/10
+_TRAIN_HI = "cd"  # [00, cd) -> train
+_VAL_HI = "e6"  # [cd, e6) -> val, [e6, ff] -> test
+
+
+def _split_col(id_col: str = "doc_id"):
+    b = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return (
+        F.when(b < _TRAIN_HI, F.lit("train"))
+        .when(b < _VAL_HI, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SPLIT_SQL = f"""CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'
+         THEN 'train'
+         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}'
+         THEN 'val' ELSE 'test' END"""
+
+
+@query(
+    "q85_hash_split",
+    oracle=f"""
+    SELECT {_SPLIT_SQL} AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY 1 ORDER BY split
+    """,
+)
+def q85_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: the first two hex chars of
+    md5(doc_id) partition the keyspace 205/25/26 (≈80/10/10). Membership
+    is a pure function of the id — stable across engines, reshuffles, and
+    incremental re-ingests (a re-crawled doc keeps its split). Returns
+    the per-split census a pipeline uses to sanity-check balance."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", _split_col())
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars") * 1.0 / F.count("*"), 4).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q86_stratified_sample",
+    oracle=f"""
+    SELECT lang, doc_id, smp_rank FROM (
+        SELECT lang, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INTEGER) AS smp_rank
+        FROM documents)
+    WHERE smp_rank <= {SAMPLE_PER_STRATUM}
+    ORDER BY lang, smp_rank
+    """,
+)
+def q86_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample: the first k documents per language in
+    md5(doc_id) order — a deterministic "random" draw with a hard
+    per-stratum quota (eval sets, annotation batches). One shuffle
+    (partition by stratum); at hot-stratum scale the production variant
+    thresholds on the hash value directly (no rank) — this rank form is
+    the exact-quota oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).alias("smp_rank")
+        )
+        .filter(F.col("smp_rank") <= SAMPLE_PER_STRATUM)
+        .orderBy("lang", "smp_rank")
+    )
+
+
+_DUCK_SH4 = """(
+    SELECT DISTINCT doc_id,
+           w || ' ' || w1 || ' ' || w2 || ' ' || w3 AS shingle
+    FROM (SELECT doc_id, w,
+                 lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2,
+                 lead(w, 3) OVER win AS w3
+          FROM (SELECT doc_id,
+                       unnest(range(len(string_split(text, ' ')))) AS pos,
+                       unnest(string_split(text, ' ')) AS w
+                FROM documents) words
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+    WHERE w3 IS NOT NULL)"""
+
+
+def _shingles4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, 4-word shingle): scan-side transform over the
+    token array (same no-window shape as text.doc_shingles, one word
+    longer for decontamination specificity)."""
+    docs = read_table(spark, sf_dir, "documents")
+    with_tokens = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    shingles = F.expr(
+        "CASE WHEN size(ws) >= 4 THEN "
+        "transform(sequence(0, size(ws) - 4), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3])) "
+        "ELSE array() END"
+    )
+    return with_tokens.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+
+
+@query(
+    "q87_decontaminate",
+    oracle=f"""
+    SELECT t.doc_id,
+           CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_hit_shingles,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM {_DUCK_SH4} t JOIN {_DUCK_SH4} b ON t.shingle = b.shingle
+    WHERE b.doc_id % {_BENCH_MOD} = 0 AND t.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    4-word shingle with the held-out benchmark set (doc_id % 97 == 0
+    stands in for the eval suite). The benchmark shingle table is small
+    by construction, so it rides as a BROADCAST to every executor and
+    the corpus-side scan never shuffles for the join — the canonical
+    n-gram-overlap decontamination shape (GPT-3 used 13-grams; 4 here
+    matches the fixture's short docs). Returns each contaminated doc
+    with how many shingles hit and how many benchmark docs they span."""
+    sh = _shingles4(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .withColumnRenamed("doc_id", "bench_id")
+    )
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )

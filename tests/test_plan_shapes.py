@@ -139,6 +139,16 @@ def test_bucketed_join_skips_shuffle(spark, sf_smoke):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_q87_benchmark_side_broadcasts(spark, sf_smoke):
+    """Decontamination's scale claim: the benchmark shingle table rides as
+    a broadcast, so the 100-TB corpus side never shuffles for the join."""
+    plan = plan_of(spark, "q87_decontaminate", sf_smoke)
+    assert "BroadcastHashJoin" in plan, "benchmark side lost its broadcast"
+    assert "SortMergeJoin" not in plan, (
+        "corpus side shuffles for the join — benchmark must broadcast"
+    )
+
+
 def test_q66_attention_single_exchange(spark, sf_smoke):
     """q66's scale claim: ONE data exchange. The qid repartition after the
     scan satisfies every downstream clustering (scores on (qid,kid),

@@ -1,0 +1,52 @@
+"""Sampling/split/decontamination operator tests (operators/sampling.py).
+Oracle parity is covered by check_oracle (q85-q87); these pin the
+pipeline-contract properties: split determinism, quota exactness, and
+decontamination self-exclusion."""
+
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.operators.sampling import (
+    SAMPLE_PER_STRATUM,
+    q85_hash_split,
+    q86_stratified_sample,
+    q87_decontaminate,
+)
+
+
+def test_split_fractions_and_totals(spark, sf_smoke):
+    rows = {r["split"]: r for r in q85_hash_split(spark, sf_smoke).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total = sum(r["n_docs"] for r in rows.values())
+    # keyspace fractions are 205/25/26 of 256; allow sampling slack on
+    # the small fixture but train must dominate and val/test stay minor
+    assert rows["train"]["n_docs"] / total > 0.7
+    assert rows["val"]["n_docs"] / total < 0.2
+    assert rows["test"]["n_docs"] / total < 0.2
+
+
+def test_split_is_deterministic_rerun(spark, sf_smoke):
+    a = sorted(map(tuple, q85_hash_split(spark, sf_smoke).collect()))
+    b = sorted(map(tuple, q85_hash_split(spark, sf_smoke).collect()))
+    assert a == b
+
+
+def test_stratified_quota_exact(spark, sf_smoke):
+    df = q86_stratified_sample(spark, sf_smoke)
+    per = df.groupBy("lang").count().collect()
+    assert per, "no strata sampled"
+    for r in per:
+        assert r["count"] <= SAMPLE_PER_STRATUM
+    # no duplicate docs and ranks are 1..k per stratum
+    n = df.count()
+    assert df.select("doc_id").distinct().count() == n
+    assert df.filter(
+        (F.col("smp_rank") < 1) | (F.col("smp_rank") > SAMPLE_PER_STRATUM)
+    ).count() == 0
+
+
+def test_decontaminate_excludes_benchmark_docs(spark, sf_smoke):
+    df = q87_decontaminate(spark, sf_smoke)
+    # benchmark docs must never flag themselves as contaminated
+    assert df.filter(F.col("doc_id") % 97 == 0).count() == 0
+    # hit counts are positive by construction (inner join)
+    assert df.filter(F.col("n_hit_shingles") < 1).count() == 0
