@@ -534,3 +534,183 @@ def ivf_topk(
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index BUILD: distributed Lloyd's k-means on the coarse quantizer
+# ---------------------------------------------------------------------------
+
+KM_ITERS = 2
+_E9 = 1_000_000_000
+
+
+def _km_sum(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(ROUND(({expr}) * {_E9}) AS BIGINT)) AS BIGINT)"
+        f" / {_E9}.0"
+    )
+
+
+def kmeans_train(
+    spark: SparkSession, coords: DataFrame, *, iters: int = KM_ITERS
+) -> tuple[dict, list[dict]]:
+    """Distributed Lloyd's k-means over (vec_id, dim, v) coordinates —
+    how the q54a/q54b IVF coarse quantizer gets TRAINED rather than
+    seeded. Same 100-TB shape as the GD loops (`operators/training.py`):
+    the k x d centroid table is the small operand, broadcast to every
+    executor each round; the corpus never moves. One iteration = one
+    assignment aggregate (argmin L2 per vector) + one mean aggregate
+    (k x d numbers back to the driver). Seeds are the stride vectors
+    (vec_id % N_CENTROIDS_STRIDE == 0) so init is deterministic.
+
+    Determinism for the oracle boundary: distances 6dp, means 9dp,
+    inertia/shift via integer-unit sums (order-independent); argmin ties
+    break to the lowest cid.
+    """
+    from hive_reflex_spark.operators.training import _round_away
+
+    coords = coords.persist()
+    seed = (
+        coords.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0)
+        .select(F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv"))
+        .collect()
+    )
+    cents = {(r["cid"], r["dim"]): float(r["cv"]) for r in seed}
+    history: list[dict] = []
+    for it in range(1, iters + 1):
+        cdf = spark.createDataFrame(
+            [(c, d, v) for (c, d), v in cents.items()],
+            "cid long, dim int, cv double",
+        )
+        d2 = (
+            coords.join(F.broadcast(cdf), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                exact_sum(
+                    (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")), 9
+                ).alias("d2r")
+            )
+            .select("vec_id", "cid", F.round("d2r", 6).alias("d2"))
+        )
+        wv = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cid").asc())
+        assign = (
+            d2.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2")
+            .persist()
+        )
+        m = assign.agg(
+            exact_sum(F.col("d2"), 9).alias("inertia"),
+            F.countDistinct("cid").alias("k_live"),
+        ).first()
+        max_cluster = (
+            assign.groupBy("cid").count().agg(F.max("count")).first()[0]
+        )
+        means = (
+            assign.join(coords, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.round(exact_sum(F.col("v"), 9) / F.count("*"), 9).alias("mv")
+            )
+            .collect()
+        )
+        assign.unpersist()
+        new_cents = dict(cents)  # empty clusters keep their old centroid
+        for r in means:
+            new_cents[(r["cid"], r["dim"])] = r["mv"]
+        shift_units = sum(
+            int(_round_away(abs(new_cents[key] - cents[key]) * _E9, 0))
+            for key in cents
+        )
+        history.append(
+            {
+                "iter": it,
+                "inertia": _round_away(m["inertia"], 6),
+                "k_live": m["k_live"],
+                "max_cluster": max_cluster,
+                "centroid_shift": _round_away(shift_units / _E9, 6),
+            }
+        )
+        cents = new_cents
+    return cents, history
+
+
+def _kmeans_oracle() -> str:
+    parts = [
+        f"coords AS (SELECT vec_id, dim, v FROM {_duck_coords(None)} cx)",
+        f"""c0 AS (SELECT vec_id AS cid, dim, v AS cv FROM coords
+               WHERE vec_id % {N_CENTROIDS_STRIDE} = 0)""",
+    ]
+    metric_selects = []
+    prev = "c0"
+    for k in range(1, KM_ITERS + 1):
+        parts.append(
+            f"""d{k} AS (SELECT x.vec_id, c.cid,
+                ROUND({_km_sum("(x.v - c.cv) * (x.v - c.cv)")}, 6) AS d2
+                FROM coords x JOIN {prev} c USING (dim)
+                GROUP BY x.vec_id, c.cid)"""
+        )
+        parts.append(
+            f"""a{k} AS (SELECT vec_id, cid, d2 FROM (
+                    SELECT vec_id, cid, d2,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY d2, cid) AS rn
+                    FROM d{k}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""mn{k} AS (SELECT a.cid, x.dim,
+                ROUND(({_km_sum("x.v")}) / COUNT(*), 9) AS mv
+                FROM a{k} a JOIN coords x USING (vec_id)
+                GROUP BY a.cid, x.dim)"""
+        )
+        parts.append(
+            f"""c{k} AS (SELECT o.cid, o.dim, COALESCE(m.mv, o.cv) AS cv
+                FROM {prev} o LEFT JOIN mn{k} m
+                  ON o.cid = m.cid AND o.dim = m.dim)"""
+        )
+        parts.append(
+            f"""m{k} AS (SELECT {k} AS iter,
+                (SELECT ROUND({_km_sum("d2")}, 6) FROM a{k}) AS inertia,
+                (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) FROM a{k}) AS k_live,
+                (SELECT CAST(MAX(n) AS BIGINT) FROM
+                    (SELECT COUNT(*) AS n FROM a{k} GROUP BY cid) cz) AS max_cluster,
+                (SELECT ROUND(CAST(SUM(CAST(ROUND(ABS(n.cv - o.cv) * {_E9})
+                                            AS BIGINT)) AS BIGINT) / {_E9}.0, 6)
+                 FROM c{k} n JOIN {prev} o
+                   ON n.cid = o.cid AND n.dim = o.dim) AS centroid_shift)"""
+        )
+        metric_selects.append(f"SELECT * FROM m{k}")
+        prev = f"c{k}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + " UNION ALL ".join(metric_selects)
+        + " ORDER BY iter"
+    )
+
+
+@query("q88_ivf_kmeans", oracle=_kmeans_oracle())
+def q88_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: 2 Lloyd iterations of distributed
+    k-means from the deterministic stride seeds. One row per iteration
+    (inertia, live clusters, biggest cluster, total centroid movement) —
+    inertia falls and the shift shrinks as Lloyd converges. The oracle
+    unrolls both iterations as chained CTEs, so the assignment argmin and
+    the mean updates are hash-checked end to end."""
+    coords = embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
+    _, history = kmeans_train(spark, coords)
+    return spark.createDataFrame(
+        [
+            (
+                h["iter"],
+                h["inertia"],
+                h["k_live"],
+                h["max_cluster"],
+                h["centroid_shift"],
+            )
+            for h in history
+        ],
+        "iter int, inertia double, k_live long, max_cluster long,"
+        " centroid_shift double",
+    )

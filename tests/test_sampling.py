@@ -50,3 +50,16 @@ def test_decontaminate_excludes_benchmark_docs(spark, sf_smoke):
     assert df.filter(F.col("doc_id") % 97 == 0).count() == 0
     # hit counts are positive by construction (inner join)
     assert df.filter(F.col("n_hit_shingles") < 1).count() == 0
+
+
+def test_kmeans_converges(spark, sf_smoke):
+    """Lloyd invariants on the fixture: inertia non-increasing, centroid
+    movement shrinking, no cluster lost (seeds are data points)."""
+    from hive_reflex_spark.operators.similarity import q88_ivf_kmeans
+
+    hist = q88_ivf_kmeans(spark, sf_smoke).orderBy("iter").collect()
+    assert len(hist) >= 2
+    assert hist[1]["inertia"] < hist[0]["inertia"]
+    assert hist[1]["centroid_shift"] < hist[0]["centroid_shift"]
+    assert all(h["k_live"] == hist[0]["k_live"] for h in hist)
+    assert all(h["centroid_shift"] > 0 for h in hist)
