@@ -186,3 +186,94 @@ def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk documents into fixed context windows
+# ---------------------------------------------------------------------------
+
+CTX_LEN = 512
+N_PACK_PARTS = 8
+
+
+@query(
+    "q89_sequence_pack",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, doc_id % {N_PACK_PARTS} AS pid,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                  FROM documents),
+    placed AS (SELECT pid, doc_id, n,
+                      COALESCE(CAST(SUM(n) OVER (
+                          PARTITION BY pid
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ) AS BIGINT), 0) AS start
+               FROM docs),
+    spans AS (SELECT pid, doc_id, n, start,
+                     unnest(range(start // {CTX_LEN},
+                                  (start + n - 1) // {CTX_LEN} + 1)) AS w
+              FROM placed)
+    SELECT pid, CAST(w AS BIGINT) AS window_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST((w + 1) * {CTX_LEN}, start + n)
+                    - GREATEST(w * {CTX_LEN}, start)) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN start < w * {CTX_LEN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_carried
+    FROM spans GROUP BY pid, w ORDER BY pid, window_id
+    """,
+)
+def q89_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining: concatenate documents in
+    deterministic (md5) order and chunk the token stream into fixed
+    CTX_LEN-token context windows, documents splitting across window
+    boundaries (the standard concat-and-chunk fill — no padding waste).
+
+    Packing is PER PARTITION (doc_id % 8 here; a real run keys this to
+    the ingest partition): each partition packs its own stream
+    independently, so at 100 TB every executor packs in parallel with no
+    global order, no global window, no driver choke point — window ids
+    are (partition, local_window). Token positions are pure integer
+    arithmetic off one per-partition cumulative sum. Returns per-window
+    occupancy: docs touching it, tokens filled (== ctx_len except each
+    partition's tail), and docs carried over a boundary."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % N_PACK_PARTS).alias("pid"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    w_cum = (
+        Window.partitionBy("pid")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = docs.withColumn(
+        "start", F.coalesce(F.sum("n").over(w_cum), F.lit(0))
+    )
+    spans = placed.select(
+        "pid",
+        "doc_id",
+        "n",
+        "start",
+        F.explode(
+            F.sequence(
+                (F.col("start") / CTX_LEN).cast("long"),
+                ((F.col("start") + F.col("n") - 1) / CTX_LEN).cast("long"),
+            )
+        ).alias("w"),
+    )
+    return (
+        spans.groupBy("pid", F.col("w").alias("window_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.least(
+                    (F.col("w") + 1) * CTX_LEN, F.col("start") + F.col("n")
+                )
+                - F.greatest(F.col("w") * CTX_LEN, F.col("start"))
+            ).alias("n_tokens"),
+            F.sum(
+                (F.col("start") < F.col("w") * CTX_LEN).cast("long")
+            ).alias("n_carried"),
+        )
+        .orderBy("pid", "window_id")
+    )

@@ -63,3 +63,34 @@ def test_kmeans_converges(spark, sf_smoke):
     assert hist[1]["centroid_shift"] < hist[0]["centroid_shift"]
     assert all(h["k_live"] == hist[0]["k_live"] for h in hist)
     assert all(h["centroid_shift"] > 0 for h in hist)
+
+
+def test_sequence_pack_fills_exactly(spark, sf_smoke):
+    """Packing invariants: every window except each partition's tail
+    holds exactly CTX_LEN tokens; no tokens lost or invented; carried
+    docs only ever carry from the immediately preceding window."""
+    from hive_reflex_spark.operators.sampling import (
+        CTX_LEN,
+        q89_sequence_pack,
+    )
+    from hive_reflex_spark.io import read_table
+
+    rows = q89_sequence_pack(spark, sf_smoke).collect()
+    assert rows
+    tails = {}
+    for r in rows:
+        tails[r["pid"]] = max(tails.get(r["pid"], -1), r["window_id"])
+    for r in rows:
+        if r["window_id"] < tails[r["pid"]]:
+            assert r["n_tokens"] == CTX_LEN, r
+        else:
+            assert 0 < r["n_tokens"] <= CTX_LEN, r
+        assert r["n_carried"] <= 1 or r["n_docs"] >= r["n_carried"]
+    total_packed = sum(r["n_tokens"] for r in rows)
+    docs = read_table(spark, sf_smoke, "documents")
+    from pyspark.sql import functions as F2
+
+    total_tokens = docs.select(
+        F2.sum(F2.size(F2.split("text", " "))).alias("t")
+    ).first()["t"]
+    assert total_packed == total_tokens
