@@ -80,8 +80,10 @@ _registry.finalize_order([
     "q83_qat_probe",
     "q84_distill_probe",
     "q85_hash_split",
+    "q86_stratified_sample",
     "q87_decontaminate",
-    "q45_fingerprint",
+    "q88_ivf_kmeans",
+    "q89_sequence_pack",
     "q47_jaccard_pairs",
     "q51a_embedding_neardup",
     # strongest re-checks, one per already-green family
@@ -89,10 +91,12 @@ _registry.finalize_order([
     # still covered in-window by q47/q49/q50/q51a)
     # (q34_sparsity_analysis / q79_power_rollup demoted for q83/q84, and
     # q03_top_revenue for q85/q87 — all r01 hash-green with code unchanged
-    # since; the kept re-checks are queries whose code CHANGED this round.)
+    # since.)
+    # (q45_fingerprint / q49_lsh_candidates / q50_simhash demoted for the
+    # brand-new q86/q88/q89, which have no driver row ever — q45/q49/q50
+    # are r01 hash-green AND locally green after this round's changes,
+    # whereas a first driver row for a new operator outranks a re-check.)
     "q01_pricing_summary",
-    "q49_lsh_candidates",
-    "q50_simhash",
     "q66_attention",
 ])
 
