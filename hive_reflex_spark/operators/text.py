@@ -306,3 +306,98 @@ def q42a_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ws).alias("total_ws_tokens"),
         (F.sum(subword) * 1.0 / F.sum(ws)).alias("subword_per_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality filter signals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q91_repetition_metrics",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                         CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tokens,
+                         CAST(len(list_distinct(string_split(text, ' ')))
+                             AS BIGINT) AS n_distinct
+                  FROM documents),
+    bigr AS (SELECT doc_id,
+                    ws[i + 1] || ' ' || ws[i + 2] AS bigram
+             FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+                   FROM toks)),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c
+           FROM bigr GROUP BY doc_id, bigram),
+    bagg AS (SELECT doc_id,
+                    MAX(c) AS top_c,
+                    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                        AS dup_bi,
+                    CAST(SUM(c) AS BIGINT) AS n_bi
+             FROM bc GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens,
+           ROUND(1 - t.n_distinct * 1.0 / t.n_tokens, 6) AS dup_token_frac,
+           ROUND(COALESCE(b.top_c, 0) * 1.0
+                 / GREATEST(t.n_tokens - 1, 1), 6) AS top_bigram_frac,
+           ROUND(COALESCE(b.dup_bi, 0) * 1.0
+                 / GREATEST(t.n_tokens - 1, 1), 6) AS dup_bigram_frac
+    FROM toks t LEFT JOIN bagg b ON t.doc_id = b.doc_id
+    """,
+)
+def q91_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals used as boilerplate/spam filters in
+    corpus curation (the Gopher rules re-expressed relationally):
+    duplicate-token fraction (1 - distinct/total), most-frequent-bigram
+    mass, and the fraction of bigram instances whose bigram repeats.
+
+    Scale shape: token and distinct-token counts are pure scan-side array
+    expressions (split / array_distinct — no shuffle, no UDF); bigrams are
+    generated scan-side by an index transform over the token array (same
+    pattern as doc_shingles), so the only shuffle is the
+    (doc_id, bigram) count — partial-aggregated map-side, keyed by doc_id,
+    bounded rows per doc. At 100 TB every stage is embarrassingly parallel
+    with one bounded-fanout aggregation."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("ws"),
+    ).select(
+        "doc_id",
+        "ws",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("ws")).cast("long").alias("n_distinct"),
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(0, size(ws) - 2), "
+        "i -> concat_ws(' ', ws[i], ws[i+1])) "
+        "ELSE array() END"
+    )
+    bc = (
+        toks.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+    )
+    bagg = bc.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+            "dup_bi"
+        ),
+    )
+    denom = F.greatest(F.col("n_tokens") - 1, F.lit(1))
+    return (
+        toks.drop("ws")
+        .join(bagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                1 - F.col("n_distinct") * 1.0 / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(F.col("top_c"), F.lit(0)) * 1.0 / denom, 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_bi"), F.lit(0)) * 1.0 / denom, 6
+            ).alias("dup_bigram_frac"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Repetition-metric invariants (q91) on planted documents."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.operators.text import q91_repetition_metrics
+
+
+def _metrics_for(spark, texts):
+    """Run the q91 plan over an in-memory documents table."""
+    docs = spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import hive_reflex_spark.io as io
+
+    orig = io.read_table
+    try:
+        io.read_table = lambda *_a, **_k: docs
+        # the operator module imported read_table by name
+        import hive_reflex_spark.operators.text as textmod
+
+        orig_mod = textmod.read_table
+        textmod.read_table = lambda *_a, **_k: docs
+        try:
+            return {
+                r["doc_id"]: r
+                for r in q91_repetition_metrics(spark, "unused").collect()
+            }
+        finally:
+            textmod.read_table = orig_mod
+    finally:
+        io.read_table = orig
+
+
+def test_repetition_extremes(spark):
+    m = _metrics_for(
+        spark,
+        [
+            "a a a a a a a a",  # pure repetition
+            "one two three four five six seven eight",  # all distinct
+            "x y x y x y x y",  # alternating: every bigram repeats
+        ],
+    )
+    rep, uniq, alt = m[0], m[1], m[2]
+    # pure repetition: 1 distinct of 8 tokens; the single bigram owns all mass
+    assert rep["dup_token_frac"] == pytest.approx(1 - 1 / 8)
+    assert rep["top_bigram_frac"] == pytest.approx(1.0)
+    assert rep["dup_bigram_frac"] == pytest.approx(1.0)
+    # all-distinct: zero duplicate tokens, no repeated bigram
+    assert uniq["dup_token_frac"] == 0.0
+    assert uniq["dup_bigram_frac"] == 0.0
+    assert uniq["top_bigram_frac"] == pytest.approx(1 / 7)
+    # alternation: 'x y' appears 4 of 7, 'y x' 3 of 7 — all bigrams repeat
+    assert alt["top_bigram_frac"] == pytest.approx(4 / 7)
+    assert alt["dup_bigram_frac"] == pytest.approx(1.0)
+
+
+def test_repetition_bounds_on_corpus(spark, sf_smoke):
+    rows = q91_repetition_metrics(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        for c in ("dup_token_frac", "top_bigram_frac", "dup_bigram_frac"):
+            assert 0.0 <= r[c] <= 1.0, r
+        # the most frequent bigram's mass is part of the duplicated mass
+        if r["dup_bigram_frac"] > 0:
+            assert r["top_bigram_frac"] <= r["dup_bigram_frac"] or (
+                # unless the top bigram is itself unique (count 1)
+                r["top_bigram_frac"]
+                <= 1.0 / max(r["n_tokens"] - 1, 1) + 1e-9
+            )
