@@ -277,3 +277,76 @@ def q89_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid", "window_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain mixture: temperature-resampled source weights
+# ---------------------------------------------------------------------------
+
+MIX_TOKEN_BUDGET = 100_000  # tokens drawn per "epoch budget" unit
+
+
+@query(
+    "q93_domain_mixture",
+    oracle=f"""
+    WITH per AS (SELECT source, COUNT(*) AS n_docs,
+                        CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                            AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY source),
+    si AS (SELECT source, n_docs, n_tokens,
+                  (SELECT SUM(n_tokens) FROM per) AS t,
+                  CAST(ROUND(sqrt(n_tokens * 1.0
+                       / (SELECT SUM(n_tokens) FROM per)) * 1e9)
+                       AS BIGINT) AS s9
+           FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_tokens * 1.0 / t, 6) AS nat_frac,
+           ROUND(s9 * 1.0 / (SUM(s9) OVER ()), 6) AS mix_weight,
+           ROUND(s9 * 1.0 / (SUM(s9) OVER ()) * {MIX_TOKEN_BUDGET}
+                 / n_tokens, 6) AS epochs_at_budget
+    FROM si
+    """,
+)
+def q93_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-resampled domain mixture (the data-mixing step of a
+    pretraining pipeline): per-source token share p_s, resampling weight
+    p_s^alpha / sum(p_s^alpha) at alpha = 0.5, and the implied epochs per
+    source at a fixed token budget (how many times a small domain is
+    re-seen when upsampled).
+
+    alpha = 0.5 is computed as sqrt(), which is IEEE-exact and therefore
+    bit-identical across engines (pow() is not); weights are normalized
+    in integer 1e-9 units so the normalizing sum is order-independent.
+
+    Scale shape: one partial-aggregated groupBy(source) reduces 100 TB to
+    #domains rows; the global total and weight normalization are windows
+    over that already-tiny aggregate — the unpartitioned window is over
+    #domains rows, never over data."""
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    si = per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w_all).alias("t"),
+    ).withColumn(
+        "s9",
+        F.round(F.sqrt(F.col("n_tokens") * 1.0 / F.col("t")) * 1e9).cast(
+            "long"
+        ),
+    )
+    wsum = F.sum("s9").over(w_all)
+    return si.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1.0 / F.col("t"), 6).alias("nat_frac"),
+        F.round(F.col("s9") * 1.0 / wsum, 6).alias("mix_weight"),
+        F.round(
+            F.col("s9") * 1.0 / wsum * MIX_TOKEN_BUDGET / F.col("n_tokens"), 6
+        ).alias("epochs_at_budget"),
+    )

@@ -94,3 +94,22 @@ def test_sequence_pack_fills_exactly(spark, sf_smoke):
         F2.sum(F2.size(F2.split("text", " "))).alias("t")
     ).first()["t"]
     assert total_packed == total_tokens
+
+
+def test_domain_mixture_flattens(spark, sf_smoke):
+    """alpha=0.5 mixing: weights are a distribution, and the map
+    p -> p^0.5 strictly flattens — smaller domains always get a larger
+    upsampling ratio (mix_weight/nat_frac) than bigger ones."""
+    from hive_reflex_spark.operators.sampling import q93_domain_mixture
+
+    rows = q93_domain_mixture(spark, sf_smoke).collect()
+    assert rows
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["nat_frac"] for r in rows) - 1.0) < 1e-4
+    by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
+    ratios = [r["mix_weight"] / r["nat_frac"] for r in by_tokens]
+    assert all(
+        a >= b - 1e-9 for a, b in zip(ratios, ratios[1:])
+    ), "upsampling ratio must fall as domain size grows"
+    for r in rows:
+        assert r["epochs_at_budget"] > 0
