@@ -423,3 +423,120 @@ def q51a_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.4)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup filter: LSH candidates -> verify -> keep-first
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_neardup_filter",
+    oracle=f"""
+    WITH dsh_all AS {_DUCK_DSH},
+         dsh AS (SELECT * FROM dsh_all WHERE shingle NOT IN
+                 (SELECT shingle FROM dsh_all
+                  GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF})),
+         mh AS {_DUCK_MINHASH},
+         bands AS (SELECT doc_id, seed // {BAND_SIZE} AS band,
+                          MIN(CASE WHEN seed % {BAND_SIZE} = 0 THEN sig END)
+                          || MIN(CASE WHEN seed % {BAND_SIZE} = 1 THEN sig END)
+                              AS band_sig
+                   FROM mh GROUP BY doc_id, seed // {BAND_SIZE}),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_sig = b.band_sig
+                       AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                   FROM cand c
+                   JOIN dsh a ON a.doc_id = c.doc_a
+                   JOIN dsh b ON b.doc_id = c.doc_b
+                                 AND b.shingle = a.shingle
+                   GROUP BY c.doc_a, c.doc_b),
+         dropped AS (SELECT DISTINCT doc_b AS doc_id
+                     FROM inter
+                     JOIN sizes sa ON doc_a = sa.doc_id
+                     JOIN sizes sb ON doc_b = sb.doc_id
+                     WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5)
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS retention
+    FROM documents doc LEFT JOIN dropped d ON doc.doc_id = d.doc_id
+    GROUP BY source
+    """,
+)
+def q94_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline composed end-to-end: MinHash-LSH
+    band candidates (q49) -> exact Jaccard verification ONLY on the
+    candidate pairs -> keep-first policy (drop every doc with a verified
+    J >= 0.5 neighbor of smaller doc_id) -> per-source retention report.
+
+    This is the operator a 100 TB curation run actually executes — the
+    all-pairs q47 is its exactness oracle, never its plan:
+    - candidates come from the band-bucket equi-join (O(collisions));
+    - the candidate set is tiny, so it BROADCASTS into the shingle join,
+      and verification touches only candidate docs' shingle rows;
+    - keep-first is one distinct + one broadcast anti-join — no
+      iterative connected components on the hot path (q78 covers the
+      transitive variant).
+    Verification Jaccard uses the same stop-phrase-capped shingle
+    universe as q47 (a shingle in > MAX_SHINGLE_DF docs is weight, not
+    signal)."""
+    dsh = distinct_shingles(spark, sf_dir)
+    hot = (
+        dsh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    capped = dsh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = (
+        q49_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
+    inter = (
+        capped.alias("a")
+        .join(F.broadcast(cand), F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            capped.alias("b"),
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    dropped = (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    flagged = docs.join(
+        F.broadcast(dropped.withColumn("is_dup", F.lit(1))), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_dup").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("is_dup").isNull(), 1).otherwise(0))
+            * 1.0
+            / F.count("*"),
+            6,
+        ).alias("retention"),
+    )

@@ -81,3 +81,30 @@ def test_ivf_recall_vs_brute_force(spark, sf_smoke):
         len(base[q] & got.get(q, set())) / len(base[q]) for q in base
     ]
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_neardup_filter_keep_first(spark, sf_smoke):
+    """q94 keep-first: the drop set is exactly {larger id of every
+    LSH-candidate pair that verifies at J >= 0.5}, so it can never drop
+    more docs than q47's exact pair list implies, and every source's
+    counts are conserved."""
+    from hive_reflex_spark.operators.dedup import (
+        q47_jaccard_pairs,
+        q49_lsh_candidates,
+        q94_neardup_filter,
+    )
+
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in q49_lsh_candidates(spark, sf_smoke).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in q47_jaccard_pairs(spark, sf_smoke).collect()
+    }
+    expected_drop = {b for a, b in exact & cand}
+    rows = q94_neardup_filter(spark, sf_smoke).collect()
+    assert sum(r["n_dropped"] for r in rows) == len(expected_drop)
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
+        assert abs(r["retention"] - r["n_kept"] / r["n_docs"]) < 1e-6
