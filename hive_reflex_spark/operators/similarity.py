@@ -714,3 +714,105 @@ def q88_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "iter int, inertia double, k_live long, max_cluster long,"
         " centroid_shift double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression: per-vector int8 quantization + fidelity report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q96_embedding_int8",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords()} c),
+    scaled AS (SELECT vec_id, label, dim, v,
+                      MAX(abs(v)) OVER (PARTITION BY vec_id) / 127.0
+                          AS scale
+               FROM coords),
+    rec AS (SELECT vec_id, label, v, scale,
+                   CASE WHEN scale = 0 THEN 0
+                        ELSE GREATEST(-127, LEAST(127, ROUND(v / scale)))
+                   END * scale AS r
+            FROM scaled),
+    per_vec AS (SELECT vec_id, label,
+                       CAST(SUM(CAST(ROUND((v - r) * (v - r) * 1e9)
+                           AS BIGINT)) AS BIGINT) AS e2_9,
+                       MAX(ROUND(abs(v - r), 9)) AS max_err,
+                       COUNT(*) AS d,
+                       CAST(SUM(CAST(ROUND(v * r * 1e9) AS BIGINT))
+                           AS BIGINT) AS dot_9,
+                       CAST(SUM(CAST(ROUND(v * v * 1e9) AS BIGINT))
+                           AS BIGINT) AS n2a_9,
+                       CAST(SUM(CAST(ROUND(r * r * 1e9) AS BIGINT))
+                           AS BIGINT) AS n2b_9
+                FROM rec GROUP BY vec_id, label),
+    cosv AS (SELECT vec_id, label, e2_9, max_err, d,
+                    CAST(ROUND(dot_9 / sqrt(n2a_9 * 1.0)
+                               / sqrt(n2b_9 * 1.0) * 1e6) AS BIGINT)
+                        AS cos_6
+             FROM per_vec)
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(SUM(e2_9) / (SUM(d) * 1e9), 9) AS mse,
+           MAX(max_err) AS max_abs_err,
+           ROUND(SUM(cos_6) / (COUNT(*) * 1e6), 6) AS mean_cosine
+    FROM cosv GROUP BY label
+    """,
+)
+def q96_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding compression for ANN serving: symmetric per-vector int8
+    quantization (scale = max|v| / 127) and the fidelity metrics that
+    decide whether the compressed index is usable — per-label MSE, max
+    reconstruction error, and mean cosine(original, reconstructed).
+    4 bytes -> 1 byte per dim is the difference between an in-memory and
+    a spilling 100 TB vector index.
+
+    Engine-portable numerics: round(v/scale) is IEEE-identical both
+    sides (both engines round half away from zero); every per-vector and
+    per-label sum runs in integer 1e-9 / 1e-6 units so float summation
+    order can never flip the hash. Scale shape: one window keyed by
+    vec_id (co-partitioned with the per-vector aggregate that follows),
+    then a partial-aggregated rollup to #labels rows — no joins, no
+    UDFs."""
+    coords = embedding_coords(spark, sf_dir)
+    w_vec = Window.partitionBy("vec_id")
+    scaled = coords.withColumn(
+        "scale", F.max(F.abs("v")).over(w_vec) / 127.0
+    )
+    rec = scaled.withColumn(
+        "r",
+        F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+            F.greatest(
+                F.lit(-127.0),
+                F.least(F.lit(127.0), F.round(F.col("v") / F.col("scale"))),
+            )
+        )
+        * F.col("scale"),
+    )
+    e = F.col("v") - F.col("r")
+    i9 = lambda c: F.sum(F.round(c * 1e9).cast("long"))  # noqa: E731
+    per_vec = rec.groupBy("vec_id", "label").agg(
+        i9(e * e).alias("e2_9"),
+        F.max(F.round(F.abs(e), 9)).alias("max_err"),
+        F.count("*").alias("d"),
+        i9(F.col("v") * F.col("r")).alias("dot_9"),
+        i9(F.col("v") * F.col("v")).alias("n2a_9"),
+        i9(F.col("r") * F.col("r")).alias("n2b_9"),
+    )
+    cosv = per_vec.withColumn(
+        "cos_6",
+        F.round(
+            F.col("dot_9")
+            / F.sqrt(F.col("n2a_9") * 1.0)
+            / F.sqrt(F.col("n2b_9") * 1.0)
+            * 1e6
+        ).cast("long"),
+    )
+    return cosv.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.sum("e2_9") / (F.sum("d") * 1e9), 9).alias("mse"),
+        F.max("max_err").alias("max_abs_err"),
+        F.round(F.sum("cos_6") / (F.count("*") * 1e6), 6).alias(
+            "mean_cosine"
+        ),
+    )

@@ -108,3 +108,39 @@ def test_neardup_filter_keep_first(spark, sf_smoke):
     for r in rows:
         assert r["n_kept"] + r["n_dropped"] == r["n_docs"]
         assert abs(r["retention"] - r["n_kept"] / r["n_docs"]) < 1e-6
+
+
+def test_embedding_int8_fidelity(spark, sf_smoke):
+    """int8 quantization: error per coordinate is bounded by scale/2 =
+    max|v|/254, so mean cosine stays ~1 and mse is tiny but nonzero."""
+    from hive_reflex_spark.operators.similarity import q96_embedding_int8
+
+    rows = q96_embedding_int8(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.999 < r["mean_cosine"] <= 1.0, r
+        assert 0 < r["mse"] < 1e-4, r
+        assert 0 < r["max_abs_err"] < 0.05, r
+
+
+def test_embedding_int8_exact_grid(spark):
+    """A vector already on the int8 grid (k * max/127) reconstructs with
+    zero error and cosine exactly 1."""
+    import hive_reflex_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(0, [127.0, -127.0, 64.0, 1.0, 0.0], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    orig = sim.embedding_coords
+    try:
+        from pyspark.sql import functions as F2
+
+        sim.embedding_coords = lambda *_a, **_k: df.select(
+            "vec_id", "label", F2.posexplode("embedding").alias("dim", "v")
+        )
+        r = sim.q96_embedding_int8(spark, "unused").collect()[0]
+        assert r["mse"] == 0.0 and r["max_abs_err"] == 0.0
+        assert r["mean_cosine"] == 1.0
+    finally:
+        sim.embedding_coords = orig
