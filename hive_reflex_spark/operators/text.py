@@ -401,3 +401,126 @@ def q91_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_bigram_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: greedy pair-merge steps over the vocab table
+# ---------------------------------------------------------------------------
+
+N_BPE_MERGES = 3
+
+_DUCK_CHARSEQ = (
+    "array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), ' ')"
+)
+
+
+def _duck_bpe_cte() -> str:
+    """Unrolled N_BPE_MERGES greedy merge iterations as chained CTEs."""
+    parts = [
+        f"""w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+               FROM {DUCK_WORDS} words GROUP BY w),
+        s0 AS (SELECT w, freq, {_DUCK_CHARSEQ} AS seq FROM w0)"""
+    ]
+    for k in range(1, N_BPE_MERGES + 1):
+        prev = f"s{k - 1}"
+        parts.append(
+            f"""p{k} AS (SELECT ts[i + 1] || ' ' || ts[i + 2] AS pair,
+                          CAST(SUM(freq) AS BIGINT) AS cnt
+                   FROM (SELECT freq, string_split(seq, ' ') AS ts,
+                                unnest(range(len(string_split(seq, ' ')) - 1))
+                                    AS i
+                         FROM {prev})
+                   GROUP BY pair),
+        b{k} AS (SELECT pair, cnt FROM p{k}
+                 ORDER BY cnt DESC, pair LIMIT 1),
+        s{k} AS (SELECT w, freq,
+                        trim(replace(' ' || seq || ' ',
+                                     ' ' || (SELECT pair FROM b{k}) || ' ',
+                                     ' ' || replace((SELECT pair FROM b{k}),
+                                                    ' ', '') || ' ')) AS seq
+                 FROM {prev})"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT {k} AS step, pair, cnt AS pair_count,
+               (SELECT CAST(SUM(len(string_split(seq, ' ')) * freq) AS BIGINT)
+                FROM s{k}) AS corpus_tokens_after
+        FROM b{k}"""
+        for k in range(1, N_BPE_MERGES + 1)
+    )
+    return f"WITH {', '.join(parts)} {selects}"
+
+
+@query("q92_bpe_merges", oracle=_duck_bpe_cte())
+def q92_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the first N_BPE_MERGES greedy merges:
+    corpus -> word-frequency table -> char-symbol sequences -> repeat
+    {count adjacent symbol pairs weighted by word freq; merge the most
+    frequent pair (ties: lexicographic)}. Emits each step's chosen pair,
+    its count, and the corpus token count after applying it — the
+    compression trajectory a tokenizer build monitors.
+
+    This is how production BPE training actually scales: the one pass
+    over the corpus is the word-frequency groupBy (100 TB -> |vocab|
+    rows); every merge iteration then runs on the tiny vocab table, so
+    iteration cost is independent of corpus size. The argmax feeds back
+    into the plan via a broadcast of the 1-row winner, never a driver
+    collect. Pair application uses first-match-left replace semantics,
+    identical in both engines (on runs of >= 4 identical symbols it
+    merges every other occurrence — canonical BPE re-scans; the
+    difference cannot affect which pair wins this round since winners
+    are re-counted from the rewritten sequences each step)."""
+    words = doc_words(spark, sf_dir).groupBy("w").agg(
+        F.count("*").cast("long").alias("freq")
+    )
+    s = words.select(
+        "w",
+        "freq",
+        F.concat_ws(" ", F.split("w", r"(?!^)(?=.)")).alias("seq"),
+    )
+    steps = []
+    for k in range(1, N_BPE_MERGES + 1):
+        pairs = (
+            s.select("freq", F.split("seq", " ").alias("ts"))
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(ts) >= 2 THEN "
+                        "transform(sequence(0, size(ts) - 2), "
+                        "i -> concat_ws(' ', ts[i], ts[i+1])) "
+                        "ELSE array() END"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        s = s.crossJoin(
+            F.broadcast(best.select(F.col("pair").alias("bp")))
+        ).select(
+            "w",
+            "freq",
+            F.trim(
+                F.expr(
+                    "replace(' ' || seq || ' ', ' ' || bp || ' ', "
+                    "' ' || replace(bp, ' ', '') || ' ')"
+                )
+            ).alias("seq"),
+        )
+        toks_after = s.agg(
+            F.sum(F.size(F.split("seq", " ")) * F.col("freq"))
+            .cast("long")
+            .alias("corpus_tokens_after")
+        )
+        steps.append(
+            best.select(
+                F.lit(k).alias("step"),
+                "pair",
+                F.col("cnt").alias("pair_count"),
+            ).crossJoin(F.broadcast(toks_after))
+        )
+    out = steps[0]
+    for extra in steps[1:]:
+        out = out.unionAll(extra)
+    return out

@@ -71,3 +71,47 @@ def test_repetition_bounds_on_corpus(spark, sf_smoke):
                 r["top_bigram_frac"]
                 <= 1.0 / max(r["n_tokens"] - 1, 1) + 1e-9
             )
+
+
+def test_bpe_merges_planted(spark):
+    """Hand-checkable BPE: corpus {aab x3, ab x2}. Merge 1 must pick
+    ('a b', count 5) over ('a a', 3); merge 2 picks ('a ab', 3); merge 3
+    has no pairs left and emits no row."""
+    import hive_reflex_spark.operators.text as textmod
+    from pyspark.sql import functions as F2
+
+    words = spark.createDataFrame(
+        [("aab",)] * 3 + [("ab",)] * 2, "w string"
+    ).select("w", F2.lit(0).alias("doc_id"), F2.lit(0).alias("pos"))
+    orig = textmod.doc_words
+    try:
+        textmod.doc_words = lambda *_a, **_k: words
+        rows = sorted(
+            textmod.q92_bpe_merges(spark, "unused").collect(),
+            key=lambda r: r["step"],
+        )
+    finally:
+        textmod.doc_words = orig
+    assert [tuple(r) for r in rows] == [
+        (1, "a b", 5, 8),
+        (2, "a ab", 3, 5),
+    ]
+
+
+def test_bpe_merges_monotone(spark, sf_smoke):
+    """On the real corpus: each merge strictly shrinks the token stream,
+    by exactly pair_count tokens (every application removes one token),
+    and pair counts are non-increasing across steps."""
+    from hive_reflex_spark.operators.text import q92_bpe_merges
+
+    rows = sorted(
+        q92_bpe_merges(spark, sf_smoke).collect(), key=lambda r: r["step"]
+    )
+    assert len(rows) == 3
+    for a, b in zip(rows, rows[1:]):
+        assert b["corpus_tokens_after"] < a["corpus_tokens_after"]
+        assert b["pair_count"] <= a["pair_count"]
+    for a, b in zip(rows, rows[1:]):
+        assert a["corpus_tokens_after"] - b["corpus_tokens_after"] == (
+            b["pair_count"]
+        )
