@@ -161,3 +161,49 @@ def test_q66_attention_single_exchange(spark, sf_smoke):
     data_exchanges = len(re.findall(r"^(?!.*Broadcast)[+:\s-]*Exchange ", plan, re.M))
     assert data_exchanges == 1, plan
     assert plan.count("BroadcastExchange") >= 1
+
+
+def test_q89_pack_single_data_exchange(spark, sf_smoke):
+    """Sequence packing's scale claim: ONE hash exchange on pid serves
+    both the cumulative-sum window and the (pid, window) aggregate —
+    packing is per-partition by construction. (The final orderBy adds a
+    range exchange over the already-aggregated rows, which is
+    presentation, not data movement.)"""
+    import re
+
+    plan = plan_of(spark, "q89_sequence_pack", sf_smoke)
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex == 1, plan
+    assert "Window" in plan
+
+
+def test_q94_candidates_and_dropset_broadcast(spark, sf_smoke):
+    """The near-dup filter's scale claims: candidate pairs, sizes, and
+    the final drop set all ride as broadcasts (they are collision-sized,
+    not corpus-sized); the corpus-scale sides never sort-merge."""
+    plan = plan_of(spark, "q94_neardup_filter", sf_smoke)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q92_bpe_winner_broadcasts(spark, sf_smoke):
+    """BPE merge steps: each iteration's 1-row argmax must re-enter the
+    plan as a broadcast nested-loop (scalar) join, never a shuffled join
+    or a driver collect; pair counting stays a hash aggregate."""
+    plan = plan_of(spark, "q92_bpe_merges", sf_smoke)
+    assert plan.count("BroadcastNestedLoopJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q96_quant_reuses_vec_partitioning(spark, sf_smoke):
+    """int8 quantization: the per-vector scale window and the per-vector
+    reduction share one hash exchange on vec_id; the label rollup then
+    moves only #vectors rows."""
+    import re
+
+    plan = plan_of(spark, "q96_embedding_int8", sf_smoke)
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex <= 2, plan  # vec_id once + label rollup
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
