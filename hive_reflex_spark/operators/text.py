@@ -15,7 +15,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.io import read_table
@@ -524,3 +524,89 @@ def q92_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in steps[1:]:
         out = out.unionAll(extra)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-style quality filter (CCNet shape): unigram LM + ntile buckets
+# ---------------------------------------------------------------------------
+
+N_PPL_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+@query(
+    "q95_perplexity_filter",
+    oracle=f"""
+    WITH words AS (SELECT * FROM {DUCK_WORDS} w),
+    freqs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words
+              GROUP BY w),
+    tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS t FROM freqs),
+    scored AS (SELECT doc_id, source,
+                      ROUND(SUM(CAST(ROUND(-ln(freq * 1.0 / t) * 1e9)
+                                AS BIGINT)) * 1.0 / (COUNT(*) * 1e9), 6)
+                          AS nll
+               FROM words JOIN freqs USING (w), tot
+               GROUP BY doc_id, source),
+    bucketed AS (SELECT source, nll,
+                        ntile({N_PPL_BUCKETS}) OVER (
+                            PARTITION BY source ORDER BY nll, doc_id
+                        ) AS bucket
+                 FROM scored)
+    SELECT source, bucket,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(CAST(ROUND(nll * 1e6) AS BIGINT)) * 1.0
+                 / (COUNT(*) * 1e6), 6) AS mean_nll,
+           MIN(nll) AS min_nll, MAX(nll) AS max_nll
+    FROM bucketed GROUP BY source, bucket
+    """,
+)
+def q95_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering: score every document by mean
+    negative log-likelihood under a unigram LM trained on the corpus
+    itself, then split each source into head/middle/tail terciles —
+    the standard keep-the-head quality gate for web-scale corpora
+    (a unigram LM stands in for the KenLM 5-gram; the pipeline shape is
+    identical).
+
+    Determinism: per-word -ln p(w) is rounded to 1e-9 units and summed
+    as integers, so doc scores hash identically across engines; buckets
+    come from ntile over (score, doc_id) — an order, not a float
+    threshold, so no boundary flakes. Scale shape: the LM is a
+    vocab-sized table (BROADCAST into the scoring join); scoring is one
+    partial-aggregated groupBy(doc_id); the tercile window partitions by
+    source (production swaps exact ntile for broadcast approx-quantile
+    thresholds when a single source outgrows a partition — same output
+    contract)."""
+    words = doc_words(spark, sf_dir)
+    freqs = words.groupBy("w").agg(F.count("*").cast("long").alias("freq"))
+    tot = freqs.agg(F.sum("freq").alias("t"))
+    scored = (
+        words.join(F.broadcast(freqs), "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(-F.log(F.col("freq") * 1.0 / F.col("t")) * 1e9)
+                    .cast("long")
+                )
+                * 1.0
+                / (F.count("*") * 1e9),
+                6,
+            ).alias("nll")
+        )
+    )
+    w_src = Window.partitionBy("source").orderBy("nll", "doc_id")
+    bucketed = scored.select(
+        "source", "nll", F.ntile(N_PPL_BUCKETS).over(w_src).alias("bucket")
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("nll") * 1e6).cast("long"))
+            * 1.0
+            / (F.count("*") * 1e6),
+            6,
+        ).alias("mean_nll"),
+        F.min("nll").alias("min_nll"),
+        F.max("nll").alias("max_nll"),
+    )

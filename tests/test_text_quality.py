@@ -115,3 +115,24 @@ def test_bpe_merges_monotone(spark, sf_smoke):
         assert a["corpus_tokens_after"] - b["corpus_tokens_after"] == (
             b["pair_count"]
         )
+
+
+def test_perplexity_buckets_ordered(spark, sf_smoke):
+    """Per source: ntile emits every bucket 1..3 with balanced counts
+    (max spread 1) and mean NLL strictly ordered head < middle < tail."""
+    from hive_reflex_spark.operators.text import q95_perplexity_filter
+
+    rows = q95_perplexity_filter(spark, sf_smoke).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["bucket"])
+        assert [r["bucket"] for r in rs] == [1, 2, 3], (src, rs)
+        counts = [r["n_docs"] for r in rs]
+        assert max(counts) - min(counts) <= 1, (src, counts)
+        means = [r["mean_nll"] for r in rs]
+        assert means == sorted(means), (src, means)
+        for r in rs:
+            assert r["min_nll"] <= r["mean_nll"] <= r["max_nll"]
