@@ -444,3 +444,61 @@ def batched_log_shipping(
     )
     q.awaitTermination()
     return written
+
+
+# ---------------------------------------------------------------------------
+# Streaming exact dedup (the curation dedup family's streaming member)
+# ---------------------------------------------------------------------------
+
+DUP_MOD = 97  # event_id % 97 == 0 -> planted duplicate (~1% of the stream)
+
+
+@query(
+    "q97_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_unique,
+           CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_had_dupe,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q97_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark``: the
+    ingest-side member of the dedup family (q46 is its batch twin). The
+    replayed event stream is salted with deterministic duplicates (every
+    event_id divisible by 97 arrives twice), watermarked, deduplicated
+    on event_id in-flight, then rolled up per event_type.
+
+    On a bounded replay every duplicate lands inside the watermark, so
+    the emitted set is EXACTLY the batch distinct — which is the oracle.
+    At scale this is the operator that keeps re-delivered ingest (at
+    least-once sources, retried uploads) from double-counting: state is
+    bounded by the watermark horizon, keyed by event_id, and the
+    aggregate only ever sees each event once."""
+    stream = stream_events(spark, sf_dir)
+    duped = stream.withColumn(
+        "copy",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (F.col("event_id") % DUP_MOD == 0).cast("int"),
+            )
+        ),
+    ).drop("copy")
+    deduped = duped.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_to_memory(deduped, mode="append")
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_unique"),
+        F.sum(((F.col("event_id") % DUP_MOD) == 0).cast("int"))
+        .cast("long")
+        .alias("n_had_dupe"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )

@@ -135,3 +135,26 @@ def test_multimodal_frames_and_features(spark, sf_smoke):
     for r in feats:
         assert len(r.features) == 8
         assert sum(r.features) == pytest.approx(1.0)  # normalized histogram
+
+
+def test_stream_dedup_drops_planted_dupes(spark, sf_smoke):
+    """q97: the salted stream really contains duplicates, and the
+    deduplicated output is exactly the distinct event set."""
+    from pyspark.sql import functions as F2
+
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators import streaming_ops as ops
+
+    rows = ops.q97_stream_dedup(spark, sf_smoke).collect()
+    assert rows
+    n_unique = sum(r["n_unique"] for r in rows)
+    n_planted = sum(r["n_had_dupe"] for r in rows)
+    assert n_planted > 0, "fixture must plant at least one duplicate"
+    events = read_table(spark, sf_smoke, "events")
+    n_events = events.count()
+    assert n_unique == n_events
+    # the salted input stream had n_events + n_planted rows
+    n_salted = events.filter(
+        (F2.col("event_id") % ops.DUP_MOD) == 0
+    ).count()
+    assert n_salted == n_planted
