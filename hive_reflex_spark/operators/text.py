@@ -414,8 +414,9 @@ _DUCK_CHARSEQ = (
 )
 
 
-def _duck_bpe_cte() -> str:
-    """Unrolled N_BPE_MERGES greedy merge iterations as chained CTEs."""
+def _duck_bpe_prefix() -> str:
+    """Unrolled N_BPE_MERGES greedy merge iterations as chained CTEs
+    (shared by the q92 training oracle and the q98 apply oracle)."""
     parts = [
         f"""w0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
                FROM {DUCK_WORDS} words GROUP BY w),
@@ -440,6 +441,10 @@ def _duck_bpe_cte() -> str:
                                                     ' ', '') || ' ')) AS seq
                  FROM {prev})"""
         )
+    return ", ".join(parts)
+
+
+def _duck_bpe_cte() -> str:
     selects = " UNION ALL ".join(
         f"""SELECT {k} AS step, pair, cnt AS pair_count,
                (SELECT CAST(SUM(len(string_split(seq, ' ')) * freq) AS BIGINT)
@@ -447,7 +452,7 @@ def _duck_bpe_cte() -> str:
         FROM b{k}"""
         for k in range(1, N_BPE_MERGES + 1)
     )
-    return f"WITH {', '.join(parts)} {selects}"
+    return f"WITH {_duck_bpe_prefix()} {selects}"
 
 
 @query("q92_bpe_merges", oracle=_duck_bpe_cte())
@@ -469,6 +474,18 @@ def q92_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges every other occurrence — canonical BPE re-scans; the
     difference cannot affect which pair wins this round since winners
     are re-counted from the rewritten sequences each step)."""
+    steps, _final = _bpe_chain(spark, sf_dir)
+    out = steps[0]
+    for extra in steps[1:]:
+        out = out.unionAll(extra)
+    return out
+
+
+def _bpe_chain(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], DataFrame]:
+    """The shared N_BPE_MERGES merge loop: returns (per-step 1-row
+    summary DataFrames, the final vocab table (w, freq, seq))."""
     words = doc_words(spark, sf_dir).groupBy("w").agg(
         F.count("*").cast("long").alias("freq")
     )
@@ -520,10 +537,51 @@ def q92_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").alias("pair_count"),
             ).crossJoin(F.broadcast(toks_after))
         )
-    out = steps[0]
-    for extra in steps[1:]:
-        out = out.unionAll(extra)
-    return out
+    return steps, s
+
+
+@query(
+    "q98_bpe_tokenize",
+    oracle=f"""
+    WITH {_duck_bpe_prefix()}
+    SELECT source,
+           CAST(SUM(len(w)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(seq, ' '))) AS BIGINT)
+               AS total_subwords,
+           ROUND(SUM(len(string_split(seq, ' '))) * 1.0 / SUM(len(w)), 6)
+               AS subwords_per_char
+    FROM {DUCK_WORDS} words JOIN s{N_BPE_MERGES} USING (w)
+    GROUP BY source
+    """,
+)
+def q98_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY at corpus scale: run the q92-trained merge table
+    over every word occurrence and report per-source subword counts and
+    the chars→subwords compression — the budget number an actual
+    pretraining run prices data in.
+
+    Scale shape: tokenization is a BROADCAST join of the corpus token
+    stream against the vocab-sized (w → final symbol sequence) table —
+    the corpus side never shuffles for it; training cost was already
+    amortized into the tiny vocab table by _bpe_chain. This is exactly
+    how production tokenizers run on clusters: train small, apply as a
+    map-side lookup."""
+    _steps, final_vocab = _bpe_chain(spark, sf_dir)
+    lut = final_vocab.select(
+        "w", F.size(F.split("seq", " ")).cast("long").alias("n_sub")
+    )
+    return (
+        doc_words(spark, sf_dir)
+        .join(F.broadcast(lut), "w")
+        .groupBy("source")
+        .agg(
+            F.sum(F.length("w").cast("long")).alias("total_chars"),
+            F.sum("n_sub").alias("total_subwords"),
+            F.round(
+                F.sum("n_sub") * 1.0 / F.sum(F.length("w").cast("long")), 6
+            ).alias("subwords_per_char"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -136,3 +136,24 @@ def test_perplexity_buckets_ordered(spark, sf_smoke):
         assert means == sorted(means), (src, means)
         for r in rs:
             assert r["min_nll"] <= r["mean_nll"] <= r["max_nll"]
+
+
+def test_bpe_tokenize_conserves(spark, sf_smoke):
+    """q98: subwords never exceed chars, never undercut chars/longest
+    merged token, and the corpus-wide subword total equals q92's final
+    corpus_tokens_after (same merge table, applied vs trained)."""
+    from hive_reflex_spark.operators.text import (
+        q92_bpe_merges,
+        q98_bpe_tokenize,
+    )
+
+    rows = q98_bpe_tokenize(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["total_subwords"] <= r["total_chars"], r
+        assert 0 < r["subwords_per_char"] <= 1.0, r
+    merges = sorted(
+        q92_bpe_merges(spark, sf_smoke).collect(), key=lambda r: r["step"]
+    )
+    total_sub = sum(r["total_subwords"] for r in rows)
+    assert total_sub == merges[-1]["corpus_tokens_after"]
