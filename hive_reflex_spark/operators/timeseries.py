@@ -508,3 +508,142 @@ def q57a_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_lateness_sec"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill resampling with linear interpolation (hypertable rollup)
+# ---------------------------------------------------------------------------
+
+RESAMPLE_USERS = 4  # bounded output slice; the operator itself is per-user
+RESAMPLE_STEP_US = 3_600_000_000  # 1-hour grid
+
+
+@query(
+    "q99_resample_interpolate",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+                FROM events WHERE user_id < {RESAMPLE_USERS}),
+    b AS (SELECT user_id,
+                 epoch_us(date_trunc('hour', make_timestamp(MIN(ts_us))))
+                     AS lo,
+                 epoch_us(date_trunc('hour', make_timestamp(MAX(ts_us))))
+                     AS hi
+          FROM ev GROUP BY user_id),
+    grid AS (SELECT user_id,
+                    unnest(range(lo, hi + 1, {RESAMPLE_STEP_US})) AS ts_us
+             FROM b),
+    u AS (SELECT user_id, ts_us, value, 0 AS is_grid FROM ev
+          UNION ALL
+          SELECT user_id, ts_us, NULL, 1 FROM grid),
+    w AS (SELECT user_id, ts_us, is_grid,
+                 last_value(value IGNORE NULLS) OVER wb AS pv,
+                 last_value(CASE WHEN value IS NOT NULL THEN ts_us END
+                            IGNORE NULLS) OVER wb AS pt,
+                 first_value(value IGNORE NULLS) OVER wf AS nv,
+                 first_value(CASE WHEN value IS NOT NULL THEN ts_us END
+                             IGNORE NULLS) OVER wf AS nt
+          FROM u
+          WINDOW wb AS (PARTITION BY user_id ORDER BY ts_us, is_grid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY user_id ORDER BY ts_us, is_grid
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id,
+           strftime(make_timestamp(ts_us), '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           ROUND(CASE WHEN pt IS NULL THEN nv
+                      WHEN nt IS NULL THEN pv
+                      WHEN nt = pt THEN pv
+                      ELSE pv + (nv - pv) * (ts_us - pt) / (nt - pt)
+                 END, 6) AS value_interp,
+           CASE WHEN pt IS NULL OR nt IS NULL THEN NULL
+                ELSE nt - pt END AS gap_us
+    FROM w WHERE is_grid = 1
+    """,
+)
+def q99_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-fill rollup: resample each user's irregular event
+    series onto a fixed 1-hour grid with linear interpolation between
+    the enclosing observations (boundary grid points clamp to the
+    nearest value) — `time_bucket_gapfill` + `interpolate`, and the
+    relational form of the reference's fixed-rate resampling of sensor
+    streams (`imc22_sdk/tinyml_adaptive.h:43-53`'s 1 kHz records).
+
+    Join-free: grid points UNION into the event stream and two windows
+    (running last / reverse-running first, both ignore-nulls) find each
+    grid instant's neighbors — one shuffle on user_id, linear in
+    |events| + |grid|, no range join, no per-gap explode. The same
+    union-then-window trick as the q59a as-of join; at 100 TB the series
+    key partitioning is the natural layout. Interpolation arithmetic is
+    structured identically in the oracle so binary64 results match
+    bit-for-bit."""
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < RESAMPLE_USERS)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+    )
+    step = RESAMPLE_STEP_US
+    grid = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.floor(F.min("ts_us") / step) * step).alias("lo"),
+            (F.floor(F.max("ts_us") / step) * step).alias("hi"),
+        )
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.lit(step).cast("long"))
+            ).alias("ts_us"),
+        )
+    )
+    u = ev.withColumn("is_grid", F.lit(0)).unionByName(
+        grid.select(
+            "user_id",
+            "ts_us",
+            F.lit(None).cast("double").alias("value"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    order = [F.col("ts_us"), F.col("is_grid")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ts_if_val = F.when(F.col("value").isNotNull(), F.col("ts_us"))
+    w = u.select(
+        "user_id",
+        "ts_us",
+        "is_grid",
+        F.last("value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(ts_if_val, ignorenulls=True).over(wb).alias("pt"),
+        F.first("value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(ts_if_val, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("pt").isNull(), F.col("nv"))
+        .when(F.col("nt").isNull(), F.col("pv"))
+        .when(F.col("nt") == F.col("pt"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("ts_us") - F.col("pt"))
+            / (F.col("nt") - F.col("pt"))
+        )
+    )
+    return w.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss").alias(
+            "grid_ts"
+        ),
+        F.round(interp, 6).alias("value_interp"),
+        F.when(
+            F.col("pt").isNull() | F.col("nt").isNull(), F.lit(None)
+        )
+        .otherwise(F.col("nt") - F.col("pt"))
+        .cast("long")
+        .alias("gap_us"),
+    )

@@ -158,3 +158,41 @@ def test_stream_dedup_drops_planted_dupes(spark, sf_smoke):
         (F2.col("event_id") % ops.DUP_MOD) == 0
     ).count()
     assert n_salted == n_planted
+
+
+def test_resample_grid_contiguous_and_bounded(spark, sf_smoke):
+    """q99: each user's grid is exactly hourly and contiguous; linear
+    interpolation can never leave the [min, max] envelope of that
+    user's observed values; no grid point is left unfilled."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F2
+
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators.timeseries import (
+        RESAMPLE_USERS,
+        q99_resample_interpolate,
+    )
+
+    rows = q99_resample_interpolate(spark, sf_smoke).collect()
+    assert rows
+    env = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in read_table(spark, sf_smoke, "events")
+        .filter(F2.col("user_id") < RESAMPLE_USERS)
+        .groupBy("user_id")
+        .agg(F2.min("value").alias("lo"), F2.max("value").alias("hi"))
+        .collect()
+    }
+    by_user = {}
+    for r in rows:
+        assert r["value_interp"] is not None, r
+        lo, hi = env[r["user_id"]]
+        assert lo - 1e-6 <= r["value_interp"] <= hi + 1e-6, r
+        t = datetime.strptime(r["grid_ts"], "%Y-%m-%d %H:%M:%S")
+        by_user.setdefault(r["user_id"], []).append(t)
+    for uid, ts in by_user.items():
+        ts.sort()
+        assert all(
+            (b - a).total_seconds() == 3600 for a, b in zip(ts, ts[1:])
+        ), uid
