@@ -207,3 +207,35 @@ def test_q96_quant_reuses_vec_partitioning(spark, sf_smoke):
     hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hash_ex <= 2, plan  # vec_id once + label rollup
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q95_lm_broadcasts_into_scoring(spark, sf_smoke):
+    """Perplexity filter: the unigram LM (vocab-sized) and the total
+    must both broadcast into the scoring join — the corpus token stream
+    never shuffles to meet the LM."""
+    plan = plan_of(spark, "q95_perplexity_filter", sf_smoke)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q98_tokenize_is_broadcast_lookup(spark, sf_smoke):
+    """Tokenizer apply: the word->sequence table rides as a broadcast;
+    applying a tokenizer must stay a map-side lookup."""
+    plan = plan_of(spark, "q98_bpe_tokenize", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q99_resample_single_series_exchange(spark, sf_smoke):
+    """Gap-fill resample: events + grid union into ONE exchange on the
+    series key; both neighbor windows reuse that partitioning (no join
+    operator, no per-gap explosion)."""
+    import re
+
+    plan = plan_of(spark, "q99_resample_interpolate", sf_smoke)
+    assert "Join" not in plan
+    hash_ex = len(
+        set(re.findall(r"Exchange hashpartitioning\(user_id", plan))
+    )
+    assert hash_ex >= 1
+    assert plan.count("Window") >= 1
