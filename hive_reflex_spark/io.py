@@ -72,9 +72,11 @@ def cached_df(key: tuple, build):
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Path layout: {sf_dir}/{name}.parquet.
 
-    The ``events`` fixture stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default; read nanos as long and truncate to micros —
-    the same truncation DuckDB applies, so oracle comparisons stay exact.
+    The ``events`` fixture has shipped as TIMESTAMP(NANOS) (rejected by
+    Spark's reader by default → nanos-as-long + truncate to micros) and as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ →
+    cast). Either way ``ts`` comes back as a plain TIMESTAMP in the
+    UTC-pinned session, matching DuckDB's reading of the same file.
     """
     if _DF_CACHE is not None:
         return cached_df(
@@ -101,10 +103,18 @@ def _read_table_cold(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prev)
-        if dict(df.dtypes).get("ts") == "bigint":
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) storage: nanos-as-long, truncate to micros
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) storage: Spark 4 reads
+            # NTZ, but unix_micros()/window() need TIMESTAMP. Session tz is
+            # pinned UTC (session.py), so the cast is value-preserving and
+            # matches DuckDB's naive-timestamp reading of the same file.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

@@ -33,6 +33,32 @@ EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
 )
+# normalized shape once ts is a real timestamp (chunk re-stage, micros files)
+EVENTS_SCHEMA_TS = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+EVENTS_SCHEMA_NTZ = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_ts_storage(sf_dir: str) -> str:
+    """Physical timestamp storage of the events fixture: 'ns' (TIMESTAMP
+    NANOS — pre-round-2 fixtures), 'us_ntz' (micros, isAdjustedToUTC=false)
+    or 'us_tz'. Streaming sources need an explicit schema, so the reader
+    must match the file, not assume one vintage."""
+    import pyarrow.parquet as pq
+
+    t = str(
+        pq.read_schema(os.path.join(sf_dir, "events.parquet"))
+        .field("ts")
+        .type
+    )
+    if t.startswith("timestamp[ns"):
+        return "ns"
+    return "us_tz" if "tz=" in t else "us_ntz"
 
 
 def _stage_stream_dir(sf_dir: str) -> str:
@@ -50,14 +76,20 @@ def _stage_stream_dir(sf_dir: str) -> str:
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-stream source (TIMESTAMP(NANOS) read as
-    long then truncated to micros, matching io.read_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.parquet as a file-stream source, ts normalized to TIMESTAMP
+    micros whatever the physical storage (matching io.read_table)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(
-        _stage_stream_dir(sf_dir)
-    )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    staged = _stage_stream_dir(sf_dir)
+    storage = _events_ts_storage(sf_dir)
+    if storage == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(staged)
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    schema = EVENTS_SCHEMA_NTZ if storage == "us_ntz" else EVENTS_SCHEMA_TS
+    raw = spark.readStream.schema(schema).parquet(staged)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_to_memory(df: DataFrame, mode: str = "complete") -> DataFrame:
@@ -325,18 +357,17 @@ def ota_feedback_loop(
     # stage the replay as n_chunks files → n_chunks micro-batches
     chunk_dir = os.path.join(out_dir, "chunks")
     if not os.path.exists(chunk_dir):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        (
-            spark.read.schema(EVENTS_SCHEMA)
-            .parquet(os.path.join(sf_dir, "events.parquet"))
-            .repartition(n_chunks)
-            .write.parquet(chunk_dir)
+        # re-stage via the normalized batch reader so the chunks carry a
+        # real TIMESTAMP column regardless of the fixture's storage vintage
+        from hive_reflex_spark.io import read_table
+
+        read_table(spark, sf_dir, "events").repartition(n_chunks).write.parquet(
+            chunk_dir
         )
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_TS)
         .option("maxFilesPerTrigger", 1)
         .parquet(chunk_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
     if weights is None:
