@@ -196,3 +196,43 @@ def test_resample_grid_contiguous_and_bounded(spark, sf_smoke):
         assert all(
             (b - a).total_seconds() == 3600 for a, b in zip(ts, ts[1:])
         ), uid
+
+
+def test_events_reader_normalizes_both_timestamp_vintages(spark, tmp_path):
+    """io.read_table / streaming stream must yield plain TIMESTAMP `ts`
+    for BOTH fixture vintages: TIMESTAMP(NANOS) (round-1 testdata) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ (round-2)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    stamps = [base + datetime.timedelta(seconds=i) for i in range(4)]
+    cols = {
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_type": pa.array(["a"] * 4),
+        "value": pa.array([0.1, 0.2, 0.3, 0.4], pa.float64()),
+        "props": pa.array(["{}"] * 4),
+    }
+    for unit in ("ns", "us"):
+        d = tmp_path / f"vintage_{unit}"
+        d.mkdir()
+        tbl = pa.table(
+            {**cols, "ts": pa.array(stamps, pa.timestamp(unit))}
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = read_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", unit
+        got = [
+            r["us"]
+            for r in df.select(
+                F.unix_micros("ts").alias("us")
+            ).orderBy("us").collect()
+        ]
+        want = [
+            int(s.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+            for s in stamps
+        ]
+        assert got == want, unit
