@@ -96,8 +96,16 @@ _registry.finalize_order([
     # brand-new q86/q88/q89, which have no driver row ever — q45/q49/q50
     # are r01 hash-green AND locally green after this round's changes,
     # whereas a first driver row for a new operator outranks a re-check.)
-    "q01_pricing_summary",
-    "q66_attention",
+    # Final two slots: q94 (the end-to-end LSH near-dup retention pipeline,
+    # the flagship curation op) and q100 (the Python-UDTF extensibility
+    # surface — previously pytest-only, no U-tier query had a driver row).
+    # The q01/q66 re-checks they displace are r01 hash-green, unchanged.
+    # ROTATION PLAN (r03+): once CORRECTNESS_r02 lands, swap its green rows
+    # out of the window for the still-unchecked tail — q91 q92 q93 q95 q96
+    # q97 q98 q99 q65a plus any r03-new queries — so every registered query
+    # accumulates a driver row within a round or two.
+    "q94_neardup_filter",
+    "q100_chunk_udtf",
 ])
 
 __all__ = [

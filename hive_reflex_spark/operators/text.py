@@ -668,3 +668,73 @@ def q95_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("nll").alias("min_nll"),
         F.max("nll").alias("max_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# U1 extensibility tier: a real Python UDTF (table function), driver-checked.
+# The module docstring's no-Python-UDF rule is for hot paths; this op is the
+# registered demonstration that the engine's UDF/UDTF surface (SURVEY §2A
+# U1/U5) is the stock Spark one — users plug in `@udtf` classes and call
+# them from SQL with LATERAL, no engine-specific shim. Chunking specifically
+# is also a real training-data op: sliding word windows sized to a model
+# context (stride < width → overlapping chunks, the standard LM pretrain
+# slicing), distinct from q89's greedy bin packing of whole documents.
+# ---------------------------------------------------------------------------
+
+CHUNK_WIDTH = 32  # words per chunk ≈ a toy context window
+CHUNK_STRIDE = 16  # 50% overlap
+
+
+class _ChunkDocs:
+    """Python UDTF: text → (chunk_idx, chunk_text, n_words) sliding
+    word-window chunks. Runs per-row in the Python worker — the
+    extensibility tier, not the codegen hot path (q16's explode(split())
+    is the built-in equivalent for simple token explosion)."""
+
+    def eval(self, text: str):  # noqa: D102 — Spark UDTF contract
+        words = (text or "").split(" ")
+        for k, start in enumerate(range(0, len(words), CHUNK_STRIDE)):
+            chunk = words[start : start + CHUNK_WIDTH]
+            yield k, " ".join(chunk), len(chunk)
+
+
+def chunk_udtf():
+    """The `_ChunkDocs` UDTF wrapped for registration (built lazily so
+    importing this module never requires an active session)."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(
+        _ChunkDocs, returnType="chunk_idx int, chunk_text string, n_words int"
+    )
+
+
+@query(
+    "q100_chunk_udtf",
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS words
+               FROM documents),
+    s AS (SELECT doc_id, words, len(words) AS nw,
+                 unnest(range(0, len(words), 16)) AS st
+          FROM d)
+    SELECT doc_id,
+           CAST(st // 16 AS INT) AS chunk_idx,
+           array_to_string(
+               words[CAST(st + 1 AS INT):CAST(least(st + 32, nw) AS INT)],
+               ' ') AS chunk_text,
+           CAST(least(st + 32, nw) - st AS INT) AS n_words
+    FROM s
+    """,
+)
+def q100_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via the registered Python UDTF, applied
+    with SQL LATERAL — the engine's user-defined-table-function surface
+    end to end (register → plan → per-row generate)."""
+    docs = read_table(spark, sf_dir, "documents")
+    spark.udtf.register("hrs_chunk_docs", chunk_udtf())
+    docs.createOrReplaceTempView("hrs_chunk_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_words
+        FROM hrs_chunk_src d, LATERAL hrs_chunk_docs(d.text) c
+        """
+    )

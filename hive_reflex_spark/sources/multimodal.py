@@ -93,6 +93,69 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.mapInPandas(fn, "doc_id long, features array<double>")
 
 
+def resize_payload(media: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Resize/downsample each decoded payload to a fixed-length vector by
+    area mean-pooling — the byte-domain twin of image resize / audio
+    resample. Bucket ``j`` of a length-``L`` array covers indices ``i``
+    with ``(i * n_buckets) // L == j`` (every bucket within one element
+    of equal width), value = mean of the bucket's bytes.
+
+    Same Arrow-batched mapInPandas tier as :func:`decode_frames`; a real
+    build swaps ``_decode_payload`` and the pooling becomes
+    ``PIL.Image.resize`` / ``scipy.signal.resample`` with nothing else
+    changing. Output rows = n_buckets per non-empty payload — bounded
+    fan-out, no shuffle introduced.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, buckets, means = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = _decode_payload(bytes(payload)).astype("int64")
+                size = len(arr)
+                if size == 0:
+                    continue
+                idx = (np.arange(size) * n_buckets) // size
+                sums = np.bincount(idx, weights=arr, minlength=n_buckets)
+                counts = np.bincount(idx, minlength=n_buckets)
+                # emit only non-empty buckets (size < n_buckets leaves
+                # gaps in the bucket ids) — the GROUP BY semantics of the
+                # oracle; integer sums / integer counts in float64 is
+                # bit-identical to SUM()::DOUBLE / COUNT(*)
+                used = np.nonzero(counts)[0]
+                pooled = sums[used] / counts[used]
+                ids.extend([doc_id] * len(used))
+                buckets.extend(int(b) for b in used)
+                means.extend(pooled.tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "bucket": buckets, "mean_byte": means}
+            )
+
+    return media.mapInPandas(fn, "doc_id long, bucket int, mean_byte double")
+
+
+@query(
+    "q65a_resize_pool",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    pos AS (SELECT doc_id, text, L, unnest(range(1, L+1)) AS p FROM d)
+    SELECT doc_id,
+           CAST(((p - 1) * 16) // L AS INT) AS bucket,
+           CAST(SUM(ascii(substr(text, CAST(p AS INT), 1))) AS DOUBLE)
+               / COUNT(*) AS mean_byte
+    FROM pos
+    GROUP BY 1, 2
+    """,
+)
+def q65a_resize_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize: every payload mean-pooled to a fixed 16-bucket
+    vector through the mapInPandas decode tier (`resize_payload`). The
+    oracle recomputes the identical pooling byte-by-byte in SQL — exact
+    because the fixture text is pure ASCII (1 char = 1 byte)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return resize_payload(with_binary_payload(docs), n_buckets=16)
+
+
 @query(
     "q65_multimodal_meta",
     oracle="""

@@ -157,3 +157,51 @@ def test_bpe_tokenize_conserves(spark, sf_smoke):
     )
     total_sub = sum(r["total_subwords"] for r in rows)
     assert total_sub == merges[-1]["corpus_tokens_after"]
+
+
+def test_chunk_udtf_tail_and_overlap(spark):
+    """Sliding chunks: width 32 / stride 16 — every start < n_words
+    emits, tail chunk is partial, overlap region identical."""
+    from hive_reflex_spark.operators.text import chunk_udtf
+
+    text33 = " ".join(f"w{i}" for i in range(33))
+    text16 = " ".join(f"w{i}" for i in range(16))
+    spark.createDataFrame(
+        [(1, text33), (2, text16), (3, "solo")], "doc_id long, text string"
+    ).createOrReplaceTempView("chunk_edge_src")
+    spark.udtf.register("chunk_edge", chunk_udtf())
+    rows = spark.sql(
+        """SELECT doc_id, c.chunk_idx, c.chunk_text, c.n_words
+           FROM chunk_edge_src, LATERAL chunk_edge(text) c"""
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+    # 33 words -> starts 0,16,32: sizes 32, 17, 1
+    assert [by_doc[1][i].n_words for i in range(3)] == [32, 17, 1]
+    # overlap: chunk1 starts at word 16, first word of overlap == w16
+    assert by_doc[1][1].chunk_text.split(" ")[0] == "w16"
+    assert by_doc[1][2].chunk_text == "w32"
+    # 16 words -> one full-width-truncated chunk
+    assert [by_doc[2][i].n_words for i in range(1)] == [16]
+    assert len(by_doc[2]) == 1
+    # single word -> one chunk of itself
+    assert by_doc[3][0].chunk_text == "solo" and by_doc[3][0].n_words == 1
+
+
+def test_registry_window_covers_new_families():
+    """The driver checks the first 50 registered queries; pin that the
+    curated window holds its members (rotation edits fail loudly here)."""
+    import hive_reflex_spark.operators  # noqa: F401 — triggers registration
+    from hive_reflex_spark.registry import QUERIES
+
+    window = list(QUERIES)[:50]
+    for must in (
+        "q94_neardup_filter",   # curation flagship (first driver row)
+        "q100_chunk_udtf",      # UDTF extensibility tier
+        "q80_onnx_compile",     # ONNX ingest
+        "q11_running_order_totals",  # window family
+        "q62_streaming_hourly",      # streaming family
+        "q54b_ivf_topk",             # ANN family
+    ):
+        assert must in window, must

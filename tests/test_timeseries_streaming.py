@@ -236,3 +236,28 @@ def test_events_reader_normalizes_both_timestamp_vintages(spark, tmp_path):
             for s in stamps
         ]
         assert got == want, unit
+
+
+def test_resize_payload_matches_numpy_pooling(spark):
+    """resize_payload == area mean-pooling oracle, including payloads
+    shorter than the bucket count (buckets then cap at len(payload))."""
+    from hive_reflex_spark.sources.multimodal import resize_payload
+
+    payloads = [
+        (1, bytes(range(64))),          # 4 bytes/bucket exactly
+        (2, bytes(range(100))),         # uneven buckets
+        (3, bytes([7, 9, 11])),         # shorter than n_buckets
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.bucket): r.mean_byte
+        for r in resize_payload(df, n_buckets=16).collect()
+    }
+    for doc_id, payload in payloads:
+        arr = np.frombuffer(payload, dtype=np.uint8).astype("int64")
+        idx = (np.arange(len(arr)) * 16) // len(arr)
+        for b in np.unique(idx):
+            want = float(arr[idx == b].mean())
+            assert abs(got[(doc_id, int(b))] - want) < 1e-12, (doc_id, b)
+    # short payload emits only its non-empty buckets ({0,5,10} for len 3)
+    assert sorted(b for (d, b) in got if d == 3) == [0, 5, 10]
