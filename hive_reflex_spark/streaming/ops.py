@@ -533,3 +533,64 @@ def q97_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value"
         ),
     )
+
+
+@query(
+    "q101_stream_interval_join",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS error_event_id,
+           b.event_id AS click_event_id,
+           CAST(epoch_us(a.ts) - epoch_us(b.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND b.ts >= a.ts - INTERVAL 24 HOUR AND b.ts < a.ts
+    """,
+)
+def q101_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join: every error event correlated with the
+    same user's click events in the preceding 24 h — the reference's
+    Command→Status frame correlation on the CAN bus
+    (`hive_arch.md:51-57`: a command at t is explained by status frames
+    shortly before it), lifted to event time.
+
+    Both sides carry a watermark and the join predicate carries the time
+    range, so Spark bounds the join state to the interval plus the
+    watermark delay per side — the production stream-stream shape whose
+    state does NOT grow with stream length at 100 TB. On the bounded
+    availableNow replay the inner join emits exactly the batch-join
+    result, so the query is fully oracle-checkable.
+    """
+    errors = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            "user_id",
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("click_ts") < F.col("err_ts")),
+    ).select(
+        "user_id",
+        "error_event_id",
+        "click_event_id",
+        (F.unix_micros("err_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    return run_to_memory(joined, mode="append")
