@@ -816,3 +816,120 @@ def q96_embedding_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cosine"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: subspace codebooks + code assignment (the PQ half
+# of IVF-PQ, the standard billion-vector ANN memory layout)
+# ---------------------------------------------------------------------------
+
+PQ_SUBDIM = 16  # 64 dims -> 4 subspaces of 16; one byte-sized code each
+
+
+def _pq_sub(coords: DataFrame) -> DataFrame:
+    return coords.withColumn("sub", (F.col("dim") / PQ_SUBDIM).cast("int"))
+
+
+def _pq_assign(coords: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest code per (vector, subspace): broadcast the k x d codebook,
+    one distance aggregate + one argmin window — the corpus never
+    shuffles on anything but (vec_id, sub)."""
+    d2 = (
+        coords.join(F.broadcast(codebook), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "cid")
+        .agg(
+            exact_sum(
+                (F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")), 9
+            ).alias("d2r")
+        )
+        .select("vec_id", "sub", "cid", F.round("d2r", 6).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "cid", "d2")
+    )
+
+
+def _pq_oracle() -> str:
+    stride = N_CENTROIDS_STRIDE
+    sq = _km_sum("(x.v - c.cv) * (x.v - c.cv)")
+    return f"""
+    WITH coords AS (SELECT vec_id, CAST(dim // {PQ_SUBDIM} AS INT) AS sub,
+                           dim, v
+                    FROM {_duck_coords(None)} cx),
+    cb0 AS (SELECT sub, dim, vec_id AS cid, v AS cv FROM coords
+            WHERE vec_id % {stride} = 0),
+    d0 AS (SELECT x.vec_id, x.sub, c.cid, ROUND({sq}, 6) AS d2
+           FROM coords x JOIN cb0 c ON x.sub = c.sub AND x.dim = c.dim
+           GROUP BY x.vec_id, x.sub, c.cid),
+    a0 AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, cid) AS rn
+               FROM d0) WHERE rn = 1),
+    mn AS (SELECT a.sub, a.cid, x.dim,
+                  ROUND(({_km_sum("x.v")}) / COUNT(*), 9) AS mv
+           FROM a0 a JOIN coords x ON a.vec_id = x.vec_id AND a.sub = x.sub
+           GROUP BY a.sub, a.cid, x.dim),
+    cb1 AS (SELECT s.sub, s.dim, s.cid, COALESCE(m.mv, s.cv) AS cv
+            FROM cb0 s LEFT JOIN mn m
+              ON s.sub = m.sub AND s.cid = m.cid AND s.dim = m.dim),
+    d1 AS (SELECT x.vec_id, x.sub, c.cid, ROUND({sq}, 6) AS d2
+           FROM coords x JOIN cb1 c ON x.sub = c.sub AND x.dim = c.dim
+           GROUP BY x.vec_id, x.sub, c.cid),
+    a1 AS (SELECT vec_id, sub, cid, d2 FROM (
+               SELECT vec_id, sub, cid, d2,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, cid) AS rn
+               FROM d1) WHERE rn = 1)
+    SELECT sub, cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(({_km_sum("d2")}) / COUNT(*), 6) AS avg_qerr
+    FROM a1 GROUP BY sub, cid
+    """
+
+
+@query("q102_pq_encode", oracle=_pq_oracle())
+def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split 64-dim embeddings into 4 subspaces of
+    16, refine stride-seeded codebooks with one distributed Lloyd step
+    per subspace, assign every vector its nearest code per subspace, and
+    report per-(subspace, code) occupancy + mean quantization error.
+
+    4 codes/vector ≈ 4 bytes vs 64 float bytes (16x compression, vs q96's
+    8x int8 scalar path) — the memory layout that lets IVF-PQ hold
+    billion-vector indexes in RAM. All 4 subspaces train and assign in
+    the SAME jobs (subspace is a grouping key, not a driver loop): the
+    codebook is the broadcast small operand, the corpus shuffles only on
+    (vec_id, sub) — the q88/training.py 100-TB shape. Oracle unrolls
+    seed-assign → mean-update → re-assign as chained CTEs; every argmin
+    and centroid mean is hash-checked."""
+    coords = _pq_sub(
+        embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
+    ).persist()
+    seeds = coords.filter(
+        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
+    ).select(
+        "sub", "dim", F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a0 = _pq_assign(coords, seeds)
+    means = (
+        a0.join(coords, ["vec_id", "sub"])
+        .groupBy("sub", "cid", "dim")
+        .agg(
+            F.round(exact_sum(F.col("v"), 9) / F.count("*"), 9).alias("mv")
+        )
+    )
+    cb1 = seeds.join(means, ["sub", "cid", "dim"], "left").select(
+        "sub", "dim", "cid", F.coalesce("mv", "cv").alias("cv")
+    )
+    a1 = _pq_assign(coords, cb1)
+    return a1.groupBy("sub", "cid").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(exact_sum(F.col("d2"), 9) / F.count("*"), 6).alias(
+            "avg_qerr"
+        ),
+    )

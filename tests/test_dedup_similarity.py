@@ -144,3 +144,47 @@ def test_embedding_int8_exact_grid(spark):
         assert r["mean_cosine"] == 1.0
     finally:
         sim.embedding_coords = orig
+
+
+def test_pq_refine_reduces_quantization_error(spark, sf_smoke):
+    """One Lloyd step on the PQ codebooks must not increase total
+    quantization error (monotonicity), and every vector gets exactly one
+    code per subspace."""
+    from pyspark.sql import functions as F
+
+    from hive_reflex_spark.operators.similarity import (
+        N_CENTROIDS_STRIDE,
+        _pq_assign,
+        _pq_sub,
+    )
+    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.operators.tensor import embedding_coords
+
+    coords = _pq_sub(
+        embedding_coords(spark, sf_smoke).select("vec_id", "dim", "v")
+    ).persist()
+    seeds = coords.filter(
+        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
+    ).select(
+        "sub", "dim", F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    a0 = _pq_assign(coords, seeds).persist()
+    means = (
+        a0.join(coords, ["vec_id", "sub"])
+        .groupBy("sub", "cid", "dim")
+        .agg(F.round(exact_sum(F.col("v"), 9) / F.count("*"), 9).alias("mv"))
+    )
+    cb1 = seeds.join(means, ["sub", "cid", "dim"], "left").select(
+        "sub", "dim", "cid", F.coalesce("mv", "cv").alias("cv")
+    )
+    a1 = _pq_assign(coords, cb1).persist()
+
+    n_vec = coords.select("vec_id").distinct().count()
+    n_sub = coords.select("sub").distinct().count()
+    assert a1.count() == n_vec * n_sub  # exactly one code per (vec, sub)
+
+    e0 = a0.agg(F.sum("d2")).first()[0]
+    e1 = a1.agg(F.sum("d2")).first()[0]
+    assert e1 <= e0 + 1e-6, (e0, e1)
+    # the refinement should actually move the needle, not be a no-op
+    assert e1 < e0 * 0.999, (e0, e1)
