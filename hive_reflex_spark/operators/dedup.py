@@ -540,3 +540,64 @@ def q94_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("retention"),
     )
+
+
+@query(
+    "q103_repeated_spans",
+    oracle="""
+    WITH spans AS (
+      SELECT doc_id, md5(substr(text, CAST(p*16+1 AS INT), 32)) AS h
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, (length(text)-32)//16 + 1)) AS p
+            FROM documents WHERE length(text) >= 32)),
+    dup AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+           ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_frac
+    FROM spans JOIN dup USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q103_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document repeated-span detection — the substring-dedup
+    stage of a training-data pipeline (detect 32-char windows, stride 16,
+    that recur in >= 2 distinct documents; a high dup_frac marks
+    boilerplate to drop or trim). Complements the near-dup tier: q46
+    hashes whole docs, LSH (q47-q49) finds fuzzy pairs, this finds exact
+    *partial* overlap that whole-doc hashing misses.
+
+    Scale shape: spans explode partition-locally (bounded per doc by
+    length/stride); the only shuffles are the hash groupBy (partial aggs
+    upstream) and the 1-row-per-hash join back — both on the span hash,
+    whose md5 distribution is uniform, so no skew cap is needed (unlike
+    q47's raw-shingle key)."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 32
+    )
+    spans = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("text") - 32) / 16).cast("int"),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.md5(F.expr("substring(text, CAST(p*16+1 AS INT), 32)")).alias("h"),
+    )
+    dup = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    is_dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        spans.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(is_dup).alias("n_dup_spans"),
+            F.round(F.sum(is_dup) * 1.0 / F.count("*"), 6).alias("dup_frac"),
+        )
+    )

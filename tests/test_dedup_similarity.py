@@ -188,3 +188,30 @@ def test_pq_refine_reduces_quantization_error(spark, sf_smoke):
     assert e1 <= e0 + 1e-6, (e0, e1)
     # the refinement should actually move the needle, not be a no-op
     assert e1 < e0 * 0.999, (e0, e1)
+
+
+def test_repeated_spans_flags_planted_overlap(spark, tmp_path):
+    """Two docs sharing an exact 48-char run must both get dup spans;
+    an unrelated doc must not."""
+    import os
+
+    shared = "the quick brown fox jumps over twelve lazy dogs!"  # 48 chars
+    assert len(shared) == 48
+    docs = [
+        (1, "A" * 40 + shared + "B" * 40),
+        (2, "C" * 40 + shared + "D" * 40),
+        (3, "totally unrelated content with no overlap at all here" * 3),
+    ]
+    d = str(tmp_path / "plant")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(os.path.join(d, "documents.parquet"))
+
+    from hive_reflex_spark.operators.dedup import q103_repeated_spans
+
+    got = {r.doc_id: r for r in q103_repeated_spans(spark, d).collect()}
+    assert got[1].n_dup_spans > 0 and got[2].n_dup_spans > 0
+    assert got[3].n_dup_spans == 0
+    assert 0 < got[1].dup_frac < 1
