@@ -923,7 +923,9 @@ def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact_sum(F.col("v"), 9) / F.count("*"), 9).alias("mv")
         )
     )
-    cb1 = seeds.join(means, ["sub", "cid", "dim"], "left").select(
+    # means is bounded by k x d rows (post-agg, so no stats — hint it);
+    # the codebook update must never sort-merge
+    cb1 = seeds.join(F.broadcast(means), ["sub", "cid", "dim"], "left").select(
         "sub", "dim", "cid", F.coalesce("mv", "cv").alias("cv")
     )
     a1 = _pq_assign(coords, cb1)

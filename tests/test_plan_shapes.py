@@ -239,3 +239,38 @@ def test_q99_resample_single_series_exchange(spark, sf_smoke):
     )
     assert hash_ex >= 1
     assert plan.count("Window") >= 1
+
+
+def test_q102_pq_codebook_broadcasts(spark, sf_smoke):
+    """PQ: both assignment passes join the corpus against the broadcast
+    codebook — the corpus must never sort-merge against the k x d table."""
+    plan = plan_of(spark, "q102_pq_encode", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q103_spans_single_generate_no_cartesian(spark, sf_smoke):
+    """Repeated spans: one partition-local explode, hash-keyed shuffles
+    only — no cartesian/nested-loop pair expansion anywhere."""
+    plan = plan_of(spark, "q103_repeated_spans", sf_smoke)
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q65a_resize_is_mapinpandas_no_shuffle(spark, sf_smoke):
+    """Multimodal resize: the pooling runs inside mapInPandas on the scan
+    partitioning — no exchange before the Python stage."""
+    plan = plan_of(spark, "q65a_resize_pool", sf_smoke)
+    assert "MapInPandas" in plan
+    head = plan.split("MapInPandas")[-1]  # operators BELOW feed the stage
+    assert "Exchange" not in head, "resize shuffled before the Python stage"
+
+
+def test_q100_udtf_plan_generates(spark, sf_smoke):
+    """UDTF chunking: the lateral table function appears as a Generate
+    of the Python UDTF over the scan — no join operator materializes."""
+    plan = plan_of(spark, "q100_chunk_udtf", sf_smoke)
+    assert "PythonUDTF" in plan or "BatchEvalPythonUDTF" in plan, plan[:500]
+    assert "SortMergeJoin" not in plan
