@@ -892,24 +892,13 @@ def _pq_oracle() -> str:
     """
 
 
-@query("q102_pq_encode", oracle=_pq_oracle())
-def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization: split 64-dim embeddings into 4 subspaces of
-    16, refine stride-seeded codebooks with one distributed Lloyd step
-    per subspace, assign every vector its nearest code per subspace, and
-    report per-(subspace, code) occupancy + mean quantization error.
-
-    4 codes/vector ≈ 4 bytes vs 64 float bytes (16x compression, vs q96's
-    8x int8 scalar path) — the memory layout that lets IVF-PQ hold
-    billion-vector indexes in RAM. All 4 subspaces train and assign in
-    the SAME jobs (subspace is a grouping key, not a driver loop): the
-    codebook is the broadcast small operand, the corpus shuffles only on
-    (vec_id, sub) — the q88/training.py 100-TB shape. Oracle unrolls
-    seed-assign → mean-update → re-assign as chained CTEs; every argmin
-    and centroid mean is hash-checked."""
-    coords = _pq_sub(
-        embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
-    ).persist()
+def pq_train(
+    spark: SparkSession, coords: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Train the PQ codebooks (stride seeds + one distributed Lloyd step)
+    and assign codes. ``coords`` must carry the ``sub`` column
+    (:func:`_pq_sub`). Returns ``(codebook, assignment)`` where codebook
+    is (sub, dim, cid, cv) and assignment is (vec_id, sub, cid, d2)."""
     seeds = coords.filter(
         F.col("vec_id") % N_CENTROIDS_STRIDE == 0
     ).select(
@@ -928,10 +917,80 @@ def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb1 = seeds.join(F.broadcast(means), ["sub", "cid", "dim"], "left").select(
         "sub", "dim", "cid", F.coalesce("mv", "cv").alias("cv")
     )
-    a1 = _pq_assign(coords, cb1)
+    return cb1, _pq_assign(coords, cb1)
+
+
+@query("q102_pq_encode", oracle=_pq_oracle())
+def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split 64-dim embeddings into 4 subspaces of
+    16, refine stride-seeded codebooks with one distributed Lloyd step
+    per subspace, assign every vector its nearest code per subspace, and
+    report per-(subspace, code) occupancy + mean quantization error.
+
+    4 codes/vector ≈ 4 bytes vs 64 float bytes (16x compression, vs q96's
+    8x int8 scalar path) — the memory layout that lets IVF-PQ hold
+    billion-vector indexes in RAM. All 4 subspaces train and assign in
+    the SAME jobs (subspace is a grouping key, not a driver loop): the
+    codebook is the broadcast small operand, the corpus shuffles only on
+    (vec_id, sub) — the q88/training.py 100-TB shape. Oracle unrolls
+    seed-assign → mean-update → re-assign as chained CTEs; every argmin
+    and centroid mean is hash-checked."""
+    coords = _pq_sub(
+        embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
+    ).persist()
+    _, a1 = pq_train(spark, coords)
     return a1.groupBy("sub", "cid").agg(
         F.count("*").alias("n_vectors"),
         F.round(exact_sum(F.col("d2"), 9) / F.count("*"), 6).alias(
             "avg_qerr"
         ),
+    )
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = TOP_K,
+) -> DataFrame:
+    """PQ search by Asymmetric Distance Computation (ADC): the query
+    scores each codebook entry ONCE (a k x M distance table, M=4
+    subspaces), then every corpus vector's approximate L2 distance is
+    just the sum of M table lookups over its stored codes — the original
+    vectors are never touched at scoring time.
+
+    Scale shape: the distance table (n_queries x k x M rows) broadcasts;
+    the codes table (n x M rows, ~4 bytes/vector of true payload) is the
+    only big operand and it streams through one hash join + one
+    aggregation. At 100 TB this composes with IVF (q54b) — probe clusters
+    first, ADC-score only the probed partitions. Recall vs exact L2 is
+    measured in pytest (approximation governed by codebook size)."""
+    coords = _pq_sub(
+        embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
+    ).persist()
+    codebook, assignment = pq_train(spark, coords)
+    codes = assignment.select("vec_id", "sub", "cid")
+    q = coords.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "sub", "dim",
+        F.col("v").alias("qv"),
+    )
+    dtab = (
+        q.join(F.broadcast(codebook), ["sub", "dim"])
+        .groupBy("query_id", "sub", "cid")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
+            ).alias("dpart")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["sub", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dpart").alias("adist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
     )

@@ -215,3 +215,57 @@ def test_repeated_spans_flags_planted_overlap(spark, tmp_path):
     assert got[1].n_dup_spans > 0 and got[2].n_dup_spans > 0
     assert got[3].n_dup_spans == 0
     assert 0 < got[1].dup_frac < 1
+
+
+def test_pq_adc_respects_quantization_bound(spark, sf_smoke):
+    """ADC correctness: with exact queries, the approximate distance
+    ||q - c(v)|| must lie within ||v - c(v)|| of the true ||q - v||
+    (reverse triangle inequality) — a rigorous machinery check that holds
+    on ANY corpus. Plus a weak recall floor on the unstructured fixture."""
+    import numpy as np
+
+    from hive_reflex_spark.operators.similarity import (
+        _pq_sub,
+        pq_topk,
+        pq_train,
+    )
+    from hive_reflex_spark.operators.tensor import embedding_coords
+
+    qids = [3, 17, 101]
+    coords = _pq_sub(
+        embedding_coords(spark, sf_smoke).select("vec_id", "dim", "v")
+    ).persist()
+    _, assignment = pq_train(spark, coords)
+    qerr = {
+        r.vec_id: r.q2
+        for r in assignment.groupBy("vec_id")
+        .agg(F.sum("d2").alias("q2"))
+        .collect()
+    }
+    E = {}
+    for r in coords.collect():
+        E.setdefault(r.vec_id, np.zeros(64))[r.dim] = r.v
+
+    got = pq_topk(spark, sf_smoke, qids, k=600).collect()  # all neighbors
+    assert got, "ADC returned nothing"
+    for r in got:
+        true = float(np.sqrt(np.sum((E[r.query_id] - E[r.neighbor_id]) ** 2)))
+        approx = float(np.sqrt(r.adist))
+        slack = float(np.sqrt(qerr[r.neighbor_id])) + 1e-4
+        assert abs(approx - true) <= slack, (
+            r.query_id, r.neighbor_id, approx, true, slack,
+        )
+
+    # weak recall floor (random gaussian corpus, 10 codes x 4 subspaces)
+    byq = {}
+    for r in got:
+        if r.rnk <= 10:
+            byq.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = []
+    for qid in qids:
+        d = sorted(
+            (float(np.sum((E[qid] - E[v]) ** 2)), v) for v in E if v != qid
+        )[:10]
+        exact = {v for _, v in d}
+        recalls.append(len(exact & byq[qid]) / 10)
+    assert sum(recalls) / len(recalls) >= 0.05, recalls
