@@ -894,11 +894,15 @@ def _pq_oracle() -> str:
 
 def pq_train(
     spark: SparkSession, coords: DataFrame
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the PQ codebooks (stride seeds + one distributed Lloyd step)
     and assign codes. ``coords`` must carry the ``sub`` column
-    (:func:`_pq_sub`). Returns ``(codebook, assignment)`` where codebook
-    is (sub, dim, cid, cv) and assignment is (vec_id, sub, cid, d2)."""
+    (:func:`_pq_sub`). Returns ``(codebook, assignment, seed_assignment)``
+    where codebook is (sub, dim, cid, cv) and the assignments are
+    (vec_id, sub, cid, d2) — seed_assignment is the pre-refinement pass
+    (exposed so tests check Lloyd monotonicity on the SAME plan the
+    production path runs; a hand-rebuilt unhinted twin would alias into
+    Spark's plan cache and change later queries' physical plans)."""
     seeds = coords.filter(
         F.col("vec_id") % N_CENTROIDS_STRIDE == 0
     ).select(
@@ -917,7 +921,7 @@ def pq_train(
     cb1 = seeds.join(F.broadcast(means), ["sub", "cid", "dim"], "left").select(
         "sub", "dim", "cid", F.coalesce("mv", "cv").alias("cv")
     )
-    return cb1, _pq_assign(coords, cb1)
+    return cb1, _pq_assign(coords, cb1), a0
 
 
 @query("q102_pq_encode", oracle=_pq_oracle())
@@ -938,7 +942,7 @@ def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     coords = _pq_sub(
         embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
     ).persist()
-    _, a1 = pq_train(spark, coords)
+    _, a1, _ = pq_train(spark, coords)
     return a1.groupBy("sub", "cid").agg(
         F.count("*").alias("n_vectors"),
         F.round(exact_sum(F.col("d2"), 9) / F.count("*"), 6).alias(
@@ -968,7 +972,7 @@ def pq_topk(
     coords = _pq_sub(
         embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
     ).persist()
-    codebook, assignment = pq_train(spark, coords)
+    codebook, assignment, _ = pq_train(spark, coords)
     codes = assignment.select("vec_id", "sub", "cid")
     q = coords.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "sub", "dim",

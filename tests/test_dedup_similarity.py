@@ -152,32 +152,14 @@ def test_pq_refine_reduces_quantization_error(spark, sf_smoke):
     code per subspace."""
     from pyspark.sql import functions as F
 
-    from hive_reflex_spark.operators.similarity import (
-        N_CENTROIDS_STRIDE,
-        _pq_assign,
-        _pq_sub,
-    )
-    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.operators.similarity import _pq_sub, pq_train
     from hive_reflex_spark.operators.tensor import embedding_coords
 
     coords = _pq_sub(
         embedding_coords(spark, sf_smoke).select("vec_id", "dim", "v")
     ).persist()
-    seeds = coords.filter(
-        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
-    ).select(
-        "sub", "dim", F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    a0 = _pq_assign(coords, seeds).persist()
-    means = (
-        a0.join(coords, ["vec_id", "sub"])
-        .groupBy("sub", "cid", "dim")
-        .agg(F.round(exact_sum(F.col("v"), 9) / F.count("*"), 9).alias("mv"))
-    )
-    cb1 = seeds.join(means, ["sub", "cid", "dim"], "left").select(
-        "sub", "dim", "cid", F.coalesce("mv", "cv").alias("cv")
-    )
-    a1 = _pq_assign(coords, cb1).persist()
+    _, a1, a0 = pq_train(spark, coords)
+    a0, a1 = a0.persist(), a1.persist()
 
     n_vec = coords.select("vec_id").distinct().count()
     n_sub = coords.select("sub").distinct().count()
@@ -188,6 +170,8 @@ def test_pq_refine_reduces_quantization_error(spark, sf_smoke):
     assert e1 <= e0 + 1e-6, (e0, e1)
     # the refinement should actually move the needle, not be a no-op
     assert e1 < e0 * 0.999, (e0, e1)
+    # don't leak cached PQ fragments into later (plan-shape) tests
+    spark.catalog.clearCache()
 
 
 def test_repeated_spans_flags_planted_overlap(spark, tmp_path):
@@ -235,7 +219,7 @@ def test_pq_adc_respects_quantization_bound(spark, sf_smoke):
     coords = _pq_sub(
         embedding_coords(spark, sf_smoke).select("vec_id", "dim", "v")
     ).persist()
-    _, assignment = pq_train(spark, coords)
+    _, assignment, _ = pq_train(spark, coords)
     qerr = {
         r.vec_id: r.q2
         for r in assignment.groupBy("vec_id")
@@ -269,3 +253,4 @@ def test_pq_adc_respects_quantization_bound(spark, sf_smoke):
         exact = {v for _, v in d}
         recalls.append(len(exact & byq[qid]) / 10)
     assert sum(recalls) / len(recalls) >= 0.05, recalls
+    spark.catalog.clearCache()

@@ -244,6 +244,7 @@ def test_q99_resample_single_series_exchange(spark, sf_smoke):
 def test_q102_pq_codebook_broadcasts(spark, sf_smoke):
     """PQ: both assignment passes join the corpus against the broadcast
     codebook — the corpus must never sort-merge against the k x d table."""
+    spark.catalog.clearCache()  # plan the cold path, not cached fragments
     plan = plan_of(spark, "q102_pq_encode", sf_smoke)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
