@@ -102,8 +102,9 @@ _registry.finalize_order([
     # The q01/q66 re-checks they displace are r01 hash-green, unchanged.
     # ROTATION PLAN (r03+): once CORRECTNESS_r02 lands, swap its green rows
     # out of the window for the still-unchecked tail — q91 q92 q93 q95 q96
-    # q97 q98 q99 q65a plus any r03-new queries — so every registered query
-    # accumulates a driver row within a round or two.
+    # q97 q98 q99 q65a q101 q102 q102a q103 q104 plus any r03-new queries —
+    # so every registered query accumulates a driver row within a round or
+    # two.
     "q94_neardup_filter",
     "q100_chunk_udtf",
 ])

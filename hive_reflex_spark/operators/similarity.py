@@ -854,7 +854,9 @@ def _pq_assign(coords: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_cte_prefix() -> str:
+    """Shared CTE chain (coords → seed codebook → Lloyd step → final
+    assignment a1 / codebook cb1) for the PQ oracles."""
     stride = N_CENTROIDS_STRIDE
     sq = _km_sum("(x.v - c.cv) * (x.v - c.cv)")
     return f"""
@@ -885,10 +887,40 @@ def _pq_oracle() -> str:
                SELECT vec_id, sub, cid, d2,
                       ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                                          ORDER BY d2, cid) AS rn
-               FROM d1) WHERE rn = 1)
+               FROM d1) WHERE rn = 1)"""
+
+
+def _pq_oracle() -> str:
+    return _pq_cte_prefix() + f"""
     SELECT sub, cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
            ROUND(({_km_sum("d2")}) / COUNT(*), 6) AS avg_qerr
     FROM a1 GROUP BY sub, cid
+    """
+
+
+PQ_N_QUERIES = 4  # query vectors for the oracled ADC search
+_E6 = 1_000_000
+
+
+def _pq_adc_oracle() -> str:
+    sqq = _km_sum("(q.qv - c.cv) * (q.qv - c.cv)")
+    return _pq_cte_prefix() + f""",
+    qd AS (SELECT vec_id AS query_id, sub, dim, v AS qv FROM coords
+           WHERE vec_id < {PQ_N_QUERIES}),
+    dt AS (SELECT q.query_id, c.sub, c.cid, ROUND({sqq}, 6) AS dpart
+           FROM qd q JOIN cb1 c ON q.sub = c.sub AND q.dim = c.dim
+           GROUP BY q.query_id, c.sub, c.cid),
+    ad AS (SELECT d.query_id, a.vec_id AS neighbor_id,
+                  CAST(SUM(CAST(ROUND(d.dpart * {_E6}) AS BIGINT))
+                       AS BIGINT) / {_E6}.0 AS adist
+           FROM a1 a JOIN dt d ON a.sub = d.sub AND a.cid = d.cid
+           GROUP BY d.query_id, a.vec_id)
+    SELECT query_id, neighbor_id, adist, rnk FROM (
+        SELECT query_id, neighbor_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS rnk
+        FROM ad WHERE query_id != neighbor_id)
+    WHERE rnk <= {TOP_K}
     """
 
 
@@ -997,4 +1029,48 @@ def pq_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= k)
+    )
+
+
+@query("q102a_pq_adc_topk", oracle=_pq_adc_oracle())
+def q102a_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked ADC search: the exact-sum variant of
+    :func:`pq_topk` for the first 4 vectors as queries — distance table
+    from the trained codebooks, approximate L2 as the order-independent
+    integer-unit sum of 4 code lookups, ranked top-5 per query. The
+    oracle extends the q102 CTE chain with the distance table and the
+    lookup aggregation, so the entire IVF-PQ scoring path (train →
+    encode → ADC rank) is hash-checked end to end."""
+    coords = _pq_sub(
+        embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
+    ).persist()
+    codebook, assignment, _ = pq_train(spark, coords)
+    codes = assignment.select("vec_id", "sub", "cid")
+    q = coords.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "dim",
+        F.col("v").alias("qv"),
+    )
+    dtab = (
+        q.join(F.broadcast(codebook), ["sub", "dim"])
+        .groupBy("query_id", "sub", "cid")
+        .agg(
+            F.round(
+                exact_sum(
+                    (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")),
+                    9,
+                ),
+                6,
+            ).alias("dpart")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["sub", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(exact_sum(F.col("dpart"), 6).alias("adist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
     )
