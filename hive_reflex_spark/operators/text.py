@@ -738,3 +738,55 @@ def q100_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hrs_chunk_src d, LATERAL hrs_chunk_docs(d.text) c
         """
     )
+
+
+@query(
+    "q105_pii_scrub",
+    oracle="""
+    WITH lines AS (
+        SELECT event_type,
+               'uid=' || CAST(user_id AS VARCHAR) || ' v=' ||
+               CAST(CAST(ROUND(value * 100) AS INTEGER) AS VARCHAR) ||
+               ' ' || props AS line
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(len(regexp_extract_all(line, '[0-9]+'))) AS BIGINT)
+               AS total_redactions,
+           CAST(SUM(length(regexp_replace(line, '[^0-9]', '', 'g')))
+               AS BIGINT) AS masked_chars,
+           CAST(COUNT(DISTINCT regexp_replace(line, '[0-9]+', '<NUM>', 'g'))
+               AS BIGINT) AS n_masked_forms
+    FROM lines GROUP BY event_type
+    """,
+)
+def q105_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction audit — the scrub stage of a training-data
+    pipeline: mask every digit run in a composed log line (numeric
+    identifiers being the stand-in for phone/account numbers in the
+    synthetic corpus) and report per-type row counts, redaction counts,
+    total masked characters, and distinct post-mask templates.
+
+    Pure column expressions (regexp_count / regexp_replace) — the scrub
+    runs scan-side in whole-stage codegen, no Python, no shuffle beyond
+    the final small groupBy. Regex class [0-9]+ evaluates identically in
+    Spark (Java regex) and DuckDB (RE2), which the oracle hash pins."""
+    ev = read_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("uid="), F.col("user_id").cast("string"),
+        F.lit(" v="),
+        F.round(F.col("value") * 100).cast("int").cast("string"),
+        F.lit(" "), F.col("props"),
+    )
+    masked = F.regexp_replace(line, "[0-9]+", "<NUM>")
+    return ev.select(
+        "event_type",
+        F.regexp_count(line, F.lit("[0-9]+")).alias("runs"),
+        F.length(F.regexp_replace(line, "[^0-9]", "")).alias("digits"),
+        masked.alias("masked"),
+    ).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("runs").alias("total_redactions"),
+        F.sum("digits").alias("masked_chars"),
+        F.countDistinct("masked").alias("n_masked_forms"),
+    )
