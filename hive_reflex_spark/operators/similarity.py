@@ -830,6 +830,22 @@ def _pq_sub(coords: DataFrame) -> DataFrame:
     return coords.withColumn("sub", (F.col("dim") / PQ_SUBDIM).cast("int"))
 
 
+def _pq_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subspaced coordinate view of the embeddings. Routed through the
+    opt-in bench cache (pass-through otherwise) — NOT session-persisted:
+    a registered query returns a lazy plan and could never unpersist, so
+    an unconditional persist() would leak executor storage for the whole
+    driver run and alias cached fragments into later queries' plans."""
+    from hive_reflex_spark.io import cached_df
+
+    return cached_df(
+        ("pq_coords", sf_dir),
+        lambda: _pq_sub(
+            embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
+        ),
+    )
+
+
 def _pq_assign(coords: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest code per (vector, subspace): broadcast the k x d codebook,
     one distance aggregate + one argmin window — the corpus never
@@ -971,9 +987,7 @@ def q102_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, sub) — the q88/training.py 100-TB shape. Oracle unrolls
     seed-assign → mean-update → re-assign as chained CTEs; every argmin
     and centroid mean is hash-checked."""
-    coords = _pq_sub(
-        embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
-    ).persist()
+    coords = _pq_coords(spark, sf_dir)
     _, a1, _ = pq_train(spark, coords)
     return a1.groupBy("sub", "cid").agg(
         F.count("*").alias("n_vectors"),
@@ -988,6 +1002,7 @@ def pq_topk(
     sf_dir: str,
     query_ids: list[int],
     k: int = TOP_K,
+    exact: bool = False,
 ) -> DataFrame:
     """PQ search by Asymmetric Distance Computation (ADC): the query
     scores each codebook entry ONCE (a k x M distance table, M=4
@@ -995,29 +1010,35 @@ def pq_topk(
     just the sum of M table lookups over its stored codes — the original
     vectors are never touched at scoring time.
 
+    ``exact=True`` switches both aggregations to the rounded
+    integer-unit form (order-independent) so results can cross the
+    DuckDB oracle boundary — the q102a path; the default float sums are
+    the fast production path.
+
     Scale shape: the distance table (n_queries x k x M rows) broadcasts;
     the codes table (n x M rows, ~4 bytes/vector of true payload) is the
     only big operand and it streams through one hash join + one
     aggregation. At 100 TB this composes with IVF (q54b) — probe clusters
     first, ADC-score only the probed partitions. Recall vs exact L2 is
     measured in pytest (approximation governed by codebook size)."""
-    coords = _pq_sub(
-        embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
-    ).persist()
+    coords = _pq_coords(spark, sf_dir)
     codebook, assignment, _ = pq_train(spark, coords)
     codes = assignment.select("vec_id", "sub", "cid")
     q = coords.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), "sub", "dim",
         F.col("v").alias("qv"),
     )
+    sq = (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
+    dpart_agg = (
+        F.round(exact_sum(sq, 9), 6) if exact else F.sum(sq)
+    ).alias("dpart")
+    adist_agg = (
+        exact_sum(F.col("dpart"), 6) if exact else F.sum("dpart")
+    ).alias("adist")
     dtab = (
         q.join(F.broadcast(codebook), ["sub", "dim"])
         .groupBy("query_id", "sub", "cid")
-        .agg(
-            F.sum(
-                (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
-            ).alias("dpart")
-        )
+        .agg(dpart_agg)
     )
     wr = Window.partitionBy("query_id").orderBy(
         F.asc("adist"), F.asc("neighbor_id")
@@ -1025,7 +1046,7 @@ def pq_topk(
     return (
         codes.join(F.broadcast(dtab), ["sub", "cid"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("dpart").alias("adist"))
+        .agg(adist_agg)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= k)
@@ -1034,43 +1055,13 @@ def pq_topk(
 
 @query("q102a_pq_adc_topk", oracle=_pq_adc_oracle())
 def q102a_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-checked ADC search: the exact-sum variant of
-    :func:`pq_topk` for the first 4 vectors as queries — distance table
-    from the trained codebooks, approximate L2 as the order-independent
-    integer-unit sum of 4 code lookups, ranked top-5 per query. The
-    oracle extends the q102 CTE chain with the distance table and the
-    lookup aggregation, so the entire IVF-PQ scoring path (train →
-    encode → ADC rank) is hash-checked end to end."""
-    coords = _pq_sub(
-        embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
-    ).persist()
-    codebook, assignment, _ = pq_train(spark, coords)
-    codes = assignment.select("vec_id", "sub", "cid")
-    q = coords.filter(F.col("vec_id") < PQ_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "sub", "dim",
-        F.col("v").alias("qv"),
-    )
-    dtab = (
-        q.join(F.broadcast(codebook), ["sub", "dim"])
-        .groupBy("query_id", "sub", "cid")
-        .agg(
-            F.round(
-                exact_sum(
-                    (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv")),
-                    9,
-                ),
-                6,
-            ).alias("dpart")
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.asc("adist"), F.asc("neighbor_id")
-    )
-    return (
-        codes.join(F.broadcast(dtab), ["sub", "cid"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(exact_sum(F.col("dpart"), 6).alias("adist"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= TOP_K)
+    """Driver-checked ADC search: :func:`pq_topk` in exact-sum mode for
+    the first 4 vectors as queries — distance table from the trained
+    codebooks, approximate L2 as the order-independent integer-unit sum
+    of 4 code lookups, ranked top-5 per query. The oracle extends the
+    q102 CTE chain with the distance table and the lookup aggregation,
+    so the entire IVF-PQ scoring path (train -> encode -> ADC rank) is
+    hash-checked end to end."""
+    return pq_topk(
+        spark, sf_dir, list(range(PQ_N_QUERIES)), k=TOP_K, exact=True
     )

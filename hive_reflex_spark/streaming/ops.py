@@ -356,6 +356,21 @@ def ota_feedback_loop(
     os.makedirs(out_dir, exist_ok=True)
     # stage the replay as n_chunks files → n_chunks micro-batches
     chunk_dir = os.path.join(out_dir, "chunks")
+    if os.path.exists(chunk_dir):
+        # chunk dirs staged by the pre-vintage-detection code carry ts as
+        # raw nanosecond INT64 — unreadable under the TIMESTAMP schema
+        # below; restage rather than crash on schema conversion
+        import glob as _glob
+        import shutil as _shutil
+
+        import pyarrow.parquet as _pq
+
+        files = _glob.glob(os.path.join(chunk_dir, "*.parquet"))
+        stale = not files or not str(
+            _pq.read_schema(files[0]).field("ts").type
+        ).startswith("timestamp")
+        if stale:
+            _shutil.rmtree(chunk_dir)
     if not os.path.exists(chunk_dir):
         # re-stage via the normalized batch reader so the chunks carry a
         # real TIMESTAMP column regardless of the fixture's storage vintage

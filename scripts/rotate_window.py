@@ -37,40 +37,53 @@ def main() -> int:
     from hive_reflex_spark.registry import QUERIES
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    evidence: dict[str, tuple[int, str]] = {}  # name -> (round, kind)
+    # name -> latest round seen per evidence kind; a rows record with
+    # hash_match=False is a FAILURE, not weak evidence
+    hash_r: dict[str, int] = {}
+    rows_r: dict[str, int] = {}
+    fail_r: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
         with open(path) as f:
             rows = json.load(f)
         for name, rec in rows.items():
             if rec.get("hash_match"):
-                kind = "hash"
+                hash_r[name] = max(hash_r.get(name, 0), rnd)
+            elif rec.get("hash_match") is False:
+                fail_r[name] = max(fail_r.get(name, 0), rnd)
             elif rec.get("spark_rows") is not None:
-                kind = "rows"
-            else:
-                continue
-            prev = evidence.get(name)
-            # keep the NEWEST evidence round (freshness), strongest kind
-            if prev is None or rnd > prev[0] or (
-                rnd == prev[0] and kind == "hash"
-            ):
-                evidence[name] = (rnd, kind)
+                rows_r[name] = max(rows_r.get(name, 0), rnd)
 
-    never = [n for n in QUERIES if n not in evidence]
-    rows_only = [n for n in QUERIES if evidence.get(n, (0, ""))[1] == "rows"]
+    # failures first (must re-verify the fix), then never-checked, then
+    # rows-only-evidenced, then hash-greens by staleness; a hash-green in
+    # ANY round keeps a query out of the weaker buckets
+    failed = [n for n in QUERIES
+              if n in fail_r and fail_r[n] >= hash_r.get(n, 0)]
+    never = [n for n in QUERIES
+             if n not in hash_r and n not in rows_r and n not in failed]
+    rows_only = [n for n in QUERIES
+                 if n in rows_r and n not in hash_r and n not in failed]
     greens = sorted(
-        (n for n in QUERIES if evidence.get(n, (0, ""))[1] == "hash"),
-        key=lambda n: evidence[n][0],  # oldest evidence first
+        (n for n in QUERIES if n in hash_r and n not in failed),
+        key=lambda n: hash_r[n],  # oldest green first
     )
-    proposal = (never + rows_only + greens)[:size]
+    proposal = (failed + never + rows_only + greens)[:size]
 
-    print(f"# {len(never)} never-checked, {len(rows_only)} rows-only, "
+    print(f"# {len(failed)} failed-after-green/regressed, "
+          f"{len(never)} never-checked, {len(rows_only)} rows-only, "
           f"{len(greens)} hash-green of {len(QUERIES)} registered")
     print(f"# proposed first-{size} window "
           f"({sum(1 for n in proposal if n in never)} first driver rows):")
     for n in proposal:
-        rnd, kind = evidence.get(n, (None, "NEVER"))
-        print(f'    "{n}",  # {kind}' + (f" r{rnd:02d}" if rnd else ""))
+        if n in failed:
+            tag = f"FAILED r{fail_r[n]:02d}"
+        elif n in hash_r:
+            tag = f"hash r{hash_r[n]:02d}"
+        elif n in rows_r:
+            tag = f"rows r{rows_r[n]:02d}"
+        else:
+            tag = "NEVER"
+        print(f'    "{n}",  # {tag}')
     return 0
 
 
