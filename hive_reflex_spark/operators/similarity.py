@@ -1065,3 +1065,100 @@ def q102a_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         spark, sf_dir, list(range(PQ_N_QUERIES)), k=TOP_K, exact=True
     )
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = TOP_K,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-PQ: the full billion-vector production composition — coarse
+    IVF probing restricts each query to ``n_probe`` clusters, then PQ
+    ADC scores only the restricted candidates from their 4-byte codes.
+
+    Memory/IO shape at 100 TB: the index is codes (4 B/vector) + two
+    small broadcast tables (coarse centroids, PQ codebooks). A query
+    touches n_probe/k_coarse of the code stream and never the original
+    vectors. Both approximations compose: recall is governed by n_probe
+    x codebook size, measured against full ADC in pytest."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cents = emb.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0).select(
+        F.col("vec_id").alias("coarse_cid"), F.col("e").alias("ce")
+    )
+    # corpus -> coarse cluster (L2 argmin, matching the PQ distance space)
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wv = Window.partitionBy("vec_id").orderBy("cd2", "coarse_cid")
+    assigned = (
+        emb.join(F.broadcast(cents))
+        .withColumn("cd2", l2)
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "coarse_cid")
+    )
+    # query -> n_probe nearest coarse clusters
+    queries = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    wq = Window.partitionBy("query_id").orderBy("qd2", "coarse_cid")
+    ql2 = F.aggregate(
+        F.zip_with(
+            F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("qd2", ql2)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "coarse_cid")
+    )
+    # PQ codes + per-query distance table (the ADC machinery)
+    coords = _pq_coords(spark, sf_dir)
+    codebook, assignment, _ = pq_train(spark, coords)
+    codes = assignment.select("vec_id", "sub", "cid")
+    q = coords.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), "sub", "dim",
+        F.col("v").alias("qv"),
+    )
+    dtab = (
+        q.join(F.broadcast(codebook), ["sub", "dim"])
+        .groupBy("query_id", "sub", "cid")
+        .agg(
+            F.sum(
+                (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
+            ).alias("dpart")
+        )
+    )
+    # candidate restriction: (query, vector) pairs whose coarse cluster
+    # is probed — the broadcast probe list prunes the code stream BEFORE
+    # any scoring work
+    cand = assigned.join(F.broadcast(probes), "coarse_cid").select(
+        "query_id", "vec_id"
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(dtab), ["query_id", "sub", "cid"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dpart").alias("adist"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+    )

@@ -254,3 +254,30 @@ def test_pq_adc_respects_quantization_bound(spark, sf_smoke):
         recalls.append(len(exact & byq[qid]) / 10)
     assert sum(recalls) / len(recalls) >= 0.05, recalls
     spark.catalog.clearCache()
+
+
+def test_ivfpq_composes_probe_restriction_with_adc(spark, sf_smoke):
+    """IVF-PQ: every returned neighbor lies in a probed coarse cluster,
+    its adist equals full-ADC's for the same pair, and restricted recall
+    vs full ADC top-k is reasonable for n_probe=2 of 10."""
+    from hive_reflex_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    qids = [3, 17, 101]
+    full = {}
+    for r in pq_topk(spark, sf_smoke, qids, k=5).collect():
+        full.setdefault(r.query_id, {})[r.neighbor_id] = r.adist
+    got = ivfpq_topk(spark, sf_smoke, qids, k=5).collect()
+    assert got, "ivf-pq returned nothing"
+    all_adc = {
+        (r.query_id, r.neighbor_id): r.adist
+        for r in pq_topk(spark, sf_smoke, qids, k=600).collect()
+    }
+    for r in got:
+        # same scoring machinery: adist must match full ADC exactly
+        assert abs(all_adc[(r.query_id, r.neighbor_id)] - r.adist) < 1e-9
+    recalls = []
+    for qid in qids:
+        mine = {r.neighbor_id for r in got if r.query_id == qid}
+        recalls.append(len(mine & set(full[qid])) / len(full[qid]))
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+    spark.catalog.clearCache()
