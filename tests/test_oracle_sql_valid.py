@@ -1,0 +1,46 @@
+"""Every registered oracle must at least PLAN in DuckDB — a seconds-fast
+net for SQL typos/dialect slips that otherwise only surface in the
+driver's full parity run (or worse, in CORRECTNESS_r{N} as an err)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import hive_reflex_spark.operators  # noqa: F401 — registers queries
+from hive_reflex_spark.io import TABLES
+from hive_reflex_spark.registry import ORACLES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return c
+
+
+def test_every_oracle_plans_in_duckdb(con):
+    bad = {}
+    for name, sql in ORACLES.items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # noqa: BLE001 — collect all failures
+            bad[name] = str(ex).splitlines()[0]
+    assert not bad, bad
+
+
+def test_oracle_coverage_ratio():
+    """Rows-only queries stay the justified exceptions, not a leak."""
+    from hive_reflex_spark.registry import QUERIES
+
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only <= {
+        "q28_approx_distinct",      # HLL sketch — engine-specific
+        "q52_cosine_topk_arrays",   # parity-tested vs q51 (its oracle)
+        "q68_lstm_hidden",          # recurrence — numpy pytest oracle
+    }, rows_only
