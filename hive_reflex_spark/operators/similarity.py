@@ -1162,3 +1162,74 @@ def ivfpq_topk(
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= k)
     )
+
+
+@query(
+    "q106_diversity_sample",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         cents AS (SELECT vec_id AS cid, dim, v FROM coords
+                   WHERE vec_id % {N_CENTROIDS_STRIDE} = 0),
+         dots AS (SELECT x.vec_id, c.cid,
+                         CAST(SUM(CAST(ROUND(x.v * c.v * 1000000000) AS BIGINT))
+                              AS BIGINT) / 1000000000.0 AS dot
+                  FROM coords x JOIN cents c USING (dim)
+                  GROUP BY x.vec_id, c.cid),
+         assign AS (SELECT vec_id, cid, dot FROM (
+                        SELECT vec_id, cid, dot,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                  ORDER BY dot DESC, cid) AS rn
+                        FROM dots) WHERE rn = 1),
+         sized AS (SELECT vec_id, cid, dot,
+                          ROW_NUMBER() OVER (PARTITION BY cid
+                                             ORDER BY dot DESC, vec_id) AS rnk,
+                          COUNT(*) OVER (PARTITION BY cid) AS n_members
+                   FROM assign)
+    SELECT cid AS centroid_id, vec_id, CAST(rnk AS BIGINT) AS rnk,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM sized
+    WHERE rnk <= CAST(ceil(sqrt(n_members)) AS BIGINT)
+    """,
+)
+def q106_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based diversity subsampling (the SemDeDup-style curation
+    step): assign every embedding to its coarse cluster, then keep only
+    ceil(sqrt(cluster_size)) prototypes per cluster (highest centroid
+    affinity first, deterministic tie-break) — over-represented regions
+    of embedding space are downsampled hardest while small clusters
+    survive whole.
+
+    Same shape as q54a's assignment (broadcast centroids, corpus
+    streams) plus ONE window over the cluster partitioning — the keep
+    decision never leaves the cluster's partition, so the sample scales
+    with the corpus, not with pairwise comparisons."""
+    coords = embedding_coords(spark, sf_dir)
+    cents = coords.filter(
+        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
+    ).select(F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv"))
+    dots = (
+        coords.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(exact_sum(F.col("v") * F.col("cv"), 9).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid")
+    assign = (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "dot")
+    )
+    wc = Window.partitionBy("cid").orderBy(F.desc("dot"), "vec_id")
+    wn = Window.partitionBy("cid")
+    sized = assign.select(
+        "vec_id", "cid", "dot",
+        F.row_number().over(wc).alias("rnk"),
+        F.count("*").over(wn).alias("n_members"),
+    )
+    return sized.filter(
+        F.col("rnk") <= F.ceil(F.sqrt(F.col("n_members"))).cast("long")
+    ).select(
+        F.col("cid").alias("centroid_id"),
+        "vec_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("n_members").cast("long").alias("n_members"),
+    )

@@ -281,3 +281,22 @@ def test_ivfpq_composes_probe_restriction_with_adc(spark, sf_smoke):
         recalls.append(len(mine & set(full[qid])) / len(full[qid]))
     assert sum(recalls) / len(recalls) >= 0.2, recalls
     spark.catalog.clearCache()
+
+
+def test_diversity_sample_keeps_sqrt_per_cluster(spark, sf_smoke):
+    """q106: every cluster keeps exactly ceil(sqrt(n_members))
+    prototypes (its size permitting), ranked contiguously from 1."""
+    import math
+
+    from hive_reflex_spark.operators.similarity import q106_diversity_sample
+
+    rows = q106_diversity_sample(spark, sf_smoke).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r.centroid_id, []).append(r)
+    assert by_c
+    for cid, kept in by_c.items():
+        n_members = kept[0].n_members
+        want = min(math.ceil(math.sqrt(n_members)), n_members)
+        assert len(kept) == want, (cid, len(kept), want)
+        assert sorted(r.rnk for r in kept) == list(range(1, want + 1))
