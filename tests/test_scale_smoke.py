@@ -1,0 +1,115 @@
+"""Scale smoke: core curation operators executed at 20-40x the fixture
+size on synthesized inputs. No timing asserts (box noise) — the signal
+is that the SAME plans complete with correct invariants when the data is
+millions of rows, i.e. nothing in the path collects the corpus to the
+driver or explodes quadratically."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup_2m_rows(spark):
+    """Hash-groupBy dedup over 2M synthetic docs (1% planted dup rate):
+    group counts must reconcile exactly — no driver-side set building."""
+    n = 2_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # ~1% of ids collapse onto shared texts, rest unique
+        F.when(F.col("id") % 100 == 0, F.concat(F.lit("dup-"), (F.col("id") % 1000).cast("string")))
+        .otherwise(F.concat(F.lit("uniq-"), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    groups = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+    stats = groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_docs").alias("total"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs") - 1).otherwise(0)).alias("dropped"),
+    ).first()
+    assert stats["total"] == n
+    # 20k dup ids map onto 10 texts ("dup-0".."dup-900" step 100 -> 10 distinct)
+    n_dup_texts = 10
+    assert stats["n_groups"] == (n - n // 100) + n_dup_texts
+    assert stats["dropped"] == n // 100 - n_dup_texts
+
+
+def test_repeated_spans_20k_docs(spark, tmp_path):
+    """q103's span pipeline at 40x the sf0.01 corpus: 20k docs, ~10% built
+    from a shared boilerplate template — exactly those must flag."""
+    import os
+
+    from hive_reflex_spark.operators.dedup import q103_repeated_spans
+
+    d = str(tmp_path / "big")
+    os.makedirs(d)
+    boiler = "this exact boilerplate sentence repeats across documents verbatim!"
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0,
+            F.concat(F.lit(boiler + " "), F.md5(F.col("id").cast("string"))),
+        )
+        .otherwise(
+            F.concat(
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("a"))),
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("b"))),
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("c"))),
+            )
+        )
+        .alias("text"),
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text"))
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    res = q103_repeated_spans(spark, d)
+    agg = res.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_dup_spans") > 0, 1).otherwise(0)).alias("flagged"),
+    ).first()
+    assert agg["n_docs"] == 20_000
+    # every boilerplate doc must flag; md5-concat docs share no 32-char span
+    assert agg["flagged"] == 2_000
+
+
+def test_sessionize_1m_events(spark):
+    """Gaps-and-islands sessionization over 1M synthetic events across
+    5k users: session counts reconcile with the planted gap structure."""
+    ev = spark.range(1_000_000).select(
+        (F.col("id") % 5_000).alias("user_id"),
+        # each user's events 10 min apart, with a >30-min gap every 50th
+        # event (10 + 50 = 60 min): sessions of exactly 50 events
+        (
+            (F.col("id") / 5_000).cast("long") * 600
+            + ((F.col("id") / 5_000) / 50).cast("long") * 3000
+        ).alias("ts_s"),
+    )
+    w = F.window  # noqa: F841 — plain window funcs below
+    from pyspark.sql import Window
+
+    wu = Window.partitionBy("user_id").orderBy("ts_s")
+    sess = (
+        ev.withColumn("prev", F.lag("ts_s").over(wu))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull() | (F.col("ts_s") - F.col("prev") > 1800), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_sess").over(
+                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .count()
+    )
+    stats = sess.agg(
+        F.count("*").alias("n_sessions"), F.sum("count").alias("total")
+    ).first()
+    assert stats["total"] == 1_000_000
+    # 200 events/user in blocks of 50 -> 4 sessions x 5k users
+    assert stats["n_sessions"] == 20_000
