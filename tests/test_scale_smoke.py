@@ -86,7 +86,6 @@ def test_sessionize_1m_events(spark):
             + ((F.col("id") / 5_000) / 50).cast("long") * 3000
         ).alias("ts_s"),
     )
-    w = F.window  # noqa: F841 — plain window funcs below
     from pyspark.sql import Window
 
     wu = Window.partitionBy("user_id").orderBy("ts_s")
