@@ -869,6 +869,58 @@ def q21_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q21a_event_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_purchase
+        FROM events GROUP BY user_id)
+    SELECT user_id, kind, n FROM (
+        SELECT user_id, 'click' AS kind, n_click AS n FROM wide
+        UNION ALL
+        SELECT user_id, 'view', n_view FROM wide
+        UNION ALL
+        SELECT user_id, 'purchase', n_purchase FROM wide)
+    WHERE n > 0
+    """,
+)
+def q21a_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long, q21's inverse) via `unpivot` — the melt runs
+    inside the projection (a Generate of constant arity), no shuffle
+    beyond the upstream aggregate; zero rows are dropped to keep the
+    long form sparse, as a real melt of a counters table would."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    types = ["click", "view", "purchase"]
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+                for t in types
+            ],
+        )
+    )
+    return (
+        wide.unpivot(
+            "user_id",
+            [f"n_{t}" for t in types],
+            "kind",
+            "n",
+        )
+        .withColumn("kind", F.expr("substring(kind, 3)"))
+        .filter(F.col("n") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Delta encode (SURVEY W8 / C3).
 # ---------------------------------------------------------------------------
