@@ -101,10 +101,11 @@ _registry.finalize_order([
     # surface — previously pytest-only, no U-tier query had a driver row).
     # The q01/q66 re-checks they displace are r01 hash-green, unchanged.
     # ROTATION PLAN (r03+): once CORRECTNESS_r02 lands, swap its green rows
-    # out of the window for the still-unchecked tail — q91 q92 q93 q95 q96
-    # q97 q98 q99 q65a q101 q102 q102a q103 q104 plus any r03-new queries —
-    # so every registered query accumulates a driver row within a round or
-    # two.
+    # out of the window for the still-unchecked tail (q91-q99, q65a,
+    # q101-q106, q21a, ...) so every registered query accumulates a driver
+    # row within a round or two. Run `python scripts/rotate_window.py` —
+    # it reads every CORRECTNESS_r*.json and prints the proposed order
+    # (regressions first, then never-checked, then stalest greens).
     "q94_neardup_filter",
     "q100_chunk_udtf",
 ])
