@@ -23,91 +23,74 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Curated to span every SURVEY §2 family:
-# relational scan/agg/join, cube, windows, sort/limit, set ops, conditional
-# agg, percentiles, nested, dates, subquery, islands, sessionize, pivot,
-# delta, lags, JSON, regex, rank, collect, approx-distinct, range frames,
-# SQL API, similarity (exact/array/LSH/IVF), time-series (IIR/FIR/PID/gaps/
-# phase/as-of/late), multimodal, streaming, dedup, text, tensor, nn, plans,
-# power, compile, codec. Queries already driver-green in round 1 that are
-# near-duplicates of the above sit after slot 50 (their r01 rows stand).
+# the judged correctness surface. Round-3 rotation (scripts/rotate_window.py
+# over CORRECTNESS_r01+r02): the r02 window went 48/50 green, so those rows
+# stand and their queries rotate out. This window = the one r02 failure
+# (q27, representation fix this round) + every never-driver-checked query
+# (the whole late-r02 curation surface) + q78's oracle fix + the queries NEW
+# this round + the stalest r01 hash-greens as re-checks. Unregistered names
+# are ignored by finalize_order, so new-query names can sit here before
+# their module lands.
 _registry.finalize_order([
-    # relational families (previously driver-unverified)
-    "q09_status_priority_cube",
-    "q10_topk_per_nation",
-    "q11_running_order_totals",
-    "q12_global_topk",
-    "q13_set_ops",
-    "q14_conditional_agg",
-    "q15_price_percentiles",
-    "q16_word_explode",
-    "q17_monthly_orders",
-    "q18_above_avg_orders",
-    "q19_gaps_islands",
-    "q20_sessionize",
-    "q21_event_pivot",
-    "q22_delta_encode",
-    "q23_moving_avg_predict",
-    "q24_json_extract",
-    "q25_regex_extract",
-    "q26_rank_functions",
+    # r02 driver-FAIL, fixed this round (list column -> string-joined)
     "q27_collect_types",
-    "q28_approx_distinct",
-    "q29_range_frames",
-    "q90_sql_api",
-    # similarity / ANN (q52 demoted — rows-only by design, its real check
-    # is the q51-parity pytest; a rows-only driver row adds little)
-    "q51_cosine_topk",
-    "q53_lsh_buckets",
-    "q54b_ivf_topk",
-    # time-series / control
-    "q54_iir_lowpass",
-    "q55_fir_lowpass",
-    "q56_pid_windowed",
-    "q57_gap_detect",
-    "q58_phase_windows",
-    "q59a_asof_join",
-    "q57a_late_data",
-    # multimodal + streaming
-    "q65_multimodal_meta",
-    "q62_streaming_hourly",
-    "q63_stream_static_join",
-    "q64_streaming_sessions",
-    # new / modified this round
-    "q80_onnx_compile",
-    "q81_codec_dispatch",
-    "q82_lz4_roundtrip",
-    "q83_qat_probe",
-    "q84_distill_probe",
-    "q85_hash_split",
-    "q86_stratified_sample",
-    "q87_decontaminate",
-    "q88_ivf_kmeans",
-    "q89_sequence_pack",
-    "q47_jaccard_pairs",
-    "q51a_embedding_neardup",
-    # strongest re-checks, one per already-green family
-    # (q46_exact_dedup demoted for q82 — its r01 row stands, and dedup is
-    # still covered in-window by q47/q49/q50/q51a)
-    # (q34_sparsity_analysis / q79_power_rollup demoted for q83/q84, and
-    # q03_top_revenue for q85/q87 — all r01 hash-green with code unchanged
-    # since.)
-    # (q45_fingerprint / q49_lsh_candidates / q50_simhash demoted for the
-    # brand-new q86/q88/q89, which have no driver row ever — q45/q49/q50
-    # are r01 hash-green AND locally green after this round's changes,
-    # whereas a first driver row for a new operator outranks a re-check.)
-    # Final two slots: q94 (the end-to-end LSH near-dup retention pipeline,
-    # the flagship curation op) and q100 (the Python-UDTF extensibility
-    # surface — previously pytest-only, no U-tier query had a driver row).
-    # The q01/q66 re-checks they displace are r01 hash-green, unchanged.
-    # ROTATION PLAN (r03+): once CORRECTNESS_r02 lands, swap its green rows
-    # out of the window for the still-unchecked tail (q91-q99, q65a,
-    # q101-q106, q21a, ...) so every registered query accumulates a driver
-    # row within a round or two. Run `python scripts/rotate_window.py` —
-    # it reads every CORRECTNESS_r*.json and prints the proposed order
-    # (regressions first, then never-checked, then stalest greens).
-    "q94_neardup_filter",
-    "q100_chunk_udtf",
+    # never driver-checked: text/curation pipeline (local-pass r02)
+    "q91_repetition_metrics",
+    "q92_bpe_merges",
+    "q98_bpe_tokenize",
+    "q95_perplexity_filter",
+    "q105_pii_scrub",
+    "q103_repeated_spans",
+    "q21a_event_unpivot",
+    "q93_domain_mixture",
+    # never driver-checked: similarity/ANN tier
+    "q52_cosine_topk_arrays",
+    "q54a_ivf_assign",
+    "q96_embedding_int8",
+    "q102_pq_encode",
+    "q102a_pq_adc_topk",
+    "q106_diversity_sample",
+    # never driver-checked: time-series / multimodal / streaming
+    "q99_resample_interpolate",
+    "q65a_resize_pool",
+    "q97_stream_dedup",
+    "q101_stream_interval_join",
+    "q104_incremental_rollup",
+    # r02 oracle fix, driver row still rows-only (r01)
+    "q78_dedup_clusters",
+    # NEW this round: normalization, oracled LSTM, real-shape ONNX,
+    # adaptive cascade threshold
+    "q107_layernorm",
+    "q107a_rmsnorm",
+    "q68a_lstm_unrolled",
+    "q80a_onnx_bert",
+    "q108_adaptive_cascade",
+    # stalest r01 hash-greens, re-checks (oldest evidence first; all code
+    # paths unchanged or touched only by this round's perf work)
+    "q30_coord_matmul_gram",
+    "q31_sparse_matmul",
+    "q32_quantize_symmetric",
+    "q33_quant_error",
+    "q34_sparsity_analysis",
+    "q35_softmax",
+    "q36_argmax",
+    "q37_magnitude_prune",
+    "q38_channel_norms",
+    "q39_activation_stats",
+    "q40_pooling",
+    "q41_embedding_lookup",
+    "q72_accuracy_eval",
+    "q73_distillation_kl",
+    "q74_log_stats",
+    "q75_cascade_stats",
+    "q76_weight_stats",
+    "q77_mixed_precision",
+    "q69_rle_roundtrip",
+    "q70_int4_pack",
+    "q71_artifact_checksums",
+    "q59_cost_partition_islands",
+    "q60_flash_layout",
+    "q61_liveness",
 ])
 
 __all__ = [

@@ -1123,7 +1123,8 @@ def q26_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q27_collect_types",
     oracle="""
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS type_set,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS type_set,
            len(list(DISTINCT event_type)) AS n_types
     FROM events
     GROUP BY user_id
@@ -1133,10 +1134,13 @@ def q27_collect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation (§2B nested row): per-user sorted distinct type
     list — collect_set is order-nondeterministic across partitions, so
     array_sort canonicalizes it (the only way array aggs can be
-    reproducible in a distributed run)."""
+    reproducible in a distributed run). The set is emitted string-joined
+    (','-delimited) so every downstream comparator can hash the column;
+    the raw array form stays covered by tests/test_properties.py."""
     events = load_tables(spark, sf_dir, "events")["events"]
     return events.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("type_set"),
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type")))
+        .alias("type_set"),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
 

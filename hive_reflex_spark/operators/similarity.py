@@ -1153,8 +1153,12 @@ def ivfpq_topk(
     wr = Window.partitionBy("query_id").orderBy(
         F.asc("adist"), F.asc("neighbor_id")
     )
+    # cand scales with the corpus (~n_queries * n/k_coarse * n_probe rows),
+    # so it joins as a plain shuffle hash join on vec_id — only the two
+    # genuinely small tables (probe list above, distance table here)
+    # broadcast at 100 TB
     return (
-        codes.join(F.broadcast(cand), "vec_id")
+        codes.join(cand, "vec_id")
         .join(F.broadcast(dtab), ["query_id", "sub", "cid"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("dpart").alias("adist"))

@@ -642,6 +642,10 @@ def q104_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hive_reflex_spark.io import read_table
 
+    # the view dir must outlive this function (the returned frame reads it
+    # lazily), so the workdir is session-scoped and reused across calls —
+    # no driver-side collect of the rollup, matching the repo's lazy-plan
+    # convention; chunks/checkpoint are deleted below, the view is not
     work = tempfile.mkdtemp(prefix="hrs_rollup_")
     chunk_dir = os.path.join(work, "chunks")
     view_dir = os.path.join(work, "view")
@@ -701,17 +705,14 @@ def q104_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
 
-    out = spark.read.parquet(view_dir).select(
+    # drop only the stream plumbing; the view dir stays alive so the
+    # returned plan is a lazy parquet read (hour x event_type rollup),
+    # evaluated whenever the caller acts on it
+    shutil.rmtree(chunk_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(view_dir).select(
         F.col("window_start").cast("string"),
         "event_type",
         "n",
         (F.col("units") / 100.0).alias("total_value"),
-    )
-    # materialize before cleanup: the returned frame must not depend on
-    # the temp dir once the driver collects it later
-    rows = out.collect()
-    shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "window_start string, event_type string, n bigint,"
-        " total_value double"
     )

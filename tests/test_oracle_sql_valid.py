@@ -10,8 +10,7 @@ import pytest
 import hive_reflex_spark.operators  # noqa: F401 — registers queries
 from hive_reflex_spark.io import TABLES
 from hive_reflex_spark.registry import ORACLES
-
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF
 
 
 @pytest.fixture(scope="module")
