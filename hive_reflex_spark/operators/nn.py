@@ -396,3 +396,156 @@ def q67a_depthwise_conv1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_taps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LayerNorm / RMSNorm (transformer normalization tier)
+# ---------------------------------------------------------------------------
+
+LN_EPS = 1e-5  # reference default: transformer_ops.py _analyze_rmsnorm
+LN_VECS = 16  # vectors normalized by the q107 pair
+_P9 = 1_000_000_000  # 9dp integer units for order-independent sums
+
+
+def _exact_mean_over(col, w, n):
+    """Order-independent windowed mean: integer-unit sum / 1e9, then / n.
+
+    The two divisions happen in this exact order in the DuckDB oracles
+    too — binary64 division is exactly rounded, so identical operand
+    order gives bit-identical results across engines."""
+    return (
+        F.sum(F.round(col * _P9).cast("long")).over(w) / float(_P9)
+    ) / n
+
+
+def layernorm_coords(
+    df: DataFrame,
+    keys: list[str],
+    v_col: str = "v",
+    gamma=None,
+    beta=None,
+    eps: float = LN_EPS,
+) -> DataFrame:
+    """LayerNormalization over a coordinate tensor (one row per element,
+    normalized within each ``keys`` group): (v - mean) / sqrt(var + eps)
+    * gamma + beta, per `mlir_compiler/transformer_ops.py:36-38`
+    (_analyze_layernorm) as used by the BERT-Tiny export
+    (`model_zoo/export_bert_tiny.py:42-45`, nn.LayerNorm(embed_dim)).
+
+    Shuffle shape: ONE exchange on ``keys`` — the mean window, the
+    variance window and the output projection all cluster on the same
+    partitioning, so Catalyst chains the Window operators without
+    re-shuffling. At 100 TB each token row-vector is one group; the
+    stats never leave its partition.
+    """
+    w = Window.partitionBy(*keys)
+    n = F.count(v_col).over(w)
+    gamma = F.lit(1.0) if gamma is None else gamma
+    beta = F.lit(0.0) if beta is None else beta
+    out = (
+        df.withColumn("_n", n)
+        .withColumn("_mu", _exact_mean_over(F.col(v_col), w, F.col("_n")))
+        .withColumn("_c", F.col(v_col) - F.col("_mu"))
+        .withColumn(
+            "_var",
+            _exact_mean_over(F.col("_c") * F.col("_c"), w, F.col("_n")),
+        )
+        .withColumn(
+            "ln_v",
+            F.col("_c") / F.sqrt(F.col("_var") + F.lit(eps)) * gamma + beta,
+        )
+    )
+    return out.drop("_n", "_mu", "_c", "_var")
+
+
+def rmsnorm_coords(
+    df: DataFrame,
+    keys: list[str],
+    v_col: str = "v",
+    gamma=None,
+    eps: float = LN_EPS,
+) -> DataFrame:
+    """RMSNorm (`transformer_ops.py:39,55-67` — "simplified LayerNorm
+    without mean subtraction", the NanoLlama path): v / sqrt(mean(v²) +
+    eps) * gamma. Same single-exchange shape as layernorm_coords, one
+    window fewer."""
+    w = Window.partitionBy(*keys)
+    gamma = F.lit(1.0) if gamma is None else gamma
+    out = (
+        df.withColumn("_n", F.count(v_col).over(w))
+        .withColumn(
+            "_ms",
+            _exact_mean_over(F.col(v_col) * F.col(v_col), w, F.col("_n")),
+        )
+        .withColumn(
+            "rms_v",
+            F.col(v_col) / F.sqrt(F.col("_ms") + F.lit(eps)) * gamma,
+        )
+    )
+    return out.drop("_n", "_ms")
+
+
+@query(
+    "q107_layernorm",
+    oracle=f"""
+    WITH coords AS (SELECT vec_id, dim, v FROM {_duck_coords(LN_VECS)} c),
+         st AS (SELECT vec_id, dim, v,
+                       COUNT(*) OVER w AS n,
+                       CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT))
+                            OVER w AS BIGINT) / 1000000000.0 AS su
+                FROM coords WINDOW w AS (PARTITION BY vec_id)),
+         cs AS (SELECT vec_id, dim, n, v - su / n AS c FROM st),
+         vs AS (SELECT vec_id, dim, c, n,
+                       CAST(SUM(CAST(ROUND(c * c * 1000000000) AS BIGINT))
+                            OVER w2 AS BIGINT) / 1000000000.0 AS sv
+                FROM cs WINDOW w2 AS (PARTITION BY vec_id))
+    SELECT vec_id, dim,
+           ROUND(c / sqrt(sv / n + 0.00001)
+                 * (1 + dim / 128.0) + dim / 1000.0, 6) AS ln_v
+    FROM vs
+    """,
+)
+def q107_layernorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LayerNorm over the first 16 embedding vectors with a deterministic
+    per-dim affine (gamma = 1 + dim/128, beta = dim/1000 — exercising the
+    scale-shift path nn.LayerNorm learns). Completes the BERT-Tiny block
+    inventory next to q66 attention + q39 GELU."""
+    coords = embedding_coords(spark, sf_dir, max_vec=LN_VECS)
+    out = layernorm_coords(
+        coords.select("vec_id", "dim", "v"),
+        keys=["vec_id"],
+        gamma=F.lit(1.0) + F.col("dim") / F.lit(128.0),
+        beta=F.col("dim") / F.lit(1000.0),
+    )
+    return out.select(
+        "vec_id", "dim", F.round("ln_v", 6).alias("ln_v")
+    )
+
+
+@query(
+    "q107a_rmsnorm",
+    oracle=f"""
+    WITH coords AS (SELECT vec_id, dim, v FROM {_duck_coords(LN_VECS)} c),
+         st AS (SELECT vec_id, dim, v,
+                       COUNT(*) OVER w AS n,
+                       CAST(SUM(CAST(ROUND(v * v * 1000000000) AS BIGINT))
+                            OVER w AS BIGINT) / 1000000000.0 AS s2
+                FROM coords WINDOW w AS (PARTITION BY vec_id))
+    SELECT vec_id, dim,
+           ROUND(v / sqrt(s2 / n + 0.00001) * (1 + dim / 128.0), 6) AS rms_v
+    FROM st
+    """,
+)
+def q107a_rmsnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMSNorm twin of q107 (no mean subtraction, no beta) — the
+    NanoLlama-style normalization the reference compiler ingests as a
+    custom ONNX op."""
+    coords = embedding_coords(spark, sf_dir, max_vec=LN_VECS)
+    out = rmsnorm_coords(
+        coords.select("vec_id", "dim", "v"),
+        keys=["vec_id"],
+        gamma=F.lit(1.0) + F.col("dim") / F.lit(128.0),
+    )
+    return out.select(
+        "vec_id", "dim", F.round("rms_v", 6).alias("rms_v")
+    )

@@ -179,3 +179,60 @@ def test_asof_join_pandas_matches_rangejoin(spark, sf_smoke):
     # compare on events whose match is unambiguous in both
     agree = sum(1 for k, v in base.items() if got.get(k) == v)
     assert agree / len(base) > 0.95
+
+
+def test_layernorm_matches_numpy(spark):
+    """q107 semantics against a plain numpy LayerNorm (no integer-unit
+    pinning needed at rtol 1e-6 — the pinning exists for cross-engine
+    hash equality, not accuracy)."""
+    from hive_reflex_spark.operators.nn import LN_EPS, layernorm_coords
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(5, 32))
+    rows = [
+        (i, j, float(x[i, j])) for i in range(5) for j in range(32)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, dim int, v double")
+    got = layernorm_coords(
+        df,
+        keys=["vec_id"],
+        gamma=F.lit(1.0) + F.col("dim") / F.lit(128.0),
+        beta=F.col("dim") / F.lit(1000.0),
+    ).collect()
+    gamma = 1 + np.arange(32) / 128.0
+    beta = np.arange(32) / 1000.0
+    want = (
+        (x - x.mean(axis=1, keepdims=True))
+        / np.sqrt(x.var(axis=1, keepdims=True) + LN_EPS)
+    ) * gamma + beta
+    for r in got:
+        np.testing.assert_allclose(
+            r.ln_v, want[r.vec_id, r.dim], rtol=1e-6, atol=1e-6
+        )
+
+
+def test_rmsnorm_matches_numpy(spark):
+    from hive_reflex_spark.operators.nn import LN_EPS, rmsnorm_coords
+
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(4, 16))
+    rows = [(i, j, float(x[i, j])) for i in range(4) for j in range(16)]
+    df = spark.createDataFrame(rows, "vec_id int, dim int, v double")
+    got = rmsnorm_coords(df, keys=["vec_id"]).collect()
+    want = x / np.sqrt((x * x).mean(axis=1, keepdims=True) + LN_EPS)
+    for r in got:
+        np.testing.assert_allclose(
+            r.rms_v, want[r.vec_id, r.dim], rtol=1e-6, atol=1e-6
+        )
+
+
+def test_layernorm_single_exchange(spark, sf_smoke):
+    """The mean/var windows and output projection must share ONE shuffle
+    on vec_id — chained Window ops, no re-exchange."""
+    from hive_reflex_spark.operators.nn import q107_layernorm
+
+    plan = (
+        q107_layernorm(spark, sf_smoke)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
