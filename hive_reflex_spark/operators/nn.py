@@ -549,3 +549,180 @@ def q107a_rmsnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", "dim", F.round("rms_v", 6).alias("rms_v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point hard-gate LSTM (oracle-checkable recurrence tier)
+# ---------------------------------------------------------------------------
+
+Q16 = 65536  # Q16.16 fixed point, the reference's hardware word format
+
+
+def _lstm_fixed_weights(hidden: int) -> tuple[list, list, list]:
+    """Deterministic dyadic Q16.16 packed-gate weights (i,f,g,o order).
+    Dyadic rationals parse exactly from decimal in every engine, so the
+    same numbers live in the Spark closure and the oracle SQL text."""
+    n = 4 * hidden
+    wxq, bq = [], []
+    for k in range(n):
+        gate, j = k // hidden, k % hidden  # 0=i, 1=f, 2=g, 3=o
+        if gate == 0:  # input gate opens with the signal
+            wxq.append(8192), bq.append(8192)
+        elif gate == 1:  # forget gate decays under large inputs
+            wxq.append(-4096), bq.append(49152)
+        elif gate == 2:  # candidate: alternating sign per unit
+            wxq.append(16384 if j % 2 == 0 else -16384)
+            bq.append(-16384 if j % 2 == 0 else 16384)
+        else:  # output gate ajar at rest
+            wxq.append(4096), bq.append(16384)
+    whq = [[((k + j) % 3 - 1) * 4096 for j in range(hidden)] for k in range(n)]
+    return wxq, whq, bq
+
+
+def lstm_fixed_forward(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    x_col: str,
+    x_scale: float,
+    hidden: int,
+) -> DataFrame:
+    """Q16.16 hard-gate LSTM over per-key sequences — the RTL semantics
+    (`rtl/lstm_unit.v:57-80`: sigmoid/tanh are SATURATING CLAMPS, not
+    transcendentals; `imc22_cim.c:145-172` dispatches the same packed
+    i,f,g,o gate block) on the integer CIM word format (P12 Q16.16,
+    `imc22_sdk` fixed-point conventions).
+
+    Every step is integer arithmetic (products <= 2^40, exact in
+    binary64; the only division is by the power-of-two scale, which is
+    exact), so the trajectory is BIT-IDENTICAL in any engine — that is
+    what makes this recurrence oracle-checkable via a recursive CTE
+    (q68a) where the float LSTM (q68) can only be rows-only checked.
+
+    Scale shape: sequences recur independently per key under
+    applyInPandas — one exchange on ``key_cols``, weights ride in the
+    task closure."""
+    import math
+
+    wxq, whq, bq = _lstm_fixed_weights(hidden)
+    hcols = ", ".join(f"h{i}:double" for i in range(hidden))
+    schema = f"{df.schema.simpleString()[7:-1]},{hcols}"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        xs = pdf[x_col].to_numpy(dtype="float64")
+        h = [0] * hidden
+        c = [0] * hidden
+        outs = np.zeros((len(pdf), hidden))
+        for t in range(len(xs)):
+            x = math.floor(xs[t] / x_scale * Q16)
+            z = [0] * (4 * hidden)
+            for k in range(4 * hidden):
+                acc = wxq[k] * x
+                for j in range(hidden):
+                    acc += whq[k][j] * h[j]
+                z[k] = math.floor(acc / float(Q16)) + bq[k]
+            for j in range(hidden):
+                i_g = min(max(z[j], 0), Q16)
+                f_g = min(max(z[hidden + j], 0), Q16)
+                g_g = min(max(z[2 * hidden + j], -Q16), Q16)
+                o_g = min(max(z[3 * hidden + j], 0), Q16)
+                c[j] = math.floor((f_g * c[j] + i_g * g_g) / float(Q16))
+                tc = min(max(c[j], -Q16), Q16)
+                h[j] = math.floor((o_g * tc) / float(Q16))
+            for j in range(hidden):
+                outs[t, j] = h[j] / float(Q16)
+        for j in range(hidden):
+            pdf[f"h{j}"] = outs[:, j]
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+_LSTM_H = 2
+_LSTM_XSCALE = 100.0
+
+
+def _lstm_fixed_oracle(hidden: int = _LSTM_H) -> str:
+    """Recursive-CTE replay of :func:`lstm_fixed_forward` — the q54-IIR
+    technique extended to VECTOR state: the CTE carries (h, c) for every
+    unit as BIGINT Q16.16 columns and each recursive step inlines the
+    exact integer gate algebra. floor(x/65536.0) is used in both engines
+    (never integer '/', whose negative semantics differ)."""
+    wxq, whq, bq = _lstm_fixed_weights(hidden)
+
+    def z(k: int) -> str:
+        acc = f"({wxq[k]})*s.x"
+        for j in range(hidden):
+            acc += f" + ({whq[k][j]})*l.h{j}q"
+        return f"(CAST(floor(({acc})/65536.0) AS BIGINT) + ({bq[k]}))"
+
+    def clamp(e: str, lo: int, hi: int) -> str:
+        return f"LEAST(GREATEST({e}, CAST({lo} AS BIGINT)), CAST({hi} AS BIGINT))"
+
+    c_exprs, h_exprs = [], []
+    for j in range(hidden):
+        i_g = clamp(z(j), 0, Q16)
+        f_g = clamp(z(hidden + j), 0, Q16)
+        g_g = clamp(z(2 * hidden + j), -Q16, Q16)
+        o_g = clamp(z(3 * hidden + j), 0, Q16)
+        cj = (
+            f"CAST(floor((({f_g})*l.c{j}q + ({i_g})*({g_g}))/65536.0)"
+            " AS BIGINT)"
+        )
+        c_exprs.append(cj)
+        tc = clamp(cj, -Q16, Q16)
+        h_exprs.append(
+            f"CAST(floor((({o_g})*({tc}))/65536.0) AS BIGINT)"
+        )
+
+    state_cols = ", ".join(
+        f"{e} AS h{j}q" for j, e in enumerate(h_exprs)
+    ) + ", " + ", ".join(f"{e} AS c{j}q" for j, e in enumerate(c_exprs))
+    zero_state = ", ".join(
+        f"CAST(0 AS BIGINT) AS h{j}q" for j in range(hidden)
+    ) + ", " + ", ".join(f"CAST(0 AS BIGINT) AS c{j}q" for j in range(hidden))
+    out_cols = ", ".join(
+        f"h{j}q / 65536.0 AS h{j}" for j in range(hidden)
+    )
+    return f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(floor(value / {_LSTM_XSCALE} * 65536) AS BIGINT) AS x,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+    lstm AS (
+        SELECT user_id, CAST(NULL AS BIGINT) AS event_id, 0 AS rn,
+               CAST(0 AS BIGINT) AS x, {zero_state}
+        FROM (SELECT DISTINCT user_id FROM seq)
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, s.x, {state_cols}
+        FROM seq s JOIN lstm l
+          ON s.user_id = l.user_id AND s.rn = l.rn + 1)
+    SELECT event_id, user_id, {out_cols} FROM lstm WHERE rn >= 1
+    """
+
+
+@query("q68a_lstm_unrolled", oracle=_lstm_fixed_oracle())
+def q68a_lstm_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked LSTM: the Q16.16 hard-gate recurrence over each
+    user's event-value sequence (2 hidden units), replayed exactly by a
+    recursive-CTE oracle. Closes J5's rows-only gap — q68 keeps the
+    float LSTM (numpy-oracled), this pins the integer RTL semantics."""
+    from hive_reflex_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    out = lstm_fixed_forward(
+        events, ["user_id"], ["ts_us", "event_id"], "value",
+        _LSTM_XSCALE, _LSTM_H,
+    )
+    return out.select(
+        "event_id", "user_id",
+        *[F.col(f"h{j}") for j in range(_LSTM_H)],
+    )

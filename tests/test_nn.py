@@ -236,3 +236,17 @@ def test_layernorm_single_exchange(spark, sf_smoke):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_lstm_fixed_nondegenerate_and_bounded(spark, sf_smoke):
+    """The Q16.16 hard-gate LSTM must produce a varied, bounded
+    trajectory — an all-zero (gate-saturated) run would hash-match a
+    degenerate oracle and prove nothing."""
+    from hive_reflex_spark.operators.nn import q68a_lstm_unrolled
+
+    rows = q68a_lstm_unrolled(spark, sf_smoke).collect()
+    h0 = {r.h0 for r in rows}
+    h1 = {r.h1 for r in rows}
+    assert len(h0) > 50 and len(h1) > 50, (len(h0), len(h1))
+    for r in rows:
+        assert -1.0 <= r.h0 <= 1.0 and -1.0 <= r.h1 <= 1.0
