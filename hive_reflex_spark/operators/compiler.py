@@ -250,3 +250,94 @@ def q61_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("event_id") - F.min("event_id")).alias("live_range"),
         F.count("*").alias("n_refs"),
     )
+
+
+def _bert_tiny_oracle() -> str:
+    from hive_reflex_spark.sources.model_zoo import bert_tiny_ir_values
+
+    return f"""
+    WITH ir(model, idx, name, op_type, rows, cols, inputs, outputs,
+            n_params) AS (
+        VALUES
+        {bert_tiny_ir_values()}),
+    pairs AS (
+        SELECT a.model, a.idx, b.idx AS consumed_idx
+        FROM ir a JOIN ir b
+          ON a.model = b.model AND b.idx = a.idx + 1
+         AND a.op_type = 'MatMul' AND b.op_type = 'Add'
+         AND len(list_intersect(a.outputs, b.inputs)) > 0),
+    fused AS (
+        SELECT i.model, i.idx, i.name,
+               CASE WHEN p.consumed_idx IS NOT NULL
+                    THEN 'Gemm' ELSE i.op_type END AS op_type,
+               i.rows, i.cols, i.n_params
+        FROM ir i LEFT JOIN pairs p ON i.model = p.model AND i.idx = p.idx
+        WHERE i.idx NOT IN (SELECT consumed_idx FROM pairs)),
+    flagged AS (
+        SELECT *,
+               CASE WHEN op_type IN ('Softmax','ReduceMean','Reshape',
+                                     'Transpose') THEN 'cpu'
+                    WHEN op_type IN ('MatMul','Gemm','Conv','LSTM')
+                         AND COALESCE(rows * cols, 0)
+                             >= 2.0 * (COALESCE(rows * cols, 0) / 32.0)
+                    THEN 'cim' ELSE 'cpu' END AS target
+        FROM fused),
+    lagged AS (
+        SELECT *,
+               lag(target) OVER (PARTITION BY model ORDER BY idx)
+                   AS prev_target
+        FROM flagged),
+    islands AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN target IS DISTINCT FROM prev_target
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY model ORDER BY idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS partition_id
+        FROM lagged)
+    SELECT model, idx, name, op_type, target, partition_id, n_params,
+           CAST(COALESCE(rows * cols, 0) AS BIGINT) AS size_bytes,
+           CAST(ceil(COALESCE(rows * cols, 0) / 256.0) * 256 AS BIGINT)
+               AS aligned_bytes,
+           CAST(COALESCE(SUM(CAST(ceil(COALESCE(rows * cols, 0) / 256.0) * 256
+                             AS BIGINT))
+                OVER (PARTITION BY model ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS flash_addr
+    FROM islands
+    """
+
+
+@query("q80a_onnx_bert", oracle=_bert_tiny_oracle())
+def q80a_onnx_bert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80 at transformer shape: a 17-node BERT-Tiny-like ONNX graph
+    (structure per `model_zoo/export_bert_tiny.py:17-60` — embedding,
+    two LayerNorms, full attention with transpose/scale/softmax, two
+    MatMul+Add fusion sites, Gemm FFN, GELU, classifier) encoded to real
+    protobuf bytes, parsed by the wire-format walker, and pushed through
+    fuse_matmul_add → partition_by_cost → flash_layout. Exercises what
+    the 5-node tinynet cannot: multiple fusion sites, cpu-forced ops
+    (Transpose/Softmax), weightless MatMuls (attention scores/context),
+    1-D-initializer-only layers (LayerNorm), and an embedding Gather."""
+    from hive_reflex_spark.plans.passes import (
+        flash_layout,
+        fuse_matmul_add,
+        partition_by_cost,
+    )
+    from hive_reflex_spark.sources.model_zoo import bert_tiny_onnx_path
+    from hive_reflex_spark.sources.onnx_source import read_onnx_model
+
+    ir = read_onnx_model(spark, bert_tiny_onnx_path())
+    laid = flash_layout(partition_by_cost(fuse_matmul_add(ir)))
+    return laid.select(
+        "model",
+        "idx",
+        "name",
+        "op_type",
+        "target",
+        "partition_id",
+        "n_params",
+        "size_bytes",
+        "aligned_bytes",
+        "flash_addr",
+    )

@@ -1,0 +1,190 @@
+"""Structural model-zoo fixtures: deterministic multi-layer ONNX graphs
+built byte-by-byte with the protobuf wire format (no onnx package),
+mirroring the reference's exports.
+
+BERT_TINY mirrors `model_zoo/export_bert_tiny.py:17-60` — embedding →
+LayerNorm → attention (qkv proj, Q·Kᵀ scores w/ transpose+scale, softmax,
+context, out proj) with residuals → LayerNorm → Gemm FFN → GELU →
+classifier head. The graph patterns it exists to exercise are the ones
+the reference compiler handles specially: MatMul→Add fusion adjacency
+(`mlir_compiler/optimizer.py:126-171`), LayerNormalization/RMSNorm
+ingestion (`transformer_ops.py:36-39`), Softmax/Transpose cpu-forcing
+(`partitioner.py:16-19`), weight-shape extraction from initializers
+(`tools/model_parser.py:75-88`).
+
+The spec below is the single source of truth: `write_bert_tiny` encodes
+it to ONNX bytes for the parser, and `bert_tiny_ir_values` re-derives
+the expected layer-IR rows with independent plain-Python logic for the
+q80a oracle's VALUES table.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+# --------------------------------------------------------------------------
+# Minimal protobuf wire-format encoder (twin of onnx_source's decoder)
+# --------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = b""
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _tag(field: int, wtype: int) -> bytes:
+    return _varint((field << 3) | wtype)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _s(field: int, text: str) -> bytes:
+    return _ld(field, text.encode())
+
+
+def _vi(field: int, n: int) -> bytes:
+    return _tag(field, 0) + _varint(n)
+
+
+def _tensor(name: str, dims: list[int], seed: int) -> bytes:
+    """TensorProto: dims=1, data_type=2 (FLOAT), name=8, raw_data=9."""
+    n = 1
+    for d in dims:
+        n *= d
+    raw = bytes((seed + i) % 251 for i in range(4 * n))
+    out = b"".join(_vi(1, d) for d in dims)
+    return out + _vi(2, 1) + _s(8, name) + _ld(9, raw)
+
+
+def _attr_int(name: str, value: int) -> bytes:
+    return _s(1, name) + _vi(3, value) + _vi(20, 2)
+
+
+def _node(
+    name: str,
+    op_type: str,
+    inputs: list[str],
+    outputs: list[str],
+    attrs: bytes = b"",
+) -> bytes:
+    out = b"".join(_s(1, i) for i in inputs)
+    out += b"".join(_s(2, o) for o in outputs)
+    out += _s(3, name) + _s(4, op_type)
+    if attrs:
+        out += _ld(5, attrs)
+    return out
+
+
+# --------------------------------------------------------------------------
+# BERT-Tiny spec (embed_dim 64, 4 heads, vocab 128)
+# --------------------------------------------------------------------------
+
+# (name, op_type, inputs, outputs, {int attrs})
+BERT_TINY_NODES: list[tuple] = [
+    ("embed", "Gather", ["emb_table", "x"], ["h0"], {}),
+    ("norm1", "LayerNormalization", ["h0", "ln1_g", "ln1_b"], ["h1"], {}),
+    ("qkv", "MatMul", ["h1", "Wqkv"], ["qkv0"], {}),
+    ("qkv_bias", "Add", ["qkv0", "bqkv"], ["qkvb"], {}),
+    ("transpose_k", "Transpose", ["qkvb"], ["kT"], {}),
+    ("scores", "MatMul", ["qkvb", "kT"], ["sc"], {}),
+    ("scale", "Div", ["sc", "inv_sqrt_d"], ["scd"], {}),
+    ("softmax", "Softmax", ["scd"], ["attn"], {"axis": 3}),
+    ("ctx", "MatMul", ["attn", "qkvb"], ["ctx"], {}),
+    ("out_proj", "MatMul", ["ctx", "Wo"], ["op0"], {}),
+    ("out_bias", "Add", ["op0", "bo"], ["opb"], {}),
+    ("resid1", "Add", ["opb", "h1"], ["r1"], {}),
+    ("norm2", "LayerNormalization", ["r1", "ln2_g", "ln2_b"], ["h2"], {}),
+    ("fc", "Gemm", ["h2", "Wfc", "bfc"], ["f1"], {}),
+    ("gelu", "Gelu", ["f1"], ["g1"], {}),
+    ("resid2", "Add", ["g1", "r1"], ["r2"], {}),
+    ("cls", "MatMul", ["r2", "Wcls"], ["logits"], {}),
+]
+
+BERT_TINY_INITS: dict[str, list[int]] = {
+    "emb_table": [128, 64],
+    "ln1_g": [64],
+    "ln1_b": [64],
+    "Wqkv": [64, 192],
+    "bqkv": [192],
+    "inv_sqrt_d": [1],
+    "Wo": [64, 64],
+    "bo": [64],
+    "ln2_g": [64],
+    "ln2_b": [64],
+    "Wfc": [64, 64],
+    "bfc": [64],
+    "Wcls": [64, 10],
+}
+
+BERT_TINY_NAME = "bert_tiny"
+
+
+def write_bert_tiny(path: str) -> str:
+    """Encode the spec as an ONNX ModelProto at ``path``."""
+    nodes = []
+    for name, op, ins, outs, attrs in BERT_TINY_NODES:
+        ab = b"".join(_attr_int(k, v) for k, v in attrs.items())
+        nodes.append(_node(name, op, ins, outs, ab))
+    inits = [
+        _tensor(name, dims, seed * 7 + 3)
+        for seed, (name, dims) in enumerate(BERT_TINY_INITS.items())
+    ]
+    graph = (
+        b"".join(_ld(1, n) for n in nodes)
+        + _s(2, BERT_TINY_NAME)
+        + b"".join(_ld(5, t) for t in inits)
+    )
+    model = _vi(1, 8) + _ld(7, graph)  # ir_version=8, graph=7
+    with open(path, "wb") as f:
+        f.write(model)
+    return path
+
+
+def bert_tiny_onnx_path() -> str:
+    """Write (once per process) the fixture into the temp dir and return
+    its path — the file is deterministic, so re-writes are idempotent."""
+    path = os.path.join(tempfile.gettempdir(), "hrs_bert_tiny.onnx")
+    if not os.path.exists(path):
+        write_bert_tiny(path)
+    return path
+
+
+def bert_tiny_ir_values() -> str:
+    """The expected parse as a DuckDB VALUES list (model, idx, name,
+    op_type, rows, cols, inputs, outputs, n_params) — derived from the
+    spec with the extraction rules of `tools/model_parser.py:75-88`
+    stated independently: (rows, cols) = last two dims of the first
+    >=2-D initializer input; n_params = total elements over all
+    initializer inputs."""
+    rows_sql = []
+    for idx, (name, op, ins, outs, _attrs) in enumerate(BERT_TINY_NODES):
+        wdims: list[int] = []
+        n_params = 0
+        for i in ins:
+            dims = BERT_TINY_INITS.get(i)
+            if dims is None:
+                continue
+            n = 1
+            for d in dims:
+                n *= d
+            n_params += n
+            if not wdims and len(dims) >= 2:
+                wdims = dims
+        r = str(wdims[-2]) if wdims else "CAST(NULL AS INTEGER)"
+        c = str(wdims[-1]) if wdims else "CAST(NULL AS INTEGER)"
+        ins_sql = "[" + ",".join(f"'{i}'" for i in ins) + "]"
+        outs_sql = "[" + ",".join(f"'{o}'" for o in outs) + "]"
+        rows_sql.append(
+            f"('{BERT_TINY_NAME}', {idx}, '{name}', '{op}', {r}, {c}, "
+            f"{ins_sql}, {outs_sql}, CAST({n_params} AS BIGINT))"
+        )
+    return ",\n        ".join(rows_sql)

@@ -76,3 +76,45 @@ class TestIRExtraction:
         assert [got[i]["flash_addr"] for i in (0, 2, 3, 4)] == [
             0, 2048, 2048, 4096,
         ]
+
+
+class TestBertTiny:
+    def test_parse_matches_spec(self):
+        """The wire-format walker must recover every node and weight
+        shape of the 17-node transformer graph."""
+        from hive_reflex_spark.sources.model_zoo import (
+            BERT_TINY_NODES,
+            bert_tiny_onnx_path,
+        )
+        from hive_reflex_spark.sources.onnx_source import onnx_to_ir_rows
+
+        rows = onnx_to_ir_rows(bert_tiny_onnx_path())
+        assert len(rows) == len(BERT_TINY_NODES) == 17
+        by_name = {r["name"]: r for r in rows}
+        assert by_name["qkv"]["rows"] == 64
+        assert by_name["qkv"]["cols"] == 192
+        assert by_name["embed"]["n_params"] == 128 * 64
+        assert by_name["norm1"]["rows"] is None  # 1-D inits only
+        assert by_name["norm1"]["n_params"] == 128
+        assert by_name["softmax"]["op_type"] == "Softmax"
+        assert by_name["fc"]["n_params"] == 64 * 64 + 64
+
+    def test_compile_shape(self, spark):
+        """Both MatMul+Add sites fuse; Transpose/Softmax are cpu-forced;
+        weightless attention MatMuls still go to the CIM core."""
+        from hive_reflex_spark.operators.compiler import q80a_onnx_bert
+
+        got = {r["name"]: r.asDict() for r in q80a_onnx_bert(spark, "").collect()}
+        assert len(got) == 15  # 17 nodes - 2 consumed Adds
+        assert got["qkv"]["op_type"] == "Gemm"
+        assert got["out_proj"]["op_type"] == "Gemm"
+        assert "qkv_bias" not in got and "out_bias" not in got
+        assert got["transpose_k"]["target"] == "cpu"
+        assert got["softmax"]["target"] == "cpu"
+        assert got["scores"]["target"] == "cim"
+        # flash addresses are exclusive running sums of aligned sizes
+        laid = sorted(got.values(), key=lambda r: r["idx"])
+        addr = 0
+        for r in laid:
+            assert r["flash_addr"] == addr
+            addr += r["aligned_bytes"]
