@@ -331,3 +331,113 @@ def q77_mixed_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("mse"), 9).alias("max_mse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive cascade threshold (stateful feedback on the A8 aggregate)
+# ---------------------------------------------------------------------------
+
+ADAPT_K = 0.1  # factor step per unit exit-rate error
+ADAPT_BASE = 40.0  # stage confidence threshold the factor scales
+ADAPT_TARGET = 0.45  # target exit rate: the fixture's operating point
+ADAPT_LO, ADAPT_HI = 0.9, 1.1  # cascade_model.h:66 factor bounds
+
+
+def adaptive_threshold_trajectory(
+    hourly: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Per-key replay of `cascade_model.c:60-66,115-117`'s adaptive
+    threshold hook: each batch observes its early-exit rate and nudges
+    ``threshold_adjust_factor`` toward the target operating point,
+    clamped to the header's [0.9, 1.1]; the effective threshold
+    ``base*factor`` (`Cascade_ShouldExit`'s multiply) is what the next
+    batch would apply.
+
+    ``hourly`` rows: key_cols + (order_col, n, n_exit). The recurrence
+    input is the per-batch AGGREGATE — O(hours), not O(events) — so the
+    sequential part is planner-scale per key while the heavy count runs
+    distributed; keys (one control loop per event_type here) recur in
+    parallel. Every update is exactly-rounded binary64 arithmetic in a
+    pinned order, so the trajectory is engine-exact (oracled by a
+    recursive CTE in q108)."""
+    import pandas as pd
+
+    schema = f"{hourly.schema.simpleString()[7:-1]},factor:double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        f = 1.0
+        out = []
+        for n, n_exit in zip(pdf["n"], pdf["n_exit"]):
+            f = f + ADAPT_K * (int(n_exit) / int(n) - ADAPT_TARGET)
+            f = min(max(f, ADAPT_LO), ADAPT_HI)
+            out.append(f)
+        pdf["factor"] = out
+        return pdf
+
+    return hourly.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+@query(
+    "q108_adaptive_cascade",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+               COUNT(*) AS n,
+               SUM(CASE WHEN value > 40.0 THEN 1 ELSE 0 END) AS n_exit
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                      AS rn
+        FROM hourly),
+    ctl AS (
+        SELECT event_type, CAST(NULL AS VARCHAR) AS h, 0 AS rn,
+               CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS n_exit,
+               CAST(1.0 AS DOUBLE) AS factor
+        FROM (SELECT DISTINCT event_type FROM seq)
+        UNION ALL
+        SELECT s.event_type, s.h, s.rn, s.n, s.n_exit,
+               LEAST(GREATEST(c.factor
+                     + CAST(0.1 AS DOUBLE)
+                       * (CAST(s.n_exit AS DOUBLE) / CAST(s.n AS DOUBLE)
+                          - CAST(0.45 AS DOUBLE)),
+                     CAST(0.9 AS DOUBLE)), CAST(1.1 AS DOUBLE))
+        FROM seq s JOIN ctl c
+          ON s.event_type = c.event_type AND s.rn = c.rn + 1)
+    SELECT event_type, h AS window_start, n,
+           CAST(n_exit AS BIGINT) AS n_exit,
+           ROUND(factor, 6) AS factor,
+           ROUND(40.0 * factor, 6) AS effective_threshold
+    FROM ctl WHERE rn >= 1
+    """,
+)
+def q108_adaptive_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive cascade threshold (`flash_io_optimizer.c:162-167` cascade
+    strategy + `cascade_model.c:115-117`): one control loop per
+    event_type observes each hour's exit rate against the base
+    confidence threshold (40.0, chosen at the fixture's ~45% operating
+    point so the controller exercises its active region rather than a
+    clamp) and updates the threshold-adjust factor;
+    output is the factor trajectory and the effective threshold the next
+    hour would apply."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") > ADAPT_BASE, 1).otherwise(0)).alias("n_exit"),
+    )
+    traj = adaptive_threshold_trajectory(
+        hourly, ["event_type"], "window_start"
+    )
+    return traj.select(
+        "event_type",
+        "window_start",
+        "n",
+        F.col("n_exit").cast("long").alias("n_exit"),
+        F.round("factor", 6).alias("factor"),
+        F.round(F.col("factor") * ADAPT_BASE, 6).alias("effective_threshold"),
+    )

@@ -250,3 +250,19 @@ def test_lstm_fixed_nondegenerate_and_bounded(spark, sf_smoke):
     assert len(h0) > 50 and len(h1) > 50, (len(h0), len(h1))
     for r in rows:
         assert -1.0 <= r.h0 <= 1.0 and -1.0 <= r.h1 <= 1.0
+
+
+def test_adaptive_cascade_bounded_and_live(spark, sf_smoke):
+    """The threshold-adjust factor must stay in cascade_model.h's
+    [0.9, 1.1] band and actually move (a clamp-pinned trajectory would
+    mean the controller never operates in its active region)."""
+    from hive_reflex_spark.operators.analytics import q108_adaptive_cascade
+
+    rows = q108_adaptive_cascade(spark, sf_smoke).collect()
+    factors = [r.factor for r in rows]
+    assert all(0.9 <= f <= 1.1 for f in factors)
+    assert len(set(factors)) > 20, len(set(factors))
+    # factor is rounded to 6dp independently of the threshold, so the
+    # recomputation tolerance is 40 x the rounding quantum
+    for r in rows:
+        assert abs(r.effective_threshold - 40.0 * r.factor) < 4e-5
