@@ -197,11 +197,16 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        "q94_neardup_filter",   # curation flagship (first driver row)
-        "q100_chunk_udtf",      # UDTF extensibility tier
-        "q80_onnx_compile",     # ONNX ingest
-        "q11_running_order_totals",  # window family
-        "q62_streaming_hourly",      # streaming family
-        "q54b_ivf_topk",             # ANN family
+        # round-3 rotation: the never-driver-checked curation tail, the
+        # q27/q78 fixes, and every query new this round must hold slots
+        "q27_collect_types",         # r02 driver-FAIL, fixed
+        "q91_repetition_metrics",    # text-quality tier (first driver row)
+        "q102a_pq_adc_topk",         # PQ ANN tier (first driver row)
+        "q104_incremental_rollup",   # continuous aggregate (first row)
+        "q78_dedup_clusters",        # connected components oracle fix
+        "q107_layernorm",            # new: normalization
+        "q68a_lstm_unrolled",        # new: oracled LSTM
+        "q80a_onnx_bert",            # new: transformer ONNX ingest
+        "q108_adaptive_cascade",     # new: threshold feedback loop
     ):
         assert must in window, must
