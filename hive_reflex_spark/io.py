@@ -56,6 +56,11 @@ def enable_df_cache(table_partitions: int | None = None) -> None:
     _CACHE_TABLE_PARTITIONS = table_partitions
 
 
+def df_cache_enabled() -> bool:
+    """True when bench-mode persist()-backed sharing is on."""
+    return _DF_CACHE is not None
+
+
 def cached_df(key: tuple, build):
     """Return a persisted DataFrame for ``key``, building it on first use.
     Pass-through (no persist) when the cache is disabled."""
