@@ -726,3 +726,168 @@ def q68a_lstm_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         *[F.col(f"h{j}") for j in range(_LSTM_H)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point hard-gate GRU (q68a's technique on the LAYER_GRU enum)
+# ---------------------------------------------------------------------------
+
+
+def _gru_fixed_weights(hidden: int) -> tuple[list, list, list]:
+    """Deterministic dyadic Q16.16 packed z/r/n weights (update, reset,
+    candidate — `nn_topology.h:51` gate order)."""
+    n = 3 * hidden
+    wxq, bq = [], []
+    for k in range(n):
+        gate, j = k // hidden, k % hidden
+        if gate == 0:  # update gate follows the signal
+            wxq.append(8192), bq.append(8192)
+        elif gate == 1:  # reset gate mostly open
+            wxq.append(-4096), bq.append(49152)
+        else:  # candidate: alternating sign per unit
+            wxq.append(16384 if j % 2 == 0 else -16384)
+            bq.append(-16384 if j % 2 == 0 else 16384)
+    whq = [[((k + j) % 3 - 1) * 4096 for j in range(hidden)] for k in range(n)]
+    return wxq, whq, bq
+
+
+def gru_fixed_forward(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    x_col: str,
+    x_scale: float,
+    hidden: int,
+) -> DataFrame:
+    """Q16.16 hard-gate GRU over per-key sequences — the saturating-clamp
+    activation semantics of `rtl/lstm_unit.v:57-80` applied to the GRU
+    gate algebra of :func:`gru_forward` (z/r/n packed order,
+    `nn_topology.h:51`): z,r = clamp(zx+zh, 0, 1); n = clamp(zx_n +
+    r·zh_n, -1, 1); h' = (1−z)·n + z·h. Integer arithmetic throughout →
+    bit-identical trajectory in any engine (oracled by q68b's recursive
+    CTE)."""
+    import math
+
+    wxq, whq, bq = _gru_fixed_weights(hidden)
+    hcols = ", ".join(f"h{i}:double" for i in range(hidden))
+    schema = f"{df.schema.simpleString()[7:-1]},{hcols}"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
+        xs = pdf[x_col].to_numpy(dtype="float64")
+        h = [0] * hidden
+        outs = np.zeros((len(pdf), hidden))
+        for t in range(len(xs)):
+            x = math.floor(xs[t] / x_scale * Q16)
+            zx = [
+                math.floor((wxq[k] * x) / float(Q16)) + bq[k]
+                for k in range(3 * hidden)
+            ]
+            zh = []
+            for k in range(3 * hidden):
+                acc = 0
+                for j in range(hidden):
+                    acc += whq[k][j] * h[j]
+                zh.append(math.floor(acc / float(Q16)))
+            new_h = list(h)
+            for j in range(hidden):
+                z_g = min(max(zx[j] + zh[j], 0), Q16)
+                r_g = min(max(zx[hidden + j] + zh[hidden + j], 0), Q16)
+                n_pre = zx[2 * hidden + j] + math.floor(
+                    (r_g * zh[2 * hidden + j]) / float(Q16)
+                )
+                n_g = min(max(n_pre, -Q16), Q16)
+                new_h[j] = math.floor(
+                    ((Q16 - z_g) * n_g + z_g * h[j]) / float(Q16)
+                )
+            h = new_h
+            for j in range(hidden):
+                outs[t, j] = h[j] / float(Q16)
+        for j in range(hidden):
+            pdf[f"h{j}"] = outs[:, j]
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+def _gru_fixed_oracle(hidden: int = _LSTM_H) -> str:
+    """Recursive-CTE replay of :func:`gru_fixed_forward` (the q68a
+    vector-state technique; note h' reads the PREVIOUS h of every unit,
+    which the CTE gets for free by computing all units from row l)."""
+    wxq, whq, bq = _gru_fixed_weights(hidden)
+
+    def zx(k: int) -> str:
+        return (
+            f"(CAST(floor((({wxq[k]})*s.x)/65536.0) AS BIGINT) + ({bq[k]}))"
+        )
+
+    def zh(k: int) -> str:
+        acc = " + ".join(f"({whq[k][j]})*l.h{j}q" for j in range(hidden))
+        return f"CAST(floor(({acc})/65536.0) AS BIGINT)"
+
+    def clamp(e: str, lo: int, hi: int) -> str:
+        return (
+            f"LEAST(GREATEST({e}, CAST({lo} AS BIGINT)),"
+            f" CAST({hi} AS BIGINT))"
+        )
+
+    h_exprs = []
+    for j in range(hidden):
+        z_g = clamp(f"{zx(j)} + {zh(j)}", 0, Q16)
+        r_g = clamp(f"{zx(hidden + j)} + {zh(hidden + j)}", 0, Q16)
+        n_g = clamp(
+            f"{zx(2 * hidden + j)} + CAST(floor((({r_g})*({zh(2 * hidden + j)}))"
+            "/65536.0) AS BIGINT)",
+            -Q16,
+            Q16,
+        )
+        h_exprs.append(
+            f"CAST(floor(((65536 - ({z_g}))*({n_g}) + ({z_g})*l.h{j}q)"
+            "/65536.0) AS BIGINT)"
+        )
+
+    state_cols = ", ".join(f"{e} AS h{j}q" for j, e in enumerate(h_exprs))
+    zero_state = ", ".join(
+        f"CAST(0 AS BIGINT) AS h{j}q" for j in range(hidden)
+    )
+    out_cols = ", ".join(f"h{j}q / 65536.0 AS h{j}" for j in range(hidden))
+    return f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(floor(value / {_LSTM_XSCALE} * 65536) AS BIGINT) AS x,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+    gru AS (
+        SELECT user_id, CAST(NULL AS BIGINT) AS event_id, 0 AS rn,
+               CAST(0 AS BIGINT) AS x, {zero_state}
+        FROM (SELECT DISTINCT user_id FROM seq)
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, s.x, {state_cols}
+        FROM seq s JOIN gru l
+          ON s.user_id = l.user_id AND s.rn = l.rn + 1)
+    SELECT event_id, user_id, {out_cols} FROM gru WHERE rn >= 1
+    """
+
+
+@query("q68b_gru_unrolled", oracle=_gru_fixed_oracle())
+def q68b_gru_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked GRU twin of q68a (J5's second cell type,
+    `nn_topology.h:51` LAYER_GRU): same event-value sequences, 2 hidden
+    units, integer hard-gate algebra."""
+    from hive_reflex_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    out = gru_fixed_forward(
+        events, ["user_id"], ["ts_us", "event_id"], "value",
+        _LSTM_XSCALE, _LSTM_H,
+    )
+    return out.select(
+        "event_id", "user_id",
+        *[F.col(f"h{j}") for j in range(_LSTM_H)],
+    )

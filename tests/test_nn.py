@@ -266,3 +266,13 @@ def test_adaptive_cascade_bounded_and_live(spark, sf_smoke):
     # recomputation tolerance is 40 x the rounding quantum
     for r in rows:
         assert abs(r.effective_threshold - 40.0 * r.factor) < 4e-5
+
+
+def test_gru_fixed_nondegenerate_and_bounded(spark, sf_smoke):
+    from hive_reflex_spark.operators.nn import q68b_gru_unrolled
+
+    rows = q68b_gru_unrolled(spark, sf_smoke).collect()
+    h0 = {r.h0 for r in rows}
+    assert len(h0) > 50, len(h0)
+    for r in rows:
+        assert -1.0 <= r.h0 <= 1.0 and -1.0 <= r.h1 <= 1.0
