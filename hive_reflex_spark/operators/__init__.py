@@ -63,7 +63,9 @@ _registry.finalize_order([
     "q107_layernorm",
     "q107a_rmsnorm",
     "q68a_lstm_unrolled",
+    "q68b_gru_unrolled",
     "q80a_onnx_bert",
+    "q80b_onnx_mobilenet",
     "q108_adaptive_cascade",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work)

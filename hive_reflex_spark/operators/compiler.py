@@ -252,14 +252,14 @@ def q61_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bert_tiny_oracle() -> str:
-    from hive_reflex_spark.sources.model_zoo import bert_tiny_ir_values
-
+def _compile_chain_oracle(values_sql: str) -> str:
+    """fuse → partition (incl. cpu-forced ops) → flash-layout replayed in
+    SQL over a pinned golden-parse VALUES table."""
     return f"""
     WITH ir(model, idx, name, op_type, rows, cols, inputs, outputs,
             n_params) AS (
         VALUES
-        {bert_tiny_ir_values()}),
+        {values_sql}),
     pairs AS (
         SELECT a.model, a.idx, b.idx AS consumed_idx
         FROM ir a JOIN ir b
@@ -308,6 +308,12 @@ def _bert_tiny_oracle() -> str:
     """
 
 
+def _bert_tiny_oracle() -> str:
+    from hive_reflex_spark.sources.model_zoo import bert_tiny_ir_values
+
+    return _compile_chain_oracle(bert_tiny_ir_values())
+
+
 @query("q80a_onnx_bert", oracle=_bert_tiny_oracle())
 def q80a_onnx_bert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q80 at transformer shape: a 17-node BERT-Tiny-like ONNX graph
@@ -328,6 +334,47 @@ def q80a_onnx_bert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_reflex_spark.sources.onnx_source import read_onnx_model
 
     ir = read_onnx_model(spark, bert_tiny_onnx_path())
+    laid = flash_layout(partition_by_cost(fuse_matmul_add(ir)))
+    return laid.select(
+        "model",
+        "idx",
+        "name",
+        "op_type",
+        "target",
+        "partition_id",
+        "n_params",
+        "size_bytes",
+        "aligned_bytes",
+        "flash_addr",
+    )
+
+
+def _mobilenet_oracle() -> str:
+    from hive_reflex_spark.sources.model_zoo import mobilenet_ir_values
+
+    return _compile_chain_oracle(mobilenet_ir_values())
+
+
+@query("q80b_onnx_mobilenet", oracle=_mobilenet_oracle())
+def q80b_onnx_mobilenet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80 at CNN shape: a 48-node MobileNetV1-like graph (structure per
+    `model_zoo/export_mobilenet.py:5-56` — strided initial Conv, seven
+    depthwise-separable blocks of grouped Conv3x3 / BatchNorm / ReLU /
+    pointwise Conv1x1 / BatchNorm / ReLU, GlobalAveragePool, Reshape,
+    Gemm head) through the same parse → fuse → partition → layout
+    chain. Exercises the CNN side the transformer fixture cannot: Conv
+    as the cim-eligible op, 4-D initializer shape extraction, the long
+    alternating cim/cpu island sequence (15 partitions), and a
+    Reshape in cpu-forced position."""
+    from hive_reflex_spark.plans.passes import (
+        flash_layout,
+        fuse_matmul_add,
+        partition_by_cost,
+    )
+    from hive_reflex_spark.sources.model_zoo import mobilenet_onnx_path
+    from hive_reflex_spark.sources.onnx_source import read_onnx_model
+
+    ir = read_onnx_model(spark, mobilenet_onnx_path())
     laid = flash_layout(partition_by_cost(fuse_matmul_add(ir)))
     return laid.select(
         "model",

@@ -128,20 +128,20 @@ BERT_TINY_INITS: dict[str, list[int]] = {
 BERT_TINY_NAME = "bert_tiny"
 
 
-def write_bert_tiny(path: str) -> str:
-    """Encode the spec as an ONNX ModelProto at ``path``."""
+def write_model(path: str, name: str, spec_nodes: list, inits: dict) -> str:
+    """Encode a (nodes, initializers) spec as an ONNX ModelProto."""
     nodes = []
-    for name, op, ins, outs, attrs in BERT_TINY_NODES:
+    for nname, op, ins, outs, attrs in spec_nodes:
         ab = b"".join(_attr_int(k, v) for k, v in attrs.items())
-        nodes.append(_node(name, op, ins, outs, ab))
-    inits = [
-        _tensor(name, dims, seed * 7 + 3)
-        for seed, (name, dims) in enumerate(BERT_TINY_INITS.items())
+        nodes.append(_node(nname, op, ins, outs, ab))
+    tensors = [
+        _tensor(tname, dims, seed * 7 + 3)
+        for seed, (tname, dims) in enumerate(inits.items())
     ]
     graph = (
         b"".join(_ld(1, n) for n in nodes)
-        + _s(2, BERT_TINY_NAME)
-        + b"".join(_ld(5, t) for t in inits)
+        + _s(2, name)
+        + b"".join(_ld(5, t) for t in tensors)
     )
     model = _vi(1, 8) + _ld(7, graph)  # ir_version=8, graph=7
     with open(path, "wb") as f:
@@ -149,16 +149,16 @@ def write_bert_tiny(path: str) -> str:
     return path
 
 
-def bert_tiny_onnx_path() -> str:
+def _model_onnx_path(name: str, spec_nodes: list, inits: dict) -> str:
     """Write (once per process) the fixture into the temp dir and return
     its path — the file is deterministic, so re-writes are idempotent."""
-    path = os.path.join(tempfile.gettempdir(), "hrs_bert_tiny.onnx")
+    path = os.path.join(tempfile.gettempdir(), f"hrs_{name}.onnx")
     if not os.path.exists(path):
-        write_bert_tiny(path)
+        write_model(path, name, spec_nodes, inits)
     return path
 
 
-def bert_tiny_ir_values() -> str:
+def ir_values(name: str, spec_nodes: list, inits: dict) -> str:
     """The expected parse as a DuckDB VALUES list (model, idx, name,
     op_type, rows, cols, inputs, outputs, n_params) — derived from the
     spec with the extraction rules of `tools/model_parser.py:75-88`
@@ -166,11 +166,11 @@ def bert_tiny_ir_values() -> str:
     >=2-D initializer input; n_params = total elements over all
     initializer inputs."""
     rows_sql = []
-    for idx, (name, op, ins, outs, _attrs) in enumerate(BERT_TINY_NODES):
+    for idx, (nname, op, ins, outs, _attrs) in enumerate(spec_nodes):
         wdims: list[int] = []
         n_params = 0
         for i in ins:
-            dims = BERT_TINY_INITS.get(i)
+            dims = inits.get(i)
             if dims is None:
                 continue
             n = 1
@@ -184,7 +184,84 @@ def bert_tiny_ir_values() -> str:
         ins_sql = "[" + ",".join(f"'{i}'" for i in ins) + "]"
         outs_sql = "[" + ",".join(f"'{o}'" for o in outs) + "]"
         rows_sql.append(
-            f"('{BERT_TINY_NAME}', {idx}, '{name}', '{op}', {r}, {c}, "
+            f"('{name}', {idx}, '{nname}', '{op}', {r}, {c}, "
             f"{ins_sql}, {outs_sql}, CAST({n_params} AS BIGINT))"
         )
     return ",\n        ".join(rows_sql)
+
+
+def bert_tiny_onnx_path() -> str:
+    return _model_onnx_path(BERT_TINY_NAME, BERT_TINY_NODES, BERT_TINY_INITS)
+
+
+def bert_tiny_ir_values() -> str:
+    return ir_values(BERT_TINY_NAME, BERT_TINY_NODES, BERT_TINY_INITS)
+
+
+# --------------------------------------------------------------------------
+# MobileNetV1 spec (`model_zoo/export_mobilenet.py:5-56`): initial Conv →
+# 7 depthwise-separable blocks (DW Conv3x3 grouped / BN / ReLU / PW Conv1x1
+# / BN / ReLU) → GlobalAveragePool → Reshape → Gemm classifier.
+# --------------------------------------------------------------------------
+
+
+def _mobilenet_spec() -> tuple[list, dict]:
+    nodes: list[tuple] = []
+    inits: dict[str, list[int]] = {}
+    prev = "x"
+
+    def bn(tag: str, ch: int, src: str) -> str:
+        for suf, dims in (("g", [ch]), ("b", [ch]), ("m", [ch]), ("v", [ch])):
+            inits[f"{tag}_{suf}"] = dims
+        nodes.append(
+            (tag, "BatchNormalization",
+             [src, f"{tag}_g", f"{tag}_b", f"{tag}_m", f"{tag}_v"],
+             [f"{tag}_out"], {})
+        )
+        return f"{tag}_out"
+
+    def relu(tag: str, src: str) -> str:
+        nodes.append((tag, "Relu", [src], [f"{tag}_out"], {}))
+        return f"{tag}_out"
+
+    # initial strided conv: 1 -> 32 channels
+    inits["conv0_w"] = [32, 1, 3, 3]
+    nodes.append(("conv0", "Conv", [prev, "conv0_w"], ["c0"],
+                  {"group": 1, "strides": 2}))
+    prev = relu("relu0", bn("bn0", 32, "c0"))
+
+    blocks = [(32, 64, 1), (64, 128, 2), (128, 128, 1), (128, 256, 2),
+              (256, 256, 1), (256, 512, 2), (512, 512, 1)]
+    for i, (cin, cout, stride) in enumerate(blocks):
+        dw = f"dw{i}"
+        inits[f"{dw}_w"] = [cin, 1, 3, 3]
+        nodes.append((dw, "Conv", [prev, f"{dw}_w"], [f"{dw}_c"],
+                      {"group": cin, "strides": stride}))
+        prev = relu(f"{dw}_relu", bn(f"{dw}_bn", cin, f"{dw}_c"))
+        pw = f"pw{i}"
+        inits[f"{pw}_w"] = [cout, cin, 1, 1]
+        nodes.append((pw, "Conv", [prev, f"{pw}_w"], [f"{pw}_c"],
+                      {"group": 1}))
+        prev = relu(f"{pw}_relu", bn(f"{pw}_bn", cout, f"{pw}_c"))
+
+    nodes.append(("gap", "GlobalAveragePool", [prev], ["gap_out"], {}))
+    inits["flat_shape"] = [2]
+    nodes.append(("flatten", "Reshape", ["gap_out", "flat_shape"],
+                  ["flat"], {}))
+    inits["cls_w"] = [512, 10]
+    inits["cls_b"] = [10]
+    nodes.append(("cls", "Gemm", ["flat", "cls_w", "cls_b"],
+                  ["logits"], {}))
+    return nodes, inits
+
+
+MOBILENET_NODES, MOBILENET_INITS = _mobilenet_spec()
+MOBILENET_NAME = "mobilenet_v1"
+
+
+def mobilenet_onnx_path() -> str:
+    return _model_onnx_path(MOBILENET_NAME, MOBILENET_NODES, MOBILENET_INITS)
+
+
+def mobilenet_ir_values() -> str:
+    return ir_values(MOBILENET_NAME, MOBILENET_NODES, MOBILENET_INITS)

@@ -118,3 +118,24 @@ class TestBertTiny:
         for r in laid:
             assert r["flash_addr"] == addr
             addr += r["aligned_bytes"]
+
+
+class TestMobileNet:
+    def test_compile_shape(self, spark):
+        """Conv is cim-eligible, BN/ReLU/GAP/Reshape are cpu; the
+        alternating blocks produce a long island sequence."""
+        from hive_reflex_spark.operators.compiler import q80b_onnx_mobilenet
+
+        got = {r["name"]: r.asDict()
+               for r in q80b_onnx_mobilenet(spark, "").collect()}
+        assert len(got) == 48  # no MatMul+Add adjacency -> nothing fused
+        assert got["conv0"]["target"] == "cim"
+        assert got["dw3"]["target"] == "cim"
+        assert got["dw3_bn"]["target"] == "cpu"
+        assert got["flatten"]["target"] == "cpu"  # Reshape cpu-forced
+        assert got["cls"]["target"] == "cim"
+        # 4-D weight shape extraction: last two dims
+        assert (got["dw0"]["size_bytes"], got["pw0"]["size_bytes"]) == (9, 1)
+        assert got["pw0"]["n_params"] == 64 * 32
+        n_islands = len({r["partition_id"] for r in got.values()})
+        assert n_islands >= 15, n_islands
