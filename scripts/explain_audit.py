@@ -85,6 +85,21 @@ PICKS = {
         "stride windows; the only exchanges are hash-keyed on the uniform "
         "md5 span hash — no cartesian pair expansion."
     ),
+    "q107_layernorm": (
+        "LayerNorm: the mean window, variance window and affine output "
+        "all cluster on vec_id, so Catalyst chains three Window ops "
+        "behind ONE exchange (pinned in tests/test_nn.py)."
+    ),
+    "q68a_lstm_unrolled": (
+        "Fixed-point LSTM: ONE exchange on user_id feeds the "
+        "FlatMapGroupsInPandas recurrence — sequences recur "
+        "independently per key; weights ride in the task closure."
+    ),
+    "q108_adaptive_cascade": (
+        "Adaptive cascade threshold: the hourly exit counts are a "
+        "distributed partial/final aggregate; only the O(hours) factor "
+        "recurrence is sequential, one control loop per event_type."
+    ),
     "q65a_resize_pool": (
         "Multimodal resize: the byte pooling runs in MapInPandas directly "
         "on the scan partitioning — no exchange before the Python stage, "
