@@ -30,9 +30,7 @@ TOP_K = 5
 N_PLANES = 8
 
 
-@query(
-    "q51_cosine_topk",
-    oracle=f"""
+_COSINE_TOPK_ORACLE = f"""
     WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
          norms AS (SELECT vec_id,
                           sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000) AS BIGINT))
@@ -55,8 +53,10 @@ N_PLANES = 8
                                   ORDER BY cosine DESC, neighbor_id) AS rnk
         FROM scored)
     WHERE rnk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("q51_cosine_topk", oracle=_COSINE_TOPK_ORACLE)
 def q51_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (the exact ANN baseline): coordinate join
     on dim → exact grouped dot products → norms → ranked neighbors.
@@ -97,22 +97,33 @@ def q51_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q52_cosine_topk_arrays")
+@query("q52_cosine_topk_arrays", oracle=_COSINE_TOPK_ORACLE)
 def q52_cosine_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM array fast path for the same top-k: cross-join queries × corpus
     (queries broadcast), dot product via zip_with + aggregate fold — a
-    whole-stage-codegen loop, no explode, no per-dim rows. This is the
-    bench-speed variant; q51 is its exactness oracle (rows-only check here;
-    parity with q51 is asserted in tests)."""
+    whole-stage-codegen loop, no explode, no per-dim rows. The fold
+    accumulates 9dp INTEGER units (cast(round(x*y*1e9) as bigint)), so
+    its total is the order-independent sum q51's coordinate plan
+    computes — bit-identical cosines, which lets this fast path share
+    q51's oracle verbatim instead of the old rows-only check (q51
+    parity is additionally asserted in tests)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm = lambda a: F.sqrt(dot(a, a))  # noqa: E731
+        F.zip_with(
+            a, b, lambda x, y: F.round(x * y * 1_000_000_000).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ) / 1_000_000_000.0
+    # norms once per vector BEFORE the pair join (q51's grouped-norm
+    # shape) — the per-pair fold then does one dot, not dot+two norms
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         emb.join(F.broadcast(q))
@@ -122,7 +133,7 @@ def q52_cosine_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             F.round(
                 dot(F.col("qe"), F.col("e"))
-                / (norm(F.col("qe")) * norm(F.col("e"))),
+                / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("cosine"),
         )

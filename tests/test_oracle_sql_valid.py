@@ -40,6 +40,7 @@ def test_oracle_coverage_ratio():
     rows_only = set(QUERIES) - set(ORACLES)
     assert rows_only <= {
         "q28_approx_distinct",      # HLL sketch — engine-specific
-        "q52_cosine_topk_arrays",   # parity-tested vs q51 (its oracle)
-        "q68_lstm_hidden",          # recurrence — numpy pytest oracle
+        "q68_lstm_hidden",          # float recurrence — numpy pytest
+                                    # oracle (q68a/q68b are the
+                                    # hash-checked fixed-point twins)
     }, rows_only
