@@ -112,3 +112,64 @@ def test_sessionize_1m_events(spark):
     assert stats["total"] == 1_000_000
     # 200 events/user in blocks of 50 -> 4 sessions x 5k users
     assert stats["n_sessions"] == 20_000
+
+
+def test_layernorm_500k_tokens(spark):
+    """q107's normalization plan at 500k token-vectors x 16 dims (8M
+    coordinate rows): the chained-window shape must stay one exchange
+    and the per-group invariants (mean≈0, var≈1 after norm) must hold —
+    checked on an aggregate, nothing collected per group."""
+    from hive_reflex_spark.operators.nn import layernorm_coords
+
+    n_vec, dim = 500_000, 16
+    coords = (
+        spark.range(n_vec * dim)
+        .select(
+            (F.col("id") / dim).cast("long").alias("vec_id"),
+            (F.col("id") % dim).cast("int").alias("dim"),
+            (F.sin(F.col("id") * 0.7) * 3.0 + F.col("id") % 7).alias("v"),
+        )
+    )
+    out = layernorm_coords(coords, keys=["vec_id"])
+    stats = (
+        out.groupBy("vec_id")
+        .agg(
+            F.avg("ln_v").alias("mu"),
+            F.avg(F.col("ln_v") * F.col("ln_v")).alias("ms"),
+        )
+        .agg(
+            F.max(F.abs(F.col("mu"))).alias("worst_mu"),
+            F.min("ms").alias("min_ms"),
+            F.max("ms").alias("max_ms"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    assert stats["n"] == n_vec
+    assert stats["worst_mu"] < 1e-6
+    # E[ln_v^2] = var/(var+eps) ~ 1 for non-degenerate rows
+    assert 0.9 < stats["max_ms"] <= 1.0 + 1e-9
+
+
+def test_fixed_lstm_800_series(spark):
+    """q68a's recurrence tier at 800 independent series x 1000 steps
+    (800k rows): sequences recur in parallel per key; state stays in
+    the clamp bounds for every row."""
+    from hive_reflex_spark.operators.nn import lstm_fixed_forward
+
+    n_seq, steps = 800, 1000
+    df = spark.range(n_seq * steps).select(
+        (F.col("id") / steps).cast("long").alias("seq"),
+        (F.col("id") % steps).cast("long").alias("t"),
+        (F.abs(F.sin(F.col("id") * 0.3)) * 400.0).alias("value"),
+    )
+    out = lstm_fixed_forward(df, ["seq"], ["t"], "value", 100.0, 2)
+    stats = out.agg(
+        F.count("*").alias("n"),
+        F.max(F.abs(F.col("h0"))).alias("m0"),
+        F.max(F.abs(F.col("h1"))).alias("m1"),
+        F.countDistinct(F.round(F.col("h0"), 4)).alias("d0"),
+    ).first()
+    assert stats["n"] == n_seq * steps
+    assert stats["m0"] <= 1.0 and stats["m1"] <= 1.0
+    assert stats["d0"] > 100  # non-degenerate at scale too
