@@ -19,9 +19,12 @@ def fuse_matmul_add(layers: DataFrame) -> DataFrame:
     an equi-join, not graph traversal."""
     a = layers.alias("a")
     b = layers.alias("b")
+    # the IR is planner-scale (thousands of layers at most), so the
+    # adjacency pattern-match broadcasts its probe side — Catalyst
+    # otherwise sort-merge-joins the unsized local relation
     fused_pairs = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.model") == F.col("b.model"))
             & (F.col("a.idx") + 1 == F.col("b.idx"))
             & (F.col("a.op_type").isin("MatMul"))

@@ -275,3 +275,34 @@ def test_q100_udtf_plan_generates(spark, sf_smoke):
     plan = plan_of(spark, "q100_chunk_udtf", sf_smoke)
     assert "PythonUDTF" in plan or "BatchEvalPythonUDTF" in plan, plan[:500]
     assert "SortMergeJoin" not in plan
+
+
+def test_q52_broadcasts_queries_no_smj(spark, sf_smoke):
+    """The array fast path's only join is the bounded query side by
+    broadcast — the corpus must never shuffle for it."""
+    plan = plan_of(spark, "q52_cosine_topk_arrays", sf_smoke)
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_q108_single_agg_exchange_then_pandas(spark, sf_smoke):
+    """Adaptive cascade: one hash exchange for the hourly aggregate;
+    the factor recurrence is FlatMapGroupsInPandas on the event_type
+    partitioning (no extra exchange between agg and recurrence beyond
+    the group key re-cluster)."""
+    plan = plan_of(spark, "q108_adaptive_cascade", sf_smoke)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_q68a_one_exchange_per_key_recurrence(spark, sf_smoke):
+    plan = plan_of(spark, "q68a_lstm_unrolled", sf_smoke)
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q80b_compile_chain_broadcast_only(spark, sf_smoke):
+    """The planner-scale IR pipeline must never sort-merge-join the
+    layer table."""
+    plan = plan_of(spark, "q80b_onnx_mobilenet", sf_smoke)
+    assert "SortMergeJoin" not in plan
