@@ -66,6 +66,7 @@ _registry.finalize_order([
     "q68b_gru_unrolled",
     "q80a_onnx_bert",
     "q80b_onnx_mobilenet",
+    "q102b_ivfpq_topk",
     "q108_adaptive_cascade",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work)

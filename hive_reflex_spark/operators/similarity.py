@@ -1014,6 +1014,7 @@ def pq_topk(
     query_ids: list[int],
     k: int = TOP_K,
     exact: bool = False,
+    cand: DataFrame | None = None,
 ) -> DataFrame:
     """PQ search by Asymmetric Distance Computation (ADC): the query
     scores each codebook entry ONCE (a k x M distance table, M=4
@@ -1054,9 +1055,17 @@ def pq_topk(
     wr = Window.partitionBy("query_id").orderBy(
         F.asc("adist"), F.asc("neighbor_id")
     )
+    if cand is not None:
+        # IVF restriction: score only (query, vector) pairs whose coarse
+        # cluster is probed. cand scales with the corpus, so it joins as
+        # a plain hash join on vec_id; only dtab broadcasts.
+        base = codes.join(cand, "vec_id").join(
+            F.broadcast(dtab), ["query_id", "sub", "cid"]
+        )
+    else:
+        base = codes.join(F.broadcast(dtab), ["sub", "cid"])
     return (
-        codes.join(F.broadcast(dtab), ["sub", "cid"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        base.groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(adist_agg)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rnk", F.row_number().over(wr))
@@ -1075,6 +1084,87 @@ def q102a_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked end to end."""
     return pq_topk(
         spark, sf_dir, list(range(PQ_N_QUERIES)), k=TOP_K, exact=True
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """q54b's pinned dot-based coarse probing composed with q102a's ADC
+    chain, restricted to probed candidates — the full IVF-PQ pipeline as
+    one CTE graph."""
+    sqq = _km_sum("(q.qv - c.cv) * (q.qv - c.cv)")
+    return _pq_cte_prefix() + f""",
+    cents AS (SELECT vec_id AS ccid, dim, v AS cv FROM coords
+              WHERE vec_id % {N_CENTROIDS_STRIDE} = 0),
+    cdots AS (SELECT x.vec_id, c.ccid,
+                     CAST(SUM(CAST(ROUND(x.v * c.cv * 1000000000) AS BIGINT))
+                          AS BIGINT) / 1000000000.0 AS dot
+              FROM coords x JOIN cents c ON x.dim = c.dim
+              GROUP BY x.vec_id, c.ccid),
+    cranked AS (SELECT vec_id, ccid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dot DESC, ccid) AS rn
+                FROM cdots),
+    cassign AS (SELECT vec_id, ccid FROM cranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, ccid FROM cranked
+               WHERE vec_id < {PQ_N_QUERIES} AND rn <= {N_PROBE}),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN cassign a ON p.ccid = a.ccid
+             WHERE p.query_id != a.vec_id),
+    qd AS (SELECT vec_id AS query_id, sub, dim, v AS qv FROM coords
+           WHERE vec_id < {PQ_N_QUERIES}),
+    dt AS (SELECT q.query_id, c.sub, c.cid, ROUND({sqq}, 6) AS dpart
+           FROM qd q JOIN cb1 c ON q.sub = c.sub AND q.dim = c.dim
+           GROUP BY q.query_id, c.sub, c.cid),
+    ad AS (SELECT k.query_id, k.neighbor_id,
+                  CAST(SUM(CAST(ROUND(d.dpart * {_E6}) AS BIGINT))
+                       AS BIGINT) / {_E6}.0 AS adist
+           FROM cand k
+           JOIN a1 a ON a.vec_id = k.neighbor_id
+           JOIN dt d ON d.query_id = k.query_id AND d.sub = a.sub
+                AND d.cid = a.cid
+           GROUP BY k.query_id, k.neighbor_id)
+    SELECT query_id, neighbor_id, adist, rnk FROM (
+        SELECT query_id, neighbor_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS rnk
+        FROM ad)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("q102b_ivfpq_topk", oracle=_ivfpq_oracle())
+def q102b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked IVF-PQ: coarse probing (pinned max-dot assignment,
+    the q54a/q54b quantizer) restricts each query to N_PROBE clusters,
+    then the q102a exact-mode ADC scores ONLY the restricted candidates
+    from their PQ codes. Every stage of the production billion-vector
+    composition — coarse train/assign/probe, PQ train/encode, distance
+    table, candidate-restricted ranking — hash-checks against one CTE
+    graph. `ivfpq_topk` below stays the float-fold throughput path."""
+    coords = _pq_coords(spark, sf_dir)
+    cents = coords.filter(
+        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
+    ).select(F.col("vec_id").alias("ccid"), "dim", F.col("v").alias("cv"))
+    cdots = (
+        coords.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "ccid")
+        .agg(exact_sum(F.col("v") * F.col("cv"), 9).alias("dot"))
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "ccid")
+    cranked = cdots.withColumn("rn", F.row_number().over(wv))
+    cassign = cranked.filter(F.col("rn") == 1).select("vec_id", "ccid")
+    probes = cranked.filter(
+        (F.col("vec_id") < PQ_N_QUERIES) & (F.col("rn") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "ccid")
+    cand = (
+        F.broadcast(probes)
+        .join(cassign, "ccid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    return pq_topk(
+        spark, sf_dir, list(range(PQ_N_QUERIES)), k=TOP_K, exact=True,
+        cand=cand,
     )
 
 

@@ -300,3 +300,21 @@ def test_diversity_sample_keeps_sqrt_per_cluster(spark, sf_smoke):
         want = min(math.ceil(math.sqrt(n_members)), n_members)
         assert len(kept) == want, (cid, len(kept), want)
         assert sorted(r.rnk for r in kept) == list(range(1, want + 1))
+
+
+def test_ivfpq_query_restricts_candidates(spark, sf_smoke):
+    """q102b must score only probed-cluster candidates: every ranked
+    neighbor's coarse cluster is one of its query's probes, and the
+    result differs from unrestricted ADC (the restriction is live)."""
+    from hive_reflex_spark.operators.similarity import (
+        PQ_N_QUERIES,
+        q102a_pq_adc_topk,
+        q102b_ivfpq_topk,
+    )
+
+    full = {(r.query_id, r.neighbor_id)
+            for r in q102a_pq_adc_topk(spark, sf_smoke).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in q102b_ivfpq_topk(spark, sf_smoke).collect()}
+    assert len(ivf) == len(full) == PQ_N_QUERIES * 5
+    assert ivf != full  # probing actually restricted the pool
