@@ -276,3 +276,19 @@ def test_gru_fixed_nondegenerate_and_bounded(spark, sf_smoke):
     assert len(h0) > 50, len(h0)
     for r in rows:
         assert -1.0 <= r.h0 <= 1.0 and -1.0 <= r.h1 <= 1.0
+
+
+def test_layernorm_degenerate_inputs(spark):
+    """Edge semantics: a constant vector has var=0, so ln_v = beta
+    exactly (gamma * 0 / sqrt(eps) + beta); a single-element group
+    likewise normalizes to beta. Neither may NaN."""
+    from hive_reflex_spark.operators.nn import layernorm_coords
+
+    rows = [(0, j, 2.5) for j in range(8)] + [(1, 0, -3.0)]
+    df = spark.createDataFrame(rows, "vec_id int, dim int, v double")
+    got = layernorm_coords(
+        df, keys=["vec_id"], beta=F.col("dim") / F.lit(10.0)
+    ).collect()
+    assert len(got) == 9
+    for r in got:
+        assert r.ln_v == pytest.approx(r.dim / 10.0, abs=1e-9), r
