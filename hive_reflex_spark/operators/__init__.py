@@ -62,6 +62,7 @@ _registry.finalize_order([
     # adaptive cascade threshold
     "q107_layernorm",
     "q107a_rmsnorm",
+    "q109_transformer_block",
     "q68a_lstm_unrolled",
     "q68b_gru_unrolled",
     "q80a_onnx_bert",

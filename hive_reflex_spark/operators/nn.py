@@ -891,3 +891,165 @@ def q68b_gru_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         *[F.col(f"h{j}") for j in range(_LSTM_H)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Full pre-norm transformer block (q66 + q107 + FFN composed, oracled)
+# ---------------------------------------------------------------------------
+
+TB_TOKENS = 8  # the block's token sequence: vec_id 0..7
+_GELU_C = 0.7978845608028654  # sqrt(2/pi), literal in both engines
+
+
+def _tb_ln_sql(src: str, vcol: str, out: str) -> str:
+    """LayerNorm CTE chain over (p, d, {vcol}) — q107's pinned windows,
+    gamma=1 beta=0 (no affine ops at all, so Spark and DuckDB run the
+    identical binary64 expression graph)."""
+    return f"""
+    {out}s AS (SELECT *, COUNT(*) OVER w_{out} AS n_{out},
+               CAST(SUM(CAST(ROUND({vcol} * 1000000000) AS BIGINT))
+                    OVER w_{out} AS BIGINT) / 1000000000.0 AS su_{out}
+               FROM {src} WINDOW w_{out} AS (PARTITION BY p)),
+    {out}c AS (SELECT *, {vcol} - su_{out} / n_{out} AS c_{out}
+               FROM {out}s),
+    {out}v AS (SELECT *, CAST(SUM(CAST(ROUND(c_{out} * c_{out}
+                    * 1000000000) AS BIGINT)) OVER w2_{out} AS BIGINT)
+                    / 1000000000.0 AS sv_{out}
+               FROM {out}c WINDOW w2_{out} AS (PARTITION BY p)),
+    {out} AS (SELECT p, d, {vcol},
+                     c_{out} / sqrt(sv_{out} / n_{out} + 0.00001) AS h
+              FROM {out}v)"""
+
+
+def _transformer_block_oracle() -> str:
+    return f"""
+    WITH x AS (SELECT vec_id AS p, CAST(dim AS INT) AS d, v AS xv
+               FROM {_duck_coords(TB_TOKENS)} c),
+    {_tb_ln_sql('x', 'xv', 'h1')},
+    sc AS (SELECT a.p AS pq, b.p AS pk,
+                  CAST(SUM(CAST(ROUND(a.h * b.h / 8.0 * 1000000000)
+                       AS BIGINT)) AS BIGINT) / 1000000000.0 AS s
+           FROM h1 a JOIN h1 b ON a.d = b.d GROUP BY a.p, b.p),
+    ex AS (SELECT pq, pk,
+                  ROUND(exp(s - MAX(s) OVER (PARTITION BY pq)), 6) AS e
+           FROM sc),
+    aw AS (SELECT pq, pk,
+                  e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                       OVER (PARTITION BY pq) AS BIGINT) / 1000000.0) AS w
+           FROM ex),
+    att AS (SELECT aw.pq AS p, k.d,
+                   CAST(SUM(CAST(ROUND(aw.w * k.h * 1000000000) AS BIGINT))
+                        AS BIGINT) / 1000000000.0 AS av
+            FROM aw JOIN h1 k ON k.p = aw.pk GROUP BY aw.pq, k.d),
+    r1 AS (SELECT x.p, x.d, x.xv + att.av AS rv
+           FROM x JOIN att ON x.p = att.p AND x.d = att.d),
+    {_tb_ln_sql('r1', 'rv', 'h2')},
+    wt AS (SELECT i.i, j.j, (((i.i * 7 + j.j * 3) % 9) - 4) / 64.0 AS wv
+           FROM (SELECT unnest(range(64)) AS i) i,
+                (SELECT unnest(range(64)) AS j) j),
+    ff AS (SELECT h2.p, CAST(wt.j AS INT) AS d,
+                  CAST(SUM(CAST(ROUND(h2.h * wt.wv * 1000000000)
+                       AS BIGINT)) AS BIGINT) / 1000000000.0 AS f
+           FROM h2 JOIN wt ON h2.d = wt.i GROUP BY h2.p, wt.j),
+    gl AS (SELECT p, d,
+                  0.5 * f * (1 + ROUND(1 - 2 / (exp(2 * ({_GELU_C}
+                      * (f + 0.044715 * f * f * f))) + 1), 6)) AS g
+           FROM ff)
+    SELECT r1.p AS pos, r1.d AS dim, ROUND(r1.rv + gl.g, 6) AS out_v
+    FROM r1 JOIN gl ON r1.p = gl.p AND r1.d = gl.d
+    """
+
+
+@query("q109_transformer_block", oracle=_transformer_block_oracle())
+def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pre-norm transformer block hash-checked end to end — the
+    complete BERT-Tiny forward slice (`model_zoo/export_bert_tiny.py:
+    47-60`): h1 = LN(x); attention(h1) with Q=K=V; r1 = x + attn;
+    h2 = LN(r1); FFN = GELU(h2·W) with a deterministic dyadic 64x64
+    weight; out = r1 + FFN. Every sum is integer-unit pinned and both
+    transcendentals (softmax exp, GELU tanh) are 6dp-rounded at the
+    same point in both engines, so the whole 6-stage composition
+    value-hashes.
+
+    Scale shape: both LNs and the softmax partition on the token key;
+    K/V and the FFN weight are bounded broadcast operands — token rows
+    never shuffle except for the score/context reductions."""
+    coords = embedding_coords(spark, sf_dir, max_vec=TB_TOKENS)
+    x = coords.select(
+        F.col("vec_id").alias("p"), F.col("dim").alias("d"),
+        F.col("v").alias("xv"),
+    )
+
+    def ln(df: DataFrame, vcol: str) -> DataFrame:
+        w = Window.partitionBy("p")
+        n = F.count(vcol).over(w)
+        out = (
+            df.withColumn("_n", n)
+            .withColumn("_mu", _exact_mean_over(F.col(vcol), w, F.col("_n")))
+            .withColumn("_c", F.col(vcol) - F.col("_mu"))
+            .withColumn(
+                "_sv",
+                _exact_mean_over(F.col("_c") * F.col("_c"), w, F.col("_n")),
+            )
+            .withColumn(
+                "h", F.col("_c") / F.sqrt(F.col("_sv") + F.lit(1e-5))
+            )
+        )
+        return out.drop("_n", "_mu", "_c", "_sv")
+
+    h1 = ln(x, "xv").select("p", "d", "h")
+    a = h1.select(F.col("p").alias("pq"), "d", F.col("h").alias("ha"))
+    b = h1.select(F.col("p").alias("pk"), "d", F.col("h").alias("hb"))
+    sc = (
+        a.join(F.broadcast(b), "d")
+        .groupBy("pq", "pk")
+        .agg(exact_sum(F.col("ha") * F.col("hb") / 8.0, 9).alias("s"))
+    )
+    wq = Window.partitionBy("pq")
+    e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
+    aw = sc.withColumn("e", e).withColumn(
+        "w",
+        F.col("e")
+        / (F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq)
+           / 1_000_000.0),
+    )
+    att = (
+        aw.select("pq", "pk", "w")
+        .join(F.broadcast(h1.select(F.col("p").alias("pk"), "d", "h")), "pk")
+        .groupBy(F.col("pq").alias("p"), "d")
+        .agg(exact_sum(F.col("w") * F.col("h"), 9).alias("av"))
+    )
+    r1 = x.join(att, ["p", "d"]).select(
+        "p", "d", (F.col("xv") + F.col("av")).alias("rv")
+    )
+    h2 = ln(r1, "rv").select("p", "d", "h")
+    wt = spark.range(64 * 64).select(
+        (F.col("id") / 64).cast("int").alias("i"),
+        (F.col("id") % 64).cast("int").alias("j"),
+    ).withColumn(
+        "wv",
+        (((F.col("i") * 7 + F.col("j") * 3) % 9) - 4) / F.lit(64.0),
+    )
+    ff = (
+        h2.withColumnRenamed("d", "i")
+        .join(F.broadcast(wt), "i")
+        .groupBy("p", F.col("j").alias("d"))
+        .agg(exact_sum(F.col("h") * F.col("wv"), 9).alias("f"))
+    )
+    inner = F.lit(_GELU_C) * (
+        F.col("f") + F.lit(0.044715) * F.col("f") * F.col("f") * F.col("f")
+    )
+    tanh6 = F.round(
+        F.lit(1.0) - F.lit(2.0) / (F.exp(F.lit(2.0) * inner) + F.lit(1.0)), 6
+    )
+    gl = ff.select(
+        "p", "d", (F.lit(0.5) * F.col("f") * (F.lit(1.0) + tanh6)).alias("g")
+    )
+    return (
+        r1.join(gl, ["p", "d"])
+        .select(
+            F.col("p").alias("pos"),
+            F.col("d").alias("dim"),
+            F.round(F.col("rv") + F.col("g"), 6).alias("out_v"),
+        )
+    )

@@ -292,3 +292,44 @@ def test_layernorm_degenerate_inputs(spark):
     assert len(got) == 9
     for r in got:
         assert r.ln_v == pytest.approx(r.dim / 10.0, abs=1e-9), r
+
+
+def test_transformer_block_matches_numpy(spark, sf_smoke):
+    """q109's 6-stage composition against an unpinned numpy transformer
+    block — the integer-unit/6dp pinning exists for cross-engine hash
+    equality and must not change the math beyond rounding noise."""
+    from hive_reflex_spark.operators.nn import (
+        _GELU_C,
+        TB_TOKENS,
+        q109_transformer_block,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in read_table(spark, sf_smoke, "embeddings")
+        .filter(F.col("vec_id") < TB_TOKENS)
+        .collect()
+    }
+    x = np.stack([emb[i] for i in range(TB_TOKENS)])
+
+    def ln(m):
+        mu = m.mean(axis=1, keepdims=True)
+        var = m.var(axis=1, keepdims=True)
+        return (m - mu) / np.sqrt(var + 1e-5)
+
+    h1 = ln(x)
+    s = h1 @ h1.T / 8.0
+    e = np.exp(s - s.max(axis=1, keepdims=True))
+    w = e / e.sum(axis=1, keepdims=True)
+    r1 = x + w @ h1
+    h2 = ln(r1)
+    i_idx = np.arange(64)
+    wt = (((i_idx[:, None] * 7 + i_idx[None, :] * 3) % 9) - 4) / 64.0
+    f = h2 @ wt
+    g = 0.5 * f * (1 + np.tanh(_GELU_C * (f + 0.044715 * f**3)))
+    want = r1 + g
+
+    got = q109_transformer_block(spark, sf_smoke).collect()
+    assert len(got) == TB_TOKENS * 64
+    for r in got:
+        assert abs(r.out_v - want[r.pos, r.dim]) < 2e-3, (r, want[r.pos, r.dim])
