@@ -63,6 +63,7 @@ _registry.finalize_order([
     "q107_layernorm",
     "q107a_rmsnorm",
     "q109_transformer_block",
+    "q66b_multihead_attention",
     "q68a_lstm_unrolled",
     "q68b_gru_unrolled",
     "q80a_onnx_bert",

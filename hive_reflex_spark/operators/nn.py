@@ -1053,3 +1053,85 @@ def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rv") + F.col("g"), 6).alias("out_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention (the reference's actual 4-head configuration)
+# ---------------------------------------------------------------------------
+
+MHA_HEADS = 4
+MHA_HEAD_DIM = 16  # embed 64 / 4 heads; sqrt = 4.0
+
+
+def _mha_oracle() -> str:
+    return f"""
+    WITH tok AS (SELECT vec_id AS p, CAST(dim AS INT) AS d,
+                        CAST(dim // {MHA_HEAD_DIM} AS INT) AS h, v
+                 FROM {_duck_coords(TB_TOKENS)} c),
+    sc AS (SELECT a.h, a.p AS pq, b.p AS pk,
+                  CAST(SUM(CAST(ROUND(a.v * b.v / 4.0 * 1000000000)
+                       AS BIGINT)) AS BIGINT) / 1000000000.0 AS s
+           FROM tok a JOIN tok b ON a.d = b.d
+           GROUP BY a.h, a.p, b.p),
+    ex AS (SELECT h, pq, pk,
+                  ROUND(exp(s - MAX(s) OVER (PARTITION BY h, pq)), 6) AS e
+           FROM sc),
+    aw AS (SELECT h, pq, pk,
+                  e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                       OVER (PARTITION BY h, pq) AS BIGINT) / 1000000.0)
+                      AS w
+           FROM ex),
+    outv AS (SELECT aw.pq AS pos, k.d AS dim,
+                    ROUND(CAST(SUM(CAST(ROUND(aw.w * k.v * 1000000000)
+                          AS BIGINT)) AS BIGINT) / 1000000000.0, 6) AS out_v
+             FROM aw JOIN tok k ON k.p = aw.pk AND k.h = aw.h
+             GROUP BY aw.pq, k.d)
+    SELECT pos, dim, out_v FROM outv
+    """
+
+
+@query("q66b_multihead_attention", oracle=_mha_oracle())
+def q66b_multihead_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-head self-attention at the reference's real configuration
+    (`model_zoo/export_bert_tiny.py:8-30`: embed 64, num_heads=4,
+    head_dim 16): the head index is dim//16, scores contract only
+    within a head (join on the full dim key already implies the head
+    match), softmax normalizes per (head, query), and each head's
+    context fills its own 16-dim slice of the output — concat is just
+    coordinates, no operator.
+
+    Shuffle shape: like q66, ONE exchange — hash on pq satisfies the
+    (h, pq) score grouping, both softmax windows, and the (pos, dim)
+    output reduction; K/V broadcast. The head axis is a free grouping
+    key, exactly how MHA shards at 100 TB."""
+    coords = embedding_coords(spark, sf_dir, max_vec=TB_TOKENS)
+    tok = coords.select(
+        F.col("vec_id").alias("p"),
+        F.col("dim").alias("d"),
+        (F.col("dim") / MHA_HEAD_DIM).cast("int").alias("h"),
+        "v",
+    )
+    a = tok.select(
+        F.col("p").alias("pq"), "d", "h", F.col("v").alias("qv")
+    ).repartition("pq")
+    b = tok.select(F.col("p").alias("pk"), "d", F.col("v").alias("kv"))
+    sc = (
+        a.join(F.broadcast(b), "d")
+        .groupBy("h", "pq", "pk")
+        .agg(exact_sum(F.col("qv") * F.col("kv") / 4.0, 9).alias("s"))
+    )
+    wq = Window.partitionBy("h", "pq")
+    e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
+    aw = sc.withColumn("e", e).withColumn(
+        "w",
+        F.col("e")
+        / (F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq)
+           / 1_000_000.0),
+    )
+    kv = tok.select(F.col("p").alias("pk"), "h", "d", F.col("v").alias("vv"))
+    return (
+        aw.select("h", "pq", "pk", "w")
+        .join(F.broadcast(kv), ["pk", "h"])
+        .groupBy(F.col("pq").alias("pos"), F.col("d").alias("dim"))
+        .agg(F.round(exact_sum(F.col("w") * F.col("vv"), 9), 6).alias("out_v"))
+    )

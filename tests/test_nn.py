@@ -333,3 +333,26 @@ def test_transformer_block_matches_numpy(spark, sf_smoke):
     assert len(got) == TB_TOKENS * 64
     for r in got:
         assert abs(r.out_v - want[r.pos, r.dim]) < 2e-3, (r, want[r.pos, r.dim])
+
+
+def test_multihead_output_is_per_head_convex(spark, sf_smoke):
+    """Each 16-dim head slice of q66b's output must lie inside the
+    convex hull of the token values for that slice (softmax weights are
+    convex per head) — a head-mixing bug would violate this."""
+    from hive_reflex_spark.operators.nn import (
+        TB_TOKENS,
+        q66b_multihead_attention,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in read_table(spark, sf_smoke, "embeddings")
+        .filter(F.col("vec_id") < TB_TOKENS)
+        .collect()
+    }
+    v = np.stack([emb[i] for i in range(TB_TOKENS)])
+    lo, hi = v.min(axis=0), v.max(axis=0)
+    out = q66b_multihead_attention(spark, sf_smoke).collect()
+    assert len(out) == TB_TOKENS * 64
+    for r in out:
+        assert lo[r.dim] - 1e-5 <= r.out_v <= hi[r.dim] + 1e-5, r
