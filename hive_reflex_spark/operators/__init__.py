@@ -64,6 +64,7 @@ _registry.finalize_order([
     "q107a_rmsnorm",
     "q109_transformer_block",
     "q66b_multihead_attention",
+    "q109a_swiglu_mlp",
     "q68a_lstm_unrolled",
     "q68b_gru_unrolled",
     "q80a_onnx_bert",

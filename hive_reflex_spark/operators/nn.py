@@ -1135,3 +1135,91 @@ def q66b_multihead_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("pq").alias("pos"), F.col("d").alias("dim"))
         .agg(F.round(exact_sum(F.col("w") * F.col("vv"), 9), 6).alias("out_v"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SwiGLU MLP (the NanoLlama feed-forward)
+# ---------------------------------------------------------------------------
+
+SWIGLU_HIDDEN = 128  # dim 64 -> hidden 128 -> dim 64
+
+
+def _swiglu_wt_sql(name: str, rows: int, cols: int, a: int, b: int) -> str:
+    """Deterministic dyadic weight table W(i,j) = ((i*a + j*b) % 9 - 4)/64."""
+    return f"""
+    {name} AS (SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+                      (((i.i * {a} + j.j * {b}) % 9) - 4) / 64.0 AS wv
+               FROM (SELECT unnest(range({rows})) AS i) i,
+                    (SELECT unnest(range({cols})) AS j) j)"""
+
+
+def _swiglu_oracle() -> str:
+    isum = "CAST(SUM(CAST(ROUND({expr} * 1000000000) AS BIGINT)) AS BIGINT) / 1000000000.0"
+    return f"""
+    WITH x AS (SELECT vec_id AS p, CAST(dim AS INT) AS d, v
+               FROM {_duck_coords(TB_TOKENS)} c),
+    {_swiglu_wt_sql('wg', 64, SWIGLU_HIDDEN, 5, 7)},
+    {_swiglu_wt_sql('wu', 64, SWIGLU_HIDDEN, 3, 5)},
+    {_swiglu_wt_sql('wd', SWIGLU_HIDDEN, 64, 7, 3)},
+    g AS (SELECT x.p, wg.j AS hidx, {isum.format(expr='x.v * wg.wv')} AS gv
+          FROM x JOIN wg ON x.d = wg.i GROUP BY x.p, wg.j),
+    u AS (SELECT x.p, wu.j AS hidx, {isum.format(expr='x.v * wu.wv')} AS uv
+          FROM x JOIN wu ON x.d = wu.i GROUP BY x.p, wu.j),
+    m AS (SELECT g.p, g.hidx,
+                 ROUND(g.gv / (1 + exp(-g.gv)), 6) * u.uv AS mv
+          FROM g JOIN u ON g.p = u.p AND g.hidx = u.hidx)
+    SELECT m.p AS pos, wd.j AS dim,
+           ROUND({isum.format(expr='m.mv * wd.wv')}, 6) AS out_v
+    FROM m JOIN wd ON m.hidx = wd.i
+    GROUP BY m.p, wd.j
+    """
+
+
+@query("q109a_swiglu_mlp", oracle=_swiglu_oracle())
+def q109a_swiglu_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SwiGLU feed-forward (`model_zoo/export_tinyllama.py:59-70`, the
+    Llama MLP): out = (silu(x·Wg) ⊙ (x·Wu)) · Wd with deterministic
+    dyadic weights, 64 → 128 → 64. The gate/up projections are two
+    coordinate matmuls sharing the x side, the elementwise gating is a
+    join on (token, hidden), and the down projection is a third matmul.
+    SiLU (x·σ(x)) is the one transcendental — rounded to 6dp at the
+    same point in both engines. Completes the Llama-block inventory
+    next to q107a RMSNorm, q66a causal and q66b multi-head attention."""
+    coords = embedding_coords(spark, sf_dir, max_vec=TB_TOKENS)
+    x = coords.select(
+        F.col("vec_id").alias("p"), F.col("dim").alias("d"), "v"
+    ).repartition("p")
+
+    def wt(a: int, b: int, rows: int, cols: int) -> DataFrame:
+        return spark.range(rows * cols).select(
+            (F.col("id") / cols).cast("int").alias("i"),
+            (F.col("id") % cols).cast("int").alias("j"),
+        ).withColumn(
+            "wv",
+            (((F.col("i") * a + F.col("j") * b) % 9) - 4) / F.lit(64.0),
+        )
+
+    def proj(w: DataFrame, out_col: str) -> DataFrame:
+        return (
+            x.withColumnRenamed("d", "i")
+            .join(F.broadcast(w), "i")
+            .groupBy("p", F.col("j").alias("hidx"))
+            .agg(exact_sum(F.col("v") * F.col("wv"), 9).alias(out_col))
+        )
+
+    g = proj(wt(5, 7, 64, SWIGLU_HIDDEN), "gv")
+    u = proj(wt(3, 5, 64, SWIGLU_HIDDEN), "uv")
+    silu6 = F.round(
+        F.col("gv") / (F.lit(1.0) + F.exp(-F.col("gv"))), 6
+    )
+    m = g.join(u, ["p", "hidx"]).select(
+        "p", "hidx", (silu6 * F.col("uv")).alias("mv")
+    )
+    wd = wt(7, 3, SWIGLU_HIDDEN, 64)
+    return (
+        m.withColumnRenamed("hidx", "i")
+        .join(F.broadcast(wd), "i")
+        .groupBy(F.col("p").alias("pos"), F.col("j").alias("dim"))
+        .agg(F.round(exact_sum(F.col("mv") * F.col("wv"), 9), 6)
+             .alias("out_v"))
+    )

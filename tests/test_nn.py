@@ -356,3 +356,33 @@ def test_multihead_output_is_per_head_convex(spark, sf_smoke):
     assert len(out) == TB_TOKENS * 64
     for r in out:
         assert lo[r.dim] - 1e-5 <= r.out_v <= hi[r.dim] + 1e-5, r
+
+
+def test_swiglu_matches_numpy(spark, sf_smoke):
+    from hive_reflex_spark.operators.nn import (
+        SWIGLU_HIDDEN,
+        TB_TOKENS,
+        q109a_swiglu_mlp,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in read_table(spark, sf_smoke, "embeddings")
+        .filter(F.col("vec_id") < TB_TOKENS)
+        .collect()
+    }
+    x = np.stack([emb[i] for i in range(TB_TOKENS)])
+
+    def wt(a, b, rows, cols):
+        i = np.arange(rows)[:, None]
+        j = np.arange(cols)[None, :]
+        return (((i * a + j * b) % 9) - 4) / 64.0
+
+    g = x @ wt(5, 7, 64, SWIGLU_HIDDEN)
+    u = x @ wt(3, 5, 64, SWIGLU_HIDDEN)
+    m = (g / (1 + np.exp(-g))) * u
+    want = m @ wt(7, 3, SWIGLU_HIDDEN, 64)
+    got = q109a_swiglu_mlp(spark, sf_smoke).collect()
+    assert len(got) == TB_TOKENS * 64
+    for r in got:
+        assert abs(r.out_v - want[r.pos, r.dim]) < 2e-3, r
