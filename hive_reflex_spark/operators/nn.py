@@ -1223,3 +1223,84 @@ def q109a_swiglu_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(exact_sum(F.col("mv") * F.col("wv"), 9), 6)
              .alias("out_v"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embedding (RoPE)
+# ---------------------------------------------------------------------------
+
+
+def _rope_oracle() -> str:
+    return f"""
+    WITH x AS (SELECT vec_id AS p, CAST(dim AS INT) AS d, v
+               FROM {_duck_coords(TB_TOKENS)} c),
+    pairs AS (SELECT e.p, CAST(e.d // 2 AS INT) AS pr,
+                     e.v AS ev, o.v AS ov
+              FROM x e JOIN x o
+                ON e.p = o.p AND o.d = e.d + 1
+              WHERE e.d % 2 = 0),
+    ang AS (SELECT p, pr, ev, ov,
+                   ROUND(cos(p / pow(10000.0, 2.0 * pr / 64.0)), 6) AS cs,
+                   ROUND(sin(p / pow(10000.0, 2.0 * pr / 64.0)), 6) AS sn
+            FROM pairs),
+    rot AS (SELECT p, pr,
+                   ROUND(ev * cs - ov * sn, 6) AS re,
+                   ROUND(ev * sn + ov * cs, 6) AS ro
+            FROM ang)
+    SELECT p AS pos, CAST(pr * 2 AS INT) AS dim, re AS out_v FROM rot
+    UNION ALL
+    SELECT p AS pos, CAST(pr * 2 + 1 AS INT) AS dim, ro AS out_v FROM rot
+    """
+
+
+@query("q109b_rope", oracle=_rope_oracle())
+def q109b_rope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotary position embedding (`model_zoo/export_tinyllama.py:16-27`
+    RotaryEmbedding): each even/odd dim pair (2i, 2i+1) rotates by the
+    position-dependent angle θ = p / 10000^(2i/d) — out_even =
+    x_even·cosθ − x_odd·sinθ, out_odd = x_even·sinθ + x_odd·cosθ.
+
+    Relational shape: the pair join is a self-join on (token, d+1) —
+    co-partitioned on the token key, so it never shuffles beyond the
+    token partitioning; the angle table is a pure expression of
+    (position, pair), no stored operand at all. cos/sin are
+    6dp-rounded at the same point in both engines (the q66-softmax
+    transcendental discipline)."""
+    coords = embedding_coords(spark, sf_dir, max_vec=TB_TOKENS)
+    x = coords.select(
+        F.col("vec_id").alias("p"), F.col("dim").alias("d"), "v"
+    ).repartition("p")
+    ev = x.filter(F.col("d") % 2 == 0).select(
+        "p", (F.col("d") / 2).cast("int").alias("pr"),
+        F.col("v").alias("ev"), F.col("d").alias("ed"),
+    )
+    od = x.filter(F.col("d") % 2 == 1).select(
+        "p", ((F.col("d") - 1) / 2).cast("int").alias("pr"),
+        F.col("v").alias("ov"),
+    )
+    theta = F.col("p") / F.pow(
+        F.lit(10000.0), F.lit(2.0) * F.col("pr") / F.lit(64.0)
+    )
+    rot = (
+        ev.join(od, ["p", "pr"])
+        .withColumn("cs", F.round(F.cos(theta), 6))
+        .withColumn("sn", F.round(F.sin(theta), 6))
+        .select(
+            "p", "pr",
+            F.round(F.col("ev") * F.col("cs") - F.col("ov") * F.col("sn"), 6)
+            .alias("re"),
+            F.round(F.col("ev") * F.col("sn") + F.col("ov") * F.col("cs"), 6)
+            .alias("ro"),
+        )
+    )
+    even_out = rot.select(
+        F.col("p").alias("pos"),
+        (F.col("pr") * 2).cast("int").alias("dim"),
+        F.col("re").alias("out_v"),
+    )
+    odd_out = rot.select(
+        F.col("p").alias("pos"),
+        (F.col("pr") * 2 + 1).cast("int").alias("dim"),
+        F.col("ro").alias("out_v"),
+    )
+    return even_out.unionByName(odd_out)

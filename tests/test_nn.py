@@ -386,3 +386,26 @@ def test_swiglu_matches_numpy(spark, sf_smoke):
     assert len(got) == TB_TOKENS * 64
     for r in got:
         assert abs(r.out_v - want[r.pos, r.dim]) < 2e-3, r
+
+
+def test_rope_is_norm_preserving(spark, sf_smoke):
+    """Rotation invariant: each (even, odd) pair's L2 norm is unchanged
+    by RoPE (up to the 6dp pinning), and position 0 is the identity."""
+    from hive_reflex_spark.operators.nn import TB_TOKENS, q109b_rope
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in read_table(spark, sf_smoke, "embeddings")
+        .filter(F.col("vec_id") < TB_TOKENS)
+        .collect()
+    }
+    out = np.zeros((TB_TOKENS, 64))
+    for r in q109b_rope(spark, sf_smoke).collect():
+        out[r.pos, r.dim] = r.out_v
+    for p in range(TB_TOKENS):
+        x = emb[p]
+        for i in range(32):
+            n_in = np.hypot(x[2 * i], x[2 * i + 1])
+            n_out = np.hypot(out[p, 2 * i], out[p, 2 * i + 1])
+            assert abs(n_in - n_out) < 1e-4, (p, i)
+    np.testing.assert_allclose(out[0], emb[0], atol=2e-6)  # theta=0
