@@ -173,3 +173,38 @@ def test_fixed_lstm_800_series(spark):
     assert stats["n"] == n_seq * steps
     assert stats["m0"] <= 1.0 and stats["m1"] <= 1.0
     assert stats["d0"] > 100  # non-degenerate at scale too
+
+
+def test_multihead_attention_1k_tokens(spark):
+    """The q66b layout at 1k tokens x 64 dims (4M score rows across 4
+    heads): partition-by-query once, K/V broadcast — the plan must
+    complete without a driver-side materialization and every softmax
+    row-sum must be 1."""
+    from pyspark.sql import Window
+
+    n_tok = 1000
+    tok = spark.range(n_tok * 64).select(
+        (F.col("id") / 64).cast("long").alias("p"),
+        (F.col("id") % 64).cast("int").alias("d"),
+        ((F.col("id") % 64) / 16).cast("int").alias("h"),
+        (F.sin(F.col("id") * 0.13)).alias("v"),
+    )
+    a = tok.select(F.col("p").alias("pq"), "d", "h", F.col("v").alias("qv"))
+    b = tok.select(F.col("p").alias("pk"), "d", F.col("v").alias("kv"))
+    sc = (
+        a.join(F.broadcast(b), "d")
+        .groupBy("h", "pq", "pk")
+        .agg(F.sum(F.col("qv") * F.col("kv") / 4.0).alias("s"))
+    )
+    wq = Window.partitionBy("h", "pq")
+    aw = sc.withColumn(
+        "w",
+        F.exp(F.col("s") - F.max("s").over(wq))
+        / F.sum(F.exp(F.col("s") - F.max("s").over(wq))).over(wq),
+    )
+    stats = aw.groupBy("h", "pq").agg(F.sum("w").alias("tot")).agg(
+        F.count("*").alias("n"),
+        F.max(F.abs(F.col("tot") - 1.0)).alias("worst"),
+    ).first()
+    assert stats["n"] == 4 * n_tok
+    assert stats["worst"] < 1e-9
