@@ -85,6 +85,16 @@ PICKS = {
         "stride windows; the only exchanges are hash-keyed on the uniform "
         "md5 span hash — no cartesian pair expansion."
     ),
+    "q109_transformer_block": (
+        "Full pre-norm transformer block: both LayerNorms, the softmax "
+        "windows and the residual joins all cluster on the token key; "
+        "K/V and the FFN weight arrive by broadcast."
+    ),
+    "q66b_multihead_attention": (
+        "Multi-head attention: the head axis is a free grouping key on "
+        "the SAME token partitioning — one exchange, no per-head "
+        "shuffle."
+    ),
     "q107_layernorm": (
         "LayerNorm: the mean window, variance window and affine output "
         "all cluster on vec_id, so Catalyst chains three Window ops "
