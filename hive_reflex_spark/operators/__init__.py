@@ -66,6 +66,7 @@ _registry.finalize_order([
     "q66b_multihead_attention",
     "q109a_swiglu_mlp",
     "q109b_rope",
+    "q109c_llama_block",
     "q68a_lstm_unrolled",
     "q68b_gru_unrolled",
     "q80a_onnx_bert",

@@ -1304,3 +1304,201 @@ def q109b_rope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ro").alias("out_v"),
     )
     return even_out.unionByName(odd_out)
+
+
+# ---------------------------------------------------------------------------
+# Full Llama-style block (RMSNorm + RoPE + causal attention + SwiGLU)
+# ---------------------------------------------------------------------------
+
+RMS_EPS = 1e-6  # export_tinyllama.py:6 RMSNorm eps
+
+
+def _tb_rms_sql(src: str, vcol: str, out: str) -> str:
+    """RMSNorm CTE chain over (p, d, {vcol}) — q107a's pinned window,
+    gamma=1, eps 1e-6 (the NanoLlama constant)."""
+    return f"""
+    {out}s AS (SELECT *, COUNT(*) OVER w_{out} AS n_{out},
+               CAST(SUM(CAST(ROUND({vcol} * {vcol} * 1000000000)
+                    AS BIGINT)) OVER w_{out} AS BIGINT) / 1000000000.0
+                   AS s2_{out}
+               FROM {src} WINDOW w_{out} AS (PARTITION BY p)),
+    {out} AS (SELECT p, d, {vcol},
+                     {vcol} / sqrt(s2_{out} / n_{out} + 0.000001) AS h
+              FROM {out}s)"""
+
+
+def _llama_block_oracle() -> str:
+    isum = ("CAST(SUM(CAST(ROUND({expr} * 1000000000) AS BIGINT)) "
+            "AS BIGINT) / 1000000000.0")
+    return f"""
+    WITH x AS (SELECT vec_id AS p, CAST(dim AS INT) AS d, v AS xv
+               FROM {_duck_coords(TB_TOKENS)} c),
+    {_tb_rms_sql('x', 'xv', 'h1')},
+    rpair AS (SELECT e.p, CAST(e.d // 2 AS INT) AS pr, e.h AS ev, o.h AS ov
+              FROM h1 e JOIN h1 o ON e.p = o.p AND o.d = e.d + 1
+              WHERE e.d % 2 = 0),
+    rang AS (SELECT p, pr, ev, ov,
+                    ROUND(cos(p / pow(10000.0, 2.0 * pr / 64.0)), 6) AS cs,
+                    ROUND(sin(p / pow(10000.0, 2.0 * pr / 64.0)), 6) AS sn
+             FROM rpair),
+    rq AS (SELECT p, CAST(pr * 2 AS INT) AS d,
+                  ROUND(ev * cs - ov * sn, 6) AS rh FROM rang
+           UNION ALL
+           SELECT p, CAST(pr * 2 + 1 AS INT) AS d,
+                  ROUND(ev * sn + ov * cs, 6) AS rh FROM rang),
+    sc AS (SELECT a.p AS pq, b.p AS pk,
+                  {isum.format(expr='a.rh * b.rh / 8.0')} AS s
+           FROM rq a JOIN rq b ON a.d = b.d
+           WHERE b.p <= a.p
+           GROUP BY a.p, b.p),
+    ex AS (SELECT pq, pk,
+                  ROUND(exp(s - MAX(s) OVER (PARTITION BY pq)), 6) AS e
+           FROM sc),
+    aw AS (SELECT pq, pk,
+                  e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                       OVER (PARTITION BY pq) AS BIGINT) / 1000000.0) AS w
+           FROM ex),
+    att AS (SELECT aw.pq AS p, k.d,
+                   {isum.format(expr='aw.w * k.h')} AS av
+            FROM aw JOIN h1 k ON k.p = aw.pk GROUP BY aw.pq, k.d),
+    r1 AS (SELECT x.p, x.d, x.xv + att.av AS rv
+           FROM x JOIN att ON x.p = att.p AND x.d = att.d),
+    {_tb_rms_sql('r1', 'rv', 'h2')},
+    {_swiglu_wt_sql('wg', 64, SWIGLU_HIDDEN, 5, 7)},
+    {_swiglu_wt_sql('wu', 64, SWIGLU_HIDDEN, 3, 5)},
+    {_swiglu_wt_sql('wd', SWIGLU_HIDDEN, 64, 7, 3)},
+    g AS (SELECT h2.p, wg.j AS hidx, {isum.format(expr='h2.h * wg.wv')} AS gv
+          FROM h2 JOIN wg ON h2.d = wg.i GROUP BY h2.p, wg.j),
+    u AS (SELECT h2.p, wu.j AS hidx, {isum.format(expr='h2.h * wu.wv')} AS uv
+          FROM h2 JOIN wu ON h2.d = wu.i GROUP BY h2.p, wu.j),
+    m AS (SELECT g.p, g.hidx,
+                 ROUND(g.gv / (1 + exp(-g.gv)), 6) * u.uv AS mv
+          FROM g JOIN u ON g.p = u.p AND g.hidx = u.hidx),
+    ffo AS (SELECT m.p, wd.j AS d, {isum.format(expr='m.mv * wd.wv')} AS fv
+            FROM m JOIN wd ON m.hidx = wd.i GROUP BY m.p, wd.j)
+    SELECT r1.p AS pos, r1.d AS dim, ROUND(r1.rv + ffo.fv, 6) AS out_v
+    FROM r1 JOIN ffo ON r1.p = ffo.p AND r1.d = ffo.d
+    """
+
+
+@query("q109c_llama_block", oracle=_llama_block_oracle())
+def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Llama-style decoder block hash-checked end to end — the
+    NanoLlama forward slice (`model_zoo/export_tinyllama.py:93-105`):
+    h1 = RMSNorm(x); q=k=RoPE(h1), v=h1; CAUSAL attention (pk <= pq);
+    r1 = x + attn; h2 = RMSNorm(r1); out = r1 + SwiGLU(h2). The modern
+    twin of q109's BERT block: RMSNorm for LayerNorm, rotary positions,
+    causal masking as a join predicate, SwiGLU for the GELU FFN
+    (single-head composite; the per-head split is q66b's axis).
+
+    Eight pinned stages compose through three transcendentals (cos/sin,
+    softmax exp, SiLU) — each 6dp-rounded at the same point in both
+    engines; every contraction is an integer-unit sum."""
+    coords = embedding_coords(spark, sf_dir, max_vec=TB_TOKENS)
+    x = coords.select(
+        F.col("vec_id").alias("p"), F.col("dim").alias("d"),
+        F.col("v").alias("xv"),
+    ).repartition("p")
+
+    def rms(df: DataFrame, vcol: str) -> DataFrame:
+        w = Window.partitionBy("p")
+        return (
+            df.withColumn("_n", F.count(vcol).over(w))
+            .withColumn(
+                "_s2",
+                _exact_mean_over(F.col(vcol) * F.col(vcol), w, F.col("_n")),
+            )
+            .withColumn("h", F.col(vcol) / F.sqrt(F.col("_s2") + F.lit(RMS_EPS)))
+            .drop("_n", "_s2")
+        )
+
+    h1 = rms(x, "xv").select("p", "d", "h")
+    ev = h1.filter(F.col("d") % 2 == 0).select(
+        "p", (F.col("d") / 2).cast("int").alias("pr"), F.col("h").alias("ev")
+    )
+    od = h1.filter(F.col("d") % 2 == 1).select(
+        "p", ((F.col("d") - 1) / 2).cast("int").alias("pr"),
+        F.col("h").alias("ov"),
+    )
+    theta = F.col("p") / F.pow(
+        F.lit(10000.0), F.lit(2.0) * F.col("pr") / F.lit(64.0)
+    )
+    rot = (
+        ev.join(od, ["p", "pr"])
+        .withColumn("cs", F.round(F.cos(theta), 6))
+        .withColumn("sn", F.round(F.sin(theta), 6))
+    )
+    rq = rot.select(
+        "p", (F.col("pr") * 2).cast("int").alias("d"),
+        F.round(F.col("ev") * F.col("cs") - F.col("ov") * F.col("sn"), 6)
+        .alias("rh"),
+    ).unionByName(rot.select(
+        "p", (F.col("pr") * 2 + 1).cast("int").alias("d"),
+        F.round(F.col("ev") * F.col("sn") + F.col("ov") * F.col("cs"), 6)
+        .alias("rh"),
+    ))
+    a = rq.select(F.col("p").alias("pq"), "d", F.col("rh").alias("qh"))
+    b = rq.select(F.col("p").alias("pk"), "d", F.col("rh").alias("kh"))
+    sc = (
+        a.join(F.broadcast(b), "d")
+        .filter(F.col("pk") <= F.col("pq"))
+        .groupBy("pq", "pk")
+        .agg(exact_sum(F.col("qh") * F.col("kh") / 8.0, 9).alias("s"))
+    )
+    wq = Window.partitionBy("pq")
+    e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
+    aw = sc.withColumn("e", e).withColumn(
+        "w",
+        F.col("e")
+        / (F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq)
+           / 1_000_000.0),
+    )
+    att = (
+        aw.select("pq", "pk", "w")
+        .join(F.broadcast(h1.select(F.col("p").alias("pk"), "d", "h")), "pk")
+        .groupBy(F.col("pq").alias("p"), "d")
+        .agg(exact_sum(F.col("w") * F.col("h"), 9).alias("av"))
+    )
+    r1 = x.join(att, ["p", "d"]).select(
+        "p", "d", (F.col("xv") + F.col("av")).alias("rv")
+    )
+    h2 = rms(r1, "rv").select("p", "d", "h")
+
+    def wt(aa: int, bb: int, rows: int, cols: int) -> DataFrame:
+        return spark.range(rows * cols).select(
+            (F.col("id") / cols).cast("int").alias("i"),
+            (F.col("id") % cols).cast("int").alias("j"),
+        ).withColumn(
+            "wv",
+            (((F.col("i") * aa + F.col("j") * bb) % 9) - 4) / F.lit(64.0),
+        )
+
+    def proj(src: DataFrame, w: DataFrame, out_col: str) -> DataFrame:
+        return (
+            src.withColumnRenamed("d", "i")
+            .join(F.broadcast(w), "i")
+            .groupBy("p", F.col("j").alias("hidx"))
+            .agg(exact_sum(F.col("h") * F.col("wv"), 9).alias(out_col))
+        )
+
+    g = proj(h2, wt(5, 7, 64, SWIGLU_HIDDEN), "gv")
+    u = proj(h2, wt(3, 5, 64, SWIGLU_HIDDEN), "uv")
+    m = g.join(u, ["p", "hidx"]).select(
+        "p", "hidx",
+        (F.round(F.col("gv") / (F.lit(1.0) + F.exp(-F.col("gv"))), 6)
+         * F.col("uv")).alias("mv"),
+    )
+    ffo = (
+        m.withColumnRenamed("hidx", "i")
+        .join(F.broadcast(wt(7, 3, SWIGLU_HIDDEN, 64)), "i")
+        .groupBy("p", F.col("j").alias("d"))
+        .agg(exact_sum(F.col("mv") * F.col("wv"), 9).alias("fv"))
+    )
+    return (
+        r1.join(ffo, ["p", "d"])
+        .select(
+            F.col("p").alias("pos"),
+            F.col("d").alias("dim"),
+            F.round(F.col("rv") + F.col("fv"), 6).alias("out_v"),
+        )
+    )

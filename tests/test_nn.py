@@ -409,3 +409,60 @@ def test_rope_is_norm_preserving(spark, sf_smoke):
             n_out = np.hypot(out[p, 2 * i], out[p, 2 * i + 1])
             assert abs(n_in - n_out) < 1e-4, (p, i)
     np.testing.assert_allclose(out[0], emb[0], atol=2e-6)  # theta=0
+
+
+def test_llama_block_matches_numpy(spark, sf_smoke):
+    """q109c's eight-stage composition against an unpinned numpy Llama
+    block (RMSNorm eps 1e-6, RoPE on q=k, causal softmax, SwiGLU)."""
+    from hive_reflex_spark.operators.nn import (
+        RMS_EPS,
+        SWIGLU_HIDDEN,
+        TB_TOKENS,
+        q109c_llama_block,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype="float64")
+        for r in read_table(spark, sf_smoke, "embeddings")
+        .filter(F.col("vec_id") < TB_TOKENS)
+        .collect()
+    }
+    x = np.stack([emb[i] for i in range(TB_TOKENS)])
+
+    def rms(m):
+        return m / np.sqrt((m * m).mean(axis=1, keepdims=True) + RMS_EPS)
+
+    def rope(m):
+        out = m.copy()
+        for p in range(m.shape[0]):
+            for i in range(32):
+                th = p / (10000.0 ** (2.0 * i / 64.0))
+                c, s = np.cos(th), np.sin(th)
+                e, o = m[p, 2 * i], m[p, 2 * i + 1]
+                out[p, 2 * i] = e * c - o * s
+                out[p, 2 * i + 1] = e * s + o * c
+        return out
+
+    h1 = rms(x)
+    rq = rope(h1)
+    s = rq @ rq.T / 8.0
+    mask = np.tril(np.ones((TB_TOKENS, TB_TOKENS), dtype=bool))
+    s = np.where(mask, s, -np.inf)
+    e = np.exp(s - s.max(axis=1, keepdims=True))
+    w = e / e.sum(axis=1, keepdims=True)
+    r1 = x + w @ h1
+    h2 = rms(r1)
+
+    def wt(a, b, rows, cols):
+        i = np.arange(rows)[:, None]
+        j = np.arange(cols)[None, :]
+        return (((i * a + j * b) % 9) - 4) / 64.0
+
+    g = h2 @ wt(5, 7, 64, SWIGLU_HIDDEN)
+    u = h2 @ wt(3, 5, 64, SWIGLU_HIDDEN)
+    want = r1 + ((g / (1 + np.exp(-g))) * u) @ wt(7, 3, SWIGLU_HIDDEN, 64)
+
+    got = q109c_llama_block(spark, sf_smoke).collect()
+    assert len(got) == TB_TOKENS * 64
+    for r in got:
+        assert abs(r.out_v - want[r.pos, r.dim]) < 2e-3, r
