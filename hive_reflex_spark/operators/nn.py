@@ -980,6 +980,10 @@ def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("xv"),
     )
 
+    # deliberately NOT layernorm_coords: the closure emits zero affine
+    # ops (no *gamma, no +beta) so the Spark expression graph is the
+    # exact binary64 twin of the oracle's CTE — keep in sync with
+    # _tb_ln_sql, not with the standalone operator
     def ln(df: DataFrame, vcol: str) -> DataFrame:
         w = Window.partitionBy("p")
         n = F.count(vcol).over(w)
@@ -1272,7 +1276,7 @@ def q109b_rope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).repartition("p")
     ev = x.filter(F.col("d") % 2 == 0).select(
         "p", (F.col("d") / 2).cast("int").alias("pr"),
-        F.col("v").alias("ev"), F.col("d").alias("ed"),
+        F.col("v").alias("ev"),
     )
     od = x.filter(F.col("d") % 2 == 1).select(
         "p", ((F.col("d") - 1) / 2).cast("int").alias("pr"),

@@ -150,11 +150,15 @@ def write_model(path: str, name: str, spec_nodes: list, inits: dict) -> str:
 
 
 def _model_onnx_path(name: str, spec_nodes: list, inits: dict) -> str:
-    """Write (once per process) the fixture into the temp dir and return
-    its path — the file is deterministic, so re-writes are idempotent."""
-    path = os.path.join(tempfile.gettempdir(), f"hrs_{name}.onnx")
-    if not os.path.exists(path):
-        write_model(path, name, spec_nodes, inits)
+    """Write the fixture into the temp dir and return its path. Always
+    rewritten — the bytes are deterministic and cheap, and an
+    unconditional write means a stale file from an older spec version
+    (or another process) can never be parsed in place of the current
+    spec."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"hrs_{name}_{os.getuid()}.onnx"
+    )
+    write_model(path, name, spec_nodes, inits)
     return path
 
 

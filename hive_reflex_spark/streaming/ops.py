@@ -643,10 +643,19 @@ def q104_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_reflex_spark.io import read_table
 
     # the view dir must outlive this function (the returned frame reads it
-    # lazily), so the workdir is session-scoped and reused across calls —
-    # no driver-side collect of the rollup, matching the repo's lazy-plan
-    # convention; chunks/checkpoint are deleted below, the view is not
-    work = tempfile.mkdtemp(prefix="hrs_rollup_")
+    # lazily), so the workdir path is DETERMINISTIC per (process, sf_dir)
+    # and cleared at the start of each call — at most one view per input
+    # ever lives in the temp dir, and no driver-side collect of the
+    # rollup; chunks/checkpoint are deleted below, the view is not
+    import hashlib
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"hrs_rollup_{os.getpid()}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
     chunk_dir = os.path.join(work, "chunks")
     view_dir = os.path.join(work, "view")
     # time-range chunks: each micro-batch carries a contiguous slice of
