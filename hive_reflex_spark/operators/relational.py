@@ -151,7 +151,15 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue, global top-k. Only the true dimension (customer) is
     broadcast; orders⋈lineitem is a fact-fact equi-join left to AQE —
     forcing a broadcast there would OOM at 100 TB where orders is itself
-    billions of rows."""
+    billions of rows.
+
+    The revenue aggregate is pushed BELOW the fact-fact join: the group
+    keys (o_orderdate, o_orderpriority) are functionally dependent on
+    l_orderkey, so lineitem pre-aggregates per orderkey first (map-side
+    partial combine, output ~|orders| rows) and the join then moves one
+    row per order instead of every line item — at 100 TB that's the
+    difference between shuffling 6e9 joined wide rows and 1.5e9 narrow
+    pre-aggregated ones."""
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
     ords = t["orders"].filter(
@@ -160,16 +168,18 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
-    return (
-        li.join(
-            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
-            li.l_orderkey == ords.o_orderkey,
-        )
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+    rev = (
+        li.groupBy("l_orderkey")
         .agg(
             exact_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
+        )
+    )
+    return (
+        rev.join(
+            ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey),
+            rev.l_orderkey == ords.o_orderkey,
         )
         .select(
             "l_orderkey",
@@ -311,21 +321,33 @@ def q06_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q07_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving order-less customers; COUNT(col) null
-    semantics; COALESCE for the empty group."""
+    semantics; COALESCE for the empty group.
+
+    The aggregate is pushed BELOW the outer join: orders pre-aggregates
+    per o_custkey (map-side combine, output ~|customers| rows), and the
+    left join then matches two one-row-per-key tables — equivalent
+    because every aggregate here is keyed solely by custkey. The naive
+    join-then-group shape shuffles |orders| wide joined rows; this shape
+    shuffles the pre-aggregated row per customer, which at 100 TB is the
+    whole ballgame."""
     t = load_tables(spark, sf_dir, "customer", "orders")
     p = 100
+    per_cust = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.count("o_orderkey").alias("_n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * p).cast("long")).alias("_cents"),
+        )
+    )
     return (
         t["customer"]
-        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
-        .groupBy("c_custkey", "c_mktsegment")
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            (
-                F.coalesce(
-                    F.sum(F.round(F.col("o_totalprice") * p).cast("long")), F.lit(0)
-                )
-                / float(p)
-            ).alias("total_spent"),
+        .join(per_cust, t["customer"].c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("_n_orders"), F.lit(0)).alias("n_orders"),
+            (F.coalesce(F.col("_cents"), F.lit(0)) / float(p)).alias("total_spent"),
         )
     )
 
