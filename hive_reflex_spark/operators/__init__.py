@@ -10,6 +10,7 @@ from hive_reflex_spark.operators import (  # noqa: F401
     nn,
     power,
     relational,
+    retrieval,
     sampling,
     similarity,
     tensor,
@@ -115,6 +116,7 @@ __all__ = [
     "nn",
     "power",
     "relational",
+    "retrieval",
     "sampling",
     "similarity",
     "streaming_ops",

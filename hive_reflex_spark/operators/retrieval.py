@@ -1,0 +1,270 @@
+"""Retrieval + model-based curation over ``documents``: BM25 keyword
+search, a hashing-trick linear quality classifier, and DSIR-style
+importance weighting.
+
+These complete the text side of the training-data pipeline: text.py
+filters on surface statistics (length/repetition/lang-ID), dedup.py
+removes near-copies, and this module adds the *ranking* tier — retrieve
+by relevance (BM25 over term-partitioned posting lists), score with a
+learned linear model (hashed bag-of-words → sigmoid), and re-weight
+toward a target distribution (importance log-ratio of two unigram LMs),
+the selection recipe of CCNet / DSIR-style pipelines.
+
+Everything is pure column expressions — no Python UDFs — and every
+"model" is a TABLE (posting lists, bucket weights, unigram counts), so
+scoring 100 TB is a broadcast join of a small model table against an
+exploded token stream, never a per-row Python call.
+
+Scale notes (100 TB):
+- BM25: df/idf is |query_terms| rows, avgdl is 1 row — both broadcast;
+  the corpus-side work is one filtered explode + one groupBy(doc_id),
+  and the global top-k is TakeOrderedAndProject (no full sort).
+- classifier: the "weights" are 16 hash buckets — a broadcast map; the
+  corpus shuffles once on doc_id for the per-doc feature sum.
+- DSIR: both unigram LMs are |vocab| rows (bounded by the tokenizer, not
+  the corpus) — broadcast; the keep/drop decision is an exact integer
+  sign test, so membership is reproducible on any engine or cluster.
+
+Float discipline: per-term/per-word partial scores round to 9dp integer
+units before the per-doc sum (order-independent bigint addition), and
+only the final scalar divides back to double — the repo-wide exact_sum
+convention that keeps Spark and DuckDB value-hashes identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.operators.text import DUCK_WORDS, doc_words
+from hive_reflex_spark.registry import query
+
+# BM25 free parameters (the Robertson/Sparck-Jones defaults) and the
+# fixed keyword query; terms chosen from the synthetic corpus vocab.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+QUERY_TERMS = ("spark", "merge", "window")
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+# Hex-digit decode shared by both engines: instr is 1-based, so the
+# value of hex char c is instr('0123456789abcdef', c) - 1 ∈ [0, 15].
+_HEXVAL = "instr('0123456789abcdef', {c}) - 1"
+
+
+@query(
+    "q110_bm25_topk",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+         dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+                FROM words GROUP BY doc_id),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                          CAST(SUM(dl) AS BIGINT) * 1.0 / COUNT(*) AS avgdl
+                   FROM dl),
+         df AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM words WHERE w IN ({_TERMS_SQL}) GROUP BY w),
+         tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM words WHERE w IN ({_TERMS_SQL}) GROUP BY doc_id, w),
+         parts AS (SELECT tf.doc_id,
+                          CAST(ROUND(
+                              ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                              * tf.tf * ({BM25_K1} + 1)
+                              / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                                  + {BM25_B} * dl.dl / stats.avgdl))
+                              * 1000000000) AS BIGINT) AS p
+                   FROM tf JOIN df USING (w)
+                           JOIN dl USING (doc_id), stats)
+    SELECT doc_id,
+           CAST(SUM(p) AS BIGINT) / 1000000000.0 AS bm25
+    FROM parts GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K}
+    """,
+)
+def q110_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k keyword retrieval. The classic inverted-index ranking
+    (Robertson et al., Okapi BM25) expressed as joins: document
+    frequency and idf live in a |query_terms|-row broadcast table, the
+    corpus side is a filtered token explode + per-doc tf, and the global
+    top-k compiles to TakeOrderedAndProject — no full sort, no index
+    build, no driver loop."""
+    words = doc_words(spark, sf_dir).select("doc_id", "w")
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * F.lit(1.0) / F.count("*")).alias("avgdl"),
+    )
+    hits = words.filter(F.col("w").isin(*QUERY_TERMS))
+    df = hits.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    tf = hits.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    parts = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("p"),
+        )
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg((F.sum("p") / 1_000_000_000.0).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+@query(
+    "q111_quality_classifier",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+         feats AS (SELECT doc_id, substr(md5(w), 1, 1) AS b,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM words GROUP BY doc_id, b),
+         wtab AS (SELECT b, CAST({_HEXVAL.format(c="substr(md5(b), 1, 1)")}
+                               AS BIGINT) * 2 - 15 AS num32
+                  FROM (SELECT DISTINCT b FROM feats)),
+         scored AS (SELECT doc_id,
+                           CAST(SUM(cnt * num32) AS BIGINT) AS num,
+                           CAST(SUM(cnt) AS BIGINT) AS n_tokens
+                    FROM feats JOIN wtab USING (b) GROUP BY doc_id)
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(num / 32.0 / n_tokens))), 6) AS score,
+           num >= 0 AS keep
+    FROM scored
+    """,
+)
+def q111_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier (the fastText/CCNet
+    shape): unigrams hash into 16 buckets, a fixed per-bucket weight
+    table is the "model", score = sigmoid(w·x / n_tokens). The weights
+    here are hash-derived stand-ins for trained coefficients — the
+    *plumbing* (model-as-broadcast-table, feature sum as one grouped
+    aggregate, no per-row Python) is the production 100-TB path.
+
+    The keep decision is the exact integer sign of the weight·count
+    numerator (32nds), so membership never depends on float rounding."""
+    words = doc_words(spark, sf_dir).select("doc_id", "w")
+    feats = (
+        words.select("doc_id", F.substring(F.md5("w"), 1, 1).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wtab = (
+        feats.select("b")
+        .distinct()
+        .select(
+            "b",
+            (
+                F.expr(_HEXVAL.format(c="substr(md5(b), 1, 1)")).cast("long") * 2
+                - 15
+            ).alias("num32"),
+        )
+    )
+    scored = (
+        feats.join(F.broadcast(wtab), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("num32")).alias("num"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("num") / 32.0 / F.col("n_tokens")))), 6
+        ).alias("score"),
+        (F.col("num") >= 0).alias("keep"),
+    )
+
+
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "q112_dsir_importance",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, lang, w FROM {DUCK_WORDS} words),
+         raw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+         tgt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM words WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY w),
+         tot AS (SELECT CAST((SELECT SUM(cnt) FROM raw) AS BIGINT) AS t_raw,
+                        CAST((SELECT SUM(cnt) FROM tgt) AS BIGINT) AS t_tgt,
+                        CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS v),
+         lr AS (SELECT raw.w,
+                       CAST(ROUND(
+                           (ln((COALESCE(tgt.cnt, 0) + 1.0) / (tot.t_tgt + tot.v))
+                            - ln((raw.cnt + 1.0) / (tot.t_raw + tot.v)))
+                           * 1000000000) AS BIGINT) AS lr9
+                FROM raw LEFT JOIN tgt USING (w), tot)
+    SELECT doc_id, lang,
+           CAST(SUM(lr9) AS BIGINT) / 1000000000.0 / COUNT(*)
+               AS avg_log_ratio,
+           CAST(SUM(lr9) AS BIGINT) > 0 AS keep
+    FROM words JOIN lr USING (w)
+    GROUP BY doc_id, lang
+    """,
+)
+def q112_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023): score every
+    document by the average unigram log-ratio between a target LM (here
+    the 'en' slice) and the raw-corpus LM, add-1 smoothed. Both LMs
+    are |vocab|-row broadcast tables — corpus size never enters the join
+    build side — and keep/drop is the exact integer sign of the summed
+    9dp log-ratio units, reproducible across engines and partitionings."""
+    words = doc_words(spark, sf_dir).select("doc_id", "lang", "w")
+    raw = words.groupBy("w").agg(F.count("*").alias("cnt_r"))
+    tgt = (
+        words.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt_t"))
+    )
+    tot = raw.agg(
+        F.sum("cnt_r").alias("t_raw"),
+        F.count("*").alias("v"),
+    ).join(tgt.agg(F.sum("cnt_t").alias("t_tgt")))
+    lr = (
+        raw.join(tgt, "w", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "w",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("cnt_t"), F.lit(0)) + 1.0)
+                        / (F.col("t_tgt") + F.col("v"))
+                    )
+                    - F.log((F.col("cnt_r") + 1.0) / (F.col("t_raw") + F.col("v")))
+                )
+                * 1_000_000_000
+            )
+            .cast("long")
+            .alias("lr9"),
+        )
+    )
+    return (
+        words.join(F.broadcast(lr), "w")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (F.sum("lr9") / 1_000_000_000.0 / F.count("*")).alias(
+                "avg_log_ratio"
+            ),
+            (F.sum("lr9") > 0).alias("keep"),
+        )
+    )

@@ -350,3 +350,63 @@ def q93_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s9") * 1.0 / wsum * MIX_TOKEN_BUDGET / F.col("n_tokens"), 6
         ).alias("epochs_at_budget"),
     )
+
+
+N_SHARDS = 8
+
+
+@query(
+    "q113_shard_manifest",
+    oracle=f"""
+    WITH base AS (SELECT doc_id,
+                         md5(CAST(doc_id AS VARCHAR)) AS h,
+                         CAST(len(string_split(text, ' ')) AS BIGINT)
+                             AS n_tokens
+                  FROM documents),
+         sharded AS (SELECT doc_id, h, n_tokens,
+                            CAST((instr('0123456789abcdef', substr(h, 1, 1))
+                                  - 1) % {N_SHARDS} AS BIGINT) AS shard
+                     FROM base)
+    SELECT shard,
+           CAST(ROW_NUMBER() OVER win AS BIGINT) AS seq,
+           doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER win AS BIGINT) AS cum_tokens
+    FROM sharded
+    WINDOW win AS (PARTITION BY shard ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q113_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: deterministic pseudo-random shard
+    assignment (md5 keyspace, like q85's split) plus an intra-shard
+    sequence and running token count — the manifest a data loader reads
+    to stream shard s from token offset t. The order inside a shard is
+    the md5 of the doc id, so the "shuffle" a trainer wants is a pure
+    function of the record with NO global sort: each shard's window
+    sorts only its own 1/{{S}} slice in parallel, and re-running on any
+    cluster size yields byte-identical manifests. All-integer output —
+    no float canonicalization risk anywhere."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "shard",
+        (
+            (F.expr("instr('0123456789abcdef', substr(h, 1, 1))") - 1)
+            % N_SHARDS
+        ).cast("long"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "shard",
+        F.row_number().over(win).cast("long").alias("seq"),
+        "doc_id",
+        "n_tokens",
+        F.sum("n_tokens").over(win).alias("cum_tokens"),
+    )

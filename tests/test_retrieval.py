@@ -1,0 +1,104 @@
+"""Retrieval/curation tier (q110-q113): BM25, hashed-linear classifier,
+DSIR importance, shard manifest — semantic invariants plus the plan
+shapes their 100-TB docstrings claim."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from hive_reflex_spark.operators.retrieval import (
+    BM25_TOP_K,
+    DSIR_TARGET_LANG,
+    QUERY_TERMS,
+)
+from hive_reflex_spark.operators.sampling import N_SHARDS
+
+
+def q(spark, name, sf_dir):
+    return entrymod.queries()[name](spark, sf_dir)
+
+
+def test_bm25_topk_scores_positive_and_ranked(spark, sf_smoke):
+    rows = q(spark, "q110_bm25_topk", sf_smoke).collect()
+    assert 0 < len(rows) <= BM25_TOP_K
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)  # BM25+ idf is always positive
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_hit_docs_contain_a_query_term(spark, sf_smoke):
+    from hive_reflex_spark.io import read_table
+
+    top = q(spark, "q110_bm25_topk", sf_smoke)
+    docs = read_table(spark, sf_smoke, "documents")
+    joined = top.join(docs, "doc_id").select("doc_id", "text").collect()
+    assert len(joined) == top.count()
+    for r in joined:
+        assert any(t in r.text.split(" ") for t in QUERY_TERMS)
+
+
+def test_quality_classifier_is_a_probability(spark, sf_smoke):
+    rows = q(spark, "q111_quality_classifier", sf_smoke).collect()
+    n_docs = (
+        entrymod.queries()["q85_hash_split"](spark, sf_smoke)
+        .agg(F.sum("n_docs"))
+        .collect()[0][0]
+    )
+    assert len(rows) == n_docs  # every doc scored
+    for r in rows:
+        assert 0.0 < r.score < 1.0
+        # keep is the EXACT integer sign test; the rounded score can sit
+        # on 0.5 itself when the raw margin is below the 6dp grid
+        if abs(r.score - 0.5) > 1e-6:
+            assert r.keep == (r.score > 0.5)
+
+
+def test_dsir_target_lang_scores_higher(spark, sf_smoke):
+    df = q(spark, "q112_dsir_importance", sf_smoke)
+    by_lang = (
+        df.groupBy(df.lang == DSIR_TARGET_LANG)
+        .agg(F.avg("avg_log_ratio").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r.m for r in by_lang}
+    # importance weighting must, on average, favor the target slice
+    assert means[True] > means[False]
+    sel = df.filter("keep").count()
+    assert 0 < sel < df.count()  # non-degenerate split
+
+
+def test_shard_manifest_conserves_docs_and_tokens(spark, sf_smoke):
+    from hive_reflex_spark.io import read_table
+
+    man = q(spark, "q113_shard_manifest", sf_smoke)
+    docs = read_table(spark, sf_smoke, "documents")
+    assert man.count() == docs.count()
+    assert man.select("doc_id").distinct().count() == docs.count()
+    agg = man.groupBy("shard").agg(
+        F.max("seq").alias("mx"),
+        F.count("*").alias("n"),
+        F.max("cum_tokens").alias("cum"),
+        F.sum("n_tokens").alias("tok"),
+    )
+    for r in agg.collect():
+        assert 0 <= r.shard < N_SHARDS
+        assert r.mx == r.n  # seq is 1..n dense per shard
+        assert r.cum == r.tok  # running sum ends at the shard total
+    total_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).collect()[0].t
+    assert agg.agg(F.sum("tok")).collect()[0][0] == total_tokens
+
+
+def test_retrieval_plans_broadcast_model_tables(spark, sf_smoke):
+    from tests.test_plan_shapes import plan_of
+
+    for name in ("q110_bm25_topk", "q112_dsir_importance"):
+        plan = plan_of(spark, name, sf_smoke)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its model broadcast"
+        assert "CartesianProduct" not in plan
+    # global top-k must compile to TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan_of(spark, "q110_bm25_topk", sf_smoke)
