@@ -20,7 +20,7 @@ permutation per seed, with no integer-hash parity issues.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.io import cached_df, read_table
@@ -618,4 +618,125 @@ def q103_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_dup).alias("n_dup_spans"),
             F.round(F.sum(is_dup) * 1.0 / F.count("*"), 6).alias("dup_frac"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (FastCDC/LBFS-style) at token granularity
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 3  # tokens hashed per boundary test
+CDC_BOUNDARY_HEX = "0"  # boundary when first md5 hex digit == '0' (p=1/16)
+CDC_TOP_K = 100
+
+
+@query(
+    "q115_cdc_chunks",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, pos, w FROM {DUCK_WORDS} words),
+         hashed AS (SELECT doc_id, pos, w,
+                           CASE WHEN lag(w, {CDC_WINDOW - 1}) OVER win
+                                     IS NOT NULL
+                                AND substr(md5(lag(w, 2) OVER win || ' ' ||
+                                               lag(w, 1) OVER win || ' ' || w),
+                                           1, 1) = '{CDC_BOUNDARY_HEX}'
+                                THEN 1 ELSE 0 END AS boundary
+                    FROM words
+                    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         chunked AS (SELECT doc_id, pos, w,
+                            CAST(SUM(boundary) OVER
+                                (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT)
+                                AS chunk_seq
+                     FROM hashed),
+         chunks AS (SELECT doc_id, chunk_seq,
+                           md5(string_agg(w, ' ' ORDER BY pos))
+                               AS chunk_hash,
+                           CAST(COUNT(*) AS BIGINT) AS n_tokens
+                    FROM chunked GROUP BY doc_id, chunk_seq)
+    SELECT chunk_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(*) >= 2
+    ORDER BY n_occ DESC, chunk_hash LIMIT {CDC_TOP_K}
+    """,
+)
+def q115_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC boundary rule at token
+    granularity): a chunk boundary falls wherever the rolling hash of
+    the last CDC_WINDOW tokens hits a fixed pattern, so identical
+    passages chunk identically regardless of their byte offset — the
+    property that makes chunk-hash dedup robust to insertions, unlike
+    fixed-stride windows (q103). Per doc: windowed boundary flags, a
+    running boundary count as chunk id, one md5 per chunk; globally:
+    group by chunk hash and keep the shared chunks (n_occ >= 2).
+
+    Scale: everything before the final rollup is partition-local per
+    document (window over doc_id); the rollup shuffles one short row per
+    CHUNK (~1/16 of tokens), and the md5 hash space is uniform — no hot
+    keys. The top-k is a TakeOrderedAndProject, not a full sort."""
+    words = doc_words(spark, sf_dir).select("doc_id", "pos", "w")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    hashed = words.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.when(
+            F.lag("w", CDC_WINDOW - 1).over(win).isNotNull()
+            & (
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            F.lag("w", 2).over(win),
+                            F.lag("w", 1).over(win),
+                            F.col("w"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+                == CDC_BOUNDARY_HEX
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    chunked = hashed.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.sum("boundary")
+        .over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("chunk_seq"),
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk_seq")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "w"))
+                    ).getField("w"),
+                    " ",
+                )
+            ).alias("chunk_hash"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .orderBy(F.desc("n_occ"), "chunk_hash")
+        .limit(CDC_TOP_K)
     )

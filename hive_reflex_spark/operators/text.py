@@ -790,3 +790,78 @@ def q105_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("digits").alias("masked_chars"),
         F.countDistinct("masked").alias("n_masked_forms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 16  # buckets per row (one hex digit)
+HEAVY_TOP_K = 10
+
+_CMS_BUCKET = (
+    "instr('0123456789abcdef', substr(md5({j} || ':' || w), 1, 1)) - 1"
+)
+
+
+@query(
+    "q114_countmin_heavy_hitters",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+         rows_ AS (SELECT unnest(range({CMS_DEPTH})) AS j),
+         cells AS (SELECT j, {_CMS_BUCKET.format(j="j")} AS bucket,
+                          CAST(COUNT(*) AS BIGINT) AS cell
+                   FROM words, rows_ GROUP BY j, bucket),
+         vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt
+                   FROM words GROUP BY w),
+         est AS (SELECT vocab.w, vocab.true_cnt,
+                        CAST(MIN(cells.cell) AS BIGINT) AS est_cnt
+                 FROM vocab JOIN rows_ ON TRUE
+                      JOIN cells ON cells.j = rows_.j
+                        AND cells.bucket = {_CMS_BUCKET.format(j="rows_.j")}
+                 GROUP BY vocab.w, vocab.true_cnt)
+    SELECT w, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+    FROM est
+    ORDER BY true_cnt DESC, w LIMIT {HEAVY_TOP_K}
+    """,
+)
+def q114_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan) heavy hitters: a
+    4x16 counter grid built as ONE grouped aggregate
+    (token stream x depth literals), then every vocab word estimated as
+    min over its 4 cells. The grid is depth*width = 64
+    rows regardless of corpus size — the mergeable, fixed-memory
+    frequency summary used when the true vocab doesn't fit anywhere —
+    and the md5 bucket hashes make the sketch bit-identical on any
+    engine. Output pins the CMS guarantee: est_cnt >= true_cnt always
+    (overcount >= 0), with the top-k checked against exact counts."""
+    words = doc_words(spark, sf_dir).select("w")
+    depth = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("j"))
+    cells = (
+        words.join(F.broadcast(depth))
+        .select(
+            "j",
+            F.expr(_CMS_BUCKET.format(j="j")).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("true_cnt"))
+    est = (
+        vocab.join(F.broadcast(depth))
+        .withColumn("bucket", F.expr(_CMS_BUCKET.format(j="j")))
+        .join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+    )
+    return (
+        est.select(
+            "w",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_cnt"), "w")
+        .limit(HEAVY_TOP_K)
+    )

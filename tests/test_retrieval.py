@@ -102,3 +102,44 @@ def test_retrieval_plans_broadcast_model_tables(spark, sf_smoke):
         assert "CartesianProduct" not in plan
     # global top-k must compile to TakeOrderedAndProject, not a full sort
     assert "TakeOrderedAndProject" in plan_of(spark, "q110_bm25_topk", sf_smoke)
+
+
+def test_countmin_never_undercounts(spark, sf_smoke):
+    rows = q(spark, "q114_countmin_heavy_hitters", sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.overcount >= 0  # CMS guarantee: est >= true
+        assert r.est_cnt >= r.true_cnt
+
+
+def test_countmin_sketch_is_fixed_size(spark, sf_smoke):
+    from hive_reflex_spark.operators.text import CMS_DEPTH, CMS_WIDTH, doc_words
+    from pyspark.sql import functions as F2
+
+    words = doc_words(spark, sf_smoke).select("w")
+    depth = spark.range(CMS_DEPTH).select(F2.col("id").cast("int").alias("j"))
+    cells = (
+        words.join(F2.broadcast(depth))
+        .select(
+            "j",
+            F2.expr(
+                "instr('0123456789abcdef', substr(md5(j || ':' || w), 1, 1)) - 1"
+            ).alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .count()
+    )
+    assert cells.count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_cdc_chunks_are_shared_and_bounded(spark, sf_smoke):
+    from hive_reflex_spark.operators.dedup import CDC_TOP_K
+
+    rows = q(spark, "q115_cdc_chunks", sf_smoke).collect()
+    assert 0 < len(rows) <= CDC_TOP_K
+    hashes = [r.chunk_hash for r in rows]
+    assert len(set(hashes)) == len(hashes)
+    for r in rows:
+        assert r.n_occ >= 2  # only shared chunks reported
+        assert 1 <= r.n_docs <= r.n_occ
+        assert r.n_tokens >= 1
