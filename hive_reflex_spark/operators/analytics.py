@@ -441,3 +441,83 @@ def q108_adaptive_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("factor", 6).alias("factor"),
         F.round(F.col("factor") * ADAPT_BASE, 6).alias("effective_threshold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier monitor (median / MAD)
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0  # flag beyond 3 MADs
+
+
+@query(
+    "q116_mad_outliers",
+    oracle=f"""
+    WITH med AS (SELECT event_type,
+                        quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+         dev AS (SELECT e.event_type, e.value, med.med,
+                        abs(e.value - med.med) AS adev
+                 FROM events e JOIN med USING (event_type)),
+         mad AS (SELECT event_type,
+                        quantile_cont(adev, 0.5) AS mad
+                 FROM dev GROUP BY event_type)
+    SELECT dev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(dev.med, 6) AS med,
+           ROUND(mad.mad, 6) AS mad,
+           CAST(SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS outlier_frac
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type, dev.med, mad.mad
+    """,
+)
+def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust telemetry outlier monitor: per event type, the median and
+    the median absolute deviation (MAD — the robust sigma the mean/std
+    pair cannot give when the tail itself is what you're hunting), then
+    flag events beyond MAD_K MADs. The data-quality gate a training
+    pipeline runs on ingest metrics before trusting a batch.
+
+    Both engines use interpolated medians (Spark `percentile`, DuckDB
+    `quantile_cont`) over identical doubles, so the grouped medians are
+    bit-identical. Scale: exact percentile sorts within each group —
+    correct at any group count; for groups too hot to sort, the
+    production swap is `approx_percentile` (same plan shape, bounded
+    error), which this query's structure admits unchanged. Two grouped
+    passes + one broadcast-back join of #event_type rows."""
+    events = read_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            F.round(F.col("n_outliers") * 1.0 / F.col("n_events"), 6).alias(
+                "outlier_frac"
+            ),
+        )
+    )

@@ -1338,3 +1338,97 @@ def q106_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("long").alias("rnk"),
         F.col("n_members").cast("long").alias("n_members"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding distribution drift monitor
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q117_embedding_drift",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         cent AS (SELECT label, vec_id % 2 AS half, dim,
+                         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n,
+                         CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT))
+                              AS BIGINT) / 1000000000.0
+                             / COUNT(DISTINCT vec_id) AS c
+                  FROM coords GROUP BY label, half, dim),
+         paired AS (SELECT a.label, a.dim,
+                           a.n AS n_ref, b.n AS n_cand,
+                           a.c AS ca, b.c AS cb
+                    FROM cent a JOIN cent b
+                      ON a.label = b.label AND a.dim = b.dim
+                     AND a.half = 0 AND b.half = 1),
+         sums AS (SELECT label, MIN(n_ref) AS n_ref, MIN(n_cand) AS n_cand,
+                         CAST(SUM(CAST(ROUND(ca * cb * 1000000000) AS BIGINT))
+                              AS BIGINT) / 1000000000.0 AS dot,
+                         CAST(SUM(CAST(ROUND(ca * ca * 1000000000) AS BIGINT))
+                              AS BIGINT) / 1000000000.0 AS na,
+                         CAST(SUM(CAST(ROUND(cb * cb * 1000000000) AS BIGINT))
+                              AS BIGINT) / 1000000000.0 AS nb,
+                         CAST(SUM(CAST(ROUND((ca - cb) * (ca - cb)
+                              * 1000000000) AS BIGINT)) AS BIGINT)
+                             / 1000000000.0 AS sq
+                  FROM paired GROUP BY label)
+    SELECT label, n_ref, n_cand,
+           ROUND(sqrt(sq), 6) AS l2_drift,
+           ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS centroid_cosine
+    FROM sums
+    """,
+)
+def q117_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution-shift monitor: split the corpus into a
+    reference half and a candidate half (vec_id parity — in production,
+    yesterday's batch vs today's), compute per-label centroids for each
+    half, and report the L2 drift and cosine between the paired
+    centroids. The drift gate a pipeline checks before trusting a new
+    embedding batch (encoder regression, upstream distribution shift).
+
+    Scale: one grouped aggregate reduces 100 TB of coordinates to
+    labels x 2 x dims rows; everything after operates on that bounded
+    table. Centroid sums accumulate 9dp integer units, and the centroid
+    products re-freeze to 9dp before the dim-sum, so both engines hash
+    identically."""
+    coords = embedding_coords(spark, sf_dir)
+    UNIT = 1_000_000_000
+    cent = (
+        coords.withColumn("half", (F.col("vec_id") % 2).cast("long"))
+        .groupBy("label", "half", "dim")
+        .agg(
+            F.countDistinct("vec_id").alias("n"),
+            (
+                F.sum(F.round(F.col("v") * UNIT).cast("long")) / float(UNIT)
+                / F.countDistinct("vec_id")
+            ).alias("c"),
+        )
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "dim", F.col("n").alias("n_ref"), F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "dim", F.col("n").alias("n_cand"), F.col("c").alias("cb")
+    )
+    paired = a.join(b, ["label", "dim"])
+    i9 = lambda col: F.round(col * UNIT).cast("long")  # noqa: E731
+    sums = paired.groupBy("label").agg(
+        F.min("n_ref").alias("n_ref"),
+        F.min("n_cand").alias("n_cand"),
+        (F.sum(i9(F.col("ca") * F.col("cb"))) / float(UNIT)).alias("dot"),
+        (F.sum(i9(F.col("ca") * F.col("ca"))) / float(UNIT)).alias("na"),
+        (F.sum(i9(F.col("cb") * F.col("cb"))) / float(UNIT)).alias("nb"),
+        (
+            F.sum(i9((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))))
+            / float(UNIT)
+        ).alias("sq"),
+    )
+    return sums.select(
+        "label",
+        "n_ref",
+        "n_cand",
+        F.round(F.sqrt("sq"), 6).alias("l2_drift"),
+        F.round(
+            F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6
+        ).alias("centroid_cosine"),
+    )

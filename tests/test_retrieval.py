@@ -143,3 +143,21 @@ def test_cdc_chunks_are_shared_and_bounded(spark, sf_smoke):
         assert r.n_occ >= 2  # only shared chunks reported
         assert 1 <= r.n_docs <= r.n_occ
         assert r.n_tokens >= 1
+
+
+def test_mad_outliers_sane(spark, sf_smoke):
+    rows = q(spark, "q116_mad_outliers", sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers < r.n_events  # robust stats: minority flagged
+        assert abs(r.outlier_frac - r.n_outliers / r.n_events) < 1e-5
+
+
+def test_embedding_drift_bounds(spark, sf_smoke):
+    rows = q(spark, "q117_embedding_drift", sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_ref > 0 and r.n_cand > 0
+        assert r.l2_drift >= 0
+        assert -1.0 <= r.centroid_cosine <= 1.0
