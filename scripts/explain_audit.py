@@ -120,6 +120,23 @@ PICKS = {
         "Generate over the scan (LATERAL) — per-row generation without a "
         "join operator; the extensibility tier, not the codegen hot path."
     ),
+    "q110_bm25_topk": (
+        "BM25 retrieval: df/idf and the avgdl scalar are broadcast model "
+        "tables joined onto the filtered token stream; the global top-k "
+        "is TakeOrderedAndProject — no full sort, no index materialized."
+    ),
+    "q113_shard_manifest": (
+        "Shard manifest: ONE hash exchange on the md5-derived shard key "
+        "feeds both the sequence and running-token windows — each shard "
+        "sorts only its own slice; there is no global sort anywhere."
+    ),
+    "q115_cdc_chunks": (
+        "Content-defined chunking: boundary flags and chunk ids are "
+        "windows over the doc partition (partition-local after one "
+        "exchange on doc_id); the shared-chunk rollup hashes on the "
+        "uniform md5 chunk hash — no hot keys, top-k via "
+        "TakeOrderedAndProject."
+    ),
     "q62_streaming_hourly": "(streaming — plan shown for the post-sink projection)",
 }
 
