@@ -74,6 +74,17 @@ _registry.finalize_order([
     "q80b_onnx_mobilenet",
     "q102b_ivfpq_topk",
     "q108_adaptive_cascade",
+    # NEW this session: retrieval / model-curation / QA tier — these take
+    # window slots ahead of the stale-green re-checks below (which keep
+    # their standing r01 hash-green rows and remain first in line for r04)
+    "q110_bm25_topk",
+    "q111_quality_classifier",
+    "q112_dsir_importance",
+    "q113_shard_manifest",
+    "q114_countmin_heavy_hitters",
+    "q115_cdc_chunks",
+    "q116_mad_outliers",
+    "q117_embedding_drift",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

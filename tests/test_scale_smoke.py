@@ -208,3 +208,97 @@ def test_multihead_attention_1k_tokens(spark):
     ).first()
     assert stats["n"] == 4 * n_tok
     assert stats["worst"] < 1e-9
+
+
+def _write_docs(spark, path, df):
+    import os
+
+    os.makedirs(path)
+    df.write.parquet(os.path.join(path, "documents.parquet"))
+
+
+def test_bm25_50k_docs(spark, tmp_path):
+    """q110 at ~100x the fixture corpus: 50k docs, 1% planted with query
+    terms. The retrieval plan (broadcast df/avgdl, filtered explode,
+    TakeOrderedAndProject) must return only term-bearing docs."""
+    from hive_reflex_spark.operators.retrieval import q110_bm25_topk
+
+    d = str(tmp_path / "bm25")
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 100 == 0,
+            F.concat(
+                F.lit("spark merge window spark "),
+                F.md5(F.col("id").cast("string")),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("a"))),
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("b"))),
+            )
+        )
+        .alias("text"),
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text"))
+    _write_docs(spark, d, docs)
+
+    rows = q110_bm25_topk(spark, d).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.doc_id % 100 == 0  # only planted docs carry query terms
+        assert r.bm25 > 0
+
+
+def test_cdc_chunks_20k_docs(spark, tmp_path):
+    """q115 at 40x: 10% of 20k docs share a 48-token boilerplate passage.
+    Content-defined boundaries hash the shared region identically in
+    every doc, so a shared chunk with ~2000 occurrences must surface."""
+    from hive_reflex_spark.operators.dedup import q115_cdc_chunks
+
+    d = str(tmp_path / "cdc")
+    boiler = " ".join(f"tok{i}" for i in range(48))
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 == 0,
+            F.concat(F.lit(boiler + " "), F.md5(F.col("id").cast("string"))),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("x"))),
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("y"))),
+            )
+        )
+        .alias("text"),
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text"))
+    _write_docs(spark, d, docs)
+
+    rows = q115_cdc_chunks(spark, d).collect()
+    assert len(rows) > 0
+    assert max(r.n_occ for r in rows) >= 1_000
+
+
+def test_shard_manifest_1m_docs(spark, tmp_path):
+    """q113 at 2000x: 1M docs. Per-shard windows only — the manifest must
+    cover every doc, and the md5 keyspace must spread shards evenly."""
+    from hive_reflex_spark.operators.sampling import N_SHARDS, q113_shard_manifest
+
+    d = str(tmp_path / "shards")
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("a b c d").alias("text"),
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text"))
+    _write_docs(spark, d, docs)
+
+    man = q113_shard_manifest(spark, d)
+    per = man.groupBy("shard").count().collect()
+    assert len(per) == N_SHARDS
+    counts = [r["count"] for r in per]
+    assert sum(counts) == 1_000_000
+    assert max(counts) < 2 * (sum(counts) / len(counts))  # no hot shard

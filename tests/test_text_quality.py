@@ -208,5 +208,9 @@ def test_registry_window_covers_new_families():
         "q68a_lstm_unrolled",        # new: oracled LSTM
         "q80a_onnx_bert",            # new: transformer ONNX ingest
         "q108_adaptive_cascade",     # new: threshold feedback loop
+        "q110_bm25_topk",            # new: retrieval tier
+        "q112_dsir_importance",      # new: model-based curation
+        "q115_cdc_chunks",           # new: content-defined chunking
+        "q117_embedding_drift",      # new: pipeline QA
     ):
         assert must in window, must
