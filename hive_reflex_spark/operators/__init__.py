@@ -85,6 +85,7 @@ _registry.finalize_order([
     "q115_cdc_chunks",
     "q116_mad_outliers",
     "q117_embedding_drift",
+    "q118_hll_distinct",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -521,3 +521,133 @@ def q116_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic (portable) HyperLogLog
+# ---------------------------------------------------------------------------
+
+HLL_M = 256  # 2^8 buckets (first two md5 hex chars); rsd ~ 1.04/sqrt(m) = 6.5%
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+# leading-zero bits of the first nonzero hex digit (value 1..15)
+_LZ_DIGIT = (
+    "CASE WHEN {d} >= 8 THEN 0 WHEN {d} >= 4 THEN 1 "
+    "WHEN {d} >= 2 THEN 2 ELSE 3 END"
+)
+
+
+@query(
+    "q118_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (SELECT DISTINCT event_type,
+                           substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                               AS bucket,
+                           substr(md5(CAST(user_id AS VARCHAR)), 3, 29)
+                               AS suffix
+                    FROM events),
+         rho AS (SELECT event_type, bucket,
+                        CAST(MAX(
+                            4 * (29 - len(ltrim(suffix, '0')))
+                            + CASE WHEN ltrim(suffix, '0') = '' THEN 0
+                                   ELSE {_LZ_DIGIT.format(d="instr('0123456789abcdef', substr(ltrim(suffix, '0'), 1, 1)) - 1")}
+                              END + 1) AS BIGINT) AS m_j
+                 FROM hashed GROUP BY event_type, bucket),
+         per_type AS (SELECT event_type,
+                             SUM(pow(2.0, -m_j)) AS sum_pow,
+                             CAST(COUNT(*) AS BIGINT) AS n_buckets
+                      FROM rho GROUP BY event_type),
+         est AS (SELECT event_type,
+                        CAST({_HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M}
+                            / (sum_pow + ({HLL_M} - n_buckets)) AS e_raw,
+                        {HLL_M} - n_buckets AS zeros
+                 FROM per_type),
+         corrected AS (SELECT event_type,
+                              CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * {HLL_M} AND zeros > 0
+                                   THEN {HLL_M} * ln({HLL_M} * 1.0 / zeros)
+                                   ELSE e_raw END AS e
+                       FROM est),
+         exact AS (SELECT event_type,
+                          CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                              AS exact_users
+                   FROM events GROUP BY event_type)
+    SELECT exact.event_type, exact.exact_users,
+           CAST(ROUND(corrected.e) AS BIGINT) AS hll_users,
+           ROUND(abs(corrected.e - exact.exact_users)
+                 / exact.exact_users, 6) AS rel_error
+    FROM exact JOIN corrected USING (event_type)
+    """,
+)
+def q118_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable HyperLogLog (Flajolet et al. 2007), built from scratch on
+    md5 so the sketch — not just its error bound — is bit-identical on
+    every engine: bucket = first hex byte (m=256), rho = leading-zero
+    bits of the remaining 116-bit suffix + 1, estimate = alpha_m * m^2 /
+    sum(2^-max_rho) with the linear-counting small-range correction.
+    Unlike q28 (engine-native HLL++, rows-only by necessity) this
+    estimate hash-matches a DuckDB oracle exactly, because 2^-k is
+    IEEE-exact and the bucket maxima are integers.
+
+    Scale: one grouped aggregate reduces the corpus to at most
+    |event_type| x 256 integer rows — the mergeable fixed-memory sketch
+    shape (partial maxima per partition combine map-side); the estimate
+    math runs on the tiny sketch table."""
+    events = read_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    hashed = events.select(
+        "event_type",
+        F.substring(h, 1, 2).alias("bucket"),
+        F.substring(h, 3, 29).alias("suffix"),
+    ).distinct()
+    nz = F.expr("trim(LEADING '0' FROM suffix)")
+    first_digit_val = F.expr(
+        "instr('0123456789abcdef', substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
+    )
+    lz_digit = (
+        F.when(first_digit_val >= 8, 0)
+        .when(first_digit_val >= 4, 1)
+        .when(first_digit_val >= 2, 2)
+        .otherwise(3)
+    )
+    rho = (
+        hashed.select(
+            "event_type",
+            "bucket",
+            (
+                4 * (29 - F.length(nz))
+                + F.when(nz == "", 0).otherwise(lz_digit)
+                + 1
+            ).cast("long").alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
+    per_type = rho.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_pow"),
+        F.count("*").alias("n_buckets"),
+    )
+    e_raw = (
+        _HLL_ALPHA * HLL_M * HLL_M
+        / (F.col("sum_pow") + (HLL_M - F.col("n_buckets")))
+    )
+    zeros = HLL_M - F.col("n_buckets")
+    corrected = per_type.select(
+        "event_type",
+        F.when(
+            (e_raw <= 2.5 * HLL_M) & (zeros > 0),
+            HLL_M * F.log(HLL_M * 1.0 / zeros),
+        )
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(F.broadcast(corrected), "event_type").select(
+        "event_type",
+        "exact_users",
+        F.round("e").cast("long").alias("hll_users"),
+        F.round(
+            F.abs(F.col("e") - F.col("exact_users")) / F.col("exact_users"), 6
+        ).alias("rel_error"),
+    )

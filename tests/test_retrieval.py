@@ -161,3 +161,15 @@ def test_embedding_drift_bounds(spark, sf_smoke):
         assert r.n_ref > 0 and r.n_cand > 0
         assert r.l2_drift >= 0
         assert -1.0 <= r.centroid_cosine <= 1.0
+
+
+def test_hll_estimate_within_rsd_bound(spark, sf_smoke):
+    from hive_reflex_spark.operators.analytics import HLL_M
+
+    rows = q(spark, "q118_hll_distinct", sf_smoke).collect()
+    assert len(rows) > 0
+    rsd = 1.04 / (HLL_M ** 0.5)  # ~6.5% at m=256
+    for r in rows:
+        assert r.exact_users > 0 and r.hll_users > 0
+        # HLL guarantee is probabilistic; 5 sigma on the fixed corpus
+        assert r.rel_error <= 5 * rsd, (r.event_type, r.rel_error)
