@@ -86,6 +86,8 @@ _registry.finalize_order([
     "q116_mad_outliers",
     "q117_embedding_drift",
     "q118_hll_distinct",
+    "q119_funnel",
+    "q120_wow_retention",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -651,3 +651,170 @@ def q118_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("e") - F.col("exact_users")) / F.col("exact_users"), 6
         ).alias("rel_error"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral funnel + retention (event telemetry rollups)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_funnel",
+    oracle="""
+    WITH per_user AS (SELECT user_id,
+                             MIN(CASE WHEN event_type = 'view'
+                                      THEN ts END) AS t_view,
+                             MIN(CASE WHEN event_type = 'click'
+                                      THEN ts END) AS t_click,
+                             MIN(CASE WHEN event_type = 'purchase'
+                                      THEN ts END) AS t_purchase
+                      FROM events GROUP BY user_id),
+         flags AS (SELECT user_id,
+                          CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END
+                              AS s1,
+                          CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                               THEN 1 ELSE 0 END AS s2,
+                          CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                                AND t_purchase > t_click
+                               THEN 1 ELSE 0 END AS s3
+                   FROM per_user)
+    SELECT step, n_users,
+           ROUND(n_users * 1.0 / NULLIF(lag(n_users)
+                 OVER (ORDER BY step), 0), 6) AS conv_from_prev
+    FROM (SELECT 'view' AS step, CAST(SUM(s1) AS BIGINT) AS n_users
+          FROM flags
+          UNION ALL
+          SELECT 'view>click', CAST(SUM(s2) AS BIGINT) FROM flags
+          UNION ALL
+          SELECT 'view>click>purchase', CAST(SUM(s3) AS BIGINT) FROM flags)
+    ORDER BY step
+    """,
+)
+def q119_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): a user
+    advances a step only if the NEXT event type first occurs strictly
+    after the previous step's first occurrence. Expressed join-free: one
+    conditional-min aggregate per user, then one 3-row rollup — the
+    sessionized-pattern-match shape that at 100 TB costs exactly one
+    shuffle on user_id (partial min combine map-side), never a
+    self-join per step pair."""
+    events = read_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+    ).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    flags = per_user.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    ).agg(
+        F.sum("s1").alias("n1"), F.sum("s2").alias("n2"), F.sum("s3").alias("n3")
+    )
+    steps = flags.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("view").alias("step"), F.col("n1").alias("n_users")
+                ),
+                F.struct(
+                    F.lit("view>click").alias("step"),
+                    F.col("n2").alias("n_users"),
+                ),
+                F.struct(
+                    F.lit("view>click>purchase").alias("step"),
+                    F.col("n3").alias("n_users"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.step", "s.n_users")
+    w = Window.partitionBy().orderBy("step")
+    return steps.select(
+        "step",
+        "n_users",
+        F.round(
+            F.col("n_users")
+            * 1.0
+            / F.nullif(F.lag("n_users").over(w), F.lit(0)),
+            6,
+        ).alias("conv_from_prev"),
+    ).orderBy("step")
+
+
+@query(
+    "q120_wow_retention",
+    oracle="""
+    WITH wk AS (SELECT DISTINCT event_type,
+                       date_trunc('week', ts) AS week, user_id
+                FROM events),
+         per_week AS (SELECT event_type, week,
+                             CAST(COUNT(*) AS BIGINT) AS n_users
+                      FROM wk GROUP BY event_type, week),
+         retained AS (SELECT a.event_type, b.week,
+                             CAST(COUNT(*) AS BIGINT) AS n_retained
+                      FROM wk a JOIN wk b
+                        ON a.event_type = b.event_type
+                       AND a.user_id = b.user_id
+                       AND b.week = a.week + INTERVAL 7 DAY
+                      GROUP BY a.event_type, b.week)
+    SELECT per_week.event_type,
+           strftime(per_week.week, '%Y-%m-%d') AS week_start,
+           per_week.n_users,
+           COALESCE(retained.n_retained, 0) AS n_retained,
+           ROUND(COALESCE(retained.n_retained, 0) * 1.0
+                 / per_week.n_users, 6) AS retention
+    FROM per_week LEFT JOIN retained
+      ON per_week.event_type = retained.event_type
+     AND per_week.week = retained.week
+    """,
+)
+def q120_wow_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention per event type: of this week's active
+    users, how many were also active the week before. One distinct pass
+    builds the (type, week, user) activity set; the retention join is an
+    equi-join of that set against itself shifted one week — keyed on
+    (type, user), so at 100 TB it shuffles the distinct activity rows
+    once, not raw events, and weeks-per-user is bounded."""
+    events = read_table(spark, sf_dir, "events")
+    wk = events.select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        "user_id",
+    ).distinct()
+    per_week = wk.groupBy("event_type", "week").agg(
+        F.count("*").alias("n_users")
+    )
+    prev = wk.select(
+        "event_type",
+        (F.col("week") + F.expr("INTERVAL 7 DAY")).alias("week"),
+        "user_id",
+    )
+    retained = (
+        wk.join(prev, ["event_type", "week", "user_id"])
+        .groupBy("event_type", "week")
+        .agg(F.count("*").alias("n_retained"))
+    )
+    return per_week.join(retained, ["event_type", "week"], "left").select(
+        "event_type",
+        F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+        "n_users",
+        F.coalesce(F.col("n_retained"), F.lit(0)).alias("n_retained"),
+        F.round(
+            F.coalesce(F.col("n_retained"), F.lit(0)) * 1.0 / F.col("n_users"),
+            6,
+        ).alias("retention"),
+    )

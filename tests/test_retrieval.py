@@ -173,3 +173,59 @@ def test_hll_estimate_within_rsd_bound(spark, sf_smoke):
         assert r.exact_users > 0 and r.hll_users > 0
         # HLL guarantee is probabilistic; 5 sigma on the fixed corpus
         assert r.rel_error <= 5 * rsd, (r.event_type, r.rel_error)
+
+
+def test_funnel_is_monotone(spark, sf_smoke):
+    rows = {r.step: r for r in q(spark, "q119_funnel", sf_smoke).collect()}
+    assert set(rows) == {"view", "view>click", "view>click>purchase"}
+    assert (
+        rows["view"].n_users
+        >= rows["view>click"].n_users
+        >= rows["view>click>purchase"].n_users
+    )
+    assert rows["view"].conv_from_prev is None  # no prior step
+    for step in ("view>click", "view>click>purchase"):
+        c = rows[step].conv_from_prev
+        assert c is None or 0.0 <= c <= 1.0
+
+
+def test_wow_retention_bounds(spark, sf_smoke):
+    rows = q(spark, "q120_wow_retention", sf_smoke).collect()
+    assert len(rows) > 0
+    weeks = sorted({r.week_start for r in rows})
+    for r in rows:
+        assert 0 <= r.n_retained <= r.n_users
+        assert 0.0 <= r.retention <= 1.0
+        if r.week_start == weeks[0]:
+            assert r.n_retained == 0  # nothing precedes the first week
+
+
+def test_countmin_sketch_is_mergeable(spark, sf_smoke):
+    """The CMS property that makes it the 100-TB shape: sketch(A ∪ B) ==
+    sketch(A) + sketch(B) cellwise — partial grids combine map-side."""
+    from hive_reflex_spark.operators.text import CMS_DEPTH, doc_words
+    from pyspark.sql import functions as F2
+
+    words = doc_words(spark, sf_smoke).select("doc_id", "w")
+    depth = spark.range(CMS_DEPTH).select(F2.col("id").cast("int").alias("j"))
+    bucket = F2.expr(
+        "instr('0123456789abcdef', substr(md5(j || ':' || w), 1, 1)) - 1"
+    )
+
+    def grid(df):
+        return {
+            (r.j, r.bucket): r.cell
+            for r in df.join(F2.broadcast(depth))
+            .select("j", bucket.alias("bucket"))
+            .groupBy("j", "bucket")
+            .agg(F2.count("*").alias("cell"))
+            .collect()
+        }
+
+    full = grid(words)
+    half_a = grid(words.filter("doc_id % 2 = 0"))
+    half_b = grid(words.filter("doc_id % 2 = 1"))
+    merged = dict(half_a)
+    for k, v in half_b.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == full
