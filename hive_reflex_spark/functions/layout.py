@@ -45,3 +45,15 @@ def colocated_join(
     """Join two bucketed tables on their bucket key — with matching bucket
     counts the plan contains no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def partitioned_write(df: DataFrame, path: str, *keys: str) -> None:
+    """Persist ``df`` hive-partitioned by ``keys`` (one directory level
+    per key value). Readers filtering on a partition key prune whole
+    directories at planning time — at 100 TB this is the difference
+    between scanning a day and scanning a decade. Repartition by the
+    keys first so each partition directory is written by one task
+    (avoiding the many-small-files explosion of per-task fan-out)."""
+    df.repartition(*[df[k] for k in keys]).write.mode("overwrite").partitionBy(
+        *keys
+    ).parquet(path)

@@ -306,3 +306,29 @@ def test_q80b_compile_chain_broadcast_only(spark, sf_smoke):
     layer table."""
     plan = plan_of(spark, "q80b_onnx_mobilenet", sf_smoke)
     assert "SortMergeJoin" not in plan
+
+
+def test_partitioned_layout_prunes_at_plan_time(spark, sf_smoke, tmp_path):
+    """Hive-partitioned writes + partition pruning: a filter on the
+    partition key must land in PartitionFilters (directory pruning at
+    planning time), not in PushedFilters (row-group skipping after the
+    file listing) — the 100-TB scan-a-day-not-a-decade property."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hive_reflex_spark.functions.layout import partitioned_write
+    from hive_reflex_spark.io import read_table
+
+    path = str(tmp_path / "events_by_type")
+    ev = read_table(spark, sf_smoke, "events")
+    partitioned_write(ev, path, "event_type")
+    # one directory per key value, each holding its own parquet files
+    dirs = {d for d in os.listdir(path) if d.startswith("event_type=")}
+    assert len(dirs) == ev.select("event_type").distinct().count()
+
+    df = spark.read.parquet(path).filter(F.col("event_type") == "error")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "(event_type" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert df.count() == ev.filter("event_type = 'error'").count()
