@@ -725,3 +725,42 @@ def q104_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("units") / 100.0).alias("total_value"),
     )
+
+
+@query(
+    "q121_stream_countmin",
+    oracle="""
+    WITH rows_ AS (SELECT unnest(range(4)) AS j)
+    SELECT j,
+           CAST(instr('0123456789abcdef',
+                      substr(md5(j || ':' || CAST(user_id AS VARCHAR)), 1, 1))
+                - 1 AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cell
+    FROM events, rows_
+    GROUP BY 1, 2
+    """,
+)
+def q121_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained BY THE STREAM (the ingest-side twin of
+    q114): each micro-batch folds its events into the 4x16 counter grid
+    via a streaming groupBy — the grid is the only state, fixed-size
+    regardless of stream length, and complete-mode emission equals the
+    batch grid on any chunking (the mergeability q114's pytest proves is
+    exactly why streaming partial aggregation is correct here). User
+    frequencies over an unbounded event stream in 64 integers."""
+    stream = stream_events(spark, sf_dir)
+    depth = F.array(*[F.lit(j) for j in range(4)])
+    cells = (
+        stream.select(F.col("user_id").cast("string").alias("u"))
+        .select(F.explode(depth).alias("j"), "u")
+        .select(
+            "j",
+            F.expr(
+                "instr('0123456789abcdef', substr(md5(j || ':' || u), 1, 1))"
+                " - 1"
+            ).cast("int").alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("cell"))
+    )
+    return run_to_memory(cells, mode="complete")

@@ -261,3 +261,35 @@ def test_resize_payload_matches_numpy_pooling(spark):
             assert abs(got[(doc_id, int(b))] - want) < 1e-12, (doc_id, b)
     # short payload emits only its non-empty buckets ({0,5,10} for len 3)
     assert sorted(b for (d, b) in got if d == 3) == [0, 5, 10]
+
+
+def test_stream_countmin_matches_batch_grid(spark, sf_smoke):
+    """q121: the stream-maintained CMS grid must equal the batch grid —
+    complete-mode streaming aggregation is chunking-invariant."""
+    import __spark_entry__ as entrymod
+    from hive_reflex_spark.io import read_table
+    from pyspark.sql import functions as F2
+
+    streamed = {
+        (r.j, r.bucket): r.cell
+        for r in entrymod.queries()["q121_stream_countmin"](
+            spark, sf_smoke
+        ).collect()
+    }
+    ev = read_table(spark, sf_smoke, "events")
+    batch = {
+        (r.j, r.bucket): r.cell
+        for r in ev.select(F2.col("user_id").cast("string").alias("u"))
+        .select(F2.explode(F2.array(*[F2.lit(j) for j in range(4)])).alias("j"), "u")
+        .select(
+            "j",
+            F2.expr(
+                "instr('0123456789abcdef', substr(md5(j || ':' || u), 1, 1)) - 1"
+            ).cast("int").alias("bucket"),
+        )
+        .groupBy("j", "bucket")
+        .agg(F2.count("*").alias("cell"))
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) <= 64
