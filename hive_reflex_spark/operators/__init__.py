@@ -89,6 +89,8 @@ _registry.finalize_order([
     "q119_funnel",
     "q120_wow_retention",
     "q121_stream_countmin",
+    "q122_tfidf_doc_similarity",
+    "q123_metric_correlation",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -818,3 +818,76 @@ def q120_wow_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("retention"),
     )
+
+
+@query(
+    "q123_metric_correlation",
+    oracle="""
+    WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                                AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(a.cents) AS BIGINT) AS sx,
+                          CAST(SUM(b.cents) AS BIGINT) AS sy,
+                          CAST(SUM(a.cents * b.cents) AS BIGINT) AS sxy,
+                          CAST(SUM(a.cents * a.cents) AS BIGINT) AS sxx,
+                          CAST(SUM(b.cents * b.cents) AS BIGINT) AS syy
+                   FROM hourly a JOIN hourly b
+                     ON a.hour = b.hour AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+    SELECT type_a, type_b, n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS pearson_r
+    FROM pairs
+    """,
+)
+def q123_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of hourly metric series per event
+    type, computed from EXACT integer moments: the hourly rollup stores
+    cent sums as bigints, the pair join accumulates n/Sx/Sy/Sxy/Sxx/Syy
+    as bigints, and only the final correlation divides into doubles —
+    so the result hash-matches across engines, which naive corr() (a
+    streaming float variance) cannot guarantee.
+
+    Scale: the raw corpus collapses in ONE grouped aggregate to
+    |hours| x |types| rows; the pair self-join and the moment rollup
+    operate on that bounded series table, never on events."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    a = hourly.select(
+        "hour", F.col("event_type").alias("type_a"), F.col("cents").alias("ca")
+    )
+    b = hourly.select(
+        "hour", F.col("event_type").alias("type_b"), F.col("cents").alias("cb")
+    )
+    pairs = (
+        a.join(b, "hour")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n",
+        F.round(num / den, 6).alias("pearson_r"),
+    )

@@ -268,3 +268,111 @@ def q112_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("lr9") > 0).alias("keep"),
         )
     )
+
+
+TFIDF_QUERY_DOC = 7  # the "query document" for similarity search
+TFIDF_TOP_K = 10
+
+
+@query(
+    "q122_tfidf_doc_similarity",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+         n_docs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+                    FROM words),
+         tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM words GROUP BY doc_id, w),
+         df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+         wt AS (SELECT tf.doc_id, tf.w,
+                       CAST(ROUND((1 + ln(tf.tf))
+                            * ln((n_docs.n + 1.0) / (df.df + 1.0))
+                            * 1000000000) AS BIGINT) AS w9
+                FROM tf JOIN df USING (w), n_docs),
+         nrm AS (SELECT doc_id,
+                        sqrt(SUM((w9 / 1000000000.0) * (w9 / 1000000000.0)))
+                            AS nrm
+                 FROM wt GROUP BY doc_id),
+         qvec AS (SELECT w, w9 FROM wt WHERE doc_id = {TFIDF_QUERY_DOC}),
+         dots AS (SELECT wt.doc_id,
+                         CAST(SUM(CAST(ROUND(
+                             (wt.w9 / 1000000000.0)
+                             * (qvec.w9 / 1000000000.0) * 1000000000)
+                             AS BIGINT)) AS BIGINT) / 1000000000.0 AS dot
+                  FROM wt JOIN qvec USING (w)
+                  WHERE wt.doc_id != {TFIDF_QUERY_DOC}
+                  GROUP BY wt.doc_id)
+    SELECT dots.doc_id,
+           ROUND(dots.dot / (na.nrm * nq.nrm), 6) AS tfidf_cosine
+    FROM dots
+    JOIN nrm na ON dots.doc_id = na.doc_id
+    JOIN nrm nq ON nq.doc_id = {TFIDF_QUERY_DOC}
+    ORDER BY tfidf_cosine DESC, dots.doc_id LIMIT {TFIDF_TOP_K}
+    """,
+)
+def q122_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF document similarity — the posting-list counterpart
+    to the dense-embedding ANN stack: weight every (doc, term) by
+    log-tf x smoothed-idf, then score the corpus against one query
+    document via a sparse dot product over SHARED TERMS only (a
+    term-keyed join of the corpus weights against the tiny broadcast
+    query vector — no dense vectors, no all-pairs). Top-k compiles to
+    TakeOrderedAndProject.
+
+    Scale: idf is |vocab| rows; the query vector is one document's terms
+    (broadcast); the corpus-side cost is one groupBy(doc, term) and one
+    term join — the same inverted-index shape as q110, with per-weight
+    9dp integer freezing so both engines hash identically."""
+    words = doc_words(spark, sf_dir).select("doc_id", "w")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
+    UNIT = 1_000_000_000
+    wt = (
+        tf.join(F.broadcast(df), "w")
+        .select(
+            "doc_id",
+            "w",
+            F.round(
+                (1 + F.log("tf"))
+                * F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+                * UNIT
+            )
+            .cast("long")
+            .alias("w9"),
+        )
+    )
+    wd = F.col("w9") / float(UNIT)
+    nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(wd * wd)).alias("nrm"))
+    qvec = wt.filter(F.col("doc_id") == TFIDF_QUERY_DOC).select(
+        "w", F.col("w9").alias("q9")
+    )
+    dots = (
+        wt.filter(F.col("doc_id") != TFIDF_QUERY_DOC)
+        .join(F.broadcast(qvec), "w")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(
+                    F.round(wd * (F.col("q9") / float(UNIT)) * UNIT).cast(
+                        "long"
+                    )
+                )
+                / float(UNIT)
+            ).alias("dot")
+        )
+    )
+    qn = nrm.filter(F.col("doc_id") == TFIDF_QUERY_DOC).select(
+        F.col("nrm").alias("qnrm")
+    )
+    return (
+        dots.join(nrm, "doc_id")
+        .join(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias(
+                "tfidf_cosine"
+            ),
+        )
+        .orderBy(F.desc("tfidf_cosine"), "doc_id")
+        .limit(TFIDF_TOP_K)
+    )

@@ -229,3 +229,30 @@ def test_countmin_sketch_is_mergeable(spark, sf_smoke):
     for k, v in half_b.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def test_tfidf_similarity_ranked_and_bounded(spark, sf_smoke):
+    from hive_reflex_spark.operators.retrieval import (
+        TFIDF_QUERY_DOC,
+        TFIDF_TOP_K,
+    )
+
+    rows = q(spark, "q122_tfidf_doc_similarity", sf_smoke).collect()
+    assert 0 < len(rows) <= TFIDF_TOP_K
+    scores = [r.tfidf_cosine for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.doc_id != TFIDF_QUERY_DOC  # query never retrieves itself
+        assert -1.000001 <= r.tfidf_cosine <= 1.000001
+
+
+def test_metric_correlation_symmetric_pairs(spark, sf_smoke):
+    rows = q(spark, "q123_metric_correlation", sf_smoke).collect()
+    assert len(rows) > 0
+    seen = set()
+    for r in rows:
+        assert r.type_a < r.type_b  # upper triangle only, no self-pairs
+        assert (r.type_a, r.type_b) not in seen
+        seen.add((r.type_a, r.type_b))
+        assert -1.000001 <= r.pearson_r <= 1.000001
+        assert r.n >= 2
