@@ -325,16 +325,19 @@ def q122_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = doc_words(spark, sf_dir).select("doc_id", "w")
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
-    n_docs = tf.select("doc_id").distinct().count()
+    # corpus size as a broadcast 1-row table, not an eager driver count —
+    # the whole query stays one lazy plan
+    nd = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
     UNIT = 1_000_000_000
     wt = (
         tf.join(F.broadcast(df), "w")
+        .join(F.broadcast(nd))
         .select(
             "doc_id",
             "w",
             F.round(
                 (1 + F.log("tf"))
-                * F.log((n_docs + 1.0) / (F.col("df") + 1.0))
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
                 * UNIT
             )
             .cast("long")
