@@ -91,6 +91,7 @@ _registry.finalize_order([
     "q121_stream_countmin",
     "q122_tfidf_doc_similarity",
     "q123_metric_correlation",
+    "q124_weighted_sample",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -410,3 +410,70 @@ def q113_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.sum("n_tokens").over(win).alias("cum_tokens"),
     )
+
+
+WSAMPLE_K = 20  # sample size per source
+
+# md5-derived uniform in (0,1): a 10-hex-digit dyadic polynomial — every
+# term is exact in binary double, so both engines build the identical
+# uniform from the identical hash (no hex->int builtin needed anywhere).
+_U_TERMS_SQL = " + ".join(
+    f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16.0 ** -(i + 1)!r}"
+    for i in range(10)
+)
+
+
+@query(
+    "q124_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (SELECT doc_id, source,
+                          CAST(n_chars AS DOUBLE) AS weight,
+                          ROUND(ln({_U_TERMS_SQL} + 1e-12)
+                                / n_chars, 9) AS es_key
+                   FROM documents),
+         ranked AS (SELECT source, doc_id, weight, es_key,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY es_key DESC, doc_id)
+                               AS rnk
+                    FROM keyed)
+    SELECT source, rnk, doc_id, weight, es_key
+    FROM ranked WHERE rnk <= {WSAMPLE_K}
+    """,
+)
+def q124_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    every record gets key ln(u)/w from a hash-derived uniform u and its
+    weight w (here n_chars — longer docs proportionally likelier), and
+    the sample is the top-k keys per source. One pass, no rejection
+    loop, membership a pure function of the record — the way weighted
+    subsampling actually runs at 100 TB (per-group top-k == a bounded
+    heap per partition, merged at the shuffle).
+
+    Ranking by ln(u)/w is the monotone equivalent of the paper's
+    u^(1/w) (ln is increasing, w > 0), avoiding cross-engine pow()
+    parity risk; the uniform is an exact dyadic polynomial of md5 hex
+    digits, identical in both engines, and keys freeze to 9dp before
+    ranking with doc_id as the tiebreak."""
+    docs = read_table(spark, sf_dir, "documents")
+    u = sum(
+        (
+            F.expr(
+                "instr('0123456789abcdef', "
+                f"substr(md5(CAST(doc_id AS STRING)), {i + 1}, 1)) - 1"
+            )
+            * (16.0 ** -(i + 1))
+        )
+        for i in range(10)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("double").alias("weight"),
+        F.round(F.log(u + 1e-12) / F.col("n_chars"), 9).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= WSAMPLE_K)
+        .select("source", "rnk", "doc_id", "weight", "es_key")
+    )

@@ -256,3 +256,25 @@ def test_metric_correlation_symmetric_pairs(spark, sf_smoke):
         seen.add((r.type_a, r.type_b))
         assert -1.000001 <= r.pearson_r <= 1.000001
         assert r.n >= 2
+
+
+def test_weighted_sample_invariants(spark, sf_smoke):
+    from pyspark.sql import functions as F2
+
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators.sampling import WSAMPLE_K
+
+    rows = q(spark, "q124_weighted_sample", sf_smoke).collect()
+    assert len(rows) > 0
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r.rnk)
+        assert r.weight > 0
+    for src, rnks in per_src.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))  # dense 1..n
+        assert len(rnks) <= WSAMPLE_K
+    # weight-proportional sampling must overrepresent heavy docs on avg
+    docs = read_table(spark, sf_smoke, "documents")
+    corpus_avg = docs.agg(F2.avg("n_chars")).collect()[0][0]
+    sample_avg = sum(r.weight for r in rows) / len(rows)
+    assert sample_avg > corpus_avg
