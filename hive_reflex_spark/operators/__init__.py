@@ -92,6 +92,8 @@ _registry.finalize_order([
     "q122_tfidf_doc_similarity",
     "q123_metric_correlation",
     "q124_weighted_sample",
+    "q125_data_profile",
+    "q126_pmi_collocations",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -1275,3 +1275,80 @@ def q90_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).items():
         df.createOrReplaceTempView(name)
     return spark.sql(_Q90_SQL)
+
+
+@query(
+    "q125_data_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(MIN(o_orderstatus) AS VARCHAR),
+           CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(ROUND(MIN(o_totalprice), 2) AS VARCHAR),
+           CAST(ROUND(MAX(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def q125_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling rollup (the ingest-side data-quality gate every
+    warehouse runs before trusting a load): per column — row count, null
+    count, distinct count, min/max — computed in ONE scan as a single
+    multi-aggregate and unpivoted to a row per column via stack(). At
+    100 TB this is one pass + a 4-row reshape; the naive
+    one-query-per-column profiler scans the table |columns| times."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    cols = ["o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+        ]
+        if c == "o_totalprice":
+            aggs += [
+                F.round(F.min(c), 2).cast("string").alias(f"{c}__min"),
+                F.round(F.max(c), 2).cast("string").alias(f"{c}__max"),
+            ]
+        else:
+            aggs += [
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            ]
+    wide = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__null, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS "
+            "(col, n_null, n_distinct, min_val, max_val)"
+        ),
+        "n_rows",
+    ).select(
+        "col", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
+    ).orderBy("col")

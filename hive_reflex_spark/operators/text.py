@@ -865,3 +865,86 @@ def q114_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("true_cnt"), "w")
         .limit(HEAVY_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations
+# ---------------------------------------------------------------------------
+
+PMI_MIN_SUPPORT = 5
+PMI_TOP_K = 20
+
+
+@query(
+    "q126_pmi_collocations",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, pos, w FROM {DUCK_WORDS} words),
+         uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM words GROUP BY w),
+         n_uni AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+         bi AS (SELECT w AS w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM (SELECT doc_id, pos, w,
+                             lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+                                 AS w2
+                      FROM words)
+                WHERE w2 IS NOT NULL GROUP BY w, w2),
+         n_bi AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM bi)
+    SELECT bi.w1, bi.w2, bi.cnt,
+           ROUND(ln((bi.cnt * 1.0 / n_bi.n)
+                    / ((a.cnt * 1.0 / n_uni.n) * (b.cnt * 1.0 / n_uni.n))),
+                 6) AS pmi
+    FROM bi JOIN uni a ON bi.w1 = a.w
+            JOIN uni b ON bi.w2 = b.w, n_uni, n_bi
+    WHERE bi.cnt >= {PMI_MIN_SUPPORT}
+    ORDER BY pmi DESC, bi.w1, bi.w2 LIMIT {PMI_TOP_K}
+    """,
+)
+def q126_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (Church & Hanks): rank adjacent word pairs
+    by pointwise mutual information ln(p(ab) / p(a)p(b)) — the phrase
+    extractor that feeds tokenizer vocab curation (multi-word units that
+    behave as one token). All probabilities come from exact integer
+    counts; only the final log ratio is floating, rounded to 6dp with a
+    full lexicographic tiebreak.
+
+    Scale: bigrams are a lag window inside each doc partition (linear);
+    both the unigram LM and the two scalar totals are broadcast
+    |vocab|-row / 1-row tables; the support filter prunes before the
+    join; top-k is TakeOrderedAndProject."""
+    words = doc_words(spark, sf_dir).select("doc_id", "pos", "w")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    uni = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    n_uni = uni.agg(F.sum("cnt").alias("n_u"))
+    bi = (
+        words.withColumn("w2", F.lead("w").over(win))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n_bi = bi.agg(F.sum("cnt").alias("n_b"))
+    a = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("ca"))
+    b = uni.select(F.col("w").alias("w2"), F.col("cnt").alias("cb"))
+    return (
+        bi.filter(F.col("cnt") >= PMI_MIN_SUPPORT)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .join(F.broadcast(n_uni))
+        .join(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.col("cnt") * 1.0 / F.col("n_b"))
+                    / (
+                        (F.col("ca") * 1.0 / F.col("n_u"))
+                        * (F.col("cb") * 1.0 / F.col("n_u"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )

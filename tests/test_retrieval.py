@@ -278,3 +278,31 @@ def test_weighted_sample_invariants(spark, sf_smoke):
     corpus_avg = docs.agg(F2.avg("n_chars")).collect()[0][0]
     sample_avg = sum(r.weight for r in rows) / len(rows)
     assert sample_avg > corpus_avg
+
+
+def test_data_profile_consistency(spark, sf_smoke):
+    from hive_reflex_spark.io import read_table
+
+    rows = {r.col: r for r in q(spark, "q125_data_profile", sf_smoke).collect()}
+    orders = read_table(spark, sf_smoke, "orders")
+    n = orders.count()
+    assert set(rows) == {
+        "o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    }
+    for r in rows.values():
+        assert r.n_rows == n
+        assert 0 <= r.n_null <= n
+        assert 1 <= r.n_distinct <= n
+        assert r.min_val is not None and r.max_val is not None
+    assert rows["o_orderstatus"].n_distinct <= 5  # low-cardinality enum
+
+
+def test_pmi_collocations_support_and_order(spark, sf_smoke):
+    from hive_reflex_spark.operators.text import PMI_MIN_SUPPORT, PMI_TOP_K
+
+    rows = q(spark, "q126_pmi_collocations", sf_smoke).collect()
+    assert 0 < len(rows) <= PMI_TOP_K
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    for r in rows:
+        assert r.cnt >= PMI_MIN_SUPPORT
