@@ -94,6 +94,8 @@ _registry.finalize_order([
     "q124_weighted_sample",
     "q125_data_profile",
     "q126_pmi_collocations",
+    "q127_bloom_filter",
+    "q128_trend_ols",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -891,3 +891,95 @@ def q123_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(num / den, 6).alias("pearson_r"),
     )
+
+
+@query(
+    "q128_trend_ols",
+    oracle="""
+    WITH hourly AS (SELECT event_type,
+                           CAST(epoch(date_trunc('hour', ts)) // 3600
+                                AS BIGINT) AS h,
+                           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                                AS BIGINT) AS cents
+                    FROM events GROUP BY 1, 2),
+         idx AS (SELECT event_type, cents,
+                        h - MIN(h) OVER (PARTITION BY event_type) AS x
+                 FROM hourly),
+         mom AS (SELECT event_type,
+                        CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(x) AS BIGINT) AS sx,
+                        CAST(SUM(cents) AS BIGINT) AS sy,
+                        CAST(SUM(x * cents) AS BIGINT) AS sxy,
+                        CAST(SUM(x * x) AS BIGINT) AS sxx,
+                        CAST(SUM(cents * cents) AS BIGINT) AS syy
+                 FROM idx GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) / 100.0, 6)
+               AS slope_per_hour,
+           ROUND((sy * 1.0 / n
+                  - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+                    * (sx * 1.0 / n)) / 100.0, 6) AS intercept,
+           ROUND(CAST((n * sxy - sx * sy) AS DOUBLE)
+                 * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE)),
+                 6) AS r_squared
+    FROM mom
+    """,
+)
+def q128_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line (closed-form least squares of hourly
+    metric totals against the hour index): slope, intercept, and R² per
+    event type from EXACT integer moments — bigint n/Sx/Sy/Sxy/Sxx/Syy,
+    doubles only in the final closed-form division, so the fit
+    hash-matches across engines. The drift-over-time monitor next to
+    q116 (outliers), q117 (embedding drift) and q123 (correlation).
+
+    Scale: one grouped aggregate collapses events to |hours| x |types|
+    rows; the moment rollup and the closed-form solve touch only that
+    bounded series — the same shape a distributed OLS over 100 TB uses
+    (moments are algebraic aggregates; no iteration, no driver math)."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+        .cast("long")
+        .alias("h"),
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("event_type")
+    idx = hourly.select(
+        "event_type",
+        "cents",
+        (F.col("h") - F.min("h").over(w)).alias("x"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("x") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num * 1.0 / den
+    return mom.select(
+        "event_type",
+        "n",
+        F.round(slope / 100.0, 6).alias("slope_per_hour"),
+        F.round(
+            (F.col("sy") * 1.0 / F.col("n") - slope * (F.col("sx") * 1.0 / F.col("n")))
+            / 100.0,
+            6,
+        ).alias("intercept"),
+        F.round(
+            num.cast("double")
+            * num
+            / (
+                den
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("r_squared"),
+    )

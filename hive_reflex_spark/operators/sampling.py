@@ -477,3 +477,106 @@ def q124_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= WSAMPLE_K)
         .select("source", "rnk", "doc_id", "weight", "es_key")
     )
+
+
+BLOOM_M = 1024  # bits
+BLOOM_K = 3  # hash functions
+_BLOOM_MEMBER_MOD = 97  # doc_id % 97 == 0 -> member set (q87's benchmark)
+
+# bit index for hash j: first 3 hex digits of md5(j:doc_id) as an int,
+# mod m — hex digits decoded positionally (no hex cast builtin needed)
+_BLOOM_BIT = (
+    "((instr('0123456789abcdef', substr(md5({j} || ':' || CAST(doc_id AS {st})), 1, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5({j} || ':' || CAST(doc_id AS {st})), 2, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5({j} || ':' || CAST(doc_id AS {st})), 3, 1)) - 1)) % {m}"
+)
+
+
+@query(
+    "q127_bloom_filter",
+    oracle=f"""
+    WITH members AS (SELECT doc_id FROM documents
+                     WHERE doc_id % {_BLOOM_MEMBER_MOD} = 0),
+         ks AS (SELECT unnest(range({BLOOM_K})) AS j),
+         bits AS (SELECT DISTINCT
+                         CAST({_BLOOM_BIT.format(j="j", m=BLOOM_M, st="VARCHAR")} AS BIGINT)
+                             AS bit
+                  FROM members, ks),
+         probes AS (SELECT d.doc_id,
+                           d.doc_id % {_BLOOM_MEMBER_MOD} = 0 AS is_member,
+                           CAST({_BLOOM_BIT.format(j="ks.j", m=BLOOM_M, st="VARCHAR")}
+                                AS BIGINT) AS bit
+                    FROM documents d, ks),
+         flagged AS (SELECT probes.doc_id, probes.is_member,
+                            CAST(COUNT(bits.bit) AS BIGINT) = {BLOOM_K}
+                                AS might_contain
+                     FROM probes LEFT JOIN bits USING (bit)
+                     GROUP BY probes.doc_id, probes.is_member)
+    SELECT CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(SUM(CASE WHEN might_contain THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(SUM(CASE WHEN might_contain AND NOT is_member
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT might_contain
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+           ROUND(SUM(CASE WHEN might_contain AND NOT is_member
+                          THEN 1 ELSE 0 END) * 1.0
+                 / SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 6)
+               AS fp_rate
+    FROM flagged
+    """,
+)
+def q127_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join from scratch (Bloom 1970) — the third
+    mergeable sketch next to count-min (q114) and HyperLogLog (q118):
+    the member set's k=3 md5 bit positions build a <=1024-row bit table
+    (broadcast — it IS the filter), the corpus probes its own 3 bits
+    against it, and a doc is flagged iff all 3 hit. Output pins the
+    Bloom contract: zero false negatives, and a measured false-positive
+    rate against the (1 - e^-kn/m)^k theory bound.
+
+    This is the shape Spark's runtime-filter join pruning uses at 100
+    TB: ship a tiny bit table to the fact side so non-members never
+    reach the shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    ks = docs.sparkSession.range(BLOOM_K).select(
+        F.col("id").cast("int").alias("j")
+    )
+    bit_expr = F.expr(
+        _BLOOM_BIT.format(j="j", m=BLOOM_M, st="STRING")
+    ).cast("long")
+    members = docs.filter(F.col("doc_id") % _BLOOM_MEMBER_MOD == 0).select(
+        "doc_id"
+    )
+    bits = (
+        members.join(F.broadcast(ks))
+        .select(bit_expr.alias("bit"))
+        .distinct()
+    )
+    probes = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") % _BLOOM_MEMBER_MOD == 0).alias("is_member"),
+        )
+        .join(F.broadcast(ks))
+        .select("doc_id", "is_member", bit_expr.alias("bit"))
+    )
+    flagged = (
+        probes.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("doc_id", "is_member")
+        .agg((F.count("hit") == BLOOM_K).alias("might_contain"))
+    )
+    mc, im = F.col("might_contain"), F.col("is_member")
+    return flagged.agg(
+        F.sum(F.when(im, 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(mc, 1).otherwise(0)).alias("n_flagged"),
+        F.sum(F.when(mc & ~im, 1).otherwise(0)).alias("n_false_pos"),
+        F.sum(F.when(im & ~mc, 1).otherwise(0)).alias("n_false_neg"),
+        F.round(
+            F.sum(F.when(mc & ~im, 1).otherwise(0))
+            * 1.0
+            / F.sum(F.when(~im, 1).otherwise(0)),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -306,3 +306,25 @@ def test_pmi_collocations_support_and_order(spark, sf_smoke):
     assert pmis == sorted(pmis, reverse=True)
     for r in rows:
         assert r.cnt >= PMI_MIN_SUPPORT
+
+
+def test_bloom_filter_contract(spark, sf_smoke):
+    import math
+
+    from hive_reflex_spark.operators.sampling import BLOOM_K, BLOOM_M
+
+    r = q(spark, "q127_bloom_filter", sf_smoke).collect()[0]
+    assert r.n_false_neg == 0  # the Bloom guarantee: no false negatives
+    assert r.n_flagged == r.n_members + r.n_false_pos
+    # measured fp rate should sit near the (1 - e^-kn/m)^k theory bound
+    theory = (1 - math.exp(-BLOOM_K * r.n_members / BLOOM_M)) ** BLOOM_K
+    assert r.fp_rate <= max(5 * theory, 0.05)
+
+
+def test_trend_ols_r_squared_bounds(spark, sf_smoke):
+    rows = q(spark, "q128_trend_ols", sf_smoke).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n >= 2
+        assert -0.000001 <= r.r_squared <= 1.000001
+        assert r.intercept is not None and r.slope_per_hour is not None
