@@ -8,6 +8,7 @@ from hive_reflex_spark.operators import (  # noqa: F401
     dedup,
     graph,
     nn,
+    pipeline,
     power,
     relational,
     retrieval,
@@ -96,6 +97,7 @@ _registry.finalize_order([
     "q126_pmi_collocations",
     "q127_bloom_filter",
     "q128_trend_ols",
+    "q129_curation_pipeline",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query
@@ -136,6 +138,7 @@ __all__ = [
     "dedup",
     "graph",
     "nn",
+    "pipeline",
     "power",
     "relational",
     "retrieval",

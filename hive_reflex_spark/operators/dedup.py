@@ -448,6 +448,45 @@ def q51a_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def neardup_dropped_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup DROP set (doc_id rows): LSH band candidates, exact
+    Jaccard verified on candidates only, keep-first policy. Shared by
+    q94's retention report and the q129 end-to-end curation pipeline."""
+    dsh = distinct_shingles(spark, sf_dir)
+    hot = (
+        dsh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    capped = dsh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = (
+        q49_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b").distinct()
+    )
+    inter = (
+        capped.alias("a")
+        .join(F.broadcast(cand), F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            capped.alias("b"),
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("b.shingle") == F.col("a.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
 @query(
     "q94_neardup_filter",
     oracle=f"""
@@ -506,39 +545,7 @@ def q94_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification Jaccard uses the same stop-phrase-capped shingle
     universe as q47 (a shingle in > MAX_SHINGLE_DF docs is weight, not
     signal)."""
-    dsh = distinct_shingles(spark, sf_dir)
-    hot = (
-        dsh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    capped = dsh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
-    cand = (
-        q49_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b").distinct()
-    )
-    inter = (
-        capped.alias("a")
-        .join(F.broadcast(cand), F.col("a.doc_id") == F.col("doc_a"))
-        .join(
-            capped.alias("b"),
-            (F.col("b.doc_id") == F.col("doc_b"))
-            & (F.col("b.shingle") == F.col("a.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    dropped = (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-    )
+    dropped = neardup_dropped_ids(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
     flagged = docs.join(
         F.broadcast(dropped.withColumn("is_dup", F.lit(1))), "doc_id", "left"

@@ -1,0 +1,134 @@
+"""The end-to-end curation pipeline as ONE declarative plan (q129):
+quality-classifier gate → near-dup drop → benchmark decontamination →
+deterministic split → per-(split, source) token budget.
+
+Every stage is an operator this engine already ships and verifies on its
+own (q111, q94, q87, q85); this module composes them the way a 100 TB
+pretraining-data run actually executes — one lazy DataFrame graph, so
+Catalyst sees the whole pipeline at once (shared scans, pushed filters,
+one final shuffle for the rollup) instead of four materialized passes.
+
+Scale: each drop set is a DISTINCT doc_id table that is tiny relative to
+the corpus (dups, contaminated docs); all three gates apply as broadcast
+anti-join / left-join-null filters, so the corpus streams through ONCE.
+The composed oracle replays the same CTE chain in DuckDB, which is the
+strongest correctness statement in the repo: the whole pipeline, not
+just its stages, hash-matches another engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.operators.dedup import (
+    _DUCK_DSH,
+    _DUCK_MINHASH,
+    BAND_SIZE,
+    MAX_SHINGLE_DF,
+    neardup_dropped_ids,
+)
+from hive_reflex_spark.operators.retrieval import classifier_scores
+from hive_reflex_spark.operators.sampling import (
+    _BENCH_MOD,
+    _DUCK_SH4,
+    _SPLIT_SQL,
+    _split_col,
+    q87_decontaminate,
+)
+from hive_reflex_spark.registry import query
+
+
+@query(
+    "q129_curation_pipeline",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, substr(md5(w), 1, 1) AS b,
+                          CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                         FROM documents)
+                   GROUP BY doc_id, b),
+         wtab AS (SELECT b,
+                         CAST(instr('0123456789abcdef',
+                                    substr(md5(b), 1, 1)) - 1 AS BIGINT)
+                             * 2 - 15 AS num32
+                  FROM (SELECT DISTINCT b FROM words)),
+         lowq AS (SELECT doc_id FROM words JOIN wtab USING (b)
+                  GROUP BY doc_id HAVING SUM(cnt * num32) < 0),
+         dsh_all AS {_DUCK_DSH},
+         dsh AS (SELECT * FROM dsh_all WHERE shingle NOT IN
+                 (SELECT shingle FROM dsh_all
+                  GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF})),
+         mh AS {_DUCK_MINHASH},
+         bands AS (SELECT doc_id, seed // {BAND_SIZE} AS band,
+                          MIN(CASE WHEN seed % {BAND_SIZE} = 0 THEN sig END)
+                          || MIN(CASE WHEN seed % {BAND_SIZE} = 1 THEN sig END)
+                              AS band_sig
+                   FROM mh GROUP BY doc_id, seed // {BAND_SIZE}),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_sig = b.band_sig
+                       AND a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+                   FROM cand c
+                   JOIN dsh a ON a.doc_id = c.doc_a
+                   JOIN dsh b ON b.doc_id = c.doc_b
+                                 AND b.shingle = a.shingle
+                   GROUP BY c.doc_a, c.doc_b),
+         dups AS (SELECT DISTINCT doc_b AS doc_id
+                  FROM inter
+                  JOIN sizes sa ON doc_a = sa.doc_id
+                  JOIN sizes sb ON doc_b = sb.doc_id
+                  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+         contaminated AS (SELECT DISTINCT t.doc_id
+                          FROM {_DUCK_SH4} t JOIN {_DUCK_SH4} b
+                            ON t.shingle = b.shingle
+                          WHERE b.doc_id % {_BENCH_MOD} = 0
+                            AND t.doc_id % {_BENCH_MOD} <> 0),
+         kept AS (SELECT * FROM documents d
+                  WHERE d.doc_id % {_BENCH_MOD} <> 0
+                    AND d.doc_id NOT IN (SELECT doc_id FROM lowq)
+                    AND d.doc_id NOT IN (SELECT doc_id FROM dups)
+                    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated))
+    SELECT {_SPLIT_SQL} AS split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS total_tokens
+    FROM kept
+    GROUP BY 1, 2
+    """,
+)
+def q129_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: quality gate (q111's exact integer sign) → near-dup
+    drop (q94's LSH-verify-keep-first) → benchmark holdout +
+    decontamination (q87's 4-gram overlap) → md5 split (q85) →
+    per-(split, source) doc and token budget. One lazy plan; the three
+    drop sets apply as broadcast anti-joins so the corpus streams
+    through once."""
+    docs = read_table(spark, sf_dir, "documents")
+    lowq = (
+        classifier_scores(spark, sf_dir)
+        .filter(F.col("num") < 0)
+        .select("doc_id")
+    )
+    dups = neardup_dropped_ids(spark, sf_dir)
+    contaminated = q87_decontaminate(spark, sf_dir).select("doc_id").distinct()
+    kept = (
+        docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .join(F.broadcast(lowq), "doc_id", "left_anti")
+        .join(F.broadcast(dups), "doc_id", "left_anti")
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+    return (
+        kept.select(
+            _split_col().alias("split"),
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").alias("total_tokens"),
+        )
+    )

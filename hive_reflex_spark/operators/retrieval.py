@@ -130,6 +130,37 @@ def q110_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, num, n_tokens): the hashed-linear classifier's exact
+    integer numerator per doc. Shared by q111 and the q129 pipeline
+    (keep iff num >= 0)."""
+    words = doc_words(spark, sf_dir).select("doc_id", "w")
+    feats = (
+        words.select("doc_id", F.substring(F.md5("w"), 1, 1).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wtab = (
+        feats.select("b")
+        .distinct()
+        .select(
+            "b",
+            (
+                F.expr(_HEXVAL.format(c="substr(md5(b), 1, 1)")).cast("long") * 2
+                - 15
+            ).alias("num32"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(wtab), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("num32")).alias("num"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
+
+
 @query(
     "q111_quality_classifier",
     oracle=f"""
@@ -160,31 +191,7 @@ def q111_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The keep decision is the exact integer sign of the weight·count
     numerator (32nds), so membership never depends on float rounding."""
-    words = doc_words(spark, sf_dir).select("doc_id", "w")
-    feats = (
-        words.select("doc_id", F.substring(F.md5("w"), 1, 1).alias("b"))
-        .groupBy("doc_id", "b")
-        .agg(F.count("*").alias("cnt"))
-    )
-    wtab = (
-        feats.select("b")
-        .distinct()
-        .select(
-            "b",
-            (
-                F.expr(_HEXVAL.format(c="substr(md5(b), 1, 1)")).cast("long") * 2
-                - 15
-            ).alias("num32"),
-        )
-    )
-    scored = (
-        feats.join(F.broadcast(wtab), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("cnt") * F.col("num32")).alias("num"),
-            F.sum("cnt").alias("n_tokens"),
-        )
-    )
+    scored = classifier_scores(spark, sf_dir)
     return scored.select(
         "doc_id",
         F.round(

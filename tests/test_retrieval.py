@@ -328,3 +328,41 @@ def test_trend_ols_r_squared_bounds(spark, sf_smoke):
         assert r.n >= 2
         assert -0.000001 <= r.r_squared <= 1.000001
         assert r.intercept is not None and r.slope_per_hour is not None
+
+
+def test_curation_pipeline_reconciles_with_stages(spark, sf_smoke):
+    """q129's rollup must equal raw docs minus the union of the three
+    drop sets minus the benchmark holdout — composition loses nothing."""
+    from pyspark.sql import functions as F2
+
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators.dedup import neardup_dropped_ids
+    from hive_reflex_spark.operators.retrieval import classifier_scores
+    from hive_reflex_spark.operators.sampling import (
+        _BENCH_MOD,
+        q87_decontaminate,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    total = docs.count()
+    out = q(spark, "q129_curation_pipeline", sf_smoke)
+    kept = out.agg(F2.sum("n_docs")).collect()[0][0]
+    assert 0 < kept < total
+
+    bench_or_dropped = (
+        docs.filter(F2.col("doc_id") % _BENCH_MOD == 0)
+        .select("doc_id")
+        .union(
+            classifier_scores(spark, sf_smoke)
+            .filter(F2.col("num") < 0)
+            .select("doc_id")
+        )
+        .union(neardup_dropped_ids(spark, sf_smoke).select("doc_id"))
+        .union(q87_decontaminate(spark, sf_smoke).select("doc_id"))
+        .distinct()
+        .count()
+    )
+    assert kept == total - bench_or_dropped
+    for r in out.collect():
+        assert r.split in ("train", "val", "test")
+        assert r.total_tokens > 0
