@@ -137,6 +137,12 @@ PICKS = {
         "uniform md5 chunk hash — no hot keys, top-k via "
         "TakeOrderedAndProject."
     ),
+    "q129_curation_pipeline": (
+        "End-to-end curation pipeline in ONE plan: the three drop sets "
+        "(quality, near-dup, contamination) apply as broadcast anti-joins "
+        "so the corpus streams through once into the split rollup — no "
+        "materialized intermediate passes."
+    ),
     "q62_streaming_hourly": "(streaming — plan shown for the post-sink projection)",
 }
 
