@@ -1,6 +1,9 @@
-"""Retrieval/curation tier (q110-q113): BM25, hashed-linear classifier,
-DSIR importance, shard manifest — semantic invariants plus the plan
-shapes their 100-TB docstrings claim."""
+"""Retrieval / curation / QA tier (q110-q129): BM25, hashed-linear
+classifier, DSIR importance, shard manifest, sketches (count-min, HLL,
+Bloom), CDC chunking, funnel/retention, TF-IDF similarity, exact-moment
+correlation and OLS trends, and the composed end-to-end curation
+pipeline — semantic invariants plus the plan shapes their 100-TB
+docstrings claim."""
 
 from __future__ import annotations
 

@@ -302,3 +302,45 @@ def test_shard_manifest_1m_docs(spark, tmp_path):
     counts = [r["count"] for r in per]
     assert sum(counts) == 1_000_000
     assert max(counts) < 2 * (sum(counts) / len(counts))  # no hot shard
+
+
+def test_curation_pipeline_20k_docs(spark, tmp_path):
+    """q129 end-to-end at 40x: the composed plan (three broadcast
+    anti-join gates + split rollup) must reconcile doc conservation on a
+    20k-doc corpus with planted dups — no stage silently drops or
+    double-counts."""
+    from hive_reflex_spark.operators.pipeline import q129_curation_pipeline
+
+    d = str(tmp_path / "pipe")
+    docs = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 50 == 0,
+            # planted exact-ish near-dups: 10 shared templates
+            F.concat(
+                F.lit("shared template text body one two three four five "),
+                (F.col("id") % 10).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("p"))),
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("q"))),
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("r"))),
+                F.md5(F.concat(F.col("id").cast("string"), F.lit("s"))),
+            )
+        )
+        .alias("text"),
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text"))
+    import os
+
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    out = q129_curation_pipeline(spark, d).collect()
+    kept = sum(r.n_docs for r in out)
+    # benchmark holdout (~1/97) always drops; planted dup groups keep one
+    assert 0 < kept < 20_000
+    assert {r.split for r in out} <= {"train", "val", "test"}
