@@ -99,3 +99,161 @@ def q79_power_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_domains"),
         F.sum(gated.cast("int")).cast("long").alias("n_gated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Flash-I/O strategy advisor (tools/flash_io_benchmark.py:106-256)
+# ---------------------------------------------------------------------------
+
+# 8-layer model, sizes in bytes — flash_io_benchmark.py:80-84
+LAYER_SIZES = [
+    128 * 1024, 64 * 1024, 64 * 1024, 32 * 1024,
+    32 * 1024, 16 * 1024, 16 * 1024, 8 * 1024,
+]
+FLASH_MBPS = 100.0  # :92
+CIM_MS = 5.0  # :96
+LZ4_MBPS = 300.0  # :103
+COMP_RATIO = 2  # :151 (sizes are even -> int(size/2) is exact)
+EXIT_RATIO = 0.7  # :174
+EXIT_LAYER = 2  # :174
+
+_MS = 1000.0 / (1024.0 * 1024.0)  # bytes -> ms at 1 MB/s
+
+
+def _layers_values_sql() -> str:
+    rows = ", ".join(f"({i}, {s})" for i, s in enumerate(LAYER_SIZES))
+    return f"(VALUES {rows}) AS layers(i, s)"
+
+
+@query(
+    "q130_flash_io_strategies",
+    oracle=f"""
+    WITH layers AS (SELECT i, CAST(s AS BIGINT) AS s,
+                           CAST(s // {COMP_RATIO} AS BIGINT) AS cs
+                    FROM {_layers_values_sql()}),
+         costs AS (SELECT i, s, cs,
+                          s * {_MS!r} / {FLASH_MBPS!r} AS fr,
+                          cs * {_MS!r} / {FLASH_MBPS!r} AS frc,
+                          cs * {_MS!r} / {LZ4_MBPS!r} AS dec
+                   FROM layers),
+         agg AS (SELECT
+             SUM(fr + {CIM_MS!r}) AS base_t,
+             CAST(SUM(s) AS BIGINT) AS base_b,
+             SUM(CASE WHEN i = 0 THEN fr + {CIM_MS!r}
+                      ELSE GREATEST(fr, {CIM_MS!r}) END) AS pipe_t,
+             SUM(frc + dec + {CIM_MS!r}) AS comp_t,
+             CAST(SUM(cs) AS BIGINT) AS comp_b,
+             SUM(CASE WHEN i <= {EXIT_LAYER} THEN fr + {CIM_MS!r}
+                      ELSE 0 END) AS early_t,
+             SUM(CASE WHEN i <= {EXIT_LAYER} THEN s ELSE 0 END) AS early_b,
+             SUM(CASE WHEN i = 0 THEN frc + dec + {CIM_MS!r}
+                      WHEN i <= {EXIT_LAYER}
+                      THEN GREATEST(frc + dec, {CIM_MS!r}) ELSE 0 END)
+                 AS earlyc_t,
+             SUM(CASE WHEN i <= {EXIT_LAYER} THEN cs ELSE 0 END) AS earlyc_b,
+             SUM(CASE WHEN i = 0 THEN frc + dec + {CIM_MS!r}
+                      ELSE GREATEST(frc + dec, {CIM_MS!r}) END) AS fullc_t
+             FROM costs),
+         strat AS (
+             SELECT 'Baseline' AS strategy, base_t AS t,
+                    CAST(base_b AS DOUBLE) AS b FROM agg
+             UNION ALL
+             SELECT 'Pipeline', pipe_t, CAST(base_b AS DOUBLE) FROM agg
+             UNION ALL
+             SELECT 'Compression', comp_t, CAST(comp_b AS DOUBLE) FROM agg
+             UNION ALL
+             SELECT 'Cascade',
+                    {EXIT_RATIO!r} * early_t + (1 - {EXIT_RATIO!r}) * base_t,
+                    {EXIT_RATIO!r} * early_b + (1 - {EXIT_RATIO!r}) * base_b
+             FROM agg
+             UNION ALL
+             SELECT 'AllCombined',
+                    {EXIT_RATIO!r} * earlyc_t + (1 - {EXIT_RATIO!r}) * fullc_t,
+                    {EXIT_RATIO!r} * earlyc_b + (1 - {EXIT_RATIO!r}) * comp_b
+             FROM agg)
+    SELECT strategy,
+           ROUND(t, 6) AS time_ms,
+           ROUND(b, 1) AS flash_bytes,
+           ROUND(agg.base_t / t, 6) AS speedup,
+           CAST(FLOOR((1 - b / agg.base_b) * 100) AS BIGINT) AS flash_saved
+    FROM strat, agg
+    ORDER BY strategy
+    """,
+)
+def q130_flash_io_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flash-I/O strategy advisor reproducing the reference's published
+    optimization study (`tools/flash_io_benchmark.py:106-256`): the five
+    strategies — serial Baseline, flash∥compute Pipeline (per-layer
+    max(io, compute)), LZ4 Compression (half the bytes plus decompress
+    at 300 MB/s), 70%-early-exit Cascade, and AllCombined — each scored
+    for wall time, flash traffic, speedup and bytes saved on the 8-layer
+    model at 100 MB/s flash and 5 ms/layer CIM compute. Same
+    shared-constants pattern as the power model (q79): one Python table
+    generates both engines' inputs, so the advisor's numbers — the ones
+    BASELINE.md quotes (pipeline ≈ max(io,compute), LZ4 2×, cascade
+    70%@L2) — hash-match DuckDB exactly."""
+    layers = spark.createDataFrame(
+        [(i, s, s // COMP_RATIO) for i, s in enumerate(LAYER_SIZES)],
+        "i int, s long, cs long",
+    )
+    fr = F.col("s") * _MS / FLASH_MBPS
+    frc = F.col("cs") * _MS / FLASH_MBPS
+    dec = F.col("cs") * _MS / LZ4_MBPS
+    early = F.col("i") <= EXIT_LAYER
+    l0 = F.col("i") == 0
+    agg = layers.agg(
+        F.sum(fr + CIM_MS).alias("base_t"),
+        F.sum("s").alias("base_b"),
+        F.sum(
+            F.when(l0, fr + CIM_MS).otherwise(F.greatest(fr, F.lit(CIM_MS)))
+        ).alias("pipe_t"),
+        F.sum(frc + dec + CIM_MS).alias("comp_t"),
+        F.sum("cs").alias("comp_b"),
+        F.sum(F.when(early, fr + CIM_MS).otherwise(0.0)).alias("early_t"),
+        F.sum(F.when(early, F.col("s")).otherwise(0)).alias("early_b"),
+        F.sum(
+            F.when(l0, frc + dec + CIM_MS)
+            .when(early, F.greatest(frc + dec, F.lit(CIM_MS)))
+            .otherwise(0.0)
+        ).alias("earlyc_t"),
+        F.sum(F.when(early, F.col("cs")).otherwise(0)).alias("earlyc_b"),
+        F.sum(
+            F.when(l0, frc + dec + CIM_MS).otherwise(
+                F.greatest(frc + dec, F.lit(CIM_MS))
+            )
+        ).alias("fullc_t"),
+    )
+    r = EXIT_RATIO
+    strat = None
+    for name, t, b in [
+        ("Baseline", F.col("base_t"), F.col("base_b").cast("double")),
+        ("Pipeline", F.col("pipe_t"), F.col("base_b").cast("double")),
+        ("Compression", F.col("comp_t"), F.col("comp_b").cast("double")),
+        (
+            "Cascade",
+            r * F.col("early_t") + (1 - r) * F.col("base_t"),
+            r * F.col("early_b") + (1 - r) * F.col("base_b"),
+        ),
+        (
+            "AllCombined",
+            r * F.col("earlyc_t") + (1 - r) * F.col("fullc_t"),
+            r * F.col("earlyc_b") + (1 - r) * F.col("comp_b"),
+        ),
+    ]:
+        row = agg.select(
+            F.lit(name).alias("strategy"),
+            t.alias("t"),
+            b.alias("b"),
+            F.col("base_t"),
+            F.col("base_b"),
+        )
+        strat = row if strat is None else strat.unionAll(row)
+    return strat.select(
+        "strategy",
+        F.round("t", 6).alias("time_ms"),
+        F.round("b", 1).alias("flash_bytes"),
+        F.round(F.col("base_t") / F.col("t"), 6).alias("speedup"),
+        F.floor((1 - F.col("b") / F.col("base_b")) * 100)
+        .cast("long")
+        .alias("flash_saved"),
+    ).orderBy("strategy")

@@ -369,3 +369,20 @@ def test_curation_pipeline_reconciles_with_stages(spark, sf_smoke):
     for r in out.collect():
         assert r.split in ("train", "val", "test")
         assert r.total_tokens > 0
+
+
+def test_flash_io_strategy_goldens(spark, sf_smoke):
+    """q130 against the reference cost model's hand-computed outcomes
+    (flash_io_benchmark.py:106-256 at the published parameters)."""
+    rows = {r.strategy: r for r in q(spark, "q130_flash_io_strategies", sf_smoke).collect()}
+    assert set(rows) == {
+        "Baseline", "Pipeline", "Compression", "Cascade", "AllCombined"
+    }
+    assert abs(rows["Baseline"].time_ms - 43.515625) < 1e-4
+    assert rows["Baseline"].speedup == 1.0
+    assert rows["Compression"].flash_saved == 50
+    assert rows["Cascade"].flash_saved == 20
+    assert abs(rows["Cascade"].speedup - 1.72) < 0.01
+    assert rows["AllCombined"].flash_saved == 60
+    # combined strategy must dominate every single strategy
+    assert rows["AllCombined"].speedup == max(r.speedup for r in rows.values())
