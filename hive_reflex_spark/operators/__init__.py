@@ -99,6 +99,7 @@ _registry.finalize_order([
     "q128_trend_ols",
     "q129_curation_pipeline",
     "q130_flash_io_strategies",
+    "q131_layer_profile",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -257,3 +257,76 @@ def q130_flash_io_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flash_saved"),
     ).orderBy("strategy")
+
+
+# ---------------------------------------------------------------------------
+# Per-layer performance profile (simulator/profiler.py + run_profiling.py)
+# ---------------------------------------------------------------------------
+
+# MobileNetV1_Tiny layer table — run_profiling.py:17-29 (name, out, in)
+PROFILE_LAYERS = [
+    ("conv1", 32, 27),
+    ("dw1", 1, 9),
+    ("pw1", 64, 32),
+    ("dw2", 1, 9),
+    ("pw2", 128, 64),
+    ("fc_out", 10, 512),
+]
+MACS_PER_CYCLE = 32  # sim_reflex.py:91
+MAC_ARRAY = 256  # run_profiling.py:32
+FREQ_MHZ = 100
+
+
+def _profile_values_sql() -> str:
+    rows = ", ".join(
+        f"({i}, '{n}', {o}, {inp})"
+        for i, (n, o, inp) in enumerate(PROFILE_LAYERS)
+    )
+    return f"(VALUES {rows}) AS pl(i, name, out_dim, in_dim)"
+
+
+@query(
+    "q131_layer_profile",
+    oracle=f"""
+    SELECT name, 'fc' AS type,
+           CAST(CAST(in_dim AS BIGINT) * out_dim AS BIGINT) AS mac_ops,
+           CAST(FLOOR(CAST(in_dim AS BIGINT) * out_dim
+                      / {MACS_PER_CYCLE!r}) AS BIGINT) AS cycles,
+           ROUND(CAST(in_dim AS BIGINT) * out_dim / {MACS_PER_CYCLE!r}
+                 / {FREQ_MHZ!r}, 9) AS time_us,
+           ROUND(CAST(in_dim AS BIGINT) * out_dim * 1.0
+                 / (CAST(in_dim AS BIGINT) * out_dim / {MACS_PER_CYCLE!r}
+                    * {MAC_ARRAY}), 6) AS util
+    FROM {_profile_values_sql()}
+    ORDER BY i
+    """,
+)
+def q131_layer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layer cycle-accurate profile reproducing the reference's
+    published `simulator/profiling_report.csv` exactly: the simulator
+    charges in_dim*out_dim MACs at 32 MACs/cycle (`sim_reflex.py:90-91`)
+    and the profiler derives time at 100 MHz and utilization against the
+    256-MAC array (`profiler.py:128-143`) — conv1 27 cycles / 0.27 µs,
+    dw1 0 cycles (sub-cycle) / 0.0028125 µs, total 507 cycles, util
+    12.5 %/layer (= 32/256, the published MobileNet-tiny numbers in
+    BASELINE.md). The layer table is the shared constant driving both
+    engines; cycles floor to int exactly as the CSV exporter does."""
+    layers = spark.createDataFrame(
+        [(i, n, o, inp) for i, (n, o, inp) in enumerate(PROFILE_LAYERS)],
+        "i int, name string, out_dim int, in_dim int",
+    )
+    macs = F.col("in_dim").cast("long") * F.col("out_dim")
+    cyc_f = macs / float(MACS_PER_CYCLE)
+    return (
+        layers.select(
+            "i",
+            "name",
+            F.lit("fc").alias("type"),
+            macs.alias("mac_ops"),
+            F.floor(cyc_f).cast("long").alias("cycles"),
+            F.round(cyc_f / FREQ_MHZ, 9).alias("time_us"),
+            F.round(macs * 1.0 / (cyc_f * MAC_ARRAY), 6).alias("util"),
+        )
+        .orderBy("i")
+        .drop("i")
+    )

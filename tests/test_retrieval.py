@@ -386,3 +386,24 @@ def test_flash_io_strategy_goldens(spark, sf_smoke):
     assert rows["AllCombined"].flash_saved == 60
     # combined strategy must dominate every single strategy
     assert rows["AllCombined"].speedup == max(r.speedup for r in rows.values())
+
+
+def test_layer_profile_matches_published_csv(spark, sf_smoke):
+    """q131 against simulator/profiling_report.csv verbatim: per-layer
+    cycles/time/util and the 507-cycle total BASELINE.md quotes."""
+    rows = {r.name: r for r in q(spark, "q131_layer_profile", sf_smoke).collect()}
+    published = {  # name: (cycles, time_us, util)
+        "conv1": (27, 0.27, 0.125),
+        "dw1": (0, 0.0028125, 0.125),
+        "pw1": (64, 0.64, 0.125),
+        "dw2": (0, 0.0028125, 0.125),
+        "pw2": (256, 2.56, 0.125),
+        "fc_out": (160, 1.6, 0.125),
+    }
+    assert set(rows) == set(published)
+    for name, (cyc, t_us, util) in published.items():
+        r = rows[name]
+        assert r.cycles == cyc
+        assert abs(r.time_us - t_us) < 1e-9
+        assert abs(r.util - util) < 1e-9
+    assert sum(r.cycles for r in rows.values()) == 507
