@@ -624,3 +624,71 @@ def q41_embedding_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_dim0"),
         )
     )
+
+
+SPARSE_OVERHEAD = 0.1  # sparsity_optimizer.py:368 — 10% index overhead
+SPARSE_CAP = 5.0  # :373 — max 5x
+RUNTIME_FACTOR = 0.9  # imc22.py:491 — runtime model 1/(1 - s*0.9)
+
+
+@query(
+    "q132_sparse_speedup_estimate",
+    oracle=f"""
+    WITH agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+                        CAST(SUM(CASE WHEN abs(v) < 0.01 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS n_skipped
+                 FROM {_duck_coords(None)}),
+         m AS (SELECT n_total, n_skipped,
+                      n_skipped * 1.0 / n_total AS skip_ratio,
+                      n_skipped * 1.0 / n_total * (1 - {SPARSE_OVERHEAD!r})
+                          AS eff
+               FROM agg)
+    SELECT n_total, n_skipped,
+           ROUND(skip_ratio, 6) AS skip_ratio,
+           ROUND(LEAST(CASE WHEN eff < 1 THEN 1.0 / (1.0 - eff)
+                            ELSE 10.0 END, {SPARSE_CAP!r}), 6)
+               AS est_speedup,
+           ROUND(CASE WHEN skip_ratio > 0
+                      THEN 1.0 / (1.0 - skip_ratio * {RUNTIME_FACTOR!r})
+                      ELSE 1.0 END, 6) AS runtime_speedup,
+           ROUND((1 - 1.0 / LEAST(CASE WHEN eff < 1 THEN 1.0 / (1.0 - eff)
+                                       ELSE 10.0 END, {SPARSE_CAP!r}))
+                 * 100, 6) AS power_reduction_pct
+    FROM m
+    """,
+)
+def q132_sparse_speedup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's sparse-speedup estimators, both published models:
+    the optimizer's planning estimate min(1/(1 - skip*(1-0.1)), 5)
+    (`sparsity_optimizer.py:354-373` — 10% index overhead, 5x cap) and
+    the runtime's measured-sparsity model 1/(1 - s*0.9)
+    (`imc22_sdk/python/imc22.py:491`), plus the power-reduction figure
+    the optimizer logs ((1-1/speedup)*100, `:350`). One global
+    conditional aggregate over the weight coordinates — the 1-row
+    planning summary a compile run prints, derived from the same scan
+    q34 makes per-layer."""
+    coords = embedding_coords(spark, sf_dir)
+    agg = coords.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.abs(F.col("v")) < 0.01, 1).otherwise(0)).alias(
+            "n_skipped"
+        ),
+    )
+    skip = F.col("n_skipped") * 1.0 / F.col("n_total")
+    eff = skip * (1 - SPARSE_OVERHEAD)
+    est = F.least(
+        F.when(eff < 1, 1.0 / (1.0 - eff)).otherwise(10.0), F.lit(SPARSE_CAP)
+    )
+    return agg.select(
+        "n_total",
+        "n_skipped",
+        F.round(skip, 6).alias("skip_ratio"),
+        F.round(est, 6).alias("est_speedup"),
+        F.round(
+            F.when(skip > 0, 1.0 / (1.0 - skip * RUNTIME_FACTOR)).otherwise(
+                1.0
+            ),
+            6,
+        ).alias("runtime_speedup"),
+        F.round((1 - 1.0 / est) * 100, 6).alias("power_reduction_pct"),
+    )

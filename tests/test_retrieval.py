@@ -407,3 +407,15 @@ def test_layer_profile_matches_published_csv(spark, sf_smoke):
         assert abs(r.time_us - t_us) < 1e-9
         assert abs(r.util - util) < 1e-9
     assert sum(r.cycles for r in rows.values()) == 507
+
+
+def test_sparse_speedup_models_consistent(spark, sf_smoke):
+    from hive_reflex_spark.operators.tensor import SPARSE_CAP
+
+    r = q(spark, "q132_sparse_speedup_estimate", sf_smoke).collect()[0]
+    assert 0 < r.n_skipped < r.n_total
+    assert abs(r.skip_ratio - r.n_skipped / r.n_total) < 1e-5
+    assert 1.0 <= r.est_speedup <= SPARSE_CAP
+    # the 10%-overhead planning model can never beat the runtime model
+    assert r.est_speedup <= r.runtime_speedup + 1e-9
+    assert abs(r.power_reduction_pct - (1 - 1 / r.est_speedup) * 100) < 1e-3
