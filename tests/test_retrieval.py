@@ -419,3 +419,32 @@ def test_sparse_speedup_models_consistent(spark, sf_smoke):
     # the 10%-overhead planning model can never beat the runtime model
     assert r.est_speedup <= r.runtime_speedup + 1e-9
     assert abs(r.power_reduction_pct - (1 - 1 / r.est_speedup) * 100) < 1e-3
+
+
+def test_cdc_chunks_are_insertion_robust(spark, tmp_path):
+    """THE content-defined property (vs fixed-stride q103): the same
+    passage embedded at DIFFERENT token offsets must still produce
+    shared chunk hashes, because boundaries depend on content alone."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from hive_reflex_spark.operators.dedup import q115_cdc_chunks
+
+    d = str(tmp_path / "cdc_shift")
+    passage = " ".join(f"body{i}" for i in range(64))
+    docs = spark.createDataFrame(
+        [
+            (0, "pre1 " + passage),                  # offset 1
+            (1, "aa bb cc dd ee ff gg " + passage),  # offset 7
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F2.lit("en")).withColumn("source", F2.lit("s")) \
+     .withColumn("n_chars", F2.length("text"))
+    os.makedirs(d)
+    docs.write.parquet(os.path.join(d, "documents.parquet"))
+
+    rows = q115_cdc_chunks(spark, d).collect()
+    # at least one interior chunk of the shared passage appears in BOTH
+    # docs despite the different prefixes
+    assert any(r.n_docs == 2 for r in rows), rows
