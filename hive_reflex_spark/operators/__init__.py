@@ -101,6 +101,8 @@ _registry.finalize_order([
     "q130_flash_io_strategies",
     "q131_layer_profile",
     "q132_sparse_speedup_estimate",
+    "q133_regional_revenue",
+    "q134_small_quantity_revenue",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -1352,3 +1352,106 @@ def q125_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "col", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
     ).orderBy("col")
+
+
+@query(
+    "q133_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q133_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: the 6-way star join (region → nation → supplier ⋈
+    customer ⋈ orders ⋈ lineitem) with the local-supplier equi-constraint
+    (c_nationkey = s_nationkey). The three true dimensions
+    (region/nation/supplier) broadcast; the fact-fact joins stay
+    shuffle-planned for AQE — the canonical join-reordering workload:
+    Catalyst must push the ASIA filter through region into nation before
+    any fact row moves."""
+    t = load_tables(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    reg = t["region"].filter(F.col("r_name") == "ASIA")
+    ords = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    nat = t["nation"].join(
+        F.broadcast(reg), t["nation"].n_regionkey == reg.r_regionkey
+    )
+    sup = t["supplier"].join(
+        F.broadcast(nat), t["supplier"].s_nationkey == nat.n_nationkey
+    )
+    cust = t["customer"]
+    return (
+        t["lineitem"]
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .join(
+            cust,
+            (ords.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "q134_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 / 7.0 AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q134_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: the correlated scalar subquery (each line item
+    compared to 20% of ITS part's average quantity). Expressed as the
+    de-correlated form Catalyst itself rewrites to — a per-part average
+    aggregate joined back to the fact — because at 100 TB the rewrite IS
+    the plan: one pre-aggregate of |parts| rows instead of re-running
+    the subquery per row."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li = t["lineitem"]
+    part = t["part"].filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0
+                / 7.0
+            ).alias("avg_yearly"),
+        )
+    )

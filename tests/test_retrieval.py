@@ -448,3 +448,22 @@ def test_cdc_chunks_are_insertion_robust(spark, tmp_path):
     # at least one interior chunk of the shared passage appears in BOTH
     # docs despite the different prefixes
     assert any(r.n_docs == 2 for r in rows), rows
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_smoke):
+    from tests.test_plan_shapes import plan_of
+
+    plan = plan_of(spark, "q133_regional_revenue", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = q(spark, "q133_regional_revenue", sf_smoke).collect()
+    assert len(rows) > 0
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    assert all(r.revenue > 0 for r in rows)
+
+
+def test_q17_correlated_rewrite_non_degenerate(spark, sf_smoke):
+    r = q(spark, "q134_small_quantity_revenue", sf_smoke).collect()[0]
+    assert r.n_lines > 0  # the filter must actually select rows
+    assert r.avg_yearly > 0
