@@ -8,9 +8,10 @@ pretraining-data run actually executes — one lazy DataFrame graph, so
 Catalyst sees the whole pipeline at once (shared scans, pushed filters,
 one final shuffle for the rollup) instead of four materialized passes.
 
-Scale: each drop set is a DISTINCT doc_id table that is tiny relative to
-the corpus (dups, contaminated docs); all three gates apply as broadcast
-anti-join / left-join-null filters, so the corpus streams through ONCE.
+Scale: the near-dup and contamination drop sets are collision-sized —
+they broadcast as anti-joins. The quality gate is per-doc (its reject
+set scales WITH the corpus), so it applies as a co-partitioned inner
+join on doc_id instead; the corpus still streams through ONCE.
 The composed oracle replays the same CTE chain in DuckDB, which is the
 strongest correctness statement in the repo: the whole pipeline, not
 just its stages, hash-matches another engine.
@@ -103,20 +104,26 @@ def q129_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone: quality gate (q111's exact integer sign) → near-dup
     drop (q94's LSH-verify-keep-first) → benchmark holdout +
     decontamination (q87's 4-gram overlap) → md5 split (q85) →
-    per-(split, source) doc and token budget. One lazy plan; the three
-    drop sets apply as broadcast anti-joins so the corpus streams
-    through once."""
+    per-(split, source) doc and token budget. One lazy plan: the quality
+    gate joins per-doc scores co-partitioned on doc_id (its reject set
+    scales with the corpus — never broadcast), while the collision-sized
+    dup/contamination drop sets are broadcast anti-joins; the corpus
+    streams through once."""
     docs = read_table(spark, sf_dir, "documents")
-    lowq = (
+    # quality gate: one score row PER DOC, so the failing set is NOT
+    # bounded-small — it joins as a plain co-partitioned inner join on
+    # doc_id, never a broadcast
+    goodq = (
         classifier_scores(spark, sf_dir)
-        .filter(F.col("num") < 0)
+        .filter(F.col("num") >= 0)
         .select("doc_id")
     )
+    # dup and contamination sets ARE collision-sized -> broadcast anti
     dups = neardup_dropped_ids(spark, sf_dir)
     contaminated = q87_decontaminate(spark, sf_dir).select("doc_id").distinct()
     kept = (
         docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .join(F.broadcast(lowq), "doc_id", "left_anti")
+        .join(goodq, "doc_id")
         .join(F.broadcast(dups), "doc_id", "left_anti")
         .join(F.broadcast(contaminated), "doc_id", "left_anti")
     )

@@ -138,10 +138,12 @@ PICKS = {
         "TakeOrderedAndProject."
     ),
     "q129_curation_pipeline": (
-        "End-to-end curation pipeline in ONE plan: the three drop sets "
-        "(quality, near-dup, contamination) apply as broadcast anti-joins "
-        "so the corpus streams through once into the split rollup — no "
-        "materialized intermediate passes."
+        "End-to-end curation pipeline in ONE plan: the per-doc quality "
+        "gate joins co-partitioned on doc_id (corpus-sized — never "
+        "broadcast) while the collision-sized near-dup/contamination "
+        "drop sets apply as broadcast anti-joins; the corpus streams "
+        "once into the split rollup — no materialized intermediate "
+        "passes."
     ),
     "q62_streaming_hourly": "(streaming — plan shown for the post-sink projection)",
 }
