@@ -467,3 +467,24 @@ def test_q17_correlated_rewrite_non_degenerate(spark, sf_smoke):
     r = q(spark, "q134_small_quantity_revenue", sf_smoke).collect()[0]
     assert r.n_lines > 0  # the filter must actually select rows
     assert r.avg_yearly > 0
+
+
+def test_shard_and_sample_invariant_to_partitioning(spark, sf_smoke):
+    """q113/q124 claim membership/order is a pure function of the record:
+    the result must be byte-identical under different shuffle/scan
+    partitioning — the property that makes re-runs reproducible on any
+    cluster size."""
+    def snap(name):
+        return sorted(map(tuple, q(spark, name, sf_smoke).collect()))
+
+    before = {n: snap(n) for n in ("q113_shard_manifest", "q124_weighted_sample")}
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    old_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        for n, rows in before.items():
+            assert snap(n) == rows, f"{n} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
