@@ -14,6 +14,7 @@ from hive_reflex_spark.operators import (  # noqa: F401
     retrieval,
     sampling,
     similarity,
+    storage,
     tensor,
     text,
     timeseries,
@@ -103,6 +104,10 @@ _registry.finalize_order([
     "q132_sparse_speedup_estimate",
     "q133_regional_revenue",
     "q134_small_quantity_revenue",
+    "q135_nvs_compaction",
+    "q136_dvfs_governor",
+    "q137_rtl_prune",
+    "q138_schedule_levels",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query
@@ -149,6 +154,7 @@ __all__ = [
     "retrieval",
     "sampling",
     "similarity",
+    "storage",
     "streaming_ops",
     "tensor",
     "text",

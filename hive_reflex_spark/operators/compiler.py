@@ -388,3 +388,336 @@ def q80b_onnx_mobilenet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aligned_bytes",
         "flash_addr",
     )
+
+
+# ---------------------------------------------------------------------------
+# RTL pruning — hardware-config derivation from the model IR
+# (mlir_compiler/rtl_pruner.py)
+# ---------------------------------------------------------------------------
+
+_BANK_KB = 32  # rtl_pruner.py:36 — 1 SRAM bank = 32 KB
+
+
+def _both_models_ir_values() -> str:
+    from hive_reflex_spark.sources.model_zoo import (
+        bert_tiny_ir_values,
+        mobilenet_ir_values,
+    )
+
+    return f"{bert_tiny_ir_values()},\n        {mobilenet_ir_values()}"
+
+
+def _read_both_models(spark: SparkSession) -> DataFrame:
+    from hive_reflex_spark.sources.model_zoo import (
+        bert_tiny_onnx_path,
+        mobilenet_onnx_path,
+    )
+    from hive_reflex_spark.sources.onnx_source import read_onnx_model
+
+    return read_onnx_model(spark, bert_tiny_onnx_path()).unionByName(
+        read_onnx_model(spark, mobilenet_onnx_path())
+    )
+
+
+def _rtl_prune_oracle() -> str:
+    return f"""
+    WITH ir(model, idx, name, op_type, rows, cols, inputs, outputs,
+            n_params) AS (VALUES {_both_models_ir_values()}),
+    sized AS (SELECT *, 4 * COALESCE(CAST(rows AS BIGINT) * cols, 1)
+                            AS size_bytes
+              FROM ir),
+    prod AS (SELECT model, idx AS start, unnest(outputs) AS tensor,
+                    size_bytes
+             FROM sized),
+    cons AS (SELECT model, idx AS cidx, unnest(inputs) AS tensor FROM ir),
+    life AS (SELECT p.model, p.tensor, p.start, p.size_bytes,
+                    GREATEST(p.start, COALESCE(MAX(c.cidx), p.start))
+                        AS fin
+             FROM prod p LEFT JOIN cons c
+               ON p.model = c.model AND p.tensor = c.tensor
+             GROUP BY p.model, p.tensor, p.start, p.size_bytes),
+    deltas AS (SELECT model, start AS pos, size_bytes AS delta FROM life
+               UNION ALL
+               SELECT model, fin + 1, -size_bytes FROM life),
+    sweep AS (SELECT model, pos,
+                     SUM(SUM(delta)) OVER (PARTITION BY model ORDER BY pos)
+                         AS live_bytes
+              FROM deltas GROUP BY model, pos),
+    peak AS (SELECT model, CAST(MAX(live_bytes) AS BIGINT) AS peak_bytes
+             FROM sweep GROUP BY model),
+    flags AS (SELECT model,
+                     MAX(CASE WHEN op_type = 'Conv' THEN 1 ELSE 0 END)
+                         AS has_conv,
+                     MAX(CASE WHEN op_type IN ('Gemm', 'MatMul')
+                              THEN 1 ELSE 0 END) AS has_fc,
+                     MAX(CASE WHEN op_type IN
+                              ('Softmax', 'LayerNormalization')
+                              THEN 1 ELSE 0 END) AS has_transformer,
+                     MAX(CASE WHEN op_type IN
+                              ('Relu', 'Sigmoid', 'Tanh', 'Gelu')
+                              THEN 1 ELSE 0 END) AS has_activation
+              FROM ir GROUP BY model),
+    banks AS (SELECT model, peak_bytes,
+                     GREATEST(1, ((peak_bytes + 1023) // 1024
+                                  + {_BANK_KB} - 1) // {_BANK_KB})
+                         AS num_banks
+              FROM peak),
+    widths AS (SELECT CAST(r AS INTEGER) AS w FROM range(32) t(r)),
+    cfg AS (SELECT b.model, b.peak_bytes, b.num_banks,
+                   MIN(w.w) AS addr_width
+            FROM banks b JOIN widths w
+              ON CAST(POWER(2, w.w) AS BIGINT)
+                 >= b.num_banks * {_BANK_KB} * 1024
+            GROUP BY b.model, b.peak_bytes, b.num_banks)
+    SELECT f.model,
+           CAST(f.has_conv AS INTEGER) AS has_conv,
+           CAST(f.has_fc AS INTEGER) AS has_fc,
+           CAST(f.has_transformer AS INTEGER) AS has_transformer,
+           CAST(f.has_activation AS INTEGER) AS has_activation,
+           CAST(4 - f.has_conv - f.has_fc - f.has_transformer
+                - f.has_activation AS INTEGER) AS n_pruned_engines,
+           c.peak_bytes,
+           CAST(c.num_banks AS INTEGER) AS sram_num_banks,
+           CAST(c.addr_width AS INTEGER) AS sram_addr_width,
+           CAST(c.num_banks * {_BANK_KB} AS INTEGER) AS total_sram_kb
+    FROM flags f JOIN cfg c ON f.model = c.model
+    """
+
+
+@query("q137_rtl_prune", oracle=_rtl_prune_oracle())
+def q137_rtl_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTL pruning config (`mlir_compiler/rtl_pruner.py:13-49`): derive
+    the SoC hardware configuration from the parsed model IR — engine
+    enables (HAS_CONV / HAS_FC / HAS_TRANSFORMER / HAS_ACTIVATION from
+    the op-type sets at :25-33; absent ops mean the engine is stripped
+    from the RTL) and the SRAM sizing chain (peak bytes → ceil KB →
+    32 KB banks, min 1 → address width = ceil(log2(total)), :36-48).
+
+    Peak memory is the memory planner's liveness model
+    (`memory_planner.py:48-72`): each node's output lives from its
+    producer index to its last consumer, with the planner's
+    "output size = layer size" simplification (:59) taken as the node's
+    weight footprint (4-byte floats). The peak is the classic
+    interval-overlap sweep — +size at start, -size at end+1, running
+    sum, max — one window per model, all integers.
+
+    Scale: per-model work is planner-scale (|nodes| rows); models
+    parallelize. The address width joins a 32-row width table on an
+    exact power-of-two compare instead of floating log2, so the hash
+    matches on any libm. Both model-zoo graphs go through the REAL
+    protobuf parser; the oracle re-derives the same rows from the spec."""
+    ir = _read_both_models(spark)
+    sized = ir.withColumn(
+        "size_bytes",
+        4 * F.coalesce(F.col("rows").cast("long") * F.col("cols"), F.lit(1)),
+    )
+    prod = sized.select(
+        "model",
+        F.col("idx").alias("start"),
+        F.explode("outputs").alias("tensor"),
+        "size_bytes",
+    )
+    cons = ir.select(
+        "model", F.col("idx").alias("cidx"), F.explode("inputs").alias("tensor")
+    )
+    life = (
+        prod.join(cons, ["model", "tensor"], "left")
+        .groupBy("model", "tensor", "start", "size_bytes")
+        .agg(
+            F.greatest(
+                F.col("start"), F.coalesce(F.max("cidx"), F.col("start"))
+            ).alias("fin")
+        )
+    )
+    deltas = life.select(
+        "model", F.col("start").alias("pos"), F.col("size_bytes").alias("delta")
+    ).unionByName(
+        life.select(
+            "model",
+            (F.col("fin") + 1).alias("pos"),
+            (-F.col("size_bytes")).alias("delta"),
+        )
+    )
+    sweep = (
+        deltas.groupBy("model", "pos")
+        .agg(F.sum("delta").alias("d"))
+        .withColumn(
+            "live_bytes",
+            F.sum("d").over(Window.partitionBy("model").orderBy("pos")),
+        )
+    )
+    peak = sweep.groupBy("model").agg(
+        F.max("live_bytes").cast("long").alias("peak_bytes")
+    )
+    flags = ir.groupBy("model").agg(
+        F.max((F.col("op_type") == "Conv").cast("int")).alias("has_conv"),
+        F.max(F.col("op_type").isin("Gemm", "MatMul").cast("int"))
+        .alias("has_fc"),
+        F.max(
+            F.col("op_type").isin("Softmax", "LayerNormalization").cast("int")
+        ).alias("has_transformer"),
+        F.max(
+            F.col("op_type").isin("Relu", "Sigmoid", "Tanh", "Gelu")
+            .cast("int")
+        ).alias("has_activation"),
+    )
+    banks = peak.withColumn(
+        "num_banks",
+        F.greatest(
+            F.lit(1),
+            (
+                ((F.col("peak_bytes") + 1023) / 1024).cast("long")
+                + _BANK_KB
+                - 1
+            ).cast("long")
+            / _BANK_KB,
+        ).cast("long"),
+    )
+    widths = spark.range(32).select(F.col("id").cast("int").alias("w"))
+    cfg = (
+        banks.join(
+            F.broadcast(widths),
+            F.pow(F.lit(2.0), F.col("w")).cast("long")
+            >= F.col("num_banks") * _BANK_KB * 1024,
+        )
+        .groupBy("model", "peak_bytes", "num_banks")
+        .agg(F.min("w").alias("addr_width"))
+    )
+    return flags.join(cfg, "model").select(
+        "model",
+        F.col("has_conv").cast("int"),
+        F.col("has_fc").cast("int"),
+        F.col("has_transformer").cast("int"),
+        F.col("has_activation").cast("int"),
+        (
+            4
+            - F.col("has_conv")
+            - F.col("has_fc")
+            - F.col("has_transformer")
+            - F.col("has_activation")
+        )
+        .cast("int")
+        .alias("n_pruned_engines"),
+        "peak_bytes",
+        F.col("num_banks").cast("int").alias("sram_num_banks"),
+        F.col("addr_width").cast("int").alias("sram_addr_width"),
+        (F.col("num_banks") * _BANK_KB).cast("int").alias("total_sram_kb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous scheduler — ASAP/ALAP levels and critical path over the
+# model DAG (imc22_sdk/scheduler.c task queue + the VSCode extension's
+# "interactive scheduler visualization")
+# ---------------------------------------------------------------------------
+
+
+def _sched_levels_oracle() -> str:
+    return f"""
+    WITH RECURSIVE ir(model, idx, name, op_type, rows, cols, inputs,
+                      outputs, n_params) AS (VALUES {_both_models_ir_values()}),
+    prod AS (SELECT model, idx AS src, unnest(outputs) AS tensor FROM ir),
+    cons AS (SELECT model, idx AS dst, unnest(inputs) AS tensor FROM ir),
+    edges AS (SELECT DISTINCT p.model, p.src, c.dst
+              FROM prod p JOIN cons c
+                ON p.model = c.model AND p.tensor = c.tensor),
+    fwd AS (SELECT model, idx, 0 AS lvl FROM ir i
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.model = i.model AND e.dst = i.idx)
+            UNION ALL
+            SELECT e.model, e.dst, f.lvl + 1
+            FROM fwd f JOIN edges e
+              ON e.model = f.model AND e.src = f.idx),
+    asap AS (SELECT model, idx, MAX(lvl) AS asap
+             FROM fwd GROUP BY model, idx),
+    bwd AS (SELECT model, idx, 0 AS lvl FROM ir i
+            WHERE NOT EXISTS (SELECT 1 FROM edges e
+                              WHERE e.model = i.model AND e.src = i.idx)
+            UNION ALL
+            SELECT e.model, e.src, b.lvl + 1
+            FROM bwd b JOIN edges e
+              ON e.model = b.model AND e.dst = b.idx),
+    dts AS (SELECT model, idx, MAX(lvl) AS d FROM bwd GROUP BY model, idx),
+    crit AS (SELECT model, MAX(asap) AS t FROM asap GROUP BY model)
+    SELECT i.model, i.idx, i.name,
+           CAST(a.asap AS INTEGER) AS asap,
+           CAST(crit.t - d.d AS INTEGER) AS alap,
+           CAST(crit.t - d.d - a.asap AS INTEGER) AS slack,
+           (crit.t - d.d - a.asap) = 0 AS is_critical
+    FROM ir i
+    JOIN asap a ON a.model = i.model AND a.idx = i.idx
+    JOIN dts d ON d.model = i.model AND d.idx = i.idx
+    JOIN crit ON crit.model = i.model
+    """
+
+
+def schedule_levels(ir: DataFrame) -> DataFrame:
+    """ASAP/ALAP/slack levels for each node of a layer-IR DataFrame
+    (``model, idx, name, inputs, outputs``): one Arrow batch per model
+    replays the two longest-path sweeps; models parallelize across the
+    cluster (the aggregate-then-replay discipline of q108/q136 — a
+    compiled model's DAG is planner-scale even when the corpus isn't).
+    ``idx`` must be a topological order, which ONNX graph order
+    guarantees."""
+    import pandas as pd
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("idx").reset_index(drop=True)
+        producer: dict[str, int] = {}
+        for _, r in pdf.iterrows():
+            for t in r["outputs"]:
+                producer[t] = int(r["idx"])
+        preds: dict[int, set[int]] = {int(i): set() for i in pdf["idx"]}
+        succs: dict[int, set[int]] = {int(i): set() for i in pdf["idx"]}
+        for _, r in pdf.iterrows():
+            c = int(r["idx"])
+            for t in r["inputs"]:
+                p = producer.get(t)
+                if p is not None and p != c:
+                    preds[c].add(p)
+                    succs[p].add(c)
+        asap = {}
+        for i in sorted(preds):  # spec order is topological
+            asap[i] = max((asap[p] + 1 for p in preds[i]), default=0)
+        dts = {}
+        for i in sorted(succs, reverse=True):
+            dts[i] = max((dts[s] + 1 for s in succs[i]), default=0)
+        t = max(asap.values())
+        out = pd.DataFrame(
+            {
+                "model": pdf["model"],
+                "idx": pdf["idx"],
+                "name": pdf["name"],
+                "asap": [asap[int(i)] for i in pdf["idx"]],
+                "alap": [t - dts[int(i)] for i in pdf["idx"]],
+            }
+        )
+        out["slack"] = out["alap"] - out["asap"]
+        out["is_critical"] = out["slack"] == 0
+        return out
+
+    return ir.select("model", "idx", "name", "inputs", "outputs").groupBy(
+        "model"
+    ).applyInPandas(
+        fn,
+        "model string, idx int, name string, asap int, alap int, "
+        "slack int, is_critical boolean",
+    )
+
+
+@query("q138_schedule_levels", oracle=_sched_levels_oracle())
+def q138_schedule_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduler levels over the model DAG: ASAP level (longest path
+    from a source), ALAP level (critical-path length minus longest path
+    to a sink), slack, and the critical path (slack 0) — the dependency
+    analysis behind the reference's task-queue scheduler
+    (`imc22_sdk/scheduler.c:27-43` ExecutionTask_t ordering) and the
+    VSCode extension's scheduler visualization. Nodes on the same ASAP
+    level are exactly the tasks the heterogeneous runtime may dispatch
+    concurrently to CPU/CIM/DMA. In both model-zoo fixtures every
+    fan-out re-merges behind the longer branch, so slack is 0
+    throughout — the synthetic-diamond pytest exercises slack > 0.
+
+    The oracle recomputes the levels by recursive path enumeration,
+    which bounded node counts keep cheap."""
+    return schedule_levels(_read_both_models(spark))

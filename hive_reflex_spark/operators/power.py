@@ -330,3 +330,124 @@ def q131_layer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("i")
         .drop("i")
     )
+
+
+# ---------------------------------------------------------------------------
+# DVFS auto-scale governor (imc22_sdk/imc22_dvfs.c)
+# ---------------------------------------------------------------------------
+
+# Hysteresis thresholds — imc22_dvfs.c:15-16 defaults (uint8 scale 0-255)
+DVFS_UTIL_HIGH = 200
+DVFS_UTIL_LOW = 50
+# mode ladder, imc22_dvfs.c:90-101: DEEPSLEEP (0.4 V, 1 MHz) < STANDBY
+# (0.6 V, 10 MHz) < ACTIVE (1.0 V, 100 MHz); reset state = ACTIVE (:21-22)
+DVFS_FREQ_MHZ = (1, 10, 100)
+DVFS_MV = (400, 600, 1000)
+DVFS_N_DEVICES = 4
+DVFS_UTIL_SCALE = 25  # events/hour -> 0-255 utilization counter
+
+
+def dvfs_mode_trajectory(hourly, key_col: str, order_col: str):
+    """Per-device replay of the DVFS auto-scale governor: each tick's
+    utilization counter steps the mode ladder UP one level when util
+    crosses `util_threshold_high`, DOWN one when it falls below
+    `util_threshold_low`, and HOLDS otherwise (the hysteresis band that
+    prevents mode thrash, `imc22_dvfs.c:52-53` threshold register).
+
+    The recurrence input is the per-tick AGGREGATE — O(hours) rows per
+    device, not O(events) — so the sequential replay is planner-scale
+    while the utilization count runs distributed; devices recur in
+    parallel. Integer state only → engine-exact (recursive-CTE oracle
+    in q136)."""
+    import pandas as pd
+
+    schema = f"{hourly.schema.simpleString()[7:-1]},mode:int"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        m = 2  # reset state: ACTIVE
+        out = []
+        for util in pdf["util"]:
+            if util >= DVFS_UTIL_HIGH:
+                m = min(2, m + 1)
+            elif util < DVFS_UTIL_LOW:
+                m = max(0, m - 1)
+            out.append(m)
+        pdf["mode"] = out
+        return pdf
+
+    return hourly.groupBy(key_col).applyInPandas(fn, schema)
+
+
+@query(
+    "q136_dvfs_governor",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+        SELECT user_id % {DVFS_N_DEVICES} AS device,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+               COUNT(*) AS n,
+               CAST(LEAST(255, COUNT(*) * {DVFS_UTIL_SCALE}) AS INTEGER)
+                   AS util
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY device ORDER BY h) AS rn
+        FROM hourly),
+    ctl AS (
+        SELECT device, CAST(NULL AS VARCHAR) AS h, 0 AS rn,
+               CAST(0 AS BIGINT) AS n, CAST(0 AS INTEGER) AS util,
+               2 AS mode
+        FROM (SELECT DISTINCT device FROM seq)
+        UNION ALL
+        SELECT s.device, s.h, s.rn, s.n, s.util,
+               CASE WHEN s.util >= {DVFS_UTIL_HIGH}
+                    THEN LEAST(2, c.mode + 1)
+                    WHEN s.util < {DVFS_UTIL_LOW}
+                    THEN GREATEST(0, c.mode - 1)
+                    ELSE c.mode END
+        FROM seq s JOIN ctl c ON s.device = c.device AND s.rn = c.rn + 1)
+    SELECT device, h AS window_start, n, util,
+           CAST(mode AS INTEGER) AS mode,
+           CAST(CASE mode WHEN 2 THEN 100 WHEN 1 THEN 10 ELSE 1 END
+                AS INTEGER) AS freq_mhz,
+           CAST(CASE mode WHEN 2 THEN 1000 WHEN 1 THEN 600 ELSE 400 END
+                AS INTEGER) AS mv
+    FROM ctl WHERE rn >= 1
+    """,
+)
+def q136_dvfs_governor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DVFS governor trajectory (`imc22_sdk/imc22_dvfs.c`): per device,
+    hourly event counts become the 0-255 utilization counter, and the
+    auto-scale hysteresis (up at >= 200, down at < 50, hold in the
+    band — the DVFS_THRESHOLD register packing at :52-53) walks the
+    DeepSleep/Standby/Active ladder from the ACTIVE reset state; output
+    maps each tick's mode to its published voltage/frequency operating
+    point. Same aggregate-then-replay split as q108: the count is the
+    only event-scale work."""
+    from hive_reflex_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        (F.col("user_id") % DVFS_N_DEVICES).alias("device"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.least(F.lit(255), F.count("*") * DVFS_UTIL_SCALE)
+        .cast("int")
+        .alias("util"),
+    )
+    traj = dvfs_mode_trajectory(hourly, "device", "window_start")
+    mode = F.col("mode")
+    return traj.select(
+        "device",
+        "window_start",
+        "n",
+        "util",
+        mode.cast("int").alias("mode"),
+        F.when(mode == 2, 100).when(mode == 1, 10).otherwise(1)
+        .cast("int")
+        .alias("freq_mhz"),
+        F.when(mode == 2, 1000).when(mode == 1, 600).otherwise(400)
+        .cast("int")
+        .alias("mv"),
+    )
