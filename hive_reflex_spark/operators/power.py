@@ -444,10 +444,14 @@ def q136_dvfs_governor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "util",
         mode.cast("int").alias("mode"),
-        F.when(mode == 2, 100).when(mode == 1, 10).otherwise(1)
+        F.when(mode == 2, DVFS_FREQ_MHZ[2])
+        .when(mode == 1, DVFS_FREQ_MHZ[1])
+        .otherwise(DVFS_FREQ_MHZ[0])
         .cast("int")
         .alias("freq_mhz"),
-        F.when(mode == 2, 1000).when(mode == 1, 600).otherwise(400)
+        F.when(mode == 2, DVFS_MV[2])
+        .when(mode == 1, DVFS_MV[1])
+        .otherwise(DVFS_MV[0])
         .cast("int")
         .alias("mv"),
     )

@@ -145,6 +145,19 @@ PICKS = {
         "once into the split rollup — no materialized intermediate "
         "passes."
     ),
+    "q135_nvs_compaction": (
+        "Log compaction as ONE hash aggregate: max_by carries the "
+        "latest-record candidate through map-side partial aggregation, "
+        "so the shuffle moves one candidate per (partition, key) — not "
+        "the key's history. No window, no sort: the shape that survives "
+        "a 100-TB CDC log."
+    ),
+    "q136_dvfs_governor": (
+        "Aggregate-then-replay: the event-scale work is one grouped "
+        "count to (device, hour); the hysteresis recurrence runs in an "
+        "Arrow batch per device over O(hours) rows. Look for the single "
+        "HashAggregate feeding FlatMapGroupsInPandas."
+    ),
     "q62_streaming_hourly": "(streaming — plan shown for the post-sink projection)",
 }
 

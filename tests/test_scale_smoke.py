@@ -344,3 +344,43 @@ def test_curation_pipeline_20k_docs(spark, tmp_path):
     # benchmark holdout (~1/97) always drops; planted dup groups keep one
     assert 0 < kept < 20_000
     assert {r.split for r in out} <= {"train", "val", "test"}
+
+
+def test_nvs_compaction_4m_writes(spark):
+    """q135's compaction aggregate at ~400x the sf0.01 log: 4M writes
+    over 50k keys (80 versions each, deterministic tombstones). The
+    max_by shape must reconcile exactly with closed-form expectations —
+    no per-key history materialization, no window sort."""
+    n, keys = 4_000_000, 50_000
+    log = spark.range(n).select(
+        (F.col("id") % keys).alias("key"),
+        F.col("id").alias("seq"),
+        # tombstone every 7th write; the LAST write of key k has
+        # seq = k + keys*79 -> tombstoned iff that seq % 7 == 0
+        (F.col("id") % 7 == 0).alias("tombstone"),
+        (F.lit(44) + (F.col("id") % 100)).alias("item_bytes"),
+    )
+    last_tomb = F.max_by("tombstone", "seq")
+    last_bytes = F.when(last_tomb, F.lit(0)).otherwise(
+        F.max_by("item_bytes", "seq")
+    )
+    out = log.groupBy("key").agg(
+        F.count("*").alias("n_writes"),
+        (~last_tomb).alias("live"),
+        last_bytes.alias("live_bytes"),
+        (F.sum("item_bytes") - last_bytes).alias("reclaimed"),
+    )
+    stats = out.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_writes").alias("total_writes"),
+        F.sum(F.when(F.col("live"), 0).otherwise(1)).alias("dead_keys"),
+        F.sum(F.col("live_bytes") + F.col("reclaimed")).alias("bytes"),
+    ).first()
+    assert stats["n_keys"] == keys
+    assert stats["total_writes"] == n
+    # closed form: key k dead iff (k + 50_000*79) % 7 == 0
+    expect_dead = sum(1 for k in range(keys) if (k + keys * 79) % 7 == 0)
+    assert stats["dead_keys"] == expect_dead
+    # total bytes = sum over ids of 44 + id%100
+    expect_bytes = 44 * n + sum(i % 100 for i in range(100)) * (n // 100)
+    assert stats["bytes"] == expect_bytes
