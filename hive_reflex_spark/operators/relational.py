@@ -1455,3 +1455,46 @@ def q134_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_yearly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP with GROUPING() ids — the hierarchical subtotal sibling of q09's
+# CUBE (profiling rollup A5 at report granularity: per (status, priority),
+# per status, grand total, each level tagged).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q140_rollup_grouping",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+               AS grouping_id,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q140_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) with the GROUPING id — the
+    hierarchical 3-of-4 grouping sets (detail, per-status subtotal,
+    grand total) that q09's CUBE generalizes, plus the bitmask that
+    lets a report tell a real NULL from a subtotal row. Spark's
+    ``rollup().agg(grouping_id())`` and DuckDB's
+    ``GROUPING(a, b)`` use the same MSB-first bit order, so the ids
+    hash-match. Same scale shape as CUBE: Catalyst expands the sets
+    before the partial aggregate, shuffle stays O(groups)."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("grouping_id"),
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("total_price"),
+    ).select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "grouping_id",
+        "n_orders",
+        "total_price",
+    )

@@ -40,16 +40,31 @@ TOMBSTONE_BELOW = 10.0
 ITEM_HEADER = 44  # key[32] + type(2) + size(2) + flags(2) + crc32(4) + pad
 
 
-@query(
-    "q135_nvs_compaction",
-    oracle=f"""
-    WITH log AS (
+_LOG_CTE = f"""
+    log AS (
         SELECT event_type || '/' || CAST(user_id % {KEY_MOD} AS VARCHAR)
                    AS key,
                event_id AS seq,
                value < {TOMBSTONE_BELOW!r} AS tombstone,
                {ITEM_HEADER} + strlen(props) AS item_bytes
-        FROM events)
+        FROM events)"""
+
+
+def _nvs_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "/", F.col("event_type"), (F.col("user_id") % KEY_MOD)
+        ).alias("key"),
+        F.col("event_id").alias("seq"),
+        (F.col("value") < TOMBSTONE_BELOW).alias("tombstone"),
+        (F.lit(ITEM_HEADER) + F.octet_length("props")).alias("item_bytes"),
+    )
+
+
+@query(
+    "q135_nvs_compaction",
+    oracle=f"""
+    WITH {_LOG_CTE}
     SELECT key,
            COUNT(*) AS n_writes,
            CAST(SUM(CASE WHEN tombstone THEN 1 ELSE 0 END) AS BIGINT)
@@ -74,14 +89,7 @@ def q135_nvs_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest record wins, a latest-tombstone key is dead, and every
     superseded byte counts as reclaimed. Single shuffle on ``key`` with
     map-side combine; output cardinality = |key space|."""
-    log = read_table(spark, sf_dir, "events").select(
-        F.concat_ws(
-            "/", F.col("event_type"), (F.col("user_id") % KEY_MOD)
-        ).alias("key"),
-        F.col("event_id").alias("seq"),
-        (F.col("value") < TOMBSTONE_BELOW).alias("tombstone"),
-        (F.lit(ITEM_HEADER) + F.octet_length("props")).alias("item_bytes"),
-    )
+    log = _nvs_log(spark, sf_dir)
     last_tomb = F.max_by("tombstone", "seq")
     last_bytes = F.when(last_tomb, F.lit(0)).otherwise(
         F.max_by("item_bytes", "seq")
@@ -95,4 +103,51 @@ def q135_nvs_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         last_bytes.cast("long").alias("live_bytes"),
         (F.sum("item_bytes") - last_bytes).cast("long")
         .alias("reclaimed_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 versioned-dimension build from the same write log
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q139_scd2_intervals",
+    oracle=f"""
+    WITH {_LOG_CTE}
+    SELECT key, seq AS effective_from,
+           lead(seq) OVER w - 1 AS effective_to,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_n,
+           (lead(seq) OVER w IS NULL AND NOT tombstone) AS is_current,
+           tombstone, item_bytes
+    FROM log
+    WINDOW w AS (PARTITION BY key ORDER BY seq)
+    """,
+)
+def q139_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build over the NVS write log
+    (q135's input): each append becomes a versioned row with a validity
+    interval — ``effective_from`` = its sequence number,
+    ``effective_to`` = the next write of the same key minus one (open
+    for the head version), ``is_current`` only when it is the key's
+    last write and not a tombstone. This is the point-in-time metadata
+    layer a curation pipeline keeps next to the compacted state: q135
+    answers "what is live now", this answers "what was live at seq N"
+    (``WHERE s BETWEEN effective_from AND effective_to``).
+
+    One window per key — per-key history is bounded while keys
+    parallelize, the standard SCD2 merge shape at any corpus size."""
+    log = _nvs_log(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("seq")
+    nxt = F.lead("seq").over(w)
+    return log.select(
+        "key",
+        F.col("seq").alias("effective_from"),
+        (nxt - 1).alias("effective_to"),
+        F.row_number().over(w).cast("long").alias("version_n"),
+        (nxt.isNull() & ~F.col("tombstone")).alias("is_current"),
+        "tombstone",
+        "item_bytes",
     )

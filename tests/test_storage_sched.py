@@ -1,6 +1,7 @@
 """Tests for the SDK-parity additions: NVS log compaction (q135), the
-DVFS hysteresis governor (q136), RTL pruning config (q137), and
-scheduler ASAP/ALAP levels (q138)."""
+DVFS hysteresis governor (q136), RTL pruning config (q137), scheduler
+ASAP/ALAP levels (q138), SCD2 validity intervals (q139), and ROLLUP
+grouping ids (q140)."""
 
 from __future__ import annotations
 
@@ -231,3 +232,75 @@ def test_schedule_levels_diamond_slack(spark):
     assert {n for n, r in got.items() if r["is_critical"]} == {
         "a", "b", "c", "d",
     }
+
+
+# ---------------------------------------------------------------- q139
+
+
+def test_scd2_intervals_partition_key_history(spark):
+    """Validity intervals tile each key's history: versions are dense
+    from 1, intervals are adjacent and non-overlapping, at most one
+    current row per key, and current/dead agrees with q135's
+    compaction verdict."""
+    from hive_reflex_spark.operators.storage import q139_scd2_intervals
+
+    out = q139_scd2_intervals(spark, SF_SMOKE).cache()
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("effective_from")
+    # adjacency: this version's end + 1 == next version's start
+    adj = out.withColumn("nxt_from", F.lead("effective_from").over(w)).filter(
+        F.col("nxt_from").isNotNull()
+        & (F.col("effective_to") + 1 != F.col("nxt_from"))
+    )
+    assert adj.count() == 0
+    # dense versions, head starts the interval chain
+    dense = out.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") != F.col("version_n")
+    )
+    assert dense.count() == 0
+    # exactly the open-ended tail row may be current
+    assert out.filter(
+        F.col("is_current") & F.col("effective_to").isNotNull()
+    ).count() == 0
+    per_key_current = (
+        out.groupBy("key").agg(F.sum(F.col("is_current").cast("int")).alias("c"))
+    )
+    assert per_key_current.filter(F.col("c") > 1).count() == 0
+
+    from hive_reflex_spark.operators.storage import q135_nvs_compaction
+
+    live_keys = {
+        r["key"] for r in q135_nvs_compaction(spark, SF_SMOKE)
+        .filter("live").select("key").collect()
+    }
+    current_keys = {
+        r["key"] for r in out.filter("is_current").select("key").collect()
+    }
+    assert current_keys == live_keys
+    out.unpersist()
+
+
+# ---------------------------------------------------------------- q140
+
+
+def test_rollup_grouping_reconciles(spark):
+    """ROLLUP emits detail + per-status + grand total; grouping ids tag
+    the levels (0/1/3) and each level's counts reconcile."""
+    from hive_reflex_spark.operators.relational import q140_rollup_grouping
+
+    rows = q140_rollup_grouping(spark, SF_SMOKE).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["grouping_id"], []).append(r)
+    assert set(by_gid) == {0, 1, 3}
+    grand = by_gid[3]
+    assert len(grand) == 1 and grand[0]["o_orderstatus"] is None
+    total = grand[0]["n_orders"]
+    assert sum(r["n_orders"] for r in by_gid[1]) == total
+    assert sum(r["n_orders"] for r in by_gid[0]) == total
+    # subtotal price reconciles exactly (integer-cent sums)
+    assert abs(
+        sum(r["total_price"] for r in by_gid[1]) - grand[0]["total_price"]
+    ) < 1e-9
