@@ -110,6 +110,7 @@ _registry.finalize_order([
     "q138_schedule_levels",
     "q139_scd2_intervals",
     "q140_rollup_grouping",
+    "q141_grouped_udaf",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -15,6 +15,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -947,4 +949,73 @@ def q126_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(PMI_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDAF (U1's third leg, next to the scalar
+# pandas-UDF tier and the q100 UDTF)
+# ---------------------------------------------------------------------------
+
+
+def _doc_udafs():
+    """Custom Arrow-batched aggregates (GROUPED_AGG pandas UDFs — the
+    Series→scalar type hints select the eval type): exact int64 count,
+    Σx and Σx². Built lazily because the decorator parses its return
+    type against the active session; Spark disallows mixing grouped-agg
+    pandas UDFs with JVM aggregates in one agg(), so the whole
+    aggregation list is custom-tier."""
+
+    @F.pandas_udf("long")
+    def ucount(v: pd.Series) -> int:
+        return int(len(v))
+
+    @F.pandas_udf("long")
+    def usum(v: pd.Series) -> int:
+        return int(v.astype("int64").sum())
+
+    @F.pandas_udf("long")
+    def usumsq(v: pd.Series) -> int:
+        a = v.astype("int64")
+        return int((a * a).sum())
+
+    return ucount, usum, usumsq
+
+
+@query(
+    "q141_grouped_udaf",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS sumsq_chars,
+           CAST(COUNT(*) * SUM(n_chars * n_chars)
+                - SUM(n_chars) * SUM(n_chars) AS BIGINT) AS nsq_var
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q141_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregation via a GROUPED_AGG pandas UDF (U1 extensibility,
+    the UDAF leg): per source, Σx² of document lengths computed by an
+    Arrow-batched user aggregate, then the exact integer second-moment
+    identity n·Σx² − (Σx)² — all bigint, so the custom-tier result
+    hash-matches plain SQL.
+
+    Scale note: grouped-agg pandas UDFs ship each group's raw column to
+    one Arrow batch (no partial aggregation) — the price of the custom
+    tier. The discipline at 100 TB: keep UDAF groups bounded (here
+    |source| groups of document lengths), and when the reduction IS
+    expressible in built-ins — as this Σx² deliberately is, for the
+    oracle — prefer the JVM aggregate with map-side combine."""
+    docs = read_table(spark, sf_dir, "documents")
+    ucount, usum, usumsq = _doc_udafs()
+    n = ucount("n_chars")
+    tot = usum("n_chars")
+    ss = usumsq("n_chars")
+    return docs.groupBy("source").agg(
+        n.alias("n_docs"),
+        tot.alias("total_chars"),
+        ss.alias("sumsq_chars"),
+        (n * ss - tot * tot).cast("long").alias("nsq_var"),
     )

@@ -214,3 +214,36 @@ def test_registry_window_covers_new_families():
         "q117_embedding_drift",      # new: pipeline QA
     ):
         assert must in window, must
+
+
+def test_grouped_udaf_matches_jvm_aggregates(spark):
+    """The GROUPED_AGG pandas-UDAF tier (q141) must agree exactly with
+    the JVM built-in aggregates — integer semantics make the custom
+    tier bit-identical, not approximately equal."""
+    from tests.conftest import SF_SMOKE
+
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators.text import q141_grouped_udaf
+
+    got = {r["source"]: r for r in q141_grouped_udaf(spark, SF_SMOKE).collect()}
+    docs = read_table(spark, SF_SMOKE, "documents")
+    ref = {
+        r["source"]: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("sumsq_chars"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for s, r in ref.items():
+        g = got[s]
+        assert g["n_docs"] == r["n_docs"]
+        assert g["total_chars"] == r["total_chars"]
+        assert g["sumsq_chars"] == r["sumsq_chars"]
+        assert (
+            g["nsq_var"]
+            == r["n_docs"] * r["sumsq_chars"] - r["total_chars"] ** 2
+        )
