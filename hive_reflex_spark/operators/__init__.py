@@ -111,6 +111,7 @@ _registry.finalize_order([
     "q139_scd2_intervals",
     "q140_rollup_grouping",
     "q141_grouped_udaf",
+    "q142_salted_join",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -1498,3 +1498,53 @@ def q140_rollup_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted hot-key join — the explicit skew tool, driver-checked
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q142_salted_join",
+    oracle="""
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(MIN(d.type_code) AS BIGINT) AS type_code,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
+    FROM events e
+    JOIN (SELECT event_type,
+                 ROW_NUMBER() OVER (ORDER BY event_type) AS type_code
+          FROM (SELECT DISTINCT event_type FROM events)) d
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q142_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through `functions.skew.salted_join` (the explicit
+    skew tool next to AQE's runtime splitting): the events fact joins a
+    per-type dimension on `event_type` — a key with only a handful of
+    values, i.e. EVERY key is hot and an unsalted shuffle join would
+    collapse onto |event_type| tasks. Salting replicates the bounded dim
+    8× and scatters each fact row across salts, so the hot key's rows
+    spread over 8 tasks; the result is identical to the plain join by
+    construction (pinned by the equivalence pytest), which is exactly
+    what the cross-engine oracle re-checks here — DuckDB runs the
+    UNSALTED join and the hashes must agree."""
+    from hive_reflex_spark.functions.skew import salted_join
+    from hive_reflex_spark.io import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_type")
+    dim = (
+        events.select("event_type")
+        .distinct()
+        .withColumn("type_code", F.row_number().over(w).cast("long"))
+    )
+    joined = salted_join(events, dim, "event_type", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("type_code").alias("type_code"),
+        exact_sum(F.col("value"), 2).alias("total_value"),
+    )
