@@ -112,6 +112,9 @@ _registry.finalize_order([
     "q140_rollup_grouping",
     "q141_grouped_udaf",
     "q142_salted_join",
+    "q143_complementary_filter",
+    "q144_fixed_point_wire",
+    "q145_csr_rowptr",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

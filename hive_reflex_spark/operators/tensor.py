@@ -692,3 +692,43 @@ def q132_sparse_speedup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("runtime_speedup"),
         F.round((1 - 1.0 / est) * 100, 6).alias("power_reduction_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CSR row_ptr reconstruction (J3) — driver-checked
+# ---------------------------------------------------------------------------
+
+CSR_NZ_THRESHOLD = 0.1  # |v| >= t nonzero rule, sparsity_optimizer.py:86
+
+
+@query(
+    "q145_csr_rowptr",
+    oracle=f"""
+    WITH nz AS (SELECT vec_id, dim, v FROM {_duck_coords(None)}
+                WHERE abs(v) >= {CSR_NZ_THRESHOLD!r}),
+    per_row AS (SELECT vec_id, COUNT(*) AS nnz FROM nz GROUP BY vec_id)
+    SELECT vec_id, nnz,
+           CAST(COALESCE(SUM(nnz) OVER (ORDER BY vec_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS BIGINT) AS row_ptr
+    FROM per_row
+    """,
+)
+def q145_csr_rowptr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR row-pointer reconstruction (J3,
+    `sparsity_optimizer.py:202-229`) over the thresholded embedding
+    matrix, through the DISTRIBUTED two-pass prefix sum
+    (`csr_from_coords`): rows bin into order-preserving buckets, only
+    the <=256 bucket totals visit the driver for the exclusive offset
+    scan, and the within-bucket cumsum is a partitioned window — never
+    the single-partition global window the oracle's plain
+    ``SUM() OVER (ORDER BY ...)`` uses. The driver hash-match proves
+    the bucketed scan equals the sequential definition."""
+    coords = embedding_coords(spark, sf_dir)
+    nz = coords.filter(F.abs(F.col("v")) >= CSR_NZ_THRESHOLD)
+    csr = csr_from_coords(nz, n_rows_col="vec_id")
+    return csr.select(
+        "vec_id",
+        "nnz",
+        F.col("row_ptr").cast("long").alias("row_ptr"),
+    )

@@ -647,3 +647,125 @@ def q99_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Complementary filter (W2) — driver-checked via the q54 recursion
+# technique
+# ---------------------------------------------------------------------------
+
+_COMP_ALPHA = 0.98  # gyro trust — fixed_point_filter.c:13-57 shape
+_COMP_DT = 0.01  # 100 Hz tick
+
+
+@query(
+    "q143_complementary_filter",
+    oracle=f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(value AS DOUBLE) AS gyro,
+               (event_id % 360 - 180) * CAST(0.5 AS DOUBLE) AS accel,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+    comp AS (
+        SELECT user_id, CAST(NULL AS BIGINT) AS event_id, 0 AS rn,
+               CAST(0 AS DOUBLE) AS gyro, CAST(0 AS DOUBLE) AS accel,
+               CAST(0 AS DOUBLE) AS angle
+        FROM (SELECT DISTINCT user_id FROM seq)
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, s.gyro, s.accel,
+               CAST({_COMP_ALPHA} AS DOUBLE)
+                   * (c.angle + s.gyro * CAST({_COMP_DT} AS DOUBLE))
+               + (CAST(1.0 AS DOUBLE) - CAST({_COMP_ALPHA} AS DOUBLE))
+                   * s.accel
+        FROM seq s JOIN comp c
+          ON s.user_id = c.user_id AND s.rn = c.rn + 1)
+    SELECT event_id, user_id, ROUND(angle, 6) AS angle
+    FROM comp WHERE rn >= 1
+    """,
+)
+def q143_complementary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complementary filter (W2, `fixed_point_filter.c:13-57`):
+    s = α(s + gyro·dt) + (1−α)·accel per user over the event series —
+    gyro integration with accel drift correction, the IMU-fusion
+    recurrence every reflex node runs at 100 Hz. The event value plays
+    the gyro rate; a deterministic accel signal is derived from
+    event_id. Same engine-exactness discipline as q54: the DuckDB
+    recursive CTE replays the identical binary64 operation order from
+    the same zero initial state, so the trajectory hash-matches; numpy
+    parity is pinned separately in tests."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("gyro"),
+        ((F.col("event_id") % 360 - 180) * 0.5).alias("accel"),
+    )
+    out = complementary_filter(
+        events, ["user_id"], "ts_us", "gyro", "accel",
+        alpha=_COMP_ALPHA, dt=_COMP_DT,
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("angle"), 6).alias("angle")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point + CAN wire decode + compliance blend (P12/P13/P15) as one
+# driver-checked projection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q144_fixed_point_wire",
+    oracle="""
+    SELECT event_id,
+           CAST(ROUND(value * 65536.0) AS BIGINT) AS q16,
+           ROUND(CAST(CAST(ROUND(value * 65536.0) AS BIGINT) AS DOUBLE)
+                 / 65536.0, 6) AS q16_back,
+           ROUND(CAST(event_id % 65536 - 32768 AS DOUBLE) * 0.01, 6)
+               AS angle_deg,
+           ROUND(CAST(user_id % 256 AS DOUBLE) / 255.0, 6) AS compliance,
+           ROUND(LEAST(GREATEST(
+               (value / 200.0 - 0.5) * (1.0 - CAST(user_id % 256 AS DOUBLE)
+                                              / 255.0)
+               + CAST(event_id % 200 - 100 AS DOUBLE) / 100.0
+                 * (CAST(user_id % 256 AS DOUBLE) / 255.0) * 1.0,
+               CAST(-1.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)), 6) AS torque
+    FROM events
+    """,
+)
+def q144_fixed_point_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar firmware-boundary functions (P12/P13/P15) as one
+    scan-side projection, driver-checked: Q16.16 fixed-point round-trip
+    of the event value (`fixed_point_filter.c:17-35`), CAN int16
+    0.01-degree angle decode and uint8 compliance decode
+    (`hive_arch.md:60-61`), and the compliance torque blend
+    U = pid(1−γ) + nn·γ·Tmax clamped to [-1, 1] (`hive_arch.md:21-29`)
+    — with pid/nn signals derived deterministically from the row. Pure
+    whole-stage-codegen expressions: no shuffle, no UDF; the quantized
+    q16 column is exact integer, the rest round to 6dp."""
+    from hive_reflex_spark.functions.tensor_fns import (
+        compliance_blend,
+        decode_angle_raw,
+        decode_compliance_raw,
+        float_to_q16_16,
+        q16_16_to_float,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    q16 = float_to_q16_16(F.col("value"))
+    gamma = decode_compliance_raw(F.col("user_id") % 256)
+    pid = F.col("value") / 200.0 - 0.5
+    nn = (F.col("event_id") % 200 - 100).cast("double") / 100.0
+    return events.select(
+        "event_id",
+        q16.alias("q16"),
+        F.round(q16_16_to_float(q16), 6).alias("q16_back"),
+        F.round(decode_angle_raw(F.col("event_id") % 65536 - 32768), 6)
+        .alias("angle_deg"),
+        F.round(gamma, 6).alias("compliance"),
+        F.round(compliance_blend(pid, nn, gamma, tmax=1.0), 6)
+        .alias("torque"),
+    )
