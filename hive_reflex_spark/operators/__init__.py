@@ -115,6 +115,7 @@ _registry.finalize_order([
     "q143_complementary_filter",
     "q144_fixed_point_wire",
     "q145_csr_rowptr",
+    "q146_batchnorm_fold",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -1506,3 +1506,93 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rv") + F.col("fv"), 6).alias("out_v"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BatchNorm folding (the compile-time inference optimization) —
+# driver-checked
+# ---------------------------------------------------------------------------
+
+BN_FOLD_EPS = 1e-5  # qat_trainer.py fold epsilon
+
+
+@query(
+    "q146_batchnorm_fold",
+    oracle=f"""
+    WITH coords AS (SELECT vec_id AS i, dim AS j, v
+                    FROM {_duck_coords(64)} c),
+    bn AS (SELECT i,
+                  CAST(1.0 AS DOUBLE) + (i % 5) * CAST(0.1 AS DOUBLE)
+                      AS gamma,
+                  (i % 7) * CAST(0.01 AS DOUBLE) AS beta,
+                  CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+                      / 1000000000.0 / COUNT(*) AS mean,
+                  CAST(SUM(CAST(ROUND(v * v * 1000000000) AS BIGINT))
+                       AS BIGINT) / 1000000000.0 / COUNT(*) AS m2
+           FROM coords GROUP BY i),
+    bnv AS (SELECT i, gamma, beta, mean,
+                   m2 - mean * mean AS var
+            FROM bn)
+    SELECT c.i, c.j,
+           ROUND(c.v * (b.gamma / sqrt(b.var + {BN_FOLD_EPS!r})), 6)
+               AS folded_w,
+           ROUND((CAST(0.0 AS DOUBLE) - b.mean)
+                 * (b.gamma / sqrt(b.var + {BN_FOLD_EPS!r})) + b.beta, 6)
+               AS folded_b
+    FROM coords c JOIN bnv b USING (i)
+    """,
+)
+def q146_batchnorm_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BatchNorm folding (`mlir_compiler/qat_trainer.py:165-257`,
+    the BN/ReLU-chain elimination q80b's MobileNet graph carries):
+    w' = w·γ/√(σ²+ε) and b' = (b−μ)·γ/√(σ²+ε)+β per output channel,
+    through the `fold_batchnorm` broadcast-join library path. The BN
+    running stats come from per-channel exact-integer-unit moments
+    (order-independent sums, final division in binary64) and the
+    deterministic γ/β schedule from the channel id, so the folded
+    weights hash-match: IEEE sqrt is correctly rounded on every libm,
+    and the scale expression γ/√(σ²+ε) is evaluated in the same
+    operation order on both engines. Scale: stats are one grouped
+    aggregate; the fold itself is a broadcast join + elementwise
+    rescale — the weight stream never shuffles."""
+    coords = embedding_coords(spark, sf_dir, max_vec=64).select(
+        F.lit("l0").alias("layer"),
+        F.col("vec_id").alias("i"),
+        F.col("dim").alias("j"),
+        F.col("v").alias("value"),
+    )
+    units = F.sum(F.round(F.col("value") * 1e9).cast("long"))
+    units2 = F.sum(F.round(F.col("value") * F.col("value") * 1e9).cast("long"))
+    n = F.count("*")
+    bn = (
+        coords.groupBy("layer", "i")
+        .agg(
+            (units / 1e9 / n).alias("mean"),
+            (units2 / 1e9 / n).alias("m2"),
+        )
+        .select(
+            "layer",
+            "i",
+            (1.0 + (F.col("i") % 5) * 0.1).alias("gamma"),
+            ((F.col("i") % 7) * 0.01).alias("beta"),
+            "mean",
+            (F.col("m2") - F.col("mean") * F.col("mean")).alias("var"),
+        )
+    )
+    folded = fold_batchnorm(coords, bn, eps=BN_FOLD_EPS)
+    scale = F.col("gamma") / F.sqrt(F.col("var") + BN_FOLD_EPS)
+    bias = bn.select(
+        "layer",
+        "i",
+        ((F.lit(0.0) - F.col("mean")) * scale + F.col("beta"))
+        .alias("folded_b"),
+    )
+    return (
+        folded.join(F.broadcast(bias), ["layer", "i"])
+        .select(
+            "i",
+            "j",
+            F.round(F.col("value"), 6).alias("folded_w"),
+            F.round(F.col("folded_b"), 6).alias("folded_b"),
+        )
+    )
