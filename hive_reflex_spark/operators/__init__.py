@@ -116,6 +116,7 @@ _registry.finalize_order([
     "q144_fixed_point_wire",
     "q145_csr_rowptr",
     "q146_batchnorm_fold",
+    "q147_stream_left_outer_join",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

@@ -764,3 +764,86 @@ def q121_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cell"))
     )
     return run_to_memory(cells, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Stream-STREAM LEFT OUTER interval join — watermark-gated null emission
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_stream_left_outer_join",
+    oracle="""
+    WITH err AS (SELECT event_id AS error_event_id, user_id, ts AS err_ts
+                 FROM events WHERE event_type = 'error'),
+    clk AS (SELECT event_id AS click_event_id, user_id AS click_user_id,
+                   ts AS click_ts
+            FROM events WHERE event_type = 'click'),
+    wm AS (SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'error'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'))
+               - INTERVAL 1 HOUR AS w),
+    matched AS (
+        SELECT e.user_id, e.error_event_id, c.click_event_id
+        FROM err e JOIN clk c
+          ON e.user_id = c.click_user_id
+         AND c.click_ts >= e.err_ts - INTERVAL 24 HOURS
+         AND c.click_ts < e.err_ts),
+    unmatched AS (
+        SELECT e.user_id, e.error_event_id,
+               CAST(NULL AS BIGINT) AS click_event_id
+        FROM err e, wm
+        WHERE NOT EXISTS (
+                SELECT 1 FROM clk c
+                WHERE c.click_user_id = e.user_id
+                  AND c.click_ts >= e.err_ts - INTERVAL 24 HOURS
+                  AND c.click_ts < e.err_ts)
+          AND e.err_ts < wm.w)
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def q147_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM LEFT OUTER interval join — q101's correlation with
+    the harder half of the semantics: an error with NO click in its
+    24-hour lookback must still emit (with nulls), but only once the
+    watermark proves no matching click can ever arrive. Matches stream
+    out as they join; a null row emits when the global watermark
+    (min over both inputs' max event time, minus the 1-hour delay)
+    passes the error's timestamp and its join state is evicted — so on
+    the bounded availableNow replay the result equals the batch left
+    join RESTRICTED to errors older than the final watermark, which is
+    exactly what the oracle computes (the q64 final-watermark
+    technique, applied to outer-join state eviction).
+
+    Scale: identical bounded-state shape as q101 — state is the
+    interval plus the watermark delay per side, independent of stream
+    length; the null-emission rule is what lets Spark drop error state
+    instead of holding every unmatched row forever."""
+    errors = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            "user_id",
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 hour")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("click_ts") < F.col("err_ts")),
+        "left_outer",
+    ).select("user_id", "error_event_id", "click_event_id")
+    return run_to_memory(joined, mode="append")

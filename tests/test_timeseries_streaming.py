@@ -293,3 +293,69 @@ def test_stream_countmin_matches_batch_grid(spark, sf_smoke):
     }
     assert streamed == batch
     assert len(streamed) <= 64
+
+
+def test_stream_left_outer_join_watermark_gates_nulls(spark):
+    """q147: matches equal the batch inner join exactly; null rows equal
+    the batch unmatched set RESTRICTED to errors older than the final
+    watermark — i.e. the join withholds exactly the unmatched errors
+    whose 24h window the watermark has not yet sealed."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.streaming.ops import q147_stream_left_outer_join
+
+    out = q147_stream_left_outer_join(spark, SF_SMOKE).cache()
+    ev = read_table(spark, SF_SMOKE, "events")
+    err = ev.filter("event_type = 'error'").select(
+        F.col("event_id").alias("error_event_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+    )
+    clk = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("click_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr("INTERVAL 24 HOURS"))
+        & (F.col("click_ts") < F.col("err_ts"))
+    )
+    batch = err.join(clk, cond, "left_outer")
+
+    matched_stream = {
+        (r["error_event_id"], r["click_event_id"])
+        for r in out.filter("click_event_id IS NOT NULL").collect()
+    }
+    matched_batch = {
+        (r["error_event_id"], r["click_event_id"])
+        for r in batch.filter("click_event_id IS NOT NULL").collect()
+    }
+    assert matched_stream == matched_batch
+
+    mx_err = err.agg(F.max("err_ts")).first()[0]
+    mx_clk = clk.agg(F.max("click_ts")).first()[0]
+    w_final = min(mx_err, mx_clk) - datetime.timedelta(hours=1)
+    nulls_stream = {
+        r["error_event_id"] for r in out.filter("click_event_id IS NULL").collect()
+    }
+    nulls_batch_sealed = {
+        r["error_event_id"]
+        for r in batch.filter("click_event_id IS NULL")
+        .filter(F.col("err_ts") < F.lit(w_final))
+        .collect()
+    }
+    nulls_batch_all = {
+        r["error_event_id"]
+        for r in batch.filter("click_event_id IS NULL").collect()
+    }
+    assert nulls_stream == nulls_batch_sealed
+    # the gate is real: at least one unmatched error sits inside the
+    # unsealed window and must NOT have emitted
+    assert nulls_batch_all - nulls_stream
+    out.unpersist()
