@@ -88,3 +88,94 @@ def test_df_cache_and_repartition_preserve_results(spark, sf_smoke):
         hio._DF_CACHE = None
         hio._CACHE_TABLE_PARTITIONS = None
     assert cold == warm
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),      # key
+            st.booleans(),          # tombstone
+            st.integers(44, 500),   # item_bytes
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 8),
+)
+def test_nvs_compaction_properties(spark, writes, n_parts):
+    """q135's aggregate on RANDOM logs under RANDOM partitioning:
+    bytes conserve, the latest write decides liveness, and the result
+    is partition-order independent (max_by keyed on a unique seq)."""
+    rows = [(f"k{k}", i, t, b) for i, (k, t, b) in enumerate(writes)]
+    log = spark.createDataFrame(
+        rows, "key string, seq long, tombstone boolean, item_bytes int"
+    ).repartition(n_parts)
+    last_tomb = F.max_by("tombstone", "seq")
+    last_bytes = F.when(last_tomb, F.lit(0)).otherwise(
+        F.max_by("item_bytes", "seq")
+    )
+    got = {
+        r["key"]: r
+        for r in log.groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            (~last_tomb).alias("live"),
+            last_bytes.alias("live_bytes"),
+            (F.sum("item_bytes") - last_bytes).alias("reclaimed"),
+        )
+        .collect()
+    }
+    # python reference
+    ref: dict[str, list] = {}
+    for key, seq, tomb, b in rows:
+        ref.setdefault(key, []).append((seq, tomb, b))
+    for key, hist in ref.items():
+        hist.sort()
+        total = sum(b for _, _, b in hist)
+        _, last_t, last_b = hist[-1]
+        r = got[key]
+        assert r["n"] == len(hist)
+        assert r["live"] == (not last_t)
+        assert r["live_bytes"] == (0 if last_t else last_b)
+        assert r["live_bytes"] + r["reclaimed"] == total
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=40))
+def test_dvfs_ladder_properties(spark, utils):
+    """q136's governor on RANDOM utilization sequences: the mode stays
+    in [0,2], moves at most one step per tick, and crossing a threshold
+    never moves against it — matched against a direct python replay."""
+    from hive_reflex_spark.operators.power import (
+        DVFS_UTIL_HIGH,
+        DVFS_UTIL_LOW,
+        dvfs_mode_trajectory,
+    )
+
+    hourly = spark.createDataFrame(
+        [(0, f"t{i:03d}", 1, u) for i, u in enumerate(utils)],
+        "device long, window_start string, n long, util int",
+    )
+    got = [
+        r["mode"]
+        for r in dvfs_mode_trajectory(hourly, "device", "window_start")
+        .orderBy("window_start")
+        .collect()
+    ]
+    m, ref = 2, []
+    for u in utils:
+        if u >= DVFS_UTIL_HIGH:
+            m = min(2, m + 1)
+        elif u < DVFS_UTIL_LOW:
+            m = max(0, m - 1)
+        ref.append(m)
+    assert got == ref
+    prev = 2
+    for u, mode in zip(utils, got):
+        assert 0 <= mode <= 2 and abs(mode - prev) <= 1
+        if u >= DVFS_UTIL_HIGH:
+            assert mode >= prev if prev < 2 else mode == 2
+        elif u < DVFS_UTIL_LOW:
+            assert mode <= prev
+        prev = mode
