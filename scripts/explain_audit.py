@@ -158,6 +158,19 @@ PICKS = {
         "Arrow batch per device over O(hours) rows. Look for the single "
         "HashAggregate feeding FlatMapGroupsInPandas."
     ),
+    "q142_salted_join": (
+        "The explicit hot-key tool: the bounded dim replicates 8x as a "
+        "broadcast (BroadcastNestedLoopJoin against the 8-row salt "
+        "table, then BroadcastHashJoin on (key, salt)) while the fact "
+        "side only gains a salt projection — no extra fact shuffle; "
+        "the hot key's rows land on 8 tasks instead of 1."
+    ),
+    "q146_batchnorm_fold": (
+        "Compile-time BN fold: one grouped aggregate reduces the "
+        "weights to per-channel moments, then the fold is a broadcast "
+        "join + elementwise rescale — the weight stream itself never "
+        "shuffles."
+    ),
     "q62_streaming_hourly": "(streaming — plan shown for the post-sink projection)",
 }
 
