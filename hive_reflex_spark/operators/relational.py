@@ -1548,3 +1548,98 @@ def q142_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("type_code").alias("type_code"),
         exact_sum(F.col("value"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 analog — the semi + anti self-join workload
+# ---------------------------------------------------------------------------
+
+_Q21_LATE_DAYS = 60
+_Q21_TOPK = 10
+
+
+@query(
+    "q148_waiting_suppliers",
+    oracle=f"""
+    WITH late AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAYS),
+    supps AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT l1.l_suppkey, COUNT(*) AS numwait
+    FROM late l1
+    WHERE EXISTS (SELECT 1 FROM supps s
+                  WHERE s.l_orderkey = l1.l_orderkey
+                    AND s.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY l1.l_suppkey
+    ORDER BY numwait DESC, l1.l_suppkey
+    LIMIT {_Q21_TOPK}
+    """,
+)
+def q148_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog ("suppliers who kept orders waiting") on the
+    driver schema: for finalized multi-supplier orders, count per
+    supplier the orders where it was the ONLY supplier to ship late
+    (> {_Q21_LATE_DAYS} days after the order date), top-{_Q21_TOPK}.
+    The workload is the EXISTS + NOT EXISTS pair over the same fact —
+    a semi join and an anti join against per-order supplier sets with
+    an inequality on the correlated column, the hardest §2B join shape
+    after the Q17 scalar subquery (q134).
+
+    Plan shape: every join keys on l_orderkey, so all three legs hash
+    to the same order-key partitioning (bucketing lineitem on
+    l_orderkey collapses them to one physical shuffle); the "other
+    supplier" inequality rides the joined rows as a residual predicate
+    instead of forcing a theta join. At 100 TB
+    this is the plan you want: no broadcast of fact-sized sides, no
+    row explosion beyond the per-order supplier sets, and the final
+    TakeOrderedAndProject keeps the answer k-sized."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    li, orders = t["lineitem"], t["orders"]
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supps = li.select("l_orderkey", "l_suppkey").distinct()
+    other = supps.select(
+        F.col("l_orderkey").alias("s_orderkey"),
+        F.col("l_suppkey").alias("s_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    )
+    waiting = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("s_orderkey"))
+            & (F.col("l_suppkey") != F.col("s_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "l_suppkey")
+        .limit(_Q21_TOPK)
+    )
