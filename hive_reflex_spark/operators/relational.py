@@ -1643,3 +1643,74 @@ def q148_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "l_suppkey")
         .limit(_Q21_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 analog — global scalar threshold + anti join
+# ---------------------------------------------------------------------------
+
+_Q22_RECENT_DAYS = 90
+
+
+@query(
+    "q149_dormant_customers",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS m FROM orders),
+    ab AS (SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                       AS BIGINT) / 100.0 / COUNT(*) AS a
+           FROM customer WHERE c_acctbal > 0),
+    cand AS (SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+             FROM customer c, ab WHERE c.c_acctbal > ab.a),
+    dormant AS (
+        SELECT * FROM cand c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o, mx
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate > mx.m - INTERVAL {_Q22_RECENT_DAYS} DAYS))
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_bal
+    FROM dormant
+    GROUP BY c_nationkey
+    """,
+)
+def q149_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog ("global sales opportunity"): customers whose
+    balance beats the global above-zero average but who placed NO order
+    in the final {_Q22_RECENT_DAYS} days of the data window, rolled up
+    per nation. The shape Q22 exercises: a GLOBAL scalar aggregate
+    (the average) applied as a filter — a 1-row broadcast cross join,
+    never a shuffle — composed with an anti join against a derived
+    recent-orders set. The average is computed from exact integer
+    cents with the same operation order on both engines, so the
+    threshold compare is deterministic at the boundary.
+
+    Scale: both scalars (max date, avg balance) reduce to 1-row
+    broadcasts; the anti join keys on c_custkey and prunes the recent
+    window BEFORE joining, so the orders side of the anti join is the
+    90-day slice, not history."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    cust, orders = t["customer"], t["orders"]
+    mx = orders.agg(F.max("o_orderdate").alias("m"))
+    ab = cust.filter(F.col("c_acctbal") > 0).agg(
+        (exact_sum(F.col("c_acctbal"), 2) / F.count("*")).alias("a")
+    )
+    cand = cust.crossJoin(F.broadcast(ab)).filter(
+        F.col("c_acctbal") > F.col("a")
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("o_orderdate")
+            > F.col("m") - F.expr(f"INTERVAL {_Q22_RECENT_DAYS} DAYS")
+        )
+        .select("o_custkey")
+    )
+    dormant = cand.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_custs"),
+        exact_sum(F.col("c_acctbal"), 2).alias("total_bal"),
+    )
