@@ -388,3 +388,21 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_smoke, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q148_semi_anti_topk_shape(spark, sf_smoke):
+    """The Q21 analog must plan its EXISTS as a left-semi join, its
+    NOT EXISTS as a left-anti join, and its tail as
+    TakeOrderedAndProject — never a full sort or a cartesian."""
+    from hive_reflex_spark.operators.relational import q148_waiting_suppliers
+
+    plan = (
+        q148_waiting_suppliers(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
