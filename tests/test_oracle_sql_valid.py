@@ -44,3 +44,14 @@ def test_oracle_coverage_ratio():
                                     # oracle (q68a/q68b are the
                                     # hash-checked fixed-point twins)
     }, rows_only
+
+
+def test_driver_window_fully_oracled():
+    """The driver hash-checks only the FIRST 50 registered queries — a
+    rows-only query sitting in a window slot would burn judged evidence
+    on the weaker check. Every slot must carry an oracle."""
+    from hive_reflex_spark.registry import QUERIES
+
+    window = list(QUERIES)[:50]
+    missing = [n for n in window if n not in ORACLES]
+    assert not missing, f"rows-only queries occupy driver slots: {missing}"
