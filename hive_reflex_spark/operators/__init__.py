@@ -119,6 +119,8 @@ _registry.finalize_order([
     "q147_stream_left_outer_join",
     "q148_waiting_suppliers",
     "q149_dormant_customers",
+    "q150_cheapest_supplier",
+    "q151_analytic_functions",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

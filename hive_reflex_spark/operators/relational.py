@@ -1714,3 +1714,118 @@ def q149_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_custs"),
         exact_sum(F.col("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 analog — correlated minimum across a join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_cheapest_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(ROUND(l_extendedprice * 100 / l_quantity) AS BIGINT))
+                   AS unit_cents
+        FROM lineitem
+        WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey),
+    best AS (SELECT l_partkey, MIN(unit_cents) AS min_cents
+             FROM offers GROUP BY l_partkey)
+    SELECT o.l_partkey AS p_partkey, o.l_suppkey AS s_suppkey,
+           o.unit_cents AS unit_cents
+    FROM offers o JOIN best b
+      ON o.l_partkey = b.l_partkey AND o.unit_cents = b.min_cents
+    """,
+)
+def q150_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog ("minimum-cost supplier"): for every part, the
+    supplier(s) whose best unit price equals the part's global minimum —
+    the correlated-MIN-subquery shape (`WHERE cost = (SELECT MIN ...)`)
+    in its de-correlated two-aggregate form, the same rewrite Catalyst
+    applies to Q2. Unit prices quantize to exact integer cents before
+    the MIN so the equality join is deterministic (a float MIN equality
+    across engines is a hash-mismatch waiting to happen).
+
+    Scale: both aggregates and the re-join key on l_partkey — one hash
+    partitioning serves the offer rollup, the per-part minimum, and the
+    equality join; ties (several suppliers at the minimum) surface as
+    multiple rows, exactly as Q2's specification demands."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    offers = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(
+                    F.col("l_extendedprice") * 100 / F.col("l_quantity")
+                ).cast("long")
+            ).alias("unit_cents")
+        )
+    )
+    best = offers.groupBy("l_partkey").agg(
+        F.min("unit_cents").alias("min_cents")
+    ).select(F.col("l_partkey").alias("b_partkey"), "min_cents")
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cents") == F.col("min_cents")),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "unit_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic-function battery — the §2B window functions not yet exercised
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q151_analytic_functions",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ROUND(percent_rank() OVER w, 9) AS pct_rank,
+           ROUND(cume_dist() OVER w, 9) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key,
+           last_value(o_orderkey)
+               OVER (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS dearest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q151_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic window functions the rest of the suite never
+    exercises in one driver-checked shape: percent_rank, cume_dist,
+    ntile(4), first_value, nth_value(2), and last_value with an
+    explicit UNBOUNDED-to-UNBOUNDED frame (the default frame would
+    stop at CURRENT ROW and silently return the current key — the
+    classic last_value trap). Ordering carries the o_orderkey
+    tie-break so rank-dependent outputs are deterministic across
+    engines. One window partitioning serves all six functions."""
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        F.last("o_orderkey").over(w_full).alias("dearest_key"),
+    )
