@@ -732,3 +732,65 @@ def q145_csr_rowptr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nnz",
         F.col("row_ptr").cast("long").alias("row_ptr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array higher-order functions (the JVM-side lambda tier) — driver-checked
+# ---------------------------------------------------------------------------
+
+HOF_POS_THRESHOLD = 0.5
+
+
+@query(
+    "q152_array_hof",
+    oracle=f"""
+    WITH coords AS (SELECT vec_id, dim, v FROM {_duck_coords(None)})
+    SELECT vec_id,
+           CAST(COUNT(*) AS INTEGER) AS n_dims,
+           CAST(SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_positive,
+           CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+               / 1000000000.0 AS total,
+           ROUND(MAX(v), 6) AS vmax,
+           CAST(MIN(CASE WHEN v > {HOF_POS_THRESHOLD!r} THEN dim END)
+                AS INTEGER) AS first_hot_dim
+    FROM coords GROUP BY vec_id
+    """,
+)
+def q152_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array higher-order-function tier (transform / filter /
+    aggregate / array_max / array_position — lambdas compiled INTO
+    whole-stage codegen, zero explode, zero Python): per embedding, the
+    dimension count, positive count via filter+size, the exact 9dp-unit
+    aggregate fold (q52's order-independent-sum technique — a naive
+    float fold would hash-mismatch the oracle's grouped sum), the max
+    element, and the first dimension above {HOF_POS_THRESHOLD}. The
+    oracle computes the same five values from exploded per-dimension
+    rows — the HOF loop and the relational plan must agree exactly.
+
+    Scale: one narrow projection over the vector column; per-row work
+    is O(dims) inside codegen. The exploded twin shuffles
+    rows x dims — this is why the HOF tier exists."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    fold = F.aggregate(
+        F.transform(
+            F.col("e"), lambda x: F.round(x * 1_000_000_000).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ) / 1_000_000_000.0
+    first_hot = F.array_position(
+        F.transform(F.col("e"), lambda x: x > HOF_POS_THRESHOLD), F.lit(True)
+    )
+    return emb.select(
+        "vec_id",
+        F.size("e").cast("int").alias("n_dims"),
+        F.size(F.filter(F.col("e"), lambda x: x > 0)).cast("int")
+        .alias("n_positive"),
+        fold.alias("total"),
+        F.round(F.array_max("e"), 6).alias("vmax"),
+        F.when(first_hot > 0, first_hot - 1).cast("int")
+        .alias("first_hot_dim"),
+    )
