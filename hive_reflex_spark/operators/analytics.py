@@ -983,3 +983,184 @@ def q128_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r_squared"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Strict-sequence pattern funnel (gap-constrained MATCH_RECOGNIZE shape)
+# ---------------------------------------------------------------------------
+
+SEQ_VC_HOURS = 6  # view -> click window
+SEQ_CP_HOURS = 72  # click -> purchase window
+
+
+@query(
+    "q153_sequence_pattern",
+    oracle=f"""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    vc AS (SELECT v.user_id, v.ts AS v_ts, MIN(c.ts) AS c_ts
+           FROM v JOIN c ON v.user_id = c.user_id
+            AND c.ts > v.ts
+            AND c.ts <= v.ts + INTERVAL {SEQ_VC_HOURS} HOURS
+           GROUP BY v.user_id, v.ts),
+    vcp AS (SELECT vc.user_id, vc.v_ts, vc.c_ts, MIN(p.ts) AS p_ts
+            FROM vc JOIN p ON vc.user_id = p.user_id
+             AND p.ts > vc.c_ts
+             AND p.ts <= vc.c_ts + INTERVAL {SEQ_CP_HOURS} HOURS
+            GROUP BY vc.user_id, vc.v_ts, vc.c_ts)
+    SELECT user_id, epoch_us(v_ts) AS v_us, epoch_us(c_ts) AS c_us,
+           epoch_us(p_ts) AS p_us,
+           (epoch_us(p_ts) - epoch_us(v_ts)) // 1000000
+               AS total_latency_s
+    FROM vcp
+    """,
+)
+def q153_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-constrained sequence matching (the MATCH_RECOGNIZE /
+    behavioral-pattern shape q119's order-free funnel cannot express):
+    for every view, the EARLIEST click within {SEQ_VC_HOURS} h, then the
+    EARLIEST purchase within {SEQ_CP_HOURS} h of that click — only
+    completed three-step sequences emit, with per-sequence latency.
+    Greedy-earliest binding makes the match deterministic (each stage is
+    a MIN over the bounded window, not an arbitrary witness).
+
+    Scale: two interval joins, each keyed on user_id with a bounded
+    time-range predicate — state per user is a bounded window, the same
+    shape Spark's stream-stream interval join (q101/q147) maintains
+    incrementally; here expressed batch-side with aggregate binding."""
+    events = read_table(spark, sf_dir, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_raw")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("p_raw")
+    )
+    vc = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("c_raw") > F.col("v_ts"))
+            & (
+                F.col("c_raw")
+                <= F.col("v_ts") + F.expr(f"INTERVAL {SEQ_VC_HOURS} HOURS")
+            ),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("c_raw").alias("c_ts"))
+    )
+    vcp = (
+        vc.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("p_raw") > F.col("c_ts"))
+            & (
+                F.col("p_raw")
+                <= F.col("c_ts") + F.expr(f"INTERVAL {SEQ_CP_HOURS} HOURS")
+            ),
+        )
+        .groupBy("user_id", "v_ts", "c_ts")
+        .agg(F.min("p_raw").alias("p_ts"))
+    )
+    return vcp.select(
+        "user_id",
+        F.unix_micros("v_ts").alias("v_us"),
+        F.unix_micros("c_ts").alias("c_us"),
+        F.unix_micros("p_ts").alias("p_us"),
+        ((F.unix_micros("p_ts") - F.unix_micros("v_ts")) / 1_000_000)
+        .cast("long")
+        .alias("total_latency_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detector (one-sided upper control chart)
+# ---------------------------------------------------------------------------
+
+CUSUM_TARGET = 50.0  # in-control hourly mean (fixture operating point)
+CUSUM_K = 10.0  # slack: half the shift worth detecting
+CUSUM_H = 100.0  # decision threshold
+
+
+@query(
+    "q154_cusum_drift",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   / 100.0 / COUNT(*) AS m
+        FROM events GROUP BY 1, 2),
+    seq AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
+                      AS rn
+        FROM hourly),
+    ctl AS (
+        SELECT event_type, CAST(NULL AS VARCHAR) AS h, 0 AS rn,
+               CAST(0 AS BIGINT) AS n, CAST(0 AS DOUBLE) AS m,
+               CAST(0 AS DOUBLE) AS s
+        FROM (SELECT DISTINCT event_type FROM seq)
+        UNION ALL
+        SELECT q.event_type, q.h, q.rn, q.n, q.m,
+               GREATEST(CAST(0 AS DOUBLE),
+                        c.s + q.m - CAST({CUSUM_TARGET!r} AS DOUBLE)
+                        - CAST({CUSUM_K!r} AS DOUBLE))
+        FROM seq q JOIN ctl c
+          ON q.event_type = c.event_type AND q.rn = c.rn + 1)
+    SELECT event_type, h AS window_start, n, ROUND(m, 6) AS hourly_mean,
+           ROUND(s, 6) AS cusum,
+           s > CAST({CUSUM_H!r} AS DOUBLE) AS alarm
+    FROM ctl WHERE rn >= 1
+    """,
+)
+def q154_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart over hourly telemetry means —
+    the standard sequential change detector (Page's cumulative sum):
+    s_i = max(0, s_(i-1) + mean_i − target − k), alarm when s crosses h.
+    Drift QA for a training pipeline's ingest metrics: the mean-shift
+    detector that a threshold-per-hour check (q116's MAD flags) cannot
+    give, because evidence ACCUMULATES across hours.
+
+    Same aggregate-then-replay split as q108/q136: the event-scale work
+    is one grouped count/exact-sum; the per-type recurrence replays
+    O(hours) rows in an Arrow batch and is engine-exact (hourly means
+    from integer cents, pinned binary64 op order, recursive-CTE
+    oracle)."""
+    import pandas as pd
+
+    events = read_table(spark, sf_dir, "events")
+    units = F.sum(F.round(F.col("value") * 100).cast("long"))
+    hourly = events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("window_start"),
+    ).agg(
+        F.count("*").alias("n"),
+        (units / 100.0 / F.count("*")).alias("m"),
+    )
+
+    schema = f"{hourly.schema.simpleString()[7:-1]},s:double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("window_start").reset_index(drop=True)
+        s = 0.0
+        out = []
+        for m in pdf["m"]:
+            s = max(0.0, s + m - CUSUM_TARGET - CUSUM_K)
+            out.append(s)
+        pdf["s"] = out
+        return pdf
+
+    traj = hourly.groupBy("event_type").applyInPandas(fn, schema)
+    return traj.select(
+        "event_type",
+        "window_start",
+        "n",
+        F.round(F.col("m"), 6).alias("hourly_mean"),
+        F.round(F.col("s"), 6).alias("cusum"),
+        (F.col("s") > CUSUM_H).alias("alarm"),
+    )
