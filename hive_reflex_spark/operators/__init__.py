@@ -124,6 +124,8 @@ _registry.finalize_order([
     "q152_array_hof",
     "q153_sequence_pattern",
     "q154_cusum_drift",
+    "q155_weighted_median",
+    "q156_table_fingerprint",
     # stalest r01 hash-greens, re-checks (oldest evidence first; all code
     # paths unchanged or touched only by this round's perf work). NOTE:
     # only the first 50 names overall are driver-checked — the new-query

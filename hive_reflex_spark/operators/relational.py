@@ -1829,3 +1829,165 @@ def q151_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
         F.last("o_orderkey").over(w_full).alias("dearest_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q155_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice,
+               CAST(l_quantity AS BIGINT) AS wt,
+               SUM(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber,
+                                  l_partkey, l_suppkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_wt,
+               SUM(CAST(l_quantity AS BIGINT))
+                   OVER (PARTITION BY l_returnflag) AS total_wt
+        FROM lineitem)
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median,
+           MIN(total_wt) AS total_weight
+    FROM w
+    WHERE 2 * cum_wt >= total_wt
+    GROUP BY l_returnflag
+    """,
+)
+def q155_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per return flag: the price at which half
+    the total QUANTITY (not half the rows) has been covered — the
+    inventory-weighted central price plain percentile() cannot compute.
+    Definition: first row in weight-cumulative order where
+    2·cum_weight ≥ total_weight; quantities are integral so the
+    cumulative weights are exact BIGINTs and the crossing row is
+    engine-deterministic (ordering extended to the unique lineitem key
+    per the fixture's non-unique l_linenumber).
+
+    Scale: one window per group over the group's sort — the same
+    shape as any exact percentile; the approx swap at hot groups is the
+    two-pass histogram, which this definition admits unchanged."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    wp = Window.partitionBy("l_returnflag")
+    wc = wp.orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey",
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast("long").alias("wt"),
+    ).select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("wt").over(wc).alias("cum_wt"),
+        F.sum("wt").over(wp).alias("total_wt"),
+    )
+    return (
+        w.filter(2 * F.col("cum_wt") >= F.col("total_wt"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median"),
+            F.min("total_wt").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table fingerprint (anti-entropy / replication check)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_table_fingerprint",
+    oracle="""
+    WITH o_rows AS (
+        SELECT md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                             CAST(o_custkey AS VARCHAR), o_orderstatus,
+                             CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                  AS VARCHAR),
+                             CAST(epoch_us(o_orderdate) AS VARCHAR),
+                             o_orderpriority)) AS h
+        FROM orders),
+    l_rows AS (
+        SELECT md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                             CAST(l_partkey AS VARCHAR),
+                             CAST(l_suppkey AS VARCHAR),
+                             CAST(l_linenumber AS VARCHAR),
+                             CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                  AS VARCHAR))) AS h
+        FROM lineitem)
+    SELECT 'orders' AS table_name, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(h, 1, 7)) AS BIGINT)) AS BIGINT)
+               AS fp_lo,
+           CAST(SUM(CAST(('0x' || substr(h, 8, 7)) AS BIGINT)) AS BIGINT)
+               AS fp_hi
+    FROM o_rows
+    UNION ALL
+    SELECT 'lineitem', COUNT(*),
+           CAST(SUM(CAST(('0x' || substr(h, 1, 7)) AS BIGINT)) AS BIGINT),
+           CAST(SUM(CAST(('0x' || substr(h, 8, 7)) AS BIGINT)) AS BIGINT)
+    FROM l_rows
+    """,
+)
+def q156_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the anti-entropy check a
+    pipeline runs to prove a replicated/migrated table is byte-for-byte
+    the same WITHOUT sorting or moving it: each row canonicalizes to a
+    pipe-joined string (numerics as exact integers — never float
+    formatting, which differs across engines), hashes to md5, and two
+    28-bit hash slices SUM per table. Addition commutes, so the
+    fingerprint is independent of partitioning and row order, and 28-bit
+    slices keep the bigint sum exact at any realistic row count
+    (2^63 / 2^28 ≈ 3.4e10 rows); a single flipped byte anywhere moves
+    the sum. One scan per table, map-side combinable — the cheapest
+    possible full-table integrity pass."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    o_h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            # orderdate arrives TIMESTAMP_NTZ; the UTC-pinned session
+            # makes the cast wall-clock-identical to DuckDB's epoch_us
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            .cast("string"),
+            "o_orderpriority",
+        )
+    )
+    l_h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            .cast("string"),
+        )
+    )
+
+    def fp(df, h, name):
+        return df.select(h.alias("h")).agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.conv(F.substring(F.col("h"), 1, 7), 16, 10).cast("long"))
+            .alias("fp_lo"),
+            F.sum(F.conv(F.substring(F.col("h"), 8, 7), 16, 10).cast("long"))
+            .alias("fp_hi"),
+        )
+
+    return fp(t["orders"], o_h, "orders").unionByName(
+        fp(t["lineitem"], l_h, "lineitem")
+    )
