@@ -169,9 +169,12 @@ def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("intersection") * 1.0 / (
         F.col("sa.n") + F.col("sb.n") - F.col("intersection")
     )
+    # `sizes` has one row PER DOCUMENT — corpus-scale, never broadcast
+    # (billions of rows at 100 TB would OOM every executor). Plain hash
+    # joins on doc_a/doc_b; AQE may still pick broadcast at toy SF.
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select(
             "doc_a",
@@ -478,9 +481,11 @@ def neardup_dropped_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    # per-doc `sizes` is corpus-scale — plain hash joins, no broadcast
+    # hint (AQE may still broadcast at toy SF; at 100 TB it must not)
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -539,16 +544,18 @@ def q94_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     - candidates come from the band-bucket equi-join (O(collisions));
     - the candidate set is tiny, so it BROADCASTS into the shingle join,
       and verification touches only candidate docs' shingle rows;
-    - keep-first is one distinct + one broadcast anti-join — no
-      iterative connected components on the hot path (q78 covers the
-      transitive variant).
+    - keep-first is one distinct + one plain left join on doc_id — on
+      real web corpora the drop set is 30-50% of documents
+      (corpus-scale), so it is deliberately NOT broadcast; no iterative
+      connected components on the hot path (q78 covers the transitive
+      variant).
     Verification Jaccard uses the same stop-phrase-capped shingle
     universe as q47 (a shingle in > MAX_SHINGLE_DF docs is weight, not
     signal)."""
     dropped = neardup_dropped_ids(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents")
     flagged = docs.join(
-        F.broadcast(dropped.withColumn("is_dup", F.lit(1))), "doc_id", "left"
+        dropped.withColumn("is_dup", F.lit(1)), "doc_id", "left"
     )
     return flagged.groupBy("source").agg(
         F.count("*").alias("n_docs"),

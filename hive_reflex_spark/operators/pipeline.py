@@ -104,28 +104,26 @@ def q129_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone: quality gate (q111's exact integer sign) → near-dup
     drop (q94's LSH-verify-keep-first) → benchmark holdout +
     decontamination (q87's 4-gram overlap) → md5 split (q85) →
-    per-(split, source) doc and token budget. One lazy plan: the quality
-    gate joins per-doc scores co-partitioned on doc_id (its reject set
-    scales with the corpus — never broadcast), while the collision-sized
-    dup/contamination drop sets are broadcast anti-joins; the corpus
+    per-(split, source) doc and token budget. One lazy plan: every drop
+    set here — quality rejects, near-dup drops, contamination hits — is
+    a function of the corpus, so NONE of them is broadcast (on real web
+    corpora the near-dup drop set alone is 30-50% of documents). All
+    four prunes are plain hash anti/inner joins on doc_id that AQE can
+    still broadcast when a set is genuinely small at runtime; the corpus
     streams through once."""
     docs = read_table(spark, sf_dir, "documents")
-    # quality gate: one score row PER DOC, so the failing set is NOT
-    # bounded-small — it joins as a plain co-partitioned inner join on
-    # doc_id, never a broadcast
     goodq = (
         classifier_scores(spark, sf_dir)
         .filter(F.col("num") >= 0)
         .select("doc_id")
     )
-    # dup and contamination sets ARE collision-sized -> broadcast anti
     dups = neardup_dropped_ids(spark, sf_dir)
     contaminated = q87_decontaminate(spark, sf_dir).select("doc_id").distinct()
     kept = (
         docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
         .join(goodq, "doc_id")
-        .join(F.broadcast(dups), "doc_id", "left_anti")
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(dups, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
     )
     return (
         kept.select(

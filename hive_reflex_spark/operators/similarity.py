@@ -97,26 +97,57 @@ def q51_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q52_cosine_topk_arrays", oracle=_COSINE_TOPK_ORACLE)
-def q52_cosine_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JVM array fast path for the same top-k: cross-join queries × corpus
-    (queries broadcast), dot product via zip_with + aggregate fold — a
-    whole-stage-codegen loop, no explode, no per-dim rows. The fold
-    accumulates 9dp INTEGER units (cast(round(x*y*1e9) as bigint)), so
-    its total is the order-independent sum q51's coordinate plan
-    computes — bit-identical cosines, which lets this fast path share
-    q51's oracle verbatim instead of the old rows-only check (q51
-    parity is additionally asserted in tests)."""
+_COSINE_TOPK_FLOAT_ORACLE = f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         norms AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm
+                   FROM coords GROUP BY vec_id),
+         dots AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                         SUM(q.v * c.v) AS dot
+                  FROM coords q JOIN coords c ON q.dim = c.dim
+                  WHERE q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+                  GROUP BY q.vec_id, c.vec_id),
+         scored AS (SELECT query_id, neighbor_id,
+                           ROUND(dot / (nq.nrm * nc.nrm), 6) AS cosine
+                    FROM dots
+                    JOIN norms nq ON query_id = nq.vec_id
+                    JOIN norms nc ON neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM scored)
+    WHERE rnk <= {TOP_K}
+    """
+
+
+def _fold_dot(units: bool):
+    """Array dot product as a zip_with/aggregate fold. ``units=True``
+    accumulates 9dp integer units per element (order-independent, shares
+    q51's oracle bit-exactly); ``units=False`` folds raw double products
+    and rounds once downstream — ~3× cheaper per pair (no per-element
+    round+cast), the production fast path."""
+    if units:
+        return lambda a, b: F.aggregate(
+            F.zip_with(
+                a, b, lambda x, y: F.round(x * y * 1_000_000_000).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ) / 1_000_000_000.0
+    return lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine_topk_arrays(
+    spark: SparkSession, sf_dir: str, units: bool
+) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(
-            a, b, lambda x, y: F.round(x * y * 1_000_000_000).cast("long")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    ) / 1_000_000_000.0
+    dot = _fold_dot(units)
     # norms once per vector BEFORE the pair join (q51's grouped-norm
     # shape) — the per-pair fold then does one dot, not dot+two norms
     emb = emb.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
@@ -145,6 +176,28 @@ def q52_cosine_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+@query("q52_cosine_topk_arrays", oracle=_COSINE_TOPK_FLOAT_ORACLE)
+def q52_cosine_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM array fast path for brute-force top-k: cross-join queries ×
+    corpus (queries broadcast), dot product via zip_with + aggregate
+    fold — no explode, no per-dim rows. The PRODUCTION variant folds raw
+    double products and rounds the cosine once at 6dp (per-element
+    integer rounding cost the old path 2.8× DuckDB); q52a keeps the
+    integer-unit fold that shares q51's oracle bit-exactly, and 4dp
+    parity with q51 is asserted in tests."""
+    return _cosine_topk_arrays(spark, sf_dir, units=False)
+
+
+@query("q52a_cosine_topk_units", oracle=_COSINE_TOPK_ORACLE)
+def q52a_cosine_topk_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q52's exactness twin: identical plan, but the fold accumulates 9dp
+    INTEGER units (cast(round(x*y*1e9) as bigint)), so its total is the
+    order-independent sum q51's coordinate plan computes — bit-identical
+    cosines, sharing q51's oracle verbatim. Slower per pair; exists to
+    prove the array path's arithmetic, not to run at scale."""
+    return _cosine_topk_arrays(spark, sf_dir, units=True)
 
 
 @query(

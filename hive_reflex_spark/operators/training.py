@@ -155,7 +155,8 @@ def qat_train_logistic(
     accuracy measured with the epoch's QUANTIZED forward — what the
     deployed int8 model would score)."""
     coords = coords.persist()
-    n = coords.select("vec_id").distinct().count()
+    n = 0  # example count rides in the first epoch's metric agg — no
+    # separate distinct().count() job (fwd is grouped per vec_id)
     w = [0.0] * n_dims
     history: list[dict] = []
     for epoch in range(1, epochs + 1):
@@ -166,8 +167,11 @@ def qat_train_logistic(
         )
         correct = ((F.col("p") >= 0.5).cast("int") == F.col("y")).cast("long")
         m = fwd.agg(
-            exact_sum(row_loss, 9).alias("ls"), F.sum(correct).alias("ok")
+            exact_sum(row_loss, 9).alias("ls"),
+            F.sum(correct).alias("ok"),
+            F.count("*").alias("n"),
         ).first()
+        n = m["n"]
         wq_norm = _round_away(
             math.sqrt(sum(_round_away(v * v, 9) for v in wq)), 6
         )
@@ -211,7 +215,7 @@ def distill_train_logistic(
     epoch; per-epoch metrics report both loss components and how often
     the student agrees with the teacher's hard call."""
     coords = coords.persist()
-    n = coords.select("vec_id").distinct().count()
+    n = 0  # filled from the first epoch's metric agg (one row per vec_id)
     tfwd = (
         _forward(spark, coords, teacher_weights(n_dims), temp=temp)
         .select(
@@ -245,7 +249,9 @@ def distill_train_logistic(
             exact_sum(kl, 9).alias("kl"),
             exact_sum(ce, 9).alias("ce"),
             F.sum(agree).alias("agree"),
+            F.count("*").alias("n"),
         ).first()
+        n = m["n"]
         soft = _round_away(alpha * temp * temp * m["kl"] / n, 6)
         hard = _round_away((1 - alpha) * m["ce"] / n, 6)
         history.append(

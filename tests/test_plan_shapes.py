@@ -177,14 +177,46 @@ def test_q89_pack_single_data_exchange(spark, sf_smoke):
     assert "Window" in plan
 
 
-def test_q94_candidates_and_dropset_broadcast(spark, sf_smoke):
-    """The near-dup filter's scale claims: candidate pairs, sizes, and
-    the final drop set all ride as broadcasts (they are collision-sized,
-    not corpus-sized); the corpus-scale sides never sort-merge."""
+def hinted_broadcasts_of(spark, name: str, sf_dir: str) -> int:
+    """Count of explicit broadcast HINTS in the optimized logical plan.
+
+    AQE may still broadcast an unhinted small side at toy SF — fine; what
+    must never happen is a *hint* forcing a corpus-scale table (per-doc
+    sizes, near-dup drop sets) to every executor. Assert on the hint, not
+    the runtime join choice."""
+    import __spark_entry__ as em
+
+    df = em.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString().count(
+        "strategy=broadcast"
+    )
+
+
+def test_q94_no_corpus_scale_broadcast_hints(spark, sf_smoke):
+    """q94's scale claims: only the collision-sized sides are HINTED as
+    broadcasts (hot stop-shingles, LSH candidate pairs, and q49's band
+    internals = 5 hints); the per-doc `sizes` table and the final drop
+    set join with NO hint — at 100 TB they are corpus-scale and a forced
+    broadcast would OOM. No cartesian products anywhere."""
+    assert hinted_broadcasts_of(spark, "q94_neardup_filter", sf_smoke) == 5
     plan = plan_of(spark, "q94_neardup_filter", sf_smoke)
-    assert plan.count("BroadcastHashJoin") >= 4
-    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q129_no_corpus_scale_broadcast_hints(spark, sf_smoke):
+    """The curation capstone: quality rejects, near-dup drops, and
+    contamination hits are all corpus-derived sets — none may carry a
+    broadcast hint. The 7 remaining hints are q94's 5 plus q87's
+    benchmark shingles and their dedup leg (all bounded-small)."""
+    assert hinted_broadcasts_of(spark, "q129_curation_pipeline", sf_smoke) == 7
+    plan = plan_of(spark, "q129_curation_pipeline", sf_smoke)
+    assert "CartesianProduct" not in plan
+
+
+def test_q47_no_broadcast_hints(spark, sf_smoke):
+    """q47 joins pairs against the per-doc sizes table twice; both joins
+    must be plain hash joins (zero hints) — sizes has one row per doc."""
+    assert hinted_broadcasts_of(spark, "q47_jaccard_pairs", sf_smoke) == 0
 
 
 def test_q92_bpe_winner_broadcasts(spark, sf_smoke):
