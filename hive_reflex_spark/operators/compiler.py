@@ -252,6 +252,88 @@ def q61_liveness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q159: first-fit needs, at each step, the set of already-placed blocks.
+# The oracle carries that set as a LIST<STRUCT> column in a scalar-state
+# recursion (q136's discipline, with list state instead of an int):
+# candidates are 0 plus the ends of lifetime-active blocks, and the offset
+# is the smallest candidate colliding with nothing. The expression repeats
+# because the recursive SELECT cannot reference its own `off` alias (it
+# would resolve to the PREVIOUS row's column).
+_ALLOC_OFF_EXPR = """
+    list_aggregate(
+      list_filter(
+        [CAST(0 AS BIGINT)] || list_transform(
+            list_filter(a.placed, p -> p.pl >= s.first_def), p -> p.pe),
+        c -> len(list_filter(
+            list_filter(a.placed, p -> p.pl >= s.first_def),
+            p -> p.po < c + s.size_bytes AND p.pe > c)) = 0),
+      'min')
+"""
+
+_ALLOC_ORACLE = f"""
+    WITH RECURSIVE t AS (
+        SELECT 'm' || CAST(user_id % 2 AS VARCHAR) AS model,
+               't' || lpad(CAST(user_id AS VARCHAR), 3, '0') AS tensor,
+               CAST(MIN(event_id) % 500 AS INTEGER) AS first_def,
+               CAST(MIN(event_id) % 500 + user_id % 300 AS INTEGER)
+                   AS last_use,
+               CAST((user_id % 7 + 1) * 256 AS BIGINT) AS size_bytes
+        FROM events WHERE user_id < 64 GROUP BY user_id),
+    seq AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY model
+                   ORDER BY first_def, last_use, tensor) AS rn FROM t),
+    alloc AS (
+        SELECT model, 0 AS rn, CAST('' AS VARCHAR) AS tensor,
+               0 AS first_def, 0 AS last_use, CAST(0 AS BIGINT) AS size_bytes,
+               CAST(0 AS BIGINT) AS off,
+               CAST([] AS STRUCT(po BIGINT, pe BIGINT, pl INTEGER)[]) AS placed
+        FROM (SELECT DISTINCT model FROM seq)
+        UNION ALL
+        SELECT s.model, s.rn, s.tensor, s.first_def, s.last_use, s.size_bytes,
+               {_ALLOC_OFF_EXPR} AS off,
+               list_append(a.placed,
+                   {{'po': {_ALLOC_OFF_EXPR},
+                     'pe': {_ALLOC_OFF_EXPR} + s.size_bytes,
+                     'pl': s.last_use}})
+        FROM seq s JOIN alloc a ON s.model = a.model AND s.rn = a.rn + 1)
+    SELECT model, tensor, first_def, last_use, size_bytes, off AS offset
+    FROM alloc WHERE rn >= 1
+"""
+
+
+@query("q159_buffer_allocation", oracle=_ALLOC_ORACLE)
+def q159_buffer_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 linear-scan first-fit buffer allocation driven end-to-end:
+    per-user liveness windows (q61's min/max shape, wrapped mod 500 so
+    lifetimes actually EXPIRE and slots get reused) feed
+    `plans/passes.allocate_buffers` — tensors ordered by [first_def,
+    last_use] take the lowest non-overlapping offset, replayed
+    single-partition per model while models parallelize
+    (`mlir_compiler/memory_planner.py:74-129`'s restart-on-collision
+    first-fit; the single-pass fold is equivalent because the candidate
+    is monotone over offset-sorted blocks)."""
+    from hive_reflex_spark.plans.passes import allocate_buffers
+
+    events = read_table(spark, sf_dir, "events").filter(F.col("user_id") < 64)
+    base = events.groupBy("user_id").agg(F.min("event_id").alias("mn"))
+    t = base.select(
+        F.concat(F.lit("m"), (F.col("user_id") % 2).cast("string")).alias(
+            "model"
+        ),
+        F.concat(
+            F.lit("t"), F.lpad(F.col("user_id").cast("string"), 3, "0")
+        ).alias("tensor"),
+        (F.col("mn") % 500).cast("int").alias("first_def"),
+        ((F.col("mn") % 500) + (F.col("user_id") % 300))
+        .cast("int")
+        .alias("last_use"),
+        ((F.col("user_id") % 7 + 1) * 256).cast("long").alias("size_bytes"),
+    )
+    live = t.select("model", "tensor", "first_def", "last_use")
+    sizes = t.select("model", "tensor", "size_bytes")
+    return allocate_buffers(live, sizes)
+
+
 def _compile_chain_oracle(values_sql: str) -> str:
     """fuse → partition (incl. cpu-forced ops) → flash-layout replayed in
     SQL over a pinned golden-parse VALUES table."""

@@ -166,6 +166,44 @@ def q54_iir_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q158_ewma_smooth",
+    oracle="""
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id) AS rn
+        FROM events),
+    ew AS (
+        SELECT user_id, event_id, rn, value, value AS smoothed
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.event_id, s.rn, s.value,
+               (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * s.value
+               + (CAST(1.0 AS DOUBLE)
+                  - (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))) * e.smoothed
+        FROM seq s JOIN ew e
+          ON s.user_id = e.user_id AND s.rn = e.rn + 1)
+    SELECT event_id, user_id, ROUND(smoothed, 6) AS smoothed FROM ew
+    """,
+)
+def q158_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 exponential smoothing c = β·c_prev + (1−β)·raw with β=0.9
+    (`tinyml_adaptive.c:242-244`'s confidence smoother), per user over
+    the event-value series. Same recursive-CTE oracle discipline as q54:
+    the SQL replays the recurrence with the identical binary64 operation
+    order (β enters as 1−α with α computed as 1.0−0.9, exactly like the
+    ewma→iir_lowpass delegation), so the hash check covers the
+    recurrence bit-for-bit."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    out = ewma(events, ["user_id"], "ts_us", "value", beta=0.9)
+    return out.select(
+        "event_id", "user_id", F.round(F.col("smoothed"), 6).alias("smoothed")
+    )
+
+
 _FIR_TAPS = 12
 _FIR_ALPHA = 0.3
 

@@ -11,6 +11,7 @@ the same driver-side boundary as S2/S4 in the survey.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import struct
 import zlib
@@ -92,10 +93,24 @@ def pack_model_binary(
         blobs.append(blob + b"\x00" * (aligned - len(blob)))
         addr += aligned
     body = b"".join(blobs)
-    header = MAGIC + struct.pack("<II", len(layers), zlib.crc32(body) & 0xFFFFFFFF)
+    # header carries BOTH crc32 and the sha256 model hash, matching the
+    # reference's ModelHeader_t crc32 + model_hash[64] pair
+    # (`imc22_sdk/model_loader.h:39-41`): crc for fast integrity, sha for
+    # identity/anti-rollback.
+    sha = hashlib.sha256(body).hexdigest()
+    header = (
+        MAGIC
+        + struct.pack("<II", len(layers), zlib.crc32(body) & 0xFFFFFFFF)
+        + sha.encode("ascii")
+    )
     with open(out_path, "wb") as f:
         f.write(header + body)
-    manifest = {"magic": MAGIC.decode(), "n_layers": len(layers), "layers": layers}
+    manifest = {
+        "magic": MAGIC.decode(),
+        "n_layers": len(layers),
+        "model_hash": sha,
+        "layers": layers,
+    }
     with open(out_path + ".map.json", "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
@@ -108,11 +123,14 @@ def load_model_binary(path: str) -> dict:
         data = f.read()
     assert data[:4] == MAGIC, "bad magic"
     n_layers, body_crc = struct.unpack("<II", data[4:12])
-    body = data[12:]
+    header_sha = data[12:76].decode("ascii")
+    body = data[76:]
     assert zlib.crc32(body) & 0xFFFFFFFF == body_crc, "body CRC mismatch"
+    assert hashlib.sha256(body).hexdigest() == header_sha, "model hash mismatch"
     with open(path + ".map.json") as f:
         manifest = json.load(f)
     assert manifest["n_layers"] == n_layers
+    assert manifest["model_hash"] == header_sha
     for layer in manifest["layers"]:
         blob = body[layer["flash_addr"] : layer["flash_addr"] + layer["bytes"]]
         assert zlib.crc32(blob) & 0xFFFFFFFF == layer["crc32"], (

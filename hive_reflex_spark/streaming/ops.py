@@ -327,6 +327,50 @@ def can_bus_stream(
     )
 
 
+@query(
+    "q160_can_wire_decode",
+    oracle="""
+    WITH f AS (SELECT event_id AS v FROM events WHERE event_id % 8 != 0),
+    d AS (SELECT CAST(v % 4 AS INTEGER) AS node_id,
+                 CAST(((v * 37 + 13) % 36000) - 18000 AS DOUBLE) * 0.01
+                     AS angle,
+                 CAST((v * 7) % 256 AS DOUBLE) / 255.0 AS compliance
+          FROM f)
+    SELECT node_id, COUNT(*) AS n_cmd,
+           ROUND(MIN(angle), 6) AS min_angle,
+           ROUND(MAX(angle), 6) AS max_angle,
+           ROUND(CAST(SUM(CAST(ROUND(angle * 1000000000) AS BIGINT))
+                 AS BIGINT) / 1000000000.0, 6) AS sum_angle,
+           ROUND(CAST(SUM(CAST(ROUND(compliance * 1000000000) AS BIGINT))
+                 AS BIGINT) / 1000000000.0, 6) AS sum_compliance
+    FROM d GROUP BY node_id
+    """,
+)
+def q160_can_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 wire codec as a driver-checkable batch query: every event id
+    becomes an 8-byte CAN frame (little-endian two's-complement int16
+    angle in 0.01° units + uint8 compliance, `examples/
+    example_reflex_node.c:109-120`), then the SAME decode plan the live
+    bus stream uses reassembles and scales it; non-command ids (every
+    8th frame) must be ignored. The oracle computes the per-node rollup
+    straight from the synthesis arithmetic — only a correct
+    encode→decode round-trip (sign extension included) hash-matches."""
+    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.io import read_table
+
+    ticks = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    decoded = decode_can_frames(
+        synthesize_can_frames(ticks, value_col="event_id", ts_col="ts")
+    )
+    return decoded.groupBy("node_id").agg(
+        F.count("*").alias("n_cmd"),
+        F.round(F.min("target_angle"), 6).alias("min_angle"),
+        F.round(F.max("target_angle"), 6).alias("max_angle"),
+        F.round(exact_sum(F.col("target_angle"), 9), 6).alias("sum_angle"),
+        F.round(exact_sum(F.col("compliance"), 9), 6).alias("sum_compliance"),
+    )
+
+
 def ota_feedback_loop(
     spark: SparkSession,
     sf_dir: str,
