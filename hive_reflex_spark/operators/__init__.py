@@ -75,6 +75,7 @@ _registry.finalize_order([
     "q159_buffer_allocation",
     "q160_can_wire_decode",
     "q52a_cosine_topk_units",
+    "q52b_cosine_topk_numpy",
     # code CHANGED this round — hash-green rows exist (r01/r02) but the
     # plans/oracles moved, so they re-verify inside the window
     "q47_jaccard_pairs",

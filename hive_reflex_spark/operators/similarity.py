@@ -182,12 +182,76 @@ def _cosine_topk_arrays(
 def q52_cosine_topk_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JVM array fast path for brute-force top-k: cross-join queries ×
     corpus (queries broadcast), dot product via zip_with + aggregate
-    fold — no explode, no per-dim rows. The PRODUCTION variant folds raw
-    double products and rounds the cosine once at 6dp (per-element
-    integer rounding cost the old path 2.8× DuckDB); q52a keeps the
-    integer-unit fold that shares q51's oracle bit-exactly, and 4dp
-    parity with q51 is asserted in tests."""
+    fold over raw double products, cosine rounded once at 6dp — no
+    explode, no per-dim rows, no Python workers. (The old per-element
+    integer rounding cost 2.8× the column baseline; that fold lives on
+    as exactness twin q52a, and 4dp parity with q51 is asserted in
+    tests.) Measured crossover note: the interpreted fold costs ~15 µs
+    per vector; past ~10⁵ corpus vectors per core the Arrow/numpy
+    variant q52b wins despite its ~0.3 s fixed Python-worker cost."""
     return _cosine_topk_arrays(spark, sf_dir, units=False)
+
+
+@query("q52b_cosine_topk_numpy", oracle=_COSINE_TOPK_FLOAT_ORACLE)
+def q52b_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k at corpus scale: Arrow-batched numpy matmul over
+    mapInPandas. The query matrix is bounded (N_QUERIES × 64 — the same
+    k×d collect budget as the IVF centroids) and closes over the UDF;
+    each corpus Arrow batch computes ALL query dot products as one BLAS
+    matmul (batch × Qᵀ), so the per-element cost is SIMD, not an
+    interpreted fold — Spark's higher-order functions never enter
+    whole-stage codegen. Below ~10⁵ vectors/core the fixed Python-worker
+    cost loses to q52's fold; above it this path dominates (the brief's
+    vectorized-pandas-UDF ANN baseline)."""
+    import numpy as np
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], dtype="int64")
+    qmat = np.array([r["e"] for r in qrows], dtype="float64")  # (q, d)
+    qnorm = np.sqrt((qmat * qmat).sum(axis=1))
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.array(list(pdf["e"]), dtype="float64")  # (n, d)
+            ids = pdf["vec_id"].to_numpy(dtype="int64")
+            dots = m @ qmat.T  # (n, q) — one BLAS call per Arrow batch
+            nrm = np.sqrt((m * m).sum(axis=1))
+            cos = dots / (nrm[:, None] * qnorm[None, :])
+            n, q = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(qids, n),
+                    "neighbor_id": np.repeat(ids, q),
+                    "raw_cosine": cos.ravel(),
+                }
+            )
+
+    scored = (
+        emb.mapInPandas(
+            score, "query_id long, neighbor_id long, raw_cosine double"
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("raw_cosine"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+    )
 
 
 @query("q52a_cosine_topk_units", oracle=_COSINE_TOPK_ORACLE)

@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         # bucketed-table warehouse (functions/layout.py) out of the repo tree
         .config("spark.sql.warehouse.dir", "/tmp/hrs_warehouse")
+        # local-mode heap: the driver JVM IS the executor; Spark's 1g
+        # default OOMs as soon as cached base tables pass a few hundred
+        # MB. Only applies when this call creates the JVM; a cluster
+        # deployment sizes executors via spark-submit as usual.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
     )
     active = SparkSession.getActiveSession()
     if active is not None:

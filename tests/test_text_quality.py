@@ -197,21 +197,24 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-3 rotation: the never-driver-checked curation tail, the
-        # q27/q78 fixes, and every query new this round must hold slots
-        "q27_collect_types",         # r02 driver-FAIL, fixed
-        "q91_repetition_metrics",    # text-quality tier (first driver row)
-        "q102a_pq_adc_topk",         # PQ ANN tier (first driver row)
-        "q104_incremental_rollup",   # continuous aggregate (first row)
-        "q78_dedup_clusters",        # connected components oracle fix
-        "q107_layernorm",            # new: normalization
-        "q68a_lstm_unrolled",        # new: oracled LSTM
-        "q80a_onnx_bert",            # new: transformer ONNX ingest
-        "q108_adaptive_cascade",     # new: threshold feedback loop
-        "q110_bm25_topk",            # new: retrieval tier
-        "q112_dsir_importance",      # new: model-based curation
-        "q115_cdc_chunks",           # new: content-defined chunking
-        "q117_embedding_drift",      # new: pipeline QA
+        # round-4 rotation: everything registered after the r03 window,
+        # the queries new this round, and the code-changed re-checks
+        "q126_pmi_collocations",     # post-r03 curation tail (first row)
+        "q133_regional_revenue",     # TPC-H Q5 analog (first row)
+        "q136_dvfs_governor",        # SDK-parity tier (first row)
+        "q147_stream_left_outer_join",  # stream-stream outer (first row)
+        "q150_cheapest_supplier",    # TPC-H Q2 analog (first row)
+        "q156_table_fingerprint",    # anti-entropy digests (first row)
+        "q157_model_pack_roundtrip",  # new: sink family round-trip
+        "q158_ewma_smooth",          # new: W6 oracle
+        "q159_buffer_allocation",    # new: W10 allocator replay
+        "q160_can_wire_decode",      # new: S8 wire codec
+        "q52a_cosine_topk_units",    # new: integer-fold twin
+        "q47_jaccard_pairs",         # code changed: broadcast removal
+        "q94_neardup_filter",        # code changed: broadcast removal
+        "q52_cosine_topk_arrays",    # code changed: float fold + oracle
+        "q83_qat_probe",             # code changed: count folding
+        "q84_distill_probe",         # code changed: count folding
     ):
         assert must in window, must
 
