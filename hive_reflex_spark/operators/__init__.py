@@ -76,6 +76,11 @@ _registry.finalize_order([
     "q160_can_wire_decode",
     "q52a_cosine_topk_units",
     "q52b_cosine_topk_numpy",
+    "q161_profile_csv_roundtrip",
+    "q162_jsonlog_roundtrip",
+    "q163_frame_sample",
+    "q164_media_features",
+    "q165_market_share",
     # code CHANGED this round — hash-green rows exist (r01/r02) but the
     # plans/oracles moved, so they re-verify inside the window
     "q47_jaccard_pairs",

@@ -1991,3 +1991,81 @@ def q156_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp(t["orders"], o_h, "orders").unionByName(
         fp(t["lineitem"], l_h, "lineitem")
     )
+
+@query(
+    "q165_market_share",
+    oracle="""
+    WITH vol AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, n2.n_name AS supp_nation,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) / 10000.0 AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        GROUP BY 1, 2)
+    SELECT o_year, supp_nation, volume,
+           ROUND(volume / SUM(volume) OVER (PARTITION BY o_year), 6)
+               AS mkt_share
+    FROM vol
+    """,
+)
+def q165_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog (national market share): for ECONOMY parts sold to
+    ASIA customers, each supplier nation's share of yearly revenue
+    volume. 8-way join where only the true dimensions (nation ×2,
+    region) broadcast — part is type-filtered but corpus-proportional
+    (~1/6 of a 20M-row table at SF100) and customer/supplier/orders are
+    fact-scale, so those joins stay shuffle-planned for AQE. Share =
+    volume / yearly total via ONE window over the pre-aggregated
+    (year, nation) rows — 25×7 rows, no second data shuffle; exactness
+    from the 4dp integer-unit volume sums both engines share."""
+    t = load_tables(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "part",
+        "nation", "region",
+    )
+    reg = t["region"].filter(F.col("r_name") == "ASIA")
+    part = t["part"].filter(F.col("p_type") == "ECONOMY")
+    n1 = t["nation"].alias("n1")
+    n2 = t["nation"].alias("n2")
+    cust = (
+        t["customer"]
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(reg), F.col("n1.n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup = (
+        t["supplier"]
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2.n_nationkey"))
+        .select("s_suppkey", F.col("n2.n_name").alias("supp_nation"))
+    )
+    vol = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"), "supp_nation"
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("volume")
+        )
+    )
+    w = Window.partitionBy("o_year")
+    return vol.select(
+        "o_year",
+        "supp_nation",
+        "volume",
+        F.round(F.col("volume") / F.sum("volume").over(w), 6).alias(
+            "mkt_share"
+        ),
+    )

@@ -179,3 +179,56 @@ def q65_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.length(payload) / 256.0).cast("long").alias("n_frames"),
         F.substring(F.md5("text"), 1, 8).alias("content_key"),
     )
+
+@query(
+    "q163_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    pos AS (SELECT doc_id, text, L, unnest(range(1, L+1)) AS p FROM d)
+    SELECT doc_id,
+           CAST((p - 1) // 256 AS INT) AS frame_idx,
+           CAST(COUNT(*) AS INT) AS frame_bytes,
+           CAST(SUM(ascii(substr(text, CAST(p AS INT), 1))) AS BIGINT)
+               AS checksum
+    FROM pos GROUP BY 1, 2
+    """,
+)
+def q163_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling driven end-to-end: every payload chunked
+    into 256-B frames with per-frame byte checksums through the
+    mapInPandas decode tier (`decode_frames` — the video/audio
+    frame-extraction shape). The oracle recomputes every frame boundary
+    and checksum byte-by-byte in SQL (exact: fixture text is pure ASCII);
+    frame explosion happens inside the executor before any shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return decode_frames(with_binary_payload(docs))
+
+
+@query(
+    "q164_media_features",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    pos AS (SELECT doc_id, L,
+                   ascii(substr(text, CAST(p AS INT), 1)) % 8 AS j
+            FROM (SELECT doc_id, text, L, unnest(range(1, L+1)) AS p
+                  FROM d)),
+    hist AS (SELECT doc_id, j, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+    dims AS (SELECT unnest(range(8)) AS j)
+    SELECT d.doc_id, CAST(dims.j AS INT) AS dim,
+           ROUND(CAST(COALESCE(hist.c, 0) AS DOUBLE) / d.L, 6) AS feat
+    FROM d CROSS JOIN dims
+    LEFT JOIN hist ON hist.doc_id = d.doc_id AND hist.j = dims.j
+    """,
+)
+def q164_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (the embed step): fixed-dim
+    byte-histogram features per payload via `extract_features`'s
+    mapInPandas encoder signature, exploded to (doc_id, dim, feat) rows
+    so the value-hash covers every component including exact zeros. The
+    fake decode is the documented stub; the Arrow batching, UDF
+    signature, and fan-out shape are the production plumbing."""
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_features(with_binary_payload(docs))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "feat")
+    ).select("doc_id", "dim", F.round(F.col("feat"), 6).alias("feat"))
