@@ -70,9 +70,12 @@ PICKS = {
         "iteration cost independent of corpus size."
     ),
     "q94_neardup_filter": (
-        "End-to-end near-dup filter: LSH candidates, per-doc sizes, and "
-        "the drop set all broadcast (collision-sized); verification "
-        "touches only candidate docs' shingles — no sort-merge join, no "
+        "End-to-end near-dup filter: only the collision-sized sides (hot "
+        "stop-shingles, LSH candidate pairs) carry broadcast HINTS; the "
+        "per-doc sizes table and the final drop set join as plain hash "
+        "joins — at 100 TB both are corpus-scale and a forced broadcast "
+        "would OOM (AQE may still broadcast them at toy SF). "
+        "Verification touches only candidate docs' shingles — no "
         "all-pairs anywhere."
     ),
     "q102_pq_encode": (
@@ -138,12 +141,28 @@ PICKS = {
         "TakeOrderedAndProject."
     ),
     "q129_curation_pipeline": (
-        "End-to-end curation pipeline in ONE plan: the per-doc quality "
-        "gate joins co-partitioned on doc_id (corpus-sized — never "
-        "broadcast) while the collision-sized near-dup/contamination "
-        "drop sets apply as broadcast anti-joins; the corpus streams "
+        "End-to-end curation pipeline in ONE plan: every corpus-derived "
+        "drop set (quality rejects, near-dup drops, contamination hits) "
+        "joins WITHOUT a broadcast hint — on real web corpora the "
+        "near-dup set alone is 30-50% of documents; AQE broadcasts at "
+        "runtime only when a set is genuinely small. The corpus streams "
         "once into the split rollup — no materialized intermediate "
         "passes."
+    ),
+    "q165_market_share": (
+        "TPC-H Q8 analog: 8-way join where only nation×2/region "
+        "broadcast — part is type-filtered but corpus-proportional, "
+        "customer/supplier/orders fact-scale, all left to AQE. Market "
+        "share = ONE window over the pre-aggregated (year, nation) rows, "
+        "so the second pass moves ~175 rows, not the joined fact "
+        "stream."
+    ),
+    "q159_buffer_allocation": (
+        "Aggregate-then-replay for the memory planner: liveness is one "
+        "grouped min/max over events; the inherently sequential "
+        "first-fit scan runs in an Arrow batch per model over O(tensors) "
+        "rows while models parallelize — the q136 discipline applied to "
+        "list-valued allocator state."
     ),
     "q135_nvs_compaction": (
         "Log compaction as ONE hash aggregate: max_by carries the "
