@@ -81,6 +81,7 @@ _registry.finalize_order([
     "q163_frame_sample",
     "q164_media_features",
     "q165_market_share",
+    "q166_layer_slices",
     # code CHANGED this round — hash-green rows exist (r01/r02) but the
     # plans/oracles moved, so they re-verify inside the window
     "q47_jaccard_pairs",

@@ -803,3 +803,126 @@ def q138_schedule_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the levels by recursive path enumeration,
     which bounded node counts keep cheap."""
     return schedule_levels(_read_both_models(spark))
+
+_SLICE_MAX_B = 8192
+_SLICE_BPR = 400
+
+
+@query(
+    "q166_layer_slices",
+    oracle=f"""
+    WITH RECURSIVE layers AS (
+        SELECT p_partkey AS pk, p_size * {_SLICE_BPR} AS b, p_size AS psize
+        FROM part WHERE p_partkey < 512),
+    normal AS (
+        SELECT pk, b, ROW_NUMBER() OVER (ORDER BY pk) AS rn
+        FROM layers WHERE b <= {_SLICE_MAX_B}),
+    packrec AS (
+        SELECT 0 AS rn, CAST(0 AS BIGINT) AS pk, CAST(0 AS BIGINT) AS b,
+               CAST(0 AS BIGINT) AS used, 0 AS grp
+        UNION ALL
+        SELECT n.rn, n.pk, n.b,
+               CASE WHEN p.used + n.b > {_SLICE_MAX_B} AND p.used > 0
+                    THEN n.b ELSE p.used + n.b END,
+               CASE WHEN p.used + n.b > {_SLICE_MAX_B} AND p.used > 0
+                    THEN p.grp + 1 ELSE p.grp END
+        FROM normal n JOIN packrec p ON n.rn = p.rn + 1),
+    packed AS (
+        SELECT pk, 0 AS part_idx, b AS chunk_bytes, 'pack' AS group_kind,
+               grp AS group_seq
+        FROM packrec WHERE rn >= 1),
+    big AS (
+        SELECT pk, psize, CAST({_SLICE_MAX_B} // {_SLICE_BPR} AS BIGINT)
+                   AS max_rows
+        FROM layers WHERE b > {_SLICE_MAX_B}),
+    chunks AS (
+        SELECT pk, CAST(c AS INT) AS part_idx,
+               LEAST(max_rows, psize - c * max_rows) * {_SLICE_BPR}
+                   AS chunk_bytes
+        FROM big, LATERAL unnest(
+            range(CAST(ceil(psize * 1.0 / max_rows) AS BIGINT))) AS t(c)),
+    split AS (
+        SELECT pk, part_idx, chunk_bytes, 'split' AS group_kind,
+               CAST(ROW_NUMBER() OVER (ORDER BY pk, part_idx) - 1 AS INT)
+                   AS group_seq
+        FROM chunks)
+    SELECT CAST(pk AS BIGINT) AS pk, CAST(part_idx AS INT) AS part_idx,
+           CAST(chunk_bytes AS BIGINT) AS chunk_bytes, group_kind,
+           CAST(group_seq AS INT) AS group_seq
+    FROM packed
+    UNION ALL
+    SELECT CAST(pk AS BIGINT), CAST(part_idx AS INT),
+           CAST(chunk_bytes AS BIGINT), group_kind, CAST(group_seq AS INT)
+    FROM split
+    """,
+)
+def q166_layer_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer slicing for CIM SRAM capacity (`tools/model_to_flash.py:
+    160-250`): layers stream in key order into greedy ≤8 KiB slices —
+    the current slice closes when the next layer would overflow it —
+    while oversized layers bypass the accumulator entirely (the
+    reference's `continue`) and split along rows into max_rows chunks,
+    each its own slice. Splitting is a stateless sequence() explosion;
+    the greedy accumulator is the inherently sequential part and runs as
+    a single-partition Arrow replay over O(layers) planner-scale rows
+    (q136's aggregate-then-replay discipline), with a scalar-state
+    recursive-CTE oracle recomputing every slice boundary."""
+    import pandas as pd
+
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 512)
+    layers = part.select(
+        F.col("p_partkey").alias("pk"),
+        (F.col("p_size") * _SLICE_BPR).cast("long").alias("b"),
+        F.col("p_size").cast("long").alias("psize"),
+    )
+    max_rows = _SLICE_MAX_B // _SLICE_BPR
+
+    big = layers.filter(F.col("b") > _SLICE_MAX_B)
+    chunks = big.select(
+        "pk",
+        F.explode(
+            F.sequence(F.lit(0), (F.ceil(F.col("psize") / max_rows) - 1))
+        ).alias("c"),
+        "psize",
+    ).select(
+        "pk",
+        F.col("c").cast("int").alias("part_idx"),
+        (
+            F.least(F.lit(max_rows), F.col("psize") - F.col("c") * max_rows)
+            * _SLICE_BPR
+        ).alias("chunk_bytes"),
+        F.lit("split").alias("group_kind"),
+    )
+    wsplit = Window.orderBy("pk", "part_idx")
+    split = chunks.withColumn(
+        "group_seq", (F.row_number().over(wsplit) - 1).cast("int")
+    )
+
+    normal = layers.filter(F.col("b") <= _SLICE_MAX_B).select("pk", "b")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pk").reset_index(drop=True)
+        used = 0
+        grp = 0
+        seqs = []
+        for b in pdf["b"]:
+            if used + b > _SLICE_MAX_B and used > 0:
+                grp += 1
+                used = 0
+            seqs.append(grp)
+            used += b
+        pdf["group_seq"] = seqs
+        return pdf
+
+    packed = (
+        normal.groupBy(F.lit(0).alias("_g"))
+        .applyInPandas(pack, "pk long, b long, group_seq int")
+        .select(
+            "pk",
+            F.lit(0).cast("int").alias("part_idx"),
+            F.col("b").alias("chunk_bytes"),
+            F.lit("pack").alias("group_kind"),
+            "group_seq",
+        )
+    )
+    return packed.unionByName(split)
