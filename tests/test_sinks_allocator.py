@@ -231,3 +231,59 @@ def test_lz4_block_roundtrip(spark):
     }
     for i, p in enumerate(payloads):
         assert got[i] == p, i
+
+
+def test_pack_model_rejects_tampered_body(spark, tmp_path):
+    """The loader contract must catch single-byte corruption through BOTH
+    integrity fields: crc32 (fast check) and the sha256 model hash
+    (model_loader.h:39-41 parity)."""
+    import pytest
+
+    w = spark.createDataFrame(
+        [("fc1", i, j, (i * 7 + j) % 13 / 13.0) for i in range(8) for j in range(8)],
+        "layer string, i int, j int, value double",
+    )
+    path = str(tmp_path / "m.bin")
+    manifest = pack_model_binary(w, path)
+    assert len(manifest["model_hash"]) == 64
+    loaded = load_model_binary(path)
+    assert loaded["model_hash"] == manifest["model_hash"]
+
+    data = bytearray(open(path, "rb").read())
+    data[-1] ^= 0xFF  # flip one body byte
+    open(path, "wb").write(bytes(data))
+    with pytest.raises(AssertionError):
+        load_model_binary(path)
+
+
+def test_layer_slices_invariants(spark, sf_smoke):
+    """q166 conservation + capacity: every pack-slice totals <= 8 KiB,
+    split chunks reassemble their layer exactly, and total bytes are
+    conserved vs the input layer sizes."""
+    import __spark_entry__ as em
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators.compiler import _SLICE_BPR, _SLICE_MAX_B
+
+    rows = em.queries()["q166_layer_slices"](spark, sf_smoke).collect()
+    part = {
+        r.p_partkey: r.p_size * _SLICE_BPR
+        for r in read_table(spark, sf_smoke, "part")
+        .filter("p_partkey < 512")
+        .collect()
+    }
+    assert sum(r.chunk_bytes for r in rows) == sum(part.values())
+    by_slice: dict = {}
+    by_layer: dict = {}
+    for r in rows:
+        if r.group_kind == "pack":
+            by_slice.setdefault(r.group_seq, 0)
+            by_slice[r.group_seq] += r.chunk_bytes
+            assert r.chunk_bytes <= _SLICE_MAX_B
+        else:
+            by_layer.setdefault(r.pk, 0)
+            by_layer[r.pk] += r.chunk_bytes
+            assert r.chunk_bytes <= _SLICE_MAX_B
+    for seq, total in by_slice.items():
+        assert total <= _SLICE_MAX_B, (seq, total)
+    for pk, total in by_layer.items():
+        assert total == part[pk] and part[pk] > _SLICE_MAX_B
