@@ -82,6 +82,8 @@ _registry.finalize_order([
     "q164_media_features",
     "q165_market_share",
     "q166_layer_slices",
+    "q167_activity_reconciliation",
+    "q168_bucketed_colocated_join",
     # code CHANGED this round — hash-green rows exist (r01/r02) but the
     # plans/oracles moved, so they re-verify inside the window
     "q47_jaccard_pairs",

@@ -2069,3 +2069,50 @@ def q165_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mkt_share"
         ),
     )
+
+@query(
+    "q167_activity_reconciliation",
+    oracle="""
+    WITH o AS (SELECT o_custkey AS id, COUNT(*) AS n_orders
+               FROM orders GROUP BY o_custkey),
+    ev AS (SELECT user_id AS id, COUNT(*) AS n_events
+           FROM events GROUP BY user_id)
+    SELECT COALESCE(o.id, ev.id) AS id, o.n_orders, ev.n_events,
+           CASE WHEN o.id IS NULL THEN 'events_only'
+                WHEN ev.id IS NULL THEN 'orders_only'
+                ELSE 'both' END AS side
+    FROM o FULL OUTER JOIN ev ON o.id = ev.id
+    """,
+)
+def q167_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the q03-q08 battery omits):
+    per-customer order counts reconciled against per-user event counts —
+    the purchases-vs-activity audit where BOTH unmatched sides matter
+    (customers who never produced telemetry, telemetry users with no
+    orders). Both sides pre-aggregate to one row per key BEFORE the
+    join, so the full-outer exchange moves |keys| rows, not raw facts;
+    null-side rows hash-check the outer-join null semantics
+    cross-engine."""
+    from hive_reflex_spark.io import read_table
+
+    t = load_tables(spark, sf_dir, "orders")
+    o = t["orders"].groupBy(F.col("o_custkey").alias("id")).agg(
+        F.count("*").alias("n_orders")
+    )
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    joined = o.alias("o").join(
+        ev.alias("ev"), F.col("o.id") == F.col("ev.id"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("o.id"), F.col("ev.id")).alias("id"),
+        "n_orders",
+        "n_events",
+        F.when(F.col("o.id").isNull(), "events_only")
+        .when(F.col("ev.id").isNull(), "orders_only")
+        .otherwise("both")
+        .alias("side"),
+    )

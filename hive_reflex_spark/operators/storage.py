@@ -151,3 +151,41 @@ def q139_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tombstone",
         "item_bytes",
     )
+
+@query(
+    "q168_bucketed_colocated_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               / 100.0 AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q168_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The physical-layout path driven end-to-end: orders and customer
+    are WRITTEN bucketed+sorted by the join key (`functions/layout.
+    bucket_write`, the engine's banked-scratchpad analog of
+    `imc22_cim.c:174-193`), then joined via the catalog — with matching
+    bucket counts the join plans with NO Exchange on either side (pinned
+    in test_plan_shapes), which at 100 TB removes the dominant shuffle
+    from every repeated fact join on that key. The oracle is the plain
+    logical join: bucketing must change the PLAN, never the answer."""
+    from hive_reflex_spark.functions.layout import bucket_write, colocated_join
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    bucket_write(orders, "hrs_q168_orders", "o_custkey", 8)
+    bucket_write(cust, "hrs_q168_customer", "o_custkey", 8)
+    joined = colocated_join(
+        spark, "hrs_q168_orders", "hrs_q168_customer", "o_custkey"
+    )
+    from hive_reflex_spark.functions import exact_sum
+
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum(F.col("o_totalprice"), 2).alias("total_price"),
+    )
