@@ -318,3 +318,21 @@ def test_ivfpq_query_restricts_candidates(spark, sf_smoke):
            for r in q102b_ivfpq_topk(spark, sf_smoke).collect()}
     assert len(ivf) == len(full) == PQ_N_QUERIES * 5
     assert ivf != full  # probing actually restricted the pool
+
+
+def test_numpy_matmul_path_matches_coordinate_baseline(spark, sf_smoke):
+    """q52b (Arrow/numpy BLAS matmul) must rank identically to q51's
+    coordinate join — same neighbors and cosines to 4dp."""
+    import __spark_entry__ as em
+
+    base = {
+        (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 4))
+        for r in q51_cosine_topk(spark, sf_smoke).collect()
+    }
+    fast = {
+        (r.query_id, r.rnk): (r.neighbor_id, round(r.cosine, 4))
+        for r in em.queries()["q52b_cosine_topk_numpy"](
+            spark, sf_smoke
+        ).collect()
+    }
+    assert base == fast

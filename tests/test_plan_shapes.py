@@ -438,3 +438,24 @@ def test_q148_semi_anti_topk_shape(spark, sf_smoke):
     assert "LeftAnti" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q165_broadcasts_only_true_dimensions(spark, sf_smoke):
+    """Q8 analog: nation/region ride as broadcast HINTS; part (type-
+    filtered but corpus-proportional), customer, supplier, and the
+    fact-fact orders join carry NO hint — at 100 TB they shuffle."""
+    assert hinted_broadcasts_of(spark, "q165_market_share", sf_smoke) == 3
+    plan = plan_of(spark, "q165_market_share", sf_smoke)
+    assert "CartesianProduct" not in plan
+
+
+def test_q167_preaggregates_before_outer_join(spark, sf_smoke):
+    """Both sides must reduce to one row per key BEFORE the full-outer
+    join — the join input is |keys|, not raw facts. Two partial/final
+    aggregate pairs must sit below the join in the plan."""
+    plan = plan_of(spark, "q167_activity_reconciliation", sf_smoke)
+    join_pos = plan.find("FullOuter")
+    assert join_pos > 0, plan
+    assert plan.count("HashAggregate", join_pos) >= 4, (
+        "aggregation above the join — facts would shuffle raw"
+    )
