@@ -1164,3 +1164,73 @@ def q154_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s"), 6).alias("cusum"),
         (F.col("s") > CUSUM_H).alias("alarm"),
     )
+
+@query(
+    "q169_winsorized_stats",
+    oracle="""
+    WITH pct AS (SELECT event_type,
+                        quantile_cont(value, 0.05) AS lo,
+                        quantile_cont(value, 0.95) AS hi
+                 FROM events GROUP BY event_type),
+    j AS (SELECT e.event_type, e.value, pct.lo, pct.hi,
+                 LEAST(GREATEST(e.value, pct.lo), pct.hi) AS wv
+          FROM events e JOIN pct USING (event_type))
+    SELECT event_type, COUNT(*) AS n,
+           ROUND(lo, 6) AS p05, ROUND(hi, 6) AS p95,
+           ROUND(CAST(SUM(CAST(ROUND(wv * 1000000) AS BIGINT)) AS BIGINT)
+                 / 1000000.0 / COUNT(*), 6) AS winsorized_mean,
+           CAST(SUM(CASE WHEN value >= lo AND value <= hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN value >= lo AND value <= hi
+                    THEN CAST(ROUND(value * 1000000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) / 1000000.0
+                 / SUM(CASE WHEN value >= lo AND value <= hi
+                       THEN 1 ELSE 0 END), 6) AS trimmed_mean
+    FROM j GROUP BY event_type, lo, hi
+    """,
+)
+def q169_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust mean estimators for ingest QA, completing the q116 tier:
+    per event type, the 5th/95th exact interpolated percentiles, the
+    WINSORIZED mean (tails clamped to the percentile fence — every row
+    still votes, outliers just lose leverage) and the TRIMMED mean
+    (tails excluded). Percentiles are bounded per-type rows, so they
+    re-enter as a broadcast join; the clamp/filter pass is one more scan
+    with exact integer-unit sums — the same interpolation contract as
+    q116 keeps both engines bit-identical."""
+    events = read_table(spark, sf_dir, "events")
+    pct = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = events.join(F.broadcast(pct), "event_type")
+    wv = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    inside = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    kept_units = F.sum(
+        F.when(inside, F.round(F.col("value") * 1_000_000).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    )
+    n_kept = F.sum(F.when(inside, 1).otherwise(0)).cast("long")
+    return (
+        j.groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(exact_sum(wv, 6) / F.count("*"), 6).alias(
+                "winsorized_mean"
+            ),
+            n_kept.alias("n_kept"),
+            F.round(kept_units / 1_000_000.0 / n_kept, 6).alias(
+                "trimmed_mean"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("lo", 6).alias("p05"),
+            F.round("hi", 6).alias("p95"),
+            "winsorized_mean",
+            "n_kept",
+            "trimmed_mean",
+        )
+    )
