@@ -209,8 +209,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dsh = distinct_shingles(spark, sf_dir)
+def minhash_from_shingles(dsh: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → (doc_id, seed, sig): the signature math shared
+    by the batch path and the incremental index maintainer (q171) — a
+    signature is a pure function of one document's shingle set, which is
+    exactly why the LSH index is append-maintainable."""
     hashed = dsh.select(
         "doc_id",
         F.md5("shingle").alias("h1"),
@@ -233,6 +236,39 @@ def _minhash_signatures_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "seed")
         .agg(F.min("h").alias("sig"))
     )
+
+
+def bands_from_minhash(mh: DataFrame) -> DataFrame:
+    """(doc_id, seed, sig) → (doc_id, band, band_sig): 4 bands of 2 —
+    the LSH index rows themselves."""
+    return mh.groupBy(
+        "doc_id", F.expr(f"seed div {BAND_SIZE}").alias("band")
+    ).agg(
+        F.concat(
+            F.min(F.when(F.col("seed") % BAND_SIZE == 0, F.col("sig"))),
+            F.min(F.when(F.col("seed") % BAND_SIZE == 1, F.col("sig"))),
+        ).alias("band_sig")
+    )
+
+
+def shingles_of_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → distinct (doc_id, shingle), doc-local — the
+    per-batch twin of text.doc_shingles for incremental maintenance."""
+    with_tokens = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    shingles = F.expr(
+        "CASE WHEN size(ws) >= 3 THEN "
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) "
+        "ELSE array() END"
+    )
+    return (
+        with_tokens.select("doc_id", F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def _minhash_signatures_cold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_from_shingles(distinct_shingles(spark, sf_dir))
 
 
 _DUCK_MINHASH = f"""(
@@ -283,17 +319,7 @@ def q49_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the band table IS the LSH index — build-once-query-many, so bench
     # mode shares it (both join branches and all runs reuse one build)
-    def _bands() -> DataFrame:
-        return mh.groupBy(
-            "doc_id", F.expr(f"seed div {BAND_SIZE}").alias("band")
-        ).agg(
-            F.concat(
-                F.min(F.when(F.col("seed") % BAND_SIZE == 0, F.col("sig"))),
-                F.min(F.when(F.col("seed") % BAND_SIZE == 1, F.col("sig"))),
-            ).alias("band_sig")
-        )
-
-    bands = cached_df(("q49_bands", sf_dir), _bands)
+    bands = cached_df(("q49_bands", sf_dir), lambda: bands_from_minhash(mh))
     a = bands.alias("a")
     b = bands.alias("b")
     return (

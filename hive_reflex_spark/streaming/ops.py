@@ -891,3 +891,82 @@ def q147_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     ).select("user_id", "error_event_id", "click_event_id")
     return run_to_memory(joined, mode="append")
+
+@query(
+    "q171_incremental_lsh_index",
+    oracle="""
+    WITH dsh AS (
+        SELECT DISTINCT doc_id,
+               ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             LATERAL unnest(range(1, GREATEST(len(ws) - 1, 1))) AS t(i)
+        WHERE len(ws) >= 3),
+    mh AS (
+        SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+               MIN(CASE WHEN seed < 4 THEN substr(h1, seed * 8 + 1, 8)
+                        ELSE substr(h2, (seed - 4) * 8 + 1, 8) END) AS sig
+        FROM (SELECT doc_id, md5(shingle) AS h1,
+                     md5(reverse(shingle)) AS h2 FROM dsh),
+             (SELECT unnest(range(8)) AS seed) seeds
+        GROUP BY doc_id, seed)
+    SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+           MIN(CASE WHEN seed % 2 = 0 THEN sig END)
+           || MIN(CASE WHEN seed % 2 = 1 THEN sig END) AS band_sig
+    FROM mh GROUP BY doc_id, seed // 2
+    """,
+)
+def q171_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the LSH dedup index: the corpus arrives
+    in micro-batches and each batch APPENDS its own (doc_id, band,
+    band_sig) rows to the index — correct with no merge step because a
+    signature is a pure function of one document's shingle set
+    (`dedup.minhash_from_shingles`), so chunking cannot change any row.
+    This is how a 100 TB curation deployment keeps q49/q94's index fresh
+    as crawls land: per-batch signature compute + blind append; only the
+    candidate JOIN ever sees the global index. The oracle recomputes the
+    full index from scratch — the streamed union must hash-match it on
+    any chunking."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators.dedup import (
+        bands_from_minhash,
+        minhash_from_shingles,
+        shingles_of_docs,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"hrs_lshidx_{os.getpid()}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    chunk_dir = os.path.join(work, "chunks")
+    index_dir = os.path.join(work, "index")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartitionByRange(4, "doc_id").write.parquet(chunk_dir)
+
+    def append_index(batch_df: DataFrame, epoch_id: int) -> None:
+        bands = bands_from_minhash(
+            minhash_from_shingles(shingles_of_docs(batch_df))
+        ).select("doc_id", F.col("band").cast("int").alias("band"), "band_sig")
+        bands.write.mode("append").parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(append_index)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(chunk_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    return spark.read.parquet(index_dir)
