@@ -95,6 +95,7 @@ _registry.finalize_order([
     # first in line for the r05 rotation ---
     "q169_winsorized_stats",
     "q171_incremental_lsh_index",
+    "q172_log_shipping_roundtrip",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)

@@ -970,3 +970,50 @@ def q171_incremental_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(chunk_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
     return spark.read.parquet(index_dir)
+
+@query(
+    "q172_log_shipping_roundtrip",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_event,
+           CAST(MAX(event_id) AS BIGINT) AS max_event,
+           ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                 / 1000000.0, 6) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q172_log_shipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 batched log shipping driven end-to-end: the event stream
+    flushes as per-epoch JSON batch directories via foreachBatch
+    (`batched_log_shipping`, the exactly-once atomic-directory sink of
+    `tools/ai_feedback.py:88-118`), then EVERY shipped file is read back
+    and rolled up. The oracle computes the rollup from the parquet
+    source, so a dropped epoch, duplicated flush, or JSON precision loss
+    fails the hash — shipping must be a lossless partition of the
+    stream on any chunking."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"hrs_logship_{os.getpid()}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    batched_log_shipping(spark, sf_dir, work)
+    back = spark.read.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string, epoch long"
+    ).json(os.path.join(work, "batch_*"))
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+            / 1_000_000.0,
+            6,
+        ).alias("total_value"),
+    )
