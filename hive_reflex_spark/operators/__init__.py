@@ -96,6 +96,7 @@ _registry.finalize_order([
     "q169_winsorized_stats",
     "q171_incremental_lsh_index",
     "q172_log_shipping_roundtrip",
+    "q173_hybrid_rerank",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.io import read_table
+from hive_reflex_spark.operators.tensor import _duck_coords
 from hive_reflex_spark.operators.text import DUCK_WORDS, doc_words
 from hive_reflex_spark.registry import query
 
@@ -89,6 +90,12 @@ def q110_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus side is a filtered token explode + per-doc tf, and the global
     top-k compiles to TakeOrderedAndProject — no full sort, no index
     build, no driver loop."""
+    return bm25_topk(spark, sf_dir)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) top-K candidates — shared by q110 and the q173
+    hybrid reranker."""
     words = doc_words(spark, sf_dir).select("doc_id", "w")
     dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
@@ -385,4 +392,135 @@ def q122_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("tfidf_cosine"), "doc_id")
         .limit(TFIDF_TOP_K)
+    )
+
+# the BM25 candidate CTE chain, shared verbatim by q110's oracle and q173's
+_DUCK_BM25 = f"""
+    words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM words GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) * 1.0 / COUNT(*) AS avgdl
+              FROM dl),
+    dfx AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+            FROM words WHERE w IN ({_TERMS_SQL}) GROUP BY w),
+    tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM words WHERE w IN ({_TERMS_SQL}) GROUP BY doc_id, w),
+    parts AS (SELECT tf.doc_id,
+                     CAST(ROUND(
+                         ln(1 + (stats.n_docs - dfx.df + 0.5) / (dfx.df + 0.5))
+                         * tf.tf * ({BM25_K1} + 1)
+                         / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                             + {BM25_B} * dl.dl / stats.avgdl))
+                         * 1000000000) AS BIGINT) AS p
+              FROM tf JOIN dfx USING (w)
+                      JOIN dl USING (doc_id), stats),
+    bm AS (SELECT doc_id, CAST(SUM(p) AS BIGINT) / 1000000000.0 AS bm25
+           FROM parts GROUP BY doc_id
+           ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOP_K})
+"""
+
+
+@query(
+    "q173_hybrid_rerank",
+    oracle=f"""
+    WITH {_DUCK_BM25},
+    mx AS (SELECT MAX(bm25) AS maxb FROM bm),
+    nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    coords AS (SELECT * FROM {_duck_coords(None)} c),
+    qc AS (SELECT dim,
+                  CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+                      / 1000000000.0 / 4 AS qv
+           FROM coords WHERE vec_id < 4 GROUP BY dim),
+    qn AS (SELECT sqrt(CAST(SUM(CAST(ROUND(qv * qv * 1000000000) AS BIGINT))
+                       AS BIGINT) / 1000000000.0) AS qnrm FROM qc),
+    link AS (SELECT bm.doc_id, bm.bm25, bm.doc_id % nv.n AS vec_id
+             FROM bm, nv),
+    dots AS (SELECT l.doc_id,
+                    CAST(SUM(CAST(ROUND(c.v * qc.qv * 1000000000) AS BIGINT))
+                        AS BIGINT) / 1000000000.0 AS dot
+             FROM link l
+             JOIN coords c ON c.vec_id = l.vec_id
+             JOIN qc ON qc.dim = c.dim
+             GROUP BY l.doc_id),
+    nd AS (SELECT vec_id,
+                  sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000) AS BIGINT))
+                       AS BIGINT) / 1000000000.0) AS nrm
+           FROM coords GROUP BY vec_id),
+    scored AS (SELECT l.doc_id, l.bm25,
+                      d.dot / (nd.nrm * qn.qnrm) AS cosine,
+                      0.5 * l.bm25 / mx.maxb
+                      + 0.5 * d.dot / (nd.nrm * qn.qnrm) AS hybrid
+               FROM link l
+               JOIN dots d ON d.doc_id = l.doc_id
+               JOIN nd ON nd.vec_id = l.vec_id, qn, mx)
+    SELECT doc_id, ROUND(bm25, 6) AS bm25, ROUND(cosine, 6) AS cosine,
+           ROUND(hybrid, 6) AS hybrid,
+           CAST(ROW_NUMBER() OVER (ORDER BY hybrid DESC, doc_id) AS INT)
+               AS rnk
+    FROM scored
+    """,
+)
+def q173_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword candidates reranked by embedding
+    cosine against the query centroid — the two-stage
+    lexical-recall/semantic-precision pipeline modern search and
+    RAG-data curation run. Stage 1 is q110's inverted-index top-K (the
+    only corpus-scale work); stage 2 touches ONLY the K candidates:
+    their vectors join against a broadcast 64-row query centroid, and
+    the final score blends the max-normalized BM25 with the cosine
+    50/50. (doc→vector linkage is doc_id mod |embeddings| — fixture
+    plumbing standing in for a real doc↔embedding key.) Every sum is
+    integer-unit exact, so the blended doubles hash-match DuckDB."""
+    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.operators.tensor import embedding_coords
+
+    cand = bm25_topk(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings")
+    nv = emb.agg(F.count("*").alias("n"))
+    mx = cand.agg(F.max("bm25").alias("maxb"))
+    coords = embedding_coords(spark, sf_dir)
+    qc = (
+        coords.filter(F.col("vec_id") < 4)
+        .groupBy("dim")
+        .agg((exact_sum(F.col("v"), 9) / 4).alias("qv"))
+    )
+    qn = qc.agg(
+        F.sqrt(exact_sum(F.col("qv") * F.col("qv"), 9)).alias("qnrm")
+    )
+    link = cand.join(F.broadcast(nv)).select(
+        "doc_id", "bm25", F.pmod(F.col("doc_id"), F.col("n")).alias("vec_id")
+    )
+    dots = (
+        F.broadcast(link)
+        .join(coords, "vec_id")
+        .join(F.broadcast(qc), "dim")
+        .groupBy("doc_id")
+        .agg(exact_sum(F.col("v") * F.col("qv"), 9).alias("dot"))
+    )
+    nd = coords.groupBy("vec_id").agg(
+        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+    )
+    cos = F.col("dot") / (F.col("nrm") * F.col("qnrm"))
+    scored = (
+        link.join(dots, "doc_id")
+        .join(nd, "vec_id")
+        .join(F.broadcast(qn))
+        .join(F.broadcast(mx))
+        .select(
+            "doc_id",
+            "bm25",
+            cos.alias("cosine"),
+            (
+                F.lit(0.5) * F.col("bm25") / F.col("maxb") + F.lit(0.5) * cos
+            ).alias("hybrid"),
+        )
+    )
+    w = Window.orderBy(F.desc("hybrid"), "doc_id")
+    return scored.select(
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.round("cosine", 6).alias("cosine"),
+        F.round("hybrid", 6).alias("hybrid"),
+        F.row_number().over(w).cast("int").alias("rnk"),
     )
