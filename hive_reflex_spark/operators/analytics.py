@@ -1234,3 +1234,55 @@ def q169_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean",
         )
     )
+
+_RANGE_BUCKETS = 8
+
+
+@query(
+    "q174_range_boundaries",
+    oracle="""
+    WITH b AS (
+        SELECT unnest(quantile_cont(o_totalprice, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])) AS boundary
+        FROM orders),
+    assigned AS (
+        SELECT o.o_orderkey, o.o_totalprice,
+               SUM(CASE WHEN o.o_totalprice >= b.boundary
+                        THEN 1 ELSE 0 END) AS bucket
+        FROM orders o, b
+        GROUP BY o.o_orderkey, o.o_totalprice)
+    SELECT CAST(bucket AS INT) AS bucket, COUNT(*) AS n_rows,
+           ROUND(MIN(o_totalprice), 6) AS lo,
+           ROUND(MAX(o_totalprice), 6) AS hi
+    FROM assigned GROUP BY bucket
+    """,
+)
+def q174_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth range boundaries — the math behind
+    repartitionByRange/RangePartitioner planning, computed exactly
+    instead of by reservoir sampling: 7 interpolated percentiles split
+    orders into 8 near-equal buckets; the report shows each bucket's row
+    count and value span, i.e. the skew a range shuffle would see. The
+    boundary table is B-1 rows and re-enters as a broadcast; bucket id =
+    count of boundaries <= value, one conditional aggregate per row."""
+    orders = read_table(spark, sf_dir, "orders")
+    fracs = [x / _RANGE_BUCKETS for x in range(1, _RANGE_BUCKETS)]
+    b = orders.agg(
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, fracs))}))"
+        ).alias("bs")
+    ).select(F.posexplode("bs").alias("i", "boundary"))
+    assigned = (
+        orders.select("o_orderkey", "o_totalprice")
+        .join(F.broadcast(b))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") >= F.col("boundary"), 1).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+    return assigned.groupBy(F.col("bucket").cast("int").alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+    )
