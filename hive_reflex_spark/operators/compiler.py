@@ -472,6 +472,46 @@ def q80b_onnx_mobilenet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _micro_kws_oracle() -> str:
+    from hive_reflex_spark.sources.model_zoo import micro_kws_ir_values
+
+    return _compile_chain_oracle(micro_kws_ir_values())
+
+
+@query("q80c_onnx_micro_kws", oracle=_micro_kws_oracle())
+def q80c_onnx_micro_kws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80 at audio-KWS shape: a 31-node DS-CNN-S graph (structure per
+    `model_zoo/export_micro_kws.py:5-55` — strided 10x4 Conv over the
+    49x10 MFCC map, four depthwise-separable blocks at constant 64
+    channels, GlobalAveragePool, Reshape, Gemm to 12 keywords) through
+    the same parse → fuse → partition → layout chain. Third model-zoo
+    graph next to the transformer (q80a) and CNN (q80b): the
+    non-square initial kernel and constant-width DS chain exercise a
+    different fusion/partition profile."""
+    from hive_reflex_spark.plans.passes import (
+        flash_layout,
+        fuse_matmul_add,
+        partition_by_cost,
+    )
+    from hive_reflex_spark.sources.model_zoo import micro_kws_onnx_path
+    from hive_reflex_spark.sources.onnx_source import read_onnx_model
+
+    ir = read_onnx_model(spark, micro_kws_onnx_path())
+    laid = flash_layout(partition_by_cost(fuse_matmul_add(ir)))
+    return laid.select(
+        "model",
+        "idx",
+        "name",
+        "op_type",
+        "target",
+        "partition_id",
+        "n_params",
+        "size_bytes",
+        "aligned_bytes",
+        "flash_addr",
+    )
+
+
 # ---------------------------------------------------------------------------
 # RTL pruning — hardware-config derivation from the model IR
 # (mlir_compiler/rtl_pruner.py)

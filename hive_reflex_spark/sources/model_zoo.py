@@ -269,3 +269,68 @@ def mobilenet_onnx_path() -> str:
 
 def mobilenet_ir_values() -> str:
     return ir_values(MOBILENET_NAME, MOBILENET_NODES, MOBILENET_INITS)
+
+# --------------------------------------------------------------------------
+# MicroKWS spec (`model_zoo/export_micro_kws.py:5-55`): DS-CNN-S keyword
+# spotting (Hello Edge / MLPerf Tiny) — strided initial Conv(10x4) over the
+# 49x10 MFCC map, FOUR depthwise-separable blocks at constant 64 channels,
+# GlobalAveragePool, Reshape, Gemm head to the 12 keyword classes.
+# --------------------------------------------------------------------------
+
+
+def _micro_kws_spec() -> tuple[list, dict]:
+    nodes: list[tuple] = []
+    inits: dict[str, list[int]] = {}
+
+    def bn(tag: str, ch: int, src: str) -> str:
+        for suf, dims in (("g", [ch]), ("b", [ch]), ("m", [ch]), ("v", [ch])):
+            inits[f"{tag}_{suf}"] = dims
+        nodes.append(
+            (tag, "BatchNormalization",
+             [src, f"{tag}_g", f"{tag}_b", f"{tag}_m", f"{tag}_v"],
+             [f"{tag}_out"], {})
+        )
+        return f"{tag}_out"
+
+    def relu(tag: str, src: str) -> str:
+        nodes.append((tag, "Relu", [src], [f"{tag}_out"], {}))
+        return f"{tag}_out"
+
+    # initial 10x4 strided conv over the 1-channel MFCC map: 1 -> 64
+    inits["conv1_w"] = [64, 1, 10, 4]
+    nodes.append(("conv1", "Conv", ["x", "conv1_w"], ["c1"],
+                  {"group": 1, "strides": 2}))
+    prev = relu("relu1", bn("bn1", 64, "c1"))
+
+    for i in range(4):  # four DS blocks, constant 64 channels, stride 1
+        dw = f"dw{i}"
+        inits[f"{dw}_w"] = [64, 1, 3, 3]
+        nodes.append((dw, "Conv", [prev, f"{dw}_w"], [f"{dw}_c"],
+                      {"group": 64, "strides": 1}))
+        prev = relu(f"{dw}_relu", bn(f"{dw}_bn", 64, f"{dw}_c"))
+        pw = f"pw{i}"
+        inits[f"{pw}_w"] = [64, 64, 1, 1]
+        nodes.append((pw, "Conv", [prev, f"{pw}_w"], [f"{pw}_c"],
+                      {"group": 1}))
+        prev = relu(f"{pw}_relu", bn(f"{pw}_bn", 64, f"{pw}_c"))
+
+    nodes.append(("avg_pool", "GlobalAveragePool", [prev], ["gap_out"], {}))
+    inits["flat_shape"] = [2]
+    nodes.append(("flatten", "Reshape", ["gap_out", "flat_shape"],
+                  ["flat"], {}))
+    inits["fc_w"] = [64, 12]
+    inits["fc_b"] = [12]
+    nodes.append(("fc", "Gemm", ["flat", "fc_w", "fc_b"], ["logits"], {}))
+    return nodes, inits
+
+
+MICRO_KWS_NODES, MICRO_KWS_INITS = _micro_kws_spec()
+MICRO_KWS_NAME = "micro_kws"
+
+
+def micro_kws_onnx_path() -> str:
+    return _model_onnx_path(MICRO_KWS_NAME, MICRO_KWS_NODES, MICRO_KWS_INITS)
+
+
+def micro_kws_ir_values() -> str:
+    return ir_values(MICRO_KWS_NAME, MICRO_KWS_NODES, MICRO_KWS_INITS)
