@@ -512,6 +512,45 @@ def q80c_onnx_micro_kws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gesture_net_oracle() -> str:
+    from hive_reflex_spark.sources.model_zoo import gesture_net_ir_values
+
+    return _compile_chain_oracle(gesture_net_ir_values())
+
+
+@query("q80d_onnx_gesture_net", oracle=_gesture_net_oracle())
+def q80d_onnx_gesture_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q80 at IMU-1D-CNN shape: the GestureNet graph
+    (`model_zoo/export_gesture_net.py:4-41` — three Conv1d/BN/ReLU
+    stages with MaxPool downsampling over the 6-axis IMU window, global
+    average pool, two-layer Gemm head) through parse → fuse → partition
+    → layout. Completes the model zoo's five architectures: 3-D Conv1d
+    kernel shape extraction, weightless MaxPool in cpu-forced position,
+    and a fusable two-layer classifier tail."""
+    from hive_reflex_spark.plans.passes import (
+        flash_layout,
+        fuse_matmul_add,
+        partition_by_cost,
+    )
+    from hive_reflex_spark.sources.model_zoo import gesture_net_onnx_path
+    from hive_reflex_spark.sources.onnx_source import read_onnx_model
+
+    ir = read_onnx_model(spark, gesture_net_onnx_path())
+    laid = flash_layout(partition_by_cost(fuse_matmul_add(ir)))
+    return laid.select(
+        "model",
+        "idx",
+        "name",
+        "op_type",
+        "target",
+        "partition_id",
+        "n_params",
+        "size_bytes",
+        "aligned_bytes",
+        "flash_addr",
+    )
+
+
 # ---------------------------------------------------------------------------
 # RTL pruning — hardware-config derivation from the model IR
 # (mlir_compiler/rtl_pruner.py)

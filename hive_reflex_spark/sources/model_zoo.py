@@ -334,3 +334,67 @@ def micro_kws_onnx_path() -> str:
 
 def micro_kws_ir_values() -> str:
     return ir_values(MICRO_KWS_NAME, MICRO_KWS_NODES, MICRO_KWS_INITS)
+
+# --------------------------------------------------------------------------
+# GestureNet spec (`model_zoo/export_gesture_net.py:4-41`): 1-D CNN over the
+# 6-axis IMU window — three Conv1d/BN/ReLU stages with MaxPool downsampling,
+# global average pool, two-layer Gemm classifier head.
+# --------------------------------------------------------------------------
+
+
+def _gesture_net_spec() -> tuple[list, dict]:
+    nodes: list[tuple] = []
+    inits: dict[str, list[int]] = {}
+
+    def bn(tag: str, ch: int, src: str) -> str:
+        for suf, dims in (("g", [ch]), ("b", [ch]), ("m", [ch]), ("v", [ch])):
+            inits[f"{tag}_{suf}"] = dims
+        nodes.append(
+            (tag, "BatchNormalization",
+             [src, f"{tag}_g", f"{tag}_b", f"{tag}_m", f"{tag}_v"],
+             [f"{tag}_out"], {})
+        )
+        return f"{tag}_out"
+
+    def relu(tag: str, src: str) -> str:
+        nodes.append((tag, "Relu", [src], [f"{tag}_out"], {}))
+        return f"{tag}_out"
+
+    prev = "x"
+    stages = [(6, 16), (16, 32), (32, 64)]
+    for i, (cin, cout) in enumerate(stages):
+        cv = f"conv{i + 1}"
+        inits[f"{cv}_w"] = [cout, cin, 3]  # 3-D Conv1d kernel
+        nodes.append((cv, "Conv", [prev, f"{cv}_w"], [f"{cv}_c"],
+                      {"group": 1}))
+        prev = relu(f"{cv}_relu", bn(f"{cv}_bn", cout, f"{cv}_c"))
+        if i < 2:
+            nodes.append((f"pool{i + 1}", "MaxPool", [prev],
+                          [f"pool{i + 1}_out"], {}))
+            prev = f"pool{i + 1}_out"
+    nodes.append(("gap", "GlobalAveragePool", [prev], ["gap_out"], {}))
+    inits["flat_shape"] = [2]
+    nodes.append(("flatten", "Reshape", ["gap_out", "flat_shape"],
+                  ["flat"], {}))
+    inits["fc1_w"] = [64, 32]
+    inits["fc1_b"] = [32]
+    nodes.append(("fc1", "Gemm", ["flat", "fc1_w", "fc1_b"], ["h1"], {}))
+    prev = relu("fc1_relu", "h1")
+    inits["fc2_w"] = [32, 4]
+    inits["fc2_b"] = [4]
+    nodes.append(("fc2", "Gemm", [prev, "fc2_w", "fc2_b"], ["logits"], {}))
+    return nodes, inits
+
+
+GESTURE_NET_NODES, GESTURE_NET_INITS = _gesture_net_spec()
+GESTURE_NET_NAME = "gesture_net"
+
+
+def gesture_net_onnx_path() -> str:
+    return _model_onnx_path(
+        GESTURE_NET_NAME, GESTURE_NET_NODES, GESTURE_NET_INITS
+    )
+
+
+def gesture_net_ir_values() -> str:
+    return ir_values(GESTURE_NET_NAME, GESTURE_NET_NODES, GESTURE_NET_INITS)
