@@ -179,3 +179,60 @@ def test_dvfs_ladder_properties(spark, utils):
         elif u < DVFS_UTIL_LOW:
             assert mode <= prev
         prev = mode
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 50),          # first_def
+            st.integers(0, 60),          # lifetime length
+            st.integers(1, 8),           # size in 256-B units
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_allocator_single_pass_fold_equals_exhaustive_first_fit(spec):
+    """plans/passes.allocate_buffers uses a single monotone pass over
+    offset-sorted placed blocks; the reference restarts the scan on every
+    collision (`memory_planner.py:107-124`). Property: both produce the
+    SAME offset for every tensor — the fold is the restart-scan's
+    fixpoint because the candidate only moves right and blocks are
+    visited in offset order."""
+    tensors = sorted(
+        ((fd, fd + ln, sz * 256) for fd, ln, sz in spec),
+        key=lambda t: (t[0], t[1]),
+    )
+
+    # the repo's fold (passes.py allocate_buffers inner loop)
+    placed_f = []
+    offs_fold = []
+    for first, last, size in tensors:
+        candidate = 0
+        for off, end, p_first, p_last in sorted(placed_f):
+            overlaps = not (p_last < first or last < p_first)
+            if overlaps and not (end <= candidate or off >= candidate + size):
+                candidate = end
+        placed_f.append((candidate, candidate + size, first, last))
+        offs_fold.append(candidate)
+
+    # the reference's restart-on-collision loop
+    placed_r = []
+    offs_ref = []
+    for first, last, size in tensors:
+        active = [(o, s) for (o, s, f, l) in placed_r if l >= first]
+        candidate = 0
+        while True:
+            collision = False
+            for ao, asz in active:
+                if max(candidate, ao) < min(candidate + size, ao + asz):
+                    candidate = ao + asz
+                    collision = True
+                    break
+            if not collision:
+                break
+        placed_r.append((candidate, size, first, last))
+        offs_ref.append(candidate)
+
+    assert offs_fold == offs_ref
