@@ -1286,3 +1286,69 @@ def q174_range_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 6).alias("lo"),
         F.round(F.max("o_totalprice"), 6).alias("hi"),
     )
+
+@query(
+    "q175_expectations_gate",
+    oracle="""
+    WITH checked AS (
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice <= 400000 THEN 0 ELSE 1 END AS f_price,
+               CASE WHEN o_orderstatus IN ('O', 'F') THEN 0 ELSE 1 END
+                   AS f_status,
+               CASE WHEN year(o_orderdate) <= 2000 THEN 0 ELSE 1 END
+                   AS f_fresh
+        FROM orders),
+    per_rule AS (
+        SELECT 'price_le_400k' AS rule, COUNT(*) AS n_checked,
+               CAST(SUM(f_price) AS BIGINT) AS n_failed FROM checked
+        UNION ALL
+        SELECT 'status_closed_or_open', COUNT(*),
+               CAST(SUM(f_status) AS BIGINT) FROM checked
+        UNION ALL
+        SELECT 'orderdate_le_2000', COUNT(*),
+               CAST(SUM(f_fresh) AS BIGINT) FROM checked
+        UNION ALL
+        SELECT 'ANY (quarantined)', COUNT(*),
+               CAST(SUM(CASE WHEN f_price + f_status + f_fresh > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM checked)
+    SELECT rule, n_checked, n_failed,
+           ROUND(n_failed * 1.0 / n_checked, 6) AS fail_rate
+    FROM per_rule
+    """,
+)
+def q175_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectations gate (the dbt-test / Great-Expectations
+    shape): every rule evaluates as a 0/1 column in ONE scan, per-rule
+    failure counts and the any-rule quarantine count come from one
+    aggregate unpivoted to a rule report — |rules| never multiplies the
+    scan. The quarantine row count is what a batch-admission controller
+    acts on before data reaches training."""
+    orders = read_table(spark, sf_dir, "orders")
+    f_price = F.when(F.col("o_totalprice") <= 400000, 0).otherwise(1)
+    f_status = F.when(F.col("o_orderstatus").isin("O", "F"), 0).otherwise(1)
+    f_fresh = F.when(F.year("o_orderdate") <= 2000, 0).otherwise(1)
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(f_price).cast("long").alias("p"),
+        F.sum(f_status).cast("long").alias("s"),
+        F.sum(f_fresh).cast("long").alias("fr"),
+        F.sum(
+            F.when(f_price + f_status + f_fresh > 0, 1).otherwise(0)
+        ).cast("long").alias("q"),
+    )
+    report = agg.select(
+        F.expr(
+            "stack(4, 'price_le_400k', p, 'status_closed_or_open', s, "
+            "'orderdate_le_2000', fr, 'ANY (quarantined)', q) "
+            "AS (rule, n_failed)"
+        ),
+        F.col("n").alias("n_checked"),
+    )
+    return report.select(
+        "rule",
+        "n_checked",
+        "n_failed",
+        F.round(F.col("n_failed") * 1.0 / F.col("n_checked"), 6).alias(
+            "fail_rate"
+        ),
+    )
