@@ -189,3 +189,65 @@ def q168_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         exact_sum(F.col("o_totalprice"), 2).alias("total_price"),
     )
+
+def _z_expr(a: str, b: str, bits: int = 8) -> str:
+    """Bit-interleave two ``bits``-wide ints into a Z-order key — plain
+    shift/mask arithmetic that parses identically in Spark SQL and
+    DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+@query(
+    "q176_zorder_clustering",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % 256 AS BIGINT) AS a,
+               CAST(epoch(o_orderdate) // 86400 % 256 AS BIGINT) AS b
+        FROM orders),
+    z AS (SELECT o_orderkey, a, b,
+                 CAST({_z_expr('a', 'b')} AS BIGINT) AS zkey
+          FROM keyed)
+    SELECT CAST(zkey >> 10 AS BIGINT) AS z_bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(a) AS BIGINT) AS a_min, CAST(MAX(a) AS BIGINT) AS a_max,
+           CAST(MIN(b) AS BIGINT) AS b_min, CAST(MAX(b) AS BIGINT) AS b_max,
+           CAST(MAX(a) - MIN(a) AS BIGINT) AS a_span,
+           CAST(MAX(b) - MIN(b) AS BIGINT) AS b_span
+    FROM z GROUP BY zkey >> 10
+    """,
+)
+def q176_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys (the lakehouse OPTIMIZE ZORDER technique):
+    bit-interleave customer and order-day into one sort key, then report
+    each top-6-bit Z bucket's row count and per-dimension value spans —
+    every bucket covers a SMALL RECTANGLE in (customer, day) space, so a
+    file laid out by zkey serves min/max skipping on BOTH dimensions at
+    once, where a lexicographic (customer, day) sort serves only the
+    leading one. Pure shift/mask column arithmetic, identical in both
+    engines; at 100 TB the zkey feeds repartitionByRange + sortWithinPartitions
+    at write time."""
+    orders = read_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("a"),
+        (
+            F.floor(F.unix_timestamp("o_orderdate") / 86400) % 256
+        ).cast("long").alias("b"),
+    )
+    z = keyed.withColumn("zkey", F.expr(_z_expr("a", "b")).cast("long"))
+    return z.groupBy(
+        F.shiftright(F.col("zkey"), 10).cast("long").alias("z_bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("a").alias("a_min"),
+        F.max("a").alias("a_max"),
+        F.min("b").alias("b_min"),
+        F.max("b").alias("b_max"),
+        (F.max("a") - F.min("a")).alias("a_span"),
+        (F.max("b") - F.min("b")).alias("b_span"),
+    )
