@@ -794,3 +794,93 @@ def q152_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(first_hot > 0, first_hot - 1).cast("int")
         .alias("first_hot_dim"),
     )
+
+@query(
+    "q177_nucleus_sampling",
+    oracle=f"""
+    WITH sm AS (
+        SELECT vec_id, dim,
+               ROUND(e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                          OVER (PARTITION BY vec_id) AS BIGINT)
+                          / 1000000.0), 6) AS p
+        FROM (SELECT vec_id, dim,
+                     ROUND(exp(v - MAX(v) OVER (PARTITION BY vec_id)), 6)
+                         AS e
+              FROM {_duck_coords(8)})),
+    ranked AS (
+        SELECT vec_id, dim, p,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY p DESC, dim) AS rnk,
+               CAST(SUM(CAST(ROUND(p * 1000000) AS BIGINT))
+                    OVER (PARTITION BY vec_id ORDER BY p DESC, dim
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) / 1000000.0 AS cum_p
+        FROM sm),
+    nucleus AS (
+        SELECT *,
+               CASE WHEN cum_p - p < 0.9 THEN 1 ELSE 0 END AS in_nucleus
+        FROM ranked)
+    SELECT vec_id,
+           CAST(SUM(in_nucleus) AS BIGINT) AS nucleus_size,
+           ROUND(CAST(SUM(CASE WHEN in_nucleus = 1
+                    THEN CAST(ROUND(p * 1000000) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) / 1000000.0, 6) AS nucleus_mass,
+           ROUND(MAX(CASE WHEN rnk = 1 THEN p END), 6) AS top_p1,
+           CAST(MAX(CASE WHEN rnk = 1 THEN dim END) AS INTEGER) AS top_dim
+    FROM nucleus GROUP BY vec_id
+    """,
+)
+def q177_nucleus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p, Holtzman et al. 2019) sampling analytics over the
+    classifier distributions: per vector, softmax → probability-ranked
+    cumulative mass → the smallest prefix whose mass reaches p=0.9 (a
+    token is IN the nucleus iff the cumulative mass BEFORE it is still
+    under p — the standard cutoff that always keeps the top token).
+    Reports nucleus size, its renormalizable mass, and the greedy
+    (top-1) choice — the sampling-entropy telemetry an LLM-serving or
+    distillation pipeline tracks per batch. One window partition per
+    vector; cumulative sums in exact integer units."""
+    coords = embedding_coords(spark, sf_dir, max_vec=8)
+    w = Window.partitionBy("vec_id")
+    e = F.round(F.exp(F.col("v") - F.max("v").over(w)), 6)
+    with_e = coords.withColumn("e", e)
+    denom = (
+        F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(w)
+        / 1_000_000.0
+    )
+    sm = with_e.select(
+        "vec_id", "dim", F.round(F.col("e") / denom, 6).alias("p")
+    )
+    wo = Window.partitionBy("vec_id").orderBy(F.desc("p"), "dim")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = sm.select(
+        "vec_id",
+        "dim",
+        "p",
+        F.row_number().over(wo).alias("rnk"),
+        (
+            F.sum(F.round(F.col("p") * 1_000_000).cast("long")).over(wcum)
+            / 1_000_000.0
+        ).alias("cum_p"),
+    )
+    in_nuc = F.when(F.col("cum_p") - F.col("p") < 0.9, 1).otherwise(0)
+    nucleus = ranked.withColumn("in_nucleus", in_nuc)
+    return nucleus.groupBy("vec_id").agg(
+        F.sum("in_nucleus").cast("long").alias("nucleus_size"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("in_nucleus") == 1,
+                    F.round(F.col("p") * 1_000_000).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            / 1_000_000.0,
+            6,
+        ).alias("nucleus_mass"),
+        F.round(
+            F.max(F.when(F.col("rnk") == 1, F.col("p"))), 6
+        ).alias("top_p1"),
+        F.max(F.when(F.col("rnk") == 1, F.col("dim")))
+        .cast("int")
+        .alias("top_dim"),
+    )
