@@ -1549,3 +1549,92 @@ def q117_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6
         ).alias("centroid_cosine"),
     )
+
+_BUCKETS_SQL = f"""(
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, p) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS bucket
+    FROM (SELECT vec_id, p,
+                 CAST(SUM(CAST(ROUND(
+                     CASE WHEN substr(md5(p || ':' || dim), 1, 1) >= '8'
+                          THEN -v ELSE v END * 1000000000) AS BIGINT))
+                     AS BIGINT) / 1000000000.0 AS s
+          FROM {_duck_coords(None)} c,
+               (SELECT unnest(range({N_PLANES})) AS p) planes
+          GROUP BY vec_id, p)
+    GROUP BY vec_id)"""
+
+
+@query(
+    "q178_multiprobe_lsh",
+    oracle=f"""
+    WITH buckets AS (SELECT * FROM {_BUCKETS_SQL} b),
+    q AS (SELECT vec_id AS query_id, bucket FROM buckets
+          WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, q.bucket AS own_bucket,
+               CASE WHEN p = -1 THEN q.bucket
+                    ELSE q.bucket
+                         + (1 - 2 * ((q.bucket >> p) & 1))
+                           * CAST(pow(2, p) AS BIGINT) END AS probe_bucket
+        FROM q, (SELECT unnest(range(-1, {N_PLANES})) AS p) ps),
+    cand AS (
+        SELECT pr.query_id, pr.own_bucket, pr.probe_bucket, b.vec_id
+        FROM probes pr JOIN buckets b ON b.bucket = pr.probe_bucket
+        WHERE b.vec_id != pr.query_id)
+    SELECT query_id,
+           CAST(SUM(CASE WHEN probe_bucket = own_bucket
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_single_probe,
+           COUNT(*) AS n_multi_probe,
+           CAST(COUNT(DISTINCT probe_bucket) AS BIGINT)
+               AS n_nonempty_buckets
+    FROM cand GROUP BY query_id
+    """,
+)
+def q178_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al. 2007): each query probes its own
+    hyperplane bucket PLUS the 8 one-bit-flip neighbors — the standard
+    recall lever that multiplies candidates ~(1+bits)× without touching
+    index size (the alternative, more tables, multiplies memory). The
+    report compares single-probe vs multi-probe candidate counts per
+    query. Probe set is queries×9 rows (broadcast); the corpus index is
+    probed by ONE equi-join on bucket — the flip arithmetic is plain
+    shift/mask shared verbatim with the oracle."""
+    buckets = lsh_bucket_assignment(spark, sf_dir)
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("own_bucket")
+    )
+    ps = buckets.sparkSession.range(-1, N_PLANES).select(
+        F.col("id").cast("int").alias("p")
+    )
+    flip = F.expr(
+        "own_bucket + (1 - 2 * (shiftright(own_bucket, p) & 1)) "
+        "* cast(pow(2, p) as bigint)"
+    )
+    probes = (
+        q.join(F.broadcast(ps))
+        .select(
+            "query_id",
+            "own_bucket",
+            F.when(F.col("p") == -1, F.col("own_bucket"))
+            .otherwise(flip)
+            .alias("probe_bucket"),
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            buckets.withColumnRenamed("bucket", "probe_bucket"),
+            "probe_bucket",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    return cand.groupBy("query_id").agg(
+        F.sum(
+            F.when(F.col("probe_bucket") == F.col("own_bucket"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_single_probe"),
+        F.count("*").alias("n_multi_probe"),
+        F.countDistinct("probe_bucket").alias("n_nonempty_buckets"),
+    )
