@@ -580,3 +580,81 @@ def q127_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fp_rate"),
     )
+
+_HRW_SHARDS = 4
+
+
+@query(
+    "q179_rendezvous_sharding",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id, s,
+               md5(CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))
+                   AS h
+        FROM documents,
+             (SELECT unnest(range({_HRW_SHARDS + 1})) AS s) shards),
+    pick4 AS (
+        SELECT doc_id,
+               MIN(CASE WHEN rnk = 1 THEN s END) AS shard4
+        FROM (SELECT doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, s) AS rnk
+              FROM scores WHERE s < {_HRW_SHARDS})
+        GROUP BY doc_id),
+    pick5 AS (
+        SELECT doc_id,
+               MIN(CASE WHEN rnk = 1 THEN s END) AS shard5
+        FROM (SELECT doc_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY h DESC, s) AS rnk
+              FROM scores)
+        GROUP BY doc_id)
+    SELECT CAST(p4.shard4 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN p5.shard5 != p4.shard4
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_on_grow,
+           ROUND(SUM(CASE WHEN p5.shard5 != p4.shard4
+                     THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS move_frac
+    FROM pick4 p4 JOIN pick5 p5 USING (doc_id)
+    GROUP BY p4.shard4
+    """,
+)
+def q179_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding next to q113's
+    mod-hash: each record goes to the shard with the highest
+    md5(shard:doc) score, so GROWING the cluster from 4 to 5 shards
+    moves ONLY the records the new shard now wins (~1/5) — mod-hash
+    would reshuffle ~4/5 of the corpus. The report proves the property:
+    per-shard counts plus the measured movement fraction under growth.
+    Scoring is a doc×(shards+1) projection (shards is a constant-width
+    fan-out, not a join), one window per doc picks the winner."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    shards = docs.sparkSession.range(_HRW_SHARDS + 1).select(
+        F.col("id").cast("int").alias("s")
+    )
+    scores = docs.join(F.broadcast(shards)).select(
+        "doc_id",
+        "s",
+        F.md5(
+            F.concat_ws(":", F.col("s").cast("string"),
+                        F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("h"), "s")
+
+    def pick(df: DataFrame, col: str) -> DataFrame:
+        return (
+            df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("doc_id", F.col("s").alias(col))
+        )
+
+    p4 = pick(scores.filter(F.col("s") < _HRW_SHARDS), "shard4")
+    p5 = pick(scores, "shard5")
+    j = p4.join(p5, "doc_id")
+    moved = F.when(F.col("shard5") != F.col("shard4"), 1).otherwise(0)
+    return j.groupBy(F.col("shard4").cast("int").alias("shard")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(moved).cast("long").alias("n_moved_on_grow"),
+        F.round(F.sum(moved) * 1.0 / F.count("*"), 6).alias("move_frac"),
+    )
