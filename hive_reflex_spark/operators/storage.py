@@ -251,3 +251,74 @@ def q176_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("a") - F.min("a")).alias("a_span"),
         (F.max("b") - F.min("b")).alias("b_span"),
     )
+
+@query(
+    "q180_snapshot_diff",
+    oracle="""
+    WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+    b AS (SELECT doc_id,
+                 CASE WHEN doc_id % 89 = 0 THEN md5(text || ' rev2')
+                      ELSE md5(text) END AS h
+          FROM documents WHERE doc_id % 97 != 0
+          UNION ALL
+          SELECT doc_id + 1000000, md5(text || ' new')
+          FROM documents WHERE doc_id % 101 = 0),
+    d AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+                 CASE WHEN b.doc_id IS NULL THEN 'removed'
+                      WHEN a.doc_id IS NULL THEN 'added'
+                      WHEN a.h != b.h THEN 'changed'
+                      ELSE 'unchanged' END AS change
+          FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT change, COUNT(*) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM d GROUP BY change
+    """,
+)
+def q180_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC change detection (the audit behind every
+    Delta-style MERGE): two table versions compared by row-hash on the
+    key — one FULL OUTER join classifies every key as added / removed /
+    changed / unchanged, and per-class counts + id checksums make the
+    diff verifiable without shipping rows. Snapshot B is derived
+    deterministically from A (every 97th doc deleted, every 89th
+    revised, every 101st re-keyed as a new arrival) so both engines
+    reconstruct the same pair. At 100 TB both
+    sides pre-reduce to (key, hash) before the join — the shuffle moves
+    32-byte digests, not documents."""
+    docs = read_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.md5("text").alias("h"))
+    b = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" rev2"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("h"),
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("a.h") != F.col("b.h"), "changed")
+        .otherwise("unchanged")
+    )
+    d = j.select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        change.alias("change"),
+    )
+    return d.groupBy("change").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    )
