@@ -157,6 +157,23 @@ PICKS = {
         "so the second pass moves ~175 rows, not the joined fact "
         "stream."
     ),
+    "q173_hybrid_rerank": (
+        "Two-stage retrieval: BM25's inverted-index top-K is the only "
+        "corpus-scale work; the rerank stage touches K candidate rows "
+        "joined against a broadcast 64-row query centroid. Look for the "
+        "candidate set riding as BroadcastExchange into the coordinate "
+        "join — the corpus embedding table never shuffles."
+    ),
+    "q176_zorder_clustering": (
+        "Z-order key is pure shift/mask column arithmetic inside "
+        "whole-stage codegen — no UDF, no join; one hash aggregate "
+        "produces the per-bucket rectangle proof."
+    ),
+    "q178_multiprobe_lsh": (
+        "Multi-probe ANN: the queries x 9 probe table broadcasts; the "
+        "bucket index is touched by ONE equi-join — candidates multiply "
+        "~9x, shuffle volume stays O(collisions)."
+    ),
     "q159_buffer_allocation": (
         "Aggregate-then-replay for the memory planner: liveness is one "
         "grouped min/max over events; the inherently sequential "
