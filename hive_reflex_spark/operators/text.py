@@ -1019,3 +1019,79 @@ def q141_grouped_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss.alias("sumsq_chars"),
         (n * ss - tot * tot).cast("long").alias("nsq_var"),
     )
+
+_HEAPS_DECILES = 10
+
+
+@query(
+    "q181_vocab_growth",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+    nmax AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+    firsts AS (
+        SELECT w, MIN(doc_id) AS first_doc FROM words GROUP BY w),
+    toks AS (
+        SELECT CAST(FLOOR(doc_id * {_HEAPS_DECILES} * 1.0 / n) AS INT)
+                   AS decile,
+               COUNT(*) AS n_tokens
+        FROM words, nmax GROUP BY 1),
+    vocab AS (
+        SELECT CAST(FLOOR(first_doc * {_HEAPS_DECILES} * 1.0 / n) AS INT)
+                   AS decile,
+               COUNT(*) AS n_new_types
+        FROM firsts, nmax GROUP BY 1)
+    SELECT t.decile,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(SUM(t.n_tokens) OVER (ORDER BY t.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens,
+           CAST(COALESCE(v.n_new_types, 0) AS BIGINT) AS n_new_types,
+           CAST(SUM(COALESCE(v.n_new_types, 0)) OVER (ORDER BY t.decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_vocab
+    FROM toks t LEFT JOIN vocab v ON t.decile = v.decile
+    """,
+)
+def q181_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law QA): cumulative distinct word
+    types vs cumulative tokens over corpus prefixes (doc-id deciles). A
+    healthy natural corpus grows ~n^0.5-0.8; a flat curve means
+    boilerplate/duplication, a linear one means noise — the
+    corpus-health read every tokenizer-training run checks first.
+    Single-scan shape: each type contributes ONE row at its
+    first-occurrence doc (min(doc_id) per word), so the curve needs no
+    per-prefix rescans; cumulative sums run over the 10-row decile
+    rollup."""
+    words = doc_words(spark, sf_dir).select("doc_id", "w")
+    docs = read_table(spark, sf_dir, "documents")
+    nmax = docs.agg((F.max("doc_id") + 1).alias("n"))
+    decile_of = lambda c: (  # noqa: E731
+        F.floor(F.col(c) * float(_HEAPS_DECILES) / F.col("n")).cast("int")
+    )
+    toks = (
+        words.join(F.broadcast(nmax))
+        .groupBy(decile_of("doc_id").alias("decile"))
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .join(F.broadcast(nmax))
+        .groupBy(decile_of("first_doc").alias("decile"))
+        .agg(F.count("*").alias("n_new_types"))
+    )
+    j = toks.join(vocab, "decile", "left").select(
+        "decile",
+        "n_tokens",
+        F.coalesce("n_new_types", F.lit(0)).alias("n_new_types"),
+    )
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "decile",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        "n_new_types",
+        F.sum("n_new_types").over(w).alias("cum_vocab"),
+    )
