@@ -1095,3 +1095,70 @@ def q181_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_types",
         F.sum("n_new_types").over(w).alias("cum_vocab"),
     )
+
+_COV_VOCAB = 512
+
+
+def _cov_split_sql() -> str:
+    from hive_reflex_spark.operators.sampling import _SPLIT_SQL
+
+    return _SPLIT_SQL
+
+
+_COV_SPLIT_SQL = _cov_split_sql()
+
+
+@query(
+    "q182_vocab_coverage",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+    freqs AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words
+              GROUP BY w),
+    vocab AS (SELECT w FROM freqs
+              ORDER BY freq DESC, w LIMIT {_COV_VOCAB}),
+    tagged AS (
+        SELECT {_COV_SPLIT_SQL} AS split,
+               words.w, v.w IS NOT NULL AS in_vocab
+        FROM words LEFT JOIN vocab v ON words.w = v.w)
+    SELECT split, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_oov_tokens,
+           ROUND(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) * 1.0 / COUNT(*),
+                 6) AS oov_rate,
+           CAST(COUNT(DISTINCT CASE WHEN NOT in_vocab THEN w END) AS BIGINT)
+               AS n_oov_types
+    FROM tagged GROUP BY split
+    """,
+)
+def q182_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-vocabulary coverage QA: fix the top-512-by-frequency word
+    vocabulary and measure each q85 split's OOV token rate and distinct
+    OOV types — the held-out-coverage check that sizes a vocabulary
+    before committing a tokenizer (an OOV rate that jumps on val/test
+    means the vocab memorized the head of a skewed corpus). The vocab is
+    bounded by construction and broadcasts; the corpus stream takes one
+    left join and one grouped aggregate."""
+    from hive_reflex_spark.operators.sampling import _split_col
+
+    words = doc_words(spark, sf_dir).select("doc_id", "w")
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(_COV_VOCAB)
+        .select("w", F.lit(1).alias("iv"))
+    )
+    tagged = words.join(F.broadcast(vocab), "w", "left").select(
+        _split_col().alias("split"),
+        "w",
+        F.col("iv").isNotNull().alias("in_vocab"),
+    )
+    oov = F.when(F.col("in_vocab"), 0).otherwise(1)
+    return tagged.groupBy("split").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(oov).cast("long").alias("n_oov_tokens"),
+        F.round(F.sum(oov) * 1.0 / F.count("*"), 6).alias("oov_rate"),
+        F.countDistinct(
+            F.when(~F.col("in_vocab"), F.col("w"))
+        ).alias("n_oov_types"),
+    )
