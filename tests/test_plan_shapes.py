@@ -459,3 +459,28 @@ def test_q167_preaggregates_before_outer_join(spark, sf_smoke):
     assert plan.count("HashAggregate", join_pos) >= 4, (
         "aggregation above the join — facts would shuffle raw"
     )
+
+
+def test_q182_vocab_broadcasts_into_corpus_join(spark, sf_smoke):
+    """Coverage QA's scale claim: the bounded top-512 vocab rides as a
+    broadcast into the corpus left join — the token stream never
+    shuffles for membership."""
+    plan = plan_of(spark, "q182_vocab_coverage", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan, "vocab cutoff lost its top-k"
+
+
+def test_q178_probe_set_broadcasts(spark, sf_smoke):
+    """Multi-probe LSH: the queries x 9 probe table must broadcast; the
+    bucket index is touched by one equi-join, no cartesian product."""
+    plan = plan_of(spark, "q178_multiprobe_lsh", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q180_diff_is_one_full_outer_join(spark, sf_smoke):
+    """Snapshot diff: exactly one FullOuter join over digest-narrow
+    inputs; no cartesian products."""
+    plan = plan_of(spark, "q180_snapshot_diff", sf_smoke)
+    assert plan.count("FullOuter") >= 1
+    assert "CartesianProduct" not in plan
