@@ -1352,3 +1352,64 @@ def q175_expectations_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fail_rate"
         ),
     )
+
+_SHRINK_K = 200  # pseudo-count: cells with n >> k keep their own mean
+
+
+@query(
+    "q183_shrunk_group_means",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS units
+        FROM events GROUP BY 1, 2),
+    g AS (SELECT CAST(SUM(units) AS BIGINT) AS gu,
+                 CAST(SUM(n) AS BIGINT) AS gn FROM cells)
+    SELECT event_type, hr, n,
+           ROUND(units / 1000000.0 / n, 6) AS raw_mean,
+           ROUND((units / 1000000.0 + {_SHRINK_K} * (gu / 1000000.0 / gn))
+                 / (n + {_SHRINK_K}), 6) AS shrunk_mean,
+           ROUND(n * 1.0 / (n + {_SHRINK_K}), 6) AS own_weight
+    FROM cells, g
+    """,
+)
+def q183_shrunk_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage for small-cell metrics (the James-Stein
+    move every per-segment dashboard needs): each (event_type, hour)
+    cell's mean is pulled toward the global mean with pseudo-count k —
+    thin cells report the prior, fat cells their own data, and the
+    own-weight column shows exactly how much each cell is trusted.
+    One grouped aggregate to |cells| rows, the 1-row global prior
+    re-enters as a broadcast; all sums in exact integer units so the
+    blended doubles hash-match."""
+    events = read_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hr")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("units"),
+    )
+    g = cells.agg(
+        F.sum("units").cast("long").alias("gu"),
+        F.sum("n").cast("long").alias("gn"),
+    )
+    j = cells.join(F.broadcast(g))
+    gmean = F.col("gu") / 1_000_000.0 / F.col("gn")
+    return j.select(
+        "event_type",
+        "hr",
+        "n",
+        F.round(F.col("units") / 1_000_000.0 / F.col("n"), 6).alias(
+            "raw_mean"
+        ),
+        F.round(
+            (F.col("units") / 1_000_000.0 + _SHRINK_K * gmean)
+            / (F.col("n") + _SHRINK_K),
+            6,
+        ).alias("shrunk_mean"),
+        F.round(F.col("n") * 1.0 / (F.col("n") + _SHRINK_K), 6).alias(
+            "own_weight"
+        ),
+    )
