@@ -1413,3 +1413,59 @@ def q183_shrunk_group_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "own_weight"
         ),
     )
+
+_DECAY_LAMBDA_H = 0.01  # per-hour decay rate
+
+
+@query(
+    "q184_decayed_popularity",
+    oracle=f"""
+    WITH ref AS (SELECT MAX(epoch_us(ts)) AS t_max FROM events),
+    terms AS (
+        SELECT user_id,
+               CAST(ROUND(exp(-{_DECAY_LAMBDA_H}
+                    * ((t_max - epoch_us(ts)) / 3600000000.0)) * 1000000)
+                   AS BIGINT) AS term_units
+        FROM events, ref)
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(term_units) AS BIGINT) / 1000000.0, 6)
+               AS decayed_score,
+           ROUND(CAST(SUM(term_units) AS BIGINT) / 1000000.0 / COUNT(*), 6)
+               AS freshness
+    FROM terms GROUP BY user_id
+    """,
+)
+def q184_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed popularity (the trending score):
+    score(u) = Σ exp(−λ·age_hours) over u's events, anchored to the
+    corpus max timestamp so the metric is replay-deterministic. Each
+    decay term rounds to 6dp integer units BEFORE the sum (the q95
+    discipline), so the order-independent total hash-matches; freshness
+    = score/n separates 'recently active' from 'merely prolific'. One
+    scan, one grouped aggregate — and because exp(−λ(a+b)) =
+    exp(−λa)·exp(−λb), the same score maintains incrementally by
+    multiplying a stored score by the batch-boundary decay factor."""
+    events = read_table(spark, sf_dir, "events")
+    ref = events.agg(F.max(F.unix_micros("ts")).alias("t_max"))
+    terms = events.join(F.broadcast(ref)).select(
+        "user_id",
+        F.round(
+            F.exp(
+                -_DECAY_LAMBDA_H
+                * (
+                    (F.col("t_max") - F.unix_micros("ts"))
+                    / 3_600_000_000.0
+                )
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("term_units"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("term_units") / 1_000_000.0, 6).alias("decayed_score"),
+        F.round(F.sum("term_units") / 1_000_000.0 / F.count("*"), 6).alias(
+            "freshness"
+        ),
+    )

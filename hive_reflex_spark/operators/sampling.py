@@ -658,3 +658,95 @@ def q179_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(moved).cast("long").alias("n_moved_on_grow"),
         F.round(F.sum(moved) * 1.0 / F.count("*"), 6).alias("move_frac"),
     )
+
+_NEG_K = 4
+_NEG_QUERY_DOCS = 100
+# 8 hex digits of md5 decoded positionally to a 32-bit int — the q127
+# technique; the SAME expression text runs in Spark SQL and DuckDB.
+_HEX8 = "((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * CAST(268435456 AS BIGINT) + (instr('0123456789abcdef', substr(h, 2, 1)) - 1) * CAST(16777216 AS BIGINT) + (instr('0123456789abcdef', substr(h, 3, 1)) - 1) * CAST(1048576 AS BIGINT) + (instr('0123456789abcdef', substr(h, 4, 1)) - 1) * CAST(65536 AS BIGINT) + (instr('0123456789abcdef', substr(h, 5, 1)) - 1) * CAST(4096 AS BIGINT) + (instr('0123456789abcdef', substr(h, 6, 1)) - 1) * CAST(256 AS BIGINT) + (instr('0123456789abcdef', substr(h, 7, 1)) - 1) * CAST(16 AS BIGINT) + (instr('0123456789abcdef', substr(h, 8, 1)) - 1) * CAST(1 AS BIGINT))"
+
+
+@query(
+    "q185_negative_sampling",
+    oracle=f"""
+    WITH n AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS nd FROM documents),
+    anchors AS (SELECT doc_id AS anchor, source AS anchor_source
+                FROM documents WHERE doc_id < {_NEG_QUERY_DOCS}),
+    hashed AS (
+        SELECT anchor, anchor_source, CAST(j AS INTEGER) AS j,
+               md5(CAST(anchor AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS h
+        FROM anchors, (SELECT unnest(range({_NEG_K})) AS j) ks),
+    negs AS (
+        SELECT anchor, anchor_source, j,
+               (anchor + 1 + CAST({_HEX8} AS BIGINT) % (nd - 1)) % nd
+                   AS neg_id
+        FROM hashed, n)
+    SELECT anchor, anchor_source, j, neg_id,
+           d.source AS neg_source,
+           CAST(neg_id != anchor AS BOOLEAN) AS valid
+    FROM negs JOIN documents d ON d.doc_id = negs.neg_id
+    """,
+)
+def q185_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each anchor doc gets K pseudo-random negatives via
+    neg = (anchor + 1 + md5int(anchor:j) mod (N−1)) mod N — uniform over
+    the other N−1 docs and structurally never the anchor itself (the
+    'valid' column hash-proves it), reproducible on any cluster with no
+    RNG state; the 32-bit hash int is the positionally-decoded md5
+    prefix, the SAME expression text in both engines. The join back to
+    documents fetches the negative's metadata; at 100 TB the anchor×K
+    fan-out is a projection and the only shuffle is the equi-join on
+    neg_id."""
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.agg((F.max("doc_id") + 1).cast("long").alias("nd"))
+    anchors = docs.filter(F.col("doc_id") < _NEG_QUERY_DOCS).select(
+        F.col("doc_id").alias("anchor"), F.col("source").alias("anchor_source")
+    )
+    ks = docs.sparkSession.range(_NEG_K).select(
+        F.col("id").cast("int").alias("j")
+    )
+    hashed = (
+        anchors.join(F.broadcast(ks))
+        .join(F.broadcast(n))
+        .select(
+            "anchor",
+            "anchor_source",
+            "j",
+            "nd",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor").cast("string"),
+                    F.col("j").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    negs = hashed.select(
+        "anchor",
+        "anchor_source",
+        "j",
+        (
+            (
+                F.col("anchor")
+                + 1
+                + F.expr(_HEX8).cast("long") % (F.col("nd") - 1)
+            )
+            % F.col("nd")
+        ).alias("neg_id"),
+    )
+    return negs.join(
+        docs.select(
+            F.col("doc_id").alias("neg_id"),
+            F.col("source").alias("neg_source"),
+        ),
+        "neg_id",
+    ).select(
+        "anchor",
+        "anchor_source",
+        "j",
+        "neg_id",
+        "neg_source",
+        (F.col("neg_id") != F.col("anchor")).alias("valid"),
+    )
