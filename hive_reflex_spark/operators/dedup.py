@@ -780,3 +780,70 @@ def q115_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "chunk_hash")
         .limit(CDC_TOP_K)
     )
+
+@query(
+    "q186_source_overlap",
+    oracle=f"""
+    WITH dsh AS {_DUCK_DSH},
+    ssh AS (SELECT DISTINCT d.source, dsh.shingle
+            FROM dsh JOIN documents d USING (doc_id)),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ssh GROUP BY source),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(COUNT(*) AS BIGINT) AS shared
+              FROM ssh a JOIN ssh b
+                ON a.shingle = b.shingle AND a.source < b.source
+              GROUP BY a.source, b.source)
+    SELECT source_a, source_b, shared,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(shared * 1.0 / (sa.n + sb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+    """,
+)
+def q186_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-SOURCE duplication forensics: the shingle-overlap Jaccard
+    between every pair of corpus sources — the crawl-provenance view
+    doc-level dedup can't give (two feeds syndicating the same wire copy
+    show up here before any doc pair is examined). The shingle set
+    collapses to DISTINCT (source, shingle) first, so the self-join is
+    |sources|-bounded per shingle (≤ |sources|² rows per shingle, not
+    df²), and the output is the |sources|²/2-row matrix — driver-tiny at
+    any corpus size."""
+    dsh = distinct_shingles(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ssh = dsh.join(docs, "doc_id").select("source", "shingle").distinct()
+    sizes = ssh.groupBy("source").agg(F.count("*").alias("n"))
+    pairs = (
+        ssh.alias("a")
+        .join(
+            ssh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(sa, F.col("source_a") == F.col("sa.source"))
+        .join(sb, F.col("source_b") == F.col("sb.source"))
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+            F.round(
+                F.col("shared")
+                * 1.0
+                / (F.col("sa.n") + F.col("sb.n") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
