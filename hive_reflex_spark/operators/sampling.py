@@ -750,3 +750,93 @@ def q185_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neg_source",
         (F.col("neg_id") != F.col("anchor")).alias("valid"),
     )
+
+@query(
+    "q187_triplet_dataset",
+    oracle=f"""
+    WITH dsh_all AS (SELECT DISTINCT doc_id, shingle
+                     FROM (SELECT doc_id,
+                                  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                      AS shingle
+                           FROM (SELECT doc_id,
+                                        string_split(text, ' ') AS ws
+                                 FROM documents),
+                                LATERAL unnest(range(1, GREATEST(len(ws) - 1,
+                                                                 1))) AS t(i)
+                           WHERE len(ws) >= 3) sh),
+    dsh AS (SELECT * FROM dsh_all WHERE shingle NOT IN
+            (SELECT shingle FROM dsh_all
+             GROUP BY shingle HAVING COUNT(*) > 128)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS i
+              FROM dsh a JOIN dsh b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    verified AS (SELECT doc_a, doc_b FROM pairs
+                 JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id
+                 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5),
+    anchors AS (SELECT doc_a AS anchor, MIN(doc_b) AS positive
+                FROM verified GROUP BY doc_a),
+    n AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS nd FROM documents),
+    hashed AS (SELECT anchor, positive, CAST(j AS INTEGER) AS j,
+                      md5(CAST(anchor AS VARCHAR) || ':'
+                          || CAST(j AS VARCHAR)) AS h
+               FROM anchors, (SELECT unnest(range({_NEG_K})) AS j) ks)
+    SELECT anchor, positive, j,
+           (anchor + 1 + CAST({_HEX8} AS BIGINT) % (nd - 1)) % nd
+               AS neg_id
+    FROM hashed, n
+    """,
+)
+def q187_triplet_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contrastive-training data generator end-to-end: POSITIVES are
+    verified near-duplicate partners (exact Jaccard >= 0.5 over the
+    capped shingle universe — q47's machinery; first partner per anchor
+    for determinism) and NEGATIVES are q185's RNG-free hashed draws —
+    (anchor, positive, K negatives) triplets, the dataset an embedding
+    model trains on. Everything is a pure function of the corpus, so
+    the triplet set is reproducible on any cluster and the oracle
+    rebuilds it from scratch."""
+    from hive_reflex_spark.operators.dedup import q47_jaccard_pairs
+
+    verified = q47_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    anchors = verified.groupBy(F.col("doc_a").alias("anchor")).agg(
+        F.min("doc_b").alias("positive")
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    n = docs.agg((F.max("doc_id") + 1).cast("long").alias("nd"))
+    ks = docs.sparkSession.range(_NEG_K).select(
+        F.col("id").cast("int").alias("j")
+    )
+    hashed = (
+        anchors.join(F.broadcast(ks))
+        .join(F.broadcast(n))
+        .select(
+            "anchor",
+            "positive",
+            "j",
+            "nd",
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor").cast("string"),
+                    F.col("j").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    return hashed.select(
+        "anchor",
+        "positive",
+        "j",
+        (
+            (
+                F.col("anchor")
+                + 1
+                + F.expr(_HEX8).cast("long") % (F.col("nd") - 1)
+            )
+            % F.col("nd")
+        ).alias("neg_id"),
+    )
