@@ -1469,3 +1469,48 @@ def q184_decayed_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freshness"
         ),
     )
+
+@query(
+    "q188_join_skew_profile",
+    oracle="""
+    WITH freq AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS f
+                  FROM lineitem GROUP BY l_orderkey),
+    fof AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM freq GROUP BY f),
+    stats AS (SELECT CAST(MAX(f) AS BIGINT) AS max_f,
+                     CAST(SUM(f) AS BIGINT) AS total_rows,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct
+              FROM freq)
+    SELECT fof.f AS rows_per_key, fof.n_keys,
+           CAST(fof.f * fof.n_keys AS BIGINT) AS rows_covered,
+           stats.max_f,
+           ROUND(stats.max_f * stats.n_distinct * 1.0 / stats.total_rows, 6)
+               AS skew_factor
+    FROM fof, stats
+    """,
+)
+def q188_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnosis: the frequency-of-frequencies histogram of
+    the join key (how many keys carry 1, 2, ... rows) plus the skew
+    factor max/mean — the number that decides between a plain hash join,
+    AQE skew splitting, and explicit salting (q142) BEFORE the shuffle
+    is paid. Two cheap aggregates: rows→per-key counts→histogram; the
+    3-value stats row broadcasts into the report."""
+    li = read_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy("l_orderkey").agg(F.count("*").alias("f"))
+    fof = freq.groupBy("f").agg(F.count("*").alias("n_keys"))
+    stats = freq.agg(
+        F.max("f").alias("max_f"),
+        F.sum("f").cast("long").alias("total_rows"),
+        F.count("*").alias("n_distinct"),
+    )
+    return fof.join(F.broadcast(stats)).select(
+        F.col("f").alias("rows_per_key"),
+        "n_keys",
+        (F.col("f") * F.col("n_keys")).cast("long").alias("rows_covered"),
+        "max_f",
+        F.round(
+            F.col("max_f") * F.col("n_distinct") * 1.0 / F.col("total_rows"),
+            6,
+        ).alias("skew_factor"),
+    )
