@@ -1514,3 +1514,131 @@ def q188_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("skew_factor"),
     )
+
+@query(
+    "q189_ab_test_readout",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                   AS arm,
+               CAST(MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        FROM events GROUP BY user_id),
+    arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                    CAST(SUM(converted) AS BIGINT) AS n_conv
+             FROM assign GROUP BY arm),
+    wide AS (SELECT
+                 MAX(CASE WHEN arm = 'A' THEN n_users END) AS na,
+                 MAX(CASE WHEN arm = 'A' THEN n_conv END) AS ca,
+                 MAX(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+                 MAX(CASE WHEN arm = 'B' THEN n_conv END) AS cb
+             FROM arms)
+    SELECT na AS n_a, ca AS conv_a, ROUND(ca * 1.0 / na, 6) AS rate_a,
+           nb AS n_b, cb AS conv_b, ROUND(cb * 1.0 / nb, 6) AS rate_b,
+           ROUND(cb * 1.0 / nb - ca * 1.0 / na, 6) AS abs_lift,
+           ROUND((cb * 1.0 / nb - ca * 1.0 / na)
+                 / sqrt(((ca + cb) * 1.0 / (na + nb))
+                        * (1 - (ca + cb) * 1.0 / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z_score
+    FROM wide
+    """,
+)
+def q189_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experimentation readout: users split into arms by id parity
+    (the deterministic stand-in for an assignment service), per-arm
+    conversion = 'did the user ever purchase', and the pooled
+    two-proportion z-statistic for the lift — computed entirely from
+    exact integer counts so the single-row report hash-matches. Scale
+    shape: one per-user aggregate (the only event-scale work) then a
+    2-row arm rollup pivoted wide."""
+    events = read_table(spark, sf_dir, "events")
+    assign = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("converted")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "converted",
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_conv"))).alias("cb"),
+    )
+    ra = F.col("ca") * 1.0 / F.col("na")
+    rb = F.col("cb") * 1.0 / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")) * 1.0 / (F.col("na") + F.col("nb"))
+    return wide.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.round(ra, 6).alias("rate_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(rb - ra, 6).alias("abs_lift"),
+        F.round(
+            (rb - ra)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "q190_time_to_convert",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT user_id, MIN(epoch_us(ts)) AS t_buy
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    d AS (SELECT v.user_id,
+                 (p.t_buy - v.t_view) / 3600000000.0 AS hours
+          FROM v JOIN p USING (user_id) WHERE p.t_buy >= v.t_view)
+    SELECT COUNT(*) AS n_converters,
+           ROUND(quantile_cont(hours, 0.5), 6) AS p50_hours,
+           ROUND(quantile_cont(hours, 0.9), 6) AS p90_hours,
+           ROUND(MIN(hours), 6) AS min_hours,
+           ROUND(MAX(hours), 6) AS max_hours
+    FROM d
+    """,
+)
+def q190_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert latency distribution: first view → first purchase
+    per user, with exact interpolated p50/p90 over the per-user gaps —
+    the funnel-velocity number next to q119's conversion counts. Both
+    first-touch times come from ONE grouped min each (no ordering over
+    raw events), the join is |users|-sized, and the percentile contract
+    matches q116 (Spark `percentile` == DuckDB `quantile_cont` on
+    identical doubles)."""
+    events = read_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_view"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_buy"))
+    )
+    d = (
+        v.join(p, "user_id")
+        .filter(F.col("t_buy") >= F.col("t_view"))
+        .select(
+            ((F.col("t_buy") - F.col("t_view")) / 3_600_000_000.0).alias(
+                "hours"
+            )
+        )
+    )
+    return d.agg(
+        F.count("*").alias("n_converters"),
+        F.round(F.expr("percentile(hours, 0.5)"), 6).alias("p50_hours"),
+        F.round(F.expr("percentile(hours, 0.9)"), 6).alias("p90_hours"),
+        F.round(F.min("hours"), 6).alias("min_hours"),
+        F.round(F.max("hours"), 6).alias("max_hours"),
+    )
