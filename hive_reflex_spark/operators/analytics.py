@@ -1642,3 +1642,137 @@ def q190_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("hours"), 6).alias("min_hours"),
         F.round(F.max("hours"), 6).alias("max_hours"),
     )
+
+_BOT_MIN_EVENTS = 20
+
+
+@query(
+    "q191_bot_regularity",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id,
+               (epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id)) // 1000
+                   AS gap_ms
+        FROM events),
+    m AS (SELECT user_id, CAST(COUNT(gap_ms) AS BIGINT) AS n,
+                 CAST(SUM(gap_ms) AS BIGINT) AS s,
+                 CAST(SUM(gap_ms * gap_ms) AS BIGINT) AS ss
+          FROM gaps WHERE gap_ms IS NOT NULL GROUP BY user_id
+          HAVING COUNT(gap_ms) >= {_BOT_MIN_EVENTS})
+    SELECT user_id, n,
+           ROUND(s * 1.0 / n / 1000.0, 6) AS mean_gap_s,
+           ROUND(sqrt((ss * 1.0 / n) - (s * 1.0 / n) * (s * 1.0 / n))
+                 / 1000.0, 6) AS std_gap_s,
+           ROUND(sqrt((ss * 1.0 / n) - (s * 1.0 / n) * (s * 1.0 / n))
+                 / (s * 1.0 / n), 6) AS cv,
+           CAST(sqrt((ss * 1.0 / n) - (s * 1.0 / n) * (s * 1.0 / n))
+                / (s * 1.0 / n) < 0.1 AS BOOLEAN) AS bot_flag
+    FROM m
+    """,
+)
+def q191_bot_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by inter-event gap regularity: a human's
+    gaps are bursty (coefficient of variation near or above 1), a
+    scheduled client's are metronomic (CV → 0). Per user: exact-integer
+    moment sums over the lag-gap series (the q123 discipline — n, Σgap,
+    Σgap² as BIGINTs, division only at the end) → mean/std/CV and a
+    CV<0.1 flag. One window for the lag, one grouped aggregate; gaps
+    quantize to integer milliseconds so the moment sums stay exact
+    within int64."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = events.select(
+        "user_id",
+        F.floor((F.col("t") - F.lag("t").over(w)) / 1000).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    # moments in integer MILLISECONDS: µs² overflows int64 on hour-scale
+    # gaps; ms² stays < 2^53 per term and the sums stay in-range
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("gap_ms").cast("long").alias("s"),
+            F.sum(F.col("gap_ms") * F.col("gap_ms")).cast("long").alias("ss"),
+        )
+        .filter(F.col("n") >= _BOT_MIN_EVENTS)
+    )
+    mean = F.col("s") * 1.0 / F.col("n")
+    var = (F.col("ss") * 1.0 / F.col("n")) - mean * mean
+    cv = F.sqrt(var) / mean
+    return m.select(
+        "user_id",
+        "n",
+        F.round(mean / 1_000.0, 6).alias("mean_gap_s"),
+        F.round(F.sqrt(var) / 1_000.0, 6).alias("std_gap_s"),
+        F.round(cv, 6).alias("cv"),
+        (cv < 0.1).alias("bot_flag"),
+    )
+
+
+@query(
+    "q192_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(MIN(epoch_us(ts)) // 604800000000 AS BIGINT)
+                   AS cohort_week
+        FROM events GROUP BY user_id),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(epoch_us(e.ts) // 604800000000 AS BIGINT)
+                   - f.cohort_week AS weeks_since
+        FROM events e JOIN firsts f USING (user_id)),
+    cohort_sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        FROM firsts GROUP BY cohort_week)
+    SELECT a.cohort_week, a.weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           cs.n_cohort,
+           ROUND(COUNT(*) * 1.0 / cs.n_cohort, 6) AS retention
+    FROM activity a JOIN cohort_sizes cs USING (cohort_week)
+    GROUP BY a.cohort_week, a.weeks_since, cs.n_cohort
+    """,
+)
+def q192_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort retention triangle (the product-analytics artifact
+    q120's single-lag week-over-week cannot give): users grouped by
+    first-activity week, then for every later week the fraction of the
+    cohort still active — epoch-week arithmetic keeps the bucketing a
+    pure integer function of ts. Per-user firsts are one grouped min;
+    the activity set joins them back co-keyed on user_id and the
+    cohort-size table is |weeks|-bounded, re-entering broadcast."""
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    wk = lambda c: F.floor(c / 604_800_000_000).cast("long")  # noqa: E731
+    firsts = events.groupBy("user_id").agg(
+        wk(F.min("t")).alias("cohort_week")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (wk(F.col("t")) - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    return (
+        activity.groupBy("cohort_week", "weeks_since")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") * 1.0 / F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+    )
