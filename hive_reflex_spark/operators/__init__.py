@@ -118,6 +118,8 @@ _registry.finalize_order([
     "q190_time_to_convert",
     "q191_bot_regularity",
     "q192_cohort_retention",
+    "q193_passrate_wilson",
+    "q194_event_transitions",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)

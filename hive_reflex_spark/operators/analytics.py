@@ -1776,3 +1776,53 @@ def q192_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+@query(
+    "q194_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                   AS next_type
+        FROM events),
+    pairs AS (SELECT event_type AS from_type, next_type AS to_type,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE next_type IS NOT NULL
+              GROUP BY event_type, next_type),
+    totals AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+               FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n, t.row_total,
+           ROUND(p.n * 1.0 / t.row_total, 6) AS p_transition
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+)
+def q194_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types: per
+    user-ordered stream, count (current → next) pairs and row-normalize
+    into P(next | current) — the behavioral fingerprint that catches a
+    broken client (view→view loops), funnels (view→click→purchase mass),
+    and session grammar in one |types|² table. One lead() window per
+    user, one grouped count; the row-total table is |types|-bounded and
+    re-enters broadcast."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_total")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_total",
+        F.round(F.col("n") * 1.0 / F.col("row_total"), 6).alias(
+            "p_transition"
+        ),
+    )

@@ -524,3 +524,70 @@ def q173_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hybrid", 6).alias("hybrid"),
         F.row_number().over(w).cast("int").alias("rnk"),
     )
+
+@query(
+    "q193_passrate_wilson",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+    feats AS (SELECT doc_id, substr(md5(w), 1, 1) AS b,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM words GROUP BY doc_id, b),
+    wtab AS (SELECT b,
+                    (instr('0123456789abcdef', substr(md5(b), 1, 1)) - 1) * 2
+                        - 15 AS num32
+             FROM (SELECT DISTINCT b FROM feats)),
+    scored AS (SELECT doc_id,
+                      CAST(SUM(cnt * num32) AS BIGINT) AS num
+               FROM feats JOIN wtab USING (b) GROUP BY doc_id),
+    rates AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN s.num >= 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS k
+              FROM scored s JOIN documents d USING (doc_id)
+              GROUP BY d.source)
+    SELECT source, n, k,
+           ROUND(k * 1.0 / n, 6) AS pass_rate,
+           ROUND((k * 1.0 / n + 1.92 / n
+                  - 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_lo,
+           ROUND((k * 1.0 / n + 1.92 / n
+                  + 1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1 + 3.8416 / n), 6) AS wilson_hi
+    FROM rates
+    """,
+)
+def q193_passrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality pass rates with Wilson 95% score intervals —
+    the uncertainty band a curation dashboard needs before comparing a
+    200-doc source against a 2M-doc one on raw rates (the normal
+    approximation lies at the extremes; Wilson does not). Pass =
+    q111's exact integer classifier sign; the interval is closed-form
+    arithmetic over (k, n) with z=1.96 entering as fixed decimal
+    literals, so the doubles hash-match."""
+    from hive_reflex_spark.operators.retrieval import classifier_scores
+
+    scores = classifier_scores(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = (
+        scores.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("num") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    n = F.col("n")
+    rad = F.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+    denom = 1 + 3.8416 / n
+    return rates.select(
+        "source",
+        "n",
+        "k",
+        F.round(p, 6).alias("pass_rate"),
+        F.round((p + 1.92 / n - 1.96 * rad) / denom, 6).alias("wilson_lo"),
+        F.round((p + 1.92 / n + 1.96 * rad) / denom, 6).alias("wilson_hi"),
+    )
