@@ -120,6 +120,8 @@ _registry.finalize_order([
     "q192_cohort_retention",
     "q193_passrate_wilson",
     "q194_event_transitions",
+    "q195_top_paths",
+    "q196_abc_classification",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)

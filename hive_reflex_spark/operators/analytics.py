@@ -1826,3 +1826,126 @@ def q194_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+@query(
+    "q195_top_paths",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS a,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS b,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS c
+        FROM events),
+    paths AS (SELECT a || ' > ' || b || ' > ' || c AS path,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+              GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM paths)
+    SELECT path, n, ROUND(n * 1.0 / t, 6) AS share,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rnk
+    FROM paths, tot
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q195_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral 3-step paths: the most common (a > b > c) event
+    trigrams across user streams — the path-analysis view (what do
+    users actually DO in sequence) that transition matrices marginalize
+    away. Two lead() offsets over one window ordering, one grouped
+    count, global top-20 via TakeOrderedAndProject."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    paths = seq.select(
+        F.concat_ws(" > ", "a", "b", "c").alias("path")
+    ).groupBy("path").agg(F.count("*").alias("n"))
+    tot = paths.agg(F.sum("n").cast("long").alias("t"))
+    wr = Window.orderBy(F.desc("n"), "path")
+    return (
+        paths.join(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("share"),
+            F.row_number().over(wr).cast("int").alias("rnk"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
+
+
+@query(
+    "q196_abc_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                    * 10000) AS BIGINT)) AS BIGINT) AS units
+        FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+        SELECT l_partkey, units,
+               CAST(SUM(units) OVER (ORDER BY units DESC, l_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_units,
+               CAST(SUM(units) OVER () AS BIGINT) AS total_units
+        FROM rev),
+    classed AS (
+        SELECT *, CASE WHEN (cum_units - units) * 1.0 / total_units < 0.8
+                       THEN 'A'
+                       WHEN (cum_units - units) * 1.0 / total_units < 0.95
+                       THEN 'B' ELSE 'C' END AS abc
+        FROM ranked)
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(units) AS BIGINT) / 10000.0, 6) AS revenue,
+           ROUND(SUM(units) * 1.0 / MAX(total_units), 6) AS revenue_share
+    FROM classed GROUP BY abc
+    """,
+)
+def q196_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank by exact
+    integer-unit revenue, class A = the head reaching 80% of cumulative
+    share, B to 95%, C the tail (membership keyed off the cumulative
+    mass BEFORE the part, so the part crossing a boundary stays in the
+    richer class — deterministic at ties via the part key). The classic
+    80/20 inventory cut as one ranking window over the pre-aggregated
+    per-part rollup — lineitem is touched once. The global cumulative
+    window single-partitions the |parts| rollup (fine at |parts| <<
+    |lineitem|); past ~10⁷ parts swap it for q145's bucketed two-pass
+    prefix sum — per-bucket totals broadcast, cumsum within buckets."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("units")
+    )
+    wo = Window.orderBy(F.desc("units"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "units",
+        F.sum("units").over(wo).alias("cum_units"),
+        F.sum("units").over(wall).alias("total_units"),
+    )
+    before = (F.col("cum_units") - F.col("units")) * 1.0 / F.col("total_units")
+    classed = ranked.withColumn(
+        "abc",
+        F.when(before < 0.8, "A").when(before < 0.95, "B").otherwise("C"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("units") / 10_000.0, 6).alias("revenue"),
+        F.round(F.sum("units") * 1.0 / F.max("total_units"), 6).alias(
+            "revenue_share"
+        ),
+    )
