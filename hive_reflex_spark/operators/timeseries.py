@@ -807,3 +807,136 @@ def q144_fixed_point_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(compliance_blend(pid, nn, gamma, tmax=1.0), 6)
         .alias("torque"),
     )
+
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+@query(
+    "q197_autocorrelation",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    lagk AS (
+        SELECT l.lag, a.x AS x0, b.x AS xk
+        FROM (SELECT unnest([{", ".join(str(k) for k in _ACF_LAGS)}])
+                  AS lag) l
+        JOIN hourly a ON TRUE
+        JOIN hourly b ON b.h = a.h + l.lag),
+    m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x0) AS BIGINT) AS sx,
+                 CAST(SUM(xk) AS BIGINT) AS sy,
+                 CAST(SUM(x0 * xk) AS BIGINT) AS sxy,
+                 CAST(SUM(x0 * x0) AS BIGINT) AS sxx,
+                 CAST(SUM(xk * xk) AS BIGINT) AS syy
+          FROM lagk GROUP BY lag)
+    SELECT CAST(lag AS INT) AS lag, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                 6) AS acf
+    FROM m
+    """,
+)
+def q197_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the hourly event-count series at lags
+    {1,2,3,6,12,24} — the seasonality detector (a spike at lag 24 means
+    daily rhythm; at lag 1, momentum). Pearson over (x_t, x_{t+k})
+    pairs from EXACT integer moments (q123's discipline: n, Σx, Σy,
+    Σxy, Σxx, Σyy as BIGINTs, one division at the end) so the
+    correlations hash-match. The hourly rollup is the only event-scale
+    work; the lag self-join runs over |hours| rows."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("long").alias("h")
+    ).agg(F.count("*").alias("x"))
+    lags = events.sparkSession.createDataFrame(
+        [(k,) for k in _ACF_LAGS], "lag int"
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    lagk = (
+        a.join(F.broadcast(lags))
+        .join(b, F.col("b.h") == F.col("a.h") + F.col("lag"))
+        .select("lag", F.col("a.x").alias("x0"), F.col("b.x").alias("xk"))
+    )
+    m = lagk.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x0").cast("long").alias("sx"),
+        F.sum("xk").cast("long").alias("sy"),
+        F.sum(F.col("x0") * F.col("xk")).cast("long").alias("sxy"),
+        F.sum(F.col("x0") * F.col("x0")).cast("long").alias("sxx"),
+        F.sum(F.col("xk") * F.col("xk")).cast("long").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
+@query(
+    "q198_rate_spikes",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    trail AS (
+        SELECT h, x,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS s,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS ss
+        FROM hourly
+        WINDOW w AS (ORDER BY h RANGE BETWEEN 24 PRECEDING
+                     AND 1 PRECEDING))
+    SELECT h, x, n,
+           ROUND(s * 1.0 / n, 6) AS trail_mean,
+           ROUND((x - s * 1.0 / n)
+                 / sqrt((ss * 1.0 / n) - (s * 1.0 / n) * (s * 1.0 / n)
+                        + 1.0), 6) AS z,
+           CAST((x - s * 1.0 / n)
+                / sqrt((ss * 1.0 / n) - (s * 1.0 / n) * (s * 1.0 / n)
+                       + 1.0) > 3 AS BOOLEAN) AS spike
+    FROM trail WHERE n >= 12
+    """,
+)
+def q198_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window spike detection: each hour's event count scored
+    against the mean/std of its own PRECEDING 24 hours (a RANGE frame
+    ending at 1 PRECEDING — the current hour never contaminates its own
+    baseline), z > 3 flags the spike; +1 inside the sqrt regularizes
+    flat windows. The alerting primitive ops dashboards run — unlike
+    q154's CUSUM it reacts to single-hour bursts, not slow drifts.
+    Exact integer moments inside the frame; one window over the hourly
+    rollup."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("long").alias("h")
+    ).agg(F.count("*").alias("x"))
+    w = Window.orderBy("h").rangeBetween(-24, -1)
+    trail = hourly.select(
+        "h",
+        "x",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("ss"),
+    ).filter(F.col("n") >= 12)
+    mean = F.col("s") * 1.0 / F.col("n")
+    z = (F.col("x") - mean) / F.sqrt(
+        (F.col("ss") * 1.0 / F.col("n")) - mean * mean + 1.0
+    )
+    return trail.select(
+        "h",
+        "x",
+        "n",
+        F.round(mean, 6).alias("trail_mean"),
+        F.round(z, 6).alias("z"),
+        (z > 3).alias("spike"),
+    )
