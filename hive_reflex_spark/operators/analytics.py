@@ -1949,3 +1949,95 @@ def q196_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+@query(
+    "q199_kaplan_meier",
+    oracle="""
+    WITH days AS (
+        SELECT user_id,
+               CAST(MIN(epoch_us(ts)) // 86400000000 AS BIGINT) AS d0,
+               CAST(MAX(epoch_us(ts)) // 86400000000 AS BIGINT) AS d1
+        FROM events GROUP BY user_id),
+    obs AS (SELECT MAX(d1) AS d_end FROM days),
+    subjects AS (
+        SELECT user_id, d1 - d0 AS duration,
+               CAST(d1 < d_end - 6 AS BOOLEAN) AS churned
+        FROM days, obs),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM subjects),
+    at_t AS (
+        SELECT duration AS t,
+               CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d_events,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM subjects GROUP BY duration),
+    risk AS (
+        SELECT t, d_events,
+               n_total - COALESCE(SUM(leaving) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM at_t, tot),
+    km AS (
+        SELECT t, d_events, CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(SUM(CAST(ROUND(ln(1 - d_events * 1.0 / n_risk)
+                    * 1000000000) AS BIGINT)) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS log_units
+        FROM risk WHERE d_events < n_risk)
+    SELECT CAST(t AS BIGINT) AS t_days, n_risk, d_events,
+           ROUND(exp(log_units / 1000000000.0), 6) AS survival
+    FROM km
+    """,
+)
+def q199_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn survival with right-censoring: a user's
+    duration is first→last active day; users still active in the final
+    observation week are CENSORED (they leave the risk set without
+    counting as churn — the distinction naive retention curves get
+    wrong). S(t) = Π(1 − dᵢ/nᵢ) evaluated as exp of a cumulative sum of
+    per-term 9dp integer-unit logs (the product made order-independent
+    and hash-exact); risk sets come from one descending cumulative over
+    the |durations|-bounded rollup. Per-user min/max is the only
+    event-scale work."""
+    events = read_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    day = lambda c: F.floor(c / 86_400_000_000).cast("long")  # noqa: E731
+    days = events.groupBy("user_id").agg(
+        day(F.min("t")).alias("d0"), day(F.max("t")).alias("d1")
+    )
+    obs = days.agg(F.max("d1").alias("d_end"))
+    subjects = days.join(F.broadcast(obs)).select(
+        (F.col("d1") - F.col("d0")).alias("duration"),
+        (F.col("d1") < F.col("d_end") - 6).alias("churned"),
+    )
+    tot = subjects.agg(F.count("*").cast("long").alias("n_total"))
+    at_t = subjects.groupBy(F.col("duration").alias("t")).agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0))
+        .cast("long")
+        .alias("d_events"),
+        F.count("*").alias("leaving"),
+    )
+    wprev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = at_t.join(F.broadcast(tot)).select(
+        "t",
+        "d_events",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    ).filter(F.col("d_events") < F.col("n_risk"))
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    log_units = F.sum(
+        F.round(
+            F.log(1 - F.col("d_events") * 1.0 / F.col("n_risk"))
+            * 1_000_000_000
+        ).cast("long")
+    ).over(wcum)
+    return risk.select(
+        F.col("t").alias("t_days"),
+        "n_risk",
+        "d_events",
+        F.round(F.exp(log_units / 1_000_000_000.0), 6).alias("survival"),
+    )
