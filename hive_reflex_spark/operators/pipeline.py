@@ -38,6 +38,7 @@ from hive_reflex_spark.operators.sampling import (
     _split_col,
     q87_decontaminate,
 )
+from hive_reflex_spark.operators.text import DUCK_WORDS
 from hive_reflex_spark.registry import query
 
 
@@ -135,5 +136,91 @@ def q129_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("toks").alias("total_tokens"),
+        )
+    )
+
+@query(
+    "q200_corpus_scorecard",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents),
+    words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+    feats AS (SELECT doc_id, substr(md5(w), 1, 1) AS b,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM words GROUP BY doc_id, b),
+    wtab AS (SELECT b,
+                    (instr('0123456789abcdef', substr(md5(b), 1, 1)) - 1) * 2
+                        - 15 AS num32
+             FROM (SELECT DISTINCT b FROM feats)),
+    q AS (SELECT CAST(SUM(CASE WHEN s.num >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pass,
+                 CAST(COUNT(*) AS BIGINT) AS n_scored
+          FROM (SELECT doc_id, CAST(SUM(cnt * num32) AS BIGINT) AS num
+                FROM feats JOIN wtab USING (b) GROUP BY doc_id) s),
+    src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source),
+    ent AS (SELECT CAST(SUM(CAST(ROUND(
+                       -(n * 1.0 / b.n_docs) * ln(n * 1.0 / b.n_docs)
+                       * 1000000000) AS BIGINT)) AS BIGINT) AS ent_units
+            FROM src, base b)
+    SELECT b.n_docs, b.n_unique,
+           ROUND(1 - b.n_unique * 1.0 / b.n_docs, 6) AS exact_dup_rate,
+           ROUND(b.total_chars * 1.0 / b.n_docs, 6) AS mean_chars,
+           q.n_pass, ROUND(q.n_pass * 1.0 / q.n_scored, 6) AS quality_pass_rate,
+           ROUND(e.ent_units / 1000000000.0, 6) AS source_entropy_nats
+    FROM base b, q, ent e
+    """,
+)
+def q200_corpus_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-snapshot corpus health scorecard — ONE row composing the
+    QA families a curation run reports before anything trains: exact-dup
+    rate (q46's content hashes), mean document length, quality pass rate
+    (q111's exact classifier sign), and source-distribution Shannon
+    entropy (low entropy = one crawl dominates; each −p·ln p term in 9dp
+    integer units so the sum hash-matches). Each metric is one scan-side
+    aggregate; the scorecard is their 1-row cross join."""
+    from hive_reflex_spark.operators.retrieval import classifier_scores
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    q = classifier_scores(spark, sf_dir).agg(
+        F.sum(F.when(F.col("num") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_pass"),
+        F.count("*").alias("n_scored"),
+    )
+    src = docs.groupBy("source").agg(F.count("*").alias("n"))
+    p = F.col("n") * 1.0 / F.col("n_docs")
+    ent = src.join(F.broadcast(base.select("n_docs"))).agg(
+        F.sum(F.round(-p * F.log(p) * 1_000_000_000).cast("long")).alias(
+            "ent_units"
+        )
+    )
+    return (
+        base.join(F.broadcast(q))
+        .join(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_unique",
+            F.round(1 - F.col("n_unique") * 1.0 / F.col("n_docs"), 6).alias(
+                "exact_dup_rate"
+            ),
+            F.round(F.col("total_chars") * 1.0 / F.col("n_docs"), 6).alias(
+                "mean_chars"
+            ),
+            "n_pass",
+            F.round(F.col("n_pass") * 1.0 / F.col("n_scored"), 6).alias(
+                "quality_pass_rate"
+            ),
+            F.round(F.col("ent_units") / 1_000_000_000.0, 6).alias(
+                "source_entropy_nats"
+            ),
         )
     )
