@@ -1638,3 +1638,75 @@ def q178_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_multi_probe"),
         F.countDistinct("probe_bucket").alias("n_nonempty_buckets"),
     )
+
+@query(
+    "q201_fisher_separability",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+    per AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+                       AS s,
+                   CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)
+                        * CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+                       AS ss
+            FROM coords GROUP BY label, dim),
+    tot AS (SELECT dim, CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(s) AS BIGINT) AS st
+            FROM per GROUP BY dim),
+    parts AS (
+        SELECT p.dim,
+               SUM(p.n * ((p.s * 1.0 / p.n / 1e9) - (t.st * 1.0 / t.nt / 1e9))
+                       * ((p.s * 1.0 / p.n / 1e9)
+                          - (t.st * 1.0 / t.nt / 1e9))) AS between_ss,
+               SUM((p.ss * 1.0 / 1e18) - p.n * (p.s * 1.0 / p.n / 1e9)
+                       * (p.s * 1.0 / p.n / 1e9)) AS within_ss
+        FROM per p JOIN tot t USING (dim) GROUP BY p.dim)
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(between_ss, 6) AS between_ss,
+           ROUND(within_ss, 6) AS within_ss,
+           ROUND(between_ss / within_ss, 6) AS fisher_ratio
+    FROM parts
+    """,
+)
+def q201_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class separability per dimension: the Fisher
+    ratio between-class-scatter / within-class-scatter — the embedding
+    QA that says whether the labels are linearly separable at all (a
+    ratio near 0 everywhere means the encoder ignored the labels) and
+    WHICH dimensions carry the signal. All scatter comes from exact
+    integer moment sums per (label, dim) — |labels|×|dims| bounded rows
+    — so the ratios hash-match; the corpus is touched by one grouped
+    aggregate."""
+    coords = embedding_coords(spark, sf_dir)
+    u = F.round(F.col("v") * 1_000_000_000).cast("long")
+    per = coords.groupBy("label", "dim").agg(
+        F.count("*").alias("n"),
+        F.sum(u).cast("long").alias("s"),
+        F.sum(u * u).cast("long").alias("ss"),
+    )
+    tot = per.groupBy("dim").agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s").cast("long").alias("st"),
+    )
+    pmean = F.col("s") * 1.0 / F.col("n") / 1e9
+    gmean = F.col("st") * 1.0 / F.col("nt") / 1e9
+    parts = (
+        per.join(tot, "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.col("n") * (pmean - gmean) * (pmean - gmean)).alias(
+                "between_ss"
+            ),
+            F.sum(
+                (F.col("ss") * 1.0 / 1e18) - F.col("n") * pmean * pmean
+            ).alias("within_ss"),
+        )
+    )
+    return parts.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round("between_ss", 6).alias("between_ss"),
+        F.round("within_ss", 6).alias("within_ss"),
+        F.round(F.col("between_ss") / F.col("within_ss"), 6).alias(
+            "fisher_ratio"
+        ),
+    )
