@@ -2116,3 +2116,114 @@ def q167_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("side"),
     )
+
+@query(
+    "q202_leadtime_sla",
+    oracle="""
+    WITH lt AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                   AS order_month,
+               CAST((epoch_us(l_shipdate) - epoch_us(o_orderdate))
+                    // 86400000000 AS BIGINT) AS lead_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT order_month, COUNT(*) AS n_lines,
+           ROUND(quantile_cont(lead_days, 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(lead_days, 0.9), 6) AS p90_days,
+           CAST(SUM(CASE WHEN lead_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           ROUND(SUM(CASE WHEN lead_days > 90 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS late_rate
+    FROM lt GROUP BY order_month
+    """,
+)
+def q202_leadtime_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship lead-time SLA by order month: per-line lead days from
+    the order/lineitem date pair, exact interpolated p50/p90 (q116's
+    percentile contract) and the >90-day late rate — the fulfillment
+    dashboard every supply chain runs. Lead days are exact integer day
+    arithmetic; the fact-fact join stays shuffle-planned for AQE."""
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    lt = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.floor(
+                (
+                    F.unix_micros(F.col("l_shipdate").cast("timestamp"))
+                    - F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+                )
+                / 86_400_000_000
+            ).cast("long").alias("lead_days"),
+        )
+    )
+    late = F.when(F.col("lead_days") > 90, 1).otherwise(0)
+    return lt.groupBy("order_month").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.expr("percentile(lead_days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(lead_days, 0.9)"), 6).alias("p90_days"),
+        F.sum(late).cast("long").alias("n_late"),
+        F.round(F.sum(late) * 1.0 / F.count("*"), 6).alias("late_rate"),
+    )
+
+
+@query(
+    "q203_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+        SELECT n_nationkey, n_name, l_suppkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                    * 10000) AS BIGINT)) AS BIGINT) AS units
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_name, l_suppkey),
+    tot AS (SELECT n_nationkey, CAST(SUM(units) AS BIGINT) AS t
+            FROM rev GROUP BY n_nationkey)
+    SELECT r.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(CAST(SUM(r.units) AS BIGINT) / 10000.0, 6) AS revenue,
+           ROUND(SUM((r.units * 1.0 / t.t) * (r.units * 1.0 / t.t)), 6)
+               AS hhi
+    FROM rev r JOIN tot t USING (n_nationkey)
+    GROUP BY r.n_name
+    """,
+)
+def q203_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration per nation via the Herfindahl-Hirschman
+    index: Σ shareᵢ² of each supplier's revenue share — HHI near 1/n
+    means healthy competition, near 1 a single-supplier dependency (the
+    supply-risk number behind every procurement review). Shares derive
+    from exact integer-unit revenue sums; nation totals are
+    |nations|-bounded and re-enter broadcast; lineitem is touched
+    once."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    rev = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey", "n_name", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("units")
+        )
+    )
+    tot = rev.groupBy("n_nationkey").agg(
+        F.sum("units").cast("long").alias("t")
+    )
+    share = F.col("units") * 1.0 / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "n_nationkey")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("units") / 10_000.0, 6).alias("revenue"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
