@@ -2041,3 +2041,149 @@ def q199_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_events",
         F.round(F.exp(log_units / 1_000_000_000.0), 6).alias("survival"),
     )
+
+@query(
+    "q204_revenue_gini",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS units
+        FROM orders GROUP BY o_custkey),
+    ranked AS (
+        SELECT units,
+               CAST(ROW_NUMBER() OVER (ORDER BY units, o_custkey) AS BIGINT)
+                   AS i,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n,
+               CAST(SUM(units) OVER () AS BIGINT) AS total
+        FROM rev)
+    SELECT n AS n_customers,
+           ROUND(MAX(total) / 100.0, 6) AS total_revenue,
+           ROUND((2.0 * SUM(i * units) / (MAX(n) * 1.0 * MAX(total)))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM ranked GROUP BY n
+    """,
+)
+def q204_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue inequality via the Gini coefficient — the
+    whale-concentration number (0 = every customer equal, →1 = one
+    customer is the business) from the closed form
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over rank-ordered exact integer
+    revenue units. One ranking window over the |customers| rollup; ties
+    break on the key so the rank products are deterministic. Same
+    single-partition note as q196: past ~10⁷ keys the rank uses the
+    bucketed two-pass prefix discipline."""
+    orders = read_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "units"
+        )
+    )
+    wo = Window.orderBy("units", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "units",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("units").over(wall).cast("long").alias("total"),
+    )
+    return ranked.groupBy("n").agg(
+        F.round(F.max("total") / 100.0, 6).alias("total_revenue"),
+        F.round(
+            (
+                2.0
+                * F.sum(F.col("i") * F.col("units"))
+                / (F.max("n") * 1.0 * F.max("total"))
+            )
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    ).select(
+        F.col("n").alias("n_customers"), "total_revenue", "gini"
+    )
+
+@query(
+    "q205_basket_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               event_type
+        FROM events),
+    nb AS (SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n
+           FROM baskets),
+    item AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM baskets GROUP BY event_type),
+    pair AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+                    CAST(COUNT(*) AS BIGINT) AS n_pair
+             FROM baskets a JOIN baskets b
+               ON a.user_id = b.user_id AND a.day = b.day
+                  AND a.event_type < b.event_type
+             GROUP BY a.event_type, b.event_type)
+    SELECT p.item_a, p.item_b, p.n_pair,
+           ROUND(p.n_pair * 1.0 / nb.n, 6) AS support,
+           ROUND(p.n_pair * 1.0 / ia.n_item, 6) AS confidence_a_to_b,
+           ROUND(p.n_pair * 1.0 * nb.n / (ia.n_item * ib.n_item), 6) AS lift
+    FROM pair p
+    JOIN item ia ON p.item_a = ia.event_type
+    JOIN item ib ON p.item_b = ib.event_type, nb
+    """,
+)
+def q205_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over (user, day) baskets:
+    support, confidence, and LIFT for every event-type pair — lift > 1
+    means the pair co-occurs beyond chance (the unordered-co-occurrence
+    view q194's ordered transitions marginalize differently). The basket
+    table is DISTINCT (user, day, type), so the self-join is bounded at
+    |types|² rows per basket; item and basket counts are tiny broadcast
+    tables."""
+    events = read_table(spark, sf_dir, "events")
+    baskets = events.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+        "event_type",
+    ).distinct()
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count("*").cast("long").alias("n")
+    )
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    ia = item.alias("ia")
+    ib = item.alias("ib")
+    return (
+        pair.join(F.broadcast(ia), F.col("item_a") == F.col("ia.event_type"))
+        .join(F.broadcast(ib), F.col("item_b") == F.col("ib.event_type"))
+        .join(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            F.round(F.col("n_pair") * 1.0 / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_pair") * 1.0 / F.col("ia.n_item"), 6).alias(
+                "confidence_a_to_b"
+            ),
+            F.round(
+                F.col("n_pair")
+                * 1.0
+                * F.col("n")
+                / (F.col("ia.n_item") * F.col("ib.n_item")),
+                6,
+            ).alias("lift"),
+        )
+    )
