@@ -847,3 +847,48 @@ def q186_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+@query(
+    "q206_dup_family_sizes",
+    oracle="""
+    WITH fp AS (
+        SELECT doc_id,
+               MIN(md5(substr(text, CAST(pos AS INTEGER), 8))) AS fingerprint
+        FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS pos
+              FROM documents)
+        GROUP BY doc_id),
+    fam AS (SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS size
+            FROM fp GROUP BY fingerprint)
+    SELECT size AS family_size,
+           CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM fam GROUP BY size
+    """,
+)
+def q206_dup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate family size distribution over q45's rolling-hash
+    fingerprint (the 1-permutation MinHash — near-dups land in one
+    family where exact content hashes see nothing): how many families
+    have 1, 2, ... members and the removable-doc count each stratum
+    contributes (size−1 per family — what keep-one dedup deletes). The
+    frequency-of-frequencies view that says whether duplication is a few
+    viral families or a long pairwise tail — which decides whether
+    keep-first or full clustering (q78) pays for itself. Scan-side
+    8-gram min-hash, two grouped aggregates, no joins."""
+    docs = read_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, length(text) - 7), "
+        "p -> md5(substring(text, p, 8)))"
+    )
+    fp = docs.select(
+        "doc_id", F.array_min(grams).alias("fingerprint")
+    )
+    fam = fp.groupBy("fingerprint").agg(F.count("*").alias("size"))
+    return fam.groupBy(F.col("size").alias("family_size")).agg(
+        F.count("*").alias("n_families"),
+        (F.col("family_size") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("family_size") - 1) * F.count("*"))
+        .cast("long")
+        .alias("n_removable"),
+    )
