@@ -2227,3 +2227,64 @@ def q203_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share), 6).alias("hhi"),
         )
     )
+
+@query(
+    "q207_percent_of_parent",
+    oracle="""
+    WITH rev AS (
+        SELECT r_name AS region, n_name AS nation,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS units
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name)
+    SELECT region, nation,
+           ROUND(units / 100.0, 6) AS revenue,
+           ROUND(units * 1.0 / SUM(units) OVER (PARTITION BY region), 6)
+               AS pct_of_region,
+           ROUND(SUM(units) OVER (PARTITION BY region) * 1.0
+                 / SUM(units) OVER (), 6) AS region_pct_of_total
+    FROM rev
+    """,
+)
+def q207_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical percent-of-parent rollup (the drill-down BI staple):
+    each nation's share of its region's revenue next to the region's
+    share of the world — two ratio windows layered over ONE
+    (region, nation) aggregate, so the fact table is touched once and
+    the share math runs over the |nations|-bounded rollup. Exact
+    integer-unit revenue keeps every ratio hash-stable."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    rev = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "units"
+            )
+        )
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.round(F.col("units") / 100.0, 6).alias("revenue"),
+        F.round(
+            F.col("units") * 1.0 / F.sum("units").over(wreg), 6
+        ).alias("pct_of_region"),
+        F.round(
+            F.sum("units").over(wreg) * 1.0 / F.sum("units").over(wall), 6
+        ).alias("region_pct_of_total"),
+    )
