@@ -2187,3 +2187,64 @@ def q205_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+@query(
+    "q208_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events),
+    grp AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   AS island
+        FROM days),
+    streaks AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+               CAST(MIN(day) AS BIGINT) AS start_day
+        FROM grp GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           CAST(MIN(CASE WHEN len = (SELECT MAX(len) FROM streaks s2
+                                     WHERE s2.user_id = streaks.user_id)
+                    THEN start_day END) AS BIGINT) AS longest_start_day
+    FROM streaks GROUP BY user_id
+    """,
+)
+def q208_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom (day − row_number is constant within a run)
+    applied to engagement: streak count, longest run with its start day
+    (earliest on ties), total active days. Distinct days first, ONE
+    window per user, grouped twice — the event table never sorts
+    globally."""
+    events = read_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 86_400_000_000)
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count("*").alias("len"), F.min("day").alias("start_day")
+    )
+    wmax = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("max_len", F.max("len").over(wmax))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.sum("len").cast("long").alias("active_days"),
+            F.min(
+                F.when(F.col("len") == F.col("max_len"), F.col("start_day"))
+            ).cast("long").alias("longest_start_day"),
+        )
+    )
