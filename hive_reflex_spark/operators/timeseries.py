@@ -940,3 +940,78 @@ def q198_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         (z > 3).alias("spike"),
     )
+
+@query(
+    "q209_seasonal_profile",
+    oracle="""
+    WITH hourly AS (
+        SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1),
+    keyed AS (SELECT h, x, CAST(h % 24 AS INTEGER) AS hod FROM hourly),
+    prof AS (SELECT hod, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(x) AS BIGINT) AS s
+             FROM keyed GROUP BY hod),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+                 CAST(SUM(ss) AS BIGINT) AS sst
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS s,
+                       CAST(SUM(x * x) AS BIGINT) AS ss
+                FROM keyed)),
+    r AS (SELECT SUM(p.n * (p.s * 1.0 / p.n - g.st * 1.0 / g.nt)
+                     * (p.s * 1.0 / p.n - g.st * 1.0 / g.nt)) AS between_ss,
+                 MAX(g.sst - g.st * 1.0 * g.st / g.nt) AS total_ss
+          FROM prof p, g)
+    SELECT p.hod, p.n AS n_hours,
+           ROUND(p.s * 1.0 / p.n, 6) AS mean_rate,
+           ROUND(p.s * 1.0 / p.n / (g.st * 1.0 / g.nt), 6) AS seasonal_index,
+           ROUND(r.between_ss / r.total_ss, 6) AS variance_explained
+    FROM prof p, g, r
+    """,
+)
+def q209_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile with variance explained: the 24-slot
+    mean-rate profile (seasonal index = slot mean / global mean) plus
+    the fraction of hourly variance the profile alone explains
+    (between-slot SS / total SS — the same decomposition as q201's
+    Fisher ratio, applied to time). A variance_explained near 1 says
+    'rate anomalies should be judged against the q198 trailing baseline,
+    not a global one'. Exact integer moments; the 24-row profile and
+    the 1-row globals cross-join at the end."""
+    events = read_table(spark, sf_dir, "events")
+    keyed = events.groupBy(
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("long").alias("h")
+    ).agg(F.count("*").alias("x")).select(
+        "x", (F.col("h") % 24).cast("int").alias("hod")
+    )
+    prof = keyed.groupBy("hod").agg(
+        F.count("*").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    g = keyed.agg(
+        F.count("*").cast("long").alias("nt"),
+        F.sum("x").cast("long").alias("st"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sst"),
+    )
+    gmean = F.col("st") * 1.0 / F.col("nt")
+    smean = F.col("s") * 1.0 / F.col("n")
+    r = prof.join(F.broadcast(g)).agg(
+        F.sum(F.col("n") * (smean - gmean) * (smean - gmean)).alias(
+            "between_ss"
+        ),
+        F.max(
+            F.col("sst") - F.col("st") * 1.0 * F.col("st") / F.col("nt")
+        ).alias("total_ss"),
+    )
+    return (
+        prof.join(F.broadcast(g))
+        .join(F.broadcast(r))
+        .select(
+            "hod",
+            F.col("n").alias("n_hours"),
+            F.round(smean, 6).alias("mean_rate"),
+            F.round(smean / gmean, 6).alias("seasonal_index"),
+            F.round(F.col("between_ss") / F.col("total_ss"), 6).alias(
+                "variance_explained"
+            ),
+        )
+    )
