@@ -135,6 +135,7 @@ _registry.finalize_order([
     "q207_percent_of_parent",
     "q208_activity_streaks",
     "q209_seasonal_profile",
+    "q210_fk_audit",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)

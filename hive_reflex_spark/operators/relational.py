@@ -2288,3 +2288,67 @@ def q207_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("units").over(wreg) * 1.0 / F.sum("units").over(wall), 6
         ).alias("region_pct_of_total"),
     )
+
+@query(
+    "q210_fk_audit",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+               AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    """,
+)
+def q210_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every foreign key
+    in the schema — the ingest gate a lake without enforced constraints
+    must run itself (a single orphan silently deletes rows from every
+    inner join downstream). Each check is a left-anti join; dimension
+    targets broadcast, the two fact-fact checks stay shuffle-planned —
+    five anti-joins, no row ever leaves as data (counts only)."""
+    t = load_tables(
+        spark, sf_dir,
+        "lineitem", "orders", "customer", "part", "supplier", "nation",
+    )
+
+    def check(name, child, ckey, parent, pkey, bcast):
+        par = t[parent].select(F.col(pkey).alias(ckey)).distinct()
+        if bcast:
+            par = F.broadcast(par)
+        n = t[child].count()
+        orphans = t[child].select(ckey).join(par, ckey, "left_anti").count()
+        return (name, n, orphans)
+
+    rows = [
+        check("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey",
+              "orders", "o_orderkey", False),
+        check("orders.o_custkey -> customer", "orders", "o_custkey",
+              "customer", "c_custkey", False),
+        check("lineitem.l_partkey -> part", "lineitem", "l_partkey",
+              "part", "p_partkey", True),
+        check("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey",
+              "supplier", "s_suppkey", True),
+        check("customer.c_nationkey -> nation", "customer", "c_nationkey",
+              "nation", "n_nationkey", True),
+    ]
+    return spark.createDataFrame(rows, "fk string, n_rows long, n_orphans long")
