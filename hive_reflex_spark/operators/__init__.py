@@ -136,6 +136,8 @@ _registry.finalize_order([
     "q208_activity_streaks",
     "q209_seasonal_profile",
     "q210_fk_audit",
+    "q211_unique_key_audit",
+    "q212_functional_dependencies",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)

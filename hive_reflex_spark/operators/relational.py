@@ -2352,3 +2352,132 @@ def q210_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               "nation", "n_nationkey", True),
     ]
     return spark.createDataFrame(rows, "fk string, n_rows long, n_orphans long")
+
+@query(
+    "q211_unique_key_audit",
+    oracle="""
+    SELECT 'orders.o_orderkey' AS key_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+               AS n_distinct,
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders) AS n_dup_rows
+    UNION ALL
+    SELECT 'customer.c_custkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+            FROM customer)
+    UNION ALL
+    SELECT 'part.p_partkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM part),
+           (SELECT CAST(COUNT(DISTINCT p_partkey) AS BIGINT) FROM part),
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT p_partkey) AS BIGINT)
+            FROM part)
+    UNION ALL
+    SELECT 'documents.doc_id',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents),
+           (SELECT CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT)
+            FROM documents)
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+            FROM lineitem),
+           (SELECT CAST(COUNT(*)
+                - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+            FROM lineitem)
+    """,
+)
+def q211_unique_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique-key constraint audit — q210's companion: declared primary
+    keys measured for duplicate rows (count − countDistinct per key).
+    The composite (l_orderkey, l_linenumber) check documents this
+    fixture's KNOWN violation (linenumber is not unique per order here,
+    which is why every window ordering in the repo extends the key) —
+    an audit that REPORTS an exception instead of silently working
+    around it. One aggregate per table, counts only."""
+    from hive_reflex_spark.io import read_table
+
+    t = load_tables(
+        spark, sf_dir, "orders", "customer", "part", "lineitem"
+    )
+    docs = read_table(spark, sf_dir, "documents")
+
+    def check(name, df, *cols):
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.countDistinct(*cols).alias("d"),
+        ).first()
+        return (name, agg["n"], agg["d"], agg["n"] - agg["d"])
+
+    rows = [
+        check("orders.o_orderkey", t["orders"], "o_orderkey"),
+        check("customer.c_custkey", t["customer"], "c_custkey"),
+        check("part.p_partkey", t["part"], "p_partkey"),
+        check("documents.doc_id", docs, "doc_id"),
+        check(
+            "lineitem.(l_orderkey,l_linenumber)",
+            t["lineitem"],
+            "l_orderkey",
+            "l_linenumber",
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "key_name string, n_rows long, n_distinct long, n_dup_rows long"
+    )
+
+
+@query(
+    "q212_functional_dependencies",
+    oracle="""
+    SELECT 'n_nationkey -> n_name' AS fd,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT n_nationkey FROM nation GROUP BY n_nationkey)) AS n_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT n_nationkey FROM nation GROUP BY n_nationkey
+             HAVING COUNT(DISTINCT n_name) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'o_orderkey -> o_custkey',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT o_orderkey FROM orders GROUP BY o_orderkey)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+             HAVING COUNT(DISTINCT o_custkey) > 1))
+    UNION ALL
+    SELECT 'p_brand -> p_type',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT p_brand FROM part GROUP BY p_brand)),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT p_brand FROM part GROUP BY p_brand
+             HAVING COUNT(DISTINCT p_type) > 1))
+    """,
+)
+def q212_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each claimed A→B dependency,
+    count the A values mapping to more than one B — zero violations
+    means the dependency holds and B can denormalize onto A safely; the
+    p_brand→p_type row is the expected NEGATIVE control (brands span
+    types), proving the audit can fail. One grouped countDistinct per
+    dependency."""
+    t = load_tables(spark, sf_dir, "nation", "orders", "part")
+
+    def check(name, df, a, b):
+        keys = df.groupBy(a).agg(F.countDistinct(b).alias("nb"))
+        agg = keys.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("nb") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("v"),
+        ).first()
+        return (name, agg["n"], agg["v"])
+
+    rows = [
+        check("n_nationkey -> n_name", t["nation"], "n_nationkey", "n_name"),
+        check("o_orderkey -> o_custkey", t["orders"], "o_orderkey", "o_custkey"),
+        check("p_brand -> p_type", t["part"], "p_brand", "p_type"),
+    ]
+    return spark.createDataFrame(
+        rows, "fd string, n_keys long, n_violations long"
+    )
