@@ -875,7 +875,11 @@ def q206_dup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-of-frequencies view that says whether duplication is a few
     viral families or a long pairwise tail — which decides whether
     keep-first or full clustering (q78) pays for itself. Scan-side
-    8-gram min-hash, two grouped aggregates, no joins."""
+    8-gram min-hash, two grouped aggregates, no joins. Cost note: the
+    fingerprint is one md5 PER CHARACTER POSITION (O(chars) hashes,
+    embarrassingly parallel — linear in corpus, no shuffle risk);
+    a production run swaps in a strided or rolling-polynomial hash to
+    cut the constant ~4-10x with the same min-sketch property."""
     docs = read_table(spark, sf_dir, "documents")
     grams = F.expr(
         "transform(sequence(1, length(text) - 7), "
