@@ -2248,3 +2248,112 @@ def q208_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("longest_start_day"),
         )
     )
+
+@query(
+    "q213_tail_expectation",
+    oracle="""
+    WITH p AS (SELECT quantile_cont(o_totalprice, 0.95) AS p95 FROM orders)
+    SELECT ROUND(p.p95, 6) AS p95,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                 AS BIGINT) / 100.0 / COUNT(*), 6) AS cvar_95,
+           ROUND(MAX(o_totalprice), 6) AS max_value
+    FROM orders, p WHERE o_totalprice > p.p95 GROUP BY p.p95
+    """,
+)
+def q213_tail_expectation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional value at risk (expected shortfall): the MEAN of order
+    values beyond the exact p95 — the tail-severity number a plain
+    percentile hides (two distributions share a p95 while one's tail is
+    10x heavier). The 1-row exact percentile broadcasts back as the tail
+    filter; the tail mean uses integer-unit cents."""
+    orders = read_table(spark, sf_dir, "orders")
+    p = orders.agg(
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95")
+    )
+    tail = orders.join(F.broadcast(p)).filter(
+        F.col("o_totalprice") > F.col("p95")
+    )
+    return tail.groupBy("p95").agg(
+        F.count("*").alias("n_tail"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            / 100.0
+            / F.count("*"),
+            6,
+        ).alias("cvar_95"),
+        F.round(F.max("o_totalprice"), 6).alias("max_value"),
+    ).select(
+        F.round("p95", 6).alias("p95"), "n_tail", "cvar_95", "max_value"
+    )
+
+
+_ALLOC_BUDGET = 1_000_000  # training-token budget to allocate
+
+
+@query(
+    "q214_budget_allocation",
+    oracle=f"""
+    WITH w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS weight
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS t FROM w),
+    shares AS (
+        SELECT source, weight,
+               CAST(FLOOR(weight * {_ALLOC_BUDGET} * 1.0 / t) AS BIGINT)
+                   AS base,
+               weight * {_ALLOC_BUDGET} * 1.0 / t
+                   - FLOOR(weight * {_ALLOC_BUDGET} * 1.0 / t) AS frac
+        FROM w, tot),
+    rem AS (SELECT CAST({_ALLOC_BUDGET} - SUM(base) AS BIGINT) AS r
+            FROM shares),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rnk
+        FROM shares)
+    SELECT source, weight, base,
+           CAST(base + CASE WHEN rnk <= rem.r THEN 1 ELSE 0 END AS BIGINT)
+               AS allocated
+    FROM ranked, rem
+    """,
+)
+def q214_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer budget allocation by largest-remainder (Hamilton)
+    rounding: split a 1M-token training budget across sources
+    proportional to char mass so the allocations SUM EXACTLY to the
+    budget — naive per-source rounding over- or under-spends by up to
+    |sources|/2 tokens and a 100-shard pipeline then disagrees about
+    totals. Floor shares first; the leftover goes to the largest
+    fractional parts (ties on source name). The whole computation runs
+    over the |sources|-bounded rollup."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("weight")
+    )
+    tot = w.agg(F.sum("weight").cast("long").alias("t"))
+    shares = w.join(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        F.floor(
+            F.col("weight") * _ALLOC_BUDGET * 1.0 / F.col("t")
+        ).cast("long").alias("base"),
+        (
+            F.col("weight") * _ALLOC_BUDGET * 1.0 / F.col("t")
+            - F.floor(F.col("weight") * _ALLOC_BUDGET * 1.0 / F.col("t"))
+        ).alias("frac"),
+    )
+    rem = shares.agg(
+        (F.lit(_ALLOC_BUDGET) - F.sum("base")).cast("long").alias("r")
+    )
+    wr = Window.orderBy(F.desc("frac"), "source")
+    return (
+        shares.withColumn("rnk", F.row_number().over(wr))
+        .join(F.broadcast(rem))
+        .select(
+            "source",
+            "weight",
+            "base",
+            (
+                F.col("base")
+                + F.when(F.col("rnk") <= F.col("r"), 1).otherwise(0)
+            ).cast("long").alias("allocated"),
+        )
+    )
