@@ -113,3 +113,28 @@ def test_domain_mixture_flattens(spark, sf_smoke):
     ), "upsampling ratio must fall as domain size grows"
     for r in rows:
         assert r["epochs_at_budget"] > 0
+
+
+def test_budget_allocation_sums_exactly(spark, sf_smoke):
+    """Largest-remainder contract: integer allocations sum EXACTLY to the
+    budget, and every allocation is base or base+1."""
+    import __spark_entry__ as em
+    from hive_reflex_spark.operators.analytics import _ALLOC_BUDGET
+
+    rows = em.queries()["q214_budget_allocation"](spark, sf_smoke).collect()
+    assert sum(r.allocated for r in rows) == _ALLOC_BUDGET
+    assert all(r.allocated in (r.base, r.base + 1) for r in rows)
+
+
+def test_triplet_negatives_never_anchor_or_positive_heavy(spark, sf_smoke):
+    """q187: negatives are structurally never the anchor; each anchor has
+    exactly K negative rows."""
+    import collections
+
+    import __spark_entry__ as em
+    from hive_reflex_spark.operators.sampling import _NEG_K
+
+    rows = em.queries()["q187_triplet_dataset"](spark, sf_smoke).collect()
+    per_anchor = collections.Counter(r.anchor for r in rows)
+    assert all(v == _NEG_K for v in per_anchor.values())
+    assert all(r.neg_id != r.anchor for r in rows)
