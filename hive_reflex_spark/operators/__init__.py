@@ -140,6 +140,7 @@ _registry.finalize_order([
     "q212_functional_dependencies",
     "q213_tail_expectation",
     "q214_budget_allocation",
+    "q215_stop_phrases",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)

@@ -896,3 +896,62 @@ def q206_dup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removable"),
     )
+
+@query(
+    "q215_stop_phrases",
+    oracle=f"""
+    WITH dsh AS {_DUCK_DSH},
+    df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+           FROM dsh GROUP BY shingle),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN df > {MAX_SHINGLE_DF} THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_capped,
+                   CAST(SUM(CASE WHEN df > {MAX_SHINGLE_DF} THEN df ELSE 0 END)
+                       AS BIGINT) AS postings_dropped
+            FROM df)
+    SELECT shingle, df.df,
+           CAST(df.df > {MAX_SHINGLE_DF} AS BOOLEAN) AS is_capped,
+           tot.n_shingles, tot.n_capped, tot.postings_dropped,
+           CAST(ROW_NUMBER() OVER (ORDER BY df.df DESC, shingle) AS INT)
+               AS rnk
+    FROM df, tot
+    ORDER BY df.df DESC, shingle LIMIT 20
+    """,
+)
+def q215_stop_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup tier's doc-frequency cap made AUDITABLE: the top-20
+    highest-DF shingles with their capped/kept verdict, plus the global
+    accounting (how many shingle types the cap touches and how many
+    posting-list entries it drops — zero at toy SF, boilerplate-sized on
+    a web crawl). A curation reviewer reads THIS table to confirm the
+    cap eats boilerplate ('terms of service'), not content; every
+    capped phrase is also a candidate for an upstream boilerplate
+    stripper. One DF aggregate + a 1-row rollup, top-20 via
+    TakeOrderedAndProject."""
+    dsh = distinct_shingles(spark, sf_dir)
+    df = dsh.groupBy("shingle").agg(F.count("*").alias("df"))
+    tot = df.agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("df") > MAX_SHINGLE_DF, 1).otherwise(0))
+        .cast("long")
+        .alias("n_capped"),
+        F.sum(F.when(F.col("df") > MAX_SHINGLE_DF, F.col("df")).otherwise(0))
+        .cast("long")
+        .alias("postings_dropped"),
+    )
+    wr = Window.orderBy(F.desc("df"), "shingle")
+    return (
+        df.join(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .orderBy(F.desc("df"), "shingle")
+        .limit(20)
+        .select(
+            "shingle",
+            "df",
+            (F.col("df") > MAX_SHINGLE_DF).alias("is_capped"),
+            "n_shingles",
+            "n_capped",
+            "postings_dropped",
+            "rnk",
+        )
+    )
