@@ -27,20 +27,87 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-4 rotation (scripts/rotate_window.py
-# over CORRECTNESS_r01-r03): r03 went 50/50 green, so those rows stand and
-# their queries rotate out. This window = the 31 queries registered after
-# the r03 rotation (all local-pass, awaiting first driver rows) + the 5 NEW
-# queries this round (q157-q160, q52a) + the 5 queries whose CODE changed
-# this round and must re-verify (q47/q94 broadcast removal, q52 float fold +
-# new oracle, q83/q84 count-folding) + the two rows-only checks + the
-# stalest r01 hash-greens filling out slot 50.
+# the judged correctness surface. Round-5 rotation (scripts/rotate_window.py
+# over CORRECTNESS_r01-r04): r04 went 49/50 green; those rows stand and the
+# greens rotate out. This window = the one r04 FAILURE re-verifying its fix
+# (q155: exact BIGINT cents) + the queries whose CODE changed this round
+# and must re-verify (q94/q129 candidate-pair de-broadcast, q215 limit-
+# below-window, q206 fingerprint swap, q196/q204 bucketed prefix — the
+# latter three sit in the never-checked tier anyway) + the 2 NEW queries
+# closing the last pytest-only components (q216 S7 config source, q217 U2
+# device round-trip) + as many of the 48 never-driver-checked queries as
+# fit, newest tier and the ONNX sources first per the r4 verdict.
 _registry.finalize_order([
-    # registered after the r03 window rotation — first driver rows
+    # r04 driver-red, fixed this round — re-verify FIRST
+    "q155_weighted_median",
+    # code changed this round (corpus-scale hint removal) — re-verify
+    "q94_neardup_filter",
+    "q129_curation_pipeline",
+    # NEW this round: the last 2 of 95 components without driver rows
+    "q216_bank_profile_sizing",   # S7 io-config JSON source
+    "q217_device_roundtrip",      # U2 device source/sink interface
+    # never driver-checked (48 as of r04; 45 fit below) — newest tier,
+    # the ONNX model sources, and the changed-code members first
+    "q215_stop_phrases",          # code changed: limit below window
+    "q206_dup_family_sizes",      # code changed: rolling-hash fingerprint
+    "q196_abc_classification",    # code changed: bucketed prefix swap
+    "q204_revenue_gini",          # code changed: bucketed prefix swap
+    "q80c_onnx_micro_kws",
+    "q80d_onnx_gesture_net",
+    "q187_triplet_dataset",
+    "q188_join_skew_profile",
+    "q189_ab_test_readout",
+    "q190_time_to_convert",
+    "q191_bot_regularity",
+    "q192_cohort_retention",
+    "q193_passrate_wilson",
+    "q194_event_transitions",
+    "q195_top_paths",
+    "q197_autocorrelation",
+    "q198_rate_spikes",
+    "q199_kaplan_meier",
+    "q200_corpus_scorecard",
+    "q201_fisher_separability",
+    "q202_leadtime_sla",
+    "q203_supplier_hhi",
+    "q205_basket_lift",
+    "q207_percent_of_parent",
+    "q208_activity_streaks",
+    "q209_seasonal_profile",
+    "q210_fk_audit",
+    "q211_unique_key_audit",
+    "q212_functional_dependencies",
+    "q213_tail_expectation",
+    "q214_budget_allocation",
+    "q169_winsorized_stats",
+    "q171_incremental_lsh_index",
+    "q172_log_shipping_roundtrip",
+    "q173_hybrid_rerank",
+    "q175_expectations_gate",
+    "q176_zorder_clustering",
+    "q177_nucleus_sampling",
+    "q178_multiprobe_lsh",
+    "q179_rendezvous_sharding",
+    "q180_snapshot_diff",
+    "q181_vocab_growth",
+    "q182_vocab_coverage",
+    "q185_negative_sampling",
+    "q186_source_overlap",
+    # --- slot 51+: the window is full; these 3 remaining never-checked
+    # queries (all local-pass) lead the r06 rotation, followed by any
+    # queries registered this round ---
+    "q174_range_boundaries",
+    "q183_shrunk_group_means",
+    "q184_decayed_popularity",
+    # (q68/q28 stay OUT of the window: rows-only by design with standing
+    # rows evidence and oracled twins q68a/q118 — a slot spent on them
+    # would burn judged evidence on the weaker check)
+    # NOTE: only the first 50 names overall are driver-checked — the
+    # tail past slot 50 is ordering, not a claim of re-checking; every
+    # query not listed keeps its standing hash-green driver row.
     "q126_pmi_collocations",
     "q127_bloom_filter",
     "q128_trend_ols",
-    "q129_curation_pipeline",
     "q130_flash_io_strategies",
     "q131_layer_profile",
     "q132_sparse_speedup_estimate",
@@ -66,10 +133,7 @@ _registry.finalize_order([
     "q152_array_hof",
     "q153_sequence_pattern",
     "q154_cusum_drift",
-    "q155_weighted_median",
     "q156_table_fingerprint",
-    # NEW this round: sink/source round-trip, allocator replay, EWMA
-    # oracle, CAN wire decode, cosine integer-fold twin
     "q157_model_pack_roundtrip",
     "q158_ewma_smooth",
     "q159_buffer_allocation",
@@ -84,95 +148,10 @@ _registry.finalize_order([
     "q166_layer_slices",
     "q167_activity_reconciliation",
     "q168_bucketed_colocated_join",
-    # code CHANGED this round — hash-green rows exist (r01/r02) but the
-    # plans/oracles moved, so they re-verify inside the window
     "q47_jaccard_pairs",
-    "q94_neardup_filter",
     "q52_cosine_topk_arrays",
     "q83_qat_probe",
     "q84_distill_probe",
-    # --- slot 51+: the window is full; these are local-pass verified and
-    # first in line for the r05 rotation ---
-    "q169_winsorized_stats",
-    "q171_incremental_lsh_index",
-    "q172_log_shipping_roundtrip",
-    "q173_hybrid_rerank",
-    "q174_range_boundaries",
-    "q80c_onnx_micro_kws",
-    "q80d_onnx_gesture_net",
-    "q175_expectations_gate",
-    "q176_zorder_clustering",
-    "q177_nucleus_sampling",
-    "q178_multiprobe_lsh",
-    "q179_rendezvous_sharding",
-    "q180_snapshot_diff",
-    "q181_vocab_growth",
-    "q182_vocab_coverage",
-    "q183_shrunk_group_means",
-    "q184_decayed_popularity",
-    "q185_negative_sampling",
-    "q186_source_overlap",
-    "q187_triplet_dataset",
-    "q188_join_skew_profile",
-    "q189_ab_test_readout",
-    "q190_time_to_convert",
-    "q191_bot_regularity",
-    "q192_cohort_retention",
-    "q193_passrate_wilson",
-    "q194_event_transitions",
-    "q195_top_paths",
-    "q196_abc_classification",
-    "q197_autocorrelation",
-    "q198_rate_spikes",
-    "q199_kaplan_meier",
-    "q200_corpus_scorecard",
-    "q201_fisher_separability",
-    "q202_leadtime_sla",
-    "q203_supplier_hhi",
-    "q204_revenue_gini",
-    "q205_basket_lift",
-    "q206_dup_family_sizes",
-    "q207_percent_of_parent",
-    "q208_activity_streaks",
-    "q209_seasonal_profile",
-    "q210_fk_audit",
-    "q211_unique_key_audit",
-    "q212_functional_dependencies",
-    "q213_tail_expectation",
-    "q214_budget_allocation",
-    "q215_stop_phrases",
-    # (q68/q28 stay OUT of the window: rows-only by design with standing
-    # rows evidence and oracled twins q68a/q118 — a slot spent on them
-    # would burn judged evidence on the weaker check)
-    # stalest r01 hash-greens, re-checks (oldest evidence first; code
-    # unchanged). NOTE: only the first 50 names overall are
-    # driver-checked — the tail past slot 50 is ordering padding (those
-    # queries keep their standing hash-green rows and sit first in line
-    # for the r05 rotation), not a claim of re-checking.
-    "q30_coord_matmul_gram",
-    "q31_sparse_matmul",
-    "q32_quantize_symmetric",
-    "q33_quant_error",
-    "q34_sparsity_analysis",
-    "q35_softmax",
-    "q36_argmax",
-    "q37_magnitude_prune",
-    "q38_channel_norms",
-    "q39_activation_stats",
-    "q40_pooling",
-    "q41_embedding_lookup",
-    "q72_accuracy_eval",
-    "q73_distillation_kl",
-    "q74_log_stats",
-    "q75_cascade_stats",
-    "q76_weight_stats",
-    "q77_mixed_precision",
-    "q69_rle_roundtrip",
-    "q70_int4_pack",
-    "q71_artifact_checksums",
-    "q59_cost_partition_islands",
-    "q60_flash_layout",
-    "q61_liveness",
 ])
 
 __all__ = [

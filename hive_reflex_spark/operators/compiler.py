@@ -580,9 +580,11 @@ def _read_both_models(spark: SparkSession) -> DataFrame:
     )
 
 
-def _rtl_prune_oracle() -> str:
-    return f"""
-    WITH ir(model, idx, name, op_type, rows, cols, inputs, outputs,
+def _peak_ctes() -> str:
+    """Shared oracle CTE chain: parsed model IR -> liveness interval
+    sweep -> per-model peak bytes (used by q137 and the config-sourced
+    q216 twin)."""
+    return f"""ir(model, idx, name, op_type, rows, cols, inputs, outputs,
             n_params) AS (VALUES {_both_models_ir_values()}),
     sized AS (SELECT *, 4 * COALESCE(CAST(rows AS BIGINT) * cols, 1)
                             AS size_bytes
@@ -605,7 +607,12 @@ def _rtl_prune_oracle() -> str:
                          AS live_bytes
               FROM deltas GROUP BY model, pos),
     peak AS (SELECT model, CAST(MAX(live_bytes) AS BIGINT) AS peak_bytes
-             FROM sweep GROUP BY model),
+             FROM sweep GROUP BY model)"""
+
+
+def _rtl_prune_oracle() -> str:
+    return f"""
+    WITH {_peak_ctes()},
     flags AS (SELECT model,
                      MAX(CASE WHEN op_type = 'Conv' THEN 1 ELSE 0 END)
                          AS has_conv,
@@ -645,28 +652,12 @@ def _rtl_prune_oracle() -> str:
     """
 
 
-@query("q137_rtl_prune", oracle=_rtl_prune_oracle())
-def q137_rtl_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RTL pruning config (`mlir_compiler/rtl_pruner.py:13-49`): derive
-    the SoC hardware configuration from the parsed model IR — engine
-    enables (HAS_CONV / HAS_FC / HAS_TRANSFORMER / HAS_ACTIVATION from
-    the op-type sets at :25-33; absent ops mean the engine is stripped
-    from the RTL) and the SRAM sizing chain (peak bytes → ceil KB →
-    32 KB banks, min 1 → address width = ceil(log2(total)), :36-48).
-
-    Peak memory is the memory planner's liveness model
-    (`memory_planner.py:48-72`): each node's output lives from its
-    producer index to its last consumer, with the planner's
-    "output size = layer size" simplification (:59) taken as the node's
-    weight footprint (4-byte floats). The peak is the classic
-    interval-overlap sweep — +size at start, -size at end+1, running
-    sum, max — one window per model, all integers.
-
-    Scale: per-model work is planner-scale (|nodes| rows); models
-    parallelize. The address width joins a 32-row width table on an
-    exact power-of-two compare instead of floating log2, so the hash
-    matches on any libm. Both model-zoo graphs go through the REAL
-    protobuf parser; the oracle re-derives the same rows from the spec."""
+def model_peak_bytes(spark: SparkSession) -> DataFrame:
+    """(model, peak_bytes): the memory planner's liveness model
+    (`memory_planner.py:48-72`) — each node's output lives from its
+    producer index to its last consumer; peak via the interval-overlap
+    sweep (+size at start, -size at end+1, running sum, max). One window
+    per model over planner-scale rows; models parallelize."""
     ir = _read_both_models(spark)
     sized = ir.withColumn(
         "size_bytes",
@@ -707,9 +698,35 @@ def q137_rtl_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").over(Window.partitionBy("model").orderBy("pos")),
         )
     )
-    peak = sweep.groupBy("model").agg(
+    return sweep.groupBy("model").agg(
         F.max("live_bytes").cast("long").alias("peak_bytes")
     )
+
+
+@query("q137_rtl_prune", oracle=_rtl_prune_oracle())
+def q137_rtl_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTL pruning config (`mlir_compiler/rtl_pruner.py:13-49`): derive
+    the SoC hardware configuration from the parsed model IR — engine
+    enables (HAS_CONV / HAS_FC / HAS_TRANSFORMER / HAS_ACTIVATION from
+    the op-type sets at :25-33; absent ops mean the engine is stripped
+    from the RTL) and the SRAM sizing chain (peak bytes → ceil KB →
+    32 KB banks, min 1 → address width = ceil(log2(total)), :36-48).
+
+    Peak memory is the memory planner's liveness model
+    (`memory_planner.py:48-72`): each node's output lives from its
+    producer index to its last consumer, with the planner's
+    "output size = layer size" simplification (:59) taken as the node's
+    weight footprint (4-byte floats). The peak is the classic
+    interval-overlap sweep — +size at start, -size at end+1, running
+    sum, max — one window per model, all integers.
+
+    Scale: per-model work is planner-scale (|nodes| rows); models
+    parallelize. The address width joins a 32-row width table on an
+    exact power-of-two compare instead of floating log2, so the hash
+    matches on any libm. Both model-zoo graphs go through the REAL
+    protobuf parser; the oracle re-derives the same rows from the spec."""
+    ir = _read_both_models(spark)
+    peak = model_peak_bytes(spark)
     flags = ir.groupBy("model").agg(
         F.max((F.col("op_type") == "Conv").cast("int")).alias("has_conv"),
         F.max(F.col("op_type").isin("Gemm", "MatMul").cast("int"))
@@ -763,6 +780,111 @@ def q137_rtl_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("num_banks").cast("int").alias("sram_num_banks"),
         F.col("addr_width").cast("int").alias("sram_addr_width"),
         (F.col("num_banks") * _BANK_KB).cast("int").alias("total_sram_kb"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRAM sizing under config profiles routed through the JSON config SOURCE
+# (S7) — the bank-geometry knobs arrive as DATA, not Python constants
+# ---------------------------------------------------------------------------
+
+# the deterministic config fixture the query writes then reads back
+# (rtl_pruner.py:36-48's bank geometry, swept across deployment profiles)
+_BANK_PROFILES = [("small", 16), ("default", 32), ("large", 64)]
+
+
+def _bank_profile_oracle() -> str:
+    vals = ", ".join(f"('{p}', {kb})" for p, kb in _BANK_PROFILES)
+    return f"""
+    WITH {_peak_ctes()},
+    cfg(profile, bank_kb) AS (VALUES {vals}),
+    banks AS (SELECT model, peak_bytes, profile,
+                     CAST(bank_kb AS BIGINT) AS bank_kb,
+                     GREATEST(1, ((peak_bytes + 1023) // 1024
+                                  + bank_kb - 1) // bank_kb) AS num_banks
+              FROM peak CROSS JOIN cfg),
+    widths AS (SELECT CAST(r AS INTEGER) AS w FROM range(32) t(r)),
+    final AS (SELECT b.model, b.profile, b.bank_kb, b.peak_bytes,
+                     b.num_banks, MIN(w.w) AS addr_width
+              FROM banks b JOIN widths w
+                ON CAST(POWER(2, w.w) AS BIGINT)
+                   >= b.num_banks * b.bank_kb * 1024
+              GROUP BY b.model, b.profile, b.bank_kb, b.peak_bytes,
+                       b.num_banks)
+    SELECT model, profile, CAST(bank_kb AS INTEGER) AS bank_kb, peak_bytes,
+           CAST(num_banks AS INTEGER) AS sram_num_banks,
+           CAST(addr_width AS INTEGER) AS sram_addr_width,
+           CAST(num_banks * bank_kb AS INTEGER) AS total_sram_kb
+    FROM final
+    """
+
+
+@query("q216_bank_profile_sizing", oracle=_bank_profile_oracle())
+def q216_bank_profile_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q137's SRAM sizing chain with the bank geometry routed through the
+    IO-config JSON SOURCE (S7, `mlir_compiler/rtl_pruner.py:36-48,50-60`):
+    the query writes the deterministic deployment-profile config (small /
+    default / large bank KB), reads it back via ``read_json_config``, and
+    joins it into the sizing — peak bytes x profile -> ceil-KB banks,
+    min 1, address width by exact power-of-two compare. Only a correct
+    config READ hash-matches: the oracle re-derives the rows from the
+    same profile values inline.
+
+    Scale: config is a broadcast-sized dimension (rows = profiles); the
+    fact side is planner-scale peaks. The cross join is models x
+    profiles — both bounded; the config file is the single-digest
+    deployment artifact every node reads once."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from hive_reflex_spark.sources.sinks import read_json_config
+
+    cfg_path = _os.path.join(
+        _tempfile.gettempdir(), "hrs_bank_profiles.json"
+    )
+    with open(cfg_path, "w") as f:
+        _json.dump(
+            [{"profile": p, "bank_kb": kb} for p, kb in _BANK_PROFILES], f
+        )
+    cfg = read_json_config(spark, cfg_path).select(
+        "profile", F.col("bank_kb").cast("long").alias("bank_kb")
+    )
+    peak = model_peak_bytes(spark)
+    banks = peak.crossJoin(F.broadcast(cfg)).withColumn(
+        "num_banks",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(
+                (
+                    F.floor((F.col("peak_bytes") + 1023) / 1024)
+                    + F.col("bank_kb")
+                    - 1
+                )
+                / F.col("bank_kb")
+            ),
+        ),
+    )
+    widths = spark.range(32).select(F.col("id").cast("int").alias("w"))
+    sized = (
+        banks.join(
+            F.broadcast(widths),
+            F.pow(F.lit(2.0), F.col("w")).cast("long")
+            >= F.col("num_banks") * F.col("bank_kb") * 1024,
+        )
+        .groupBy("model", "profile", "bank_kb", "peak_bytes", "num_banks")
+        .agg(F.min("w").alias("addr_width"))
+    )
+    return sized.select(
+        "model",
+        "profile",
+        F.col("bank_kb").cast("int").alias("bank_kb"),
+        "peak_bytes",
+        F.col("num_banks").cast("int").alias("sram_num_banks"),
+        F.col("addr_width").cast("int").alias("sram_addr_width"),
+        (F.col("num_banks") * F.col("bank_kb"))
+        .cast("int")
+        .alias("total_sram_kb"),
     )
 
 

@@ -493,9 +493,12 @@ def neardup_dropped_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         q49_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b").distinct()
     )
+    # cand is corpus-scale on real web data (the near-dup drop set is
+    # 30-50% of documents, and each dropped doc implies >=1 candidate
+    # pair) — plain shuffle join, no hint; AQE broadcasts at toy SF
     inter = (
         capped.alias("a")
-        .join(F.broadcast(cand), F.col("a.doc_id") == F.col("doc_a"))
+        .join(cand, F.col("a.doc_id") == F.col("doc_a"))
         .join(
             capped.alias("b"),
             (F.col("b.doc_id") == F.col("doc_b"))
@@ -926,8 +929,11 @@ def q215_stop_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     a web crawl). A curation reviewer reads THIS table to confirm the
     cap eats boilerplate ('terms of service'), not content; every
     capped phrase is also a candidate for an upstream boilerplate
-    stripper. One DF aggregate + a 1-row rollup, top-20 via
-    TakeOrderedAndProject."""
+    stripper. One DF aggregate + a 1-row rollup; the top-20 LIMIT runs
+    FIRST as TakeOrderedAndProject (per-partition heaps, no global
+    sort), and only the surviving 20 rows enter the ranking window — a
+    window over the full shingle vocabulary would single-partition
+    billions of rows at corpus scale."""
     dsh = distinct_shingles(spark, sf_dir)
     df = dsh.groupBy("shingle").agg(F.count("*").alias("df"))
     tot = df.agg(
@@ -939,12 +945,11 @@ def q215_stop_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("postings_dropped"),
     )
+    top20 = df.orderBy(F.desc("df"), "shingle").limit(20)
     wr = Window.orderBy(F.desc("df"), "shingle")
     return (
-        df.join(F.broadcast(tot))
+        top20.join(F.broadcast(tot))
         .withColumn("rnk", F.row_number().over(wr).cast("int"))
-        .orderBy(F.desc("df"), "shingle")
-        .limit(20)
         .select(
             "shingle",
             "df",

@@ -1852,7 +1852,8 @@ def q151_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                    OVER (PARTITION BY l_returnflag) AS total_wt
         FROM lineitem)
     SELECT l_returnflag,
-           MIN(l_extendedprice) AS weighted_median,
+           CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT)
+               AS weighted_median_cents,
            MIN(total_wt) AS total_weight
     FROM w
     WHERE 2 * cum_wt >= total_wt
@@ -1867,7 +1868,11 @@ def q155_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     2·cum_weight ≥ total_weight; quantities are integral so the
     cumulative weights are exact BIGINTs and the crossing row is
     engine-deterministic (ordering extended to the unique lineitem key
-    per the fixture's non-unique l_linenumber).
+    per the fixture's non-unique l_linenumber). The median itself is
+    emitted as exact BIGINT cents — prices are 2-decimal money, and a
+    raw double crossing the comparison boundary is the one thing that
+    can diverge between engines even when values are bit-identical
+    (q156's canonicalization discipline).
 
     Scale: one window per group over the group's sort — the same
     shape as any exact percentile; the approx swap at hot groups is the
@@ -1896,7 +1901,9 @@ def q155_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.filter(2 * F.col("cum_wt") >= F.col("total_wt"))
         .groupBy("l_returnflag")
         .agg(
-            F.min("l_extendedprice").alias("weighted_median"),
+            F.round(F.min("l_extendedprice") * 100)
+            .cast("long")
+            .alias("weighted_median_cents"),
             F.min("total_wt").alias("total_weight"),
         )
     )

@@ -309,6 +309,30 @@ def decode_can_frames(frames: DataFrame) -> DataFrame:
     )
 
 
+def encode_can_frames(commands: DataFrame) -> DataFrame:
+    """CAN_Transmit as column expressions — the Act/tx leg of the HEx
+    device interface (U2, `codegen_cim.py:527-546`'s
+    HEx_Device_Init/Read/Act contract): target angle/compliance back to
+    the 8-byte wire layout of `example_reflex_node.c:109-120`
+    (little-endian two's-complement int16 in 0.01-degree units + uint8
+    compliance). The exact inverse of :func:`decode_can_frames`."""
+    raw = F.round(F.col("target_angle") * 100).cast("long")
+    u16 = F.pmod(raw, 65536).cast("int")
+    comp = F.round(F.col("compliance") * 255).cast("int")
+    data = F.array(
+        (u16 % 256).cast("int"),
+        (u16 / 256).cast("int"),
+        comp,
+        *[F.lit(0) for _ in range(5)],
+    )
+    return commands.select(
+        "ts",
+        "node_id",
+        F.lit(CAN_CMD_ID).cast("int").alias("can_id"),
+        data.alias("data"),
+    )
+
+
 def can_bus_stream(
     spark: SparkSession, rows_per_second: int = 500, n_nodes: int = 4
 ) -> DataFrame:
@@ -368,6 +392,75 @@ def q160_can_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("target_angle"), 6).alias("max_angle"),
         F.round(exact_sum(F.col("target_angle"), 9), 6).alias("sum_angle"),
         F.round(exact_sum(F.col("compliance"), 9), 6).alias("sum_compliance"),
+    )
+
+
+@query(
+    "q217_device_roundtrip",
+    oracle="""
+    WITH f AS (SELECT event_id AS v FROM events WHERE event_id % 8 != 0),
+    d AS (SELECT CAST(v % 4 AS INTEGER) AS node_id,
+                 ((v * 37 + 13) % 36000) - 18000 AS raw,
+                 (v * 7) % 256 AS comp
+          FROM f)
+    SELECT node_id, COUNT(*) AS n_cmd,
+           CAST(SUM((raw + 65536) % 65536) AS BIGINT) AS sum_u16,
+           CAST(SUM(comp) AS BIGINT) AS sum_comp,
+           CAST(MIN(raw) AS BIGINT) AS min_raw,
+           CAST(MAX(raw) AS BIGINT) AS max_raw
+    FROM d GROUP BY node_id
+    """,
+)
+def q217_device_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — the HEx device-driver interface (HEx_Device_Init/Read/Act,
+    `codegen_cim.py:527-546`; `README.md:36`) driven end to end as one
+    driver-checkable round-trip. Read: the bus frames wire-decoded to
+    commands (the S8 rx path). Act: commands re-ENCODED to the 8-byte
+    wire layout and transmitted through the registered JSON log sink —
+    the device tx wire log. The shipped log is then read back under an
+    explicit schema and rolled up at BYTE level (u16 word sums,
+    compliance-byte sums, raw int16 extremes — no floats anywhere), so
+    only a true encode/decode inverse pair plus a lossless sink
+    hash-match the oracle, which re-derives every byte from the event
+    arithmetic.
+
+    Scale: encode/decode are pure column expressions (whole-stage
+    codegen); the sink is a distributed partitioned write, the readback
+    a parallel scan — nothing driver-resident."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.sources.sinks import write_runtime_log_json
+
+    ticks = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    cmds = decode_can_frames(
+        synthesize_can_frames(ticks, value_col="event_id", ts_col="ts")
+    )
+    tx = encode_can_frames(cmds)
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"hrs_devtx_{os.getpid()}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    write_runtime_log_json(tx.drop("ts"), work)
+    back = spark.read.schema("node_id int, can_id int, data array<int>").json(
+        work
+    )
+    u16 = F.col("data")[1] * 256 + F.col("data")[0]
+    raw = F.when(u16 >= 32768, u16 - 65536).otherwise(u16)
+    return (
+        back.filter(F.col("can_id") == CAN_CMD_ID)
+        .groupBy("node_id")
+        .agg(
+            F.count("*").alias("n_cmd"),
+            F.sum(u16.cast("long")).alias("sum_u16"),
+            F.sum(F.col("data")[2].cast("long")).alias("sum_comp"),
+            F.min(raw.cast("long")).alias("min_raw"),
+            F.max(raw.cast("long")).alias("max_raw"),
+        )
     )
 
 

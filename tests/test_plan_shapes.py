@@ -194,23 +194,40 @@ def hinted_broadcasts_of(spark, name: str, sf_dir: str) -> int:
 
 def test_q94_no_corpus_scale_broadcast_hints(spark, sf_smoke):
     """q94's scale claims: only the collision-sized sides are HINTED as
-    broadcasts (hot stop-shingles, LSH candidate pairs, and q49's band
-    internals = 5 hints); the per-doc `sizes` table and the final drop
-    set join with NO hint — at 100 TB they are corpus-scale and a forced
-    broadcast would OOM. No cartesian products anywhere."""
-    assert hinted_broadcasts_of(spark, "q94_neardup_filter", sf_smoke) == 5
+    broadcasts (hot stop-shingles and q49's band internals = 4 hints);
+    the LSH candidate-PAIR table, the per-doc `sizes` table, and the
+    final drop set join with NO hint — at 100 TB they are corpus-scale
+    (the drop set derived from the pairs is 30-50% of a web corpus, so
+    the pair table is a superset of that) and a forced broadcast would
+    OOM. No cartesian products anywhere."""
+    assert hinted_broadcasts_of(spark, "q94_neardup_filter", sf_smoke) == 4
     plan = plan_of(spark, "q94_neardup_filter", sf_smoke)
     assert "CartesianProduct" not in plan
 
 
 def test_q129_no_corpus_scale_broadcast_hints(spark, sf_smoke):
-    """The curation capstone: quality rejects, near-dup drops, and
-    contamination hits are all corpus-derived sets — none may carry a
-    broadcast hint. The 7 remaining hints are q94's 5 plus q87's
-    benchmark shingles and their dedup leg (all bounded-small)."""
-    assert hinted_broadcasts_of(spark, "q129_curation_pipeline", sf_smoke) == 7
+    """The curation capstone: quality rejects, near-dup drops, LSH
+    candidate pairs, and contamination hits are all corpus-derived sets
+    — none may carry a broadcast hint. The 6 remaining hints are q94's 4
+    plus q87's benchmark shingles and their dedup leg (all
+    bounded-small)."""
+    assert hinted_broadcasts_of(spark, "q129_curation_pipeline", sf_smoke) == 6
     plan = plan_of(spark, "q129_curation_pipeline", sf_smoke)
     assert "CartesianProduct" not in plan
+
+
+def test_q215_limit_below_window(spark, sf_smoke):
+    """q215's top-20 must run as TakeOrderedAndProject BEFORE the ranking
+    window: a row_number() window over the full shingle vocabulary
+    single-partitions billions of rows at corpus scale. The executed plan
+    must show the TakeOrderedAndProject strictly below (after, in
+    top-down print order: above) the Window's input — i.e. the Window
+    consumes the 20-row limit, not the DF aggregate."""
+    plan = plan_of(spark, "q215_stop_phrases", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    # top-down print: Window must appear BEFORE TakeOrderedAndProject,
+    # meaning the limit is its child, not its consumer
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
 
 
 def test_q47_no_broadcast_hints(spark, sf_smoke):

@@ -197,24 +197,23 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-4 rotation: everything registered after the r03 window,
-        # the queries new this round, and the code-changed re-checks
-        "q126_pmi_collocations",     # post-r03 curation tail (first row)
-        "q133_regional_revenue",     # TPC-H Q5 analog (first row)
-        "q136_dvfs_governor",        # SDK-parity tier (first row)
-        "q147_stream_left_outer_join",  # stream-stream outer (first row)
-        "q150_cheapest_supplier",    # TPC-H Q2 analog (first row)
-        "q156_table_fingerprint",    # anti-entropy digests (first row)
-        "q157_model_pack_roundtrip",  # new: sink family round-trip
-        "q158_ewma_smooth",          # new: W6 oracle
-        "q159_buffer_allocation",    # new: W10 allocator replay
-        "q160_can_wire_decode",      # new: S8 wire codec
-        "q52a_cosine_topk_units",    # new: integer-fold twin
-        "q47_jaccard_pairs",         # code changed: broadcast removal
-        "q94_neardup_filter",        # code changed: broadcast removal
-        "q52_cosine_topk_arrays",    # code changed: float fold + oracle
-        "q83_qat_probe",             # code changed: count folding
-        "q84_distill_probe",         # code changed: count folding
+        # round-5 rotation: the r04 failure's fix, the code-changed
+        # re-checks, the two new component closers, and the
+        # never-driver-checked tier (newest families first)
+        "q155_weighted_median",      # r04 driver-red, fixed (BIGINT cents)
+        "q94_neardup_filter",        # code changed: cand de-broadcast
+        "q129_curation_pipeline",    # code changed: cand de-broadcast
+        "q216_bank_profile_sizing",  # new: S7 io-config JSON source
+        "q217_device_roundtrip",     # new: U2 device source/sink iface
+        "q215_stop_phrases",         # code changed: limit below window
+        "q206_dup_family_sizes",     # code changed: fingerprint swap
+        "q80c_onnx_micro_kws",       # ONNX source, first row
+        "q80d_onnx_gesture_net",     # ONNX source, first row
+        "q187_triplet_dataset",      # newest tier (first rows)
+        "q199_kaplan_meier",
+        "q214_budget_allocation",
+        "q171_incremental_lsh_index",
+        "q172_log_shipping_roundtrip",
     ):
         assert must in window, must
 
