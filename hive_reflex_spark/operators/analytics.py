@@ -1881,6 +1881,81 @@ def q195_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bucketed_ordered_prefix(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    descending: bool = False,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Global ordered prefix WITHOUT a single-partition window (q145's
+    two-pass discipline, shared by the Pareto/Gini shapes): rows are
+    binned into order-preserving buckets by value range, the ≤n_buckets
+    bucket totals come to the driver for the exclusive offset scan and
+    go back broadcast, and the within-bucket cumsum/row-number is a
+    *partitioned* window. Adds ``_cum`` (inclusive cumsum of value_col)
+    and ``_rn`` (1-based global row number) in
+    (value_col [desc], tie_col) order. Survives a 10^8-key dimension at
+    the cost of one tiny extra aggregate; value-range skew concentrates
+    a hot value's ties in one bucket, the same documented trade as
+    q145."""
+    bounds = df.agg(
+        F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
+    ).first()
+    order = [
+        F.desc(value_col) if descending else F.asc(value_col),
+        F.asc(tie_col),
+    ]
+    if bounds.lo is None:  # empty input: nothing to bucket
+        w = Window.orderBy(*order)
+        return df.withColumn(
+            "_cum",
+            F.sum(value_col).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ).withColumn("_rn", F.row_number().over(w).cast("long"))
+    lo, hi = int(bounds.lo), int(bounds.hi)
+    width = max(-(-(hi - lo + 1) // n_buckets), 1)
+    bexpr = F.floor(
+        (
+            (F.lit(hi) - F.col(value_col))
+            if descending
+            else (F.col(value_col) - F.lit(lo))
+        )
+        / F.lit(width)
+    ).cast("long")
+    pb = df.withColumn("_bucket", bexpr)
+    rows = (
+        pb.groupBy("_bucket")
+        .agg(F.sum(value_col).alias("vt"), F.count("*").alias("ct"))
+        .collect()
+    )
+    offs, vacc, cacc = [], 0, 0
+    for r in sorted(rows, key=lambda r: r["_bucket"]):
+        offs.append((r["_bucket"], vacc, cacc))
+        vacc += int(r["vt"])
+        cacc += int(r["ct"])
+    off_df = df.sparkSession.createDataFrame(
+        offs, "_bucket long, _voff long, _coff long"
+    )
+    wb = Window.partitionBy("_bucket").orderBy(*order)
+    return (
+        pb.join(F.broadcast(off_df), "_bucket")
+        .withColumn(
+            "_cum",
+            F.col("_voff")
+            + F.sum(value_col).over(
+                wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn(
+            "_rn", (F.col("_coff") + F.row_number().over(wb)).cast("long")
+        )
+        .drop("_bucket", "_voff", "_coff")
+    )
+
+
+
 @query(
     "q196_abc_classification",
     oracle="""
@@ -1914,11 +1989,12 @@ def q196_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     share, B to 95%, C the tail (membership keyed off the cumulative
     mass BEFORE the part, so the part crossing a boundary stays in the
     richer class — deterministic at ties via the part key). The classic
-    80/20 inventory cut as one ranking window over the pre-aggregated
-    per-part rollup — lineitem is touched once. The global cumulative
-    window single-partitions the |parts| rollup (fine at |parts| <<
-    |lineitem|); past ~10⁷ parts swap it for q145's bucketed two-pass
-    prefix sum — per-bucket totals broadcast, cumsum within buckets."""
+    80/20 inventory cut over the pre-aggregated per-part rollup —
+    lineitem is touched once. The cumulative mass runs through
+    :func:`bucketed_ordered_prefix` (q145's two-pass discipline), so no
+    window ever single-partitions the |parts| rollup — the shape
+    survives a 10^8-key dimension; the grand total is a 1-row aggregate
+    broadcast back, not an unpartitioned window."""
     li = read_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(
@@ -1927,15 +2003,16 @@ def q196_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long")
         ).alias("units")
     )
-    wo = Window.orderBy(F.desc("units"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "l_partkey",
-        "units",
-        F.sum("units").over(wo).alias("cum_units"),
-        F.sum("units").over(wall).alias("total_units"),
+    tot = rev.agg(F.sum("units").alias("total_units"))
+    ranked = (
+        bucketed_ordered_prefix(rev, "units", "l_partkey", descending=True)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "units",
+            F.col("_cum").alias("cum_units"),
+            "total_units",
+        )
     )
     before = (F.col("cum_units") - F.col("units")) * 1.0 / F.col("total_units")
     classed = ranked.withColumn(
@@ -2069,23 +2146,26 @@ def q204_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     whale-concentration number (0 = every customer equal, →1 = one
     customer is the business) from the closed form
     G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over rank-ordered exact integer
-    revenue units. One ranking window over the |customers| rollup; ties
-    break on the key so the rank products are deterministic. Same
-    single-partition note as q196: past ~10⁷ keys the rank uses the
-    bucketed two-pass prefix discipline."""
+    revenue units. Ties break on the key so the rank products are
+    deterministic. The global rank runs through
+    :func:`bucketed_ordered_prefix` (q145's two-pass discipline) and the
+    n/total denominators are a 1-row aggregate broadcast back — no
+    unpartitioned window anywhere, so the shape survives a 10^8-key
+    dimension."""
     orders = read_table(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "units"
         )
     )
-    wo = Window.orderBy("units", "o_custkey")
-    wall = Window.partitionBy()
-    ranked = rev.select(
-        "units",
-        F.row_number().over(wo).cast("long").alias("i"),
-        F.count("*").over(wall).cast("long").alias("n"),
-        F.sum("units").over(wall).cast("long").alias("total"),
+    tot = rev.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("units").cast("long").alias("total"),
+    )
+    ranked = (
+        bucketed_ordered_prefix(rev, "units", "o_custkey", descending=False)
+        .crossJoin(F.broadcast(tot))
+        .select("units", F.col("_rn").alias("i"), "n", "total")
     )
     return ranked.groupBy("n").agg(
         F.round(F.max("total") / 100.0, 6).alias("total_revenue"),

@@ -170,11 +170,16 @@ def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sa.n") + F.col("sb.n") - F.col("intersection")
     )
     # `sizes` has one row PER DOCUMENT — corpus-scale, never broadcast
-    # (billions of rows at 100 TB would OOM every executor). Plain hash
-    # joins on doc_a/doc_b; AQE may still pick broadcast at toy SF.
+    # (billions of rows at 100 TB would OOM every executor). Shuffle-HASH
+    # joins on doc_a/doc_b: doc_id keys are uniform and the per-partition
+    # build side is bounded by the shuffle partitioning, so hashing beats
+    # sort-merge without any executor-resident table; AQE may still pick
+    # broadcast at toy SF.
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(
+            sa.hint("shuffle_hash"), F.col("doc_a") == F.col("sa.doc_id")
+        )
+        .join(sb.hint("shuffle_hash"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select(
             "doc_a",
@@ -510,11 +515,14 @@ def neardup_dropped_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    # per-doc `sizes` is corpus-scale — plain hash joins, no broadcast
-    # hint (AQE may still broadcast at toy SF; at 100 TB it must not)
+    # per-doc `sizes` is corpus-scale — no broadcast hint (at 100 TB it
+    # must not be executor-resident); shuffle-HASH beats sort-merge on
+    # the uniform doc_id keys (AQE may still broadcast at toy SF)
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(
+            sa.hint("shuffle_hash"), F.col("doc_a") == F.col("sa.doc_id")
+        )
+        .join(sb.hint("shuffle_hash"), F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -851,12 +859,30 @@ def q186_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+_FP_PRIME = 2147483647  # 2^31-1: polynomial fold + scramble modulus
+_FP_MIX = 2654435761  # Knuth multiplicative constant (coprime to the prime)
+
+
+def _duck_gram_hash() -> str:
+    """DuckDB twin of the 8-gram scrambled polynomial hash: Horner chain
+    over the char codes (BIGINT from the first term — peak value
+    255*31^7 ~ 7e12 needs 64 bits), folded mod 2^31-1, then the
+    multiplicative scramble (a bijection on [0, p)) so the min is taken
+    over well-mixed values, not near-lexicographic ones."""
+    poly = "CAST(ascii(substr(text, CAST(pos AS INTEGER), 1)) AS BIGINT)"
+    for i in range(1, 8):
+        poly = (
+            f"({poly} * 31 + "
+            f"ascii(substr(text, CAST(pos + {i} AS INTEGER), 1)))"
+        )
+    return f"(({poly} % {_FP_PRIME}) * {_FP_MIX}) % {_FP_PRIME}"
+
+
 @query(
     "q206_dup_family_sizes",
-    oracle="""
+    oracle=f"""
     WITH fp AS (
-        SELECT doc_id,
-               MIN(md5(substr(text, CAST(pos AS INTEGER), 8))) AS fingerprint
+        SELECT doc_id, MIN({_duck_gram_hash()}) AS fingerprint
         FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS pos
               FROM documents)
         GROUP BY doc_id),
@@ -878,19 +904,29 @@ def q206_dup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-of-frequencies view that says whether duplication is a few
     viral families or a long pairwise tail — which decides whether
     keep-first or full clustering (q78) pays for itself. Scan-side
-    8-gram min-hash, two grouped aggregates, no joins. Cost note: the
-    fingerprint is one md5 PER CHARACTER POSITION (O(chars) hashes,
-    embarrassingly parallel — linear in corpus, no shuffle risk);
-    a production run swaps in a strided or rolling-polynomial hash to
-    cut the constant ~4-10x with the same min-sketch property."""
+    8-gram min-hash, two grouped aggregates, no joins. The fingerprint
+    is a Horner polynomial over char codes folded mod 2^31-1 and then
+    multiplicatively scrambled (a bijection, so the min is over mixed
+    values — a raw polynomial min is near-lexicographic and would merge
+    every doc sharing the corpus's smallest 8-gram into one family):
+    pure integer arithmetic, ~4-10x cheaper per position than the md5
+    it replaced, still linear and shuffle-free. The char codes are
+    hoisted to ONE projection so the per-position lambda does 8 array
+    reads, not 8 substring scans."""
     docs = read_table(spark, sf_dir, "documents")
+    horner = "element_at(codes, p)"
+    for i in range(1, 8):
+        horner = f"({horner} * 31 + element_at(codes, p + {i}))"
     grams = F.expr(
-        "transform(sequence(1, length(text) - 7), "
-        "p -> md5(substring(text, p, 8)))"
+        "transform(sequence(1, size(codes) - 7), "
+        f"p -> (({horner} % {_FP_PRIME}) * {_FP_MIX}) % {_FP_PRIME})"
     )
     fp = docs.select(
-        "doc_id", F.array_min(grams).alias("fingerprint")
-    )
+        "doc_id",
+        F.expr(
+            "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
+        ).alias("codes"),
+    ).select("doc_id", F.array_min(grams).alias("fingerprint"))
     fam = fp.groupBy("fingerprint").agg(F.count("*").alias("size"))
     return fam.groupBy(F.col("size").alias("family_size")).agg(
         F.count("*").alias("n_families"),

@@ -230,6 +230,21 @@ def test_q215_limit_below_window(spark, sf_smoke):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
 
 
+@pytest.mark.parametrize(
+    "name", ["q196_abc_classification", "q204_revenue_gini"]
+)
+def test_pareto_gini_no_global_window(spark, sf_smoke, name):
+    """The Pareto/Gini shapes run their global prefix through the
+    bucketed two-pass discipline: every Window in the executed plan must
+    be partitioned by the range bucket (so the per-key rollup is never
+    single-partitioned); the only SinglePartition exchange allowed is
+    the 1-row grand-total aggregate, which must NOT feed a Window."""
+    plan = plan_of(spark, name, sf_smoke)
+    for seg in plan.split("Window [")[1:]:
+        spec = seg.split("]")[0]
+        assert "_bucket" in spec, f"unbucketed window in {name}: {spec}"
+
+
 def test_q47_no_broadcast_hints(spark, sf_smoke):
     """q47 joins pairs against the per-doc sizes table twice; both joins
     must be plain hash joins (zero hints) — sizes has one row per doc."""
