@@ -93,12 +93,16 @@ _registry.finalize_order([
     "q182_vocab_coverage",
     "q185_negative_sampling",
     "q186_source_overlap",
-    # --- slot 51+: the window is full; these 3 remaining never-checked
-    # queries (all local-pass) lead the r06 rotation, followed by any
-    # queries registered this round ---
+    # --- slot 51+: the window is full; these never-checked queries (all
+    # local-pass) lead the r06 rotation — the 3 left over from the r05
+    # window, then the queries NEW this round ---
     "q174_range_boundaries",
     "q183_shrunk_group_means",
     "q184_decayed_popularity",
+    "q218_histogram_quantiles",
+    "q219_volume_concentration",
+    "q220_zonemap_pruning",
+    "q221_priority_sample",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)

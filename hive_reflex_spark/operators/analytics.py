@@ -2437,3 +2437,123 @@ def q214_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("allocated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin histogram quantiles — the sketch-family member for
+# percentiles (next to CMS q114, HLL q118, Bloom q127)
+# ---------------------------------------------------------------------------
+
+_HQ_BINS = 64
+# quantiles as exact integer fractions so the crossing-bin target is
+# engine-deterministic: ceil(p * n) = (n*num + den - 1) // den
+_HQ_QUANTILES = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+
+
+def _hq_oracle() -> str:
+    qvals = ", ".join(f"('{n}', {a}, {b})" for n, a, b in _HQ_QUANTILES)
+    return f"""
+    WITH cents AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS xc
+        FROM lineitem),
+    bounds AS (SELECT MIN(xc) AS loc,
+                      GREATEST(MAX(xc) - MIN(xc), 1) AS spanc
+               FROM cents),
+    hist AS (
+        SELECT flag,
+               LEAST({_HQ_BINS - 1},
+                     (xc - loc) * {_HQ_BINS} // spanc) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM cents, bounds GROUP BY 1, 2),
+    cum AS (
+        SELECT flag, bin, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY flag ORDER BY bin)
+                   AS BIGINT) AS c,
+               CAST(SUM(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+        FROM hist),
+    qs(q, num, den) AS (VALUES {qvals}),
+    hit AS (
+        SELECT flag, q, n, MIN(bin) AS bin
+        FROM cum JOIN qs
+          ON c >= (n * num + den - 1) // den
+        GROUP BY flag, q, n)
+    SELECT flag AS l_returnflag, q, CAST(bin AS INT) AS bin, n,
+           CAST(loc + spanc * (bin + 1) // {_HQ_BINS} AS BIGINT)
+               AS est_hi_cents
+    FROM hit, bounds
+    """
+
+
+@query("q218_histogram_quantiles", oracle=_hq_oracle())
+def q218_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-group quantiles (p50/p90/p99) from a mergeable
+    fixed-bin histogram — the percentile member of the sketch family
+    (CMS q114, HLL q118, Bloom q127) and the 100-TB swap for q155's
+    exact weighted median: per-partition histograms merge by bin-wise
+    addition inside ONE hash aggregate, so no global sort or
+    single-partition window ever happens, at the cost of bin-width
+    resolution (the reported estimate is the crossing bin's right
+    edge). All arithmetic is exact BIGINT cents — binning is integer
+    multiply/divide against the broadcast 1-row global bounds, so both
+    engines land every value in the same bin. Output: per return flag
+    and quantile, the crossing bin, group count, and the bin's
+    right-edge estimate in cents."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("xc"),
+    )
+    bounds = cents.agg(
+        F.min("xc").alias("loc"),
+        F.greatest(F.max("xc") - F.min("xc"), F.lit(1)).alias("spanc"),
+    )
+    hist = (
+        cents.join(F.broadcast(bounds))
+        .select(
+            "flag",
+            F.least(
+                F.lit(_HQ_BINS - 1).cast("long"),
+                (
+                    ((F.col("xc") - F.col("loc")) * _HQ_BINS)
+                    / F.col("spanc")
+                ).cast("long"),
+            ).alias("bin"),
+        )
+        .groupBy("flag", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wc = Window.partitionBy("flag").orderBy("bin")
+    cum = hist.select(
+        "flag",
+        "bin",
+        F.sum("cnt").over(
+            wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("c"),
+        F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
+    )
+    qs = spark.createDataFrame(
+        _HQ_QUANTILES, "q string, num long, den long"
+    )
+    hit = (
+        cum.join(
+            F.broadcast(qs),
+            F.col("c")
+            >= ((F.col("n") * F.col("num") + F.col("den") - 1) / F.col("den"))
+            .cast("long"),
+        )
+        .groupBy("flag", "q", "n")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.join(F.broadcast(bounds)).select(
+        F.col("flag").alias("l_returnflag"),
+        "q",
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        (
+            F.col("loc")
+            + (F.col("spanc") * (F.col("bin") + 1) / _HQ_BINS).cast("long")
+        )
+        .cast("long")
+        .alias("est_hi_cents"),
+    )

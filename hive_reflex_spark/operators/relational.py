@@ -2488,3 +2488,80 @@ def q212_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "fd string, n_keys long, n_violations long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-year volume concentration (TPC-H Q20 flavor on the tables we have)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q219_volume_concentration",
+    oracle="""
+    WITH sp AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_total,
+               CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                              AND l_shipdate < TIMESTAMP '1998-01-01'
+                             THEN CAST(l_quantity AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS q_1997
+        FROM lineitem GROUP BY l_suppkey, l_partkey),
+    conc AS (SELECT * FROM sp WHERE 2 * q_1997 > q_total AND q_1997 > 0)
+    SELECT s.s_name, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_concentrated_parts,
+           CAST(SUM(q_1997) AS BIGINT) AS qty_1997,
+           CAST(SUM(q_total) AS BIGINT) AS qty_total
+    FROM conc c
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY s.s_name, n.n_name
+    HAVING COUNT(*) >= 5
+    """,
+)
+def q219_volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose 1997 shipments of a part exceed HALF that part's
+    lifetime volume from them — the TPC-H Q20 'excess availability'
+    question re-posed on the tables this fixture has (no partsupp):
+    single-period concentration flags the supplier-part lanes a buyer
+    should dual-source. One scan of lineitem with a conditional-sum
+    groupBy (the year split costs a CASE, not a second scan or
+    self-join), the >50% predicate on the pre-aggregated lane rollup,
+    then broadcast dimension joins (supplier, nation) and a HAVING
+    floor of 5 lanes to keep the report material.
+
+    Scale: the lane rollup is one shuffle on (suppkey, partkey) with
+    map-side partial aggregation; dims broadcast; nothing else moves.
+    Ref semantics: the reference's cascade/threshold reporting style
+    (`tools/train_adaptive_model.py` report sections) applied to the
+    declared relational surface."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    li = t["lineitem"]
+    in97 = (
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q_total"),
+        F.sum(
+            F.when(in97, F.col("l_quantity").cast("long")).otherwise(0)
+        ).alias("q_1997"),
+    )
+    conc = sp.filter(
+        (2 * F.col("q_1997") > F.col("q_total")) & (F.col("q_1997") > 0)
+    )
+    return (
+        conc.join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_concentrated_parts"),
+            F.sum("q_1997").alias("qty_1997"),
+            F.sum("q_total").alias("qty_total"),
+        )
+        .filter(F.col("n_concentrated_parts") >= 5)
+    )

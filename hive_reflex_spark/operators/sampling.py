@@ -840,3 +840,112 @@ def q187_triplet_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.col("nd")
         ).alias("neg_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling — weight-proportional fixed-size sample with unbiased
+# subset-sum estimates (Duffield–Lund–Thorup), hash-deterministic
+# ---------------------------------------------------------------------------
+
+_PRI_K = 200
+_PRI_SCALE = 4503599627370496.0  # 16^13: md5's first 13 hex digits span
+
+
+@query(
+    "q221_priority_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS w,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))
+                   ::BIGINT AS h
+        FROM orders),
+    pri AS (SELECT *,
+                   CAST(w AS DOUBLE) * {_PRI_SCALE} / (h + 1) AS q
+            FROM keyed),
+    topk1 AS (SELECT * FROM pri ORDER BY q DESC, o_orderkey
+              LIMIT {_PRI_K + 1}),
+    tau AS (SELECT MIN(q) AS tau FROM topk1),
+    smp AS (SELECT * FROM topk1 ORDER BY q DESC, o_orderkey
+            LIMIT {_PRI_K}),
+    est AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+               CAST(SUM(CAST(ROUND(GREATEST(CAST(w AS DOUBLE), tau))
+                             AS BIGINT)) AS BIGINT) AS est_cents
+        FROM smp, tau GROUP BY 1),
+    truth AS (SELECT o_orderpriority, CAST(SUM(w) AS BIGINT) AS true_cents
+              FROM keyed GROUP BY 1)
+    SELECT t.o_orderpriority,
+           COALESCE(n_sampled, 0) AS n_sampled,
+           true_cents,
+           COALESCE(est_cents, 0) AS est_cents,
+           ROUND((COALESCE(est_cents, 0) - true_cents) * 1.0 / true_cents,
+                 6) AS rel_err
+    FROM truth t LEFT JOIN est e USING (o_orderpriority)
+    """,
+)
+def q221_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): ONE fixed-size
+    weight-proportional sample that answers arbitrary later subset-sum
+    questions unbiasedly — the sampling-tier member for 'keep k rows,
+    estimate any group total afterwards' (cheaper than a per-question
+    stratified draw, q86). Priority = w/u with u a hash-uniform in
+    (0,1] from md5(o_orderkey) — deterministic, reshard-stable, no RNG;
+    the sample is the top-k priorities (TakeOrderedAndProject: per-
+    partition heaps, no global sort) and tau is the (k+1)-th priority.
+    Each sampled row's estimator weight is max(w, tau); the report
+    replays the estimate against the true per-o_orderpriority totals
+    with the realized relative error. Estimator sums are rounded to
+    exact integer cents before aggregation so the result is
+    order-independent.
+
+    Scale: the scan is stateless projection; top-(k+1) is the only
+    reduction and k is constant. The truth side is a plain grouped
+    aggregate for the audit — a production deployment keeps only the
+    k-row sample."""
+    orders = read_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w"),
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    pri = keyed.withColumn(
+        "q", F.col("w").cast("double") * _PRI_SCALE / (F.col("h") + 1)
+    )
+    topk1 = pri.orderBy(F.desc("q"), "o_orderkey").limit(_PRI_K + 1)
+    tau = topk1.agg(F.min("q").alias("tau"))
+    smp = topk1.orderBy(F.desc("q"), "o_orderkey").limit(_PRI_K)
+    est = (
+        smp.join(F.broadcast(tau))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum(
+                F.round(
+                    F.greatest(F.col("w").cast("double"), F.col("tau"))
+                ).cast("long")
+            ).alias("est_cents"),
+        )
+    )
+    truth = keyed.groupBy("o_orderpriority").agg(
+        F.sum("w").alias("true_cents")
+    )
+    return truth.join(est, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        "true_cents",
+        F.coalesce("est_cents", F.lit(0)).alias("est_cents"),
+        F.round(
+            (F.coalesce("est_cents", F.lit(0)) - F.col("true_cents"))
+            * 1.0
+            / F.col("true_cents"),
+            6,
+        ).alias("rel_err"),
+    )

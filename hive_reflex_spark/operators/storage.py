@@ -322,3 +322,119 @@ def q180_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc"),
         F.sum("doc_id").cast("long").alias("id_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (min/max data-skipping) effectiveness audit
+# ---------------------------------------------------------------------------
+
+_ZM_ZONE_ROWS = 4096  # orders per zone ~ a parquet row group
+
+
+@query(
+    "q220_zonemap_pruning",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderdate,
+               o_orderkey // {_ZM_ZONE_ROWS} AS z_arrival,
+               CAST(epoch(o_orderdate) AS BIGINT) // 86400 // 92 AS z_clustered
+        FROM orders),
+    zones AS (
+        SELECT 'arrival' AS layout, z_arrival AS z,
+               MIN(o_orderdate) AS dmin, MAX(o_orderdate) AS dmax,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM keyed GROUP BY 2
+        UNION ALL
+        SELECT 'date_clustered', z_clustered,
+               MIN(o_orderdate), MAX(o_orderdate),
+               CAST(COUNT(*) AS BIGINT)
+        FROM keyed GROUP BY 2),
+    tot AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_zones,
+                   CAST(SUM(cnt) AS BIGINT) AS rows_total
+            FROM zones GROUP BY layout),
+    quarters AS (
+        SELECT q0, q0 + INTERVAL 3 MONTH AS q1
+        FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+                                            TIMESTAMP '2001-10-01',
+                                            INTERVAL 3 MONTH)) AS q0)),
+    scan AS (
+        SELECT layout,
+               CAST(year(q0) * 10 + quarter(q0) AS INT) AS quarter,
+               CAST(COUNT(*) AS BIGINT) AS zones_scanned,
+               CAST(SUM(cnt) AS BIGINT) AS rows_scanned
+        FROM quarters JOIN zones
+          ON dmax >= q0 AND dmin < q1
+        GROUP BY 1, 2)
+    SELECT s.layout, quarter, zones_scanned, rows_scanned, n_zones,
+           rows_total,
+           ROUND(1.0 - rows_scanned * 1.0 / rows_total, 6) AS prune_frac
+    FROM scan s JOIN tot t ON s.layout = t.layout
+    """,
+)
+def q220_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max skipping) effectiveness audit, measured as the
+    CONTRAST between two physical layouts: 'arrival' zones are
+    {_ZM_ZONE_ROWS}-orderkey ranges (how a parquet writer records
+    row-group stats on naturally-arriving data), 'date_clustered' zones
+    are 92-day date buckets (what a repartitionByRange(o_orderdate) +
+    sortWithinPartitions rewrite produces). Every quarterly predicate
+    replays against both zone maps; on the fixture's random date layout
+    the arrival map prunes ~nothing while the clustered map skips all
+    but ~1-2 zones per quarter — the measured number that justifies
+    q176's Z-order/clustering rewrite, per predicate, instead of
+    asserting it. The zone maps are one hash aggregate each over a
+    single scan; the predicate replay is a 28-row broadcast
+    nested-loop against the maps, never against the data."""
+    orders = read_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderdate",
+        F.floor(F.col("o_orderkey") / _ZM_ZONE_ROWS).alias("z_arrival"),
+        F.floor(
+            F.floor(F.unix_timestamp("o_orderdate") / 86400) / 92
+        ).alias("z_clustered"),
+    )
+
+    def zmap(layout: str, zcol: str):
+        return keyed.groupBy(F.col(zcol).alias("z")).agg(
+            F.min("o_orderdate").alias("dmin"),
+            F.max("o_orderdate").alias("dmax"),
+            F.count("*").alias("cnt"),
+        ).select(F.lit(layout).alias("layout"), "z", "dmin", "dmax", "cnt")
+
+    zones = zmap("arrival", "z_arrival").unionByName(
+        zmap("date_clustered", "z_clustered")
+    )
+    tot = zones.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_zones"),
+        F.sum("cnt").cast("long").alias("rows_total"),
+    )
+    quarters = spark.sql(
+        "SELECT q0, q0 + INTERVAL 3 MONTH AS q1 FROM (SELECT "
+        "explode(sequence(TIMESTAMP '1995-01-01', "
+        "TIMESTAMP '2001-10-01', INTERVAL 3 MONTH)) AS q0)"
+    )
+    scan = (
+        zones.join(
+            F.broadcast(quarters),
+            (F.col("dmax") >= F.col("q0")) & (F.col("dmin") < F.col("q1")),
+        )
+        .groupBy(
+            "layout",
+            (F.year("q0") * 10 + F.quarter("q0")).cast("int").alias("quarter"),
+        )
+        .agg(
+            F.count("*").alias("zones_scanned"),
+            F.sum("cnt").cast("long").alias("rows_scanned"),
+        )
+    )
+    return scan.join(F.broadcast(tot), "layout").select(
+        "layout",
+        "quarter",
+        "zones_scanned",
+        "rows_scanned",
+        "n_zones",
+        "rows_total",
+        F.round(
+            1.0 - F.col("rows_scanned") * 1.0 / F.col("rows_total"), 6
+        ).alias("prune_frac"),
+    )
