@@ -71,12 +71,41 @@ PICKS = {
     ),
     "q94_neardup_filter": (
         "End-to-end near-dup filter: only the collision-sized sides (hot "
-        "stop-shingles, LSH candidate pairs) carry broadcast HINTS; the "
-        "per-doc sizes table and the final drop set join as plain hash "
-        "joins — at 100 TB both are corpus-scale and a forced broadcast "
-        "would OOM (AQE may still broadcast them at toy SF). "
+        "stop-shingles, q49's band internals) carry broadcast HINTS; the "
+        "LSH candidate-pair table, the per-doc sizes table and the final "
+        "drop set join with NO hint — at 100 TB all three are "
+        "corpus-scale and a forced broadcast would OOM (AQE may still "
+        "broadcast them at toy SF); the sizes joins are shuffle-HASH "
+        "hinted (uniform doc_id keys, no sort-merge sorts). "
         "Verification touches only candidate docs' shingles — no "
         "all-pairs anywhere."
+    ),
+    "q196_abc_classification": (
+        "Pareto/ABC without a global window: the cumulative mass runs "
+        "through the bucketed two-pass prefix — every Window partitions "
+        "by the range bucket, the grand total is a 1-row broadcast; the "
+        "only SinglePartition exchange is that 1-row aggregate."
+    ),
+    "q215_stop_phrases": (
+        "DF-cap audit: the top-20 is TakeOrderedAndProject (per-partition "
+        "heaps) BEFORE the ranking window, so the window input is 20 "
+        "rows, never the full shingle vocabulary."
+    ),
+    "q218_histogram_quantiles": (
+        "Mergeable histogram quantiles: binning is integer arithmetic "
+        "against broadcast 1-row bounds, the histogram is one "
+        "partial/final hash aggregate, and the quantile pick is a "
+        "64-rows-per-group window — no global sort at any scale."
+    ),
+    "q220_zonemap_pruning": (
+        "Zone-map audit: two hash aggregates build the per-layout maps; "
+        "the 28 quarterly predicates replay as a broadcast nested-loop "
+        "against the MAPS (|rows|/4096 entries), never the data."
+    ),
+    "q221_priority_sample": (
+        "Priority sampling: stateless hash/priority projection, then "
+        "TakeOrderedAndProject for the top-(k+1) — the only reduction; "
+        "tau re-enters as a 1-row broadcast."
     ),
     "q102_pq_encode": (
         "Product quantization: every corpus join is a BroadcastHashJoin "
