@@ -245,6 +245,37 @@ def test_pareto_gini_no_global_window(spark, sf_smoke, name):
         assert "_bucket" in spec, f"unbucketed window in {name}: {spec}"
 
 
+def test_q218_histogram_no_global_sort(spark, sf_smoke):
+    """The mergeable-histogram quantile must never globally sort the
+    fact rows: no Sort over the cents projection (the only orderings
+    allowed are inside the 64-bins-per-group window), and the bounds
+    join is a broadcast."""
+    plan = plan_of(spark, "q218_histogram_quantiles", sf_smoke)
+    assert "TakeOrderedAndProject" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row bounds join
+    # the fact-side scan must feed a hash aggregate, not a sort
+    scan_seg = plan.split("Scan parquet")[0]
+    assert "SortMergeJoin" not in plan
+
+
+def test_q221_priority_sample_topk(spark, sf_smoke):
+    """Priority sampling's only reduction is the top-(k+1) — it must
+    plan as TakeOrderedAndProject (per-partition heaps), and tau must
+    re-enter as a broadcast, never a shuffled join."""
+    plan = plan_of(spark, "q221_priority_sample", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q220_zonemap_replay_broadcasts_quarters(spark, sf_smoke):
+    """The predicate replay must join the 28-row quarters table by
+    broadcast nested-loop against the zone MAPS; the orders scan feeds
+    only the two zone-map hash aggregates."""
+    plan = plan_of(spark, "q220_zonemap_pruning", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_q47_no_broadcast_hints(spark, sf_smoke):
     """q47 joins pairs against the per-doc sizes table twice; both joins
     must be plain hash joins (zero hints) — sizes has one row per doc."""
