@@ -438,3 +438,111 @@ def q220_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("rows_scanned") * 1.0 / F.col("rows_total"), 6
         ).alias("prune_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Changelog MERGE (CDC apply): last-writer-wins upsert/delete onto a
+# snapshot — the lakehouse MERGE INTO semantics as one co-partitioned join
+# ---------------------------------------------------------------------------
+
+_MERGE_KEYSPACE = 2  # changelog touches ~1/2 of the snapshot keyspace
+
+
+@query(
+    "q222_changelog_merge",
+    oracle=f"""
+    WITH snap AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM orders),
+    maxk AS (SELECT MAX(k) AS mk FROM snap),
+    chg AS (
+        SELECT event_id AS seq,
+               (event_id * 7919) % (mk * {_MERGE_KEYSPACE}) AS k,
+               CASE WHEN event_id % 5 = 0 THEN 'delete'
+                    ELSE 'upsert' END AS op,
+               CAST((event_id * 131) % 10000000 AS BIGINT) AS new_cents
+        FROM events, maxk),
+    last AS (
+        SELECT k, arg_max(op, seq) AS op,
+               arg_max(new_cents, seq) AS new_cents
+        FROM chg GROUP BY k),
+    merged AS (
+        SELECT COALESCE(s.k, l.k) AS k,
+               CASE WHEN l.k IS NULL THEN 'unchanged'
+                    WHEN l.op = 'delete' AND s.k IS NOT NULL THEN 'deleted'
+                    WHEN l.op = 'delete' THEN 'noop_delete'
+                    WHEN s.k IS NULL THEN 'inserted'
+                    ELSE 'updated' END AS action,
+               CASE WHEN l.k IS NULL THEN s.price_cents
+                    WHEN l.op = 'delete' THEN NULL
+                    ELSE l.new_cents END AS final_cents
+        FROM snap s FULL OUTER JOIN last l ON s.k = l.k)
+    SELECT action, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COALESCE(SUM(final_cents), 0) AS BIGINT) AS total_cents
+    FROM merged GROUP BY action
+    """,
+)
+def q222_changelog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (CDC changelog apply) as one co-partitioned
+    plan: a deterministic changelog derived from the event stream
+    (upserts and deletes keyed into {_MERGE_KEYSPACE}x the snapshot
+    keyspace so inserts, updates, deletes AND no-op deletes all occur)
+    collapses to its last-writer-wins row per key (max_by on the
+    sequence number — ONE hash aggregate, no window), then a single
+    FULL OUTER join against the snapshot classifies every key:
+    unchanged / updated / inserted / deleted / noop_delete. The report
+    is the per-action audit a MERGE job emits plus the exact post-merge
+    cents total per class.
+
+    Scale: changelog and snapshot both shuffle once on the merge key
+    and join co-partitioned — no broadcast (both sides are table-scale
+    at 100 TB); the LWW collapse is map-side combinable. This is the
+    batch-apply half of q139's SCD2 and q180's snapshot diff."""
+    orders = read_table(spark, sf_dir, "orders")
+    events = read_table(spark, sf_dir, "events")
+    snap = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
+    )
+    maxk = snap.agg(F.max("k").alias("mk"))
+    chg = events.join(F.broadcast(maxk)).select(
+        F.col("event_id").alias("seq"),
+        ((F.col("event_id") * 7919) % (F.col("mk") * _MERGE_KEYSPACE)).alias(
+            "k"
+        ),
+        F.when(F.col("event_id") % 5 == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        ((F.col("event_id") * 131) % 10_000_000).cast("long").alias(
+            "new_cents"
+        ),
+    )
+    last = chg.groupBy("k").agg(
+        F.max_by("op", "seq").alias("op"),
+        F.max_by("new_cents", "seq").alias("new_cents"),
+    )
+    s = snap.alias("s")
+    l = last.alias("l")
+    merged = s.join(l, F.col("s.k") == F.col("l.k"), "full_outer").select(
+        F.when(F.col("l.k").isNull(), "unchanged")
+        .when(
+            (F.col("l.op") == "delete") & F.col("s.k").isNotNull(), "deleted"
+        )
+        .when(F.col("l.op") == "delete", "noop_delete")
+        .when(F.col("s.k").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("action"),
+        F.when(F.col("l.k").isNull(), F.col("s.price_cents"))
+        .when(F.col("l.op") == "delete", F.lit(None).cast("long"))
+        .otherwise(F.col("l.new_cents"))
+        .alias("final_cents"),
+    )
+    return merged.groupBy("action").agg(
+        F.count("*").alias("n_keys"),
+        F.coalesce(F.sum("final_cents"), F.lit(0))
+        .cast("long")
+        .alias("total_cents"),
+    )

@@ -1162,3 +1162,108 @@ def q182_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~F.col("in_vocab"), F.col("w"))
         ).alias("n_oov_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope — corpus-statistics twin of q181's Heaps-law vocab growth
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000
+
+
+@query(
+    "q223_zipf_slope",
+    oracle=f"""
+    WITH words AS {DUCK_WORDS},
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+             FROM words GROUP BY w
+             ORDER BY f DESC, w LIMIT {_ZIPF_TOP}),
+    ranked AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r FROM freq),
+    units AS (
+        SELECT CAST(ROUND(ln(r) * 1000000000) AS BIGINT) AS x,
+               CAST(ROUND(ln(f) * 1000000000) AS BIGINT) AS y
+        FROM ranked),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(CAST(ROUND((x / 1000000000.0) * y) AS BIGINT))
+                   AS BIGINT) AS sxy,
+               CAST(SUM(CAST(ROUND((x / 1000000000.0) * x) AS BIGINT))
+                   AS BIGINT) AS sxx,
+               CAST(SUM(CAST(ROUND((y / 1000000000.0) * y) AS BIGINT))
+                   AS BIGINT) AS syy
+        FROM units)
+    SELECT n AS n_words,
+           ROUND((n * sxy - sx * (sy / 1000000000.0))
+                 / (n * sxx - sx * (sx / 1000000000.0)), 6) AS slope,
+           ROUND((sy - sx * (n * sxy - sx * (sy / 1000000000.0))
+                       / (n * sxx - sx * (sx / 1000000000.0)))
+                 / (n * 1000000000.0), 6) AS intercept,
+           ROUND(POWER(n * sxy - sx * (sy / 1000000000.0), 2)
+                 / ((n * sxx - sx * (sx / 1000000000.0))
+                    * (n * syy - sy * (sy / 1000000000.0))), 6) AS r2
+    FROM sums
+    """,
+)
+def q223_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency distribution: OLS
+    of ln(freq) on ln(rank) for the top-{_ZIPF_TOP} words — the
+    power-law slope (natural text ~ -1) that, next to q181's Heaps
+    curve, fingerprints whether a corpus is organic text, templated
+    boilerplate (flatter head) or spam (steeper head). One
+    word-frequency hash aggregate, global top-{_ZIPF_TOP} via
+    TakeOrderedAndProject (per-partition heaps — the full vocabulary is
+    never sorted or single-partitioned), rank + closed-form regression
+    on the {_ZIPF_TOP}-row result. Log terms are rounded to exact 1e-9
+    integer units before summation (the repo's exact-sum discipline) so
+    the fit is order-independent and engine-portable."""
+    from hive_reflex_spark.operators.text import doc_words as _dw
+
+    freq = (
+        _dw(spark, sf_dir)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.desc("f"), "w")
+        .limit(_ZIPF_TOP)
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "w"))
+    )
+    u = 1_000_000_000
+    units = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * u).cast("long").alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * u).cast("long").alias("y"),
+    )
+    sums = units.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            F.round((F.col("x") / (u * 1.0)) * F.col("y")).cast("long")
+        ).alias("sxy"),
+        F.sum(
+            F.round((F.col("x") / (u * 1.0)) * F.col("x")).cast("long")
+        ).alias("sxx"),
+        F.sum(
+            F.round((F.col("y") / (u * 1.0)) * F.col("y")).cast("long")
+        ).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * (
+        F.col("sy") / (u * 1.0)
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * (
+        F.col("sx") / (u * 1.0)
+    )
+    deny = F.col("n") * F.col("syy") - F.col("sy") * (
+        F.col("sy") / (u * 1.0)
+    )
+    return sums.select(
+        F.col("n").alias("n_words"),
+        F.round(num / den, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - F.col("sx") * (num / den)) / (F.col("n") * u * 1.0),
+            6,
+        ).alias("intercept"),
+        F.round(F.pow(num, 2) / (den * deny), 6).alias("r2"),
+    )
