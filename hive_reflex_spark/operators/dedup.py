@@ -878,6 +878,39 @@ def _duck_gram_hash() -> str:
     return f"(({poly} % {_FP_PRIME}) * {_FP_MIX}) % {_FP_PRIME}"
 
 
+# the (doc_id, fingerprint) CTE shared by q206 and the q224 split-leak
+_DUCK_FP = f"""(
+    SELECT doc_id, MIN({{hash}}) AS fingerprint
+    FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS pos
+          FROM documents)
+    GROUP BY doc_id)""".replace("{hash}", "__H__")
+
+
+def duck_fp_cte() -> str:
+    return _DUCK_FP.replace("__H__", _duck_gram_hash())
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fingerprint): the 1-permutation MinHash over 8-gram
+    scrambled polynomial hashes — near-dups land in one family. Shared
+    by q206's family-size distribution and q224's split-leakage audit.
+    Linear, shuffle-free scan work; codes hoisted to one projection."""
+    docs = read_table(spark, sf_dir, "documents")
+    horner = "element_at(codes, p)"
+    for i in range(1, 8):
+        horner = f"({horner} * 31 + element_at(codes, p + {i}))"
+    grams = F.expr(
+        "transform(sequence(1, size(codes) - 7), "
+        f"p -> (({horner} % {_FP_PRIME}) * {_FP_MIX}) % {_FP_PRIME})"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
+        ).alias("codes"),
+    ).select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
 @query(
     "q206_dup_family_sizes",
     oracle=f"""
@@ -913,20 +946,7 @@ def q206_dup_family_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     it replaced, still linear and shuffle-free. The char codes are
     hoisted to ONE projection so the per-position lambda does 8 array
     reads, not 8 substring scans."""
-    docs = read_table(spark, sf_dir, "documents")
-    horner = "element_at(codes, p)"
-    for i in range(1, 8):
-        horner = f"({horner} * 31 + element_at(codes, p + {i}))"
-    grams = F.expr(
-        "transform(sequence(1, size(codes) - 7), "
-        f"p -> (({horner} % {_FP_PRIME}) * {_FP_MIX}) % {_FP_PRIME})"
-    )
-    fp = docs.select(
-        "doc_id",
-        F.expr(
-            "transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))"
-        ).alias("codes"),
-    ).select("doc_id", F.array_min(grams).alias("fingerprint"))
+    fp = doc_fingerprints(spark, sf_dir)
     fam = fp.groupBy("fingerprint").agg(F.count("*").alias("size"))
     return fam.groupBy(F.col("size").alias("family_size")).agg(
         F.count("*").alias("n_families"),
@@ -995,4 +1015,59 @@ def q215_stop_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postings_dropped",
             "rnk",
         )
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Split-leakage audit — dedup-aware train/val/test integrity
+# ---------------------------------------------------------------------------
+
+
+def _split_leak_oracle() -> str:
+    from hive_reflex_spark.operators.sampling import _SPLIT_SQL
+
+    return f"""
+    WITH fp AS {duck_fp_cte()},
+    fam AS (
+        SELECT fingerprint,
+               string_agg(DISTINCT {_SPLIT_SQL}, '+'
+                          ORDER BY {_SPLIT_SQL}) AS combo,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM fp GROUP BY fingerprint)
+    SELECT combo,
+           CAST(combo LIKE '%+%' AS BOOLEAN) AS is_leak,
+           CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM fam GROUP BY combo
+    """
+
+
+@query("q224_split_leakage", oracle=_split_leak_oracle())
+def q224_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE split integrity: the q85 hash split is leak-free for
+    exact duplicates of the KEY, but near-duplicate *content* (q206's
+    fingerprint families) can still straddle train/val/test — the
+    contamination that survives naive dedup-then-split pipelines and
+    inflates eval scores. Per fingerprint family, the sorted set of
+    splits its members land in; any '+' combo is a leak, and the report
+    counts leaking families and the documents they cover (the rows a
+    leak-free pipeline must re-assign family-wise, e.g. split on
+    min(doc_id) per family). One fingerprint scan + two hash
+    aggregates; nothing joins at data scale."""
+    from hive_reflex_spark.operators.sampling import _split_col
+
+    fp = doc_fingerprints(spark, sf_dir).select(
+        "fingerprint", _split_col("doc_id").alias("split")
+    )
+    fam = fp.groupBy("fingerprint").agg(
+        F.array_join(F.array_sort(F.collect_set("split")), "+").alias(
+            "combo"
+        ),
+        F.count("*").alias("n_docs"),
+    )
+    return fam.groupBy("combo").agg(
+        F.col("combo").contains("+").alias("is_leak"),
+        F.count("*").alias("n_families"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
     )

@@ -949,3 +949,76 @@ def q221_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing (the multilingual/multi-source
+# resampling rule) — pairs with q214's exact budget allocator
+# ---------------------------------------------------------------------------
+
+_TEMP_BUDGET = 100_000  # sampled docs per training epoch
+
+
+@query(
+    "q225_source_temperature",
+    oracle=f"""
+    WITH src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                 FROM documents GROUP BY source),
+    pw AS (SELECT source, n,
+                  CAST(ROUND(POWER(n, 0.3) * 1000000) AS BIGINT) AS w03,
+                  CAST(ROUND(POWER(n, 0.7) * 1000000) AS BIGINT) AS w07
+           FROM src),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(w03) AS BIGINT) AS t03,
+                   CAST(SUM(w07) AS BIGINT) AS t07
+            FROM pw)
+    SELECT source, n AS n_docs,
+           ROUND(n * 1.0 / nt, 6) AS natural_share,
+           ROUND(w03 * 1.0 / t03, 6) AS p_alpha03,
+           ROUND(w07 * 1.0 / t07, 6) AS p_alpha07,
+           ROUND({_TEMP_BUDGET} * (w03 * 1.0 / t03) / n, 6)
+               AS epochs_alpha03,
+           ROUND({_TEMP_BUDGET} * (w07 * 1.0 / t07) / n, 6)
+               AS epochs_alpha07
+    FROM pw, tot
+    """,
+)
+def q225_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: sampling rates proportional to
+    n^alpha (alpha 0.3 and 0.7 — the multilingual-LM rule that upweights
+    small sources without drowning large ones), with each source's
+    per-epoch repeat factor under a {_TEMP_BUDGET}-doc budget — the
+    number a curator reads to see WHICH sources a temperature forces
+    into multi-epoch repetition (memorization risk) before handing the
+    final shares to q214's exact largest-remainder allocator. The
+    n^alpha weights are rounded to exact 1e-6 integer units before the
+    normalizing sum so the shares are order-independent; everything
+    after the per-source rollup is dimension-scale."""
+    docs = read_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count("*").alias("n"))
+    pw = src.select(
+        "source",
+        "n",
+        F.round(F.pow(F.col("n").cast("double"), 0.3) * 1_000_000)
+        .cast("long")
+        .alias("w03"),
+        F.round(F.pow(F.col("n").cast("double"), 0.7) * 1_000_000)
+        .cast("long")
+        .alias("w07"),
+    )
+    tot = pw.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("w03").cast("long").alias("t03"),
+        F.sum("w07").cast("long").alias("t07"),
+    )
+    p03 = F.col("w03") * 1.0 / F.col("t03")
+    p07 = F.col("w07") * 1.0 / F.col("t07")
+    return pw.join(F.broadcast(tot)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("n") * 1.0 / F.col("nt"), 6).alias("natural_share"),
+        F.round(p03, 6).alias("p_alpha03"),
+        F.round(p07, 6).alias("p_alpha07"),
+        F.round(_TEMP_BUDGET * p03 / F.col("n"), 6).alias("epochs_alpha03"),
+        F.round(_TEMP_BUDGET * p07 / F.col("n"), 6).alias("epochs_alpha07"),
+    )
