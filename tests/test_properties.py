@@ -236,3 +236,72 @@ def test_allocator_single_pass_fold_equals_exhaustive_first_fit(spec):
         offs_ref.append(candidate)
 
     assert offs_fold == offs_ref
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 10_000), st.integers(-1_000_000, 1_000_000)
+        ),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: t[0],
+    ),
+    st.booleans(),
+    st.integers(2, 32),
+)
+def test_bucketed_prefix_property(spark, rows, descending, n_buckets):
+    """For ANY value distribution (negatives, ties at the driver's
+    discretion of the value generator, any bucket count) the bucketed
+    two-pass prefix must equal the single-scan golden: inclusive cumsum
+    and 1-based rank in (value [desc], key) order."""
+    from hive_reflex_spark.operators.analytics import bucketed_ordered_prefix
+
+    df = spark.createDataFrame(rows, "k long, v long").repartition(4)
+    got = {
+        r["k"]: (r["_cum"], r["_rn"])
+        for r in bucketed_ordered_prefix(
+            df, "v", "k", descending=descending, n_buckets=n_buckets
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda t: ((-t[1] if descending else t[1]), t[0]))
+    acc = 0
+    for rn, (k, v) in enumerate(ordered, start=1):
+        acc += v
+        assert got[k] == (acc, rn), (k, v, got[k], (acc, rn))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**7), min_size=2, max_size=200),
+)
+def test_histogram_quantile_bin_contains_exact_percentile(spark, vals):
+    """The q218 crossing-bin estimate must bracket the exact quantile:
+    for each p, the true p-quantile (by the same ceil(p*n) definition)
+    falls inside [bin_lo, bin_hi] of the reported crossing bin."""
+    import math
+
+    B = 64
+    lo, hi = min(vals), max(vals)
+    span = max(hi - lo, 1)
+    n = len(vals)
+    svals = sorted(vals)
+    for name, num, den in (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)):
+        target = (n * num + den - 1) // den
+        exact = svals[target - 1]
+        # replicate the query's binning + crossing-bin pick
+        bins = [min(B - 1, (v - lo) * B // span) for v in vals]
+        counts = {}
+        for b in bins:
+            counts[b] = counts.get(b, 0) + 1
+        cum = 0
+        crossing = None
+        for b in sorted(counts):
+            cum += counts[b]
+            if cum >= target:
+                crossing = b
+                break
+        bin_lo = lo + span * crossing // B
+        bin_hi = lo + span * (crossing + 1) // B
+        assert bin_lo <= exact <= bin_hi, (name, exact, bin_lo, bin_hi)
