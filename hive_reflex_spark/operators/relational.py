@@ -2565,3 +2565,155 @@ def q219_volume_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_concentrated_parts") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 analog — returned-item revenue ranking, details joined AFTER
+# the top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q226_returned_item_ranking",
+    oracle="""
+    WITH rev AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                    * 10000) AS BIGINT)) AS BIGINT) AS units
+        FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+    cust AS (
+        SELECT o_custkey,
+               CAST(SUM(units) AS BIGINT) AS units
+        FROM orders JOIN rev ON o_orderkey = l_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY o_custkey),
+    top AS (SELECT * FROM cust ORDER BY units DESC, o_custkey LIMIT 20)
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           ROUND(t.units / 10000.0, 6) AS revenue
+    FROM top t
+    JOIN customer c ON t.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q226_returned_item_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog ("returned item reporting"): the 20 customers
+    who returned the most revenue in 1997Q1. The scale-defining move:
+    customer DETAILS join AFTER the top-20 — the fact side
+    pre-aggregates returned revenue per order below the orders join
+    (one narrow row per order crosses the shuffle), rolls up per
+    customer, takes the global top-20 via TakeOrderedAndProject, and
+    only those 20 rows ever meet the customer/nation dimensions
+    (broadcast of the 20-row side). A plan that joins customer before
+    ranking ships every customer's name through the shuffle for
+    nothing."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer", "nation")
+    rev = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000
+                ).cast("long")
+            ).alias("units")
+        )
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    cust = (
+        o.join(rev, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("units").alias("units"))
+    )
+    top = cust.orderBy(F.desc("units"), "o_custkey").limit(20)
+    return (
+        F.broadcast(top)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.round(F.col("units") / 10_000.0, 6).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 analog — large-volume customers (HAVING on a fact rollup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q227_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS BIGINT)) > 300),
+    top AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+               total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        ORDER BY price_cents DESC, o_orderkey LIMIT 100)
+    SELECT c.c_name, c.c_custkey, t.o_orderkey, t.o_orderdate,
+           ROUND(t.price_cents / 100.0, 6) AS total_price,
+           t.total_qty
+    FROM top t JOIN customer c ON t.o_custkey = c.c_custkey
+    """,
+)
+def q227_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 analog ("large volume customers"): orders whose total
+    line quantity exceeds 300 units, top-100 by order value. Q18's trap
+    is the GROUP BY ... HAVING over the biggest table feeding a join —
+    here the quantity rollup is one map-side-combinable aggregate whose
+    HAVING filter drops ~99.8% of orders BEFORE any join, the orders
+    join moves only the surviving keys, the top-100 is
+    TakeOrderedAndProject, and (as in q226) customer names attach to
+    the 100-row result by broadcast after the ranking."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders", "customer")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    top = (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            "total_qty",
+        )
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+        .limit(100)
+    )
+    return (
+        F.broadcast(top)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("price_cents") / 100.0, 6).alias("total_price"),
+            "total_qty",
+        )
+    )
