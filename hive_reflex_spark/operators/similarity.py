@@ -1710,3 +1710,159 @@ def q201_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fisher_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit — exact top-k vs LSH candidate generation
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    # everything up to (excluding) the oracle's final top-level SELECT —
+    # i.e. the coords/norms/dots/scored CTE chain, reused verbatim
+    cut = _COSINE_TOPK_ORACLE.index(
+        "SELECT query_id, neighbor_id, cosine, rnk FROM ("
+    )
+    exact_cte = _COSINE_TOPK_ORACLE[:cut].strip()
+    return f"""
+    {exact_cte},
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id)
+                       AS rnk
+            FROM scored)
+        WHERE rnk <= {TOP_K}),
+    buckets AS (SELECT * FROM {_BUCKETS_SQL} b),
+    q AS (SELECT vec_id AS query_id, bucket FROM buckets
+          WHERE vec_id < {N_QUERIES}),
+    probes AS (
+        SELECT query_id, q.bucket AS own_bucket,
+               CASE WHEN p = -1 THEN q.bucket
+                    ELSE q.bucket
+                         + (1 - 2 * ((q.bucket >> p) & 1))
+                           * CAST(pow(2, p) AS BIGINT) END AS probe_bucket
+        FROM q, (SELECT unnest(range(-1, {N_PLANES})) AS p) ps),
+    cand AS (
+        SELECT pr.query_id, b.vec_id,
+               MAX(CASE WHEN pr.probe_bucket = pr.own_bucket
+                   THEN 1 ELSE 0 END) AS in_single
+        FROM probes pr JOIN buckets b ON b.bucket = pr.probe_bucket
+        WHERE b.vec_id != pr.query_id
+        GROUP BY pr.query_id, b.vec_id),
+    counts AS (
+        SELECT query_id,
+               CAST(SUM(in_single) AS BIGINT) AS n_single_cand,
+               CAST(COUNT(*) AS BIGINT) AS n_multi_cand
+        FROM cand GROUP BY query_id),
+    hits AS (
+        SELECT e.query_id,
+               CAST(SUM(COALESCE(c.in_single, 0)) AS BIGINT) AS hits_single,
+               CAST(COUNT(c.vec_id) AS BIGINT) AS hits_multi
+        FROM exact e LEFT JOIN cand c
+          ON e.query_id = c.query_id AND e.neighbor_id = c.vec_id
+        GROUP BY e.query_id)
+    SELECT q.query_id,
+           COALESCE(n_single_cand, 0) AS n_single_cand,
+           COALESCE(n_multi_cand, 0) AS n_multi_cand,
+           COALESCE(hits_single, 0) AS hits_single,
+           COALESCE(hits_multi, 0) AS hits_multi,
+           ROUND(COALESCE(hits_single, 0) * 1.0 / {TOP_K}, 6)
+               AS recall_single,
+           ROUND(COALESCE(hits_multi, 0) * 1.0 / {TOP_K}, 6)
+               AS recall_multi
+    FROM q
+    LEFT JOIN counts USING (query_id)
+    LEFT JOIN hits USING (query_id)
+    """
+
+
+@query("q228_ann_recall", oracle=_ann_recall_oracle())
+def q228_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY audit: candidate-generation recall@{TOP_K} of the LSH
+    index against the exact brute-force top-{TOP_K} (q51), for both
+    single-probe (own bucket only) and multi-probe (q178's one-bit
+    flips). Candidate recall is THE number an ANN deployment tunes —
+    if the true neighbor reaches the candidate set, exact re-ranking
+    recovers it; if not, no amount of re-ranking helps — and the
+    single→multi delta prices the 9× probe cost against its recall
+    gain, per query, before anyone ships an index.
+
+    Scale: the exact side is the fenced q51 baseline (8 probes ×
+    corpus, linear); the LSH side joins the probe set against the
+    bucket index exactly as production would. Everything downstream of
+    the two candidate tables is per-query arithmetic on ≤ {TOP_K}
+    rows."""
+    exact = q51_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    buckets = lsh_bucket_assignment(spark, sf_dir)
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("bucket").alias("own_bucket")
+    )
+    ps = buckets.sparkSession.range(-1, N_PLANES).select(
+        F.col("id").cast("int").alias("p")
+    )
+    flip = F.expr(
+        "own_bucket + (1 - 2 * (shiftright(own_bucket, p) & 1)) "
+        "* cast(pow(2, p) as bigint)"
+    )
+    probes = q.join(F.broadcast(ps)).select(
+        "query_id",
+        "own_bucket",
+        F.when(F.col("p") == -1, F.col("own_bucket"))
+        .otherwise(flip)
+        .alias("probe_bucket"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(
+            buckets.withColumnRenamed("bucket", "probe_bucket"),
+            "probe_bucket",
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.max(
+                (F.col("probe_bucket") == F.col("own_bucket")).cast("int")
+            ).alias("in_single")
+        )
+    )
+    counts = cand.groupBy("query_id").agg(
+        F.sum("in_single").cast("long").alias("n_single_cand"),
+        F.count("*").alias("n_multi_cand"),
+    )
+    e = exact.alias("e")
+    c = cand.alias("c")
+    hits = (
+        e.join(
+            c,
+            (F.col("e.query_id") == F.col("c.query_id"))
+            & (F.col("e.neighbor_id") == F.col("c.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.sum(F.coalesce(F.col("c.in_single"), F.lit(0)))
+            .cast("long")
+            .alias("hits_single"),
+            F.count(F.col("c.vec_id")).alias("hits_multi"),
+        )
+    )
+    return (
+        q.select("query_id")
+        .join(counts, "query_id", "left")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_single_cand", F.lit(0)).alias("n_single_cand"),
+            F.coalesce("n_multi_cand", F.lit(0)).alias("n_multi_cand"),
+            F.coalesce("hits_single", F.lit(0)).alias("hits_single"),
+            F.coalesce("hits_multi", F.lit(0)).alias("hits_multi"),
+            F.round(
+                F.coalesce("hits_single", F.lit(0)) * 1.0 / TOP_K, 6
+            ).alias("recall_single"),
+            F.round(
+                F.coalesce("hits_multi", F.lit(0)) * 1.0 / TOP_K, 6
+            ).alias("recall_multi"),
+        )
+    )
