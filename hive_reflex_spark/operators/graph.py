@@ -133,3 +133,102 @@ def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-graph shape audit — triangles / clustering coefficient over the
+# verified near-dup edge set
+# ---------------------------------------------------------------------------
+
+
+def _dup_graph_oracle() -> str:
+    from hive_reflex_spark.operators.dedup import q47_jaccard_pairs
+    from hive_reflex_spark.registry import ORACLES
+
+    q47_sql = ORACLES["q47_jaccard_pairs"].strip()
+    return f"""
+    WITH edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM ({q47_sql}) p),
+    nodes AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+        GROUP BY v),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e1.b = e2.a
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(MAX(deg) AS BIGINT) AS max_degree,
+               CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+        FROM nodes),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT n_nodes, n_edges, max_degree, n_wedges, n_triangles,
+           ROUND(CASE WHEN n_wedges = 0 THEN 0.0
+                 ELSE 3.0 * n_triangles / n_wedges END, 6)
+               AS clustering_coeff
+    FROM agg, ne, tri
+    """
+
+
+@query("q231_dup_graph_shape", oracle=_dup_graph_oracle())
+def q231_dup_graph_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape audit of the verified near-dup graph (q47's J≥0.5 edges):
+    node/edge counts, max degree, wedge count and the global clustering
+    coefficient (3·triangles/wedges). The number decides the dedup
+    POLICY: cliquish clusters (coefficient → 1) are true duplicate
+    families where keep-first is safe; chain-like graphs (→ 0) mean
+    transitive drift — A~B~C with A≁C — where keep-first over-deletes
+    and q78's connected-components clustering needs a similarity floor.
+    Triangles come from the ordered edge-adjacency join (a<b<c, each
+    triangle counted once); every input here is the collision-bounded
+    verified pair set, orders of magnitude below corpus scale."""
+    from hive_reflex_spark.operators.dedup import q47_jaccard_pairs
+
+    edges = q47_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    nodes = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    agg = nodes.agg(
+        F.count("*").alias("n_nodes"),
+        F.max("deg").cast("long").alias("max_degree"),
+        F.sum((F.col("deg") * (F.col("deg") - 1) / 2).cast("long")).alias(
+            "n_wedges"
+        ),
+    )
+    ne = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        agg.join(F.broadcast(ne))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") == 0, 0.0).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
