@@ -22,6 +22,17 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with deterministic, scale-ready configs."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Python workers unpickle package-defined UDFs/UDTFs by importing
+    # hive_reflex_spark — make that work from ANY driver cwd by putting
+    # the package root on the workers' PYTHONPATH (a cluster deployment
+    # ships the package via --py-files / pip instead; local workers
+    # inherit this env).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
