@@ -147,7 +147,7 @@ def _dup_graph_oracle() -> str:
 
     q47_sql = ORACLES["q47_jaccard_pairs"].strip()
     return f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
         SELECT doc_a AS a, doc_b AS b FROM ({q47_sql}) p),
     nodes AS (
         SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
