@@ -113,6 +113,7 @@ _registry.finalize_order([
     "q229_invoice_reconciliation",
     "q230_benford_deviation",
     "q231_dup_graph_shape",
+    "q232_retrieval_metrics",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)

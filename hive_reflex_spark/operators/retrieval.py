@@ -52,6 +52,12 @@ _TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
 # Hex-digit decode shared by both engines: instr is 1-based, so the
 # value of hex char c is instr('0123456789abcdef', c) - 1 ∈ [0, 15].
+# graded-relevance judgment set for q232: the searched terms plus one
+# the query does NOT search ("stream") - so a perfect BM25 score is
+# not automatic and the nDCG discount interplay is actually exercised
+REL_TERMS = QUERY_TERMS + ("stream",)
+_REL_TERMS_SQL = ", ".join(f"'{t}'" for t in REL_TERMS)
+
 _HEXVAL = "instr('0123456789abcdef', {c}) - 1"
 
 
@@ -590,4 +596,139 @@ def q193_passrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("pass_rate"),
         F.round((p + 1.92 / n - 1.96 * rad) / denom, 6).alias("wilson_lo"),
         F.round((p + 1.92 / n + 1.96 * rad) / denom, 6).alias("wilson_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality metrics — nDCG / MRR of the BM25 ranking
+# ---------------------------------------------------------------------------
+
+
+def _retrieval_metrics_oracle() -> str:
+    from hive_reflex_spark.registry import ORACLES
+
+    bm25_sql = ORACLES["q110_bm25_topk"].strip()
+    return f"""
+    WITH ranking AS MATERIALIZED (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+        FROM ({bm25_sql}) r),
+    words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+    grades AS (
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS g
+        FROM words WHERE w IN ({_REL_TERMS_SQL}) GROUP BY doc_id),
+    dcg AS (
+        SELECT CAST(SUM(CAST(ROUND((pow(2, COALESCE(g.g, 0)) - 1)
+                   / (ln(r.rnk + 1) / ln(2)) * 1000000000) AS BIGINT))
+                   AS BIGINT) / 1000000000.0 AS dcg,
+               MIN(CASE WHEN COALESCE(g.g, 0) >= 2 THEN r.rnk END)
+                   AS first_rel
+        FROM ranking r LEFT JOIN grades g USING (doc_id)),
+    ideal_rows AS MATERIALIZED (
+        SELECT g FROM grades ORDER BY g DESC, doc_id LIMIT {BM25_TOP_K}),
+    ideal AS (
+        SELECT g, ROW_NUMBER() OVER (ORDER BY g DESC) AS rnk
+        FROM ideal_rows),
+    idcg AS (
+        SELECT CAST(SUM(CAST(ROUND((pow(2, g) - 1)
+                   / (ln(rnk + 1) / ln(2)) * 1000000000) AS BIGINT))
+                   AS BIGINT) / 1000000000.0 AS idcg
+        FROM ideal),
+    nrel AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_relevant
+             FROM grades WHERE g >= 2)
+    SELECT CAST({BM25_TOP_K} AS BIGINT) AS k,
+           ROUND(dcg, 6) AS dcg,
+           ROUND(idcg, 6) AS idcg,
+           ROUND(dcg / idcg, 6) AS ndcg,
+           ROUND(CASE WHEN first_rel IS NULL THEN 0.0
+                 ELSE 1.0 / first_rel END, 6) AS mrr,
+           n_relevant
+    FROM dcg, idcg, nrel
+    """
+
+
+@query("q232_retrieval_metrics", oracle=_retrieval_metrics_oracle())
+def q232_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval QUALITY metrics for the BM25 ranking (q110): nDCG@k
+    against a graded relevance signal (grade = how many distinct query
+    terms a document contains, 0-3) plus MRR to the first
+    multi-term-relevant hit and the corpus relevant count — the search
+    dashboard numbers that decide whether a ranking change ships. The
+    ideal DCG comes from the global top-k grades via
+    TakeOrderedAndProject (the full grade table is never sorted); every
+    log-discounted gain rounds to 1e-9 integer units before summation
+    so both engines agree bit-for-bit.
+
+    Scale: grades are one filtered aggregate over the token explode;
+    the ranking is k rows; all metric arithmetic happens on <= 2k
+    rows."""
+    ranking = bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("rnk"),
+    )
+    words = doc_words(spark, sf_dir).select("doc_id", "w")
+    grades = (
+        words.filter(F.col("w").isin(*REL_TERMS))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("w").alias("g"))
+    )
+    U = 1_000_000_000
+    gain = lambda g, rnk: (  # noqa: E731
+        (F.pow(F.lit(2.0), g) - 1) / (F.log(rnk + 1.0) / F.log(F.lit(2.0)))
+    )
+    dcg = (
+        F.broadcast(ranking)
+        .join(grades, "doc_id", "left")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        gain(F.coalesce("g", F.lit(0)), F.col("rnk")) * U
+                    ).cast("long")
+                )
+                / float(U)
+            ).alias("dcg"),
+            F.min(
+                F.when(F.coalesce("g", F.lit(0)) >= 2, F.col("rnk"))
+            ).alias("first_rel"),
+        )
+    )
+    ideal = (
+        grades.orderBy(F.desc("g"), "doc_id")
+        .limit(BM25_TOP_K)
+        .select(
+            "g",
+            F.row_number().over(Window.orderBy(F.desc("g"), "doc_id")).alias(
+                "rnk"
+            ),
+        )
+    )
+    idcg = ideal.agg(
+        (
+            F.sum(F.round(gain(F.col("g"), F.col("rnk")) * U).cast("long"))
+            / float(U)
+        ).alias("idcg")
+    )
+    nrel = grades.filter(F.col("g") >= 2).agg(
+        F.count("*").alias("n_relevant")
+    )
+    return (
+        dcg.join(F.broadcast(idcg))
+        .join(F.broadcast(nrel))
+        .select(
+            F.lit(BM25_TOP_K).cast("long").alias("k"),
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+            F.round(
+                F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                    1.0 / F.col("first_rel")
+                ),
+                6,
+            ).alias("mrr"),
+            "n_relevant",
+        )
     )
