@@ -1168,67 +1168,100 @@ def q154_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q169_winsorized_stats",
     oracle="""
-    WITH pct AS (SELECT event_type,
-                        quantile_cont(value, 0.05) AS lo,
-                        quantile_cont(value, 0.95) AS hi
-                 FROM events GROUP BY event_type),
-    j AS (SELECT e.event_type, e.value, pct.lo, pct.hi,
-                 LEAST(GREATEST(e.value, pct.lo), pct.hi) AS wv
-          FROM events e JOIN pct USING (event_type))
+    WITH vu AS (SELECT event_type,
+                       CAST(ROUND(value * 1000000) AS BIGINT) AS u
+                FROM events),
+    hist AS (SELECT event_type, u, CAST(COUNT(*) AS BIGINT) AS c
+             FROM vu GROUP BY event_type, u),
+    cum AS (SELECT event_type, u, c,
+                   CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY u)
+                       AS BIGINT) AS cum,
+                   CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS n
+            FROM hist),
+    fence AS (SELECT event_type,
+                     MIN(CASE WHEN cum >= (n * 5 + 99) // 100
+                              THEN u END) AS lo,
+                     MIN(CASE WHEN cum >= (n * 95 + 99) // 100
+                              THEN u END) AS hi
+              FROM cum GROUP BY event_type),
+    j AS (SELECT v.event_type, v.u, f.lo, f.hi,
+                 LEAST(GREATEST(v.u, f.lo), f.hi) AS wu
+          FROM vu v JOIN fence f USING (event_type))
     SELECT event_type, COUNT(*) AS n,
-           ROUND(lo, 6) AS p05, ROUND(hi, 6) AS p95,
-           ROUND(CAST(SUM(CAST(ROUND(wv * 1000000) AS BIGINT)) AS BIGINT)
-                 / 1000000.0 / COUNT(*), 6) AS winsorized_mean,
-           CAST(SUM(CASE WHEN value >= lo AND value <= hi
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           ROUND(CAST(SUM(CASE WHEN value >= lo AND value <= hi
-                    THEN CAST(ROUND(value * 1000000) AS BIGINT)
-                    ELSE 0 END) AS BIGINT) / 1000000.0
-                 / SUM(CASE WHEN value >= lo AND value <= hi
-                       THEN 1 ELSE 0 END), 6) AS trimmed_mean
+           ROUND(lo / 1000000.0, 6) AS p05,
+           ROUND(hi / 1000000.0, 6) AS p95,
+           ROUND(CAST(SUM(wu) AS BIGINT) / 1000000.0 / COUNT(*), 6)
+               AS winsorized_mean,
+           CAST(SUM(CASE WHEN u >= lo AND u <= hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN u >= lo AND u <= hi THEN u ELSE 0 END)
+                 AS BIGINT) / 1000000.0
+                 / SUM(CASE WHEN u >= lo AND u <= hi THEN 1 ELSE 0 END), 6)
+               AS trimmed_mean
     FROM j GROUP BY event_type, lo, hi
     """,
 )
 def q169_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust mean estimators for ingest QA, completing the q116 tier:
-    per event type, the 5th/95th exact interpolated percentiles, the
-    WINSORIZED mean (tails clamped to the percentile fence — every row
-    still votes, outliers just lose leverage) and the TRIMMED mean
-    (tails excluded). Percentiles are bounded per-type rows, so they
-    re-enter as a broadcast join; the clamp/filter pass is one more scan
-    with exact integer-unit sums — the same interpolation contract as
-    q116 keeps both engines bit-identical."""
+    per event type, exact DISCRETE 5th/95th percentile fences (the
+    q155 crossing-row definition — smallest value whose cumulative
+    count reaches ceil(p*n), computed and COMPARED in exact 1e-6
+    integer units), the WINSORIZED mean (tails clamped to the fence —
+    every row still votes, outliers lose leverage) and the TRIMMED
+    mean (tails excluded). Discrete-not-interpolated matters at scale:
+    replicated data puts whole tie groups exactly AT an interpolated
+    cutoff, where a 1-ulp engine difference in the interpolation flips
+    every tied row (observed at sf1); an order-statistic fence in
+    integer units cannot disagree. The fence derivation windows over
+    per-type DISTINCT values (bounded; past ~1e7 distinct values per
+    type the q145 bucketed prefix applies)."""
     events = read_table(spark, sf_dir, "events")
-    pct = events.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
+    U = 1_000_000
+    vu = events.select(
+        "event_type",
+        F.round(F.col("value") * U).cast("long").alias("u"),
     )
-    j = events.join(F.broadcast(pct), "event_type")
-    wv = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
-    inside = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
-    kept_units = F.sum(
-        F.when(inside, F.round(F.col("value") * 1_000_000).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    hist = vu.groupBy("event_type", "u").agg(F.count("*").alias("c"))
+    wt = Window.partitionBy("event_type").orderBy("u")
+    cum = hist.select(
+        "event_type",
+        "u",
+        F.sum("c")
+        .over(wt.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
     )
+    lo_t = ((F.col("n") * 5 + 99) / 100).cast("long")
+    hi_t = ((F.col("n") * 95 + 99) / 100).cast("long")
+    fence = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= lo_t, F.col("u"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= hi_t, F.col("u"))).alias("hi"),
+    )
+    j = vu.join(F.broadcast(fence), "event_type")
+    wu = F.least(F.greatest(F.col("u"), F.col("lo")), F.col("hi"))
+    inside = (F.col("u") >= F.col("lo")) & (F.col("u") <= F.col("hi"))
     n_kept = F.sum(F.when(inside, 1).otherwise(0)).cast("long")
     return (
         j.groupBy("event_type", "lo", "hi")
         .agg(
             F.count("*").alias("n"),
-            F.round(exact_sum(wv, 6) / F.count("*"), 6).alias(
+            F.round(F.sum(wu) / float(U) / F.count("*"), 6).alias(
                 "winsorized_mean"
             ),
             n_kept.alias("n_kept"),
-            F.round(kept_units / 1_000_000.0 / n_kept, 6).alias(
-                "trimmed_mean"
-            ),
+            F.round(
+                F.sum(F.when(inside, F.col("u")).otherwise(0))
+                / float(U)
+                / n_kept,
+                6,
+            ).alias("trimmed_mean"),
         )
         .select(
             "event_type",
             "n",
-            F.round("lo", 6).alias("p05"),
-            F.round("hi", 6).alias("p95"),
+            F.round(F.col("lo") / float(U), 6).alias("p05"),
+            F.round(F.col("hi") / float(U), 6).alias("p95"),
             "winsorized_mean",
             "n_kept",
             "trimmed_mean",

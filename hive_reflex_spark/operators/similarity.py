@@ -1644,10 +1644,10 @@ def q178_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
     per AS (SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+                   CAST(SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS BIGINT)
                        AS s,
-                   CAST(SUM(CAST(ROUND(v * 1000000000) AS BIGINT)
-                        * CAST(ROUND(v * 1000000000) AS BIGINT)) AS BIGINT)
+                   CAST(SUM(CAST(ROUND(v * 1000) AS BIGINT)
+                        * CAST(ROUND(v * 1000) AS BIGINT)) AS BIGINT)
                        AS ss
             FROM coords GROUP BY label, dim),
     tot AS (SELECT dim, CAST(SUM(n) AS BIGINT) AS nt,
@@ -1655,11 +1655,11 @@ def q178_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM per GROUP BY dim),
     parts AS (
         SELECT p.dim,
-               SUM(p.n * ((p.s * 1.0 / p.n / 1e9) - (t.st * 1.0 / t.nt / 1e9))
-                       * ((p.s * 1.0 / p.n / 1e9)
-                          - (t.st * 1.0 / t.nt / 1e9))) AS between_ss,
-               SUM((p.ss * 1.0 / 1e18) - p.n * (p.s * 1.0 / p.n / 1e9)
-                       * (p.s * 1.0 / p.n / 1e9)) AS within_ss
+               SUM(p.n * ((p.s * 1.0 / p.n / 1e6) - (t.st * 1.0 / t.nt / 1e6))
+                       * ((p.s * 1.0 / p.n / 1e6)
+                          - (t.st * 1.0 / t.nt / 1e6))) AS between_ss,
+               SUM((p.ss * 1.0 / 1e6) - p.n * (p.s * 1.0 / p.n / 1e6)
+                       * (p.s * 1.0 / p.n / 1e6)) AS within_ss
         FROM per p JOIN tot t USING (dim) GROUP BY p.dim)
     SELECT CAST(dim AS INT) AS dim,
            ROUND(between_ss, 6) AS between_ss,
@@ -1678,18 +1678,23 @@ def q201_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     — so the ratios hash-match; the corpus is touched by one grouped
     aggregate."""
     coords = embedding_coords(spark, sf_dir)
-    u = F.round(F.col("v") * 1_000_000_000).cast("long")
+    # unit scales sized for 64-bit headroom at corpus scale: means in
+    # 1e-6 units (|u| <= ~1e8 -> 1e12-row groups fit), squares in 1e-3
+    # units (u3^2 <= ~1e8 -> 9e10-row groups fit); a 1e-9-unit square
+    # overflows int64 silently past ~10 rows per group (observed at sf1)
+    u = F.round(F.col("v") * 1_000_000).cast("long")
+    u3 = F.round(F.col("v") * 1_000).cast("long")
     per = coords.groupBy("label", "dim").agg(
         F.count("*").alias("n"),
         F.sum(u).cast("long").alias("s"),
-        F.sum(u * u).cast("long").alias("ss"),
+        F.sum(u3 * u3).cast("long").alias("ss"),
     )
     tot = per.groupBy("dim").agg(
         F.sum("n").cast("long").alias("nt"),
         F.sum("s").cast("long").alias("st"),
     )
-    pmean = F.col("s") * 1.0 / F.col("n") / 1e9
-    gmean = F.col("st") * 1.0 / F.col("nt") / 1e9
+    pmean = F.col("s") * 1.0 / F.col("n") / 1e6
+    gmean = F.col("st") * 1.0 / F.col("nt") / 1e6
     parts = (
         per.join(tot, "dim")
         .groupBy("dim")
@@ -1698,7 +1703,7 @@ def q201_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "between_ss"
             ),
             F.sum(
-                (F.col("ss") * 1.0 / 1e18) - F.col("n") * pmean * pmean
+                (F.col("ss") * 1.0 / 1e6) - F.col("n") * pmean * pmean
             ).alias("within_ss"),
         )
     )
