@@ -1129,7 +1129,9 @@ def q154_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one grouped count/exact-sum; the per-type recurrence replays
     O(hours) rows in an Arrow batch and is engine-exact (hourly means
     from integer cents, pinned binary64 op order, recursive-CTE
-    oracle)."""
+    oracle). At 10x SF, 2/3600 output rows differ from the oracle in
+    the 6th decimal - accumulated sub-ulp recurrence divergence
+    crossing a rounding boundary, documented in BASELINE.md."""
     import pandas as pd
 
     events = read_table(spark, sf_dir, "events")
