@@ -83,6 +83,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cast). Either way ``ts`` comes back as a plain TIMESTAMP in the
     UTC-pinned session, matching DuckDB's reading of the same file.
     """
+    pin_session(spark)
     if _DF_CACHE is not None:
         return cached_df(
             ("table", sf_dir, name), lambda: _read_table_cold(spark, sf_dir, name)

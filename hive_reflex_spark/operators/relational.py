@@ -1854,7 +1854,7 @@ def q151_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag,
            CAST(ROUND(MIN(l_extendedprice) * 100) AS BIGINT)
                AS weighted_median_cents,
-           MIN(total_wt) AS total_weight
+           CAST(MIN(total_wt) AS BIGINT) AS total_weight
     FROM w
     WHERE 2 * cum_wt >= total_wt
     GROUP BY l_returnflag

@@ -679,9 +679,17 @@ def q232_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     gain = lambda g, rnk: (  # noqa: E731
         (F.pow(F.lit(2.0), g) - 1) / (F.log(rnk + 1.0) / F.log(F.lit(2.0)))
     )
+    # Two broadcast-buildable steps instead of one left-outer with the
+    # k-row side hinted (Spark cannot build the preserved/left side of a
+    # left-outer BroadcastHashJoin — such a hint is silently ignored and
+    # the k rows would shuffle against the corpus-scale grades): (1) the
+    # corpus-scale grades stream once against the broadcast k doc_ids
+    # (inner, build-right: allowed), leaving <= k rows; (2) the k-row
+    # ranking left-joins those <= k graded rows, broadcast on the right
+    # (build-right for left-outer: allowed). No shuffle touches grades.
+    rel_grades = grades.join(F.broadcast(ranking.select("doc_id")), "doc_id")
     dcg = (
-        F.broadcast(ranking)
-        .join(grades, "doc_id", "left")
+        ranking.join(F.broadcast(rel_grades), "doc_id", "left")
         .agg(
             (
                 F.sum(

@@ -14,6 +14,8 @@ Rules for oracle-checked queries (SURVEY §7 watch-list #4/#5):
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 from typing import Any
 
@@ -27,13 +29,27 @@ def query(name: str, oracle: str | None = None):
     Queries without an oracle get the driver's weaker rows-only check —
     reserve that for genuinely non-SQL-expressible ops (stateful streaming,
     iterative recurrences checked instead by pytest numpy oracles).
+
+    Every registered callable is wrapped to ``pin_session`` first: the
+    driver hands us a session we did not build (observed ANSI-on), and the
+    whole oracle contract assumes UTC timestamps + DuckDB-permissive
+    arithmetic. Pinning at the registry boundary covers queries that read
+    through any IO path (parquet tables, JSON configs, ONNX fixtures,
+    rate streams) — not just the parquet helpers.
     """
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def pinned(spark, *args, **kwargs):
+            from hive_reflex_spark.session import pin_session
+
+            pin_session(spark)
+            return fn(spark, *args, **kwargs)
+
+        QUERIES[name] = pinned
         if oracle is not None:
             ORACLES[name] = " ".join(oracle.split())
-        return fn
+        return pinned
 
     return deco
 

@@ -72,7 +72,15 @@ def pin_session(spark: SparkSession) -> SparkSession:
     """Pin runtime-settable confs on a session we did not build.
 
     The driver passes us its own SparkSession; oracle comparisons require
-    UTC timestamps regardless of how that session was built.
+    UTC timestamps regardless of how that session was built, and the
+    declared DuckDB-permissive arithmetic semantics (NULL on /0,
+    wrap-on-overflow casts) require ANSI mode OFF — a driver session
+    built ANSI-on would otherwise throw DIVIDE_BY_ZERO / CAST_OVERFLOW
+    on edges every one of the registered queries is exposed to.
+    Both confs are runtime-settable (SQLConf), so pinning here covers
+    sessions of any provenance; read_table routes every registered
+    query through this function.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark

@@ -197,23 +197,23 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-5 rotation: the r04 failure's fix, the code-changed
-        # re-checks, the two new component closers, and the
-        # never-driver-checked tier (newest families first)
-        "q155_weighted_median",      # r04 driver-red, fixed (BIGINT cents)
-        "q94_neardup_filter",        # code changed: cand de-broadcast
-        "q129_curation_pipeline",    # code changed: cand de-broadcast
-        "q216_bank_profile_sizing",  # new: S7 io-config JSON source
-        "q217_device_roundtrip",     # new: U2 device source/sink iface
-        "q215_stop_phrases",         # code changed: limit below window
-        "q206_dup_family_sizes",     # code changed: fingerprint swap
-        "q80c_onnx_micro_kws",       # ONNX source, first row
-        "q80d_onnx_gesture_net",     # ONNX source, first row
-        "q187_triplet_dataset",      # newest tier (first rows)
-        "q199_kaplan_meier",
-        "q214_budget_allocation",
-        "q171_incremental_lsh_index",
-        "q172_log_shipping_roundtrip",
+        # round-6 rotation: the two r05 driver-reds re-verifying their
+        # fixes, the r05 greens whose code changed this round, and the
+        # 18 never-driver-checked queries draining the backlog
+        "q155_weighted_median",      # r05 driver-red, fixed (oracle BIGINT)
+        "q189_ab_test_readout",      # r05 ANSI crash, fixed (guarded z)
+        "q206_dup_family_sizes",     # code changed: short-doc guard
+        "q216_bank_profile_sizing",  # code changed: atomic publish
+        "q232_retrieval_metrics",    # code changed: buildable dcg join
+        "q224_split_leakage",        # code changed: short-doc guard
+        "q174_range_boundaries",     # never-checked tier (first rows)
+        "q183_shrunk_group_means",
+        "q184_decayed_popularity",
+        "q218_histogram_quantiles",
+        "q222_changelog_merge",
+        "q228_ann_recall",
+        "q231_dup_graph_shape",
+        "q230_benford_deviation",
     ):
         assert must in window, must
 
