@@ -1091,9 +1091,9 @@ CUSUM_H = 100.0  # decision threshold
     WITH RECURSIVE hourly AS (
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
-               COUNT(*) AS n,
-               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
-                   / 100.0 / COUNT(*) AS m
+               CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                * 10000) // CAST(COUNT(*) AS BIGINT) AS m_u
         FROM events GROUP BY 1, 2),
     seq AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h)
@@ -1101,19 +1101,19 @@ CUSUM_H = 100.0  # decision threshold
         FROM hourly),
     ctl AS (
         SELECT event_type, CAST(NULL AS VARCHAR) AS h, 0 AS rn,
-               CAST(0 AS BIGINT) AS n, CAST(0 AS DOUBLE) AS m,
-               CAST(0 AS DOUBLE) AS s
+               CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS m_u,
+               CAST(0 AS BIGINT) AS s_u
         FROM (SELECT DISTINCT event_type FROM seq)
         UNION ALL
-        SELECT q.event_type, q.h, q.rn, q.n, q.m,
-               GREATEST(CAST(0 AS DOUBLE),
-                        c.s + q.m - CAST({CUSUM_TARGET!r} AS DOUBLE)
-                        - CAST({CUSUM_K!r} AS DOUBLE))
+        SELECT q.event_type, q.h, q.rn, q.n, q.m_u,
+               GREATEST(CAST(0 AS BIGINT),
+                        c.s_u + q.m_u - {int((CUSUM_TARGET + CUSUM_K) * 1_000_000)})
         FROM seq q JOIN ctl c
           ON q.event_type = c.event_type AND q.rn = c.rn + 1)
-    SELECT event_type, h AS window_start, n, ROUND(m, 6) AS hourly_mean,
-           ROUND(s, 6) AS cusum,
-           s > CAST({CUSUM_H!r} AS DOUBLE) AS alarm
+    SELECT event_type, h AS window_start, n,
+           ROUND(m_u / 1000000.0, 6) AS hourly_mean,
+           ROUND(s_u / 1000000.0, 6) AS cusum,
+           s_u > {int(CUSUM_H * 1_000_000)} AS alarm
     FROM ctl WHERE rn >= 1
     """,
 )
@@ -1127,34 +1127,43 @@ def q154_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same aggregate-then-replay split as q108/q136: the event-scale work
     is one grouped count/exact-sum; the per-type recurrence replays
-    O(hours) rows in an Arrow batch and is engine-exact (hourly means
-    from integer cents, pinned binary64 op order, recursive-CTE
-    oracle). At 10x SF, 2/3600 output rows differ from the oracle in
-    the 6th decimal - accumulated sub-ulp recurrence divergence
-    crossing a rounding boundary, documented in BASELINE.md."""
+    O(hours) rows in an Arrow batch and is engine-exact because it is
+    INTEGER-exact (q68a's fixed-point discipline): the hourly mean is
+    floored once to 1e-6 units from the exact cent sum, and each step
+    s = max(0, s + m_u − (target+k)·1e6) is pure BIGINT — the previous
+    binary64 replay drifted sub-ulp-per-step and crossed the
+    6th-decimal rounding boundary on 2/3600 rows at 10x SF
+    (BASELINE.md r5); integer steps cannot drift at any scale."""
     import pandas as pd
 
     events = read_table(spark, sf_dir, "events")
     units = F.sum(F.round(F.col("value") * 100).cast("long"))
-    hourly = events.groupBy(
-        "event_type",
-        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
-        .alias("window_start"),
-    ).agg(
-        F.count("*").alias("n"),
-        (units / 100.0 / F.count("*")).alias("m"),
+    slack_u = int((CUSUM_TARGET + CUSUM_K) * 1_000_000)
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+        )
+        .agg(F.count("*").alias("n"), units.alias("cents"))
+        .select(
+            "event_type",
+            "window_start",
+            "n",
+            F.expr("(cents * 10000) div n").alias("m_u"),
+        )
     )
 
-    schema = f"{hourly.schema.simpleString()[7:-1]},s:double"
+    schema = f"{hourly.schema.simpleString()[7:-1]},s_u:bigint"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("window_start").reset_index(drop=True)
-        s = 0.0
-        out = []
-        for m in pdf["m"]:
-            s = max(0.0, s + m - CUSUM_TARGET - CUSUM_K)
+        s = 0
+        out: list[int] = []
+        for m_u in pdf["m_u"]:
+            s = max(0, s + int(m_u) - slack_u)
             out.append(s)
-        pdf["s"] = out
+        pdf["s_u"] = pd.Series(out, dtype="int64")
         return pdf
 
     traj = hourly.groupBy("event_type").applyInPandas(fn, schema)
@@ -1162,9 +1171,9 @@ def q154_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "window_start",
         "n",
-        F.round(F.col("m"), 6).alias("hourly_mean"),
-        F.round(F.col("s"), 6).alias("cusum"),
-        (F.col("s") > CUSUM_H).alias("alarm"),
+        F.round(F.col("m_u") / 1_000_000.0, 6).alias("hourly_mean"),
+        F.round(F.col("s_u") / 1_000_000.0, 6).alias("cusum"),
+        (F.col("s_u") > int(CUSUM_H * 1_000_000)).alias("alarm"),
     )
 
 @query(

@@ -30,23 +30,58 @@ from hive_reflex_spark.registry import query
 def iir_lowpass(
     df: DataFrame,
     key_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     value_col: str,
     alpha: float,
     out_col: str = "filtered",
 ) -> DataFrame:
     """Exact IIR low-pass s = α·x + (1−α)·s (W1,
     `fixed_point_filter.c:63-97`). Per-key sequential loop, parallel
-    across keys via applyInPandas."""
+    across keys via applyInPandas. ``order_col`` may be a list so the
+    replay ordering can carry a unique tie-break — a recurrence is only
+    engine-deterministic if its input order is."""
     schema = f"{df.schema.simpleString()[7:-1]},{out_col}:double"
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pdf = pdf.sort_values(order).reset_index(drop=True)
         x = pdf[value_col].to_numpy(dtype="float64")
         s = x.copy()
         for i in range(1, len(x)):
             s[i] = alpha * x[i] + (1.0 - alpha) * s[i - 1]
         pdf[out_col] = s
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(fn, schema)
+
+
+def ewma_fixed_units(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    unit_col: str,
+    num: int,
+    den: int,
+    out_col: str = "s_u",
+) -> DataFrame:
+    """EWMA s = (num·s_prev + (den−num)·x) // den replayed in exact
+    integer units — q68a's Q16.16 discipline applied to the smoother:
+    every step is BIGINT arithmetic with floor division, so ANY engine
+    replaying the same recurrence is bit-identical at ANY scale (the
+    binary64 replay accumulates sub-ulp drift that eventually crosses a
+    rounding boundary — observed at 10x SF, BASELINE.md r5). The seed
+    is the first sample itself."""
+    schema = f"{df.schema.simpleString()[7:-1]},{out_col}:bigint"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols)).reset_index(drop=True)
+        xs = [int(v) for v in pdf[unit_col]]  # Python ints: no overflow
+        out: list[int] = []
+        s = 0
+        for i, x in enumerate(xs):
+            s = x if i == 0 else (num * s + (den - num) * x) // den
+            out.append(s)
+        pdf[out_col] = pd.Series(out, dtype="int64")
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(fn, schema)
@@ -62,7 +97,7 @@ def ewma(df: DataFrame, key_cols, order_col, value_col, beta: float, out_col="sm
 def complementary_filter(
     df: DataFrame,
     key_cols: list[str],
-    order_col: str,
+    order_col: str | list[str],
     gyro_col: str,
     accel_col: str,
     alpha: float,
@@ -73,9 +108,10 @@ def complementary_filter(
     `fixed_point_filter.c:13-57`): gyro integration with accel drift
     correction, per-key stateful."""
     schema = f"{df.schema.simpleString()[7:-1]},{out_col}:double"
+    order = [order_col] if isinstance(order_col, str) else list(order_col)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pdf = pdf.sort_values(order).reset_index(drop=True)
         g = pdf[gyro_col].to_numpy(dtype="float64")
         a = pdf[accel_col].to_numpy(dtype="float64")
         s = 0.0
@@ -134,35 +170,47 @@ def pid_controller(
     "q54_iir_lowpass",
     oracle="""
     WITH RECURSIVE seq AS (
-        SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS x_u,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY epoch_us(ts), event_id) AS rn
         FROM events),
     iir AS (
-        SELECT user_id, event_id, rn, value, value AS filtered
+        SELECT user_id, event_id, rn, x_u AS s_u
         FROM seq WHERE rn = 1
         UNION ALL
-        SELECT s.user_id, s.event_id, s.rn, s.value,
-               CAST(0.3 AS DOUBLE) * s.value
-               + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * i.filtered
+        SELECT s.user_id, s.event_id, s.rn,
+               (7 * i.s_u + 3 * s.x_u) // 10
         FROM seq s JOIN iir i
           ON s.user_id = i.user_id AND s.rn = i.rn + 1)
-    SELECT event_id, user_id, ROUND(filtered, 6) AS filtered FROM iir
+    SELECT event_id, user_id, ROUND(s_u / 1000000.0, 6) AS filtered
+    FROM iir
     """,
 )
 def q54_iir_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact IIR low-pass over each user's event-value series (α=0.3).
-    A true recurrence — beyond frame aggregates, but NOT beyond SQL: the
-    DuckDB oracle replays it as a recursive CTE with the identical
-    binary64 operation order (α·x + (1−α)·s, coefficients computed the
-    same way), so the hash check covers the recurrence exactly;
-    bit-parity vs numpy is additionally asserted in tests."""
+    """Exact IIR low-pass over each user's event-value series (α=0.3 =
+    3/10), replayed in 1e-6 integer units: s = (7·s_prev + 3·x) // 10 in
+    pure BIGINT — the fixed-point form the reference filter itself uses
+    (`fixed_point_filter.c:63-97` runs Q16.16, not float). The
+    recursive-CTE oracle replays the identical integer recurrence, so
+    the hash check is bit-exact at ANY scale — the previous binary64
+    replay crossed the 6th-decimal rounding boundary on 60/1,000,000
+    rows at 10x SF, the same sub-ulp drift q154/q158 retired
+    (BASELINE.md r6). The float library form (iir_lowpass) remains for
+    callers that want it and keeps its numpy bit-parity tests."""
     events = read_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("x_u"),
     )
-    out = iir_lowpass(events, ["user_id"], "ts_us", "value", alpha=0.3)
+    out = ewma_fixed_units(
+        events, ["user_id"], ["ts_us", "event_id"], "x_u", num=7, den=10
+    )
     return out.select(
-        "event_id", "user_id", F.round(F.col("filtered"), 6).alias("filtered")
+        "event_id",
+        "user_id",
+        F.round(F.col("s_u") / 1_000_000.0, 6).alias("filtered"),
     )
 
 
@@ -170,40 +218,48 @@ def q54_iir_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q158_ewma_smooth",
     oracle="""
     WITH RECURSIVE seq AS (
-        SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+        SELECT user_id, event_id,
+               CAST(ROUND(value * 1000000) AS BIGINT) AS x_u,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY epoch_us(ts), event_id) AS rn
         FROM events),
     ew AS (
-        SELECT user_id, event_id, rn, value, value AS smoothed
+        SELECT user_id, event_id, rn, x_u AS s_u
         FROM seq WHERE rn = 1
         UNION ALL
-        SELECT s.user_id, s.event_id, s.rn, s.value,
-               (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * s.value
-               + (CAST(1.0 AS DOUBLE)
-                  - (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))) * e.smoothed
+        SELECT s.user_id, s.event_id, s.rn,
+               (9 * e.s_u + s.x_u) // 10
         FROM seq s JOIN ew e
           ON s.user_id = e.user_id AND s.rn = e.rn + 1)
-    SELECT event_id, user_id, ROUND(smoothed, 6) AS smoothed FROM ew
+    SELECT event_id, user_id, ROUND(s_u / 1000000.0, 6) AS smoothed
+    FROM ew
     """,
 )
 def q158_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6 exponential smoothing c = β·c_prev + (1−β)·raw with β=0.9
     (`tinyml_adaptive.c:242-244`'s confidence smoother), per user over
-    the event-value series. Same recursive-CTE oracle discipline as q54:
-    the SQL replays the recurrence with the identical binary64 operation
-    order (β enters as 1−α with α computed as 1.0−0.9, exactly like the
-    ewma→iir_lowpass delegation), so the hash check covers the
-    recurrence bit-for-bit. At 10x SF, 10/1,000,000 output rows
-    differ from the oracle in the 6th decimal - accumulated sub-ulp
-    recurrence divergence crossing a rounding boundary, documented
-    in BASELINE.md."""
+    the event-value series — replayed in EXACT 1e-6 integer units
+    (q68a's fixed-point discipline, the form the reference's own
+    fixed-point firmware uses): x quantizes to micro-units once, then
+    every step is s = (9·s_prev + x) // 10 in BIGINT. The recursive-CTE
+    oracle replays the identical integer recurrence, so the hash check
+    is bit-exact at ANY scale — the previous binary64 replay diverged
+    sub-ulp-per-step and crossed the 6th-decimal rounding boundary on
+    10/1,000,000 rows at 10x SF (BASELINE.md r5); integer floor-division
+    steps cannot drift."""
     events = read_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("x_u"),
     )
-    out = ewma(events, ["user_id"], "ts_us", "value", beta=0.9)
+    out = ewma_fixed_units(
+        events, ["user_id"], ["ts_us", "event_id"], "x_u", num=9, den=10
+    )
     return out.select(
-        "event_id", "user_id", F.round(F.col("smoothed"), 6).alias("smoothed")
+        "event_id",
+        "user_id",
+        F.round(F.col("s_u") / 1_000_000.0, 6).alias("smoothed"),
     )
 
 
@@ -744,7 +800,7 @@ def q143_complementary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") % 360 - 180) * 0.5).alias("accel"),
     )
     out = complementary_filter(
-        events, ["user_id"], "ts_us", "gyro", "accel",
+        events, ["user_id"], ["ts_us", "event_id"], "gyro", "accel",
         alpha=_COMP_ALPHA, dt=_COMP_DT,
     )
     return out.select(
