@@ -246,6 +246,62 @@ def q30_coord_matmul_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q30a_gram_matmul_array",
+    oracle=f"""
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           CAST(SUM(CAST(ROUND(a.v * b.v * 1000000000) AS BIGINT)) AS BIGINT)
+               / 1000000000.0 AS dot
+    FROM {_duck_coords(256)} a JOIN {_duck_coords(256)} b ON a.dim = b.dim
+    WHERE a.vec_id <= b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+    """,
+)
+def q30a_gram_matmul_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's Gram matmul in its SCALE form: the dot product evaluated as
+    a zip_with/aggregate fold over the stored array columns, pairs
+    generated by a broadcast join on the triangle predicate — no
+    explode, no shuffle keyed on the 64-value contraction index. Same
+    exact-integer semantics as q30 (per-term ROUND to 1e-9 units,
+    BIGINT fold), verified against the identical coordinate oracle over
+    256 vectors instead of q30's 24.
+
+    Why this exists next to q30: the coordinate join q30 registers IS
+    the reference's contraction semantics (J1), but its shuffle key is
+    the 64-value dim — at N vectors it moves N*64 x N rows through 64
+    hash buckets. This form moves N rows once (the broadcast side is
+    one factor matrix, exactly the bounded operand the reference
+    streams from flash, `imc22_sdk`'s weight bank), and the fold runs
+    inside whole-stage codegen. Measured at sf1 sizes it is ~5x faster
+    than the coordinate plan at ANY size and inverts against DuckDB as
+    the pair count grows (BASELINE.md r6 tensor-scale section)."""
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 256)
+        .select("vec_id", "embedding")
+    )
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    return a.join(F.broadcast(b), F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            F.aggregate(
+                F.zip_with(
+                    "ea",
+                    "eb",
+                    lambda x, y: F.round(
+                        x.cast("double") * y.cast("double") * 1_000_000_000
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / 1_000_000_000.0
+        ).alias("dot"),
+    )
+
+
+@query(
     "q31_sparse_matmul",
     oracle=f"""
     SELECT a.vec_id AS i, b.vec_id AS j,

@@ -1,0 +1,279 @@
+#!/usr/bin/env python3
+"""Scaled tensor-tier bench: the coordinate matmul / attention plans at
+sf-proportional sizes, Spark vs DuckDB (verdict r5 item 5).
+
+The registered q30/q66 run on fixture-scale tensors at every SF (24
+vectors / one 4x8 attention block) so their ratios measure Spark's job
+floor, not the plan. This script runs the SAME plan shapes at sizes
+proportional to the sf1 embedding corpus (20k vectors x 64 dims):
+
+- gram_coord  : q30's coordinate-join Gram matrix over N vectors
+- gram_array  : the array/broadcast alternative (zip_with dot product
+                over a BroadcastNestedLoopJoin pair stream) — the
+                candidate 100-TB plan when one side fits a broadcast
+- attn_coord  : q66's full attention chain (scores -> softmax -> AV)
+                at N_Q x N_KV
+
+Every variant reduces to an exact-integer checksum (per-term ROUND to
+1e-9 units, BIGINT sums) so all Spark variants AND the DuckDB twin must
+agree bit-for-bit — the bench is also a scale-correctness check.
+
+Usage: bench_tensor_scale.py [sf_dir] [n_gram] [n_q] [n_kv]
+Defaults: /tmp/hrs_sf1 2048 4096 512
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.session import get_spark
+
+U9 = 1_000_000_000
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/hrs_sf1"
+    n_gram = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
+    n_q = int(sys.argv[3]) if len(sys.argv) > 3 else 4096
+    n_kv = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    kv_lo, kv_hi = n_q, n_q + n_kv  # disjoint query/key id ranges
+    sqrt_d = 8.0  # sqrt(64), as in q66
+
+    spark = get_spark("tensor-scale-bench")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW emb AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'embeddings.parquet')}'"
+    )
+    duck_coords = """(
+        SELECT vec_id, CAST(dim AS INTEGER) AS dim, CAST(v AS DOUBLE) AS v
+        FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                     unnest(embedding) AS v
+              FROM emb))"""
+
+    def coords(lo: int, hi: int):
+        return (
+            read_table(spark, sf_dir, "embeddings")
+            .filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+            .select("vec_id", F.posexplode("embedding").alias("dim", "v"))
+            .withColumn("v", F.col("v").cast("double"))
+        )
+
+    results: dict[str, dict] = {}
+
+    def run(name: str, fn):
+        t0 = time.time()
+        n_rows, chk = fn()
+        results[name] = {
+            "sec": round(time.time() - t0, 3),
+            "rows": int(n_rows),
+            "checksum": int(chk),
+        }
+        print(f"{name}: {results[name]}", file=sys.stderr)
+
+    # --- Gram: coordinate-join plan (q30's registered shape) -------------
+    def gram_coord():
+        c = coords(0, n_gram)
+        a = c.select(
+            F.col("vec_id").alias("i"),
+            F.col("dim").alias("k"),
+            F.col("v").alias("av"),
+        )
+        b = c.select(
+            F.col("vec_id").alias("j"),
+            F.col("dim").alias("k"),
+            F.col("v").alias("bv"),
+        )
+        dots = (
+            a.join(b, "k")
+            .filter(F.col("i") <= F.col("j"))
+            .groupBy("i", "j")
+            .agg(
+                F.sum(
+                    F.round(F.col("av") * F.col("bv") * U9).cast("long")
+                ).alias("dot_u")
+            )
+        )
+        r = dots.agg(F.count("*"), F.sum("dot_u")).collect()[0]
+        return r[0], r[1]
+
+    # --- Gram: array/broadcast plan (candidate scale plan) ---------------
+    def gram_array():
+        emb = (
+            read_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < n_gram)
+            .select("vec_id", "embedding")
+        )
+        a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+        dots = a.join(F.broadcast(b), F.col("i") <= F.col("j")).select(
+            F.aggregate(
+                F.zip_with(
+                    "ea",
+                    "eb",
+                    lambda x, y: F.round(
+                        x.cast("double") * y.cast("double") * U9
+                    ).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot_u")
+        )
+        r = dots.agg(F.count("*"), F.sum("dot_u")).collect()[0]
+        return r[0], r[1]
+
+    def gram_duck():
+        r = con.execute(
+            f"""
+            WITH c AS (SELECT * FROM {duck_coords} WHERE vec_id < {n_gram}),
+            dots AS (
+                SELECT a.vec_id AS i, b.vec_id AS j,
+                       CAST(SUM(CAST(ROUND(a.v * b.v * {U9}) AS BIGINT))
+                           AS BIGINT) AS dot_u
+                FROM c a JOIN c b
+                  ON a.dim = b.dim AND a.vec_id <= b.vec_id
+                GROUP BY 1, 2)
+            SELECT COUNT(*), CAST(SUM(dot_u) AS BIGINT) FROM dots
+            """
+        ).fetchone()
+        return r[0], r[1]
+
+    # --- Attention: q66's registered chain at scale -----------------------
+    def attn_coord():
+        q = (
+            coords(0, n_q)
+            .select(F.col("vec_id").alias("qid"), "dim", "v")
+            .repartition("qid")
+        )
+        kv = coords(kv_lo, kv_hi).select(
+            F.col("vec_id").alias("kid"), "dim", "v"
+        )
+        scores = (
+            q.alias("q")
+            .join(F.broadcast(kv.alias("k")), "dim")
+            .groupBy("qid", "kid")
+            .agg(
+                (
+                    F.sum(
+                        F.round(
+                            F.col("q.v") * F.col("k.v") / sqrt_d * U9
+                        ).cast("long")
+                    )
+                    / float(U9)
+                ).alias("s")
+            )
+        )
+        wq = Window.partitionBy("qid")
+        e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
+        attn = scores.withColumn("e", e).withColumn(
+            "w",
+            F.col("e")
+            / (
+                F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq)
+                / 1_000_000.0
+            ),
+        )
+        out = (
+            attn.select("qid", "kid", "w")
+            .join(F.broadcast(kv), "kid")
+            .groupBy("qid", F.col("dim").alias("out_dim"))
+            .agg(
+                (
+                    F.sum(
+                        F.round(F.col("w") * F.col("v") * U9).cast("long")
+                    )
+                    / float(U9)
+                ).alias("out_v")
+            )
+        )
+        r = out.agg(
+            F.count("*"),
+            F.sum(F.round(F.col("out_v") * 1_000_000).cast("long")),
+        ).collect()[0]
+        return r[0], r[1]
+
+    def attn_duck():
+        r = con.execute(
+            f"""
+            WITH coords AS (SELECT * FROM {duck_coords}),
+            q AS (SELECT vec_id AS qid, dim, v FROM coords
+                  WHERE vec_id < {n_q}),
+            kv AS (SELECT vec_id AS kid, dim, v FROM coords
+                   WHERE vec_id >= {kv_lo} AND vec_id < {kv_hi}),
+            scores AS (SELECT qid, kid,
+                              CAST(SUM(CAST(ROUND(q.v * kv.v / {sqrt_d}
+                                   * {U9}) AS BIGINT)) AS BIGINT)
+                                  / {U9}.0 AS s
+                       FROM q JOIN kv USING (dim) GROUP BY qid, kid),
+            expd AS (SELECT qid, kid,
+                            ROUND(exp(s - MAX(s) OVER (PARTITION BY qid)), 6)
+                                AS e
+                     FROM scores),
+            attn AS (SELECT qid, kid,
+                            e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                                 OVER (PARTITION BY qid) AS BIGINT)
+                                 / 1000000.0) AS w
+                     FROM expd),
+            out AS (SELECT qid, dim AS out_dim,
+                           CAST(SUM(CAST(ROUND(attn.w * kv.v * {U9})
+                                AS BIGINT)) AS BIGINT) / {U9}.0 AS out_v
+                    FROM attn JOIN kv USING (kid)
+                    GROUP BY qid, dim)
+            SELECT COUNT(*),
+                   CAST(SUM(CAST(ROUND(out_v * 1000000) AS BIGINT))
+                       AS BIGINT)
+            FROM out
+            """
+        ).fetchone()
+        return r[0], r[1]
+
+    run("gram_coord_spark", gram_coord)
+    run("gram_array_spark", gram_array)
+    run("gram_duckdb", gram_duck)
+    run("attn_coord_spark", attn_coord)
+    run("attn_duckdb", attn_duck)
+
+    gs, ga, gd = (
+        results["gram_coord_spark"],
+        results["gram_array_spark"],
+        results["gram_duckdb"],
+    )
+    at, ad = results["attn_coord_spark"], results["attn_duckdb"]
+    parity = (
+        gs["checksum"] == ga["checksum"] == gd["checksum"]
+        and gs["rows"] == ga["rows"] == gd["rows"]
+        and at["checksum"] == ad["checksum"]
+        and at["rows"] == ad["rows"]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "tensor_scale_bench",
+                "sf_dir": sf_dir,
+                "n_gram": n_gram,
+                "n_q": n_q,
+                "n_kv": n_kv,
+                "results": results,
+                "checksum_parity": parity,
+                "gram_coord_ratio": round(gs["sec"] / gd["sec"], 2),
+                "gram_array_ratio": round(ga["sec"] / gd["sec"], 2),
+                "attn_ratio": round(at["sec"] / ad["sec"], 2),
+            }
+        )
+    )
+    return 0 if parity else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -547,3 +547,29 @@ def test_q180_diff_is_one_full_outer_join(spark, sf_smoke):
     plan = plan_of(spark, "q180_snapshot_diff", sf_smoke)
     assert plan.count("FullOuter") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_q30a_gram_array_broadcasts_no_dim_shuffle(spark, sf_smoke):
+    """q30a (J1's scale form): the pair stream must come from a broadcast
+    of one factor matrix (BroadcastNestedLoopJoin on the triangle
+    predicate), and the contraction must NOT shuffle on the 64-value dim
+    key — no exchange keyed by the coordinate join at all: the zip_with
+    fold runs scan-side."""
+    plan = plan_of(spark, "q30a_gram_matmul_array", sf_smoke)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(k" not in plan and "hashpartitioning(dim" not in plan, (
+        "gram array form must not shuffle on the contraction index"
+    )
+
+
+def test_q232_dcg_join_is_broadcast_buildable(spark, sf_smoke):
+    """q232: both metric joins must be BroadcastHashJoins (the k-row side
+    broadcast on a buildable side) — a hint on the preserved side of a
+    left-outer join is silently ignored and would shuffle corpus-scale
+    grades."""
+    plan = plan_of(spark, "q232_retrieval_metrics", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, (
+        "q232 grades join lost its broadcast — corpus-scale shuffle"
+    )
