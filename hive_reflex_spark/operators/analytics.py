@@ -381,7 +381,7 @@ def adaptive_threshold_trajectory(
 @query(
     "q108_adaptive_cascade",
     oracle="""
-    WITH RECURSIVE hourly AS (
+    WITH RECURSIVE hourly AS MATERIALIZED (
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
                COUNT(*) AS n,
@@ -1088,7 +1088,7 @@ CUSUM_H = 100.0  # decision threshold
 @query(
     "q154_cusum_drift",
     oracle=f"""
-    WITH RECURSIVE hourly AS (
+    WITH RECURSIVE hourly AS MATERIALIZED (
         SELECT event_type,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
                CAST(COUNT(*) AS BIGINT) AS n,

@@ -89,18 +89,18 @@ def connected_components(
 @query(
     "q78_dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE mh AS (SELECT * FROM {_DUCK_MINHASH} m),
-    bands AS (SELECT doc_id, seed // {BAND_SIZE} AS band,
+    WITH RECURSIVE mh AS MATERIALIZED (SELECT * FROM {_DUCK_MINHASH} m),
+    bands AS MATERIALIZED (SELECT doc_id, seed // {BAND_SIZE} AS band,
                      MIN(CASE WHEN seed % {BAND_SIZE} = 0 THEN sig END)
                      || MIN(CASE WHEN seed % {BAND_SIZE} = 1 THEN sig END)
                          AS band_sig
               FROM mh GROUP BY doc_id, seed // {BAND_SIZE}),
-    edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+    edges AS MATERIALIZED (SELECT a.doc_id AS src, b.doc_id AS dst
               FROM bands a JOIN bands b
                 ON a.band = b.band AND a.band_sig = b.band_sig
                    AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id),
-    sym AS (SELECT src AS a, dst AS b FROM edges
+    sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
             UNION ALL SELECT dst, src FROM edges),
     verts AS (SELECT DISTINCT a AS v FROM sym),
     reach AS (

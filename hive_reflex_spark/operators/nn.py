@@ -102,6 +102,81 @@ def q66_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _attn_oracle(n_q: int, kv_lo: int, kv_hi: int) -> str:
+    """q66's attention oracle parameterized over the Q/KV id ranges."""
+    return f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         q AS (SELECT vec_id AS qid, dim, v FROM coords
+               WHERE vec_id < {n_q}),
+         kv AS (SELECT vec_id AS kid, dim, v FROM coords
+                WHERE vec_id >= {kv_lo} AND vec_id < {kv_hi}),
+         scores AS (SELECT qid, kid,
+                           CAST(SUM(CAST(ROUND(q.v * kv.v / {SQRT_D}
+                                * 1000000000) AS BIGINT)) AS BIGINT)
+                               / 1000000000.0 AS s
+                    FROM q JOIN kv USING (dim) GROUP BY qid, kid),
+         expd AS (SELECT qid, kid,
+                         ROUND(exp(s - MAX(s) OVER (PARTITION BY qid)), 6) AS e
+                  FROM scores),
+         attn AS (SELECT qid, kid,
+                         e / (CAST(SUM(CAST(ROUND(e * 1000000) AS BIGINT))
+                              OVER (PARTITION BY qid) AS BIGINT) / 1000000.0)
+                             AS w
+                  FROM expd)
+    SELECT qid, dim AS out_dim,
+           ROUND(CAST(SUM(CAST(ROUND(attn.w * kv.v * 1000000000) AS BIGINT))
+                 AS BIGINT) / 1000000000.0, 6) AS out_v
+    FROM attn JOIN kv USING (kid)
+    GROUP BY qid, dim
+    """
+
+
+@query("q66c_attention_scaled", oracle=_attn_oracle(256, 256, 320))
+def q66c_attention_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q66's attention chain at a NON-fixture-bound size: 256 query rows
+    against a 64-key/value block (vec_id 256..319) — 16k score pairs and
+    a 16k-row softmax instead of q66's fixed 4x8 block, so the driver's
+    check and the bench measure the PLAN (broadcast KV, one qid-keyed
+    exchange serving scores, both softmax windows, and the output
+    reduction), not the job floor. Identical exact-integer discipline
+    and the identical single-exchange shuffle shape as q66 — see q66's
+    docstring for the 100-TB layout argument; scaled evidence for the
+    coordinate-join tensor tier lives in BASELINE.md r6
+    (scripts/bench_tensor_scale.py)."""
+    coords = embedding_coords(spark, sf_dir)
+    n_q, kv_lo, kv_hi = 256, 256, 320
+    q = (
+        coords.filter(F.col("vec_id") < n_q)
+        .select(F.col("vec_id").alias("qid"), "dim", "v")
+        .repartition("qid")
+    )
+    kv = coords.filter(
+        (F.col("vec_id") >= kv_lo) & (F.col("vec_id") < kv_hi)
+    ).select(F.col("vec_id").alias("kid"), "dim", "v")
+    scores = (
+        q.alias("q")
+        .join(F.broadcast(kv.alias("k")), "dim")
+        .groupBy("qid", "kid")
+        .agg(F.expr(f"{spark_exact_sum(f'q.v * k.v / {SQRT_D}', 9)} AS s"))
+    )
+    wq = Window.partitionBy("qid")
+    e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
+    attn = scores.withColumn("e", e).withColumn(
+        "w",
+        F.col("e")
+        / (
+            F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq)
+            / 1_000_000.0
+        ),
+    )
+    return (
+        attn.select("qid", "kid", "w")
+        .join(F.broadcast(kv), "kid")
+        .groupBy("qid", F.col("dim").alias("out_dim"))
+        .agg(F.expr(f"round({spark_exact_sum('w * v', 9)}, 6) AS out_v"))
+    )
+
+
 @query(
     "q67_conv2d",
     oracle=f"""
@@ -686,7 +761,7 @@ def _lstm_fixed_oracle(hidden: int = _LSTM_H) -> str:
         f"h{j}q / 65536.0 AS h{j}" for j in range(hidden)
     )
     return f"""
-    WITH RECURSIVE seq AS (
+    WITH RECURSIVE seq AS MATERIALIZED (
         SELECT user_id, event_id,
                CAST(floor(value / {_LSTM_XSCALE} * 65536) AS BIGINT) AS x,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -852,7 +927,7 @@ def _gru_fixed_oracle(hidden: int = _LSTM_H) -> str:
     )
     out_cols = ", ".join(f"h{j}q / 65536.0 AS h{j}" for j in range(hidden))
     return f"""
-    WITH RECURSIVE seq AS (
+    WITH RECURSIVE seq AS MATERIALIZED (
         SELECT user_id, event_id,
                CAST(floor(value / {_LSTM_XSCALE} * 65536) AS BIGINT) AS x,
                ROW_NUMBER() OVER (PARTITION BY user_id

@@ -382,7 +382,7 @@ def dvfs_mode_trajectory(hourly, key_col: str, order_col: str):
 @query(
     "q136_dvfs_governor",
     oracle=f"""
-    WITH RECURSIVE hourly AS (
+    WITH RECURSIVE hourly AS MATERIALIZED (
         SELECT user_id % {DVFS_N_DEVICES} AS device,
                strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
                COUNT(*) AS n,

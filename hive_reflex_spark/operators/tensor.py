@@ -302,6 +302,77 @@ def q30a_gram_matmul_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q30b_gram_matmul_numpy",
+    oracle=f"""
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           CAST(SUM(CAST(ROUND(a.v * b.v * 1000000000) AS BIGINT)) AS BIGINT)
+               / 1000000000.0 AS dot
+    FROM {_duck_coords(256)} a JOIN {_duck_coords(256)} b ON a.dim = b.dim
+    WHERE a.vec_id <= b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+    """,
+)
+def q30b_gram_matmul_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1's Gram matmul on the numpy-blocked fast path: one factor
+    matrix is collected and broadcast (the bounded operand — exactly the
+    weight bank the reference streams from flash, `imc22_sdk`), the
+    other streams through mapInPandas in Arrow batches, and each batch
+    computes its block of G as 64 vectorized outer-product
+    accumulations (per-term ROUND to 1e-9 units — half-away-from-zero
+    emulated as sign*floor(|x|+0.5), since numpy's round is half-even
+    and ONE .5-landing term breaks engine parity). Identical
+    exact-integer semantics to q30/q30a, same 256-vector oracle.
+
+    Why this tier exists: of the three Gram plans, this is the one that
+    inverts against a columnar in-process engine — sf1-size measurement
+    (BASELINE.md r6): coordinate join 5.9x DuckDB, zip_with fold 4.9x,
+    numpy-blocked 0.19x (26x faster than the coordinate plan). Dense
+    contraction is the one workload where per-row expression evaluation
+    loses to BLAS-shaped batch kernels by orders of magnitude; the
+    Spark-first answer is Arrow batches + numpy, NOT a row-at-a-time
+    UDF. At 100 TB the stream side tiles for free (it's the mapInPandas
+    input); a both-sides-huge matmul tiles the broadcast side into
+    column blocks the same way."""
+    import numpy as np
+    import pandas as pd
+
+    emb = (
+        read_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 256)
+        .select("vec_id", "embedding")
+    )
+    rows = emb.collect()  # bounded: one 256 x 64 factor matrix
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def blocks(batches):
+        B = b_mat.value
+        Bi = b_ids.value
+        for pdf in batches:
+            A = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Ai = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.zeros((len(Ai), len(Bi)), dtype=np.float64)
+            for k in range(A.shape[1]):
+                P = np.outer(A[:, k], B[:, k]) * 1e9
+                C += np.sign(P) * np.floor(np.abs(P) + 0.5)
+            ii, jj = np.nonzero(Ai[:, None] <= Bi[None, :])
+            yield pd.DataFrame(
+                {
+                    "i": Ai[ii],
+                    "j": Bi[jj],
+                    "dot_u": C[ii, jj].astype(np.int64),
+                }
+            )
+
+    return (
+        emb.mapInPandas(blocks, "i long, j long, dot_u long")
+        .select("i", "j", (F.col("dot_u") / 1_000_000_000.0).alias("dot"))
+    )
+
+
+@query(
     "q31_sparse_matmul",
     oracle=f"""
     SELECT a.vec_id AS i, b.vec_id AS j,

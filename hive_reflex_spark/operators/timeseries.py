@@ -169,7 +169,7 @@ def pid_controller(
 @query(
     "q54_iir_lowpass",
     oracle="""
-    WITH RECURSIVE seq AS (
+    WITH RECURSIVE seq AS MATERIALIZED (
         SELECT user_id, event_id,
                CAST(ROUND(value * 1000000) AS BIGINT) AS x_u,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -217,7 +217,7 @@ def q54_iir_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q158_ewma_smooth",
     oracle="""
-    WITH RECURSIVE seq AS (
+    WITH RECURSIVE seq AS MATERIALIZED (
         SELECT user_id, event_id,
                CAST(ROUND(value * 1000000) AS BIGINT) AS x_u,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -758,7 +758,7 @@ _COMP_DT = 0.01  # 100 Hz tick
 @query(
     "q143_complementary_filter",
     oracle=f"""
-    WITH RECURSIVE seq AS (
+    WITH RECURSIVE seq AS MATERIALIZED (
         SELECT user_id, event_id,
                CAST(value AS DOUBLE) AS gyro,
                (event_id % 360 - 180) * CAST(0.5 AS DOUBLE) AS accel,

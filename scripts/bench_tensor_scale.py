@@ -133,6 +133,52 @@ def main() -> int:
         r = dots.agg(F.count("*"), F.sum("dot_u")).collect()[0]
         return r[0], r[1]
 
+    # --- Gram: numpy-blocked plan (Arrow batches x broadcast factor) ------
+    def gram_numpy():
+        import numpy as np
+        import pandas as pd
+
+        emb = (
+            read_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < n_gram)
+            .select("vec_id", "embedding")
+        )
+        rows = emb.collect()  # bounded: one factor matrix (n_gram x 64)
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        b_ids = spark.sparkContext.broadcast(ids)
+        b_mat = spark.sparkContext.broadcast(mat)
+
+        def blocks(batches):
+            B = b_mat.value
+            Bi = b_ids.value
+            for pdf in batches:
+                A = np.array(list(pdf["embedding"]), dtype=np.float64)
+                Ai = pdf["vec_id"].to_numpy(dtype=np.int64)
+                # exact per-term rounding to 1e-9 units, matmul-blocked:
+                # C = sum_k round(outer(A[:,k], B[:,k]) * 1e9).
+                # NB: np.round is half-EVEN; Spark/DuckDB ROUND are
+                # half-away-from-zero — emulate with sign*floor(|x|+0.5)
+                # or one .5-landing term breaks checksum parity by 1.
+                C = np.zeros((len(Ai), len(Bi)), dtype=np.float64)
+                for k in range(A.shape[1]):
+                    P = np.outer(A[:, k], B[:, k]) * U9
+                    C += np.sign(P) * np.floor(np.abs(P) + 0.5)
+                ii, jj = np.nonzero(Ai[:, None] <= Bi[None, :])
+                yield pd.DataFrame(
+                    {
+                        "i": Ai[ii],
+                        "j": Bi[jj],
+                        "dot_u": C[ii, jj].astype(np.int64),
+                    }
+                )
+
+        dots = emb.repartition(32).mapInPandas(
+            blocks, "i long, j long, dot_u long"
+        )
+        r = dots.agg(F.count("*"), F.sum("dot_u")).collect()[0]
+        return r[0], r[1]
+
     def gram_duck():
         r = con.execute(
             f"""
@@ -240,19 +286,21 @@ def main() -> int:
 
     run("gram_coord_spark", gram_coord)
     run("gram_array_spark", gram_array)
+    run("gram_numpy_spark", gram_numpy)
     run("gram_duckdb", gram_duck)
     run("attn_coord_spark", attn_coord)
     run("attn_duckdb", attn_duck)
 
-    gs, ga, gd = (
+    gs, ga, gn, gd = (
         results["gram_coord_spark"],
         results["gram_array_spark"],
+        results["gram_numpy_spark"],
         results["gram_duckdb"],
     )
     at, ad = results["attn_coord_spark"], results["attn_duckdb"]
     parity = (
-        gs["checksum"] == ga["checksum"] == gd["checksum"]
-        and gs["rows"] == ga["rows"] == gd["rows"]
+        gs["checksum"] == ga["checksum"] == gn["checksum"] == gd["checksum"]
+        and gs["rows"] == ga["rows"] == gn["rows"] == gd["rows"]
         and at["checksum"] == ad["checksum"]
         and at["rows"] == ad["rows"]
     )
@@ -268,6 +316,7 @@ def main() -> int:
                 "checksum_parity": parity,
                 "gram_coord_ratio": round(gs["sec"] / gd["sec"], 2),
                 "gram_array_ratio": round(ga["sec"] / gd["sec"], 2),
+                "gram_numpy_ratio": round(gn["sec"] / gd["sec"], 2),
                 "attn_ratio": round(at["sec"] / ad["sec"], 2),
             }
         )
