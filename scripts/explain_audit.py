@@ -237,6 +237,21 @@ PICKS = {
         "shuffles."
     ),
     "q62_streaming_hourly": "(streaming — plan shown for the post-sink projection)",
+    "q30a_gram_matmul_array": (
+        "Gram matmul scale form: BroadcastNestedLoopJoin pair stream + "
+        "zip_with fold — NO exchange keyed on the 64-value contraction "
+        "index anywhere in the plan."
+    ),
+    "q30b_gram_matmul_numpy": (
+        "Dense contraction fast path: one ArrowEvalPython (mapInPandas) "
+        "over the stream side, broadcast factor matrix — the 0.19x-DuckDB "
+        "plan; no join, no wide shuffle, output aggregation only."
+    ),
+    "q66c_attention_scaled": (
+        "q66's single-exchange attention at 256x64: broadcast KV joins, "
+        "one qid-keyed exchange serving the score aggregate, both softmax "
+        "windows, and the output reduction."
+    ),
 }
 
 
