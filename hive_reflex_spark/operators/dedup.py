@@ -341,6 +341,62 @@ def q49_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q49a_lsh_candidates_star",
+    oracle=f"""
+    WITH mh AS MATERIALIZED {_DUCK_MINHASH},
+         bands AS (SELECT doc_id, seed // {BAND_SIZE} AS band,
+                          MIN(CASE WHEN seed % {BAND_SIZE} = 0 THEN sig END)
+                          || MIN(CASE WHEN seed % {BAND_SIZE} = 1 THEN sig END)
+                              AS band_sig
+                   FROM mh GROUP BY doc_id, seed // {BAND_SIZE}),
+         hubs AS (SELECT band, band_sig, MIN(doc_id) AS hub,
+                         COUNT(*) AS bucket_size
+                  FROM bands GROUP BY band, band_sig)
+    SELECT h.hub AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_bands
+    FROM bands b JOIN hubs h USING (band, band_sig)
+    WHERE h.bucket_size >= 2 AND b.doc_id <> h.hub
+    GROUP BY h.hub, b.doc_id
+    """,
+)
+def q49a_lsh_candidates_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates with STAR topology per band bucket: every bucket
+    member links to the bucket's min doc_id (the hub) instead of to
+    every other member. For dedup CLUSTERING this is lossless — a
+    bucket's star is connected, so the connected components over star
+    edges are IDENTICAL to those over q49's all-pairs edges (asserted
+    in tests) — but the edge count drops from sum(k^2)/2 to sum(k-1)
+    per bucket.
+
+    Why it exists: q49's comfort claim ('only near-dups collide, so the
+    join output is tiny') failed under measurement on a duplicate-DENSE
+    corpus — the sf1 fixture's replicated families produced 11.1M
+    all-pairs candidates from 200k docs (BASELINE.md r6), because
+    bucket self-joins are quadratic in bucket size and duplicate-heavy
+    crawls (boilerplate, mirrors) make big buckets precisely where
+    dedup matters most. Star linking is the standard fix: the pair
+    stream is linear in corpus size with NO quality loss for
+    keep-one-per-cluster dedup. Pair-level verification flows (q94's
+    Jaccard gate) keep q49; cluster flows should feed from here.
+
+    Shuffle shape: one hash partitioning on (band, band_sig) serves
+    both the hub aggregate and the hub join (co-partitioned), then one
+    aggregate on the output pair — all linear."""
+    mh = minhash_signatures(spark, sf_dir)
+    bands = cached_df(("q49_bands", sf_dir), lambda: bands_from_minhash(mh))
+    hubs = bands.groupBy("band", "band_sig").agg(
+        F.min("doc_id").alias("hub"),
+        F.count("*").alias("bucket_size"),
+    )
+    return (
+        bands.join(hubs, ["band", "band_sig"])
+        .filter((F.col("bucket_size") >= 2) & (F.col("doc_id") != F.col("hub")))
+        .groupBy(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

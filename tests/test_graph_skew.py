@@ -108,3 +108,28 @@ def test_salted_join_matches_plain_join(spark):
         .count()
     )
     assert spread > 1
+
+
+def test_star_candidates_preserve_components(spark):
+    """q49a's star-topology edges must induce EXACTLY the same connected
+    components as q49's all-pairs edges — the losslessness claim that
+    justifies the linear pair stream at scale."""
+    from tests.conftest import SF_SMOKE
+
+    from hive_reflex_spark.operators.dedup import q49a_lsh_candidates_star
+
+    def comps(edges_df):
+        e = edges_df.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        rows = connected_components(e).collect()
+        return {r.vertex: r.component for r in rows}
+
+    full = comps(q49_lsh_candidates(spark, SF_SMOKE))
+    star = comps(q49a_lsh_candidates_star(spark, SF_SMOKE))
+    assert full == star
+
+    # and the star stream is never larger than the all-pairs stream
+    n_full = q49_lsh_candidates(spark, SF_SMOKE).count()
+    n_star = q49a_lsh_candidates_star(spark, SF_SMOKE).count()
+    assert n_star <= n_full
