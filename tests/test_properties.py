@@ -305,3 +305,39 @@ def test_histogram_quantile_bin_contains_exact_percentile(spark, vals):
         bin_lo = lo + span * crossing // B
         bin_hi = lo + span * (crossing + 1) // B
         assert bin_lo <= exact <= bin_hi, (name, exact, bin_lo, bin_hi)
+
+
+def test_queries_are_shuffle_partition_invariant(spark):
+    """The driver runs our queries on ITS session, whose
+    spark.sql.shuffle.partitions we do not control — results must be
+    identical under any partition count. One representative per
+    execution tier: exact-sum aggregate (q01), rank window (q155),
+    pandas integer recurrence (q158), co-partitioned LSH join (q49a),
+    numpy-blocked matmul (q30b)."""
+    import __spark_entry__ as entrymod
+
+    from tests.conftest import SF_SMOKE
+
+    names = [
+        "q01_pricing_summary",
+        "q155_weighted_median",
+        "q158_ewma_smooth",
+        "q49a_lsh_candidates_star",
+        "q30b_gram_matmul_numpy",
+    ]
+    qs = entrymod.queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = {}
+        for n_parts in ("1", "7", "64"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_parts)
+            for name in names:
+                df = qs[name](spark, SF_SMOKE)
+                rows = sorted(map(tuple, df.collect()))
+                outs.setdefault(name, []).append(rows)
+        for name, versions in outs.items():
+            assert versions[0] == versions[1] == versions[2], (
+                f"{name} output depends on shuffle partition count"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
