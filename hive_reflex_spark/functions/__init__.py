@@ -41,6 +41,50 @@ def spark_exact_sum(expr: str, scale: int = 2) -> str:
     return f"sum(CAST(round(({expr}) * {p}) AS BIGINT)) / {p}.0D"
 
 
+# Rounding an exact 1e-9-unit sum DOWN to 6 decimals with float ROUND is an
+# engine-parity trap: when the sum lands on ...500 units the true value sits
+# exactly on the 6th-decimal .5 boundary, and Spark (BigDecimal of the
+# double's shortest decimal repr, HALF_UP) disagrees with DuckDB (binary
+# nearbyint of x*1e6) — observed at sf1 on q66c (1/16384 rows). The safe
+# idiom does the half-up AT THE INTEGER LEVEL: out_u = floor((sum_u+500)/
+# 1000) is pure BIGINT-exact arithmetic, identical on any engine, and
+# out_u/1e6 is the same double everywhere. floor of the IEEE quotient equals
+# the true floor for |sum_u| < 2^52 (quotients are never within an ulp of an
+# integer unless exact).
+
+
+def exact_sum_round6(col: Column, in_scale: int = 9) -> Column:
+    """Exact sum in 1e-``in_scale`` units, emitted half-up-rounded to 6
+    decimals via integer arithmetic (engine-parity-safe)."""
+    p_in = 10**in_scale
+    div = p_in // 1_000_000
+    half = div // 2
+    sum_u = F.sum(F.round(col * p_in).cast("long"))
+    return F.floor((sum_u + F.lit(half)) / float(div)).cast("long") / 1e6
+
+
+def spark_exact_sum_round6(expr: str, in_scale: int = 9) -> str:
+    """SQL-text twin of :func:`exact_sum_round6`."""
+    p_in = 10**in_scale
+    div = p_in // 1_000_000
+    half = div // 2
+    return (
+        f"CAST(FLOOR((sum(CAST(round(({expr}) * {p_in}) AS BIGINT))"
+        f" + {half}) / {div}.0D) AS BIGINT) / 1000000.0D"
+    )
+
+
+def duck_exact_sum_round6(expr: str, in_scale: int = 9) -> str:
+    """DuckDB oracle twin of :func:`exact_sum_round6`."""
+    p_in = 10**in_scale
+    div = p_in // 1_000_000
+    half = div // 2
+    return (
+        f"CAST(FLOOR((CAST(SUM(CAST(ROUND(({expr}) * {p_in}) AS BIGINT))"
+        f" AS BIGINT) + {half}) / {div}.0) AS BIGINT) / 1000000.0"
+    )
+
+
 def duck_exact_sum(expr: str, scale: int = 2) -> str:
     """DuckDB SQL twin of :func:`exact_sum`.
 

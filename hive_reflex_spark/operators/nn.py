@@ -23,7 +23,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.functions import exact_sum, spark_exact_sum
+from hive_reflex_spark.functions import (
+    exact_sum,
+    exact_sum_round6,
+    spark_exact_sum,
+    spark_exact_sum_round6,
+)
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -53,8 +58,8 @@ SQRT_D = 8.0  # sqrt(64)
                              AS w
                   FROM expd)
     SELECT qid, dim AS out_dim,
-           ROUND(CAST(SUM(CAST(ROUND(attn.w * kv.v * 1000000000) AS BIGINT))
-                 AS BIGINT) / 1000000000.0, 6) AS out_v
+           CAST(FLOOR((CAST(SUM(CAST(ROUND(attn.w * kv.v * 1000000000) AS BIGINT))
+                 AS BIGINT) + 500) / 1000.0) AS BIGINT) / 1000000.0 AS out_v
     FROM attn JOIN kv USING (kid)
     GROUP BY qid, dim
     """,
@@ -98,7 +103,7 @@ def q66_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
         attn.select("qid", "kid", "w")
         .join(F.broadcast(kv), "kid")
         .groupBy("qid", F.col("dim").alias("out_dim"))
-        .agg(F.expr(f"round({spark_exact_sum('w * v', 9)}, 6) AS out_v"))
+        .agg(F.expr(f"{spark_exact_sum_round6('w * v')} AS out_v"))
     )
 
 
@@ -124,8 +129,8 @@ def _attn_oracle(n_q: int, kv_lo: int, kv_hi: int) -> str:
                              AS w
                   FROM expd)
     SELECT qid, dim AS out_dim,
-           ROUND(CAST(SUM(CAST(ROUND(attn.w * kv.v * 1000000000) AS BIGINT))
-                 AS BIGINT) / 1000000000.0, 6) AS out_v
+           CAST(FLOOR((CAST(SUM(CAST(ROUND(attn.w * kv.v * 1000000000) AS BIGINT))
+                 AS BIGINT) + 500) / 1000.0) AS BIGINT) / 1000000.0 AS out_v
     FROM attn JOIN kv USING (kid)
     GROUP BY qid, dim
     """
@@ -173,7 +178,7 @@ def q66c_attention_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         attn.select("qid", "kid", "w")
         .join(F.broadcast(kv), "kid")
         .groupBy("qid", F.col("dim").alias("out_dim"))
-        .agg(F.expr(f"round({spark_exact_sum('w * v', 9)}, 6) AS out_v"))
+        .agg(F.expr(f"{spark_exact_sum_round6('w * v')} AS out_v"))
     )
 
 
@@ -186,8 +191,7 @@ def q66c_attention_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM (SELECT unnest(range(-1, 2)) AS dy) a,
                          (SELECT unnest(range(-1, 2)) AS dx) b)
     SELECT (y - dy) AS oy, (x - dx) AS ox,
-           ROUND(CAST(SUM(CAST(ROUND(v * w * 1000000000) AS BIGINT)) AS BIGINT)
-                 / 1000000000.0, 6) AS conv_v,
+           CAST(FLOOR((CAST(SUM(CAST(ROUND(v * w * 1000000000) AS BIGINT)) AS BIGINT) + 500) / 1000.0) AS BIGINT) / 1000000.0 AS conv_v,
            COUNT(*) AS n_taps
     FROM img, kernel
     WHERE (y - dy) BETWEEN 1 AND 30 AND (x - dx) BETWEEN 1 AND 62
@@ -216,7 +220,7 @@ def q67_conv2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("oy").between(1, 30) & F.col("ox").between(1, 62))
         .groupBy("oy", "ox")
         .agg(
-            F.round(exact_sum(F.col("v") * F.col("w"), 9), 6).alias("conv_v"),
+            exact_sum_round6(F.col("v") * F.col("w")).alias("conv_v"),
             F.count("*").alias("n_taps"),
         )
     )
@@ -441,8 +445,8 @@ def q66a_causal_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM {_duck_coords(16)} c),
          kernel AS (SELECT unnest(range(-2, 3)) AS dt)
     SELECT channel, (t - dt) AS ot,
-           ROUND(CAST(SUM(CAST(ROUND(v * 0.2 * 1000000000) AS BIGINT))
-                 AS BIGINT) / 1000000000.0, 6) AS conv_v,
+           CAST(FLOOR((CAST(SUM(CAST(ROUND(v * 0.2 * 1000000000) AS BIGINT))
+                 AS BIGINT) + 500) / 1000.0) AS BIGINT) / 1000000.0 AS conv_v,
            COUNT(*) AS n_taps
     FROM sig, kernel
     WHERE (t - dt) BETWEEN 2 AND 61
@@ -467,7 +471,7 @@ def q67a_depthwise_conv1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ot").between(2, 61))
         .groupBy("channel", "ot")
         .agg(
-            F.round(exact_sum(F.col("v") * 0.2, 9), 6).alias("conv_v"),
+            exact_sum_round6(F.col("v") * 0.2).alias("conv_v"),
             F.count("*").alias("n_taps"),
         )
     )
@@ -1030,7 +1034,8 @@ def _transformer_block_oracle() -> str:
                   0.5 * f * (1 + ROUND(1 - 2 / (exp(2 * ({_GELU_C}
                       * (f + 0.044715 * f * f * f))) + 1), 6)) AS g
            FROM ff)
-    SELECT r1.p AS pos, r1.d AS dim, ROUND(r1.rv + gl.g, 6) AS out_v
+    SELECT r1.p AS pos, r1.d AS dim,
+           FLOOR((r1.rv + gl.g) * 1000000.0 + 0.5) / 1000000.0 AS out_v
     FROM r1 JOIN gl ON r1.p = gl.p AND r1.d = gl.d
     """
 
@@ -1129,7 +1134,7 @@ def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p").alias("pos"),
             F.col("d").alias("dim"),
-            F.round(F.col("rv") + F.col("g"), 6).alias("out_v"),
+            (F.floor((F.col("rv") + F.col("g")) * 1_000_000.0 + 0.5) / 1_000_000.0).alias("out_v"),
         )
     )
 
@@ -1161,8 +1166,8 @@ def _mha_oracle() -> str:
                       AS w
            FROM ex),
     outv AS (SELECT aw.pq AS pos, k.d AS dim,
-                    ROUND(CAST(SUM(CAST(ROUND(aw.w * k.v * 1000000000)
-                          AS BIGINT)) AS BIGINT) / 1000000000.0, 6) AS out_v
+                    CAST(FLOOR((CAST(SUM(CAST(ROUND(aw.w * k.v * 1000000000)
+                          AS BIGINT)) AS BIGINT) + 500) / 1000.0) AS BIGINT) / 1000000.0 AS out_v
              FROM aw JOIN tok k ON k.p = aw.pk AND k.h = aw.h
              GROUP BY aw.pq, k.d)
     SELECT pos, dim, out_v FROM outv
@@ -1212,7 +1217,7 @@ def q66b_multihead_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
         aw.select("h", "pq", "pk", "w")
         .join(F.broadcast(kv), ["pk", "h"])
         .groupBy(F.col("pq").alias("pos"), F.col("d").alias("dim"))
-        .agg(F.round(exact_sum(F.col("w") * F.col("vv"), 9), 6).alias("out_v"))
+        .agg(exact_sum_round6(F.col("w") * F.col("vv")).alias("out_v"))
     )
 
 
@@ -1248,7 +1253,9 @@ def _swiglu_oracle() -> str:
                  ROUND(g.gv / (1 + exp(-g.gv)), 6) * u.uv AS mv
           FROM g JOIN u ON g.p = u.p AND g.hidx = u.hidx)
     SELECT m.p AS pos, wd.j AS dim,
-           ROUND({isum.format(expr='m.mv * wd.wv')}, 6) AS out_v
+           CAST(FLOOR((CAST(SUM(CAST(ROUND(m.mv * wd.wv * 1000000000)
+                AS BIGINT)) AS BIGINT) + 500) / 1000.0) AS BIGINT)
+               / 1000000.0 AS out_v
     FROM m JOIN wd ON m.hidx = wd.i
     GROUP BY m.p, wd.j
     """
@@ -1299,8 +1306,7 @@ def q109a_swiglu_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.withColumnRenamed("hidx", "i")
         .join(F.broadcast(wd), "i")
         .groupBy(F.col("p").alias("pos"), F.col("j").alias("dim"))
-        .agg(F.round(exact_sum(F.col("mv") * F.col("wv"), 9), 6)
-             .alias("out_v"))
+        .agg(exact_sum_round6(F.col("mv") * F.col("wv")).alias("out_v"))
     )
 
 
@@ -1455,7 +1461,8 @@ def _llama_block_oracle() -> str:
           FROM g JOIN u ON g.p = u.p AND g.hidx = u.hidx),
     ffo AS (SELECT m.p, wd.j AS d, {isum.format(expr='m.mv * wd.wv')} AS fv
             FROM m JOIN wd ON m.hidx = wd.i GROUP BY m.p, wd.j)
-    SELECT r1.p AS pos, r1.d AS dim, ROUND(r1.rv + ffo.fv, 6) AS out_v
+    SELECT r1.p AS pos, r1.d AS dim,
+           FLOOR((r1.rv + ffo.fv) * 1000000.0 + 0.5) / 1000000.0 AS out_v
     FROM r1 JOIN ffo ON r1.p = ffo.p AND r1.d = ffo.d
     """
 
@@ -1578,7 +1585,7 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("p").alias("pos"),
             F.col("d").alias("dim"),
-            F.round(F.col("rv") + F.col("fv"), 6).alias("out_v"),
+            (F.floor((F.col("rv") + F.col("fv")) * 1_000_000.0 + 0.5) / 1_000_000.0).alias("out_v"),
         )
     )
 

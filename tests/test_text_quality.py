@@ -214,6 +214,14 @@ def test_registry_window_covers_new_families():
         "q228_ann_recall",
         "q231_dup_graph_shape",
         "q230_benford_deviation",
+        "q54_iir_lowpass",           # integer recurrence port re-verify
+        "q158_ewma_smooth",
+        "q66_attention",             # safe-6dp-finals re-verify
+        "q109_transformer_block",
+        "q30a_gram_matmul_array",    # new r6 queries
+        "q30b_gram_matmul_numpy",
+        "q66c_attention_scaled",
+        "q49a_lsh_candidates_star",
     ):
         assert must in window, must
 
