@@ -341,3 +341,40 @@ def test_queries_are_shuffle_partition_invariant(spark):
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_exact_sum_round6_cross_engine_on_boundary_sums(spark):
+    """The 6dp half-up helpers must agree bit-for-bit between Spark and
+    DuckDB on sums that land EXACTLY on the 6th-decimal .5 boundary
+    (...500 in 1e-9 units) — the case where float ROUND diverges
+    (BASELINE.md r6). Adversarial values: 5e-7 multiples."""
+    import duckdb
+
+    from hive_reflex_spark.functions import (
+        duck_exact_sum_round6,
+        exact_sum_round6,
+        spark_exact_sum_round6,
+    )
+
+    cases = [
+        [0.0000005],                      # sum_u = 500 (the boundary)
+        [0.0000015],                      # 1500
+        [-0.0000005],                     # -500 (negative boundary)
+        [0.0000005] * 3,                  # 1500 via accumulation
+        [0.123456789, 0.0000005],         # boundary on top of a bulk value
+        [-0.0000015, 0.0000005, 1.25],
+    ]
+    con = duckdb.connect()
+    for values in cases:
+        df = spark.createDataFrame([(v,) for v in values], "x double")
+        got_col = df.agg(exact_sum_round6(F.col("x")).alias("s")).first()["s"]
+        got_sql = df.agg(
+            F.expr(f"{spark_exact_sum_round6('x')} AS s")
+        ).first()["s"]
+        vals = ", ".join(f"({v!r})" for v in values)
+        got_duck = con.execute(
+            f"SELECT {duck_exact_sum_round6('x')} FROM (VALUES {vals}) t(x)"
+        ).fetchone()[0]
+        assert got_col == got_sql == got_duck, (
+            values, got_col, got_sql, got_duck
+        )
