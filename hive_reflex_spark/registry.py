@@ -9,7 +9,15 @@ Rules for oracle-checked queries (SURVEY §7 watch-list #4/#5):
 - alias every computed column identically in Spark and SQL;
 - round float aggregates (distributed sums are order-sensitive);
 - cast DuckDB integer SUMs to BIGINT (DuckDB widens to HUGEINT);
-- keep outputs small (grouped/top-k) so value-hashing is robust.
+- keep outputs small (grouped/top-k) so value-hashing is robust;
+- NEVER float-ROUND an exact-unit sum to FEWER decimals than its unit
+  scale (a ...500-unit sum sits exactly on the .5 boundary and the
+  engines' ROUNDs disagree) — use functions.exact_sum_round6 /
+  spark_exact_sum_round6 / duck_exact_sum_round6, which half-up at the
+  integer level (BASELINE.md r6);
+- exact recurrences replay in integer units with floor division
+  (timeseries.ewma_fixed_units) under a UNIQUE sort order — binary64
+  replays drift sub-ulp per step and diverge at ~1e6 rows.
 """
 
 from __future__ import annotations
