@@ -2769,3 +2769,532 @@ def q230_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deviation"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resampling inference: Poisson bootstrap (the distributed bootstrap)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds as 6-hex-char prefixes of the 24-bit md5
+# keyspace: P(X<=k) * 16^6, k = 0..6 (see Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams", Google TR 2012 — the classic
+# one-pass bootstrap: per-replicate weights drawn per (row, replicate)
+# from a hash, never a resample-and-shuffle).
+_POIS_HEX = ["5e2d58", "bc5ab1", "eb715e", "fb2397", "ff1025", "ffd90f", "fffa8b"]
+_BOOT_B = 40  # replicates; CI = discrete 5th/95th percentile of means
+
+_POIS_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN h6 < '{t}' THEN {k}" for k, t in enumerate(_POIS_HEX)
+    )
+    + " ELSE 7 END"
+)
+
+
+def _pois_case_col(h6):
+    w = F.when(h6 < _POIS_HEX[0], 0)
+    for k, t in enumerate(_POIS_HEX[1:], start=1):
+        w = w.when(h6 < t, k)
+    return w.otherwise(7)
+
+
+@query(
+    "q234_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
+    base AS (SELECT event_type, event_id,
+                    CAST(ROUND(value * 100) AS BIGINT) AS vc
+             FROM events),
+    wts AS (SELECT event_type, b, vc, {_POIS_CASE_SQL} AS w
+            FROM (SELECT event_type, b, vc,
+                         substr(md5(CAST(event_id AS VARCHAR) || ':'
+                                    || CAST(b AS VARCHAR)), 1, 6) AS h6
+                  FROM base CROSS JOIN reps)),
+    rep_means AS (SELECT event_type, b,
+                         CAST((SUM(w * vc) * 10000) // SUM(w) AS BIGINT)
+                             AS mean_c4
+                  FROM wts GROUP BY event_type, b HAVING SUM(w) > 0),
+    ranked AS (SELECT event_type, b, mean_c4,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY mean_c4, b) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS cnt
+               FROM rep_means),
+    ci AS (SELECT event_type,
+                  CAST(COUNT(*) AS BIGINT) AS n_replicates,
+                  MAX(CASE WHEN rn = CAST(CEIL(0.05 * cnt) AS BIGINT)
+                           THEN mean_c4 END) AS lo_c4,
+                  MAX(CASE WHEN rn = CAST(CEIL(0.95 * cnt) AS BIGINT)
+                           THEN mean_c4 END) AS hi_c4
+           FROM ranked GROUP BY event_type),
+    pt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(SUM(vc) AS BIGINT) AS sum_c
+           FROM base GROUP BY event_type)
+    SELECT pt.event_type, n_events, n_replicates,
+           ROUND(sum_c * 1.0 / (n_events * 100.0), 6) AS mean_value,
+           ROUND(lo_c4 / 1000000.0, 6) AS ci_lo,
+           ROUND(hi_c4 / 1000000.0, 6) AS ci_hi,
+           ROUND((hi_c4 - lo_c4) / 1000000.0, 6) AS ci_width
+    FROM pt JOIN ci USING (event_type)
+    """,
+)
+def q234_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for each event type's mean
+    value — the ONE-PASS distributed bootstrap (Chamandy et al. 2012;
+    the resampling scheme behind every planet-scale error bar): instead
+    of materializing B resamples, each (row, replicate) pair draws a
+    Poisson(1) weight from md5(event_id:b) via the inverse CDF on the
+    hash's 24-bit prefix, so the weights — and therefore the whole CI —
+    are a pure function of the data, bit-identical on any engine or
+    cluster size. Replicate means use exact integer arithmetic
+    (1e-4-cent units, floor division); the 90% CI is the discrete
+    5th/95th order statistic of the B=40 replicate means with (mean, b)
+    tie-break.
+
+    Scale (100 TB): the only row amplification is the B-way broadcast
+    cross join, and partial aggregation collapses it map-side to
+    |event_type| x B partial sums before the shuffle — the shuffle
+    carries ~200 rows regardless of input size. No resample
+    materialization, no driver-side stats. The reference has no
+    uncertainty tier; this is the §2B analytics-surface extension the
+    curation tier (q129) quotes error bars from."""
+    events = read_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    reps = F.broadcast(
+        spark.range(_BOOT_B).select(F.col("id").cast("int").alias("b"))
+    )
+    h6 = F.substring(F.md5(F.concat_ws(":", "event_id", "b")), 1, 6)
+    wts = base.crossJoin(reps).select(
+        "event_type", "b", "vc", _pois_case_col(h6).alias("w")
+    )
+    rep_means = (
+        wts.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("vc")).alias("sum_wx"),
+            F.sum("w").alias("sum_w"),
+        )
+        .filter(F.col("sum_w") > 0)
+        .select(
+            "event_type",
+            "b",
+            F.expr("(sum_wx * 10000) div sum_w").alias("mean_c4"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("mean_c4", "b")
+    wc = Window.partitionBy("event_type")
+    ranked = rep_means.select(
+        "event_type",
+        "mean_c4",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_replicates"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("cnt")).cast("long"),
+                F.col("mean_c4"),
+            )
+        ).alias("lo_c4"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("cnt")).cast("long"),
+                F.col("mean_c4"),
+            )
+        ).alias("hi_c4"),
+    )
+    pt = base.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.sum("vc").alias("sum_c")
+    )
+    return pt.join(F.broadcast(ci), "event_type").select(
+        "event_type",
+        "n_events",
+        "n_replicates",
+        F.round(F.col("sum_c") * 1.0 / (F.col("n_events") * 100.0), 6).alias(
+            "mean_value"
+        ),
+        F.round(F.col("lo_c4") / 1_000_000.0, 6).alias("ci_lo"),
+        F.round(F.col("hi_c4") / 1_000_000.0, 6).alias("ci_hi"),
+        F.round((F.col("hi_c4") - F.col("lo_c4")) / 1_000_000.0, 6).alias(
+            "ci_width"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: exact two-sample Kolmogorov-Smirnov
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q238_ks_drift",
+    oracle="""
+    WITH ev AS (SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                       epoch_us(ts) AS tus
+                FROM events),
+    bounds AS (SELECT event_type, MIN(tus) AS lo, MAX(tus) AS hi
+               FROM ev GROUP BY event_type),
+    tagged AS (SELECT ev.event_type, vc,
+                      CASE WHEN tus < lo + (hi - lo) // 2
+                           THEN 1 ELSE 0 END AS s1
+               FROM ev JOIN bounds USING (event_type)),
+    counts AS (SELECT event_type, vc,
+                      CAST(SUM(s1) AS BIGINT) AS c1,
+                      CAST(SUM(1 - s1) AS BIGINT) AS c2
+               FROM tagged GROUP BY event_type, vc),
+    cum AS (SELECT event_type, vc,
+                   SUM(c1) OVER (PARTITION BY event_type ORDER BY vc) AS f1,
+                   SUM(c2) OVER (PARTITION BY event_type ORDER BY vc) AS f2,
+                   SUM(c1) OVER (PARTITION BY event_type) AS n1,
+                   SUM(c2) OVER (PARTITION BY event_type) AS n2
+            FROM counts),
+    agg AS (SELECT event_type,
+                   CAST(MAX(n1) AS BIGINT) AS n1,
+                   CAST(MAX(n2) AS BIGINT) AS n2,
+                   CAST(MAX(ABS(f1 * n2 - f2 * n1)) AS BIGINT) AS dmax
+            FROM cum GROUP BY event_type),
+    stat AS (SELECT event_type, n1, n2,
+                    ROUND(dmax * 1.0 / (n1 * n2), 6) AS ks_d,
+                    ROUND(1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)), 6)
+                        AS critical_value
+             FROM agg WHERE n1 > 0 AND n2 > 0)
+    SELECT event_type, n1, n2, ks_d, critical_value,
+           CAST(CASE WHEN ks_d > critical_value THEN 1 ELSE 0 END
+               AS INTEGER) AS drifted
+    FROM stat
+    """,
+)
+def q238_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per event type:
+    each type's value distribution in the EARLIER half of its time range
+    against the LATER half (the deploy-window question "did the metric's
+    whole distribution move, not just its mean" that q117's centroid
+    shift and q154's CUSUM cannot answer — KS sees shape changes with
+    zero mean shift). D = max |F1(x) - F2(x)| evaluated at every distinct
+    value; the supremum is computed on EXACT integers — |f1*n2 - f2*n1|
+    with cumulative counts from a per-type window — so both engines agree
+    bit-for-bit, and only the final two ratios touch doubles (rounded
+    6dp). The alpha = 0.05 rejection threshold is the classical
+    c(alpha) * sqrt((n1+n2)/(n1*n2)) with c = 1.358.
+
+    Scale (100 TB): one grouped count collapses the corpus to distinct
+    (type, value-cent) cells before any window runs; the cumulative scan
+    partitions by type (never a global window). Value-domain cells, not
+    rows, bound the window input."""
+    events = read_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("tus").alias("lo"), F.max("tus").alias("hi")
+    )
+    tagged = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "vc",
+        F.when(
+            F.col("tus")
+            < F.col("lo") + F.expr("(hi - lo) div 2"),
+            1,
+        )
+        .otherwise(0)
+        .alias("s1"),
+    )
+    counts = tagged.groupBy("event_type", "vc").agg(
+        F.sum("s1").alias("c1"), F.sum(1 - F.col("s1")).alias("c2")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("vc")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("c1").over(wcum).alias("f1"),
+        F.sum("c2").over(wcum).alias("f2"),
+        F.sum("c1").over(wall).alias("n1"),
+        F.sum("c2").over(wall).alias("n2"),
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        ).alias("dmax"),
+    )
+    stat = agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(F.col("dmax") * 1.0 / (F.col("n1") * F.col("n2")), 6).alias(
+            "ks_d"
+        ),
+        F.round(
+            1.358
+            * F.sqrt(
+                (F.col("n1") + F.col("n2"))
+                * 1.0
+                / (F.col("n1") * F.col("n2"))
+            ),
+            6,
+        ).alias("critical_value"),
+    )
+    return stat.select(
+        "event_type",
+        "n1",
+        "n2",
+        "ks_d",
+        "critical_value",
+        F.when(F.col("ks_d") > F.col("critical_value"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("drifted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classifier calibration: reliability diagram + expected calibration error
+# ---------------------------------------------------------------------------
+
+
+_ECE_TAU = 12.0  # inverse temperature: spreads 64-class confidences over bins
+
+
+@query(
+    "q235_calibration_ece",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)}),
+    mx AS (SELECT vec_id, label,
+                  MAX(v) OVER (PARTITION BY vec_id) AS vmax,
+                  dim, v
+           FROM coords),
+    e AS (SELECT vec_id, label, dim,
+                 CAST(ROUND(ROUND(exp(12.0 * (v - vmax)), 6) * 1000000) AS BIGINT)
+                     AS e6,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY v DESC, dim) AS rn
+          FROM mx),
+    per_vec AS (SELECT vec_id, label,
+                       CAST(SUM(e6) AS BIGINT) AS sum_e,
+                       CAST(MAX(e6) AS BIGINT) AS max_e,
+                       MAX(CASE WHEN rn = 1 THEN dim END) AS pred_dim
+                FROM e GROUP BY vec_id, label),
+    scored AS (SELECT vec_id,
+                      CAST((1000000 * max_e) // sum_e AS BIGINT) AS conf_ppm,
+                      CAST(LEAST((10 * max_e) // sum_e, 9) AS INTEGER)
+                          AS bin,
+                      CASE WHEN pred_dim % 10 = label THEN 1 ELSE 0 END
+                          AS correct
+               FROM per_vec),
+    bins AS (SELECT bin,
+                    CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                    CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm,
+                    CAST(SUM(correct) AS BIGINT) AS n_correct
+             FROM scored GROUP BY bin),
+    tot AS (SELECT CAST(SUM(n_vectors) AS BIGINT) AS n_total,
+                   ROUND(SUM(ABS(n_correct * 1000000 - sum_conf_ppm))
+                         / (SUM(n_vectors) * 1000000.0), 6) AS ece
+            FROM bins)
+    SELECT bin, n_vectors,
+           ROUND(sum_conf_ppm / (n_vectors * 1000000.0), 6)
+               AS avg_confidence,
+           ROUND(n_correct * 1.0 / n_vectors, 6) AS accuracy,
+           ROUND((n_correct * 1000000 - sum_conf_ppm)
+                 / (n_vectors * 1000000.0), 6) AS calib_gap,
+           ece
+    FROM bins, tot
+    """,
+)
+def q235_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration audit — the reliability diagram plus
+    Expected Calibration Error (Guo et al. 2017) for the argmax
+    classifier q72 evaluates: per vector, confidence = max softmax
+    probability at inverse temperature tau=12 (the sharpening knob Guo et
+    al. tune; raw 64-class logits here are near-uniform, which would
+    collapse the diagram to one bin), correctness = (argmax dim mod 10 == label); confidences
+    bin into 10 deciles, and each bin reports average confidence vs
+    empirical accuracy. ECE = sum_b (n_b/N)|acc_b - conf_b| is the
+    single number deciding whether the cascade thresholds (q108) can
+    trust the probabilities at all. Every per-vector quantity is an
+    exact integer (6dp-rounded exp in 1e-6 units, ppm confidence by
+    floor division, decile by integer division), so bin membership and
+    ECE hash-match across engines; only the final displayed ratios touch
+    doubles.
+
+    Scale (100 TB): one partitioned window over vec coordinates (the
+    softmax grain), one grouped reduce to <=10 bin rows, ECE from the
+    bin table — the corpus never re-shuffles after the per-vector
+    reduce; the 1-row ECE total broadcasts back onto the bins."""
+    coords = embedding_coords(spark, sf_dir)
+    wv = Window.partitionBy("vec_id")
+    wr = Window.partitionBy("vec_id").orderBy(F.desc("v"), "dim")
+    e = coords.select(
+        "vec_id",
+        "label",
+        "dim",
+        F.round(
+            F.round(F.exp(_ECE_TAU * (F.col("v") - F.max("v").over(wv))), 6)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("e6"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    per_vec = e.groupBy("vec_id", "label").agg(
+        F.sum("e6").alias("sum_e"),
+        F.max("e6").alias("max_e"),
+        F.max(F.when(F.col("rn") == 1, F.col("dim"))).alias("pred_dim"),
+    )
+    scored = per_vec.select(
+        "vec_id",
+        F.expr("(1000000 * max_e) div sum_e").alias("conf_ppm"),
+        F.least(F.expr("(10 * max_e) div sum_e"), F.lit(9))
+        .cast("int")
+        .alias("bin"),
+        F.when(F.col("pred_dim") % 10 == F.col("label"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("conf_ppm").alias("sum_conf_ppm"),
+        F.sum("correct").alias("n_correct"),
+    )
+    tot = bins.agg(
+        F.round(
+            F.sum(
+                F.abs(
+                    F.col("n_correct") * 1_000_000 - F.col("sum_conf_ppm")
+                )
+            )
+            / (F.sum("n_vectors") * 1_000_000.0),
+            6,
+        ).alias("ece")
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_vectors",
+        F.round(
+            F.col("sum_conf_ppm") / (F.col("n_vectors") * 1_000_000.0), 6
+        ).alias("avg_confidence"),
+        F.round(F.col("n_correct") * 1.0 / F.col("n_vectors"), 6).alias(
+            "accuracy"
+        ),
+        F.round(
+            (F.col("n_correct") * 1_000_000 - F.col("sum_conf_ppm"))
+            / (F.col("n_vectors") * 1_000_000.0),
+            6,
+        ).alias("calib_gap"),
+        "ece",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planner QA: join cardinality estimation vs exact output size
+# ---------------------------------------------------------------------------
+
+
+def _card_audit_sql(name: str, left: str, lkey: str, right: str, rkey: str) -> str:
+    return f"""
+    SELECT '{name}' AS join_name,
+           l.n AS n_left, r.n AS n_right,
+           l.ndv AS ndv_left, r.ndv AS ndv_right,
+           CAST((l.n * r.n) // GREATEST(l.ndv, r.ndv) AS BIGINT) AS est_rows,
+           a.actual AS actual_rows,
+           ROUND(((l.n * r.n) // GREATEST(l.ndv, r.ndv)) * 1.0 / a.actual, 6)
+               AS est_over_actual
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT {lkey}) AS BIGINT) AS ndv
+          FROM {left}) l,
+         (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(COUNT(DISTINCT {rkey}) AS BIGINT) AS ndv
+          FROM {right}) r,
+         (SELECT CAST(SUM(lc * rc) AS BIGINT) AS actual
+          FROM (SELECT {lkey} AS k, CAST(COUNT(*) AS BIGINT) AS lc
+                FROM {left} GROUP BY 1) lg
+          JOIN (SELECT {rkey} AS k, CAST(COUNT(*) AS BIGINT) AS rc
+                FROM {right} GROUP BY 1) rg USING (k)) a
+    """
+
+
+def _card_audit_df(
+    spark: SparkSession, sf_dir: str, name: str,
+    left: DataFrame, lkey: str, right: DataFrame, rkey: str,
+) -> DataFrame:
+    lstats = left.agg(
+        F.count("*").alias("n_left"),
+        F.countDistinct(lkey).alias("ndv_left"),
+    )
+    rstats = right.agg(
+        F.count("*").alias("n_right"),
+        F.countDistinct(rkey).alias("ndv_right"),
+    )
+    lg = left.groupBy(F.col(lkey).alias("k")).agg(F.count("*").alias("lc"))
+    rg = right.groupBy(F.col(rkey).alias("k")).agg(F.count("*").alias("rc"))
+    actual = lg.join(rg, "k").agg(
+        F.sum(F.col("lc") * F.col("rc")).alias("actual_rows")
+    )
+    est = F.expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")
+    return (
+        lstats.crossJoin(rstats)
+        .crossJoin(actual)
+        .select(
+            F.lit(name).alias("join_name"),
+            "n_left",
+            "n_right",
+            "ndv_left",
+            "ndv_right",
+            est.alias("est_rows"),
+            "actual_rows",
+            F.round(est * 1.0 / F.col("actual_rows"), 6).alias(
+                "est_over_actual"
+            ),
+        )
+    )
+
+
+@query(
+    "q237_join_cardinality",
+    oracle=f"""
+    SELECT * FROM ({_card_audit_sql("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")})
+    UNION ALL
+    SELECT * FROM ({_card_audit_sql("orders_customer", "orders", "o_custkey", "customer", "c_custkey")})
+    ORDER BY join_name
+    """,
+)
+def q237_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join cardinality-estimation audit — the System-R containment
+    estimate |R||S| / max(ndv_R, ndv_S) against the EXACT join output
+    size Σ_k n_R(k)·n_S(k), for the fixture's two fact joins. The ratio
+    est/actual is the number a cost-based optimizer lives or dies by
+    (CBO join reordering, broadcast-threshold decisions, AQE partition
+    coalescing all consume this estimate); auditing it against ground
+    truth computed from per-key histograms is how a real pipeline
+    decides whether its table statistics are stale. The exact size
+    needs no join materialization: per-key counts on each side join on
+    the key and sum the products — |keys| rows through the join, not
+    |output| rows.
+
+    Scale (100 TB): two grouped counts and a key-aligned join per
+    audited pair — the same shuffle the real join would do, but
+    carrying one bigint per key; est/actual stays exact in integers
+    until the final displayed ratio."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    a = _card_audit_df(
+        spark, sf_dir, "lineitem_orders", li, "l_orderkey", orders,
+        "o_orderkey",
+    )
+    b = _card_audit_df(
+        spark, sf_dir, "orders_customer", orders, "o_custkey", cust,
+        "c_custkey",
+    )
+    return a.unionByName(b).orderBy("join_name")

@@ -546,3 +546,215 @@ def q222_changelog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-column clustering: Z-order (Morton) vs single-column sort
+# ---------------------------------------------------------------------------
+
+_ZO_GRID = 16  # per-dimension bucket count (4 bits each -> 8-bit Morton code)
+_ZO_CELLS_PER_ZONE = 4  # zorder zones = 4 consecutive Morton cells (64 zones)
+_ZO_LINEAR_ZONES = 64  # date-sorted layout: 64 consecutive date ranges
+_ZO_BOX_STARTS = (1, 5, 9, 13)  # replayed 2D boxes: 3x3-bucket squares
+
+
+def _morton_sql(xb: str, yb: str, idiv: str) -> str:
+    """8-bit Morton interleave of two 4-bit bucket ids, written with
+    engine-portable arithmetic (``idiv`` = '//' for DuckDB, 'div' for
+    Spark): bit 2i of z is bit i of x, bit 2i+1 is bit i of y."""
+    terms = []
+    for i in range(4):
+        terms.append(f"(({xb} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({yb} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZO_BOX_LIST = ", ".join(str(b) for b in _ZO_BOX_STARTS)
+
+
+@query(
+    "q236_zorder_layout",
+    oracle=f"""
+    WITH raw AS (SELECT o_custkey AS ck,
+                        CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS days
+                 FROM orders),
+    bounds AS (SELECT MIN(ck) AS klo, MAX(ck) AS khi,
+                      MIN(days) AS dlo, MAX(days) AS dhi
+               FROM raw),
+    bucketed AS (SELECT ck, days,
+                        ((ck - klo) * {_ZO_GRID}) // (khi - klo + 1) AS xb,
+                        ((days - dlo) * {_ZO_GRID}) // (dhi - dlo + 1) AS yb,
+                        ((days - dlo) * {_ZO_LINEAR_ZONES})
+                            // (dhi - dlo + 1) AS lin_zone
+                 FROM raw, bounds),
+    coded AS (SELECT ck, days, lin_zone,
+                     ({_morton_sql("xb", "yb", "//")})
+                         // {_ZO_CELLS_PER_ZONE} AS z_zone
+              FROM bucketed),
+    zones AS (
+        SELECT 'date_sorted' AS layout, lin_zone AS z,
+               MIN(ck) AS kmin, MAX(ck) AS kmax,
+               MIN(days) AS dmin, MAX(days) AS dmax,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM coded GROUP BY 2
+        UNION ALL
+        SELECT 'zorder', z_zone, MIN(ck), MAX(ck), MIN(days), MAX(days),
+               CAST(COUNT(*) AS BIGINT)
+        FROM coded GROUP BY 2),
+    tot AS (SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_zones,
+                   CAST(SUM(cnt) AS BIGINT) AS rows_total
+            FROM zones GROUP BY layout),
+    boxes AS (SELECT bi, bj,
+                     klo + (bi * (khi - klo + 1)) // {_ZO_GRID} AS bklo,
+                     klo + ((bi + 3) * (khi - klo + 1)) // {_ZO_GRID} - 1
+                         AS bkhi,
+                     dlo + (bj * (dhi - dlo + 1)) // {_ZO_GRID} AS bdlo,
+                     dlo + ((bj + 3) * (dhi - dlo + 1)) // {_ZO_GRID} - 1
+                         AS bdhi
+              FROM (SELECT unnest([{_ZO_BOX_LIST}]) AS bi) a,
+                   (SELECT unnest([{_ZO_BOX_LIST}]) AS bj) b, bounds),
+    scan AS (SELECT layout,
+                    CAST(COUNT(*) AS BIGINT) AS zones_scanned,
+                    CAST(SUM(cnt) AS BIGINT) AS rows_scanned
+             FROM boxes JOIN zones
+               ON kmax >= bklo AND kmin <= bkhi
+              AND dmax >= bdlo AND dmin <= bdhi
+             GROUP BY layout)
+    SELECT s.layout, n_zones, zones_scanned, rows_scanned, rows_total,
+           ROUND(1.0 - rows_scanned * 1.0
+                 / ({len(_ZO_BOX_STARTS) ** 2} * rows_total), 6)
+               AS prune_frac
+    FROM scan s JOIN tot t ON s.layout = t.layout
+    ORDER BY s.layout
+    """,
+)
+def q236_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering effectiveness — the multi-column extension of
+    q220's zone-map audit and the measured case for OPTIMIZE ZORDER BY
+    (Delta/Iceberg) over a plain sort: orders bucket into a 16x16
+    (custkey, order-day) grid; the 'date_sorted' layout zones are 64
+    consecutive date ranges (a single-column sort — each zone spans the
+    FULL custkey range), the 'zorder' layout zones are 4-cell runs of
+    the 8-bit Morton code (bit-interleaved buckets — each zone is a
+    compact 2x2-bucket square, tight min/max on BOTH dims). Sixteen
+    3x3-bucket 2D boxes replay against both zone maps; a zone is
+    scanned when its min/max rectangle intersects the box. The
+    single-column layout prunes only on the date dim, so 2D predicates
+    scan ~3/16 of the table; the Morton layout prunes on both dims at
+    once. prune_frac = 1 - scanned/(boxes * total).
+
+    Scale (100 TB): zone maps are ONE hash aggregate per layout over a
+    single scan (the Morton code is pure per-row arithmetic — no sort is
+    materialized to AUDIT the layout, exactly like q220); the box replay
+    is a 16-row broadcast nested-loop against <=128 zone-stat rows. The
+    audited rewrite itself would be repartitionByRange(z) +
+    sortWithinPartitions(z) — zero driver state at any scale."""
+    orders = read_table(spark, sf_dir, "orders")
+    raw = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("days"),
+    )
+    bounds = raw.agg(
+        F.min("ck").alias("klo"),
+        F.max("ck").alias("khi"),
+        F.min("days").alias("dlo"),
+        F.max("days").alias("dhi"),
+    )
+    bucketed = raw.crossJoin(F.broadcast(bounds)).select(
+        "ck",
+        "days",
+        F.expr(f"((ck - klo) * {_ZO_GRID}) div (khi - klo + 1)").alias("xb"),
+        F.expr(f"((days - dlo) * {_ZO_GRID}) div (dhi - dlo + 1)").alias(
+            "yb"
+        ),
+        F.expr(
+            f"((days - dlo) * {_ZO_LINEAR_ZONES}) div (dhi - dlo + 1)"
+        ).alias("lin_zone"),
+    )
+    coded = bucketed.select(
+        "ck",
+        "days",
+        "lin_zone",
+        F.expr(
+            f"({_morton_sql('xb', 'yb', 'div')}) div {_ZO_CELLS_PER_ZONE}"
+        ).alias("z_zone"),
+    )
+
+    def zmap(layout: str, zcol: str) -> DataFrame:
+        return (
+            coded.groupBy(F.col(zcol).alias("z"))
+            .agg(
+                F.min("ck").alias("kmin"),
+                F.max("ck").alias("kmax"),
+                F.min("days").alias("dmin"),
+                F.max("days").alias("dmax"),
+                F.count("*").alias("cnt"),
+            )
+            .select(
+                F.lit(layout).alias("layout"), "z", "kmin", "kmax", "dmin",
+                "dmax", "cnt",
+            )
+        )
+
+    zones = zmap("date_sorted", "lin_zone").unionByName(
+        zmap("zorder", "z_zone")
+    )
+    tot = zones.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_zones"),
+        F.sum("cnt").cast("long").alias("rows_total"),
+    )
+    starts = ", ".join(str(b) for b in _ZO_BOX_STARTS)
+    boxes = (
+        spark.sql(
+            f"SELECT bi, bj FROM (SELECT explode(array({starts})) AS bi) "
+            f"CROSS JOIN (SELECT explode(array({starts})) AS bj)"
+        )
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"klo + (bi * (khi - klo + 1)) div {_ZO_GRID}").alias(
+                "bklo"
+            ),
+            F.expr(
+                f"klo + ((bi + 3) * (khi - klo + 1)) div {_ZO_GRID} - 1"
+            ).alias("bkhi"),
+            F.expr(f"dlo + (bj * (dhi - dlo + 1)) div {_ZO_GRID}").alias(
+                "bdlo"
+            ),
+            F.expr(
+                f"dlo + ((bj + 3) * (dhi - dlo + 1)) div {_ZO_GRID} - 1"
+            ).alias("bdhi"),
+        )
+    )
+    scan = (
+        zones.join(
+            F.broadcast(boxes),
+            (F.col("kmax") >= F.col("bklo"))
+            & (F.col("kmin") <= F.col("bkhi"))
+            & (F.col("dmax") >= F.col("bdlo"))
+            & (F.col("dmin") <= F.col("bdhi")),
+        )
+        .groupBy("layout")
+        .agg(
+            F.count("*").alias("zones_scanned"),
+            F.sum("cnt").cast("long").alias("rows_scanned"),
+        )
+    )
+    n_boxes = len(_ZO_BOX_STARTS) ** 2
+    return (
+        scan.join(F.broadcast(tot), "layout")
+        .select(
+            "layout",
+            "n_zones",
+            "zones_scanned",
+            "rows_scanned",
+            "rows_total",
+            F.round(
+                1.0
+                - F.col("rows_scanned")
+                * 1.0
+                / (n_boxes * F.col("rows_total")),
+                6,
+            ).alias("prune_frac"),
+        )
+        .orderBy("layout")
+    )

@@ -1,0 +1,109 @@
+"""Round-6 additions: resampling inference (q234), calibration (q235),
+Z-order layout audit (q236), cardinality-estimate audit (q237), KS drift
+(q238). The oracle harness is the exactness gate; these tests pin the
+SEMANTIC invariants each operator exists to provide."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.operators.analytics import (
+    q234_bootstrap_ci,
+    q235_calibration_ece,
+    q237_join_cardinality,
+    q238_ks_drift,
+)
+from hive_reflex_spark.operators.storage import q236_zorder_layout
+
+
+def test_bootstrap_ci_brackets_mean_and_weights_are_poisson(spark):
+    rows = {r["event_type"]: r for r in q234_bootstrap_ci(spark, SF_SMOKE).collect()}
+    assert rows, "no event types"
+    for t, r in rows.items():
+        assert r["n_replicates"] == 40, t
+        assert r["ci_lo"] < r["ci_hi"], t
+        # the 90% CI of the mean brackets the point estimate at n~200
+        assert r["ci_lo"] <= r["mean_value"] <= r["ci_hi"], t
+        assert abs(r["ci_width"] - round(r["ci_hi"] - r["ci_lo"], 6)) < 1e-9, t
+        # CI half-width ~ 1.645 * sigma/sqrt(n): sane order of magnitude
+        assert r["ci_width"] < r["mean_value"], t
+
+    # the hash-drawn weights really are Poisson(1): mean ~= 1 over a
+    # large deterministic draw (law of large numbers, not RNG luck)
+    from hive_reflex_spark.operators.analytics import _pois_case_col
+
+    n = 200_000
+    h6 = F.substring(F.md5(F.col("id").cast("string")), 1, 6)
+    stats = (
+        spark.range(n)
+        .select(_pois_case_col(h6).alias("w"))
+        .agg(F.avg("w").alias("m"), F.avg(F.col("w") * F.col("w")).alias("m2"))
+        .first()
+    )
+    assert abs(stats["m"] - 1.0) < 0.01  # E[W] = 1
+    assert abs((stats["m2"] - stats["m"] ** 2) - 1.0) < 0.02  # Var[W] = 1
+
+
+def test_calibration_bins_and_ece_bounds(spark):
+    rows = q235_calibration_ece(spark, SF_SMOKE).collect()
+    assert rows
+    n_total = sum(r["n_vectors"] for r in rows)
+    emb_n = read_table(spark, SF_SMOKE, "embeddings").count()
+    assert n_total == emb_n  # every vector lands in exactly one bin
+    gaps = [abs(r["calib_gap"]) for r in rows]
+    ece = rows[0]["ece"]
+    assert all(r["ece"] == ece for r in rows)  # one global ECE
+    # ECE is the n-weighted mean of |gap|: bounded by min/max gap
+    assert min(gaps) - 1e-6 <= ece <= max(gaps) + 1e-6
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 < r["avg_confidence"] <= 1.0
+        assert 0.0 <= r["accuracy"] <= 1.0
+        # bin membership: decile of confidence (floor division contract)
+        assert r["bin"] <= int(r["avg_confidence"] * 10) + 1
+
+
+def test_zorder_beats_single_column_sort_on_2d_boxes(spark):
+    rows = {r["layout"]: r for r in q236_zorder_layout(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"date_sorted", "zorder"}
+    z, lin = rows["zorder"], rows["date_sorted"]
+    assert z["rows_total"] == lin["rows_total"]
+    assert z["n_zones"] <= 64 and lin["n_zones"] <= 64
+    # the operator's reason to exist: interleaved layout prunes 2D
+    # boxes strictly better than the single-column sort
+    assert z["prune_frac"] > lin["prune_frac"]
+    assert z["rows_scanned"] < lin["rows_scanned"]
+
+
+def test_cardinality_actual_matches_materialized_join(spark):
+    rows = {r["join_name"]: r for r in q237_join_cardinality(spark, SF_SMOKE).collect()}
+    li = read_table(spark, SF_SMOKE, "lineitem")
+    orders = read_table(spark, SF_SMOKE, "orders")
+    cust = read_table(spark, SF_SMOKE, "customer")
+    assert rows["lineitem_orders"]["actual_rows"] == li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).count()
+    assert rows["orders_customer"]["actual_rows"] == orders.join(
+        cust, orders.o_custkey == cust.c_custkey
+    ).count()
+    for r in rows.values():
+        assert r["est_rows"] > 0
+        assert abs(r["est_over_actual"] - round(r["est_rows"] / r["actual_rows"], 6)) < 1e-9
+
+
+def test_ks_statistic_bounds_and_threshold(spark):
+    rows = q238_ks_drift(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n1"] > 0 and r["n2"] > 0
+        assert 0.0 <= r["ks_d"] <= 1.0
+        crit = round(
+            1.358 * math.sqrt((r["n1"] + r["n2"]) / (r["n1"] * r["n2"])), 6
+        )
+        assert abs(r["critical_value"] - crit) < 1e-9
+        assert r["drifted"] == int(r["ks_d"] > r["critical_value"])
