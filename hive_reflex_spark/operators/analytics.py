@@ -3298,3 +3298,168 @@ def q237_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
     )
     return a.unionByName(b).orderBy("join_name")
+
+
+# ---------------------------------------------------------------------------
+# Conformal prediction: split-conformal interval + honest coverage audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q239_conformal_interval",
+    oracle="""
+    WITH ev AS (SELECT event_type, event_id,
+                       CAST(ROUND(value * 100) AS BIGINT) AS vc,
+                       epoch_us(ts) AS tus,
+                       CAST(hour(ts) AS INTEGER) AS hod
+                FROM events),
+    bounds AS (SELECT event_type, MIN(tus) AS lo, MAX(tus) AS hi
+               FROM ev GROUP BY event_type),
+    seg AS (SELECT ev.*, CASE
+                WHEN tus < lo + (hi - lo) // 3 THEN 1
+                WHEN tus < lo + (2 * (hi - lo)) // 3 THEN 2
+                ELSE 3 END AS segment
+            FROM ev JOIN bounds USING (event_type)),
+    fit AS (SELECT event_type, hod,
+                   (SUM(vc) * 10000) // COUNT(*) AS mu_c4
+            FROM seg WHERE segment = 1 GROUP BY event_type, hod),
+    cal AS (SELECT s.event_type, s.event_id,
+                   ABS(s.vc * 10000 - f.mu_c4) AS r_c4
+            FROM seg s JOIN fit f
+              ON s.event_type = f.event_type AND s.hod = f.hod
+            WHERE s.segment = 2),
+    ranked AS (SELECT event_type, r_c4,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY r_c4, event_id) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+               FROM cal),
+    qhat AS (SELECT event_type,
+                    CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+                    CAST(MAX(CASE WHEN rn = LEAST(
+                             CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+                         THEN r_c4 END) AS BIGINT) AS q_c4
+             FROM ranked GROUP BY event_type),
+    test AS (SELECT s.event_type,
+                    CAST(COUNT(*) AS BIGINT) AS n_test,
+                    CAST(SUM(CASE WHEN ABS(s.vc * 10000 - f.mu_c4) <= q.q_c4
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS covered
+             FROM seg s
+             JOIN fit f ON s.event_type = f.event_type AND s.hod = f.hod
+             JOIN qhat q ON s.event_type = q.event_type
+             WHERE s.segment = 3
+             GROUP BY s.event_type),
+    nfit AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_fit
+             FROM seg WHERE segment = 1 GROUP BY event_type)
+    SELECT t.event_type, n_fit, q.n_cal, t.n_test,
+           ROUND(q.q_c4 / 1000000.0, 6) AS qhat,
+           ROUND(t.covered * 1.0 / t.n_test, 6) AS coverage
+    FROM test t JOIN qhat q ON t.event_type = q.event_type
+    JOIN nfit ON t.event_type = nfit.event_type
+    """,
+)
+def q239_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018) with
+    an HONEST coverage audit — the distribution-free uncertainty
+    wrapper q234's bootstrap cannot give per-prediction: each event
+    type's time range splits into thirds; segment 1 fits the point
+    predictor (per-hour-of-day mean, exact 1e-4-cent integers), segment
+    2 calibrates q-hat = the ceil((n+1)*0.9)-th smallest absolute
+    residual (the finite-sample-valid discrete quantile, (r, event_id)
+    tie-break), segment 3 — data neither fitting nor calibration ever
+    saw — measures realized coverage of |y - mu| <= q-hat, which
+    conformal theory guarantees ~90% WITHOUT any distributional
+    assumption on the values. Residuals, quantile selection, and the
+    coverage test all run on exact integers; only the two displayed
+    ratios touch doubles.
+
+    Scale (100 TB): the predictor table is |type| x 24 rows (broadcast
+    back), the calibration window partitions by type over residual
+    CELLS, and coverage is one conditional count — the corpus streams
+    once per segment with no global window anywhere."""
+    events = read_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        F.unix_micros("ts").alias("tus"),
+        F.hour("ts").cast("int").alias("hod"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("tus").alias("lo"), F.max("tus").alias("hi")
+    )
+    seg = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "event_id",
+        "vc",
+        "hod",
+        F.when(F.col("tus") < F.col("lo") + F.expr("(hi - lo) div 3"), 1)
+        .when(
+            F.col("tus") < F.col("lo") + F.expr("(2 * (hi - lo)) div 3"), 2
+        )
+        .otherwise(3)
+        .alias("segment"),
+    )
+    fit = (
+        seg.filter(F.col("segment") == 1)
+        .groupBy("event_type", "hod")
+        .agg(F.expr("(sum(vc) * 10000) div count(*)").alias("mu_c4"))
+    )
+    cal = (
+        seg.filter(F.col("segment") == 2)
+        .join(F.broadcast(fit), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("vc") * 10000 - F.col("mu_c4")).alias("r_c4"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("r_c4", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = cal.select(
+        "event_type",
+        "r_c4",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n_cal"),
+    )
+    pick = F.least(
+        F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"), F.col("n_cal")
+    )
+    qhat = ranked.groupBy("event_type").agg(
+        F.max("n_cal").alias("n_cal"),
+        F.max(F.when(F.col("rn") == pick, F.col("r_c4"))).alias("q_c4"),
+    )
+    test = (
+        seg.filter(F.col("segment") == 3)
+        .join(F.broadcast(fit), ["event_type", "hod"])
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("vc") * 10000 - F.col("mu_c4"))
+                    <= F.col("q_c4"),
+                    1,
+                ).otherwise(0)
+            ).alias("covered"),
+        )
+    )
+    nfit = (
+        seg.filter(F.col("segment") == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_fit"))
+    )
+    return (
+        test.join(F.broadcast(qhat), "event_type")
+        .join(F.broadcast(nfit), "event_type")
+        .select(
+            "event_type",
+            "n_fit",
+            "n_cal",
+            "n_test",
+            F.round(F.col("q_c4") / 1_000_000.0, 6).alias("qhat"),
+            F.round(F.col("covered") * 1.0 / F.col("n_test"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

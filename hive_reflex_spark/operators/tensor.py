@@ -1011,3 +1011,141 @@ def q177_nucleus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("top_dim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral: top singular direction by integer-exact power iteration
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 64  # fixed power-iteration count (deterministic, unrolled oracle)
+_PI_TOP = 5  # report the top-k dimensions by |loading|
+
+
+def _pi_oracle_sql() -> str:
+    """Unrolled power iteration over the normalized moment matrix as a
+    CTE chain — every step is integer arithmetic (sign-guarded floor
+    division, so DuckDB's floor-`//` and Spark/python truncation can
+    never disagree on negatives)."""
+    ctes = [
+        f"""coords AS MATERIALIZED (
+        SELECT vec_id, dim, CAST(ROUND(v * 1000) AS BIGINT) AS v3
+        FROM {_duck_coords(None)} raw)""",   # DOUBLE-cast v: FLOAT*1000
+        # in DuckDB would round on float32 grid (0.3195f*1000 == 319.5f)
+        """m AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+                      CAST(SUM(a.v3 * b.v3) AS BIGINT) AS mv
+               FROM coords a JOIN coords b ON a.vec_id = b.vec_id
+               GROUP BY a.dim, b.dim)""",
+        "mm AS MATERIALIZED (SELECT MAX(ABS(mv)) AS mmax FROM m)",
+        """mn AS MATERIALIZED (SELECT i, j,
+                       CASE WHEN mv < 0 THEN -1 ELSE 1 END
+                       * ((ABS(mv) * 1000000) // mmax) AS mv6
+                FROM m, mm)""",
+        """it0 AS MATERIALIZED (SELECT DISTINCT i AS dim, CAST(1000000 AS BIGINT) AS v
+                 FROM m)""",
+    ]
+    for k in range(1, _PI_ITERS + 1):
+        ctes.append(
+            f"""x{k} AS MATERIALIZED (SELECT mn.i AS dim,
+                       CAST(SUM(mn.mv6 * p.v) AS BIGINT) AS x
+                FROM mn JOIN it{k - 1} p ON mn.j = p.dim GROUP BY mn.i)"""
+        )
+        ctes.append(
+            f"""it{k} AS MATERIALIZED (SELECT dim,
+                       CASE WHEN x < 0 THEN -1 ELSE 1 END
+                       * ((ABS(x) * 1000000)
+                          // (SELECT MAX(ABS(x)) FROM x{k})) AS v
+                 FROM x{k})"""
+        )
+    ctes.append(
+        f"xmax AS (SELECT CAST(MAX(ABS(x)) AS BIGINT) AS xm FROM x{_PI_ITERS})"
+    )
+    ctes.append(
+        f"""sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s
+               FROM it{_PI_ITERS} ORDER BY ABS(v) DESC, dim LIMIT 1)"""
+    )
+    ctes.append(
+        f"""ranked AS (SELECT dim, CAST(v * s AS BIGINT) AS vs,
+                       ROW_NUMBER() OVER (ORDER BY ABS(v) DESC, dim) AS rnk
+                FROM it{_PI_ITERS}, sgn)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(rnk AS INTEGER) AS rank, dim,
+           vs / 1000000.0 AS loading,
+           ((xm + 500000) // 1000000) / 1000000.0 AS lambda_ratio
+    FROM ranked, xmax WHERE rnk <= {_PI_TOP} ORDER BY rnk"""
+    )
+
+
+@query("q240_power_iteration", oracle=_pi_oracle_sql())
+def q240_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top singular direction of the embedding matrix by POWER ITERATION
+    on the (uncentered) second-moment matrix M = X^T X — the dominant
+    latent axis (LSA's first component; the direction the all-but-the-top
+    ANN residualizers and the SemDeDup centroids lean on), computed with
+    the repo's exact-integer discipline end to end: coordinates quantize
+    to 1e-3 units, M accumulates as exact BIGINTs, the matrix normalizes
+    by its max entry via sign-guarded floor division (sign(x)*(|x|*1e6
+    div max) — written that way so DuckDB's flooring `//`, Spark's
+    truncating `div`, and python's `//` can never disagree on negative
+    entries), and each of the 64 fixed iterations max-normalizes the
+    vector back to 1e6 units. Every intermediate is an integer, so the
+    eigenvector — not just its error bound — is bit-identical on both
+    engines; sign canonicalizes at the max-|loading| dimension;
+    lambda_ratio = dominant eigenvalue of M/max|M|, half-up-rounded to
+    6dp AT THE INTEGER LEVEL ((xm+5e5)//1e6 — the exact_sum_round6
+    discipline; float ROUND of xm/1e12 diverged at sf1 on a .5-boundary).
+
+    Scale (100 TB): the corpus reduces ONCE to the 64x64 moment matrix
+    (map-side partial sums; the 4096-row result is the bounded collect
+    the registry contract audits, same class as IVF centroids); the
+    iteration runs on that sketch driver-side in pure-int python — no
+    per-iteration corpus pass, unlike Lloyd's (q88). The numpy-blocked
+    Gram fast path (q30b) is the drop-in for the reduce when 64 -> 4k
+    dims."""
+    coords = embedding_coords(spark, sf_dir).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v") * 1000).cast("long").alias("v3"),
+    )
+    a, b = coords.alias("a"), coords.alias("b")
+    m = (
+        a.join(b, F.col("a.vec_id") == F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.dim").alias("i"), F.col("b.dim").alias("j")
+        )
+        .agg(F.sum(F.col("a.v3") * F.col("b.v3")).alias("mv"))
+    )
+    rows = m.collect()  # bounded: 64x64 moment sketch, never corpus-sized
+    mmax = max(abs(r["mv"]) for r in rows)
+    mn = {
+        (r["i"], r["j"]): (-1 if r["mv"] < 0 else 1)
+        * ((abs(r["mv"]) * 1_000_000) // mmax)
+        for r in rows
+    }
+    dims = sorted({i for i, _ in mn})
+    v = {d: 1_000_000 for d in dims}
+    xm = 0
+    for _ in range(_PI_ITERS):
+        x = {
+            i: sum(mn[(i, j)] * v[j] for j in dims if (i, j) in mn)
+            for i in dims
+        }
+        xm = max(abs(xv) for xv in x.values())
+        v = {
+            i: (-1 if xv < 0 else 1) * ((abs(xv) * 1_000_000) // xm)
+            for i, xv in x.items()
+        }
+    lead = min(dims, key=lambda d: (-abs(v[d]), d))
+    s = -1 if v[lead] < 0 else 1
+    ranked = sorted(dims, key=lambda d: (-abs(v[d]), d))[:_PI_TOP]
+    out = [
+        (rk + 1, int(d), s * v[d] / 1_000_000.0,
+         ((xm + 500_000) // 1_000_000) / 1_000_000.0)
+        for rk, d in enumerate(ranked)
+    ]
+    return spark.createDataFrame(
+        out, "rank int, dim int, loading double, lambda_ratio double"
+    )
