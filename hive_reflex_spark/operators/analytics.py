@@ -3463,3 +3463,248 @@ def q239_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Survival analysis: Kaplan-Meier time-to-next-event with right-censoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_kaplan_meier",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+    horizon AS (SELECT MAX(tus) AS t_end FROM ev),
+    gaps AS (SELECT tus,
+                    LEAD(tus) OVER (PARTITION BY user_id
+                                    ORDER BY tus, event_id) AS nxt
+             FROM ev),
+    lifetimes AS (SELECT CASE WHEN nxt IS NULL
+                              THEN (t_end - tus) // 3600000000
+                              ELSE (nxt - tus) // 3600000000 END AS t_h,
+                         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS observed
+                  FROM gaps, horizon),
+    steps AS (SELECT t_h,
+                     CAST(SUM(observed) AS BIGINT) AS d,
+                     CAST(SUM(1 - observed) AS BIGINT) AS c
+              FROM lifetimes GROUP BY t_h),
+    risk AS (SELECT t_h, d, c,
+                    CAST(SUM(d + c) OVER (ORDER BY t_h DESC) AS BIGINT)
+                        AS n_risk
+             FROM steps),
+    lnstep AS (SELECT t_h, d, c, n_risk,
+                      CASE WHEN d = 0 THEN 0
+                           ELSE CAST(ROUND(ln((n_risk - d) * 1.0 / n_risk)
+                                           * 1000000) AS BIGINT)
+                      END AS l6
+               FROM risk WHERE n_risk > d),
+    curve AS (SELECT t_h, d, c, n_risk,
+                     CAST(SUM(l6) OVER (ORDER BY t_h) AS BIGINT) AS cl6
+              FROM lnstep)
+    SELECT CAST(t_h AS BIGINT) AS t_hours, n_risk,
+           d AS n_observed, c AS n_censored,
+           ROUND(exp(cl6 / 1000000.0), 6) AS survival
+    FROM curve WHERE d > 0 ORDER BY t_hours
+    """,
+)
+def q242_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for TIME TO NEXT EVENT — the
+    engagement-halflife estimator with proper right-censoring (each
+    user's LAST event has no successor; a naive gap histogram silently
+    drops exactly the longest, most informative spells, biasing
+    re-engagement time down — KM keeps them in the risk set until the
+    observation horizon): subject = every event, duration = whole hours
+    until that user's next event, censored at the corpus horizon when no
+    successor exists. S(t) = prod_(t_i <= t) (n_i - d_i)/n_i over
+    distinct gap-hours with n_i = at-risk (reverse-cumulative). The
+    product runs in LOG space as an exact integer cumsum of 6dp-rounded
+    ln factors (the q118/q73 transcendental discipline), so the curve
+    hash-matches across engines.
+
+    Scale (100 TB): one lag window per user (co-partitioned with the
+    event stream's natural key), then every global window runs over
+    distinct GAP-HOUR cells — bounded by the observation span in hours,
+    never by event cardinality."""
+    events = read_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    horizon = ev.agg(F.max("tus").alias("t_end"))
+    wlead = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = ev.select(
+        "tus", F.lead("tus").over(wlead).alias("nxt")
+    )
+    lifetimes = gaps.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("nxt").isNull(),
+            F.expr("(t_end - tus) div 3600000000"),
+        )
+        .otherwise(F.expr("(nxt - tus) div 3600000000"))
+        .alias("t_h"),
+        F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("observed"),
+    )
+    steps = lifetimes.groupBy("t_h").agg(
+        F.sum("observed").alias("d"),
+        F.sum(1 - F.col("observed")).alias("c"),
+    )
+    wdesc = (
+        Window.orderBy(F.desc("t_h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = steps.select(
+        "t_h",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(wdesc).alias("n_risk"),
+    )
+    lnstep = risk.filter(F.col("n_risk") > F.col("d")).select(
+        "t_h",
+        "d",
+        "c",
+        "n_risk",
+        F.when(F.col("d") == 0, F.lit(0))
+        .otherwise(
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk")
+                )
+                * 1_000_000
+            ).cast("long")
+        )
+        .alias("l6"),
+    )
+    wasc = (
+        Window.orderBy("t_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = lnstep.select(
+        "t_h",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("l6").over(wasc).alias("cl6"),
+    )
+    return (
+        curve.filter(F.col("d") > 0)
+        .select(
+            F.col("t_h").alias("t_hours"),
+            "n_risk",
+            F.col("d").alias("n_observed"),
+            F.col("c").alias("n_censored"),
+            F.round(F.exp(F.col("cl6") / 1_000_000.0), 6).alias("survival"),
+        )
+        .orderBy("t_hours")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence modeling: Markov transition matrix + stationary distribution
+# ---------------------------------------------------------------------------
+
+_MK_ITERS = 32  # fixed-point iterations for the stationary distribution
+
+
+def _mk_oracle_sql() -> str:
+    """Transition counts, ppm transition probabilities, and the unrolled
+    integer-exact stationary iteration (q240's discipline: MATERIALIZED
+    CTEs, nonneg floor division)."""
+    ctes = [
+        """pairs AS MATERIALIZED (
+        SELECT event_type AS f,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t
+        FROM events)""",
+        """cnt AS MATERIALIZED (
+        SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pairs WHERE t IS NOT NULL GROUP BY f, t)""",
+        """p AS MATERIALIZED (
+        SELECT f, t, n,
+               CAST((n * 1000000) //
+                    (SUM(n) OVER (PARTITION BY f)) AS BIGINT) AS p6
+        FROM cnt)""",
+        """it0 AS MATERIALIZED (
+        SELECT DISTINCT f AS st, CAST(1000000 AS BIGINT) AS v FROM cnt)""",
+    ]
+    for k in range(1, _MK_ITERS + 1):
+        ctes.append(
+            f"""it{k} AS MATERIALIZED (
+        SELECT p.t AS st,
+               CAST(SUM(prev.v * p.p6) // 1000000 AS BIGINT) AS v
+        FROM p JOIN it{k - 1} prev ON p.f = prev.st GROUP BY p.t)"""
+        )
+    ctes.append(
+        f"""pi AS MATERIALIZED (
+        SELECT st, v, CAST(SUM(v) OVER () AS BIGINT) AS tot
+        FROM it{_MK_ITERS})"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT p.f AS from_type, p.t AS to_type, p.n AS n_transitions,
+           p.p6 / 1000000.0 AS p_transition,
+           ((pi.v * 2000000 + pi.tot) // (2 * pi.tot)) / 1000000.0
+               AS stationary_to
+    FROM p JOIN pi ON p.t = pi.st
+    ORDER BY from_type, to_type"""
+    )
+
+
+@query("q243_markov_transitions", oracle=_mk_oracle_sql())
+def q243_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov model of user event sequences: the transition
+    matrix P(next type | current type) from per-user consecutive event
+    pairs ((ts, event_id) replay order — the unique tie-break the
+    recurrence contract requires), plus the chain's STATIONARY
+    distribution pi = pi.P — the long-run behavioral mix the raw
+    event-type histogram only approximates when sequences are
+    non-ergodic. Transition probabilities quantize to exact ppm integers
+    by floor division (nonnegative counts, so Spark `div` and DuckDB
+    `//` agree), and the stationary vector comes from 32 fixed
+    iterations of the SAME integer arithmetic on both engines — bounded
+    |types|^2 state, bit-identical, no linear solver; the displayed ratios use the
+    integer half-up idiom (python round() is half-even — the numpy-class
+    parity trap).
+
+    Scale (100 TB): the lead window co-partitions with the per-user
+    event stream; the corpus reduces to a |types|^2 count matrix
+    (map-side partials), and the iteration runs on that bounded sketch —
+    driver-side in Spark (the audited-collect class), an unrolled
+    25-row CTE chain in the oracle."""
+    events = read_table(spark, sf_dir, "events")
+    wlead = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = events.select(
+        F.col("event_type").alias("f"),
+        F.lead("event_type").over(wlead).alias("t"),
+    ).filter(F.col("t").isNotNull())
+    cnt = pairs.groupBy("f", "t").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("f")
+    p = cnt.select(
+        "f",
+        "t",
+        "n",
+        F.expr("(n * 1000000)").alias("_num"),
+        F.sum("n").over(wrow).alias("_den"),
+    ).select(
+        "f", "t", "n", F.expr("_num div _den").cast("long").alias("p6")
+    )
+    rows = p.collect()  # bounded: |types|^2 transition sketch
+    mat = {(r["f"], r["t"]): r["p6"] for r in rows}
+    states = sorted({f for f, _ in mat})
+    v = {s: 1_000_000 for s in states}
+    for _ in range(_MK_ITERS):
+        nxt = {s: 0 for s in states}
+        for (f, t), p6 in mat.items():
+            nxt[t] += v[f] * p6
+        v = {s: x // 1_000_000 for s, x in nxt.items()}
+    tot = sum(v.values())
+    out = [
+        (r["f"], r["t"], r["n"], r["p6"] / 1_000_000.0,
+         ((v[r["t"]] * 2_000_000 + tot) // (2 * tot)) / 1_000_000.0)
+        for r in rows
+    ]
+    df = spark.createDataFrame(
+        out,
+        "from_type string, to_type string, n_transitions long, "
+        "p_transition double, stationary_to double",
+    )
+    return df.orderBy("from_type", "to_type")

@@ -1074,3 +1074,142 @@ def q209_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition: trend / hour-of-day seasonal / residual
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q241_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (SELECT event_type,
+                           epoch_us(ts) // 3600000000 AS hr,
+                           CAST(hour(ts) AS INTEGER) AS hod,
+                           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                               AS BIGINT) AS vc
+                    FROM events GROUP BY 1, 2, 3),
+    ma AS (SELECT event_type, hr, hod, vc,
+                  SUM(vc) OVER (PARTITION BY event_type ORDER BY hr
+                                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                      AS wsum,
+                  COUNT(*) OVER (PARTITION BY event_type ORDER BY hr
+                                 ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                      AS wcnt
+           FROM hourly),
+    detr AS (SELECT event_type, hod,
+                    CAST(vc - wsum // 25 AS BIGINT) AS d
+             FROM ma WHERE wcnt = 25),
+    seas AS (SELECT event_type, hod,
+                    CAST(COUNT(*) AS BIGINT) AS n_hours,
+                    CAST(SUM(d) AS BIGINT) AS sd,
+                    CAST(CASE WHEN SUM(d) < 0 THEN -1 ELSE 1 END
+                         * (ABS(CAST(SUM(d) AS BIGINT)) // COUNT(*))
+                        AS BIGINT) AS s
+             FROM detr GROUP BY event_type, hod),
+    resid AS (SELECT d.event_type,
+                     CAST(SUM(d.d * d.d) AS BIGINT) AS ss_detr,
+                     CAST(SUM((d.d - s.s) * (d.d - s.s)) AS BIGINT)
+                         AS ss_resid
+              FROM detr d JOIN seas s
+                ON d.event_type = s.event_type AND d.hod = s.hod
+              GROUP BY d.event_type),
+    strength AS (SELECT event_type,
+                        ROUND(1.0 - ss_resid * 1.0 / ss_detr, 6)
+                            AS seasonal_strength
+                 FROM resid WHERE ss_detr > 0)
+    SELECT s.event_type, s.hod, s.n_hours,
+           ROUND(s.s / 100.0, 6) AS seasonal,
+           st.seasonal_strength
+    FROM seas s JOIN strength st ON s.event_type = st.event_type
+    """,
+)
+def q241_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of each event type's hourly
+    value series — trend by 25-hour centered moving average (the odd
+    window keeps the average an exact integer floor), hour-of-day
+    seasonal = per-hod mean of the detrended series (sign-guarded floor
+    division — Spark's truncating `div` and DuckDB's flooring `//`
+    disagree on negative sums otherwise), residual = what's left. The
+    output is the 24-slot seasonal profile per type plus seasonal
+    STRENGTH = 1 - SS_resid/SS_detrended (Hyndman's measure; how much of
+    the de-trended variance the daily cycle explains) — the number that
+    decides whether a forecast/anomaly job must model the cycle or can
+    treat it as noise (q154's CUSUM and q117's drift both sharpen when
+    fed deseasonalized series). Hourly sums, the moving average, both
+    sums of squares — all exact BIGINTs; only the displayed seasonal
+    value and strength ratio touch doubles.
+
+    Scale (100 TB): the corpus reduces FIRST to (type, hour) cells — the
+    windows run over the hourly rollup, never over raw events, and
+    partition by type (no global window). Missing hours collapse out of
+    the row-frame MA by design (documented gap-tolerance; q99 is the
+    gap-FILLING member of the family)."""
+    events = read_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hr"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(exact_sum(F.col("value"), 2).alias("_v"))
+        .select(
+            "event_type",
+            "hr",
+            "hod",
+            F.round(F.col("_v") * 100).cast("long").alias("vc"),
+        )
+    )
+    wma = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-12, 12)
+    )
+    ma = hourly.select(
+        "event_type",
+        "hod",
+        "vc",
+        F.sum("vc").over(wma).alias("wsum"),
+        F.count("*").over(wma).alias("wcnt"),
+    )
+    detr = ma.filter(F.col("wcnt") == 25).select(
+        "event_type",
+        "hod",
+        (F.col("vc") - F.expr("wsum div 25")).alias("d"),
+    )
+    seas = detr.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("d").alias("sd"),
+    ).select(
+        "event_type",
+        "hod",
+        "n_hours",
+        (
+            F.when(F.col("sd") < 0, -1).otherwise(1)
+            * F.expr("abs(sd) div n_hours")
+        ).alias("s"),
+    )
+    resid = (
+        detr.join(F.broadcast(seas), ["event_type", "hod"])
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("d") * F.col("d")).alias("ss_detr"),
+            F.sum(
+                (F.col("d") - F.col("s")) * (F.col("d") - F.col("s"))
+            ).alias("ss_resid"),
+        )
+    )
+    strength = resid.filter(F.col("ss_detr") > 0).select(
+        "event_type",
+        F.round(
+            1.0 - F.col("ss_resid") * 1.0 / F.col("ss_detr"), 6
+        ).alias("seasonal_strength"),
+    )
+    return seas.join(F.broadcast(strength), "event_type").select(
+        "event_type",
+        "hod",
+        "n_hours",
+        F.round(F.col("s") / 100.0, 6).alias("seasonal"),
+        "seasonal_strength",
+    )

@@ -154,3 +154,63 @@ def test_power_iteration_finds_dominant_eigenvalue(spark):
     M = V3.T @ V3
     lam1 = float(np.linalg.eigvalsh(M)[-1]) / float(np.abs(M).max())
     assert abs(lam - lam1) / lam1 < 0.02
+
+
+def test_seasonal_decompose_profile_and_strength(spark):
+    from hive_reflex_spark.operators.timeseries import q241_seasonal_decompose
+
+    rows = q241_seasonal_decompose(spark, SF_SMOKE).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        assert len(rs) == 24, t  # full hour-of-day profile
+        assert len({r["hod"] for r in rs}) == 24, t
+        st = rs[0]["seasonal_strength"]
+        assert all(r["seasonal_strength"] == st for r in rs), t
+        assert st <= 1.0, t
+        # a real profile: the 24 slots are not all identical, and the
+        # weighted seasonal mean is small relative to the profile range
+        vals = [r["seasonal"] for r in rs]
+        assert max(vals) > min(vals), t
+        total = sum(r["seasonal"] * r["n_hours"] for r in rs)
+        n = sum(r["n_hours"] for r in rs)
+        assert abs(total / n) <= max(abs(v) for v in vals), t
+
+
+def test_kaplan_meier_curve_is_monotone_and_censoring_counted(spark):
+    from hive_reflex_spark.operators.analytics import q242_kaplan_meier
+
+    rows = q242_kaplan_meier(spark, SF_SMOKE).collect()
+    assert len(rows) > 5
+    surv = [r["survival"] for r in rows]
+    assert all(0.0 <= sv <= 1.0 for sv in surv)
+    assert surv == sorted(surv, reverse=True)  # S(t) non-increasing
+    # at-risk counts strictly decrease along the curve
+    risks = [r["n_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)
+    # every event is a subject exactly once: first step's at-risk +
+    # earlier censored/observed equals the event count
+    ev_n = read_table(spark, SF_SMOKE, "events").count()
+    assert risks[0] <= ev_n
+
+
+def test_markov_rows_are_stochastic_and_stationary_sums_to_one(spark):
+    from hive_reflex_spark.operators.analytics import q243_markov_transitions
+
+    rows = q243_markov_transitions(spark, SF_SMOKE).collect()
+    by_from = {}
+    stat = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["p_transition"]
+        stat[r["to_type"]] = r["stationary_to"]
+    # each row of P sums to 1 (ppm floors lose at most |types| ulps)
+    for f, tot in by_from.items():
+        assert abs(tot - 1.0) < 1e-5, f
+    assert abs(sum(stat.values()) - 1.0) < 1e-5
+    # stationary fixed point: pi P ~= pi (within the integer grid)
+    p = {(r["from_type"], r["to_type"]): r["p_transition"] for r in rows}
+    for t in stat:
+        acc = sum(stat[f] * p.get((f, t), 0.0) for f in stat)
+        assert abs(acc - stat[t]) < 1e-3, t
