@@ -16,7 +16,7 @@ truncate lineage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.operators.dedup import (
@@ -232,3 +232,117 @@ def q231_dup_graph_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup graph: canonical-doc selection
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 20  # fixed damped iterations (unrolled in the oracle)
+_PR_TOP = 10  # most-central docs reported
+
+
+def _pagerank_oracle() -> str:
+    from hive_reflex_spark.registry import ORACLES
+
+    q47_sql = ORACLES["q47_jaccard_pairs"].strip()
+    ctes = [
+        f"""edges AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM ({q47_sql}) p)""",
+        """sym AS MATERIALIZED (SELECT a, b FROM edges
+           UNION ALL SELECT b, a FROM edges)""",
+        """deg AS MATERIALIZED (SELECT a AS v, CAST(COUNT(*) AS BIGINT)
+               AS d FROM sym GROUP BY a)""",
+        """it0 AS MATERIALIZED (SELECT v, CAST(1000000 AS BIGINT) AS s
+           FROM deg)""",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(
+            f"""it{k} AS MATERIALIZED (
+        SELECT sym.b AS v,
+               CAST(150000 + (850 * SUM(prev.s // deg.d)) // 1000
+                   AS BIGINT) AS s
+        FROM sym JOIN it{k - 1} prev ON sym.a = prev.v
+                 JOIN deg ON sym.a = deg.v
+        GROUP BY sym.b)"""
+        )
+    ctes.append(
+        f"""ranked AS (SELECT it.v AS doc_id, it.s AS score_ppm, deg.d
+                AS degree,
+                ROW_NUMBER() OVER (ORDER BY it.s DESC, it.v) AS rnk
+         FROM it{_PR_ITERS} it JOIN deg ON it.v = deg.v)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(rnk AS INTEGER) AS rank, doc_id, degree,
+           score_ppm / 1000000.0 AS pagerank
+    FROM ranked WHERE rnk <= {_PR_TOP} ORDER BY rank"""
+    )
+
+
+@query("q244_dedup_pagerank", oracle=_pagerank_oracle())
+def q244_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the VERIFIED near-dup graph (q47's
+    J>=0.5 edges) — the canonical-selection upgrade for dedup clusters:
+    q78 keeps min(doc_id) per component, but the doc every other
+    near-dup points at (highest stationary mass) is the better canonical
+    when clusters are stars of rewrites around an original; the top-10
+    list IS that policy's pick order. Damped (0.85) PageRank runs as 20
+    fixed iterations of EXACT integer arithmetic in ppm units —
+    share(u) = s_u div deg_u, s'(v) = 150000 + (850*sum shares) div 1000,
+    all nonnegative so Spark `div`, DuckDB `//`, and the unrolled
+    MATERIALIZED CTE chain agree bit-for-bit; the ranking orders by the
+    integer score (float ranks would make ties engine-dependent).
+
+    Scale (100 TB): each round is ONE shuffle of the edge list keyed on
+    vertex id (the connected_components discipline — localCheckpoint per
+    round truncates the 20-round lineage); scores live with vertices,
+    never collected. The verify-on-candidates edge set is linear in the
+    corpus (q49a's star topology), so 20 rounds cost 20 edge-list
+    shuffles regardless of scale."""
+    from hive_reflex_spark.operators.dedup import q47_jaccard_pairs
+
+    edges = q47_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    sym = (
+        edges.select("a", "b")
+        .unionAll(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
+    scores = deg.select("v", F.lit(1_000_000).cast("long").alias("s"))
+    scores = scores.localCheckpoint()
+    for _ in range(_PR_ITERS):
+        shares = (
+            sym.join(scores, sym.a == scores.v)
+            .join(deg.withColumnRenamed("v", "dv"), sym.a == F.col("dv"))
+            .select(F.col("b"), F.expr("s div d").alias("share"))
+        )
+        nxt = shares.groupBy(F.col("b").alias("v")).agg(
+            (150_000 + F.expr("(850 * sum(share)) div 1000"))
+            .cast("long")
+            .alias("s")
+        )
+        prev = scores
+        scores = nxt.localCheckpoint()
+        prev.unpersist()
+    wr = Window.orderBy(F.desc("s"), "v")
+    ranked = (
+        scores.join(deg, "v")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("s").alias("score_ppm"),
+            F.col("d").alias("degree"),
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _PR_TOP)
+    )
+    return ranked.select(
+        F.col("rnk").cast("int").alias("rank"),
+        "doc_id",
+        "degree",
+        (F.col("score_ppm") / 1_000_000.0).alias("pagerank"),
+    ).orderBy("rank")

@@ -2717,3 +2717,124 @@ def q227_large_volume_customers(
             "total_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket analysis: association rules with support/confidence/lift
+# ---------------------------------------------------------------------------
+
+_MB_TOP = 20  # rules reported, ranked by integer-ppm lift
+
+
+@query(
+    "q245_market_basket",
+    oracle=f"""
+    WITH baskets AS MATERIALIZED (
+        SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders
+          FROM baskets),
+    items AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+              FROM baskets GROUP BY item),
+    pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_ab
+              FROM baskets a JOIN baskets b
+                ON a.ok = b.ok AND a.item < b.item
+              GROUP BY a.item, b.item),
+    rules AS (SELECT item_a, item_b, n_ab, ia.n_item AS n_a,
+                     ib.n_item AS n_b, n_orders,
+                     CAST((n_ab * n_orders * 1000000)
+                          // (ia.n_item * ib.n_item) AS BIGINT) AS lift_ppm
+              FROM pairs
+              JOIN items ia ON pairs.item_a = ia.item
+              JOIN items ib ON pairs.item_b = ib.item
+              CROSS JOIN n),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (
+                   ORDER BY lift_ppm DESC, item_a, item_b) AS rnk
+               FROM rules)
+    SELECT CAST(rnk AS INTEGER) AS rank, item_a, item_b, n_ab,
+           ((n_ab * 2000000 + n_orders) // (2 * n_orders)) / 1000000.0
+               AS support,
+           ((n_ab * 2000000 + n_a) // (2 * n_a)) / 1000000.0
+               AS confidence,
+           lift_ppm / 1000000.0 AS lift
+    FROM ranked WHERE rnk <= {_MB_TOP} ORDER BY rank
+    """,
+)
+def q245_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered part brands —
+    support, confidence, and lift for brand pairs (the Apriori first
+    pass every recommender/affinity pipeline starts from; brands, not
+    part keys, so baskets are dense enough for statistically meaningful
+    rules): baskets are each order's distinct brands, pair counts come
+    from the within-order self-join, and the top {_MB_TOP} rules rank by
+    LIFT computed as an exact ppm INTEGER ((n_ab*N*1e6) div (n_a*n_b)) —
+    ranking on a float lift would make the cut engine-dependent at
+    ties. Support/confidence display via the integer half-up idiom.
+
+    Scale (100 TB): the within-basket pair join keys on the order id —
+    fanout is C(basket, 2) per ORDER (bounded by basket size, never
+    cross-order), co-partitioned with one shuffle; item counts and the
+    final ranking operate on the <=|items|^2 rule table, and part (the
+    dimension) broadcasts into the basket build."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, part = t["lineitem"], t["part"]
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("ok").alias("n_orders"))
+    items = baskets.groupBy("item").agg(F.count("*").alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ia = items.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    ib = items.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    rules = (
+        pairs.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.expr("(n_ab * n_orders * 1000000) div (n_a * n_b)").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+    wr = Window.orderBy(F.desc("lift_ppm"), "item_a", "item_b")
+    ranked = rules.select(
+        "*", F.row_number().over(wr).alias("rnk")
+    ).filter(F.col("rnk") <= _MB_TOP)
+    return ranked.select(
+        F.col("rnk").cast("int").alias("rank"),
+        "item_a",
+        "item_b",
+        "n_ab",
+        (
+            F.expr("(n_ab * 2000000 + n_orders) div (2 * n_orders)")
+            / 1_000_000.0
+        ).alias("support"),
+        (F.expr("(n_ab * 2000000 + n_a) div (2 * n_a)") / 1_000_000.0).alias(
+            "confidence"
+        ),
+        (F.col("lift_ppm") / 1_000_000.0).alias("lift"),
+    ).orderBy("rank")

@@ -214,3 +214,55 @@ def test_markov_rows_are_stochastic_and_stationary_sums_to_one(spark):
     for t in stat:
         acc = sum(stat[f] * p.get((f, t), 0.0) for f in stat)
         assert abs(acc - stat[t]) < 1e-3, t
+
+
+def test_market_basket_rule_math_is_consistent(spark):
+    from hive_reflex_spark.operators.relational import q245_market_basket
+
+    rows = q245_market_basket(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)  # ranked by lift
+    for r in rows:
+        assert r["item_a"] < r["item_b"]  # canonical pair order
+        assert r["n_ab"] > 0
+        assert 0 < r["support"] <= 1
+        assert r["support"] <= r["confidence"] <= 1  # n_a <= n_orders
+        assert r["lift"] > 0
+
+
+def test_pagerank_mass_and_star_hub_wins(spark):
+    """On a hand-built star (hub-leaf) plus a separate pair, the hub
+    must out-rank every leaf and the isolated pair splits evenly — the
+    canonical-selection property q244 exists for."""
+    from pyspark.sql import functions as F
+
+    from hive_reflex_spark.operators.graph import (
+        _PR_ITERS,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, k) for k in (2, 3, 4, 5)] + [(10, 11)], "a long, b long"
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
+    scores = deg.select("v", F.lit(1_000_000).cast("long").alias("s"))
+    for _ in range(_PR_ITERS):
+        shares = (
+            sym.join(scores, sym.a == scores.v)
+            .join(deg.withColumnRenamed("v", "dv"), sym.a == F.col("dv"))
+            .select(F.col("b"), F.expr("s div d").alias("share"))
+        )
+        scores = shares.groupBy(F.col("b").alias("v")).agg(
+            (150_000 + F.expr("(850 * sum(share)) div 1000"))
+            .cast("long")
+            .alias("s")
+        ).localCheckpoint()
+    got = {r["v"]: r["s"] for r in scores.collect()}
+    assert got[1] > max(got[k] for k in (2, 3, 4, 5))  # hub dominates
+    assert got[10] == got[11]  # symmetric pair ties exactly
+    leaf_scores = {got[k] for k in (2, 3, 4, 5)}
+    assert len(leaf_scores) == 1  # identical leaves tie exactly
