@@ -3621,15 +3621,35 @@ def _mk_oracle_sql() -> str:
                CAST((n * 1000000) //
                     (SUM(n) OVER (PARTITION BY f)) AS BIGINT) AS p6
         FROM cnt)""",
+        # State space = BOTH roles: a type seen only as a transition
+        # DESTINATION (terminal/absorbing) is still a state; seeding
+        # from-types only dropped it from the vector and crashed the
+        # replay's nxt[t] lookup on any fixture with such a type.
+        """sts AS MATERIALIZED (
+        SELECT f AS st FROM cnt UNION SELECT t FROM cnt)""",
+        # Absorbing states get the standard implicit self-loop
+        # (P(s->s)=1): without it their all-zero row leaks mass out of
+        # the chain every step and the stationary total floors to zero.
+        """pa AS MATERIALIZED (
+        SELECT f, t, p6 FROM p
+        UNION ALL
+        SELECT st, st, CAST(1000000 AS BIGINT)
+        FROM sts WHERE st NOT IN (SELECT f FROM cnt))""",
         """it0 AS MATERIALIZED (
-        SELECT DISTINCT f AS st, CAST(1000000 AS BIGINT) AS v FROM cnt)""",
+        SELECT st, CAST(1000000 AS BIGINT) AS v FROM sts)""",
     ]
     for k in range(1, _MK_ITERS + 1):
+        # LEFT joins keep every state present each step (value 0 when
+        # nothing flows in), mirroring the replay's dense dict exactly.
         ctes.append(
             f"""it{k} AS MATERIALIZED (
-        SELECT p.t AS st,
-               CAST(SUM(prev.v * p.p6) // 1000000 AS BIGINT) AS v
-        FROM p JOIN it{k - 1} prev ON p.f = prev.st GROUP BY p.t)"""
+        SELECT s.st,
+               CAST(COALESCE(SUM(prev.v * pa.p6), 0) // 1000000
+                    AS BIGINT) AS v
+        FROM sts s
+        LEFT JOIN pa ON pa.t = s.st
+        LEFT JOIN it{k - 1} prev ON pa.f = prev.st
+        GROUP BY s.st)"""
         )
     ctes.append(
         f"""pi AS MATERIALIZED (
@@ -3657,7 +3677,10 @@ def q243_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence contract requires), plus the chain's STATIONARY
     distribution pi = pi.P — the long-run behavioral mix the raw
     event-type histogram only approximates when sequences are
-    non-ergodic. Transition probabilities quantize to exact ppm integers
+    non-ergodic. The state space is BOTH roles (a type seen only as a
+    destination is an absorbing state, given the standard implicit
+    self-loop so the chain stays stochastic). Transition probabilities
+    quantize to exact ppm integers
     by floor division (nonnegative counts, so Spark `div` and DuckDB
     `//` agree), and the stationary vector comes from 32 fixed
     iterations of the SAME integer arithmetic on both engines — bounded
@@ -3689,12 +3712,21 @@ def q243_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = p.collect()  # bounded: |types|^2 transition sketch
     mat = {(r["f"], r["t"]): r["p6"] for r in rows}
-    states = sorted({f for f, _ in mat})
+    # Both roles: destination-only (absorbing) types are states too —
+    # seeding from-types alone KeyErrors on nxt[t] for such a type.
+    froms = {f for f, _ in mat}
+    states = sorted(froms | {t for _, t in mat})
+    # implicit self-loop on absorbing states (P(s->s)=1), else their
+    # all-zero row leaks mass and the stationary total floors to zero
+    for s in states:
+        if s not in froms:
+            mat[(s, s)] = 1_000_000
     v = {s: 1_000_000 for s in states}
     for _ in range(_MK_ITERS):
         nxt = {s: 0 for s in states}
         for (f, t), p6 in mat.items():
             nxt[t] += v[f] * p6
+        # nonnegative operands: Python's flooring // == engine truncation
         v = {s: x // 1_000_000 for s, x in nxt.items()}
     tot = sum(v.values())
     out = [

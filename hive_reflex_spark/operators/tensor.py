@@ -1023,9 +1023,10 @@ _PI_TOP = 5  # report the top-k dimensions by |loading|
 
 def _pi_oracle_sql() -> str:
     """Unrolled power iteration over the normalized moment matrix as a
-    CTE chain — every step is integer arithmetic (sign-guarded floor
-    division, so DuckDB's floor-`//` and Spark/python truncation can
-    never disagree on negatives)."""
+    CTE chain — every step is integer arithmetic (sign-guarded
+    division: operands made nonnegative before `//`, so DuckDB/Spark's
+    truncating division and Python's flooring `//` can never disagree
+    on negatives)."""
     ctes = [
         f"""coords AS MATERIALIZED (
         SELECT vec_id, dim, CAST(ROUND(v * 1000) AS BIGINT) AS v3
@@ -1087,10 +1088,10 @@ def q240_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN residualizers and the SemDeDup centroids lean on), computed with
     the repo's exact-integer discipline end to end: coordinates quantize
     to 1e-3 units, M accumulates as exact BIGINTs, the matrix normalizes
-    by its max entry via sign-guarded floor division (sign(x)*(|x|*1e6
-    div max) — written that way so DuckDB's flooring `//`, Spark's
-    truncating `div`, and python's `//` can never disagree on negative
-    entries), and each of the 64 fixed iterations max-normalizes the
+    by its max entry via sign-guarded division (sign(x)*(|x|*1e6
+    div max) — written that way so DuckDB's truncating `//`, Spark's
+    truncating `div`, and python's FLOORING `//` can never disagree on
+    negative entries), and each of the 64 fixed iterations max-normalizes the
     vector back to 1e6 units. Every intermediate is an integer, so the
     eigenvector — not just its error bound — is bit-identical on both
     engines; sign canonicalizes at the max-|loading| dimension;

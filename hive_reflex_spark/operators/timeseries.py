@@ -55,6 +55,16 @@ def iir_lowpass(
     return df.groupBy(*key_cols).applyInPandas(fn, schema)
 
 
+def tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics DuckDB's
+    `//` and Spark's `div` share. Python's `//` FLOORS (-7 // 2 is -4 in
+    Python but -3 in DuckDB/Spark), so a raw `//` in a Python replay of
+    an integer recurrence diverges from the SQL oracle the moment an
+    accumulator goes negative. The two agree on nonnegative operands."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
 def ewma_fixed_units(
     df: DataFrame,
     key_cols: list[str],
@@ -66,8 +76,10 @@ def ewma_fixed_units(
 ) -> DataFrame:
     """EWMA s = (num·s_prev + (den−num)·x) // den replayed in exact
     integer units — q68a's Q16.16 discipline applied to the smoother:
-    every step is BIGINT arithmetic with floor division, so ANY engine
-    replaying the same recurrence is bit-identical at ANY scale (the
+    every step is BIGINT arithmetic with truncating division (tdiv —
+    DuckDB `//` / Spark `div` semantics, which Python's flooring `//`
+    only matches on nonnegative operands), so ANY engine replaying the
+    same recurrence is bit-identical at ANY scale and ANY sign (the
     binary64 replay accumulates sub-ulp drift that eventually crosses a
     rounding boundary — observed at 10x SF, BASELINE.md r5). The seed
     is the first sample itself."""
@@ -79,7 +91,7 @@ def ewma_fixed_units(
         out: list[int] = []
         s = 0
         for i, x in enumerate(xs):
-            s = x if i == 0 else (num * s + (den - num) * x) // den
+            s = x if i == 0 else tdiv(num * s + (den - num) * x, den)
             out.append(s)
         pdf[out_col] = pd.Series(out, dtype="int64")
         return pdf
@@ -1129,9 +1141,10 @@ def q241_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical seasonal decomposition of each event type's hourly
     value series — trend by 25-hour centered moving average (the odd
     window keeps the average an exact integer floor), hour-of-day
-    seasonal = per-hod mean of the detrended series (sign-guarded floor
-    division — Spark's truncating `div` and DuckDB's flooring `//`
-    disagree on negative sums otherwise), residual = what's left. The
+    seasonal = per-hod mean of the detrended series (sign-guarded
+    division — Spark's `div` and DuckDB's `//` truncate toward zero
+    while Python's `//` floors, so unguarded division disagrees on
+    negative sums otherwise), residual = what's left. The
     output is the 24-slot seasonal profile per type plus seasonal
     STRENGTH = 1 - SS_resid/SS_detrended (Hyndman's measure; how much of
     the de-trended variance the daily cycle explains) — the number that

@@ -15,9 +15,11 @@ Rules for oracle-checked queries (SURVEY §7 watch-list #4/#5):
   engines' ROUNDs disagree) — use functions.exact_sum_round6 /
   spark_exact_sum_round6 / duck_exact_sum_round6, which half-up at the
   integer level (BASELINE.md r6);
-- exact recurrences replay in integer units with floor division
-  (timeseries.ewma_fixed_units) under a UNIQUE sort order — binary64
-  replays drift sub-ulp per step and diverge at ~1e6 rows.
+- exact recurrences replay in integer units with TRUNCATING division
+  (timeseries.ewma_fixed_units / tdiv — DuckDB `//` and Spark `div`
+  truncate toward zero; Python's `//` floors and only agrees on
+  nonnegative operands) under a UNIQUE sort order — binary64 replays
+  drift sub-ulp per step and diverge at ~1e6 rows.
 """
 
 from __future__ import annotations

@@ -237,13 +237,16 @@ def q164_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q233_media_dup_families",
     oracle="""
-    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
-    pos AS (SELECT doc_id, text, L, unnest(range(1, L+1)) AS p FROM d),
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS L FROM documents),
+    pos AS (SELECT doc_id, L, p,
+                   CAST(('0x' || substr(hx, 2 * CAST(p AS INT) - 1, 2))
+                        AS INT) AS bv
+            FROM d, unnest(range(1, L + 1)) AS t(p)),
     pool AS (SELECT doc_id,
                     CAST(((p - 1) * 16) // L AS INT) AS bucket,
-                    CAST(FLOOR(CAST(SUM(ascii(substr(text, CAST(p AS INT),
-                         1))) AS DOUBLE) / COUNT(*) / 8.0 + 0.5) AS BIGINT)
-                        AS qv
+                    CAST(FLOOR(CAST(SUM(bv) AS DOUBLE)
+                         / COUNT(*) / 8.0 + 0.5) AS BIGINT) AS qv
              FROM pos GROUP BY doc_id, ((p - 1) * 16) // L),
     sig AS (SELECT doc_id,
                    string_agg(CAST(qv AS VARCHAR), '-' ORDER BY bucket)
@@ -270,10 +273,13 @@ def q233_media_dup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     media land in the same family where exact content hashes (q65's
     content_key) see nothing.
 
-    Engine parity is exact by construction: bucket means are int-sum /
-    int-count (identical IEEE division), /8.0 is a power-of-two divide
-    (EXACT, no rounding), and the +0.5/floor half-up happens on
-    identical doubles. Scale: thumbnailing is the linear mapInPandas
+    Engine parity is exact by construction: BOTH engines pool UTF-8
+    BYTES (the oracle walks hex(encode(text)) two nibbles at a time —
+    a char-based oracle diverges on any non-ASCII document, where byte
+    length != char length and byte values != code points), bucket means
+    are int-sum / int-count (identical IEEE division), /8.0 is a
+    power-of-two divide (EXACT, no rounding), and the +0.5/floor
+    half-up happens on identical doubles. Scale: thumbnailing is the linear mapInPandas
     scan; the family rollup groups on a 16-value signature — one
     shuffle keyed by signature, uniform unless the corpus is one giant
     dup family (in which case dedup is the point)."""

@@ -266,3 +266,75 @@ def test_pagerank_mass_and_star_hub_wins(spark):
     assert got[10] == got[11]  # symmetric pair ties exactly
     leaf_scores = {got[k] for k in (2, 3, 4, 5)}
     assert len(leaf_scores) == 1  # identical leaves tie exactly
+
+
+def test_tdiv_matches_engine_truncation():
+    """DuckDB `//` and Spark `div` truncate toward zero; Python's `//`
+    floors. tdiv must match the ENGINES on every sign combination —
+    the divergence class the q54/q158 integer replays are exposed to
+    the moment an accumulator goes negative."""
+    import duckdb
+
+    from hive_reflex_spark.operators.timeseries import tdiv
+
+    cases = [(a, b) for a in (-7, -1, 0, 1, 7, 123456789)
+             for b in (-3, -2, 2, 3, 10)]
+    got = [tdiv(a, b) for a, b in cases]
+    want = [duckdb.sql(f"SELECT {a} // {b}").fetchone()[0]
+            for a, b in cases]
+    assert got == want
+    # and the known Python-floor divergence really exists (guard value)
+    assert tdiv(-7, 2) == -3 and (-7 // 2) == -4
+
+
+def test_markov_handles_absorbing_destination_type(spark, tmp_path):
+    """A type that appears ONLY as a transition destination (absorbing)
+    is still a state: the replay must not KeyError and must agree with
+    the SQL oracle row-for-row (the r6 advisor's latent-crash case)."""
+    import duckdb
+    import pandas as pd
+
+    from hive_reflex_spark.registry import ORACLES
+    from hive_reflex_spark.operators.analytics import q243_markov_transitions
+
+    # user 1: A -> B -> END (END never transitions out)
+    # user 2: B -> A -> END
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "A", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "B", 1.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "END", 1.0, "{}"),
+        (4, "2024-01-01 00:00:00", 2, "B", 1.0, "{}"),
+        (5, "2024-01-01 00:01:00", 2, "A", 1.0, "{}"),
+        (6, "2024-01-01 00:02:00", 2, "END", 1.0, "{}"),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    path = str(tmp_path / "events.parquet")
+    pdf.to_parquet(path)
+
+    got = (
+        q243_markov_transitions(spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    assert set(got["to_type"]) == {"B", "A", "END"}
+    assert "END" not in set(got["from_type"])  # absorbing: no out-row
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    want = (
+        con.execute(ORACLES["q243_markov_transitions"])
+        .fetchdf()
+        .sort_values(["from_type", "to_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in ("from_type", "to_type"):
+        assert list(got[col]) == list(want[col])
+    for col in ("n_transitions", "p_transition", "stationary_to"):
+        for g, w in zip(got[col], want[col]):
+            assert abs(float(g) - float(w)) < 1e-12, (col, g, w)

@@ -359,3 +359,51 @@ def test_stream_left_outer_join_watermark_gates_nulls(spark):
     # unsealed window and must NOT have emitted
     assert nulls_batch_all - nulls_stream
     out.unpersist()
+
+
+def test_media_dup_oracle_is_byte_true_on_non_ascii(spark, tmp_path):
+    """q233's Spark path fingerprints UTF-8 BYTES; the oracle must walk
+    the same bytes (hex-slice over encode(text)), not characters — on a
+    non-ASCII corpus char length != byte length and code points != byte
+    values (the r6 advisor's parity hole). Exact-dup docs (incl. a
+    multibyte pair) must land in one family on BOTH engines."""
+    import duckdb
+    import pandas as pd
+
+    from hive_reflex_spark.registry import ORACLES
+    from hive_reflex_spark.sources.multimodal import q233_media_dup_families
+
+    docs = [
+        (1, "héllo wörld — ünïcode pâyload " * 8, "de", "web", 0),
+        (2, "héllo wörld — ünïcode pâyload " * 8, "de", "web", 0),  # dup of 1
+        (3, "plain ascii payload text here " * 8, "en", "web", 0),
+        (4, "日本語のドキュメント本文です。" * 10, "ja", "web", 0),
+        (5, "日本語のドキュメント本文です。" * 10, "ja", "web", 0),  # dup of 4
+        (6, "another distinct ascii doc body " * 7, "en", "web", 0),
+    ]
+    pdf = pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    path = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(path)
+
+    got = (
+        q233_media_dup_families(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("sig_key")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = (
+        con.execute(ORACLES["q233_media_dup_families"])
+        .fetchdf()
+        .sort_values("sig_key")
+        .reset_index(drop=True)
+    )
+    assert list(got["sig_key"]) == list(want["sig_key"])
+    for col in ("family_size", "keep_doc", "n_dropped"):
+        assert [int(x) for x in got[col]] == [int(x) for x in want[col]], col
+    fam = {int(r.keep_doc): int(r.family_size) for r in got.itertuples()}
+    assert fam[1] == 2 and fam[4] == 2  # both dup pairs collapse
