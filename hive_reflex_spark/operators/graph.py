@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from hive_reflex_spark.operators.dedup import (
     BAND_SIZE,
     _DUCK_MINHASH,
-    q49_lsh_candidates,
+    q49a_lsh_candidates_star,
 )
 from hive_reflex_spark.registry import query
 
@@ -116,11 +116,20 @@ def connected_components(
 def q78_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from the LSH candidate pairs: connected
     components → per-cluster size + canonical keeper (min doc_id) + docs
-    to drop. The iterative label-propagation fixpoint is hash-checked
-    against a DuckDB recursive-CTE transitive closure (min reachable
-    vertex == min label at fixpoint); cluster==pair equivalence is also
-    asserted in tests."""
-    edges = q49_lsh_candidates(spark, sf_dir).select(
+    to drop.
+
+    The edge feed is q49a's STAR candidate stream (hub→member per band
+    bucket): linear in corpus size where q49's all-pairs stream is
+    quadratic in bucket size (11.1M vs 143k edges at sf1 — 78x less
+    edge work, BASELINE.md r6/r7), and LOSSLESS for clustering because
+    a bucket's star is connected. The oracle deliberately stays the
+    all-pairs transitive closure, so every driver check independently
+    re-proves the star==all-pairs component equivalence end-to-end
+    (also asserted in tests). The DuckDB recursive closure itself stays
+    quadratic in component size — infeasible on the sf1 dup-dense graph
+    regardless of which edge stream feeds it (in-engine invariant
+    evidence stands, BASELINE.md r6)."""
+    edges = q49a_lsh_candidates_star(spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     comp = connected_components(edges)

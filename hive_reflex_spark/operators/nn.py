@@ -29,6 +29,7 @@ from hive_reflex_spark.functions import (
     spark_exact_sum,
     spark_exact_sum_round6,
 )
+from hive_reflex_spark.io import read_table
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -180,6 +181,111 @@ def q66c_attention_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", F.col("dim").alias("out_dim"))
         .agg(F.expr(f"{spark_exact_sum_round6('w * v')} AS out_v"))
     )
+
+
+def attention_blocked(
+    q_df: DataFrame,
+    kv_rows: list,
+    sqrt_d: float = SQRT_D,
+) -> DataFrame:
+    """Scaled dot-product attention on the numpy-blocked fast path —
+    the q30b lesson (Arrow batches + BLAS-shaped kernels, 26x the
+    coordinate plan on dense Gram) applied to the full QKᵀ → softmax →
+    ·V chain. K/V is the bounded operand (broadcast, exactly the weight
+    bank the reference streams from flash — the 256-lane MAC array
+    `rtl/cim_mac_array.v:1-63` exists to batch THIS contraction); the
+    query stream tiles for free as mapInPandas input, each Arrow batch
+    computing its block of scores, softmax and context with vectorized
+    per-k outer products.
+
+    Every rounding site replays the coordinate chain's exact-integer
+    discipline so the SAME oracle verifies both plans bit-for-bit:
+    score terms round half-away to 1e-9 units (numpy's half-even round
+    emulated as sign*floor(|x|+0.5) — the q30b parity trap), exp goes
+    through libm math.exp (DuckDB's exp; numpy's SIMD exp can sit one
+    ulp off a .5 boundary), softmax weights renormalize on the rounded
+    1e-6 grid, and the context reduction applies the exact_sum_round6
+    half-up at the integer level.
+
+    ``q_df`` must have (qid long, embedding array) rows; ``kv_rows`` is
+    the collected bounded side as (kid, embedding) rows."""
+    import math
+
+    kv_ids = np.array([r[0] for r in kv_rows], dtype=np.int64)
+    kv_mat = np.array([list(r[1]) for r in kv_rows], dtype=np.float64)
+    sc = q_df.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(kv_ids), sc.broadcast(kv_mat)
+    inv = 1.0 / sqrt_d  # power-of-two divisor: x*inv == x/sqrt_d exactly
+
+    def _half_away(y: np.ndarray) -> np.ndarray:
+        return np.sign(y) * np.floor(np.abs(y) + 0.5)
+
+    def blocks(batches):
+        K = b_mat.value
+        Ki = b_ids.value
+        n_kv, d = K.shape
+        for pdf in batches:
+            Q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            Qi = pdf["qid"].to_numpy(dtype=np.int64)
+            n = len(Qi)
+            # scores: per-term round to 1e-9 units, exact int64 sums
+            S = np.zeros((n, n_kv), dtype=np.float64)
+            for k in range(d):
+                S += _half_away(np.outer(Q[:, k], K[:, k]) * inv * 1e9)
+            s = S / 1e9
+            # softmax on the 1e-6 grid: e = ROUND(exp(s - max), 6)
+            sm = s - s.max(axis=1, keepdims=True)
+            ex = np.frompyfunc(math.exp, 1, 1)(sm).astype(np.float64)
+            e6u = np.floor(ex * 1e6 + 0.5)  # exp >= 0: half-up
+            e = e6u / 1e6
+            w = e / (e6u.sum(axis=1, keepdims=True) / 1e6)
+            # context: per-term round to 1e-9 units, half-up to 6dp
+            T = np.zeros((n, d), dtype=np.float64)
+            for j in range(n_kv):
+                T += _half_away(np.outer(w[:, j], K[j, :]) * 1e9)
+            out = np.floor((T + 500.0) / 1000.0) / 1e6
+            ii, dd = np.indices((n, d))
+            yield pd.DataFrame(
+                {
+                    "qid": Qi[ii.ravel()],
+                    "out_dim": dd.ravel().astype(np.int64),
+                    "out_v": out.ravel(),
+                }
+            )
+
+    return q_df.mapInPandas(blocks, "qid long, out_dim long, out_v double")
+
+
+@query("q66d_attention_blocked", oracle=_attn_oracle(256, 256, 320))
+def q66d_attention_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q66c's 256x64 attention on the numpy-blocked tier
+    (``attention_blocked``): same Q/KV ranges, same exact-integer
+    rounding sites, verified against the IDENTICAL oracle as the
+    coordinate chain — the two plans are interchangeable by
+    construction, and this is the one to reach for when the score
+    matrix is work-bound rather than job-floor-bound (the Gram
+    measurement: coordinate 4.9-5.9x DuckDB at sf1 sizes, blocked
+    0.19x). V reuses K here exactly as q66/q66c's kv block does.
+
+    Scale shape: ZERO shuffles — the only exchange q66c keeps (qid
+    hash) exists to co-locate score/softmax/context rows, but in the
+    blocked plan a query row never leaves its Arrow batch: scores,
+    softmax and context for a qid all happen in one numpy block, so the
+    plan is scan → mapInPandas → done, embarrassingly parallel over
+    query tiles at any corpus size (K/V stays the broadcast-bounded
+    operand; a both-sides-huge attention tiles K/V into column blocks
+    inside the same kernel, FlashAttention-style)."""
+    n_q, kv_lo, kv_hi = 256, 256, 320
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < n_q).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    kv = (
+        emb.filter((F.col("vec_id") >= kv_lo) & (F.col("vec_id") < kv_hi))
+        .select(F.col("vec_id").alias("kid"), "embedding")
+        .collect()  # bounded: one 64 x 64 K/V block
+    )
+    return attention_blocked(q, kv)
 
 
 @query(

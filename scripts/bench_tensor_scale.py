@@ -235,14 +235,37 @@ def main() -> int:
             .join(F.broadcast(kv), "kid")
             .groupBy("qid", F.col("dim").alias("out_dim"))
             .agg(
-                (
-                    F.sum(
-                        F.round(F.col("w") * F.col("v") * U9).cast("long")
-                    )
-                    / float(U9)
+                # the registered queries' exact_sum_round6 half-up:
+                # out_v is an exact 1e-6 multiple on every engine
+                F.expr(
+                    "cast(floor((sum(cast(round(w * v * 1000000000) as"
+                    " bigint)) + 500) / 1000.0) as bigint) / 1000000.0"
                 ).alias("out_v")
             )
         )
+        r = out.agg(
+            F.count("*"),
+            F.sum(F.round(F.col("out_v") * 1_000_000).cast("long")),
+        ).collect()[0]
+        return r[0], r[1]
+
+    # --- Attention: numpy-blocked tier (nn.attention_blocked) -------------
+    def attn_blocked():
+        from hive_reflex_spark.operators.nn import attention_blocked
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < n_q).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        kv_rows = [
+            (r["vec_id"], r["embedding"])
+            for r in emb.filter(
+                (F.col("vec_id") >= kv_lo) & (F.col("vec_id") < kv_hi)
+            )
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        out = attention_blocked(q.repartition(32), kv_rows, sqrt_d)
         r = out.agg(
             F.count("*"),
             F.sum(F.round(F.col("out_v") * 1_000_000).cast("long")),
@@ -272,8 +295,9 @@ def main() -> int:
                                  / 1000000.0) AS w
                      FROM expd),
             out AS (SELECT qid, dim AS out_dim,
-                           CAST(SUM(CAST(ROUND(attn.w * kv.v * {U9})
-                                AS BIGINT)) AS BIGINT) / {U9}.0 AS out_v
+                           CAST(FLOOR((CAST(SUM(CAST(ROUND(attn.w * kv.v
+                                * {U9}) AS BIGINT)) AS BIGINT) + 500)
+                                / 1000.0) AS BIGINT) / 1000000.0 AS out_v
                     FROM attn JOIN kv USING (kid)
                     GROUP BY qid, dim)
             SELECT COUNT(*),
@@ -289,6 +313,7 @@ def main() -> int:
     run("gram_numpy_spark", gram_numpy)
     run("gram_duckdb", gram_duck)
     run("attn_coord_spark", attn_coord)
+    run("attn_blocked_spark", attn_blocked)
     run("attn_duckdb", attn_duck)
 
     gs, ga, gn, gd = (
@@ -297,12 +322,16 @@ def main() -> int:
         results["gram_numpy_spark"],
         results["gram_duckdb"],
     )
-    at, ad = results["attn_coord_spark"], results["attn_duckdb"]
+    at, ab, ad = (
+        results["attn_coord_spark"],
+        results["attn_blocked_spark"],
+        results["attn_duckdb"],
+    )
     parity = (
         gs["checksum"] == ga["checksum"] == gn["checksum"] == gd["checksum"]
         and gs["rows"] == ga["rows"] == gn["rows"] == gd["rows"]
-        and at["checksum"] == ad["checksum"]
-        and at["rows"] == ad["rows"]
+        and at["checksum"] == ab["checksum"] == ad["checksum"]
+        and at["rows"] == ab["rows"] == ad["rows"]
     )
     print(
         json.dumps(
@@ -318,6 +347,7 @@ def main() -> int:
                 "gram_array_ratio": round(ga["sec"] / gd["sec"], 2),
                 "gram_numpy_ratio": round(gn["sec"] / gd["sec"], 2),
                 "attn_ratio": round(at["sec"] / ad["sec"], 2),
+                "attn_blocked_ratio": round(ab["sec"] / ad["sec"], 2),
             }
         )
     )
