@@ -466,3 +466,25 @@ def test_llama_block_matches_numpy(spark, sf_smoke):
     assert len(got) == TB_TOKENS * 64
     for r in got:
         assert abs(r.out_v - want[r.pos, r.dim]) < 2e-3, r
+
+
+def test_attention_blocked_is_bit_identical_to_coordinate_chain(spark, sf_smoke):
+    """The numpy-blocked attention tier (q66d) and the coordinate chain
+    (q66c) share one oracle; pin the equivalence DIRECTLY too — every
+    (qid, out_dim) value bit-identical, which is what makes the two
+    plans interchangeable at the library level."""
+    from hive_reflex_spark.operators.nn import (
+        q66c_attention_scaled,
+        q66d_attention_blocked,
+    )
+
+    coord = {
+        (r["qid"], r["out_dim"]): r["out_v"]
+        for r in q66c_attention_scaled(spark, sf_smoke).collect()
+    }
+    blocked = {
+        (r["qid"], r["out_dim"]): r["out_v"]
+        for r in q66d_attention_blocked(spark, sf_smoke).collect()
+    }
+    assert set(coord) == set(blocked)
+    assert all(coord[k] == blocked[k] for k in coord)  # == : bit parity

@@ -197,31 +197,26 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-6 rotation: the two r05 driver-reds re-verifying their
-        # fixes, the r05 greens whose code changed this round, and the
-        # 18 never-driver-checked queries draining the backlog
-        "q155_weighted_median",      # r05 driver-red, fixed (oracle BIGINT)
-        "q189_ab_test_readout",      # r05 ANSI crash, fixed (guarded z)
-        "q206_dup_family_sizes",     # code changed: short-doc guard
-        "q216_bank_profile_sizing",  # code changed: atomic publish
-        "q232_retrieval_metrics",    # code changed: buildable dcg join
-        "q224_split_leakage",        # code changed: short-doc guard
-        "q174_range_boundaries",     # never-checked tier (first rows)
-        "q183_shrunk_group_means",
-        "q184_decayed_popularity",
-        "q218_histogram_quantiles",
-        "q222_changelog_merge",
-        "q228_ann_recall",
-        "q231_dup_graph_shape",
-        "q230_benford_deviation",
-        "q54_iir_lowpass",           # integer recurrence port re-verify
-        "q158_ewma_smooth",
-        "q66_attention",             # safe-6dp-finals re-verify
-        "q109_transformer_block",
-        "q30a_gram_matmul_array",    # new r6 queries
-        "q30b_gram_matmul_numpy",
-        "q66c_attention_scaled",
-        "q49a_lsh_candidates_star",
+        # round-7 rotation: the 13 late-r6 registrations getting their
+        # first driver rows, the query new this round, and the greens
+        # whose code changed this round
+        "q233_media_dup_families",   # never-checked tier (first rows)
+        "q234_bootstrap_ci",
+        "q235_calibration_ece",
+        "q236_zorder_layout",
+        "q237_join_cardinality",
+        "q238_ks_drift",
+        "q239_conformal_interval",
+        "q240_power_iteration",
+        "q241_seasonal_decompose",
+        "q242_kaplan_meier",
+        "q243_markov_transitions",
+        "q244_dedup_pagerank",
+        "q245_market_basket",
+        "q66d_attention_blocked",    # new this round
+        "q78_dedup_clusters",        # code changed: star edge feed
+        "q54_iir_lowpass",           # code changed: tdiv replay
+        "q158_ewma_smooth",          # code changed: tdiv replay
     ):
         assert must in window, must
 
