@@ -97,7 +97,12 @@ def timed_min(fn, n_runs: int) -> tuple[float, list[float], float]:
         runs.append(time.time() - t0)
 
     def disp_of(rs: list[float]) -> float:
-        steady = rs[1:] if len(rs) > 2 else rs
+        # first rep is cold (codegen + first-use intermediate builds) —
+        # always excluded, else min-of-2 blocks "guard" on their own
+        # expected warmup and double their cost for nothing
+        steady = rs[1:] if len(rs) > 1 else rs
+        if len(steady) < 2:
+            return 0.0
         return (max(steady) - min(steady)) / max(min(steady), 1e-9)
 
     extra = 0
