@@ -178,6 +178,22 @@ PICKS = {
         "once into the split rollup — no materialized intermediate "
         "passes."
     ),
+    "q66d_attention_blocked": (
+        "The blocked-attention fast path: scan -> ONE MapInPandas node "
+        "-> done. Zero exchanges — scores, softmax and context for a "
+        "query row never leave its Arrow batch; K/V rides a broadcast "
+        "variable (no join). Contrast with q66c's one qid-keyed "
+        "exchange: both verify against the same oracle, this one is "
+        "0.03x DuckDB at 4096x512 (BASELINE.md r7)."
+    ),
+    "q49a_lsh_candidates_star": (
+        "Star-topology LSH candidates: ONE hash partitioning on "
+        "(band, band_sig) serves both the hub aggregate and the hub "
+        "join (co-partitioned, no second exchange), then one aggregate "
+        "on the output pair. Edge stream linear in corpus size — this "
+        "is q78's production feed; q49's all-pairs form remains for "
+        "pair-level Jaccard verification only."
+    ),
     "q165_market_share": (
         "TPC-H Q8 analog: 8-way join where only nation×2/region "
         "broadcast — part is type-filtered but corpus-proportional, "
