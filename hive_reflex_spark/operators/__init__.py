@@ -51,6 +51,7 @@ _registry.finalize_order([
     "q245_market_basket",
     # NEW this round
     "q66d_attention_blocked",     # J6 fast path: numpy-blocked (0.03x)
+    "q67b_conv2d_blocked",        # J4 fast path: per-image numpy kernel
     # hash-green but code changed this round — re-verify
     "q78_dedup_clusters",         # edge feed switched to q49a star stream
     "q54_iir_lowpass",            # tdiv truncating-division replay
@@ -88,7 +89,6 @@ _registry.finalize_order([
     "q08_theta_join",
     "q65_multimodal_meta",
     "q81_codec_dispatch",
-    "q82_lz4_roundtrip",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118.)
     # NOTE: only the first 50 names are driver-checked; every query not

@@ -332,6 +332,92 @@ def q67_conv2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def conv2d_blocked(
+    img_df: DataFrame,
+    h: int,
+    w_dim: int,
+    kernel_w: float = 1.0 / 9,
+) -> DataFrame:
+    """3x3 valid-padding box Conv2D on the numpy-blocked tier — the
+    q30b/q66d lesson applied to the third heavy kernel family (J4,
+    `nn_topology.h:47-49`). ``img_df`` carries (img_id, y, x, v)
+    coordinate rows; each IMAGE is the bounded operand (one Arrow batch
+    per img_id via applyInPandas), so the kernel runs as 9 vectorized
+    shifted-slice accumulations per image while images parallelize
+    across the cluster — the layout a 100-TB image corpus convolves
+    with (one group per decoded frame, exactly the multimodal decode
+    tier's partitioning; channels/batch fold into img_id).
+
+    Exact-integer parity with the coordinate-join oracle: per-tap terms
+    compute as (v * w) * 1e9 in that association and round half-away
+    (sign*floor(|x|+0.5) — numpy's round is half-even), per-pixel sums
+    stay integer-exact in float64 (<2^53), finals apply the
+    exact_sum_round6 half-up."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        A = np.zeros((h, w_dim), dtype=np.float64)
+        A[
+            pdf["y"].to_numpy(dtype=np.int64),
+            pdf["x"].to_numpy(dtype=np.int64),
+        ] = pdf["v"].to_numpy(dtype=np.float64)
+        T = np.zeros((h - 2, w_dim - 2), dtype=np.float64)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                sub = A[1 + dy : h - 1 + dy, 1 + dx : w_dim - 1 + dx]
+                P = (sub * kernel_w) * 1e9
+                T += np.sign(P) * np.floor(np.abs(P) + 0.5)
+        out = np.floor((T + 500.0) / 1000.0) / 1e6
+        oy, ox = np.indices(T.shape)
+        return pd.DataFrame(
+            {
+                "oy": (oy.ravel() + 1).astype(np.int64),
+                "ox": (ox.ravel() + 1).astype(np.int32),
+                "conv_v": out.ravel(),
+                "n_taps": np.full(T.size, 9, dtype=np.int64),
+            }
+        )
+
+    return img_df.groupBy("img_id").applyInPandas(
+        fn, "oy long, ox int, conv_v double, n_taps long"
+    )
+
+
+@query(
+    "q67b_conv2d_blocked",
+    oracle=f"""
+    WITH img AS (SELECT vec_id AS y, dim AS x, v
+                 FROM {_duck_coords(32)} c),
+         kernel AS (SELECT dy, dx, 1.0 / 9 AS w
+                    FROM (SELECT unnest(range(-1, 2)) AS dy) a,
+                         (SELECT unnest(range(-1, 2)) AS dx) b)
+    SELECT (y - dy) AS oy, (x - dx) AS ox,
+           CAST(FLOOR((CAST(SUM(CAST(ROUND(v * w * 1000000000) AS BIGINT)) AS BIGINT) + 500) / 1000.0) AS BIGINT) / 1000000.0 AS conv_v,
+           COUNT(*) AS n_taps
+    FROM img, kernel
+    WHERE (y - dy) BETWEEN 1 AND 30 AND (x - dx) BETWEEN 1 AND 62
+    GROUP BY oy, ox
+    """,
+)
+def q67b_conv2d_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q67's 3x3 box conv on the numpy-blocked tier (``conv2d_blocked``)
+    over the same 32x64 image, verified against the IDENTICAL
+    coordinate-join oracle as q67 — the blocked-kernel tier now covers
+    all three heavy families (Gram q30b, attention q66d, conv q67b).
+    Plan shape: scan -> one img_id exchange -> FlatMapGroupsInPandas;
+    at corpus scale that one exchange is the per-image co-location any
+    decode step already needs, and the 9-tap arithmetic runs as
+    vectorized slices instead of a 9-way row explosion (q67's
+    coordinate join multiplies the pixel stream 9x before reducing)."""
+    coords = embedding_coords(spark, sf_dir, max_vec=32)
+    img = coords.select(
+        F.lit(0).alias("img_id"),
+        F.col("vec_id").alias("y"),
+        F.col("dim").alias("x"),
+        "v",
+    )
+    return conv2d_blocked(img, 32, 64)
+
+
 # ---------------------------------------------------------------------------
 # LSTM (library tier — recurrence, numpy-oracled in tests)
 # ---------------------------------------------------------------------------

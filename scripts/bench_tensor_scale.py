@@ -312,9 +312,63 @@ def main() -> int:
     run("gram_array_spark", gram_array)
     run("gram_numpy_spark", gram_numpy)
     run("gram_duckdb", gram_duck)
+    # --- Conv2D: blocked per-image kernel vs DuckDB coordinate join -------
+    # n_conv vectors sliced into 1024-row images (h=1024, w=64): the
+    # blocked tier runs one numpy kernel per image (images parallelize
+    # across Arrow batches), DuckDB pays the 9x im2col row explosion.
+    n_conv = 16384
+    conv_h = 1024
+
+    def conv_blocked():
+        from hive_reflex_spark.operators.nn import conv2d_blocked
+
+        c = coords(0, n_conv)
+        img = c.select(
+            (F.col("vec_id") / conv_h).cast("long").alias("img_id"),
+            (F.col("vec_id") % conv_h).alias("y"),
+            F.col("dim").alias("x"),
+            "v",
+        )
+        out = conv2d_blocked(img, conv_h, 64)
+        r = out.agg(
+            F.count("*"),
+            F.sum(F.round(F.col("conv_v") * 1_000_000).cast("long")),
+        ).collect()[0]
+        return r[0], r[1]
+
+    def conv_duck():
+        r = con.execute(
+            f"""
+            WITH c AS (SELECT * FROM {duck_coords}
+                       WHERE vec_id < {n_conv}),
+            img AS (SELECT vec_id // {conv_h} AS g,
+                           CAST(vec_id % {conv_h} AS INT) AS y,
+                           dim AS x, v
+                    FROM c),
+            kernel AS (SELECT dy, dx, 1.0 / 9 AS w
+                       FROM (SELECT unnest(range(-1, 2)) AS dy) a,
+                            (SELECT unnest(range(-1, 2)) AS dx) b),
+            out AS (SELECT g, (y - dy) AS oy, (x - dx) AS ox,
+                           CAST(FLOOR((CAST(SUM(CAST(ROUND(v * w
+                                * {U9}) AS BIGINT)) AS BIGINT) + 500)
+                                / 1000.0) AS BIGINT) / 1000000.0 AS conv_v
+                    FROM img, kernel
+                    WHERE (y - dy) BETWEEN 1 AND {conv_h - 2}
+                      AND (x - dx) BETWEEN 1 AND 62
+                    GROUP BY g, oy, ox)
+            SELECT COUNT(*),
+                   CAST(SUM(CAST(ROUND(conv_v * 1000000) AS BIGINT))
+                       AS BIGINT)
+            FROM out
+            """
+        ).fetchone()
+        return r[0], r[1]
+
     run("attn_coord_spark", attn_coord)
     run("attn_blocked_spark", attn_blocked)
     run("attn_duckdb", attn_duck)
+    run("conv_blocked_spark", conv_blocked)
+    run("conv_duckdb", conv_duck)
 
     gs, ga, gn, gd = (
         results["gram_coord_spark"],
@@ -327,11 +381,14 @@ def main() -> int:
         results["attn_blocked_spark"],
         results["attn_duckdb"],
     )
+    cb, cd = results["conv_blocked_spark"], results["conv_duckdb"]
     parity = (
         gs["checksum"] == ga["checksum"] == gn["checksum"] == gd["checksum"]
         and gs["rows"] == ga["rows"] == gn["rows"] == gd["rows"]
         and at["checksum"] == ab["checksum"] == ad["checksum"]
         and at["rows"] == ab["rows"] == ad["rows"]
+        and cb["checksum"] == cd["checksum"]
+        and cb["rows"] == cd["rows"]
     )
     print(
         json.dumps(
@@ -348,6 +405,7 @@ def main() -> int:
                 "gram_numpy_ratio": round(gn["sec"] / gd["sec"], 2),
                 "attn_ratio": round(at["sec"] / ad["sec"], 2),
                 "attn_blocked_ratio": round(ab["sec"] / ad["sec"], 2),
+                "conv_blocked_ratio": round(cb["sec"] / cd["sec"], 2),
             }
         )
     )

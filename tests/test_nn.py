@@ -488,3 +488,21 @@ def test_attention_blocked_is_bit_identical_to_coordinate_chain(spark, sf_smoke)
     }
     assert set(coord) == set(blocked)
     assert all(coord[k] == blocked[k] for k in coord)  # == : bit parity
+
+
+def test_conv2d_blocked_is_bit_identical_to_coordinate_join(spark, sf_smoke):
+    """The per-image numpy conv tier (q67b) and the im2col coordinate
+    join (q67) share one oracle; pin the equivalence directly — every
+    (oy, ox) value bit-identical, taps included."""
+    from hive_reflex_spark.operators.nn import q67_conv2d, q67b_conv2d_blocked
+
+    coord = {
+        (r["oy"], r["ox"]): (r["conv_v"], r["n_taps"])
+        for r in q67_conv2d(spark, sf_smoke).collect()
+    }
+    blocked = {
+        (r["oy"], r["ox"]): (r["conv_v"], r["n_taps"])
+        for r in q67b_conv2d_blocked(spark, sf_smoke).collect()
+    }
+    assert set(coord) == set(blocked)
+    assert all(coord[k] == blocked[k] for k in coord)

@@ -214,6 +214,7 @@ def test_registry_window_covers_new_families():
         "q244_dedup_pagerank",
         "q245_market_basket",
         "q66d_attention_blocked",    # new this round
+        "q67b_conv2d_blocked",       # new this round
         "q78_dedup_clusters",        # code changed: star edge feed
         "q54_iir_lowpass",           # code changed: tdiv replay
         "q158_ewma_smooth",          # code changed: tdiv replay
