@@ -186,6 +186,15 @@ PICKS = {
         "exchange: both verify against the same oracle, this one is "
         "0.03x DuckDB at 4096x512 (BASELINE.md r7)."
     ),
+    "q67b_conv2d_blocked": (
+        "Blocked conv: scan -> ONE img_id exchange -> "
+        "FlatMapGroupsInPandas. The 9-tap arithmetic runs as vectorized "
+        "slices inside the batch instead of q67's 9x im2col row "
+        "explosion; at corpus scale the exchange is the per-image "
+        "co-location the multimodal decode tier already pays. 0.78x "
+        "DuckDB at 16x1024x64 with exact checksum parity (BASELINE.md "
+        "r7)."
+    ),
     "q49a_lsh_candidates_star": (
         "Star-topology LSH candidates: ONE hash partitioning on "
         "(band, band_sig) serves both the hub aggregate and the hub "

@@ -378,3 +378,42 @@ def test_exact_sum_round6_cross_engine_on_boundary_sums(spark):
         assert got_col == got_sql == got_duck, (
             values, got_col, got_sql, got_duck
         )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(-(10**17), 10**17),
+    st.integers(-(10**6), 10**6).filter(lambda b: b != 0),
+)
+def test_tdiv_property_matches_duckdb(a, b):
+    """timeseries.tdiv == DuckDB `//` on arbitrary magnitudes and signs
+    (the replay/oracle division contract, beyond the fixed sign matrix)."""
+    import duckdb
+
+    from hive_reflex_spark.operators.timeseries import tdiv
+
+    want = duckdb.sql(
+        f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+    ).fetchone()[0]
+    assert tdiv(a, b) == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False))
+def test_half_away_emulation_matches_duckdb_round(x):
+    """The numpy half-away emulation sign(y)*floor(|y|+0.5) used by the
+    blocked kernels (q30b/q66d/q67b) == DuckDB ROUND on the identical
+    double — including exact .5 landings, where numpy's own round()
+    (half-even) diverges."""
+    import duckdb
+    import numpy as np
+
+    y = x * 1e9
+    got = float(np.sign(y) * np.floor(np.abs(y) + 0.5))
+    want = float(
+        duckdb.sql(
+            f"SELECT CAST(ROUND(CAST({x!r} AS DOUBLE) * 1000000000)"
+            " AS BIGINT)"
+        ).fetchone()[0]
+    )
+    assert got == want, (x, y)
