@@ -22,6 +22,19 @@ def exact_sum(col: Column, scale: int = 2) -> Column:
     return F.sum(F.round(col * p).cast("long")) / float(p)
 
 
+def exact_sum_unit(col: Column, scale: int = 2) -> Column:
+    """:func:`exact_sum` fast path for UNIT-EXACT NONNEGATIVE columns —
+    see :func:`spark_exact_sum_unit` for the full contract. The scaled
+    value is k ± a-few-ulps by data quantization, so floor(y+0.5) (a
+    codegen multiply-add-cast) lands on the same k as Spark's
+    per-value-BigDecimal round() and DuckDB's ROUND — no rounding
+    decision exists to disagree on. Never use on possibly-negative
+    values (cast truncates toward zero: -3 ± eps would emit -2) or on
+    expressions carrying more precision than the unit."""
+    p = 10**scale
+    return F.sum((col * p + F.lit(0.5)).cast("long")) / float(p)
+
+
 def exact_sum_window(col: Column, window, scale: int = 2) -> Column:
     """Windowed variant of :func:`exact_sum`."""
     p = 10**scale
@@ -39,6 +52,30 @@ def spark_exact_sum(expr: str, scale: int = 2) -> str:
     type)."""
     p = 10**scale
     return f"sum(CAST(round(({expr}) * {p}) AS BIGINT)) / {p}.0D"
+
+
+def spark_exact_sum_unit(expr: str, scale: int = 2) -> str:
+    """:func:`spark_exact_sum` fast path for UNIT-EXACT nonnegative
+    columns — values that are integer-valued at 10^``scale`` by data
+    contract (money in cents, rates quoted to 4dp, integer quantities).
+
+    Spark's ``round()`` on a double goes through a per-value BigDecimal
+    (HALF_UP on the decimal expansion) — measured 2.4x the whole
+    aggregate's cost on q01 at sf1. For unit-exact inputs the scaled
+    value is k ± a-few-ulps, so BigDecimal HALF_UP, DuckDB's binary
+    ROUND, and floor(y + 0.5) all land on the same k — there is no
+    rounding decision to disagree on — and the floor form is a plain
+    multiply-add-cast that stays inside whole-stage codegen.
+
+    DO NOT use on computed expressions with MORE precision than the
+    unit (e.g. q01's charge = 6dp-exact summed at 4 units) or on
+    possibly-negative values: there the three schemes genuinely round
+    and the .5-epsilon class reappears — keep :func:`spark_exact_sum`
+    (its BigDecimal matches DuckDB's ROUND on the shared binary value).
+    Equality with the round() form on unit-exact data is pinned by
+    test_properties.py."""
+    p = 10**scale
+    return f"sum(CAST(({expr}) * {p} + 0.5D AS BIGINT)) / {p}.0D"
 
 
 # Rounding an exact 1e-9-unit sum DOWN to 6 decimals with float ROUND is an

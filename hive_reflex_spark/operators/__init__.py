@@ -56,6 +56,7 @@ _registry.finalize_order([
     "q78_dedup_clusters",         # edge feed switched to q49a star stream
     "q54_iir_lowpass",            # tdiv truncating-division replay
     "q158_ewma_smooth",           # tdiv truncating-division replay
+    "q14_conditional_agg",        # unit-exact codegen sum fast path
     # stalest hash-greens (r01/r02) re-confirm
     "q72_accuracy_eval",
     "q73_distillation_kl",
@@ -88,7 +89,6 @@ _registry.finalize_order([
     "q07_customer_order_stats",
     "q08_theta_join",
     "q65_multimodal_meta",
-    "q81_codec_dispatch",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118.)
     # NOTE: only the first 50 names are driver-checked; every query not

