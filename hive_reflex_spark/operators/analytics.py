@@ -3740,3 +3740,69 @@ def q243_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_transition double, stationary_to double",
     )
     return df.orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across sources (distribution alignment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q249_quantile_normalize",
+    oracle="""
+    WITH scored AS (SELECT doc_id, source, n_chars,
+                           NTILE(10) OVER (PARTITION BY source
+                                           ORDER BY n_chars, doc_id)
+                               AS decile
+                    FROM documents),
+         pooled AS (SELECT decile,
+                           CAST(SUM(n_chars) AS BIGINT) AS pool_chars,
+                           CAST(COUNT(*) AS BIGINT) AS pool_docs
+                    FROM scored GROUP BY decile)
+    SELECT s.source, s.decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(SUM(s.n_chars) * 1.0 / COUNT(*), 6) AS raw_avg,
+           ROUND(p.pool_chars * 1.0 / p.pool_docs, 6) AS normalized
+    FROM scored s JOIN pooled p USING (decile)
+    GROUP BY s.source, s.decile, p.pool_chars, p.pool_docs
+    """,
+)
+def q249_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of the document-length distribution across
+    sources: each doc gets its WITHIN-SOURCE decile (ntile over n_chars,
+    doc_id tie-break makes the bucketing engine-deterministic), and every
+    source's decile is mapped onto the POOLED decile mean — the classic
+    distribution-alignment step before mixing sources whose length (or
+    quality-score) distributions differ systematically. Output is the
+    per-(source, decile) cell: raw mean vs the normalized target it maps
+    to. All means are exact BIGINT-sum / count divisions, so both engines
+    round identical doubles.
+
+    Scale (100 TB): ntile partitions by source — a skewed source becomes
+    one sort task, so at real scale the decile assignment swaps to
+    two-pass range bucketing (per-source decile BOUNDARIES from a
+    distributed sort / approx-quantile sketch, broadcast ~|sources|×9
+    numbers, then a map-side bucket lookup); the cell rollup and pooled
+    reduce are unchanged. The output is |sources| × 10 rows either way."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    scored = docs.withColumn("decile", F.ntile(10).over(w))
+    pooled = scored.groupBy("decile").agg(
+        F.sum("n_chars").alias("pool_chars"),
+        F.count("*").alias("pool_docs"),
+    )
+    cells = scored.groupBy("source", "decile").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("n_chars") * 1.0 / F.count("*"), 6).alias("raw_avg"),
+    )
+    return cells.join(F.broadcast(pooled), "decile").select(
+        "source",
+        "decile",
+        "n_docs",
+        "raw_avg",
+        F.round(
+            F.col("pool_chars") * 1.0 / F.col("pool_docs"), 6
+        ).alias("normalized"),
+    )

@@ -1138,3 +1138,105 @@ def q224_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_families"),
         F.sum("n_docs").cast("long").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked record linkage (entity resolution on catalog names)
+# ---------------------------------------------------------------------------
+
+MAX_LINKAGE_BLOCK = 256  # skew guard: cap any blocking key's member count
+
+
+@query(
+    "q247_name_linkage",
+    oracle=f"""
+    WITH names AS (SELECT p_name AS name,
+                          CAST(COUNT(*) AS BIGINT) AS n_parts
+                   FROM part GROUP BY p_name),
+         toks AS (SELECT name, n_parts,
+                         split_part(name, ' ', 1) AS t1,
+                         split_part(name, ' ', 2) AS t2
+                  FROM names),
+         blocks AS (SELECT t1 AS bkey FROM toks GROUP BY t1
+                    HAVING COUNT(*) <= {MAX_LINKAGE_BLOCK}
+                    UNION
+                    SELECT t2 FROM toks GROUP BY t2
+                    HAVING COUNT(*) <= {MAX_LINKAGE_BLOCK}),
+         cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b,
+                         a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+                  FROM toks a JOIN toks b
+                    ON (a.t1 = b.t1 AND a.t1 IN (SELECT bkey FROM blocks))
+                       OR (a.t2 = b.t2 AND a.t2 IN (SELECT bkey FROM blocks))
+                  WHERE a.name < b.name)
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS INTEGER) AS lev,
+           n_parts_a, n_parts_b
+    FROM cand
+    WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 2
+    """,
+)
+def q247_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage over the part catalog: find DISTINCT name
+    pairs within edit distance 2 (typo-grade variants like 'old gear' /
+    'cold gear') without ever forming the all-pairs cross product. Two
+    disciplines make this scale:
+    (1) canonicalize-first — linkage runs on the DISTINCT name table
+        (catalogs are heavy-tailed: records >> entities), so the pair
+        space is entities², not records²;
+    (2) multi-pass blocking — candidate pairs come from equi-joins on
+        each name token (the record-linkage analog of LSH bands: a true
+        match within lev<=2 of a two-token name preserves at least one
+        token exactly), unioned and de-duplicated; a block bigger than
+        MAX_LINKAGE_BLOCK is a stop-token, dropped like q47's viral
+        shingles so no single key can go quadratic.
+    Levenshtein runs ONLY on surviving candidates — both engines
+    implement the classic unit-cost edit distance, so the refine
+    predicate agrees exactly.
+
+    Scale (100 TB): the name dedup is one shuffle; each blocking pass is
+    an equi-join on a bounded key; the refine is map-side on candidate
+    rows. This is the q49 LSH shape applied to entity resolution."""
+    part = read_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count("*").alias("n_parts")
+    )
+    toks = names.select(
+        "name",
+        "n_parts",
+        F.split_part(F.col("name"), F.lit(" "), F.lit(1)).alias("t1"),
+        F.split_part(F.col("name"), F.lit(" "), F.lit(2)).alias("t2"),
+    )
+
+    def _block_pass(key: str) -> DataFrame:
+        blocks = (
+            toks.groupBy(key)
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") <= MAX_LINKAGE_BLOCK)
+            .select(key)
+        )
+        blocked = toks.join(F.broadcast(blocks), key)
+        a = blocked.alias("a")
+        b = blocked.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col(f"a.{key}") == F.col(f"b.{key}"))
+                & (F.col("a.name") < F.col("b.name")),
+            )
+            .select(
+                F.col("a.name").alias("name_a"),
+                F.col("b.name").alias("name_b"),
+                F.col("a.n_parts").alias("n_parts_a"),
+                F.col("b.n_parts").alias("n_parts_b"),
+            )
+        )
+
+    cand = _block_pass("t1").unionAll(_block_pass("t2")).distinct()
+    lev = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return cand.filter(lev.between(1, 2)).select(
+        "name_a",
+        "name_b",
+        lev.cast("int").alias("lev"),
+        "n_parts_a",
+        "n_parts_b",
+    )

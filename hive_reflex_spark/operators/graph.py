@@ -355,3 +355,196 @@ def q244_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         (F.col("score_ppm") / 1_000_000.0).alias("pagerank"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN graph metrics: triangles, clustering coefficient, homophily
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3  # neighbors per vertex in the kNN graph
+_KNN_CAP = 512  # q51a's all-pairs fence (NEARDUP_CORPUS_CAP)
+
+
+@query(
+    "q248_knn_graph_triangles",
+    oracle=f"""
+    WITH coords AS (SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+                           CAST(v AS DOUBLE) AS v
+                    FROM (SELECT vec_id,
+                                 unnest(range(len(embedding))) AS dim,
+                                 unnest(embedding) AS v
+                          FROM embeddings
+                          WHERE vec_id < {_KNN_CAP})),
+         norms AS (SELECT vec_id,
+                          sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000)
+                               AS BIGINT)) AS BIGINT) / 1000000000.0) AS nrm
+                   FROM coords GROUP BY vec_id),
+         dots AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                         CAST(SUM(CAST(ROUND(a.v * b.v * 1000000000)
+                              AS BIGINT)) AS BIGINT) / 1000000000.0 AS dot
+                  FROM coords a JOIN coords b
+                    ON a.dim = b.dim AND a.vec_id < b.vec_id
+                  GROUP BY a.vec_id, b.vec_id),
+         scored AS (SELECT va, vb, dot / (na.nrm * nb.nrm) AS cos
+                    FROM dots
+                    JOIN norms na ON va = na.vec_id
+                    JOIN norms nb ON vb = nb.vec_id),
+         sym AS (SELECT va AS s, vb AS d, cos FROM scored
+                 UNION ALL SELECT vb, va, cos FROM scored),
+         knn AS (SELECT s, d FROM (
+                   SELECT s, d, ROW_NUMBER() OVER (PARTITION BY s
+                              ORDER BY cos DESC, d) AS rn FROM sym)
+                 WHERE rn <= {_KNN_K}),
+         mutual AS (SELECT k1.s AS a, k1.d AS b FROM knn k1
+                    JOIN knn k2 ON k1.s = k2.d AND k1.d = k2.s
+                    WHERE k1.s < k1.d),
+         deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS dg
+                 FROM (SELECT a AS v FROM mutual
+                       UNION ALL SELECT b FROM mutual) GROUP BY v),
+         tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mutual e1
+                 JOIN mutual e2 ON e1.b = e2.a
+                 JOIN mutual e3 ON e3.a = e1.a AND e3.b = e2.b),
+         lab AS (SELECT CAST(SUM(CASE WHEN la.label = lb.label
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_intra
+                 FROM mutual m
+                 JOIN embeddings la ON m.a = la.vec_id
+                 JOIN embeddings lb ON m.b = lb.vec_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mutual) AS n_edges,
+           (SELECT CAST(SUM((dg * (dg - 1)) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           (SELECT n FROM tri) AS n_triangles,
+           ROUND((SELECT 3.0 * n FROM tri)
+                 / (SELECT SUM((dg * (dg - 1)) // 2) FROM deg), 6)
+               AS clustering,
+           (SELECT n_intra FROM lab) AS n_intra_label,
+           ROUND((SELECT n_intra * 1.0 FROM lab)
+                 / (SELECT COUNT(*) FROM mutual), 6) AS homophily
+    """,
+)
+def q248_knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure metrics of the mutual-3NN embedding graph: triangle
+    count, global clustering coefficient, and label homophily — the
+    embedding-space quality audit (well-trained embeddings cluster, so
+    mutual-kNN neighborhoods close into triangles and edges stay within a
+    label; a gaussian cloud scores near the random baseline). Cosine uses
+    the q51a integer-unit discipline (9dp-unit dots, exact norms), so the
+    kNN ranking — computed BEFORE any rounding — orders identical doubles
+    on both engines; the pair generator is the same {_KNN_CAP}-fenced
+    coordinate join, with the LSH/IVF tiers (q53/q102) as the unfenced
+    candidate source at corpus scale.
+
+    Scale (100 TB): mutual-kNN degree is bounded by k, so every
+    per-vertex wedge expansion is <= C(k,2) rows and triangle counting is
+    O(n·k²) — no degree-orientation tricks needed (that is why dedup
+    audits run on the kNN graph, not the raw similarity graph). Each
+    stage is an equi-join on vertex id; nothing collects."""
+    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators.tensor import embedding_coords
+
+    coords = embedding_coords(spark, sf_dir).filter(F.col("vec_id") < _KNN_CAP)
+    norms = coords.groupBy("vec_id").agg(
+        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+    )
+    a = coords.alias("a")
+    b = coords.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .agg(exact_sum(F.col("a.v") * F.col("b.v"), 9).alias("dot"))
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    scored = (
+        dots.join(F.broadcast(na), F.col("va") == F.col("na.vec_id"))
+        .join(F.broadcast(nb), F.col("vb") == F.col("nb.vec_id"))
+        .select(
+            "va",
+            "vb",
+            (F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))).alias("cos"),
+        )
+    )
+    sym = scored.select(
+        F.col("va").alias("s"), F.col("vb").alias("d"), "cos"
+    ).unionAll(
+        scored.select(
+            F.col("vb").alias("s"), F.col("va").alias("d"), "cos"
+        )
+    )
+    wk = Window.partitionBy("s").orderBy(F.desc("cos"), "d")
+    knn = (
+        sym.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("s", "d")
+    )
+    k1 = knn.alias("k1")
+    k2 = knn.alias("k2")
+    mutual = (
+        k1.join(
+            k2,
+            (F.col("k1.s") == F.col("k2.d"))
+            & (F.col("k1.d") == F.col("k2.s")),
+        )
+        .filter(F.col("k1.s") < F.col("k1.d"))
+        .select(F.col("k1.s").alias("a"), F.col("k1.d").alias("b"))
+    ).localCheckpoint()  # reused by four downstream aggregates
+    deg = (
+        mutual.select(F.col("a").alias("v"))
+        .unionAll(mutual.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("dg"))
+    )
+    e1 = mutual.alias("e1")
+    e2 = mutual.alias("e2")
+    e3 = mutual.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    la = emb.alias("la")
+    lb = emb.alias("lb")
+    lab = (
+        mutual.join(F.broadcast(la), F.col("a") == F.col("la.vec_id"))
+        .join(F.broadcast(lb), F.col("b") == F.col("lb.vec_id"))
+        .agg(
+            F.sum(
+                F.when(F.col("la.label") == F.col("lb.label"), 1).otherwise(0)
+            ).cast("long").alias("n_intra_label")
+        )
+    )
+    counts = mutual.agg(F.count("*").cast("long").alias("n_edges"))
+    vw = deg.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.sum(F.expr("(dg * (dg - 1)) div 2")).cast("long").alias("n_wedges"),
+    )
+    return (
+        vw.crossJoin(counts)
+        .crossJoin(tri)
+        .crossJoin(lab)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+            F.round(
+                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+            "n_intra_label",
+            F.round(
+                F.col("n_intra_label") * 1.0 / F.col("n_edges"), 6
+            ).alias("homophily"),
+        )
+    )

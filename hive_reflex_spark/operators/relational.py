@@ -2864,3 +2864,147 @@ def q245_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("lift_ppm") / 1_000_000.0).alias("lift"),
     ).orderBy("rank")
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join via bucket decomposition (the scalable range join)
+# ---------------------------------------------------------------------------
+
+_IVJ_HOUR_US = 3_600_000_000  # bucket width: 1 hour of microseconds
+_IVJ_GAP_US = 1_800_000_000  # q20's 30-minute session gap
+_IVJ_TOP = 20  # busiest hours -> incident windows
+
+
+@query(
+    "q246_interval_bucket_join",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         sess AS (
+           SELECT user_id, session_id,
+                  MIN(ts_us) AS s_start, MAX(ts_us) AS s_end
+           FROM (SELECT user_id, ts_us,
+                        CAST(SUM(CASE WHEN prev_us IS NULL
+                                      OR ts_us - prev_us > {_IVJ_GAP_US}
+                                      THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS session_id
+                 FROM (SELECT user_id, event_id, ts_us,
+                              lag(ts_us) OVER (PARTITION BY user_id
+                                               ORDER BY ts_us, event_id)
+                                  AS prev_us
+                       FROM ev))
+           GROUP BY user_id, session_id),
+         hours AS (SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
+                          COUNT(*) AS c
+                   FROM events GROUP BY 1),
+         wins AS (SELECT * FROM (
+                    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, h_us)
+                                AS INTEGER) AS window_id,
+                           h_us - 900000000 AS w_start,
+                           h_us + 4500000000 AS w_end
+                    FROM hours) WHERE window_id <= {_IVJ_TOP})
+    SELECT w.window_id, make_timestamp(w.w_start) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users
+    FROM wins w JOIN sess s
+      ON s.s_start < w.w_end AND s.s_end >= w.w_start
+    GROUP BY w.window_id, w.w_start
+    """,
+)
+def q246_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join the scalable way: user sessions (q20's
+    30-minute-gap intervals) against the top-20 "incident windows"
+    (busiest hour ± margin — deliberately NOT bucket-aligned). A naive
+    range join is a theta join (O(n·m) compare-everything — the oracle
+    does exactly that, correct at oracle scale); the registered plan
+    DECOMPOSES both interval sets into covered 1-hour buckets, equi-joins
+    on the bucket id, and re-checks the exact overlap predicate on the
+    survivors — identical results, but the comparison count is
+    O(overlapping bucket pairs), and Catalyst shuffles on a plain key.
+    All bounds are microsecond BIGINTs, so the overlap predicate is exact
+    on both engines.
+
+    Scale (100 TB): bucket width trades duplication (long intervals
+    explode into more buckets) against join selectivity — an hour bounds
+    each session to a handful of rows while making the equi-join key
+    uniform; the distinct-before-aggregate collapses multi-bucket
+    matches. This is the same decomposition Spark's own storage-partition
+    range-join strategies use, expressed in plain DataFrame ops."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    ev = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.withColumn("prev_us", F.lag("ts_us").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("ts_us") - F.col("prev_us") > _IVJ_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    sess = (
+        flagged.withColumn("session_id", F.sum("is_new").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
+    )
+    hours = ev.groupBy(
+        F.expr(f"(ts_us div {_IVJ_HOUR_US}) * {_IVJ_HOUR_US}").alias("h_us")
+    ).agg(F.count("*").alias("c"))
+    wr = Window.orderBy(F.desc("c"), "h_us")
+    wins = (
+        hours.withColumn("window_id", F.row_number().over(wr).cast("int"))
+        .filter(F.col("window_id") <= _IVJ_TOP)
+        .select(
+            "window_id",
+            (F.col("h_us") - 900_000_000).alias("w_start"),
+            (F.col("h_us") + 4_500_000_000).alias("w_end"),
+        )
+    )
+    # bucket decomposition: one row per covered hour bucket on each side
+    sess_b = sess.select(
+        "user_id",
+        "session_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_start div {_IVJ_HOUR_US}"),
+                F.expr(f"s_end div {_IVJ_HOUR_US}"),
+            )
+        ).alias("bucket"),
+    )
+    wins_b = wins.select(
+        "window_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.expr(f"w_start div {_IVJ_HOUR_US}"),
+                F.expr(f"(w_end - 1) div {_IVJ_HOUR_US}"),
+            )
+        ).alias("bucket"),
+    )
+    # windows are a tiny derived dimension -> broadcast; the exact
+    # predicate re-check runs map-side on the bucket matches
+    matched = (
+        sess_b.join(F.broadcast(wins_b), "bucket")
+        .filter(
+            (F.col("s_start") < F.col("w_end"))
+            & (F.col("s_end") >= F.col("w_start"))
+        )
+        .select("user_id", "session_id", "window_id", "w_start")
+        .distinct()
+    )
+    return matched.groupBy("window_id", "w_start").agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        "window_id",
+        F.timestamp_micros(F.col("w_start")).alias("window_start"),
+        "n_sessions",
+        "n_users",
+    )

@@ -1267,3 +1267,74 @@ def q223_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(F.pow(num, 2) / (den * deny), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (memorization / derivative-content audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q250_ngram_novelty",
+    oracle=f"""
+    WITH dsh AS (SELECT DISTINCT doc_id, shingle FROM {DUCK_SHINGLES} sh),
+         first_seen AS (SELECT shingle, MIN(doc_id) AS first_doc
+                        FROM dsh GROUP BY shingle),
+         per_doc AS (SELECT d.doc_id,
+                            CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                            CAST(SUM(CASE WHEN f.first_doc = d.doc_id
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+                                AS n_novel
+                     FROM dsh d JOIN first_seen f USING (shingle)
+                     GROUP BY d.doc_id)
+    SELECT doc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS total_novel,
+           ROUND(SUM(n_novel) * 1.0 / SUM(n_shingles), 6) AS novelty
+    FROM per_doc pd JOIN documents doc USING (doc_id)
+    GROUP BY doc.source
+    """,
+)
+def q250_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: the fraction of a source's distinct
+    3-word shingles whose FIRST corpus occurrence (min doc_id — ingestion
+    order) is in that source's own documents. Low novelty = the source is
+    derivative of earlier-ingested data (quotes, mirrors, template spam);
+    curation pipelines use this to down-weight copy-heavy sources before
+    the pairwise dedup stages ever run. Docs shorter than one shingle
+    (< 3 tokens) carry no signal and are excluded — mirrored by the
+    oracle's inner joins.
+
+    Scale (100 TB): ONE shuffle keyed on shingle computes first-occurrence
+    (min-reduce) and the membership join rides the same partitioning
+    (co-partitioned join on the groupBy key — no second exchange); the
+    per-doc reduce keys on doc_id and the final rollup on source is
+    ~|sources| rows. Nothing is broadcast or collected; novelty needs no
+    pairwise comparisons at all, which is what makes it the cheap
+    pre-filter in front of MinHash/LSH."""
+    dsh = doc_shingles(spark, sf_dir).distinct()
+    first_seen = dsh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        dsh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_shingles").alias("total_shingles"),
+            F.sum("n_novel").alias("total_novel"),
+            F.round(
+                F.sum("n_novel") * 1.0 / F.sum("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -1,0 +1,168 @@
+"""Semantic tests for the round-7 additions: interval bucket join,
+blocked record linkage, kNN-graph metrics, quantile normalization, and
+n-gram novelty. Each asserts an INVARIANT of the operator's semantics
+(not just row counts), so a plan change that silently breaks the math
+fails here before the driver ever sees it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.io import read_table
+from hive_reflex_spark.operators.analytics import q249_quantile_normalize
+from hive_reflex_spark.operators.dedup import q247_name_linkage
+from hive_reflex_spark.operators.graph import q248_knn_graph_triangles
+from hive_reflex_spark.operators.relational import q246_interval_bucket_join
+from hive_reflex_spark.operators.text import q250_ngram_novelty
+
+
+def test_interval_join_matches_theta_join(spark, sf_smoke):
+    """The bucket-decomposed plan must return EXACTLY the theta-join
+    result — recompute the match set with a brute-force crossJoin-filter
+    and compare per-window counts."""
+    from hive_reflex_spark.operators.relational import (
+        _IVJ_GAP_US,
+        _IVJ_TOP,
+    )
+
+    got = {
+        (r.window_id, r.n_sessions, r.n_users)
+        for r in q246_interval_bucket_join(spark, sf_smoke).collect()
+    }
+    ev = read_table(spark, sf_smoke, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("prev", F.lag("ts_us").over(w))
+        .withColumn(
+            "new",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ts_us") - F.col("prev") > _IVJ_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts_us").alias("s0"), F.max("ts_us").alias("s1"))
+    )
+    hours = ev.groupBy(
+        F.expr("(ts_us div 3600000000) * 3600000000").alias("h")
+    ).agg(F.count("*").alias("c"))
+    wr = Window.orderBy(F.desc("c"), "h")
+    wins = (
+        hours.withColumn("wid", F.row_number().over(wr).cast("int"))
+        .filter(F.col("wid") <= _IVJ_TOP)
+        .select(
+            "wid",
+            (F.col("h") - 900_000_000).alias("w0"),
+            (F.col("h") + 4_500_000_000).alias("w1"),
+        )
+    )
+    brute = (
+        sess.crossJoin(wins)
+        .filter((F.col("s0") < F.col("w1")) & (F.col("s1") >= F.col("w0")))
+        .groupBy("wid")
+        .agg(
+            F.count("*").alias("ns"),
+            F.countDistinct("user_id").alias("nu"),
+        )
+    )
+    want = {(r.wid, r.ns, r.nu) for r in brute.collect()}
+    assert got == want
+
+
+def test_name_linkage_blocking_is_lossless_at_lev2(spark, sf_smoke):
+    """For two-token names, any pair within lev<=2 must share a token
+    exactly (an edit budget of 2 cannot change both tokens of names
+    differing in >=1 char per token) — so blocking on (t1, t2) passes
+    loses nothing vs the full quadratic scan. Verify against the
+    all-pairs computation on the distinct-name table."""
+    got = {
+        (r.name_a, r.name_b, r.lev)
+        for r in q247_name_linkage(spark, sf_smoke).collect()
+    }
+    names = [
+        r.name
+        for r in read_table(spark, sf_smoke, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .collect()
+    ]
+
+    def lev(s, t):
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (cs != ct),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            lo, hi = min(a, b), max(a, b)
+            d = lev(lo, hi)
+            if 1 <= d <= 2:
+                want.add((lo, hi, d))
+    assert want, "fixture should contain near-miss name pairs"
+    assert got == want
+
+
+def test_knn_graph_metrics_invariants(spark, sf_smoke):
+    """Structural invariants of the mutual-3NN graph: degree <= k on
+    every vertex (so wedges <= n*C(k,2)), triangles consistent with the
+    clustering coefficient, homophily in [0, 1]."""
+    row = q248_knn_graph_triangles(spark, sf_smoke).collect()[0]
+    assert row.n_edges > 0
+    # mutual-kNN degree bound: 2*edges = sum(deg) <= k * n_vertices
+    assert 2 * row.n_edges <= 3 * row.n_vertices
+    assert row.n_wedges <= row.n_vertices * 3  # C(3,2) per vertex
+    if row.n_wedges:
+        assert abs(row.clustering - 3.0 * row.n_triangles / row.n_wedges) < 1e-6
+    assert 0.0 <= row.homophily <= 1.0
+    assert row.n_intra_label <= row.n_edges
+
+
+def test_quantile_normalize_aligns_distributions(spark, sf_smoke):
+    """After normalization every source maps a given decile to the SAME
+    target value, and decile targets are monotonically nondecreasing."""
+    rows = q249_quantile_normalize(spark, sf_smoke).collect()
+    by_decile = {}
+    for r in rows:
+        by_decile.setdefault(r.decile, set()).add(r.normalized)
+    # one normalized target per decile, shared across sources
+    assert all(len(v) == 1 for v in by_decile.values())
+    targets = [next(iter(by_decile[d])) for d in sorted(by_decile)]
+    assert targets == sorted(targets)
+    # cell doc counts must re-sum to the corpus
+    n_docs = read_table(spark, sf_smoke, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_ngram_novelty_bounds_and_totals(spark, sf_smoke):
+    """Novelty ratios live in (0, 1]; corpus-wide novel count equals the
+    number of distinct shingles (every shingle is novel exactly once, in
+    its first document)."""
+    from hive_reflex_spark.operators.text import doc_shingles
+
+    rows = q250_ngram_novelty(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.novelty <= 1.0
+        assert r.total_novel <= r.total_shingles
+    n_distinct = (
+        doc_shingles(spark, sf_smoke).select("shingle").distinct().count()
+    )
+    assert sum(r.total_novel for r in rows) == n_distinct
