@@ -3008,3 +3008,220 @@ def q246_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sessions",
         "n_users",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analog battery II: Q7 / Q14 / Q16 / Q19 flavors on the fixture schema
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q252_nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, ship_year,
+           CAST(SUM(CAST(ROUND(volume * 10000) AS BIGINT)) AS BIGINT)
+               / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                 CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation nc ON c_nationkey = nc.n_nationkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ns ON s_nationkey = ns.n_nationkey
+          WHERE ns.n_nationkey < 6 AND nc.n_nationkey < 6
+            AND ns.n_nationkey <> nc.n_nationkey)
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q252_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: shipping volume between nation pairs by ship
+    year — the five-way snowflake join. The two nation legs and both
+    dimension chains (customer, supplier) are broadcast; the only
+    shuffle left is the lineitem⋈orders fact join, and the nation
+    filters reach the dimension scans so the fact rows that survive the
+    broadcast probes are already nation-restricted. Revenue uses the 4dp
+    unit-exact sum (2dp price × 2dp discount factor is exact at 4dp)."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    ns = t["nation"].filter(F.col("n_nationkey") < 6).alias("ns")
+    nc = t["nation"].filter(F.col("n_nationkey") < 6).alias("nc")
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey")
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey")
+        )
+        .filter(F.col("ns.n_nationkey") != F.col("nc.n_nationkey"))
+    )
+    return (
+        joined.select(
+            F.col("ns.n_name").alias("supp_nation"),
+            F.col("nc.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.expr("l_extendedprice * (1 - l_discount)").alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(
+            F.expr(f"{spark_exact_sum_unit('volume', 4)} AS revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q253_promo_revenue_share",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                              * 10000) AS BIGINT) ELSE 0 END) AS BIGINT)
+               / 10000.0 AS promo_revenue,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) / 10000.0 AS total_revenue,
+           ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(ROUND(l_extendedprice * (1 - l_discount)
+                               * 10000) AS BIGINT) ELSE 0 END)
+                 * 100.0
+                 / SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY year(l_shipdate), month(l_shipdate)
+    """,
+)
+def q253_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: monthly share of revenue from PROMO-type parts.
+    One broadcast join (part is the small dim), one grouped conditional
+    aggregate; the promo share divides two EXACT integer-unit sums, so
+    the 6dp round is engine-stable. The month grain turns Q14's single
+    scalar into a trend series — the form a monitoring pipeline wants."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    vol_units = "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)"
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    promo_units = (
+        f"sum(case when p_type = 'PROMO' then {vol_units} else 0 end)"
+    )
+    total_units = f"sum({vol_units})"
+    return (
+        joined.groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+        )
+        .agg(
+            F.expr(f"{promo_units} / 10000.0D AS promo_revenue"),
+            F.expr(f"{total_units} / 10000.0D AS total_revenue"),
+            F.expr(
+                f"round({promo_units} * 100.0D / {total_units}, 6)"
+                " AS promo_pct"
+            ),
+        )
+    )
+
+
+@query(
+    "q254_brand_supplier_count",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    HAVING COUNT(DISTINCT l_suppkey) >= 4
+    """,
+)
+def q254_brand_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: distinct-supplier counts per (brand, type, size)
+    with NOT-predicates and an IN-list — the classify-then-count-distinct
+    shape. The part-side predicates all push to the dimension scan
+    (negations and IN-lists are pushdown-eligible), the join is a
+    broadcast probe, and COUNT(DISTINCT) expands to the standard two-
+    phase partial-distinct aggregate so the shuffle carries (group,
+    suppkey) pairs, not raw lines. HAVING prunes the long tail."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_lines"),
+        )
+        .filter(F.col("supplier_cnt") >= 4)
+    )
+
+
+@query(
+    "q255_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q255_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: revenue under an OR-of-conjunctions predicate
+    mixing fact (quantity) and dimension (brand, size) columns. The
+    planner lesson: Catalyst cannot push the mixed disjunction whole, but
+    it CAN push the INFERRED per-side envelopes — the brand IN-list /
+    size range on the part scan and the quantity range on the lineitem
+    scan (OR-expansion / predicate weakening), so both scans prune before
+    the broadcast join and the exact 3-way disjunction only re-checks
+    survivors. Brand#34 matches no fixture part — a disjunct that prunes
+    to zero, exercising the pushdown rather than padding the answer."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    vol = "l_extendedprice * (1 - l_discount)"
+    return joined.filter(cond).agg(
+        F.count("*").alias("n_lines"),
+        F.expr(f"{spark_exact_sum_unit(vol, 4)} AS revenue"),
+    )

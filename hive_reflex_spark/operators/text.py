@@ -1338,3 +1338,73 @@ def q250_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (multi-criteria document selection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q251_pareto_skyline",
+    oracle=f"""
+    WITH feats AS (SELECT doc_id,
+                          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                          CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct,
+                          COUNT(DISTINCT w) * 1.0 / COUNT(*) AS ttr
+                   FROM {DUCK_WORDS} words GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct, ROUND(ttr, 6) AS ttr
+    FROM feats t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM feats d
+        WHERE d.n_tokens >= t.n_tokens AND d.ttr >= t.ttr
+          AND (d.n_tokens > t.n_tokens OR d.ttr > t.ttr))
+    """,
+)
+def q251_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline over (length, lexical diversity): the documents
+    not dominated on BOTH n_tokens and type-token ratio — the multi-
+    criteria selection primitive behind "pick long AND diverse" curation
+    policies (no scalarized weight to tune; the skyline IS the tradeoff
+    frontier). The oracle is the O(n²) NOT-EXISTS definition; the
+    registered plan is the single-sweep form: group docs by n_tokens,
+    keep each group's max-ttr docs, and admit a group iff its max ttr
+    strictly exceeds the running max over all LONGER groups — equality
+    loses because the longer doc then dominates strictly on length.
+    ttr values are exact small-denominator rationals evaluated as the
+    same int/int double division on both engines, so comparisons agree.
+
+    Scale (100 TB): the sweep is a groupBy(n_tokens) reduce plus ONE
+    window over the distinct-length groups (|groups| << |docs| — bounded
+    by max doc length, not corpus size), then a semi-join back; vs the
+    quadratic dominance test this is the difference between an O(n²)
+    pair stream and two keyed exchanges. The same sweep generalizes to
+    d dims by fixing d-2 and sweeping the rest (block-nested skyline)."""
+    words = doc_words(spark, sf_dir)
+    feats = words.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+        (F.countDistinct("w") * 1.0 / F.count("*")).alias("ttr"),
+    )
+    groups = feats.groupBy("n_tokens").agg(F.max("ttr").alias("gmax"))
+    wprev = (
+        Window.orderBy(F.desc("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    admitted = (
+        groups.withColumn("prevmax", F.max("gmax").over(wprev))
+        .filter(
+            F.col("prevmax").isNull() | (F.col("gmax") > F.col("prevmax"))
+        )
+        .select("n_tokens", "gmax")
+    )
+    return (
+        feats.join(F.broadcast(admitted), "n_tokens")
+        .filter(F.col("ttr") == F.col("gmax"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.round("ttr", 6).alias("ttr"),
+        )
+    )

@@ -166,3 +166,64 @@ def test_ngram_novelty_bounds_and_totals(spark, sf_smoke):
         doc_shingles(spark, sf_smoke).select("shingle").distinct().count()
     )
     assert sum(r.total_novel for r in rows) == n_distinct
+
+
+# --- TPC-H analog battery II (q252-q255) ------------------------------------
+
+
+def test_q255_pushes_per_side_envelopes(spark, sf_smoke):
+    """The OR-of-conjunctions must not block pushdown entirely: Catalyst
+    derives the per-side envelopes, so the part scan sees a brand/size
+    residual and the lineitem scan sees the quantity range."""
+    from hive_reflex_spark.operators.relational import q255_disjunctive_revenue
+
+    plan = (
+        q255_disjunctive_revenue(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    read_sections = plan.split("PushedFilters: ")
+    pushed = " | ".join(s.split("\n")[0] for s in read_sections[1:])
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed or "p_size" in pushed, pushed
+
+
+def test_q253_share_is_bounded_and_consistent(spark, sf_smoke):
+    from hive_reflex_spark.operators.relational import q253_promo_revenue_share
+
+    rows = q253_promo_revenue_share(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.promo_pct <= 100.0
+        assert r.promo_revenue <= r.total_revenue + 1e-9
+        if r.total_revenue:
+            assert abs(r.promo_pct - 100.0 * r.promo_revenue / r.total_revenue) < 1e-4
+
+
+def test_q252_only_fact_join_shuffles(spark, sf_smoke):
+    """All four dimension legs broadcast; the lineitem⋈orders fact join
+    is the only shuffled join in the plan."""
+    from hive_reflex_spark.operators.relational import q252_nation_trade_volume
+
+    plan = (
+        q252_nation_trade_volume(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_q251_skyline_has_no_dominated_pair(spark, sf_smoke):
+    from hive_reflex_spark.operators.text import q251_pareto_skyline
+
+    rows = q251_pareto_skyline(spark, sf_smoke).collect()
+    assert rows
+    pts = [(r.n_tokens, r.ttr) for r in rows]
+    for i, (ta, ra) in enumerate(pts):
+        for j, (tb, rb) in enumerate(pts):
+            if i != j:
+                assert not (
+                    tb >= ta and rb >= ra and (tb > ta or rb > ra)
+                ), f"{pts[j]} dominates {pts[i]}"
