@@ -999,6 +999,114 @@ def q68a_lstm_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSTM_SALT = 16  # sequences per blocked-recurrence task group
+
+
+def lstm_fixed_forward_blocked(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    x_col: str,
+    x_scale: float,
+    hidden: int,
+) -> DataFrame:
+    """Batched twin of :func:`lstm_fixed_forward`: the recurrence is
+    sequential in TIME but embarrassingly parallel across SEQUENCES, so
+    instead of one Python loop per key we salt keys into groups of many
+    sequences, pad each group to its longest sequence, and advance ALL
+    of them one step per numpy int64 operation — the classic batched-RNN
+    layout (batch × hidden state matrix, H @ Whᵀ per step). Every
+    arithmetic step is the same exact integer algebra as the per-key
+    form (products ≤ 2^40 exact in int64; floor_divide == the
+    floor(x/65536.0) both engines replay), so the trajectory — and the
+    q68a recursive-CTE oracle — is bit-identical.
+
+    Scale (100 TB): step count per task = the group's max sequence
+    length, amortized over |group| sequences; Python-interpreter cost
+    per element drops from ~4·h²+4·h ops to ~1/|group| of a vector op.
+    The salt count tunes group width vs padding waste (sequences of
+    wildly different lengths want length-bucketed salting)."""
+    wxq, whq, bq = _lstm_fixed_weights(hidden)
+    wx = np.array(wxq, dtype="int64")  # (4h,)
+    wh = np.array(whq, dtype="int64")  # (4h, h)
+    bb = np.array(bq, dtype="int64")  # (4h,)
+    hcols = ", ".join(f"h{i}:double" for i in range(hidden))
+    schema = f"{df.schema.simpleString()[7:-1]},{hcols}"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_salt"])
+        pdf = pdf.sort_values([key_col, *order_cols]).reset_index(drop=True)
+        keys = pdf[key_col].to_numpy()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = len(uniq)
+        # position of each row within its sequence
+        pos = np.zeros(len(pdf), dtype="int64")
+        lens = np.zeros(n, dtype="int64")
+        for i, u in enumerate(inv):
+            pos[i] = lens[u]
+            lens[u] += 1
+        t_max = int(lens.max()) if n else 0
+        xq = np.floor(
+            pdf[x_col].to_numpy(dtype="float64") / x_scale * Q16
+        ).astype("int64")
+        xmat = np.zeros((n, t_max), dtype="int64")
+        xmat[inv, pos] = xq
+        valid = np.zeros((n, t_max), dtype=bool)
+        valid[inv, pos] = True
+        h_st = np.zeros((n, hidden), dtype="int64")
+        c_st = np.zeros((n, hidden), dtype="int64")
+        outs = np.zeros((n, t_max, hidden), dtype="int64")
+        for t in range(t_max):
+            xt = xmat[:, t]  # (n,)
+            acc = xt[:, None] * wx[None, :] + h_st @ wh.T  # (n, 4h)
+            z = np.floor_divide(acc, Q16) + bb[None, :]
+            i_g = np.clip(z[:, :hidden], 0, Q16)
+            f_g = np.clip(z[:, hidden : 2 * hidden], 0, Q16)
+            g_g = np.clip(z[:, 2 * hidden : 3 * hidden], -Q16, Q16)
+            o_g = np.clip(z[:, 3 * hidden :], 0, Q16)
+            c_new = np.floor_divide(f_g * c_st + i_g * g_g, Q16)
+            tc = np.clip(c_new, -Q16, Q16)
+            h_new = np.floor_divide(o_g * tc, Q16)
+            live = valid[:, t][:, None]
+            c_st = np.where(live, c_new, c_st)
+            h_st = np.where(live, h_new, h_st)
+            outs[:, t, :] = h_st
+        row_h = outs[inv, pos, :]  # (rows, hidden) back in row order
+        for j in range(hidden):
+            pdf[f"h{j}"] = row_h[:, j] / float(Q16)
+        return pdf
+
+    salted = df.withColumn(
+        "_salt", (F.col(key_col) % _LSTM_SALT).cast("int")
+    )
+    return salted.groupBy("_salt").applyInPandas(fn, schema)
+
+
+@query("q68c_lstm_blocked", oracle=_lstm_fixed_oracle())
+def q68c_lstm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q68a's blocked twin — completes the batched-kernel family (Gram
+    q30b, attention q66d, conv q67b, now the recurrence tier): identical
+    Q16.16 hard-gate trajectory (same recursive-CTE oracle), but the
+    Python time loop advances a whole BATCH of user sequences per step
+    (salted groups of many users, padded to the group's longest
+    sequence) instead of one. Parity with q68a is pinned by test; the
+    oracle hash is the cross-engine proof."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    out = lstm_fixed_forward_blocked(
+        events, "user_id", ["ts_us", "event_id"], "value",
+        _LSTM_XSCALE, _LSTM_H,
+    )
+    return out.select(
+        "event_id", "user_id",
+        *[F.col(f"h{j}") for j in range(_LSTM_H)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fixed-point hard-gate GRU (q68a's technique on the LAYER_GRU enum)
 # ---------------------------------------------------------------------------

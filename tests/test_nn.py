@@ -506,3 +506,23 @@ def test_conv2d_blocked_is_bit_identical_to_coordinate_join(spark, sf_smoke):
     }
     assert set(coord) == set(blocked)
     assert all(coord[k] == blocked[k] for k in coord)
+
+
+def test_lstm_blocked_matches_per_key(spark, sf_smoke):
+    """The batched recurrence (q68c) must replay q68a's per-key
+    trajectory BIT-identically on every row — the padding/masking across
+    sequences of different lengths is the part a bug would break."""
+    from hive_reflex_spark.operators.nn import (
+        q68a_lstm_unrolled,
+        q68c_lstm_blocked,
+    )
+
+    base = {
+        r.event_id: (r.h0, r.h1)
+        for r in q68a_lstm_unrolled(spark, sf_smoke).collect()
+    }
+    blocked = {
+        r.event_id: (r.h0, r.h1)
+        for r in q68c_lstm_blocked(spark, sf_smoke).collect()
+    }
+    assert base == blocked
