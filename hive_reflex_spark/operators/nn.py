@@ -1272,6 +1272,102 @@ def q68b_gru_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gru_fixed_forward_blocked(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    x_col: str,
+    x_scale: float,
+    hidden: int,
+) -> DataFrame:
+    """Batched GRU twin (see :func:`lstm_fixed_forward_blocked` for the
+    layout): salted groups, padded batch, masked state advance. The GRU
+    algebra floors zx and zh SEPARATELY before the gate sums (unlike the
+    LSTM's combined accumulator) — replicated exactly so the q68b
+    recursive-CTE oracle hashes green on this plan too."""
+    wxq, whq, bq = _gru_fixed_weights(hidden)
+    wx = np.array(wxq, dtype="int64")  # (3h,)
+    wh = np.array(whq, dtype="int64")  # (3h, h)
+    bb = np.array(bq, dtype="int64")  # (3h,)
+    hcols = ", ".join(f"h{i}:double" for i in range(hidden))
+    schema = f"{df.schema.simpleString()[7:-1]},{hcols}"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.drop(columns=["_salt"])
+        pdf = pdf.sort_values([key_col, *order_cols]).reset_index(drop=True)
+        keys = pdf[key_col].to_numpy()
+        uniq, inv = np.unique(keys, return_inverse=True)
+        n = len(uniq)
+        pos = np.zeros(len(pdf), dtype="int64")
+        lens = np.zeros(n, dtype="int64")
+        for i, u in enumerate(inv):
+            pos[i] = lens[u]
+            lens[u] += 1
+        t_max = int(lens.max()) if n else 0
+        xq = np.floor(
+            pdf[x_col].to_numpy(dtype="float64") / x_scale * Q16
+        ).astype("int64")
+        xmat = np.zeros((n, t_max), dtype="int64")
+        xmat[inv, pos] = xq
+        valid = np.zeros((n, t_max), dtype=bool)
+        valid[inv, pos] = True
+        h_st = np.zeros((n, hidden), dtype="int64")
+        outs = np.zeros((n, t_max, hidden), dtype="int64")
+        for t in range(t_max):
+            xt = xmat[:, t]
+            zx = np.floor_divide(xt[:, None] * wx[None, :], Q16) + bb[None, :]
+            zh = np.floor_divide(h_st @ wh.T, Q16)
+            z_g = np.clip(
+                zx[:, :hidden] + zh[:, :hidden], 0, Q16
+            )
+            r_g = np.clip(
+                zx[:, hidden : 2 * hidden] + zh[:, hidden : 2 * hidden],
+                0,
+                Q16,
+            )
+            n_pre = zx[:, 2 * hidden :] + np.floor_divide(
+                r_g * zh[:, 2 * hidden :], Q16
+            )
+            n_g = np.clip(n_pre, -Q16, Q16)
+            h_new = np.floor_divide(
+                (Q16 - z_g) * n_g + z_g * h_st, Q16
+            )
+            live = valid[:, t][:, None]
+            h_st = np.where(live, h_new, h_st)
+            outs[:, t, :] = h_st
+        row_h = outs[inv, pos, :]
+        for j in range(hidden):
+            pdf[f"h{j}"] = row_h[:, j] / float(Q16)
+        return pdf
+
+    salted = df.withColumn(
+        "_salt", (F.col(key_col) % _LSTM_SALT).cast("int")
+    )
+    return salted.groupBy("_salt").applyInPandas(fn, schema)
+
+
+@query("q68d_gru_blocked", oracle=_gru_fixed_oracle())
+def q68d_gru_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q68b's blocked twin — same batched-recurrence layout as q68c, on
+    the GRU gate algebra. Both recurrence cell types now have a
+    vector-lane execution tier matching the per-key trajectory
+    bit-for-bit (the q68b recursive-CTE oracle is reused verbatim)."""
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+    out = gru_fixed_forward_blocked(
+        events, "user_id", ["ts_us", "event_id"], "value",
+        _LSTM_XSCALE, _LSTM_H,
+    )
+    return out.select(
+        "event_id", "user_id",
+        *[F.col(f"h{j}") for j in range(_LSTM_H)],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Full pre-norm transformer block (q66 + q107 + FFN composed, oracled)
 # ---------------------------------------------------------------------------

@@ -526,3 +526,21 @@ def test_lstm_blocked_matches_per_key(spark, sf_smoke):
         for r in q68c_lstm_blocked(spark, sf_smoke).collect()
     }
     assert base == blocked
+
+
+def test_gru_blocked_matches_per_key(spark, sf_smoke):
+    """q68d (batched GRU) bit-matches q68b's per-key trajectory."""
+    from hive_reflex_spark.operators.nn import (
+        q68b_gru_unrolled,
+        q68d_gru_blocked,
+    )
+
+    base = {
+        r.event_id: (r.h0, r.h1)
+        for r in q68b_gru_unrolled(spark, sf_smoke).collect()
+    }
+    blocked = {
+        r.event_id: (r.h0, r.h1)
+        for r in q68d_gru_blocked(spark, sf_smoke).collect()
+    }
+    assert base == blocked
