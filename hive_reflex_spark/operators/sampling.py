@@ -1022,3 +1022,101 @@ def q225_source_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_TEMP_BUDGET * p03 / F.col("n"), 6).alias("epochs_alpha03"),
         F.round(_TEMP_BUDGET * p07 / F.col("n"), 6).alias("epochs_alpha07"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-family-consistent sharding (q179's rendezvous x q46's families)
+# ---------------------------------------------------------------------------
+
+_FAM_SHARDS = 8
+
+
+@query(
+    "q257_family_sharding",
+    oracle=f"""
+    WITH fams AS (SELECT md5(text) AS fp, MIN(doc_id) AS canonical,
+                         CAST(COUNT(*) AS BIGINT) AS fam_size
+                  FROM documents GROUP BY md5(text)),
+         scored AS (SELECT fp, canonical, fam_size, s,
+                           md5(CAST(s AS VARCHAR) || ':'
+                               || CAST(canonical AS VARCHAR)) AS h
+                    FROM fams,
+                         (SELECT unnest(range({_FAM_SHARDS})) AS s) shards),
+         pick AS (SELECT fp, canonical, fam_size,
+                         MIN(CASE WHEN rnk = 1 THEN s END) AS shard
+                  FROM (SELECT fp, canonical, fam_size, s,
+                               ROW_NUMBER() OVER (PARTITION BY fp
+                                   ORDER BY h DESC, s) AS rnk
+                        FROM scored)
+                  GROUP BY fp, canonical, fam_size),
+         assign AS (SELECT d.doc_id, p.fp, p.shard
+                    FROM documents d JOIN pick p ON md5(d.text) = p.fp),
+         split_chk AS (SELECT fp,
+                              CASE WHEN COUNT(DISTINCT shard) > 1
+                                   THEN 1 ELSE 0 END AS split
+                       FROM assign GROUP BY fp)
+    SELECT CAST(p.shard AS INT) AS shard,
+           CAST(SUM(p.fam_size) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_families,
+           CAST(MAX(p.fam_size) AS BIGINT) AS max_family,
+           CAST(SUM(sc.split) AS BIGINT) AS n_split_families
+    FROM pick p JOIN split_chk sc USING (fp)
+    GROUP BY p.shard
+    """,
+)
+def q257_family_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-family-consistent sharding: every exact-dup family (md5
+    fingerprint) lands WHOLE on the rendezvous shard of its canonical
+    doc — the placement policy that makes dedup shard-LOCAL (each
+    worker's near-dup pass sees every copy it could ever drop; naive
+    per-doc sharding scatters a family across shards and forces the
+    global pair shuffle). The report proves both properties: per-shard
+    balance (docs, families, largest family) and n_split_families = 0 —
+    computed from the doc-level assignment, not assumed.
+
+    Scale (100 TB): one fingerprint reduce, a constant-width
+    (|shards|) fan-out + window on the FAMILY table (families <=
+    docs), and one hash join back to docs on the fingerprint — the
+    same key the reduce already partitioned by. Growing the cluster
+    inherits q179's rendezvous property: only families the new shard
+    wins move."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    fams = docs.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical"),
+        F.count("*").alias("fam_size"),
+    )
+    shards = spark.range(_FAM_SHARDS).select(
+        F.col("id").cast("int").alias("s")
+    )
+    scored = fams.join(F.broadcast(shards)).select(
+        "fp",
+        "canonical",
+        "fam_size",
+        "s",
+        F.md5(
+            F.concat_ws(":", F.col("s").cast("string"),
+                        F.col("canonical").cast("string"))
+        ).alias("h"),
+    )
+    wpick = Window.partitionBy("fp").orderBy(F.desc("h"), "s")
+    pick = (
+        scored.withColumn("rnk", F.row_number().over(wpick))
+        .filter(F.col("rnk") == 1)
+        .select("fp", "canonical", "fam_size", F.col("s").alias("shard"))
+    )
+    assign = docs.join(pick, "fp").select("fp", "doc_id", "shard")
+    split_chk = assign.groupBy("fp").agg(
+        F.when(F.countDistinct("shard") > 1, 1).otherwise(0).alias("split")
+    )
+    return (
+        pick.join(split_chk, "fp")
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.sum("fam_size").alias("n_docs"),
+            F.count("*").alias("n_families"),
+            F.max("fam_size").alias("max_family"),
+            F.sum("split").cast("long").alias("n_split_families"),
+        )
+    )

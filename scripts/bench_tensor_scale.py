@@ -56,6 +56,10 @@ def main() -> int:
         "CREATE VIEW emb AS SELECT * FROM "
         f"'{os.path.join(sf_dir, 'embeddings.parquet')}'"
     )
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{os.path.join(sf_dir, 'events.parquet')}'"
+    )
     duck_coords = """(
         SELECT vec_id, CAST(dim AS INTEGER) AS dim, CAST(v AS DOUBLE) AS v
         FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
@@ -364,11 +368,47 @@ def main() -> int:
         ).fetchone()
         return r[0], r[1]
 
+    def lstm_perkey():
+        from hive_reflex_spark.operators.nn import q68a_lstm_unrolled
+
+        out = q68a_lstm_unrolled(spark, sf_dir)
+        r = out.agg(
+            F.count("*"),
+            F.sum(F.round(F.col("h0") * U9).cast("long")
+                  + F.round(F.col("h1") * U9).cast("long")),
+        ).collect()[0]
+        return r[0], r[1]
+
+    def lstm_blocked():
+        from hive_reflex_spark.operators.nn import q68c_lstm_blocked
+
+        out = q68c_lstm_blocked(spark, sf_dir)
+        r = out.agg(
+            F.count("*"),
+            F.sum(F.round(F.col("h0") * U9).cast("long")
+                  + F.round(F.col("h1") * U9).cast("long")),
+        ).collect()[0]
+        return r[0], r[1]
+
+    def lstm_duck():
+        from hive_reflex_spark.registry import ORACLES
+
+        r = con.execute(
+            f"""SELECT COUNT(*),
+                   CAST(SUM(CAST(ROUND(h0 * {U9}) AS BIGINT)
+                        + CAST(ROUND(h1 * {U9}) AS BIGINT)) AS BIGINT)
+                FROM ({ORACLES['q68c_lstm_blocked']})"""
+        ).fetchone()
+        return r[0], r[1]
+
     run("attn_coord_spark", attn_coord)
     run("attn_blocked_spark", attn_blocked)
     run("attn_duckdb", attn_duck)
     run("conv_blocked_spark", conv_blocked)
     run("conv_duckdb", conv_duck)
+    run("lstm_perkey_spark", lstm_perkey)
+    run("lstm_blocked_spark", lstm_blocked)
+    run("lstm_duckdb", lstm_duck)
 
     gs, ga, gn, gd = (
         results["gram_coord_spark"],
@@ -382,6 +422,11 @@ def main() -> int:
         results["attn_duckdb"],
     )
     cb, cd = results["conv_blocked_spark"], results["conv_duckdb"]
+    lp, lb, ld = (
+        results["lstm_perkey_spark"],
+        results["lstm_blocked_spark"],
+        results["lstm_duckdb"],
+    )
     parity = (
         gs["checksum"] == ga["checksum"] == gn["checksum"] == gd["checksum"]
         and gs["rows"] == ga["rows"] == gn["rows"] == gd["rows"]
@@ -389,6 +434,8 @@ def main() -> int:
         and at["rows"] == ab["rows"] == ad["rows"]
         and cb["checksum"] == cd["checksum"]
         and cb["rows"] == cd["rows"]
+        and lp["checksum"] == lb["checksum"] == ld["checksum"]
+        and lp["rows"] == lb["rows"] == ld["rows"]
     )
     print(
         json.dumps(
@@ -406,6 +453,8 @@ def main() -> int:
                 "attn_ratio": round(at["sec"] / ad["sec"], 2),
                 "attn_blocked_ratio": round(ab["sec"] / ad["sec"], 2),
                 "conv_blocked_ratio": round(cb["sec"] / cd["sec"], 2),
+                "lstm_perkey_ratio": round(lp["sec"] / ld["sec"], 2),
+                "lstm_blocked_ratio": round(lb["sec"] / ld["sec"], 2),
             }
         )
     )
