@@ -30,10 +30,12 @@ from hive_reflex_spark import registry as _registry
 # the judged correctness surface. Round-7 window: the 13 queries that
 # registered after the r06 window froze (first driver rows — this
 # backlog re-forms every round because the registry grows against a
-# fixed 50-slot window; new queries lead the NEXT window by rule), the
-# query new THIS round (q66d), the greens whose code changed this round
-# (q78 star feed; q54/q158 truncating-division replay), and the stalest
-# r01/r02 hash-greens as re-confirmations.
+# fixed 50-slot window), the 16 queries NEW this round (blocked
+# kernel/recurrence tiers + the relational/pipeline batch, all
+# pre-verified oracle-green at sf0.001/sf0.01/sf1 and hostile-green),
+# the greens whose code changed this round (q78 star feed; q54/q158
+# truncating-division replay; q14 unit-exact sums), and the stalest
+# r01/r02 hash-greens in the remaining slots.
 _registry.finalize_order([
     # never driver-checked: registered late-r6 (q233-q245) — first rows
     "q233_media_dup_families",    # + r7 fix: byte-true oracle
@@ -49,15 +51,30 @@ _registry.finalize_order([
     "q243_markov_transitions",    # + r7 fix: absorbing-state self-loop
     "q244_dedup_pagerank",
     "q245_market_basket",
-    # NEW this round
+    # NEW this round (registered this round -> first driver rows now,
+    # not next round: zero never-checked queries at close)
     "q66d_attention_blocked",     # J6 fast path: numpy-blocked (0.03x)
     "q67b_conv2d_blocked",        # J4 fast path: per-image numpy kernel
+    "q68c_lstm_blocked",          # J5 fast path: batched recurrence (0.14x)
+    "q68d_gru_blocked",           # J5 GRU twin of q68c
+    "q246_interval_bucket_join",  # range join via bucket decomposition
+    "q247_name_linkage",          # blocked entity resolution + levenshtein
+    "q248_knn_graph_triangles",   # mutual-kNN triangles/homophily
+    "q249_quantile_normalize",    # cross-source distribution alignment
+    "q250_ngram_novelty",         # first-occurrence shingle fraction
+    "q251_pareto_skyline",        # 2-D frontier, single-sweep plan
+    "q252_nation_trade_volume",   # TPC-H Q7 analog
+    "q253_promo_revenue_share",   # TPC-H Q14 analog
+    "q254_brand_supplier_count",  # TPC-H Q16 analog
+    "q255_disjunctive_revenue",   # TPC-H Q19 analog (OR pushdown)
+    "q256_theil_sen",             # median-of-slopes robust trend
+    "q257_family_sharding",       # dedup-family-consistent placement
     # hash-green but code changed this round — re-verify
     "q78_dedup_clusters",         # edge feed switched to q49a star stream
     "q54_iir_lowpass",            # tdiv truncating-division replay
     "q158_ewma_smooth",           # tdiv truncating-division replay
     "q14_conditional_agg",        # unit-exact codegen sum fast path
-    # stalest hash-greens (r01/r02) re-confirm
+    # stalest hash-greens (r01/r02) re-confirm in the remaining slots
     "q72_accuracy_eval",
     "q73_distillation_kl",
     "q74_log_stats",
@@ -66,10 +83,6 @@ _registry.finalize_order([
     "q77_mixed_precision",
     "q69_rle_roundtrip",
     "q70_int4_pack",
-    "q71_artifact_checksums",
-    "q59_cost_partition_islands",
-    "q60_flash_layout",
-    "q61_liveness",
     "q42_token_stats",
     "q43_quality_score",
     "q44_lang_id",
@@ -79,16 +92,6 @@ _registry.finalize_order([
     "q48_minhash_signatures",
     "q49_lsh_candidates",
     "q50_simhash",
-    "q79_power_rollup",
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_top_revenue",
-    "q04_priority_semi_join",
-    "q05_customers_without_orders",
-    "q06_region_rollup",
-    "q07_customer_order_stats",
-    "q08_theta_join",
-    "q65_multimodal_meta",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118.)
     # NOTE: only the first 50 names are driver-checked; every query not

@@ -277,6 +277,38 @@ PICKS = {
         "one qid-keyed exchange serving the score aggregate, both softmax "
         "windows, and the output reduction."
     ),
+    "q246_interval_bucket_join": (
+        "Range join the scalable way: both interval sets explode into "
+        "hour buckets, the windows side broadcasts, and the exact overlap "
+        "predicate re-checks map-side — no BroadcastNestedLoopJoin theta "
+        "join anywhere in the plan."
+    ),
+    "q247_name_linkage": (
+        "Blocked entity resolution: the pair source is two equi-joins on "
+        "name tokens (block-capped), levenshtein evaluates only on "
+        "candidate rows after the distinct — never an all-pairs product."
+    ),
+    "q248_knn_graph_triangles": (
+        "Triangle counting on the mutual-3NN graph: degree <= k bounds "
+        "every wedge expansion; look for plain shuffled hash joins on "
+        "vertex ids and the single localCheckpoint reuse of the edge set."
+    ),
+    "q68c_lstm_blocked": (
+        "Batched recurrence: ONE salt-keyed exchange feeds "
+        "FlatMapGroupsInPandas; inside, every group advances all its "
+        "sequences one step per numpy int64 op — 5.4x the per-key tier, "
+        "bit-identical trajectory."
+    ),
+    "q255_disjunctive_revenue": (
+        "OR-of-conjunctions: the mixed disjunction can't push whole, but "
+        "the inferred per-side envelopes do — quantity range on the "
+        "lineitem scan, brand/size residual on the part scan."
+    ),
+    "q257_family_sharding": (
+        "Family-consistent placement: fingerprint reduce, constant-width "
+        "shard fan-out on the FAMILY table, then one hash join back to "
+        "docs on the fingerprint key the reduce already partitioned."
+    ),
 }
 
 
