@@ -69,6 +69,7 @@ _registry.finalize_order([
     "q255_disjunctive_revenue",   # TPC-H Q19 analog (OR pushdown)
     "q256_theil_sen",             # median-of-slopes robust trend
     "q257_family_sharding",       # dedup-family-consistent placement
+    "q258_prefix_filter_join",    # AllPairs/PPJoin lossless prefix filter
     # hash-green but code changed this round — re-verify
     "q78_dedup_clusters",         # edge feed switched to q49a star stream
     "q54_iir_lowpass",            # tdiv truncating-division replay
@@ -91,7 +92,6 @@ _registry.finalize_order([
     "q46_exact_dedup",
     "q48_minhash_signatures",
     "q49_lsh_candidates",
-    "q50_simhash",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118.)
     # NOTE: only the first 50 names are driver-checked; every query not

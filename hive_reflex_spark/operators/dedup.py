@@ -1240,3 +1240,177 @@ def q247_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts_a",
         "n_parts_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering similarity join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+PPJOIN_CAP = 8192  # q51a-style fence: candidate generation is bounded by
+# sum C(df_in_prefix, 2); on Zipf-tailed real text that is small, but the
+# synthetic fixture's ~60-word vocabulary makes even the rarest shingles
+# df~300 at 50k docs (218M candidate pairs, measured) — the cap keeps the
+# registered plan bounded on ANY corpus shape.
+
+
+@query(
+    "q258_prefix_filter_join",
+    oracle=f"""
+    WITH toks AS (SELECT DISTINCT doc_id, shingle FROM {DUCK_SHINGLES} sh
+                  WHERE doc_id < {PPJOIN_CAP}),
+         sigs AS (SELECT doc_id,
+                         md5(string_agg(shingle, chr(31)
+                             ORDER BY shingle)) AS sig
+                  FROM toks GROUP BY doc_id),
+         reps AS (SELECT sig, MIN(doc_id) AS rep,
+                         CAST(COUNT(*) AS BIGINT) AS fam
+                  FROM sigs GROUP BY sig),
+         rtoks AS (SELECT t.doc_id, t.shingle FROM toks t
+                   WHERE t.doc_id IN (SELECT rep FROM reps)),
+         dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+                   FROM rtoks GROUP BY shingle),
+         ranked AS (SELECT t.doc_id, t.shingle,
+                           ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                               ORDER BY d.df, t.shingle) AS pos,
+                           COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+                    FROM rtoks t JOIN dfreq d USING (shingle)),
+         prefix AS (SELECT doc_id, shingle, pos, n FROM ranked
+                    WHERE pos <= n - (n + 1) // 2 + 1),
+         cand AS (SELECT DISTINCT a.doc_id AS rep_a, b.doc_id AS rep_b
+                  FROM prefix a JOIN prefix b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  WHERE 2 * b.n >= a.n AND b.n <= 2 * a.n
+                    AND LEAST(a.n - a.pos, b.n - b.pos) + 1
+                        >= (a.n + b.n + 2) // 3),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM rtoks GROUP BY doc_id),
+         inter AS (SELECT c.rep_a, c.rep_b,
+                          CAST(COUNT(*) AS BIGINT) AS i
+                   FROM cand c
+                   JOIN rtoks ta ON ta.doc_id = c.rep_a
+                   JOIN rtoks tb ON tb.doc_id = c.rep_b
+                              AND tb.shingle = ta.shingle
+                   GROUP BY c.rep_a, c.rep_b)
+    SELECT rep_a, rep_b, fa.fam AS fam_a, fb.fam AS fam_b,
+           i AS intersection, sa.n + sb.n - i AS union_size,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON rep_a = sa.doc_id
+    JOIN sizes sb ON rep_b = sb.doc_id
+    JOIN (SELECT s.doc_id, r.fam FROM sigs s JOIN reps r USING (sig)) fa
+      ON rep_a = fa.doc_id
+    JOIN (SELECT s.doc_id, r.fam FROM sigs s JOIN reps r USING (sig)) fb
+      ON rep_b = fb.doc_id
+    WHERE 2 * i >= sa.n + sb.n - i
+    """,
+)
+def q258_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin prefix-filtering similarity join with the canonicalize-
+    first discipline: exact UNCAPPED shingle-Jaccard pairs at J >= 0.5
+    between DISTINCT shingle-set representatives. Three stacked LOSSLESS
+    filters bound the candidate join (all classic PPJoin theorems at
+    t = 1/2, verified against brute force by test):
+    - prefix filter: sets with J >= t must share a token among their
+      floor(n/2)+1 RAREST shingles under the global (df, shingle) order;
+    - length filter: J >= 1/2 forces n_b in [n_a/2, 2*n_a];
+    - positional filter: a match at prefix positions (pa, pb) can only
+      reach overlap alpha = ceil((na+nb)/3) if
+      min(na-pa, nb-pb) + 1 >= alpha.
+    The J test on survivors is exact-integer (2i >= union). This is the
+    OTHER skew family to q47's df-cap: q47 bounds posting lists and
+    redefines Jaccard over the capped universe; q258 keeps exact
+    full-universe Jaccard and bounds the JOIN instead.
+
+    The corpus fence (doc_id < PPJOIN_CAP) is load-bearing on ADVERSE
+    corpus shapes: candidate volume is sum C(df_in_prefix, 2), tiny on
+    Zipf-tailed real text but ~218M pairs (measured) on the synthetic
+    fixture's ~60-word vocabulary at 50k docs, where even the rarest
+    shingle of a doc is common. Production corpora drop the fence;
+    vocabulary-starved ones belong on q49's banded MinHash instead —
+    the docstring IS the decision rule."""
+    toks = distinct_shingles(spark, sf_dir).filter(
+        F.col("doc_id") < PPJOIN_CAP
+    )
+    sigs = toks.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(F.sort_array(F.collect_set("shingle")), "\x1f")
+        ).alias("sig")
+    )
+    reps = sigs.groupBy("sig").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("fam")
+    )
+    rep_ids = reps.select(F.col("rep").alias("doc_id"))
+    rtoks = toks.join(rep_ids, "doc_id", "left_semi")
+    dfreq = rtoks.groupBy("shingle").agg(F.count("*").alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        rtoks.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(wdoc))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.expr("(n + 1) div 2") + 1
+    ).select("doc_id", "shingle", "pos", "n")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (2 * F.col("b.n") >= F.col("a.n"))
+            & (F.col("b.n") <= 2 * F.col("a.n"))
+            & (
+                F.least(
+                    F.col("a.n") - F.col("a.pos"),
+                    F.col("b.n") - F.col("b.pos"),
+                )
+                + 1
+                >= F.expr("(a.n + b.n + 2) div 3")
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("rep_a"),
+            F.col("b.doc_id").alias("rep_b"),
+        )
+        .distinct()
+    )
+    sizes = rtoks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = rtoks.alias("ta")
+    tb = rtoks.alias("tb")
+    inter = (
+        cand.join(ta, F.col("rep_a") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("rep_b") == F.col("tb.doc_id"))
+            & (F.col("ta.shingle") == F.col("tb.shingle")),
+        )
+        .groupBy("rep_a", "rep_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    fam_of = sigs.join(reps, "sig").select(
+        F.col("doc_id").alias("fdoc"), "fam"
+    )
+    fa = fam_of.alias("fa")
+    fb = fam_of.alias("fb")
+    union_sz = F.col("sa.n") + F.col("sb.n") - F.col("i")
+    return (
+        inter.join(
+            sa.hint("shuffle_hash"), F.col("rep_a") == F.col("sa.doc_id")
+        )
+        .join(sb.hint("shuffle_hash"), F.col("rep_b") == F.col("sb.doc_id"))
+        .join(fa.hint("shuffle_hash"), F.col("rep_a") == F.col("fa.fdoc"))
+        .join(fb.hint("shuffle_hash"), F.col("rep_b") == F.col("fb.fdoc"))
+        .filter(2 * F.col("i") >= union_sz)
+        .select(
+            "rep_a",
+            "rep_b",
+            F.col("fa.fam").cast("long").alias("fam_a"),
+            F.col("fb.fam").cast("long").alias("fam_b"),
+            F.col("i").cast("long").alias("intersection"),
+            union_sz.cast("long").alias("union_size"),
+            F.round(F.col("i") * 1.0 / union_sz, 6).alias("jaccard"),
+        )
+    )

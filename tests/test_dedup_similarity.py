@@ -336,3 +336,42 @@ def test_numpy_matmul_path_matches_coordinate_baseline(spark, sf_smoke):
         ).collect()
     }
     assert base == fast
+
+
+def test_prefix_filter_is_lossless(spark, sf_smoke):
+    """q258's stacked PPJoin filters (prefix + length + positional) must
+    find EVERY representative pair with uncapped shingle-Jaccard >= 0.5
+    — verified against a brute-force all-pairs computation on collected
+    shingle sets, after the same exact-dup canonicalization."""
+    from hive_reflex_spark.operators.dedup import (
+        PPJOIN_CAP,
+        distinct_shingles,
+        q258_prefix_filter_join,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.rep_a, r.rep_b): (r.intersection, r.union_size)
+        for r in q258_prefix_filter_join(spark, sf_smoke).collect()
+    }
+    sets: dict[int, set] = {}
+    for r in (
+        distinct_shingles(spark, sf_smoke)
+        .filter(F.col("doc_id") < PPJOIN_CAP)
+        .collect()
+    ):
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    # canonicalize: one representative (min doc_id) per distinct set
+    by_sig: dict[frozenset, int] = {}
+    for d in sorted(sets):
+        by_sig.setdefault(frozenset(sets[d]), d)
+    reps = sorted(by_sig.values())
+    want = {}
+    for i, da in enumerate(reps):
+        for db in reps[i + 1 :]:
+            inter = len(sets[da] & sets[db])
+            union = len(sets[da] | sets[db])
+            if union and 2 * inter >= union:
+                want[(da, db)] = (inter, union)
+    assert want, "fixture should contain J>=0.5 pairs"
+    assert got == want
