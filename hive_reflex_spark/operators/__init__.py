@@ -75,6 +75,9 @@ _registry.finalize_order([
     "q54_iir_lowpass",            # tdiv truncating-division replay
     "q158_ewma_smooth",           # tdiv truncating-division replay
     "q14_conditional_agg",        # unit-exact codegen sum fast path
+    "q01_pricing_summary",        # unit-exact codegen sum fast path
+    "q03_top_revenue",            # unit-exact codegen sum fast path
+    "q07_customer_order_stats",   # unit-exact codegen sum fast path
     # stalest hash-greens (r01/r02) re-confirm in the remaining slots
     "q72_accuracy_eval",
     "q73_distillation_kl",
@@ -86,9 +89,6 @@ _registry.finalize_order([
     "q70_int4_pack",
     "q42_token_stats",
     "q43_quality_score",
-    "q44_lang_id",
-    "q45_fingerprint",
-    "q42a_bpe_token_count",
     "q46_exact_dedup",
     "q48_minhash_signatures",
     "q49_lsh_candidates",

@@ -215,6 +215,21 @@ def test_registry_window_covers_new_families():
         "q245_market_basket",
         "q66d_attention_blocked",    # new this round
         "q67b_conv2d_blocked",       # new this round
+        "q68c_lstm_blocked",         # new this round (batched recurrence)
+        "q68d_gru_blocked",          # new this round (batched recurrence)
+        "q246_interval_bucket_join", # new this round
+        "q247_name_linkage",         # new this round
+        "q248_knn_graph_triangles",  # new this round
+        "q249_quantile_normalize",   # new this round
+        "q250_ngram_novelty",        # new this round
+        "q251_pareto_skyline",       # new this round
+        "q252_nation_trade_volume",  # new this round
+        "q253_promo_revenue_share",  # new this round
+        "q254_brand_supplier_count", # new this round
+        "q255_disjunctive_revenue",  # new this round
+        "q256_theil_sen",            # new this round
+        "q257_family_sharding",      # new this round
+        "q258_prefix_filter_join",   # new this round
         "q78_dedup_clusters",        # code changed: star edge feed
         "q54_iir_lowpass",           # code changed: tdiv replay
         "q158_ewma_smooth",          # code changed: tdiv replay
