@@ -70,6 +70,8 @@ _registry.finalize_order([
     "q256_theil_sen",             # median-of-slopes robust trend
     "q257_family_sharding",       # dedup-family-consistent placement
     "q258_prefix_filter_join",    # AllPairs/PPJoin lossless prefix filter
+    "q259_rbo_rank_stability",    # rank-biased overlap between policies
+    "q260_lsh_banding_planner",   # S-curve tuning on observed J dist
     # hash-green but code changed this round — re-verify
     "q78_dedup_clusters",         # edge feed switched to q49a star stream
     "q54_iir_lowpass",            # tdiv truncating-division replay
@@ -86,9 +88,7 @@ _registry.finalize_order([
     "q76_weight_stats",
     "q77_mixed_precision",
     "q69_rle_roundtrip",
-    "q70_int4_pack",
     "q42_token_stats",
-    "q43_quality_score",
     "q46_exact_dedup",
     "q48_minhash_signatures",
     "q49_lsh_candidates",

@@ -1414,3 +1414,134 @@ def q258_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("i") * 1.0 / union_sz, 6).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding planner: S-curve configs scored on the observed corpus
+# ---------------------------------------------------------------------------
+
+_LSH_BUDGET = 8  # signature budget (hashes per doc — q48's MinHash count)
+
+
+def _lsh_planner_oracle() -> str:
+    from hive_reflex_spark.registry import ORACLES
+
+    q47_sql = ORACLES["q47_jaccard_pairs"].strip()
+    configs = ", ".join(
+        f"({b}, {_LSH_BUDGET // b})"
+        for b in (1, 2, 4, 8)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED (SELECT jaccard FROM ({q47_sql}) p),
+         cfg AS (SELECT * FROM (VALUES {configs}) AS t(b, r)),
+         scored AS (SELECT cfg.b, cfg.r, pairs.jaccard,
+                           1 - power(1 - power(pairs.jaccard, cfg.r), cfg.b)
+                               AS pcand
+                    FROM cfg, pairs)
+    SELECT CAST(b AS INTEGER) AS bands, CAST(r AS INTEGER) AS rows_per_band,
+           ROUND(power(1.0 / b, 1.0 / r), 6) AS j_at_half,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ROUND(pcand * 1000000000) AS BIGINT))
+                 AS BIGINT) / (COUNT(*) * 1000000000.0), 6)
+               AS expected_recall,
+           ROUND(1 - power(1 - power(0.5, r * 1.0), b * 1.0), 6) AS p_at_05,
+           ROUND(1 - power(1 - power(0.7, r * 1.0), b * 1.0), 6) AS p_at_07,
+           ROUND(1 - power(1 - power(0.9, r * 1.0), b * 1.0), 6) AS p_at_09
+    FROM scored GROUP BY b, r
+    """
+
+
+@query("q260_lsh_banding_planner", oracle=_lsh_planner_oracle())
+def q260_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding planner: for every (bands, rows) split of the 8-hash
+    signature budget, the S-curve P(candidate | J) = 1-(1-J^r)^b scored
+    against the CORPUS'S OWN verified near-dup pairs (q47's J >= 0.5
+    set) — expected recall is the mean S-curve value over the real
+    Jaccard distribution, not a textbook J. j_at_half = (1/b)^(1/r) is
+    each config's threshold midpoint; p_at_{{0.5,0.7,0.9}} read the
+    curve at reference similarities. This is the tuning table that
+    justifies q49's b=4, r=2 choice — and re-running it after a corpus
+    shift shows when the banding needs to move. Per-pair S-curve values
+    convert to 1e-9 integer units before averaging (order-independent
+    sum, the house float-aggregate discipline).
+
+    Scale (100 TB): the pair side is q47's verified near-dup set
+    (linear in corpus dups); the config side is 4 rows. Everything
+    downstream of the pair join is a 4-group aggregate."""
+    from hive_reflex_spark.operators.dedup import q47_jaccard_pairs
+
+    pairs = q47_jaccard_pairs(spark, sf_dir).select("jaccard")
+    cfg = spark.createDataFrame(
+        [(b, _LSH_BUDGET // b) for b in (1, 2, 4, 8)], "b int, r int"
+    )
+    scored = pairs.crossJoin(F.broadcast(cfg)).select(
+        "b",
+        "r",
+        (
+            1
+            - F.pow(
+                1 - F.pow(F.col("jaccard"), F.col("r").cast("double")),
+                F.col("b").cast("double"),
+            )
+        ).alias("pcand"),
+    )
+    return (
+        scored.groupBy(
+            F.col("b").cast("int").alias("bands"),
+            F.col("r").cast("int").alias("rows_per_band"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.round(F.col("pcand") * 1_000_000_000).cast("long")
+            ).alias("u"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            F.round(
+                F.pow(
+                    1.0 / F.col("bands"),
+                    1.0 / F.col("rows_per_band").cast("double"),
+                ),
+                6,
+            ).alias("j_at_half"),
+            "n_pairs",
+            F.round(
+                F.col("u") / (F.col("n_pairs") * 1_000_000_000.0), 6
+            ).alias("expected_recall"),
+            F.round(
+                1
+                - F.pow(
+                    1
+                    - F.pow(
+                        F.lit(0.5), F.col("rows_per_band").cast("double")
+                    ),
+                    F.col("bands").cast("double"),
+                ),
+                6,
+            ).alias("p_at_05"),
+            F.round(
+                1
+                - F.pow(
+                    1
+                    - F.pow(
+                        F.lit(0.7), F.col("rows_per_band").cast("double")
+                    ),
+                    F.col("bands").cast("double"),
+                ),
+                6,
+            ).alias("p_at_07"),
+            F.round(
+                1
+                - F.pow(
+                    1
+                    - F.pow(
+                        F.lit(0.9), F.col("rows_per_band").cast("double")
+                    ),
+                    F.col("bands").cast("double"),
+                ),
+                6,
+            ).alias("p_at_09"),
+        )
+    )

@@ -740,3 +740,123 @@ def q232_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_relevant",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap: ranking stability across scoring policies
+# ---------------------------------------------------------------------------
+
+_RBO_P = 0.9  # persistence: top-weighted, ~10-deep effective horizon
+_RBO_D = 20  # truncation depth
+
+
+@query(
+    "q259_rbo_rank_stability",
+    oracle=f"""
+    WITH feats AS (SELECT doc_id, source,
+                          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                          CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
+                   FROM {DUCK_WORDS} words
+                   GROUP BY doc_id, source),
+         ranked AS (SELECT source, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_tokens DESC, doc_id) AS ra,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_distinct DESC, doc_id) AS rb
+                    FROM feats),
+         inwin AS (SELECT source,
+                          GREATEST(ra, rb) AS m
+                   FROM ranked
+                   WHERE GREATEST(ra, rb) <= {_RBO_D}),
+         depths AS (SELECT source, d,
+                           CAST(COUNT(*) AS BIGINT) AS overlap
+                    FROM inwin, (SELECT unnest(range(1, {_RBO_D} + 1)) AS d)
+                    WHERE d >= m
+                    GROUP BY source, d),
+         terms AS (SELECT source,
+                          CAST(ROUND(power({_RBO_P}, d - 1) / d * overlap
+                               * 1000000000) AS BIGINT) AS u,
+                          CASE WHEN d = {_RBO_D} THEN overlap END AS ov_d
+                   FROM depths),
+    agg AS (SELECT source,
+                   ROUND(CAST(SUM(u) AS BIGINT) * {1.0 - _RBO_P}
+                         / 1000000000.0, 6) AS rbo,
+                   CAST(MAX(ov_d) AS BIGINT) AS overlap_at_d
+            FROM terms GROUP BY source)
+    SELECT s.source,
+           COALESCE(agg.rbo, 0.0) AS rbo,
+           COALESCE(agg.overlap_at_d, 0) AS overlap_at_d
+    FROM (SELECT DISTINCT source FROM documents) s
+    LEFT JOIN agg ON s.source = agg.source
+    """,
+)
+def q259_rbo_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.) between two curation ranking
+    policies — rank-by-length (total tokens) vs rank-by-vocabulary-
+    richness (distinct tokens) — per source: RBO@p=0.9 at depth 20, the
+    top-weighted agreement measure for "does switching the length
+    policy reorder what we'd actually keep?". Both rank keys are EXACT (integer
+    token counts; stop_ratio an int/int rational), so row_number agrees
+    across engines; each geometric term is converted to 1e-9 integer
+    units BEFORE summation, so the 20-term sum is order-independent —
+    the same discipline as every other float aggregate here.
+
+    Scale (100 TB): two windows per source partition and a depth
+    fan-out bounded by D=20 rows per doc IN THE WINDOW (not per corpus
+    doc — only docs with max(rank_a, rank_b) <= D survive the
+    pre-filter). Output is |sources| rows."""
+    words = doc_words(spark, sf_dir)
+    feats = words.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    wa = Window.partitionBy("source").orderBy(F.desc("n_tokens"), "doc_id")
+    wb = Window.partitionBy("source").orderBy(F.desc("n_distinct"), "doc_id")
+    ranked = feats.select(
+        "source",
+        "doc_id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    inwin = ranked.select(
+        "source", F.greatest("ra", "rb").alias("m")
+    ).filter(F.col("m") <= _RBO_D)
+    depths = (
+        inwin.select(
+            "source",
+            F.explode(F.sequence(F.col("m"), F.lit(_RBO_D))).alias("d"),
+        )
+        .groupBy("source", "d")
+        .agg(F.count("*").alias("overlap"))
+    )
+    term_u = F.round(
+        F.pow(F.lit(_RBO_P), F.col("d") - 1)
+        / F.col("d")
+        * F.col("overlap")
+        * 1_000_000_000
+    ).cast("long")
+    agg = (
+        depths.select(
+            "source",
+            term_u.alias("u"),
+            F.when(F.col("d") == _RBO_D, F.col("overlap")).alias("ov_d"),
+        )
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.sum("u") * (1.0 - _RBO_P) / 1_000_000_000.0, 6
+            ).alias("rbo"),
+            F.max("ov_d").cast("long").alias("overlap_at_d"),
+        )
+    )
+    # a source whose two top-D lists share NOTHING must still report
+    # (rbo = 0) — at corpus scale most sources disagree entirely and
+    # dropping them would return an empty, degenerate answer
+    sources = read_table(spark, sf_dir, "documents").select("source").distinct()
+    return sources.join(agg, "source", "left").select(
+        "source",
+        F.coalesce(F.col("rbo"), F.lit(0.0)).alias("rbo"),
+        F.coalesce(F.col("overlap_at_d"), F.lit(0)).cast("long").alias(
+            "overlap_at_d"
+        ),
+    )

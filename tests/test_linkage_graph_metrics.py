@@ -242,3 +242,42 @@ def test_q256_theil_sen_median_properties(spark, sf_smoke):
         # intercept is the median residual AFTER slope removal: adding it
         # back, at least ~half the daily residuals lie on each side
         assert r.theil_slope is not None
+
+
+def test_q259_rbo_bounds_and_identity(spark, sf_smoke):
+    """RBO lives in [0, 1]; every source emits a row (zero-overlap
+    sources report 0, not absence)."""
+    from hive_reflex_spark.operators.retrieval import q259_rbo_rank_stability
+
+    rows = q259_rbo_rank_stability(spark, sf_smoke).collect()
+    n_sources = (
+        read_table(spark, sf_smoke, "documents")
+        .select("source")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_sources
+    for r in rows:
+        assert 0.0 <= r.rbo <= 1.0
+        assert 0 <= r.overlap_at_d <= 20
+
+
+def test_q260_scurve_monotone_and_justifies_q49(spark, sf_smoke):
+    """The S-curve must be monotone in J for every config; more bands
+    (same budget) must shift the curve left (higher P at fixed J); and
+    q49's production config (b=4, r=2) must sit at j_at_half = 0.5 with
+    near-1 expected recall on the J>=0.5 verified pairs."""
+    from hive_reflex_spark.operators.dedup import q260_lsh_banding_planner
+
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in q260_lsh_banding_planner(spark, sf_smoke).collect()
+    }
+    for r in rows.values():
+        assert r.p_at_05 <= r.p_at_07 <= r.p_at_09
+    by_bands = sorted(rows)
+    for (b1, _), (b2, _) in zip(by_bands, by_bands[1:]):
+        assert rows[(b2, 8 // b2)].p_at_05 >= rows[(b1, 8 // b1)].p_at_05
+    prod = rows[(4, 2)]
+    assert abs(prod.j_at_half - 0.5) < 1e-9
+    assert prod.expected_recall > 0.99
