@@ -544,3 +544,49 @@ def test_gru_blocked_matches_per_key(spark, sf_smoke):
         for r in q68d_gru_blocked(spark, sf_smoke).collect()
     }
     assert base == blocked
+
+
+def test_lstm_blocked_handles_negative_and_edge_sequences(spark):
+    """The batched recurrence's padding/masking and SIGNED integer
+    semantics on inputs the fixture never exercises: negative values
+    (floor semantics on negative accumulators), single-event sequences,
+    duplicate timestamps (unique tie-break), and wildly unequal
+    sequence lengths within one salt group."""
+    from hive_reflex_spark.operators.nn import (
+        _LSTM_H,
+        _LSTM_XSCALE,
+        lstm_fixed_forward,
+        lstm_fixed_forward_blocked,
+    )
+
+    rows = []
+    eid = 0
+    # user 0: single event, negative value
+    rows.append((0, eid, 1_000_000, -55.25)); eid += 1
+    # user 16 (same salt as user 0): long mixed-sign sequence
+    for t in range(12):
+        rows.append((16, eid, 1_000_000 + t * 7, (-1) ** t * (3.7 * t + 0.01)))
+        eid += 1
+    # user 1: duplicate timestamps -> event_id tie-break is load-bearing
+    rows.append((1, eid, 2_000_000, 10.0)); eid += 1
+    rows.append((1, eid, 2_000_000, -10.0)); eid += 1
+    rows.append((1, eid, 2_000_000, 0.5)); eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, value double"
+    )
+    base = {
+        r.event_id: tuple(r[f"h{j}"] for j in range(_LSTM_H))
+        for r in lstm_fixed_forward(
+            df, ["user_id"], ["ts_us", "event_id"], "value",
+            _LSTM_XSCALE, _LSTM_H,
+        ).collect()
+    }
+    blocked = {
+        r.event_id: tuple(r[f"h{j}"] for j in range(_LSTM_H))
+        for r in lstm_fixed_forward_blocked(
+            df, "user_id", ["ts_us", "event_id"], "value",
+            _LSTM_XSCALE, _LSTM_H,
+        ).collect()
+    }
+    assert base == blocked
+    assert len(base) == len(rows)

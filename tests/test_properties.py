@@ -448,3 +448,49 @@ def test_unit_exact_sum_equals_round_form(spark, cents):
     ).first()
     assert got["a"] == got["b"]
     assert got["c2"] == got["d2"]
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=24), min_size=1, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_ppjoin_filter_stack_is_lossless(sets):
+    """Pure-model check of q258's three stacked candidate filters
+    (prefix + length + positional) at t = 1/2: for EVERY pair of sets
+    with Jaccard >= 0.5 there must exist a shared token that passes all
+    three predicates — over adversarial random set families, not just
+    the fixture. (The Spark/DuckDB twins implement exactly this math;
+    hypothesis hunts the corner the fixture can't.)"""
+    # global document frequency order, rarest first (df, token)
+    df: dict[int, int] = {}
+    for s in sets:
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    order = {tok: i for i, tok in enumerate(sorted(df, key=lambda t: (df[t], t)))}
+
+    def prefix(s):
+        n = len(s)
+        plen = n - (n + 1) // 2 + 1
+        ranked = sorted(s, key=lambda t: order[t])
+        return {t: i + 1 for i, t in enumerate(ranked[:plen])}, n
+
+    for i, sa in enumerate(sets):
+        for sb in sets[i + 1 :]:
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if not (union and 2 * inter >= union):
+                continue
+            pa, na = prefix(sa)
+            pb, nb = prefix(sb)
+            # length filter must admit every true pair
+            assert 2 * nb >= na and nb <= 2 * na, (na, nb, inter, union)
+            alpha = (na + nb + 2) // 3
+            survived = any(
+                min(na - pa[t], nb - pb[t]) + 1 >= alpha
+                for t in pa.keys() & pb.keys()
+            )
+            assert survived, (sorted(sa), sorted(sb), inter, union)
