@@ -309,6 +309,23 @@ PICKS = {
         "shard fan-out on the FAMILY table, then one hash join back to "
         "docs on the fingerprint key the reduce already partitioned."
     ),
+    "q258_prefix_filter_join": (
+        "PPJoin: the candidate join reads ONLY the prefix projection "
+        "(rarest floor(n/2)+1 shingles per set) with length+positional "
+        "predicates inline in the join condition; the exact-Jaccard "
+        "verify join is candidate-restricted."
+    ),
+    "q259_rbo_rank_stability": (
+        "RBO: two windows per source partition, a depth fan-out bounded "
+        "at D=20 per surviving doc, integer-unit geometric terms summed "
+        "in one hash aggregate — order-independent despite the float "
+        "curve."
+    ),
+    "q260_lsh_banding_planner": (
+        "Banding planner: q47's verified-pair stream joined against a "
+        "4-row broadcast config table; everything after the pair source "
+        "is a 4-group aggregate."
+    ),
 }
 
 

@@ -590,3 +590,43 @@ def test_lstm_blocked_handles_negative_and_edge_sequences(spark):
     }
     assert base == blocked
     assert len(base) == len(rows)
+
+
+def test_gru_blocked_handles_negative_and_edge_sequences(spark):
+    """q68d's padding/masking and signed semantics under the same
+    adversarial frame as the LSTM edge test."""
+    from hive_reflex_spark.operators.nn import (
+        _LSTM_H,
+        _LSTM_XSCALE,
+        gru_fixed_forward,
+        gru_fixed_forward_blocked,
+    )
+
+    rows = []
+    eid = 0
+    rows.append((0, eid, 1_000_000, -55.25)); eid += 1
+    for t in range(12):
+        rows.append((16, eid, 1_000_000 + t * 7, (-1) ** t * (3.7 * t + 0.01)))
+        eid += 1
+    rows.append((1, eid, 2_000_000, 10.0)); eid += 1
+    rows.append((1, eid, 2_000_000, -10.0)); eid += 1
+    rows.append((1, eid, 2_000_000, 0.5)); eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, value double"
+    )
+    base = {
+        r.event_id: tuple(r[f"h{j}"] for j in range(_LSTM_H))
+        for r in gru_fixed_forward(
+            df, ["user_id"], ["ts_us", "event_id"], "value",
+            _LSTM_XSCALE, _LSTM_H,
+        ).collect()
+    }
+    blocked = {
+        r.event_id: tuple(r[f"h{j}"] for j in range(_LSTM_H))
+        for r in gru_fixed_forward_blocked(
+            df, "user_id", ["ts_us", "event_id"], "value",
+            _LSTM_XSCALE, _LSTM_H,
+        ).collect()
+    }
+    assert base == blocked
+    assert len(base) == len(rows)
