@@ -72,6 +72,7 @@ _registry.finalize_order([
     "q258_prefix_filter_join",    # AllPairs/PPJoin lossless prefix filter
     "q259_rbo_rank_stability",    # rank-biased overlap between policies
     "q260_lsh_banding_planner",   # S-curve tuning on observed J dist
+    "q261_mmr_rerank",            # diversified rerank (aggregate-then-replay)
     # hash-green but code changed this round — re-verify
     "q78_dedup_clusters",         # edge feed switched to q49a star stream
     "q54_iir_lowpass",            # tdiv truncating-division replay
@@ -83,7 +84,6 @@ _registry.finalize_order([
     # stalest hash-greens (r01/r02) re-confirm in the remaining slots
     "q72_accuracy_eval",
     "q73_distillation_kl",
-    "q74_log_stats",
     "q75_cascade_stats",
     "q76_weight_stats",
     "q77_mixed_precision",

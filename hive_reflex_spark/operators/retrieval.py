@@ -860,3 +860,244 @@ def q259_rbo_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_at_d"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (aggregate-then-replay retrieval tier)
+# ---------------------------------------------------------------------------
+
+_MMR_NQ = 4  # query vectors: vec_id < 4
+_MMR_CAND = 12  # relevance candidates per query
+_MMR_K = 5  # diversified picks
+_MMR_LAMBDA = 0.7  # relevance weight (1-lambda penalizes redundancy)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as CTEs (the q92/q88 unrolled-iteration
+    technique): sel1 = argmax relevance; each later step scores the
+    remaining candidates 0.7*rel - 0.3*max(sim to selected) and picks
+    the (score DESC, cand) argmax."""
+    base = f"""
+    WITH coords AS (SELECT vec_id, CAST(dim AS INTEGER) AS dim,
+                           CAST(v AS DOUBLE) AS v
+                    FROM (SELECT vec_id,
+                                 unnest(range(len(embedding))) AS dim,
+                                 unnest(embedding) AS v
+                          FROM embeddings)),
+         norms AS (SELECT vec_id,
+                          sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000)
+                               AS BIGINT)) AS BIGINT) / 1000000000.0) AS nrm
+                   FROM coords GROUP BY vec_id),
+         rel AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                        (CAST(SUM(CAST(ROUND(q.v * c.v * 1000000000)
+                             AS BIGINT)) AS BIGINT) / 1000000000.0)
+                            / (nq.nrm * nc.nrm) AS rel
+                 FROM coords q JOIN coords c ON q.dim = c.dim
+                 JOIN norms nq ON q.vec_id = nq.vec_id
+                 JOIN norms nc ON c.vec_id = nc.vec_id
+                 WHERE q.vec_id < {_MMR_NQ} AND c.vec_id >= {_MMR_NQ}
+                 GROUP BY q.vec_id, c.vec_id, nq.nrm, nc.nrm),
+         cand AS (SELECT query_id, cand_id, rel FROM (
+                    SELECT query_id, cand_id, rel,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rel DESC, cand_id) AS rnk
+                    FROM rel) WHERE rnk <= {_MMR_CAND}),
+         sims AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+                         (CAST(SUM(CAST(ROUND(x.v * y.v * 1000000000)
+                              AS BIGINT)) AS BIGINT) / 1000000000.0)
+                             / (na.nrm * nb.nrm) AS sim
+                  FROM cand a JOIN cand b
+                    ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+                  JOIN coords x ON x.vec_id = a.cand_id
+                  JOIN coords y ON y.vec_id = b.cand_id AND x.dim = y.dim
+                  JOIN norms na ON a.cand_id = na.vec_id
+                  JOIN norms nb ON b.cand_id = nb.vec_id
+                  GROUP BY a.query_id, a.cand_id, b.cand_id,
+                           na.nrm, nb.nrm),
+         sel1 AS (SELECT query_id, cand_id,
+                         {_MMR_LAMBDA} * rel AS mmr_score, 1 AS rank
+                  FROM (SELECT query_id, cand_id, rel,
+                               ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rel DESC, cand_id) AS rn
+                        FROM cand) WHERE rn = 1)"""
+    prev_union = "SELECT query_id, cand_id FROM sel1"
+    ctes = [base]
+    for k in range(2, _MMR_K + 1):
+        ctes.append(f"""
+         pick{k} AS (SELECT c.query_id, c.cand_id,
+                            {_MMR_LAMBDA} * c.rel
+                            - {round(1 - _MMR_LAMBDA, 10)} * MAX(s.sim)
+                                AS mmr_score
+                     FROM cand c
+                     JOIN ({prev_union}) sel
+                       ON c.query_id = sel.query_id
+                     JOIN sims s ON s.query_id = c.query_id
+                              AND s.ca = c.cand_id
+                              AND s.cb = sel.cand_id
+                     WHERE c.cand_id NOT IN (
+                         SELECT cand_id FROM ({prev_union}) p
+                         WHERE p.query_id = c.query_id)
+                     GROUP BY c.query_id, c.cand_id, c.rel),
+         sel{k} AS (SELECT query_id, cand_id, mmr_score, {k} AS rank
+                    FROM (SELECT query_id, cand_id, mmr_score,
+                                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY mmr_score DESC, cand_id)
+                                     AS rn
+                          FROM pick{k}) WHERE rn = 1)""")
+        prev_union += f" UNION ALL SELECT query_id, cand_id FROM sel{k}"
+    selects = " UNION ALL ".join(
+        f"SELECT query_id, cand_id, mmr_score, rank FROM sel{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return (
+        ",".join(ctes)
+        + f"""
+    SELECT query_id, cand_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(mmr_score, 6) AS mmr_score
+    FROM ({selects}) ORDER BY query_id, rank"""
+    )
+
+
+@query("q261_mmr_rerank", oracle=_mmr_oracle())
+def q261_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified reranking: from each
+    query's top-12 cosine candidates, greedily pick 5 maximizing
+    0.7*relevance - 0.3*max(similarity to already-picked) — the
+    redundancy-aware rerank that stops near-duplicate passages from
+    filling a retrieval window (RAG context packing, eval-set dedup).
+    Aggregate-then-replay: ALL event-scale work (candidate cosines,
+    candidate-pair similarity matrix) happens in distributed integer-
+    unit exact aggregates; the inherently sequential greedy loop runs
+    per query over its bounded 12x12 block in one Arrow batch — the
+    q136/q159 discipline. The oracle unrolls the same 5 greedy steps as
+    CTEs; all scores derive from exact-integer dots, so the argmax
+    ranking (tie-break on cand_id) agrees across engines exactly.
+
+    Scale (100 TB): relevance is the q51/q52 pattern (queries
+    broadcast, corpus streams); the replay input is queries x
+    O(CAND^2) rows — candidate count, not corpus, bounds the Python
+    stage. Swap the candidate source for q102's IVF-PQ under the same
+    replay to serve at billion-vector scale."""
+    import pandas as pd
+
+    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.operators.tensor import embedding_coords
+
+    coords = embedding_coords(spark, sf_dir)
+    norms = coords.groupBy("vec_id").agg(
+        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+    )
+    q = coords.filter(F.col("vec_id") < _MMR_NQ).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("v").alias("qv")
+    )
+    nq = norms.alias("nq")
+    nc = norms.alias("nc")
+    rel = (
+        F.broadcast(q)
+        .join(coords.filter(F.col("vec_id") >= _MMR_NQ), "dim")
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(exact_sum(F.col("qv") * F.col("v"), 9).alias("dot"))
+        .join(F.broadcast(nq), F.col("query_id") == F.col("nq.vec_id"))
+        .join(F.broadcast(nc), F.col("cand_id") == F.col("nc.vec_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("dot") / (F.col("nq.nrm") * F.col("nc.nrm"))).alias(
+                "rel"
+            ),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    cand = (
+        rel.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= _MMR_CAND)
+        .drop("rnk")
+    )
+    # candidate-pair similarity matrix: bounded |queries| x CAND^2
+    ca = cand.alias("ca")
+    cb = cand.alias("cb")
+    x = coords.alias("x")
+    y = coords.alias("y")
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    sims = (
+        ca.join(
+            cb,
+            (F.col("ca.query_id") == F.col("cb.query_id"))
+            & (F.col("ca.cand_id") != F.col("cb.cand_id")),
+        )
+        .join(F.broadcast(x), F.col("ca.cand_id") == F.col("x.vec_id"))
+        .join(
+            F.broadcast(y),
+            (F.col("cb.cand_id") == F.col("y.vec_id"))
+            & (F.col("x.dim") == F.col("y.dim")),
+        )
+        .groupBy(
+            F.col("ca.query_id").alias("query_id"),
+            F.col("ca.cand_id").alias("ca_id"),
+            F.col("cb.cand_id").alias("cb_id"),
+        )
+        .agg(exact_sum(F.col("x.v") * F.col("y.v"), 9).alias("dot"))
+        .join(F.broadcast(na), F.col("ca_id") == F.col("na.vec_id"))
+        .join(F.broadcast(nb), F.col("cb_id") == F.col("nb.vec_id"))
+        .select(
+            "query_id",
+            "ca_id",
+            "cb_id",
+            (F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm"))).alias(
+                "sim"
+            ),
+        )
+    )
+    triples = cand.join(
+        sims,
+        (cand.query_id == sims.query_id) & (cand.cand_id == sims.ca_id),
+    ).select(
+        cand.query_id.alias("query_id"),
+        "cand_id",
+        "rel",
+        "cb_id",
+        "sim",
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(pdf["query_id"].iloc[0])
+        rels = {
+            int(c): float(r)
+            for c, r in pdf.groupby("cand_id")["rel"].first().items()
+        }
+        sim = {
+            (int(a), int(b)): float(s)
+            for a, b, s in zip(pdf["cand_id"], pdf["cb_id"], pdf["sim"])
+        }
+        remaining = sorted(rels)
+        picks = []
+        first = max(remaining, key=lambda c: (rels[c], -c))
+        picks.append((first, _MMR_LAMBDA * rels[first]))
+        remaining.remove(first)
+        while remaining and len(picks) < _MMR_K:
+            best, best_score = None, None
+            for c in remaining:
+                pen = max(sim[(c, s)] for s, _ in picks)
+                score = _MMR_LAMBDA * rels[c] - (1 - _MMR_LAMBDA) * pen
+                if best is None or (score, -c) > (best_score, -best):
+                    best, best_score = c, score
+            picks.append((best, best_score))
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(picks),
+                "cand_id": [c for c, _ in picks],
+                "rank": list(range(1, len(picks) + 1)),
+                "mmr_score": [round(s, 6) for _, s in picks],
+            }
+        )
+
+    return (
+        triples.groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            "query_id long, cand_id long, rank int, mmr_score double",
+        )
+        .orderBy("query_id", "rank")
+    )

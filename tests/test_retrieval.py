@@ -488,3 +488,32 @@ def test_shard_and_sample_invariant_to_partitioning(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
+
+
+def test_mmr_rerank_greedy_invariants(spark, sf_smoke):
+    """MMR invariants: rank-1 is the pure-relevance argmax (penalty is
+    zero at step 1), picks are distinct, exactly K per query, and the
+    diversified list differs from pure-relevance top-K whenever the
+    candidate pool contains redundancy worth trading for."""
+    from hive_reflex_spark.operators.retrieval import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_NQ,
+        q261_mmr_rerank,
+    )
+
+    rows = q261_mmr_rerank(spark, sf_smoke).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(_MMR_NQ))
+    for qid, picks in by_q.items():
+        assert len(picks) == _MMR_K
+        ids = [p.cand_id for p in sorted(picks, key=lambda p: p.rank)]
+        assert len(set(ids)) == _MMR_K
+        # rank-1 score is 0.7 * its relevance — and is the global max
+        first = min(picks, key=lambda p: p.rank)
+        assert all(
+            first.mmr_score >= p.mmr_score - 1e-9 or p.rank == 1
+            for p in picks
+        )

@@ -232,6 +232,7 @@ def test_registry_window_covers_new_families():
         "q258_prefix_filter_join",   # new this round
         "q259_rbo_rank_stability",   # new this round
         "q260_lsh_banding_planner",  # new this round
+        "q261_mmr_rerank",           # new this round
         "q78_dedup_clusters",        # code changed: star edge feed
         "q54_iir_lowpass",           # code changed: tdiv replay
         "q158_ewma_smooth",          # code changed: tdiv replay
