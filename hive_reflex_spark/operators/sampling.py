@@ -1120,3 +1120,145 @@ def q257_family_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("split").cast("long").alias("n_split_families"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage subset selection (submodular data selection)
+# ---------------------------------------------------------------------------
+
+_COV_CAND = 24  # candidate pool: most shingle-diverse docs
+_COV_K = 8  # greedy picks
+
+
+def _coverage_oracle() -> str:
+    """Unrolled greedy max-coverage: sel1 = candidate with the most
+    distinct shingles; each later step picks the candidate adding the
+    most UNSEEN shingles (ties -> smaller doc_id)."""
+    from hive_reflex_spark.operators.text import DUCK_SHINGLES
+
+    base = f"""
+    WITH dsh AS MATERIALIZED (SELECT DISTINCT doc_id, shingle
+                  FROM {DUCK_SHINGLES} sh),
+         sizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT)
+                   AS n FROM dsh GROUP BY doc_id),
+         cand AS MATERIALIZED (SELECT doc_id, n FROM (
+                    SELECT doc_id, n, ROW_NUMBER() OVER (
+                        ORDER BY n DESC, doc_id) AS rnk
+                    FROM sizes) WHERE rnk <= {_COV_CAND}),
+         ctoks AS MATERIALIZED (SELECT d.doc_id, d.shingle FROM dsh d
+                   JOIN cand USING (doc_id)),
+         universe AS (SELECT CAST(COUNT(DISTINCT shingle) AS BIGINT) AS u
+                      FROM ctoks),
+         sel1 AS (SELECT doc_id, n AS gain, 1 AS rank FROM (
+                    SELECT doc_id, n, ROW_NUMBER() OVER (
+                        ORDER BY n DESC, doc_id) AS rn FROM cand)
+                  WHERE rn = 1)"""
+    ctes = [base]
+    prev_sel = "SELECT doc_id FROM sel1"
+    for k in range(2, _COV_K + 1):
+        ctes.append(f"""
+         seen{k} AS MATERIALIZED (SELECT DISTINCT shingle FROM ctoks
+                     WHERE doc_id IN ({prev_sel})),
+         gains{k} AS (SELECT c.doc_id,
+                             CAST(COUNT(*) AS BIGINT) AS gain
+                      FROM ctoks c
+                      WHERE c.doc_id NOT IN ({prev_sel})
+                        AND c.shingle NOT IN (SELECT shingle FROM seen{k})
+                      GROUP BY c.doc_id),
+         allg{k} AS (SELECT cand.doc_id,
+                            COALESCE(g.gain, 0) AS gain
+                     FROM cand LEFT JOIN gains{k} g USING (doc_id)
+                     WHERE cand.doc_id NOT IN ({prev_sel})),
+         sel{k} AS (SELECT doc_id, gain, {k} AS rank FROM (
+                      SELECT doc_id, gain, ROW_NUMBER() OVER (
+                          ORDER BY gain DESC, doc_id) AS rn
+                      FROM allg{k}) WHERE rn = 1)""")
+        prev_sel += f" UNION ALL SELECT doc_id FROM sel{k}"
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, gain, rank FROM sel{k}"
+        for k in range(1, _COV_K + 1)
+    )
+    return (
+        ",".join(ctes)
+        + f"""
+    SELECT CAST(s.rank AS INTEGER) AS rank, s.doc_id, s.gain,
+           CAST(SUM(s.gain) OVER (ORDER BY s.rank) AS BIGINT)
+               AS covered,
+           ROUND(SUM(s.gain) OVER (ORDER BY s.rank) * 1.0
+                 / (SELECT u FROM universe), 6) AS coverage_frac
+    FROM ({selects}) s ORDER BY rank"""
+    )
+
+
+@query("q262_coverage_selection", oracle=_coverage_oracle())
+def q262_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage subset selection: from the 24 most
+    shingle-diverse documents, pick 8 that together cover the most
+    distinct shingles — the submodular data-selection primitive behind
+    "choose a small training subset that spans the corpus" (greedy is
+    (1-1/e)-optimal for coverage; ties break on doc_id so the pick
+    sequence is engine-deterministic; every number is an exact integer
+    except the final coverage fraction). Reports per-pick marginal
+    gain, running coverage, and the fraction of the candidate-pool
+    shingle universe covered — the diminishing-returns curve that says
+    when to stop adding data.
+
+    Aggregate-then-replay at scale: candidate selection is one reduce +
+    top-N; the greedy loop's input is the CANDIDATES' shingle rows
+    (bounded: N docs x their shingles, not the corpus), replayed in one
+    Arrow batch. The oracle unrolls the same 8 greedy steps as CTEs.
+    At 100 TB the candidate pool comes from any cheap diversity proxy
+    (q250 novelty, q106 prototypes) and the replay input stays
+    O(N x doc-size)."""
+    import pandas as pd
+
+    from hive_reflex_spark.operators.dedup import distinct_shingles
+
+    dsh = distinct_shingles(spark, sf_dir)
+    sizes = dsh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    wtop = Window.orderBy(F.desc("n"), "doc_id")
+    cand = (
+        sizes.withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") <= _COV_CAND)
+        .select("doc_id")
+    )
+    ctoks = dsh.join(F.broadcast(cand), "doc_id").withColumn(
+        "g", F.lit(1)
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        sets: dict[int, set] = {}
+        for d, s in zip(pdf["doc_id"], pdf["shingle"]):
+            sets.setdefault(int(d), set()).add(s)
+        universe = set().union(*sets.values()) if sets else set()
+        remaining = sorted(sets)
+        seen: set = set()
+        out = {"rank": [], "doc_id": [], "gain": [], "covered": [],
+               "coverage_frac": []}
+        for rank in range(1, _COV_K + 1):
+            if not remaining:
+                break
+            best = max(
+                remaining, key=lambda d: (len(sets[d] - seen), -d)
+            )
+            gain = len(sets[best] - seen)
+            seen |= sets[best]
+            remaining.remove(best)
+            out["rank"].append(rank)
+            out["doc_id"].append(best)
+            out["gain"].append(gain)
+            out["covered"].append(len(seen))
+            out["coverage_frac"].append(
+                round(len(seen) / len(universe), 6)
+            )
+        return pd.DataFrame(out)
+
+    return (
+        ctoks.groupBy("g")
+        .applyInPandas(
+            lambda pdf: greedy(pdf),
+            "rank int, doc_id long, gain long, covered long,"
+            " coverage_frac double",
+        )
+        .orderBy("rank")
+    )

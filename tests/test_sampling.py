@@ -138,3 +138,25 @@ def test_triplet_negatives_never_anchor_or_positive_heavy(spark, sf_smoke):
     per_anchor = collections.Counter(r.anchor for r in rows)
     assert all(v == _NEG_K for v in per_anchor.values())
     assert all(r.neg_id != r.anchor for r in rows)
+
+
+def test_coverage_selection_is_submodular_greedy(spark, sf_smoke):
+    """Greedy max-coverage invariants: marginal gains are non-increasing
+    (submodularity of the greedy sequence), running coverage is the
+    cumulative gain sum, and the fraction is monotone in (0, 1]."""
+    from hive_reflex_spark.operators.sampling import q262_coverage_selection
+
+    rows = sorted(
+        q262_coverage_selection(spark, sf_smoke).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows and rows[0].rank == 1
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains, reverse=True)
+    cum = 0
+    prev_frac = 0.0
+    for r in rows:
+        cum += r.gain
+        assert r.covered == cum
+        assert prev_frac <= r.coverage_frac <= 1.0
+        prev_frac = r.coverage_frac

@@ -233,6 +233,7 @@ def test_registry_window_covers_new_families():
         "q259_rbo_rank_stability",   # new this round
         "q260_lsh_banding_planner",  # new this round
         "q261_mmr_rerank",           # new this round
+        "q262_coverage_selection",   # new this round
         "q78_dedup_clusters",        # code changed: star edge feed
         "q54_iir_lowpass",           # code changed: tdiv replay
         "q158_ewma_smooth",          # code changed: tdiv replay
