@@ -74,6 +74,7 @@ _registry.finalize_order([
     "q260_lsh_banding_planner",   # S-curve tuning on observed J dist
     "q261_mmr_rerank",            # diversified rerank (aggregate-then-replay)
     "q262_coverage_selection",    # greedy max-coverage subset selection
+    "q263_containment_pairs",     # asymmetric subset/quote dedup
     # hash-green but code changed this round — re-verify
     "q78_dedup_clusters",         # edge feed switched to q49a star stream
     "q54_iir_lowpass",            # tdiv truncating-division replay
@@ -84,7 +85,6 @@ _registry.finalize_order([
     "q07_customer_order_stats",   # unit-exact codegen sum fast path
     # stalest hash-greens (r01/r02) re-confirm in the remaining slots
     "q72_accuracy_eval",
-    "q73_distillation_kl",
     "q76_weight_stats",
     "q77_mixed_precision",
     "q69_rle_roundtrip",

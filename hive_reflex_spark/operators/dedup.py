@@ -1545,3 +1545,125 @@ def q260_lsh_banding_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_at_09"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs (asymmetric near-dup: quotes / subset duplication)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q263_containment_pairs",
+    oracle=f"""
+    WITH dsh_all AS {_DUCK_DSH},
+         dsh AS (SELECT * FROM dsh_all WHERE shingle NOT IN
+                 (SELECT shingle FROM dsh_all
+                  GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF})),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM dsh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          CAST(COUNT(*) AS BIGINT) AS i
+                   FROM dsh a JOIN dsh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         directed AS (SELECT doc_a AS contained, doc_b AS container, i
+                      FROM pairs
+                      UNION ALL
+                      SELECT doc_b, doc_a, i FROM pairs)
+    SELECT d.contained, d.container, d.i AS intersection,
+           sc.n AS contained_size, sb.n AS container_size,
+           ROUND(d.i * 1.0 / sc.n, 6) AS containment,
+           ROUND(d.i * 1.0 / (sc.n + sb.n - d.i), 6) AS jaccard
+    FROM directed d
+    JOIN sizes sc ON d.contained = sc.doc_id
+    JOIN sizes sb ON d.container = sb.doc_id
+    WHERE 10 * d.i >= 7 * sc.n
+    """,
+)
+def q263_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(a in b) = |a∩b| / |a|
+    >= 0.7 over the df-capped shingle universe — the QUOTE/SUBSET
+    detector symmetric Jaccard misses (a 50-shingle doc fully embedded
+    in a 500-shingle doc has J≈0.1 but C=1.0; training corpora are full
+    of these — quoted posts, boilerplate-wrapped articles, excerpt
+    pages). Both directions are tested per co-occurring pair; the
+    jaccard column shows what the symmetric score would have said. The
+    0.7 threshold is the exact-integer test 10·i >= 7·|contained| — no
+    float boundary.
+
+    Scale (100 TB): the pair generator is q47's capped inverted index
+    (one groupBy(shingle), posting lists bounded by MAX_SHINGLE_DF, no
+    all-pairs anywhere); directionality is a projection, not a second
+    join. This is the third member of the skew-guard family: df-cap
+    (q47), join-bounding prefix filter (q258), and here the cap reused
+    for an asymmetric measure."""
+    dsh_all = distinct_shingles(spark, sf_dir)
+
+    def _postings() -> DataFrame:
+        return (
+            dsh_all.groupBy("shingle")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+            .filter(F.size("docs") <= MAX_SHINGLE_DF)
+        )
+
+    from hive_reflex_spark.io import df_cache_enabled
+
+    if df_cache_enabled():
+        grouped = cached_df(("q47_postings", sf_dir), _postings)
+    else:
+        grouped = _postings().persist()
+    sizes = (
+        grouped.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    pairs = (
+        grouped.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_expr).alias("pr"))
+        .select("pr.doc_a", "pr.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    directed = pairs.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        "i",
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("contained"),
+            F.col("doc_a").alias("container"),
+            "i",
+        )
+    )
+    sc = sizes.alias("sc")
+    sb = sizes.alias("sb")
+    return (
+        directed.join(
+            sc.hint("shuffle_hash"), F.col("contained") == F.col("sc.doc_id")
+        )
+        .join(
+            sb.hint("shuffle_hash"), F.col("container") == F.col("sb.doc_id")
+        )
+        .filter(10 * F.col("i") >= 7 * F.col("sc.n"))
+        .select(
+            "contained",
+            "container",
+            F.col("i").cast("long").alias("intersection"),
+            F.col("sc.n").cast("long").alias("contained_size"),
+            F.col("sb.n").cast("long").alias("container_size"),
+            F.round(F.col("i") * 1.0 / F.col("sc.n"), 6).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("i")
+                * 1.0
+                / (F.col("sc.n") + F.col("sb.n") - F.col("i")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -375,3 +375,19 @@ def test_prefix_filter_is_lossless(spark, sf_smoke):
                 want[(da, db)] = (inter, union)
     assert want, "fixture should contain J>=0.5 pairs"
     assert got == want
+
+
+def test_containment_dominates_jaccard(spark, sf_smoke):
+    """Containment invariants: C >= 0.7 on every emitted row, and
+    C >= J always (the union is at least the contained set), with
+    strict dominance whenever sizes differ."""
+    from hive_reflex_spark.operators.dedup import q263_containment_pairs
+
+    rows = q263_containment_pairs(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.containment >= 0.7 - 1e-9
+        assert r.containment >= r.jaccard - 1e-9
+        assert r.intersection <= r.contained_size
+        if r.container_size > r.contained_size:
+            assert r.containment > r.jaccard
