@@ -326,6 +326,21 @@ PICKS = {
         "4-row broadcast config table; everything after the pair source "
         "is a 4-group aggregate."
     ),
+    "q261_mmr_rerank": (
+        "MMR: distributed exact cosine aggregates feed a bounded "
+        "candidate-pair sim matrix; ONE FlatMapGroupsInPandas per query "
+        "runs the sequential greedy over its 12x12 block."
+    ),
+    "q262_coverage_selection": (
+        "Max-coverage: candidate selection is a reduce + top-N window; "
+        "the greedy replay input is candidates-only shingle rows through "
+        "a single constant-key FlatMapGroupsInPandas."
+    ),
+    "q263_containment_pairs": (
+        "Containment: q47's capped posting lists expand pairs in-array; "
+        "direction is a unionAll projection — no second pair join; the "
+        "size joins are shuffle-hash on doc id."
+    ),
 }
 
 
