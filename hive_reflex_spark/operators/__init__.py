@@ -75,6 +75,7 @@ _registry.finalize_order([
     "q261_mmr_rerank",            # diversified rerank (aggregate-then-replay)
     "q262_coverage_selection",    # greedy max-coverage subset selection
     "q263_containment_pairs",     # asymmetric subset/quote dedup
+    "q264_weighted_jaccard",      # tf-aware multiset similarity
     # hash-green but code changed this round — re-verify
     "q78_dedup_clusters",         # edge feed switched to q49a star stream
     "q54_iir_lowpass",            # tdiv truncating-division replay
@@ -84,7 +85,6 @@ _registry.finalize_order([
     "q03_top_revenue",            # unit-exact codegen sum fast path
     "q07_customer_order_stats",   # unit-exact codegen sum fast path
     # stalest hash-greens (r01/r02) re-confirm in the remaining slots
-    "q72_accuracy_eval",
     "q76_weight_stats",
     "q77_mixed_precision",
     "q69_rle_roundtrip",

@@ -1667,3 +1667,103 @@ def q263_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted (multiset) Jaccard — tf-aware near-dup similarity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q264_weighted_jaccard",
+    oracle=f"""
+    WITH sh_all AS (SELECT doc_id, shingle FROM {DUCK_SHINGLES} sh),
+         hot AS (SELECT shingle FROM (SELECT DISTINCT doc_id, shingle
+                                      FROM sh_all)
+                 GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF}),
+         tf AS (SELECT doc_id, shingle, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)
+                GROUP BY doc_id, shingle),
+         totals AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS total
+                    FROM tf GROUP BY doc_id),
+         shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                           CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS minsum
+                    FROM tf a JOIN tf b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b, minsum,
+           ta.total AS total_a, tb.total AS total_b,
+           ROUND(minsum * 1.0 / (ta.total + tb.total - minsum), 6)
+               AS weighted_jaccard
+    FROM shared
+    JOIN totals ta ON doc_a = ta.doc_id
+    JOIN totals tb ON doc_b = tb.doc_id
+    WHERE 5 * minsum >= 2 * (ta.total + tb.total - minsum)
+    """,
+)
+def q264_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard near-dup pairs at wJ >= 0.4:
+    wJ = Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b) over shingle term
+    frequencies — the tf-aware fourth member of the similarity family
+    (q47 exact set-J, q258 PPJoin, q263 containment). Set-Jaccard
+    treats a shingle repeated 50x the same as once, so template spam
+    with a repeated block looks less similar than it is; the multiset
+    form counts multiplicity. Σ max falls out of totals
+    (Ta + Tb - Σ min), so only the SHARED-shingle min-sum needs the
+    join; the wJ >= 0.4 test is exact-integer (5·minsum >= 2·union).
+    The df-cap applies to the same distinct-doc frequency rule as q47,
+    so a viral shingle bounds this pair stream identically.
+
+    Scale (100 TB): one tf reduce keyed on (doc, shingle), one
+    co-occurrence join keyed on shingle over capped postings, totals
+    ride the doc key. Same cost envelope as q47."""
+    sh_all = doc_shingles(spark, sf_dir)
+    dsh = distinct_shingles(spark, sf_dir)
+    hot = (
+        dsh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    tf = (
+        sh_all.join(F.broadcast(hot), "shingle", "left_anti")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count("*").alias("tf"))
+    )
+    totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("total"))
+    a = tf.alias("a")
+    b = tf.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.sum(F.least(F.col("a.tf"), F.col("b.tf"))).alias("minsum")
+        )
+    )
+    ta = totals.alias("ta")
+    tb = totals.alias("tb")
+    union_w = F.col("ta.total") + F.col("tb.total") - F.col("minsum")
+    return (
+        shared.join(
+            ta.hint("shuffle_hash"), F.col("doc_a") == F.col("ta.doc_id")
+        )
+        .join(tb.hint("shuffle_hash"), F.col("doc_b") == F.col("tb.doc_id"))
+        .filter(5 * F.col("minsum") >= 2 * union_w)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("minsum").cast("long").alias("minsum"),
+            F.col("ta.total").cast("long").alias("total_a"),
+            F.col("tb.total").cast("long").alias("total_b"),
+            F.round(F.col("minsum") * 1.0 / union_w, 6).alias(
+                "weighted_jaccard"
+            ),
+        )
+    )

@@ -391,3 +391,19 @@ def test_containment_dominates_jaccard(spark, sf_smoke):
         assert r.intersection <= r.contained_size
         if r.container_size > r.contained_size:
             assert r.containment > r.jaccard
+
+
+def test_weighted_jaccard_bounds(spark, sf_smoke):
+    """Multiset-Jaccard invariants: wJ in (0.4, 1], the shared min-sum
+    can't exceed either doc's total mass, and the implied multiset
+    union is at least the larger total."""
+    from hive_reflex_spark.operators.dedup import q264_weighted_jaccard
+
+    rows = q264_weighted_jaccard(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0.4 - 1e-9 <= r.weighted_jaccard <= 1.0
+        assert r.minsum <= min(r.total_a, r.total_b)
+        union = r.total_a + r.total_b - r.minsum
+        assert union >= max(r.total_a, r.total_b)
+        assert abs(r.weighted_jaccard - r.minsum / union) < 1e-6

@@ -235,6 +235,7 @@ def test_registry_window_covers_new_families():
         "q261_mmr_rerank",           # new this round
         "q262_coverage_selection",   # new this round
         "q263_containment_pairs",    # new this round
+        "q264_weighted_jaccard",     # new this round
         "q78_dedup_clusters",        # code changed: star edge feed
         "q54_iir_lowpass",           # code changed: tdiv replay
         "q158_ewma_smooth",          # code changed: tdiv replay
