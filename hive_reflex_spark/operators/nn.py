@@ -200,25 +200,26 @@ def attention_blocked(
 
     Every rounding site replays the coordinate chain's exact-integer
     discipline so the SAME oracle verifies both plans bit-for-bit:
-    score terms round half-away to 1e-9 units (numpy's half-even round
-    emulated as sign*floor(|x|+0.5) — the q30b parity trap), exp goes
-    through libm math.exp (DuckDB's exp; numpy's SIMD exp can sit one
-    ulp off a .5 boundary), softmax weights renormalize on the rounded
-    1e-6 grid, and the context reduction applies the exact_sum_round6
-    half-up at the integer level.
+    score terms round half-away to 1e-9 units via
+    ``rounding.round_half_away`` (bit-exact to C ``std::round`` =
+    DuckDB ROUND — numpy's round is half-even and sign*floor(|x|+0.5)
+    drifts at near-.5 boundaries), exp goes through libm math.exp
+    (DuckDB's exp; numpy's SIMD exp can sit one ulp off a .5 boundary),
+    softmax weights renormalize on the rounded 1e-6 grid, and the
+    context reduction applies the exact_sum_round6 half-up at the
+    integer level.
 
     ``q_df`` must have (qid long, embedding array) rows; ``kv_rows`` is
     the collected bounded side as (kid, embedding) rows."""
     import math
+
+    from hive_reflex_spark.operators.rounding import round_half_away as _half_away
 
     kv_ids = np.array([r[0] for r in kv_rows], dtype=np.int64)
     kv_mat = np.array([list(r[1]) for r in kv_rows], dtype=np.float64)
     sc = q_df.sparkSession.sparkContext
     b_ids, b_mat = sc.broadcast(kv_ids), sc.broadcast(kv_mat)
     inv = 1.0 / sqrt_d  # power-of-two divisor: x*inv == x/sqrt_d exactly
-
-    def _half_away(y: np.ndarray) -> np.ndarray:
-        return np.sign(y) * np.floor(np.abs(y) + 0.5)
 
     def blocks(batches):
         K = b_mat.value
@@ -236,7 +237,7 @@ def attention_blocked(
             # softmax on the 1e-6 grid: e = ROUND(exp(s - max), 6)
             sm = s - s.max(axis=1, keepdims=True)
             ex = np.frompyfunc(math.exp, 1, 1)(sm).astype(np.float64)
-            e6u = np.floor(ex * 1e6 + 0.5)  # exp >= 0: half-up
+            e6u = _half_away(ex * 1e6)  # exp >= 0: half-up == half-away
             e = e6u / 1e6
             w = e / (e6u.sum(axis=1, keepdims=True) / 1e6)
             # context: per-term round to 1e-9 units, half-up to 6dp
@@ -350,9 +351,11 @@ def conv2d_blocked(
 
     Exact-integer parity with the coordinate-join oracle: per-tap terms
     compute as (v * w) * 1e9 in that association and round half-away
-    (sign*floor(|x|+0.5) — numpy's round is half-even), per-pixel sums
-    stay integer-exact in float64 (<2^53), finals apply the
-    exact_sum_round6 half-up."""
+    via ``rounding.round_half_away`` (bit-exact to DuckDB ROUND —
+    numpy's round is half-even, sign*floor(|x|+0.5) drifts at near-.5
+    boundaries), per-pixel sums stay integer-exact in float64 (<2^53),
+    finals apply the exact_sum_round6 half-up."""
+    from hive_reflex_spark.operators.rounding import round_half_away
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         A = np.zeros((h, w_dim), dtype=np.float64)
@@ -364,8 +367,7 @@ def conv2d_blocked(
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 sub = A[1 + dy : h - 1 + dy, 1 + dx : w_dim - 1 + dx]
-                P = (sub * kernel_w) * 1e9
-                T += np.sign(P) * np.floor(np.abs(P) + 0.5)
+                T += round_half_away((sub * kernel_w) * 1e9)
         out = np.floor((T + 500.0) / 1000.0) / 1e6
         oy, ox = np.indices(T.shape)
         return pd.DataFrame(

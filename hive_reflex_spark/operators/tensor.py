@@ -319,9 +319,11 @@ def q30b_gram_matmul_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     other streams through mapInPandas in Arrow batches, and each batch
     computes its block of G as 64 vectorized outer-product
     accumulations (per-term ROUND to 1e-9 units — half-away-from-zero
-    emulated as sign*floor(|x|+0.5), since numpy's round is half-even
-    and ONE .5-landing term breaks engine parity). Identical
-    exact-integer semantics to q30/q30a, same 256-vector oracle.
+    via ``rounding.round_half_away``, bit-exact to C ``std::round`` =
+    DuckDB ROUND: numpy's own round is half-even, and the naive
+    sign*floor(|x|+0.5) spelling drifts across near-.5 boundaries).
+    Identical exact-integer semantics to q30/q30a, same 256-vector
+    oracle.
 
     Why this tier exists: of the three Gram plans, this is the one that
     inverts against a columnar in-process engine — sf1-size measurement
@@ -335,6 +337,8 @@ def q30b_gram_matmul_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     column blocks the same way."""
     import numpy as np
     import pandas as pd
+
+    from hive_reflex_spark.operators.rounding import round_half_away
 
     emb = (
         read_table(spark, sf_dir, "embeddings")
@@ -355,8 +359,7 @@ def q30b_gram_matmul_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             Ai = pdf["vec_id"].to_numpy(dtype=np.int64)
             C = np.zeros((len(Ai), len(Bi)), dtype=np.float64)
             for k in range(A.shape[1]):
-                P = np.outer(A[:, k], B[:, k]) * 1e9
-                C += np.sign(P) * np.floor(np.abs(P) + 0.5)
+                C += round_half_away(np.outer(A[:, k], B[:, k]) * 1e9)
             ii, jj = np.nonzero(Ai[:, None] <= Bi[None, :])
             yield pd.DataFrame(
                 {
