@@ -1157,16 +1157,15 @@ MAX_LINKAGE_BLOCK = 256  # skew guard: cap any blocking key's member count
                          split_part(name, ' ', 1) AS t1,
                          split_part(name, ' ', 2) AS t2
                   FROM names),
-         blocks AS (SELECT t1 AS bkey FROM toks GROUP BY t1
-                    HAVING COUNT(*) <= {MAX_LINKAGE_BLOCK}
-                    UNION
-                    SELECT t2 FROM toks GROUP BY t2
-                    HAVING COUNT(*) <= {MAX_LINKAGE_BLOCK}),
+         b1 AS (SELECT t1 FROM toks GROUP BY t1
+                HAVING COUNT(*) <= {MAX_LINKAGE_BLOCK}),
+         b2 AS (SELECT t2 FROM toks GROUP BY t2
+                HAVING COUNT(*) <= {MAX_LINKAGE_BLOCK}),
          cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b,
                          a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
                   FROM toks a JOIN toks b
-                    ON (a.t1 = b.t1 AND a.t1 IN (SELECT bkey FROM blocks))
-                       OR (a.t2 = b.t2 AND a.t2 IN (SELECT bkey FROM blocks))
+                    ON (a.t1 = b.t1 AND a.t1 IN (SELECT t1 FROM b1))
+                       OR (a.t2 = b.t2 AND a.t2 IN (SELECT t2 FROM b2))
                   WHERE a.name < b.name)
     SELECT name_a, name_b,
            CAST(levenshtein(name_a, name_b) AS INTEGER) AS lev,
@@ -1184,11 +1183,15 @@ def q247_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (catalogs are heavy-tailed: records >> entities), so the pair
         space is entities², not records²;
     (2) multi-pass blocking — candidate pairs come from equi-joins on
-        each name token (the record-linkage analog of LSH bands: a true
-        match within lev<=2 of a two-token name preserves at least one
-        token exactly), unioned and de-duplicated; a block bigger than
-        MAX_LINKAGE_BLOCK is a stop-token, dropped like q47's viral
-        shingles so no single key can go quadratic.
+        each name token (the record-linkage analog of LSH bands; recall
+        CONTRACT: pairs sharing t1 or t2 verbatim — a lev-2 pair that
+        spends one edit in EACH token preserves neither key and is
+        missed by design, the banding trade of bounded blocks over
+        guaranteed recall); the block cap is PER POSITION — a t1 value
+        is admitted iff its t1-count <= MAX_LINKAGE_BLOCK, regardless
+        of its count as a t2 — and a too-big block is a stop-token,
+        dropped like q47's viral shingles so no single key can go
+        quadratic.
     Levenshtein runs ONLY on surviving candidates — both engines
     implement the classic unit-cost edit distance, so the refine
     predicate agrees exactly.

@@ -869,7 +869,12 @@ def q259_rbo_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MMR_NQ = 4  # query vectors: vec_id < 4
 _MMR_CAND = 12  # relevance candidates per query
 _MMR_K = 5  # diversified picks
-_MMR_LAMBDA = 0.7  # relevance weight (1-lambda penalizes redundancy)
+_MMR_LAMBDA = 0.7  # relevance weight
+# redundancy weight: ONE constant used verbatim in both the SQL text and
+# the Python greedy — (1 - 0.7) is 0.30000000000000004, a different
+# double than literal 0.3, and a 1-ulp score skew can flip a 6dp
+# rounding boundary or a near-tied argmax between engines (ADVICE r7)
+_MMR_MU = 0.3
 
 
 def _mmr_oracle() -> str:
@@ -926,7 +931,7 @@ def _mmr_oracle() -> str:
         ctes.append(f"""
          pick{k} AS (SELECT c.query_id, c.cand_id,
                             {_MMR_LAMBDA} * c.rel
-                            - {round(1 - _MMR_LAMBDA, 10)} * MAX(s.sim)
+                            - {_MMR_MU} * MAX(s.sim)
                                 AS mmr_score
                      FROM cand c
                      JOIN ({prev_union}) sel
@@ -1049,9 +1054,13 @@ def q261_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # LEFT join: a query with exactly one relevance candidate has no
+    # candidate pairs in sims — an inner join would drop it here while
+    # the oracle's sel1 still emits its rank-1 pick (ADVICE r7)
     triples = cand.join(
         sims,
         (cand.query_id == sims.query_id) & (cand.cand_id == sims.ca_id),
+        "left",
     ).select(
         cand.query_id.alias("query_id"),
         "cand_id",
@@ -1066,9 +1075,12 @@ def q261_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             int(c): float(r)
             for c, r in pdf.groupby("cand_id")["rel"].first().items()
         }
+        paired = pdf.dropna(subset=["cb_id"])  # null = pairless candidate
         sim = {
             (int(a), int(b)): float(s)
-            for a, b, s in zip(pdf["cand_id"], pdf["cb_id"], pdf["sim"])
+            for a, b, s in zip(
+                paired["cand_id"], paired["cb_id"], paired["sim"]
+            )
         }
         remaining = sorted(rels)
         picks = []
@@ -1079,7 +1091,7 @@ def q261_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             best, best_score = None, None
             for c in remaining:
                 pen = max(sim[(c, s)] for s, _ in picks)
-                score = _MMR_LAMBDA * rels[c] - (1 - _MMR_LAMBDA) * pen
+                score = _MMR_LAMBDA * rels[c] - _MMR_MU * pen
                 if best is None or (score, -c) > (best_score, -best):
                     best, best_score = c, score
             picks.append((best, best_score))

@@ -76,12 +76,19 @@ def test_interval_join_matches_theta_join(spark, sf_smoke):
     assert got == want
 
 
-def test_name_linkage_blocking_is_lossless_at_lev2(spark, sf_smoke):
-    """For two-token names, any pair within lev<=2 must share a token
-    exactly (an edit budget of 2 cannot change both tokens of names
-    differing in >=1 char per token) — so blocking on (t1, t2) passes
-    loses nothing vs the full quadratic scan. Verify against the
-    all-pairs computation on the distinct-name table."""
+def test_name_linkage_blocking_recall_contract(spark, sf_smoke):
+    """q247's blocking recall CONTRACT: it finds exactly the lev<=2
+    pairs that share token t1 or token t2 verbatim. That is NOT all
+    lev<=2 pairs — a lev-2 pair can spend one edit in each token
+    ('cold gear' / 'bold geer') and preserve neither blocking key; both
+    the plan and the oracle miss such pairs by design (the LSH-banding
+    trade: bounded blocks over guaranteed recall; guaranteed lev<=2
+    recall needs pigeonhole 3-segment blocking, k+1 segments for
+    lev<=k). Verify the contract against the token-sharing subset of
+    the all-pairs computation on the distinct-name table. (On this
+    fixture the excluded class happens to be empty — which is exactly
+    why the old 'lossless' phrasing survived; the contract phrasing
+    stays correct on fixtures where it isn't.)"""
     got = {
         (r.name_a, r.name_b, r.lev)
         for r in q247_name_linkage(spark, sf_smoke).collect()
@@ -109,15 +116,66 @@ def test_name_linkage_blocking_is_lossless_at_lev2(spark, sf_smoke):
             prev = cur
         return prev[-1]
 
+    def toks(n):
+        parts = n.split(" ")
+        return parts[0], parts[1] if len(parts) > 1 else ""
+
     want = set()
+    excluded = set()
     for i, a in enumerate(names):
         for b in names[i + 1 :]:
             lo, hi = min(a, b), max(a, b)
             d = lev(lo, hi)
             if 1 <= d <= 2:
-                want.add((lo, hi, d))
+                ta, tb = toks(lo), toks(hi)
+                if ta[0] == tb[0] or ta[1] == tb[1]:
+                    want.add((lo, hi, d))
+                else:
+                    excluded.add((lo, hi, d))
     assert want, "fixture should contain near-miss name pairs"
     assert got == want
+
+
+def test_name_linkage_cap_straddle_plan_equals_oracle(spark, tmp_path):
+    """ADVICE r7 regression: a token whose t1-count exceeds
+    MAX_LINKAGE_BLOCK while its t2-count is under it. The per-position
+    cap must drop t1-blocked pairs for that token in BOTH engines —
+    the old oracle pooled t1/t2 keys into one block set and admitted
+    them. Built fixture: 'alpha' appears 258x as t1 (over cap, includes
+    a lev-1 pair 'alpha gearx'/'alpha geary' that must NOT surface) and
+    12x as t2 (under cap, includes a lev-1 pair 'betaa alpha'/'betab
+    alpha' that MUST surface via the t2 pass)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from hive_reflex_spark.registry import ORACLES
+
+    names = [f"alpha gear{i:03d}" for i in range(256)]
+    names += ["alpha gearx", "alpha geary"]          # t1 'alpha' count 258
+    names += [f"beta{c} alpha" for c in "0123456789"]
+    names += ["betaa alpha", "betab alpha"]          # t2 'alpha' count 12
+    pq.write_table(
+        pa.table({"p_name": names, "p_partkey": list(range(len(names)))}),
+        str(tmp_path / "part.parquet"),
+    )
+
+    got = {
+        (r.name_a, r.name_b, r.lev)
+        for r in e.queries()["q247_name_linkage"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM '{tmp_path}/part.parquet'"
+    )
+    want = {
+        (a, b, d)
+        for a, b, d, *_ in con.execute(ORACLES["q247_name_linkage"]).fetchall()
+    }
+    assert got == want
+    assert ("alpha gearx", "alpha geary", 1) not in got  # t1 over cap
+    assert ("betaa alpha", "betab alpha", 1) in got      # t2 under cap
 
 
 def test_knn_graph_metrics_invariants(spark, sf_smoke):

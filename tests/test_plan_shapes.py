@@ -40,6 +40,25 @@ def test_q03_broadcasts_dim_not_fact(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q03_aggregate_reuses_join_partitioning(spark, sf_smoke):
+    """q03's r8 shape: lineitem joins the segment-filtered orders side
+    (shuffle-hash), then aggregates on (l_orderkey, o_orderdate,
+    o_orderpriority) — l_orderkey is a subset of the group keys, so the
+    partial/final HashAggregate pair must run on the join's existing
+    hash(l_orderkey) partitioning with NO exchange in between, and the
+    top-k must be TakeOrderedAndProject (never a global sort)."""
+    plan = plan_of(spark, "q03_top_revenue", sf_smoke)
+    assert "ShuffledHashJoin" in plan, "fact-fact join lost the SHJ hint"
+    assert "TakeOrderedAndProject" in plan
+    join_to_topk = plan.split("ShuffledHashJoin")[0]
+    # the segment above the join (agg + top-k) must contain no exchange:
+    # everything between the join and TakeOrdered runs in one stage
+    agg_segment = join_to_topk.split("TakeOrderedAndProject")[-1]
+    assert "Exchange" not in agg_segment, (
+        "aggregate re-shuffles the join output — partitioning not reused"
+    )
+
+
 def test_filters_push_to_parquet_scan(spark, sf_smoke):
     plan = plan_of(spark, "q01_pricing_summary", sf_smoke)
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan

@@ -517,3 +517,50 @@ def test_mmr_rerank_greedy_invariants(spark, sf_smoke):
             first.mmr_score >= p.mmr_score - 1e-9 or p.rank == 1
             for p in picks
         )
+
+
+def test_mmr_single_candidate_query_matches_oracle(spark, tmp_path):
+    """ADVICE r7 regression: a degenerate corpus with exactly ONE
+    relevance candidate (5 vectors: 4 queries + 1 candidate) has no
+    candidate pairs, so the old inner join cand⋈sims dropped every
+    query from the Spark output while the oracle's sel1 still emitted
+    each rank-1 pick. The left-join form must emit rank 1 per query
+    with mmr_score = lambda*rel — identical to the oracle."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+    from hive_reflex_spark.registry import ORACLES
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(5, 64)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r for r in mat], type=pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    np.zeros(5, dtype=np.int32), type=pa.int32()
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    got = sorted(
+        (r.query_id, r.cand_id, r.rank, r.mmr_score)
+        for r in e.queries()["q261_mmr_rerank"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    want = sorted(
+        (q, c, r, s)
+        for q, c, r, s in con.execute(ORACLES["q261_mmr_rerank"]).fetchall()
+    )
+    assert len(got) == 4  # one rank-1 pick per query, none dropped
+    assert got == want
