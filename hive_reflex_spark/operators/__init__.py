@@ -27,71 +27,66 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-7 window: the 13 queries that
-# registered after the r06 window froze (first driver rows — this
-# backlog re-forms every round because the registry grows against a
-# fixed 50-slot window), the 16 queries NEW this round (blocked
-# kernel/recurrence tiers + the relational/pipeline batch, all
-# pre-verified oracle-green at sf0.001/sf0.01/sf1 and hostile-green),
-# the greens whose code changed this round (q78 star feed; q54/q158
-# truncating-division replay; q14 unit-exact sums), and the stalest
-# r01/r02 hash-greens in the remaining slots.
+# the judged correctness surface. Round-8 window (registry and judged
+# surface are in lockstep — no registration backlog): the 6 queries
+# whose code changed this round (changed code must be re-judged), then
+# the 44 stalest r01/r02 hash-greens per scripts/rotate_window.py
+# (VERDICT r7 item 4: convert standing local sweeps into fresh driver
+# evidence, oldest first).
 _registry.finalize_order([
-    # never driver-checked: registered late-r6 (q233-q245) — first rows
-    "q233_media_dup_families",    # + r7 fix: byte-true oracle
-    "q234_bootstrap_ci",
-    "q235_calibration_ece",
-    "q236_zorder_layout",
-    "q237_join_cardinality",
-    "q238_ks_drift",
-    "q239_conformal_interval",
-    "q240_power_iteration",
-    "q241_seasonal_decompose",
-    "q242_kaplan_meier",
-    "q243_markov_transitions",    # + r7 fix: absorbing-state self-loop
-    "q244_dedup_pagerank",
-    "q245_market_basket",
-    # NEW this round (registered this round -> first driver rows now,
-    # not next round: zero never-checked queries at close)
-    "q66d_attention_blocked",     # J6 fast path: numpy-blocked (0.03x)
-    "q67b_conv2d_blocked",        # J4 fast path: per-image numpy kernel
-    "q68c_lstm_blocked",          # J5 fast path: batched recurrence (0.14x)
-    "q68d_gru_blocked",           # J5 GRU twin of q68c
-    "q246_interval_bucket_join",  # range join via bucket decomposition
-    "q247_name_linkage",          # blocked entity resolution + levenshtein
-    "q248_knn_graph_triangles",   # mutual-kNN triangles/homophily
-    "q249_quantile_normalize",    # cross-source distribution alignment
-    "q250_ngram_novelty",         # first-occurrence shingle fraction
-    "q251_pareto_skyline",        # 2-D frontier, single-sweep plan
-    "q252_nation_trade_volume",   # TPC-H Q7 analog
-    "q253_promo_revenue_share",   # TPC-H Q14 analog
-    "q254_brand_supplier_count",  # TPC-H Q16 analog
-    "q255_disjunctive_revenue",   # TPC-H Q19 analog (OR pushdown)
-    "q256_theil_sen",             # median-of-slopes robust trend
-    "q257_family_sharding",       # dedup-family-consistent placement
-    "q258_prefix_filter_join",    # AllPairs/PPJoin lossless prefix filter
-    "q259_rbo_rank_stability",    # rank-biased overlap between policies
-    "q260_lsh_banding_planner",   # S-curve tuning on observed J dist
-    "q261_mmr_rerank",            # diversified rerank (aggregate-then-replay)
-    "q262_coverage_selection",    # greedy max-coverage subset selection
-    "q263_containment_pairs",     # asymmetric subset/quote dedup
-    "q264_weighted_jaccard",      # tf-aware multiset similarity
-    # hash-green but code changed this round — re-verify
-    "q78_dedup_clusters",         # edge feed switched to q49a star stream
-    "q54_iir_lowpass",            # tdiv truncating-division replay
-    "q158_ewma_smooth",           # tdiv truncating-division replay
-    "q14_conditional_agg",        # unit-exact codegen sum fast path
-    "q01_pricing_summary",        # unit-exact codegen sum fast path
-    "q03_top_revenue",            # unit-exact codegen sum fast path
-    "q07_customer_order_stats",   # unit-exact codegen sum fast path
-    # stalest hash-greens (r01/r02) re-confirm in the remaining slots
-    "q76_weight_stats",
-    "q77_mixed_precision",
-    "q69_rle_roundtrip",
-    "q42_token_stats",
-    "q46_exact_dedup",
-    "q48_minhash_signatures",
-    "q49_lsh_candidates",
+    # code changed this round — re-verify
+    "q03_top_revenue",            # join-then-agg plan (r8 perf lever)
+    "q247_name_linkage",          # per-position blocking-cap oracle fix
+    "q261_mmr_rerank",            # _MMR_MU single constant + left join
+    "q30b_gram_matmul_numpy",     # round_half_away bit-exact emulation
+    "q66d_attention_blocked",     # round_half_away bit-exact emulation
+    "q67b_conv2d_blocked",        # round_half_away bit-exact emulation
+    # stalest hash-greens: last driver-checked r01
+    "q72_accuracy_eval",
+    "q73_distillation_kl",
+    "q74_log_stats",
+    "q75_cascade_stats",
+    "q70_int4_pack",
+    "q71_artifact_checksums",
+    "q59_cost_partition_islands",
+    "q60_flash_layout",
+    "q61_liveness",
+    "q43_quality_score",
+    "q44_lang_id",
+    "q45_fingerprint",
+    "q42a_bpe_token_count",
+    "q50_simhash",
+    "q79_power_rollup",
+    "q02_filter_project",
+    "q04_priority_semi_join",
+    "q05_customers_without_orders",
+    "q06_region_rollup",
+    "q08_theta_join",
+    # stalest hash-greens: last driver-checked r02
+    "q65_multimodal_meta",
+    "q81_codec_dispatch",
+    "q82_lz4_roundtrip",
+    "q80_onnx_compile",
+    "q100_chunk_udtf",
+    "q85_hash_split",
+    "q86_stratified_sample",
+    "q87_decontaminate",
+    "q89_sequence_pack",
+    "q51a_embedding_neardup",
+    "q09_status_priority_cube",
+    "q10_topk_per_nation",
+    "q11_running_order_totals",
+    "q12_global_topk",
+    "q13_set_ops",
+    "q15_price_percentiles",
+    "q16_word_explode",
+    "q17_monthly_orders",
+    "q18_above_avg_orders",
+    "q19_gaps_islands",
+    "q20_sessionize",
+    "q21_event_pivot",
+    "q22_delta_encode",
+    "q23_moving_avg_predict",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118.)
     # NOTE: only the first 50 names are driver-checked; every query not
