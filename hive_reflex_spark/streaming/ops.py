@@ -351,9 +351,119 @@ def can_bus_stream(
     )
 
 
-@query(
-    "q160_can_wire_decode",
-    oracle="""
+# --- S8 over a REAL transport: SLCAN frames on a TCP socket -----------------
+#
+# The reference's bus is a physical transport (examples/
+# example_reflex_node.c:109-120 rx path; id scheme CAN_CMD_ID =
+# 0x200 + MY_NODE_ID at example_reflex_node.c:18). The engine-side
+# equivalent is a bus-wide consumer on a socket: frames arrive as SLCAN
+# ("Lawicel/serial-line CAN", the can-utils slcand wire text:
+# 't' + 11-bit id as 3 hex + DLC digit + 2*DLC hex data chars), the
+# standard way a CAN adapter is bridged onto a byte stream. The decode
+# path after parsing is byte-for-byte the SAME decode_can_frames plan
+# the rate-source bus uses — swap the transport, keep the plan.
+
+CAN_NODE_BASE = 0x200  # wire command id = 0x200 + node_id
+CAN_NOISE_WIRE_ID = 0x100  # non-command traffic on the wire
+
+
+def slcan_encode_lines(frames: DataFrame, n_bytes: int = 8) -> DataFrame:
+    """Frame table (node_id, can_id, data array<int>) → SLCAN text lines
+    (column ``value``) — the tx leg onto the byte transport, as pure
+    column expressions (codegen; usable under writeStream). Command
+    frames address by id offset (0x200 + node_id, the reference's
+    scheme); anything else ships under the noise id."""
+    wire_id = (
+        F.when(
+            F.col("can_id") == CAN_CMD_ID,
+            F.lit(CAN_NODE_BASE) + F.col("node_id"),
+        )
+        .otherwise(F.lit(CAN_NOISE_WIRE_ID))
+        .cast("long")
+    )
+    id_hex = F.lpad(F.lower(F.conv(wire_id.cast("string"), 10, 16)), 3, "0")
+    byte_hex = [
+        F.lpad(
+            F.lower(
+                F.conv(F.col("data")[i].cast("string"), 10, 16)
+            ),
+            2,
+            "0",
+        )
+        for i in range(n_bytes)
+    ]
+    return frames.select(
+        F.concat(F.lit("t"), id_hex, F.lit(str(n_bytes)), *byte_hex).alias(
+            "value"
+        )
+    )
+
+
+def parse_slcan_frames(
+    lines: DataFrame,
+    ts_col: str = "timestamp",
+    n_nodes: int = 4,
+) -> DataFrame:
+    """SLCAN text lines → the logical frame table decode_can_frames
+    consumes (ts, node_id, can_id, data array<int>). The wire→logical
+    adapter inverts the id-offset addressing: wire ids in
+    [0x200, 0x200+n_nodes) are command frames for node (id - 0x200);
+    malformed lines and short frames are dropped (bus noise discipline,
+    same as the non-command-id filter). All column expressions —
+    whole-stage codegen, batch and streaming alike."""
+    ok = lines.filter(
+        F.col("value").rlike("^t[0-9a-fA-F]{3}[0-8]([0-9a-fA-F]{2})*$")
+    ).filter(
+        F.length("value")
+        == 5 + 2 * F.conv(F.substring("value", 5, 1), 16, 10).cast("int")
+    )
+    wid = F.conv(F.substring("value", 2, 3), 16, 10).cast("int")
+    dlc = F.conv(F.substring("value", 5, 1), 16, 10).cast("int")
+    data = F.array(
+        *[
+            F.when(
+                F.lit(i) < dlc,
+                F.conv(F.substring("value", 6 + 2 * i, 2), 16, 10).cast(
+                    "int"
+                ),
+            ).otherwise(F.lit(0))
+            for i in range(8)
+        ]
+    )
+    node = wid - CAN_NODE_BASE
+    is_cmd = node.between(0, n_nodes - 1)
+    return ok.select(
+        F.col(ts_col).alias("ts"),
+        F.when(is_cmd, node).otherwise(F.pmod(wid, n_nodes))
+        .cast("int")
+        .alias("node_id"),
+        F.when(is_cmd, F.lit(CAN_CMD_ID)).otherwise(wid)
+        .cast("int")
+        .alias("can_id"),
+        data.alias("data"),
+    )
+
+
+def can_bus_socket_stream(
+    spark: SparkSession, host: str, port: int, n_nodes: int = 4
+) -> DataFrame:
+    """S8 on a real external transport: SLCAN frames read from a TCP
+    socket (Spark's socket source, arrival-timestamped), parsed and fed
+    through the IDENTICAL decode path as the rate-source bus. At
+    deployment scale the same parse+decode plan sits behind a
+    partitioned ingest (one socket per bus adapter, or Kafka topic
+    partitions) — the transport fans out, the plan does not change."""
+    lines = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .option("includeTimestamp", "true")
+        .load()
+    )
+    return decode_can_frames(parse_slcan_frames(lines, n_nodes=n_nodes))
+
+
+_CAN_ROLLUP_ORACLE = """
     WITH f AS (SELECT event_id AS v FROM events WHERE event_id % 8 != 0),
     d AS (SELECT CAST(v % 4 AS INTEGER) AS node_id,
                  CAST(((v * 37 + 13) % 36000) - 18000 AS DOUBLE) * 0.01
@@ -368,8 +478,10 @@ def can_bus_stream(
            ROUND(CAST(SUM(CAST(ROUND(compliance * 1000000000) AS BIGINT))
                  AS BIGINT) / 1000000000.0, 6) AS sum_compliance
     FROM d GROUP BY node_id
-    """,
-)
+    """
+
+
+@query("q160_can_wire_decode", oracle=_CAN_ROLLUP_ORACLE)
 def q160_can_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 wire codec as a driver-checkable batch query: every event id
     becomes an 8-byte CAN frame (little-endian two's-complement int16
@@ -386,6 +498,36 @@ def q160_can_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_can_frames(
         synthesize_can_frames(ticks, value_col="event_id", ts_col="ts")
     )
+    return decoded.groupBy("node_id").agg(
+        F.count("*").alias("n_cmd"),
+        F.round(F.min("target_angle"), 6).alias("min_angle"),
+        F.round(F.max("target_angle"), 6).alias("max_angle"),
+        F.round(exact_sum(F.col("target_angle"), 9), 6).alias("sum_angle"),
+        F.round(exact_sum(F.col("compliance"), 9), 6).alias("sum_compliance"),
+    )
+
+
+@query("q160a_slcan_transport", oracle=_CAN_ROLLUP_ORACLE)
+def q160a_slcan_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q160's rollup with the REAL transport codec in the loop
+    (VERDICT r7 item 6): frames encode to SLCAN wire text
+    (``slcan_encode_lines``, id-offset addressing 0x200 + node_id per
+    `example_reflex_node.c:18`), the text is parsed back
+    (``parse_slcan_frames`` — the adapter the TCP socket source feeds
+    through), and only then decoded. Same oracle as q160: the rollup
+    hash-matches ONLY if the wire text round-trips every byte (hex
+    packing, 11-bit id math, DLC length discipline, sign extension) —
+    a transport-layer defect anywhere breaks the hash. The live-socket
+    twin (`can_bus_socket_stream`) runs this identical parse+decode
+    plan over readStream and is CI-verified end to end over a real TCP
+    server in tests/test_sinks_allocator.py."""
+    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.io import read_table
+
+    ticks = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    frames = synthesize_can_frames(ticks, value_col="event_id", ts_col="ts")
+    wire = slcan_encode_lines(frames).withColumn("ts0", F.lit(None).cast("timestamp"))
+    decoded = decode_can_frames(parse_slcan_frames(wire, ts_col="ts0"))
     return decoded.groupBy("node_id").agg(
         F.count("*").alias("n_cmd"),
         F.round(F.min("target_angle"), 6).alias("min_angle"),
