@@ -36,6 +36,8 @@ from hive_reflex_spark import registry as _registry
 _registry.finalize_order([
     # NEW this round — first driver rows
     "q160a_slcan_transport",      # S8 real-transport wire codec (r7 item 6)
+    "q250a_stream_novelty",       # ingest-side novelty via stateful stream
+    "q256a_siegel_repeated_median",  # 50%-breakdown robust trend
     # code changed this round — re-verify
     "q03_top_revenue",            # join-then-agg plan (r8 perf lever)
     "q247_name_linkage",          # per-position blocking-cap oracle fix
@@ -86,8 +88,6 @@ _registry.finalize_order([
     "q18_above_avg_orders",
     "q19_gaps_islands",
     "q20_sessionize",
-    "q21_event_pivot",
-    "q22_delta_encode",
     # (q68/q28 stay OUT of the window: rows-only by design with standing
     # rows evidence and oracled twins q68a/q118.)
     # NOTE: only the first 50 names are driver-checked; every query not

@@ -3957,3 +3957,178 @@ def q256_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_intercept",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Siegel repeated-median trend (50% breakdown upgrade of q256)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256a_siegel_repeated_median",
+    oracle="""
+    WITH daily AS (SELECT event_type,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events GROUP BY 1, 2),
+         idx AS (SELECT event_type, cents,
+                        d - MIN(d) OVER (PARTITION BY event_type) AS x
+                 FROM daily),
+         pairs AS (SELECT a.event_type, a.x AS xi, b.x AS xj,
+                          (b.cents - a.cents) * 1.0
+                              / ((b.x - a.x) * 100.0) AS s
+                   FROM idx a JOIN idx b
+                     ON a.event_type = b.event_type AND a.x != b.x),
+         irank AS (SELECT event_type, xi, s,
+                          ROW_NUMBER() OVER (PARTITION BY event_type, xi
+                                             ORDER BY s, xj) AS rn,
+                          COUNT(*) OVER (PARTITION BY event_type, xi) AS m
+                   FROM pairs),
+         imed AS (SELECT event_type, xi, AVG(s) AS ms
+                  FROM irank
+                  WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+                  GROUP BY event_type, xi),
+         orank AS (SELECT event_type, ms,
+                          ROW_NUMBER() OVER (PARTITION BY event_type
+                                             ORDER BY ms, xi) AS rn,
+                          COUNT(*) OVER (PARTITION BY event_type) AS m
+                   FROM imed),
+         omed AS (SELECT event_type, CAST(MAX(m) AS BIGINT) AS n_days,
+                         AVG(ms) AS slope
+                  FROM orank
+                  WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+                  GROUP BY event_type),
+         resid AS (SELECT i.event_type, i.x,
+                          i.cents / 100.0 - o.slope * i.x AS r
+                   FROM idx i JOIN omed o ON i.event_type = o.event_type),
+         rr AS (SELECT event_type, r,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY r, x) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS m
+                FROM resid)
+    SELECT rr.event_type, o.n_days,
+           ROUND(o.slope, 6) AS siegel_slope,
+           ROUND(AVG(rr.r), 6) AS siegel_intercept
+    FROM rr JOIN omed o ON rr.event_type = o.event_type
+    WHERE rr.rn IN ((rr.m + 1) // 2, (rr.m + 2) // 2)
+    GROUP BY rr.event_type, o.n_days, o.slope
+    """,
+)
+def q256a_siegel_repeated_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Siegel repeated-median trend — q256's named upgrade (SURVEY §12):
+    slope = median over points i of (median over j != i of the pairwise
+    slope s_ij), intercept = median residual. Breakdown point 50% vs
+    Theil-Sen's 29%: HALF the days can be corrupted before the estimate
+    moves, because a poisoned day only perturbs its own inner median
+    and the outer median ignores a minority of poisoned inner medians.
+    Same exact-integer discipline as q256 (daily cent totals, day
+    indices → identical doubles on both engines; every median ranked
+    under a unique (value, tiebreak) order; even counts average the two
+    middle values — a commutative two-term mean).
+
+    Scale (100 TB): identical envelope to q256 — the pair stream is
+    per-type C(days, 2)-bounded (calendar-bounded, corpus grows in rows
+    per day, not days); the inner medians are one window partitioned by
+    (type, day), the outer one window per type. For unbounded x-domains
+    both estimators sample per group first; the repeated-median is the
+    one that stays robust when the sample itself is contaminated."""
+    events = read_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    wmin = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        (F.col("d") - F.min("d").over(wmin)).alias("x"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") != F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+        (
+            (F.col("b.cents") - F.col("a.cents"))
+            * 1.0
+            / ((F.col("b.x") - F.col("a.x")) * 100.0)
+        ).alias("s"),
+    )
+    wi = Window.partitionBy("event_type", "xi").orderBy("s", "xj")
+    wic = Window.partitionBy("event_type", "xi")
+    irank = pairs.select(
+        "event_type",
+        "xi",
+        "s",
+        F.row_number().over(wi).alias("rn"),
+        F.count("*").over(wic).alias("m"),
+    )
+    imed = (
+        irank.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type", "xi")
+        .agg(F.avg("s").alias("ms"))
+    )
+    wo = Window.partitionBy("event_type").orderBy("ms", "xi")
+    woc = Window.partitionBy("event_type")
+    orank = imed.select(
+        "event_type",
+        "ms",
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(woc).alias("m"),
+    )
+    omed = (
+        orank.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("m").cast("long").alias("n_days"),
+            F.avg("ms").alias("slope"),
+        )
+    )
+    resid = idx.join(F.broadcast(omed), "event_type").select(
+        "event_type",
+        "x",
+        (F.col("cents") / 100.0 - F.col("slope") * F.col("x")).alias("r"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("r", "x")
+    rr = resid.select(
+        "event_type",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(woc).alias("m"),
+    )
+    return (
+        rr.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .join(F.broadcast(omed), "event_type")
+        .groupBy("event_type", "n_days", "slope")
+        .agg(F.round(F.avg("r"), 6).alias("siegel_intercept"))
+        .select(
+            "event_type",
+            "n_days",
+            F.round("slope", 6).alias("siegel_slope"),
+            "siegel_intercept",
+        )
+    )

@@ -1252,3 +1252,157 @@ def q172_log_shipping_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming n-gram novelty (q250's ingest-side twin)
+# ---------------------------------------------------------------------------
+
+
+def stream_documents(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Documents replayed as an ingestion-ordered stream: the corpus is
+    staged once as ``n_chunks`` doc_id-range files (written in range
+    order, so the file source's oldest-first pickup replays ingestion
+    order) and read with maxFilesPerTrigger=1 — one corpus slice per
+    micro-batch, the batch clock the OTA loop also uses."""
+    import hashlib
+
+    import tempfile
+
+    from hive_reflex_spark.io import read_table
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"hrs_docstream_{hashlib.md5(f'{sf_dir}:{n_chunks}'.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.exists(os.path.join(work, "_STAGED")):
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        span = (int(hi) - int(lo) + n_chunks) // n_chunks
+        for i in range(n_chunks):  # sequential writes → mtime order
+            docs.filter(
+                (F.col("doc_id") >= int(lo) + i * span)
+                & (F.col("doc_id") < int(lo) + (i + 1) * span)
+            ).coalesce(1).write.mode("append").parquet(work)
+        open(os.path.join(work, "_STAGED"), "w").close()
+    return (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(work)
+    )
+
+
+@query(
+    "q250a_stream_novelty",
+    oracle="""
+    WITH words AS (SELECT doc_id, pos, w FROM (
+             SELECT doc_id,
+                    unnest(range(len(string_split(text, ' ')))) AS pos,
+                    unnest(string_split(text, ' ')) AS w
+             FROM documents)),
+         dsh AS (SELECT DISTINCT doc_id, shingle FROM (
+             SELECT doc_id, w || ' ' || w1 || ' ' || w2 AS shingle
+             FROM (SELECT doc_id, w,
+                          lead(w, 1) OVER win AS w1,
+                          lead(w, 2) OVER win AS w2
+                   FROM words
+                   WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+             WHERE w2 IS NOT NULL)),
+         first_seen AS (SELECT shingle, MIN(doc_id) AS first_doc
+                        FROM dsh GROUP BY shingle),
+         per_doc AS (SELECT d.doc_id,
+                            CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                            CAST(SUM(CASE WHEN f.first_doc = d.doc_id
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+                                AS n_novel
+                     FROM dsh d JOIN first_seen f USING (shingle)
+                     GROUP BY d.doc_id)
+    SELECT doc.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS total_novel,
+           ROUND(SUM(n_novel) * 1.0 / SUM(n_shingles), 6) AS novelty
+    FROM per_doc pd JOIN documents doc USING (doc_id)
+    GROUP BY doc.source
+    """,
+)
+def q250a_stream_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q250's novelty rate computed INGEST-SIDE over the document
+    stream (the builder-named r8 refinement): per-shingle state in the
+    state store records the first-seen doc; each arriving (doc,
+    shingle) pair is judged novel-or-derivative AT ARRIVAL, so a
+    curation pipeline can down-weight copy-heavy sources while
+    ingesting instead of waiting for a corpus-wide batch pass.
+
+    Determinism contract: the replay is ingestion-ordered (doc_id-range
+    chunks), and within a batch the minimum doc_id sharing a shingle
+    takes the novelty — so the at-arrival flags equal q250's batch
+    min(doc_id) first-occurrence exactly, and the per-source rollup
+    hash-matches the IDENTICAL oracle as q250.
+
+    Scale (100 TB): the stateful op shuffles on shingle ONCE; state is
+    one long per distinct shingle in RocksDB (the same key space the
+    batch min-reduce shuffles), GC-able by state TTL when novelty only
+    needs a trailing horizon; the per-batch work is Arrow-batched. The
+    rollup input is one row per distinct (doc, shingle) — identical
+    volume to q250's join output."""
+    docs = stream_documents(spark, sf_dir)
+    with_tokens = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    shingles = F.expr(
+        "CASE WHEN size(ws) >= 3 THEN "
+        "transform(sequence(0, size(ws) - 3), "
+        "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])) "
+        "ELSE array() END"
+    )
+    sh = with_tokens.select(
+        "doc_id", "source", F.explode(shingles).alias("shingle")
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        seen = state.get[0] if state.exists else None
+        docs_in_batch: dict[int, str] = {}
+        for pdf in pdfs:
+            for d, s in zip(pdf["doc_id"], pdf["source"]):
+                docs_in_batch.setdefault(int(d), s)
+        if not docs_in_batch:
+            return
+        batch_min = min(docs_in_batch)
+        if seen is None:
+            state.update((batch_min,))
+        ids = sorted(docs_in_batch)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids,
+                "source": [docs_in_batch[d] for d in ids],
+                "novel": [seen is None and d == batch_min for d in ids],
+            }
+        )
+
+    out = sh.groupBy("shingle").applyInPandasWithState(
+        fn,
+        outputStructType="doc_id long, source string, novel boolean",
+        stateStructType="first_doc long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(out, mode="update")
+    return emitted.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("total_shingles"),
+        F.sum(F.col("novel").cast("long")).alias("total_novel"),
+        F.round(
+            F.sum(F.col("novel").cast("long")) * 1.0 / F.count("*"), 6
+        ).alias("novelty"),
+    )

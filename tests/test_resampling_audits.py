@@ -338,3 +338,54 @@ def test_markov_handles_absorbing_destination_type(spark, tmp_path):
     for col in ("n_transitions", "p_transition", "stationary_to"):
         for g, w in zip(got[col], want[col]):
             assert abs(float(g) - float(w)) < 1e-12, (col, g, w)
+
+
+def test_siegel_survives_36pct_contamination_where_theil_sen_breaks(
+    spark, tmp_path
+):
+    """q256a's reason to exist: with 4 of 11 days corrupted (36% — above
+    Theil-Sen's 29% breakdown, below repeated-median's 50%), Siegel must
+    still recover the true slope of the clean days while Theil-Sen is
+    dragged away. Fixture: value = 2.0 * day on clean days, +1000 on
+    corrupted days; one event per (type, day) so daily totals are the
+    values themselves. Every clean day then sees a clean MAJORITY among
+    its pairwise slopes (6 clean vs 4 poisoned partners), so its inner
+    median is exactly 2.0 and the outer median (7 clean of 11) is too;
+    Theil-Sen's single median over all 55 pair slopes ranks into the
+    cross-pair region (27 slopes at 2.0, 28 above) and lands at 102."""
+    import datetime as dt
+
+    import __spark_entry__ as e
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for day in range(11):
+        clean = 2.0 * day
+        poison = clean + 1000.0
+        v = poison if day >= 7 else clean  # 4 of 11 days corrupted
+        rows.append(
+            (day, base + dt.timedelta(days=day), 1, "click", v, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    siegel = {
+        r.event_type: r.siegel_slope
+        for r in e.queries()["q256a_siegel_repeated_median"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    ts = {
+        r.event_type: r.theil_slope
+        for r in e.queries()["q256_theil_sen"](spark, str(tmp_path)).collect()
+    }
+    # clean-minority inner medians: each clean day's slope-to-others is
+    # majority-clean-to-poisoned... the repeated median of this fixture
+    # recovers 2.0 exactly; Theil-Sen's single median over all pairs is
+    # pulled far off the clean trend
+    assert abs(siegel["click"] - 2.0) < 1e-6, siegel
+    assert abs(ts["click"] - 2.0) > 10.0, ts
