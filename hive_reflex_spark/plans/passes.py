@@ -65,6 +65,81 @@ def fuse_matmul_add(layers: DataFrame) -> DataFrame:
     )
 
 
+def cancel_quant_dequant(layers: DataFrame) -> DataFrame:
+    """Quantize→Dequantize peephole (SURVEY §4.2's deferred rule; the
+    reference's semantic-fusion tier `mlir_compiler/optimizer.py:126-218`
+    rewrites its model graph the same way): a QuantizeLinear whose output
+    feeds ONLY the adjacent DequantizeLinear is a round-trip no-op at
+    the IR level — drop both nodes and rewire every consumer of the
+    dequantized tensor to the original float input.
+
+    Safety fence: if ANY other node consumes the quantized tensor (e.g.
+    an int8 matmul reading q alongside a dequant branch), the pair is
+    load-bearing and must survive — only sole-consumer pairs cancel.
+    Same join-based pattern-match shape as fuse_matmul_add: adjacency
+    equi-joins over the planner-scale IR table, broadcast probes, no
+    graph traversal."""
+    a = layers.alias("a")
+    b = layers.alias("b")
+    quant_out = F.col("a.outputs")[0]
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.model") == F.col("b.model"))
+        & (F.col("a.idx") + 1 == F.col("b.idx"))
+        & (F.col("a.op_type").isin("Quantize", "QuantizeLinear"))
+        & (F.col("b.op_type").isin("Dequantize", "DequantizeLinear"))
+        & F.arrays_overlap(F.col("a.outputs"), F.col("b.inputs")),
+    ).select(
+        F.col("a.model").alias("model"),
+        F.col("a.idx").alias("q_idx"),
+        F.col("b.idx").alias("dq_idx"),
+        quant_out.alias("q_out"),
+        F.col("a.inputs")[0].alias("orig_in"),
+        F.col("b.outputs")[0].alias("dq_out"),
+    )
+    # sole-consumer fence: count consumers of the quantized tensor
+    consumers = layers.select(
+        "model", "idx", F.explode("inputs").alias("tensor")
+    )
+    uses = consumers.groupBy("model", "tensor").agg(
+        F.count("*").alias("n_uses")
+    )
+    safe = (
+        pairs.join(
+            uses,
+            (pairs.model == uses.model) & (pairs.q_out == uses.tensor),
+            "left",
+        )
+        .filter(F.coalesce(F.col("n_uses"), F.lit(0)) <= 1)
+        .select(pairs.model, "q_idx", "dq_idx", "orig_in", "dq_out")
+    )
+    dead = safe.select(
+        "model", F.explode(F.array("q_idx", "dq_idx")).alias("idx")
+    )
+    rewires = F.broadcast(safe.select("model", "orig_in", "dq_out"))
+    kept = layers.join(F.broadcast(dead), ["model", "idx"], "left_anti")
+    # rewire consumers of each cancelled dequant output to the original
+    # float tensor (collect_list is planner-scale: one map per model)
+    rmap = rewires.groupBy("model").agg(
+        F.map_from_arrays(
+            F.collect_list("dq_out"), F.collect_list("orig_in")
+        ).alias("rw")
+    )
+    return (
+        kept.join(F.broadcast(rmap), "model", "left")
+        .withColumn(
+            "inputs",
+            F.when(
+                F.col("rw").isNotNull(),
+                F.transform(
+                    "inputs", lambda t: F.coalesce(F.col("rw")[t], t)
+                ),
+            ).otherwise(F.col("inputs")),
+        )
+        .drop("rw")
+    )
+
+
 CPU_FORCED_OPS = ("Softmax", "ReduceMean", "Reshape", "Transpose")
 
 

@@ -113,3 +113,38 @@ def test_fuse_matmul_add(spark):
     got = {r.idx: (r.op_type, list(r.outputs)) for r in fuse_matmul_add(layers).collect()}
     # MatMul+Add collapse to Gemm producing the Add's output; Add is gone
     assert got == {0: ("Gemm", ["y"]), 2: ("Relu", ["z"])}
+
+
+def test_cancel_quant_dequant_peephole(spark):
+    """SURVEY §4.2's deferred peephole: a Quantize whose output feeds
+    only the adjacent Dequantize cancels, and downstream consumers are
+    rewired to the original float tensor; a pair whose quantized tensor
+    has a second consumer is load-bearing and must survive intact."""
+    from hive_reflex_spark.plans.passes import cancel_quant_dequant
+
+    rows = [
+        # model "f": pure round-trip — must cancel, relu rewires x
+        ("f", 0, "q", "QuantizeLinear", None, None, ["x"], ["xq"]),
+        ("f", 1, "dq", "DequantizeLinear", None, None, ["xq"], ["xf"]),
+        ("f", 2, "relu", "Relu", None, None, ["xf"], ["y"]),
+        # model "g": the quantized tensor ALSO feeds an int8 matmul —
+        # the pair is load-bearing, nothing may change
+        ("g", 0, "q", "QuantizeLinear", None, None, ["x"], ["xq"]),
+        ("g", 1, "dq", "DequantizeLinear", None, None, ["xq"], ["xf"]),
+        ("g", 2, "mm", "MatMul", 4, 4, ["xq", "w"], ["z"]),
+        ("g", 3, "add", "Add", None, None, ["xf", "z"], ["y"]),
+    ]
+    layers = spark.createDataFrame(rows, LAYER_SCHEMA)
+    out = cancel_quant_dequant(layers)
+    got = {
+        (r.model, r.idx): (r.op_type, list(r.inputs), list(r.outputs))
+        for r in out.collect()
+    }
+    # f: both q/dq gone, relu reads the original float input
+    assert ("f", 0) not in got and ("f", 1) not in got
+    assert got[("f", 2)] == ("Relu", ["x"], ["y"])
+    # g: untouched, byte for byte
+    assert got[("g", 0)] == ("QuantizeLinear", ["x"], ["xq"])
+    assert got[("g", 1)] == ("DequantizeLinear", ["xq"], ["xf"])
+    assert got[("g", 2)] == ("MatMul", ["xq", "w"], ["z"])
+    assert got[("g", 3)] == ("Add", ["xf", "z"], ["y"])
