@@ -21,8 +21,11 @@ PICKS = {
         "reads 7 of 11 columns and both filter conjuncts reach parquet."
     ),
     "q03_top_revenue": (
-        "Dimension broadcast (customer) + AQE-planned fact join + "
-        "TakeOrderedAndProject for the global top-k."
+        "Dimension broadcast (customer) + shuffle-hash fact join with the "
+        "aggregate running ON the join's hash(l_orderkey) partitioning "
+        "(no exchange between join and agg) + TakeOrderedAndProject for "
+        "the global top-k. At cluster scale the runtime Bloom filter "
+        "prunes the lineitem shuffle to the segment-surviving ~20%."
     ),
     "q31_sparse_matmul": (
         "Threshold-skip sparse matmul: the |v| >= 0.05 filters sit in the "
