@@ -197,52 +197,19 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-7 rotation: the 13 late-r6 registrations getting their
-        # first driver rows, the query new this round, and the greens
-        # whose code changed this round
-        "q233_media_dup_families",   # never-checked tier (first rows)
-        "q234_bootstrap_ci",
-        "q235_calibration_ece",
-        "q236_zorder_layout",
-        "q237_join_cardinality",
-        "q238_ks_drift",
-        "q239_conformal_interval",
-        "q240_power_iteration",
-        "q241_seasonal_decompose",
-        "q242_kaplan_meier",
-        "q243_markov_transitions",
-        "q244_dedup_pagerank",
-        "q245_market_basket",
-        "q66d_attention_blocked",    # new this round
-        "q67b_conv2d_blocked",       # new this round
-        "q68c_lstm_blocked",         # new this round (batched recurrence)
-        "q68d_gru_blocked",          # new this round (batched recurrence)
-        "q246_interval_bucket_join", # new this round
-        "q247_name_linkage",         # new this round
-        "q248_knn_graph_triangles",  # new this round
-        "q249_quantile_normalize",   # new this round
-        "q250_ngram_novelty",        # new this round
-        "q251_pareto_skyline",       # new this round
-        "q252_nation_trade_volume",  # new this round
-        "q253_promo_revenue_share",  # new this round
-        "q254_brand_supplier_count", # new this round
-        "q255_disjunctive_revenue",  # new this round
-        "q256_theil_sen",            # new this round
-        "q257_family_sharding",      # new this round
-        "q258_prefix_filter_join",   # new this round
-        "q259_rbo_rank_stability",   # new this round
-        "q260_lsh_banding_planner",  # new this round
-        "q261_mmr_rerank",           # new this round
-        "q262_coverage_selection",   # new this round
-        "q263_containment_pairs",    # new this round
-        "q264_weighted_jaccard",     # new this round
-        "q78_dedup_clusters",        # code changed: star edge feed
-        "q54_iir_lowpass",           # code changed: tdiv replay
-        "q158_ewma_smooth",          # code changed: tdiv replay
-        "q14_conditional_agg",       # code changed: unit-exact fast sum
-        "q01_pricing_summary",       # code changed: unit-exact fast sum
-        "q03_top_revenue",           # code changed: unit-exact fast sum
-        "q07_customer_order_stats",  # code changed: unit-exact fast sum
+        # round-8 rotation: the registrations new this round get their
+        # first driver rows, and every query whose code changed this
+        # round is re-judged; the rest of the window is the 41 stalest
+        # r01/r02 hash-greens (scripts/rotate_window.py).
+        "q160a_slcan_transport",        # new: S8 real-transport wire codec
+        "q250a_stream_novelty",         # new: ingest-side novelty
+        "q256a_siegel_repeated_median", # new: 50%-breakdown trend
+        "q03_top_revenue",            # code changed: join-then-agg plan
+        "q247_name_linkage",          # code changed: per-position cap oracle
+        "q261_mmr_rerank",            # code changed: single MMR constant
+        "q30b_gram_matmul_numpy",     # code changed: round_half_away
+        "q66d_attention_blocked",     # code changed: round_half_away
+        "q67b_conv2d_blocked",        # code changed: round_half_away
     ):
         assert must in window, must
 
