@@ -27,17 +27,21 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-8 window (registry and judged
-# surface are in lockstep — no registration backlog): the 6 queries
-# whose code changed this round (changed code must be re-judged), then
-# the 44 stalest r01/r02 hash-greens per scripts/rotate_window.py
-# (VERDICT r7 item 4: convert standing local sweeps into fresh driver
-# evidence, oldest first).
+# the judged correctness surface. Round-8 window: the 6 registrations
+# new this round (first driver rows), the 6 queries whose code changed
+# this round (changed code must be re-judged), then the stalest r01/r02
+# hash-greens per scripts/rotate_window.py (VERDICT r7 item 4: convert
+# standing local sweeps into fresh driver evidence, oldest first; the
+# list is 53 long, so its last 3 names sit just outside the 50-slot
+# window and keep their standing r02 evidence).
 _registry.finalize_order([
     # NEW this round — first driver rows
     "q160a_slcan_transport",      # S8 real-transport wire codec (r7 item 6)
     "q250a_stream_novelty",       # ingest-side novelty via stateful stream
     "q256a_siegel_repeated_median",  # 50%-breakdown robust trend
+    "q265_hll_sketch_rollup",     # sketch-cube merge: hour→day registers
+    "q266_tput_topk_bounds",      # worst-case-bounded distributed top-k
+    "q267_bleu_candidate_score",  # clipped n-gram precision on LSH pairs
     # code changed this round — re-verify
     "q03_top_revenue",            # join-then-agg plan (r8 perf lever)
     "q247_name_linkage",          # per-position blocking-cap oracle fix

@@ -653,6 +653,152 @@ def q118_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q265_hll_sketch_rollup",
+    oracle=f"""
+    WITH hashed AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                           EXTRACT(hour FROM ts) AS hr,
+                           substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                               AS bucket,
+                           substr(md5(CAST(user_id AS VARCHAR)), 3, 29)
+                               AS suffix
+                    FROM events),
+         rho_hour AS (SELECT event_type, day, hr, bucket,
+                        CAST(MAX(
+                            4 * (29 - len(ltrim(suffix, '0')))
+                            + CASE WHEN ltrim(suffix, '0') = '' THEN 0
+                                   ELSE {_LZ_DIGIT.format(d="instr('0123456789abcdef', substr(ltrim(suffix, '0'), 1, 1)) - 1")}
+                              END + 1) AS BIGINT) AS m_j
+                 FROM hashed GROUP BY event_type, day, hr, bucket),
+         rho_day AS (SELECT event_type, day, bucket,
+                            CAST(MAX(m_j) AS BIGINT) AS m_j
+                     FROM rho_hour GROUP BY event_type, day, bucket),
+         hours AS (SELECT event_type, day,
+                          CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_hours
+                   FROM rho_hour GROUP BY event_type, day),
+         per_key AS (SELECT event_type, day,
+                            SUM(pow(2.0, -m_j)) AS sum_pow,
+                            CAST(COUNT(*) AS BIGINT) AS n_buckets
+                     FROM rho_day GROUP BY event_type, day),
+         est AS (SELECT event_type, day,
+                        CAST({_HLL_ALPHA} AS DOUBLE) * {HLL_M} * {HLL_M}
+                            / (sum_pow + ({HLL_M} - n_buckets)) AS e_raw,
+                        {HLL_M} - n_buckets AS zeros
+                 FROM per_key),
+         corrected AS (SELECT event_type, day,
+                              CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * {HLL_M} AND zeros > 0
+                                   THEN {HLL_M} * ln({HLL_M} * 1.0 / zeros)
+                                   ELSE e_raw END AS e
+                       FROM est),
+         exact AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                              AS exact_users
+                   FROM events GROUP BY event_type, CAST(ts AS DATE))
+    SELECT exact.event_type, exact.day, hours.n_hours, exact.exact_users,
+           CAST(ROUND(corrected.e) AS BIGINT) AS hll_users,
+           ROUND(abs(corrected.e - exact.exact_users)
+                 / exact.exact_users, 6) AS rel_error
+    FROM exact JOIN corrected USING (event_type, day)
+               JOIN hours USING (event_type, day)
+    """,
+)
+def q265_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ROLLUP-MERGE: per-(event_type, day, hour) register
+    tables are built once, then the per-day distinct-user estimate is
+    derived purely by MERGING the hour sketches (register-wise MAX) —
+    the events table is never rescanned at the coarser grain. This is
+    the property that makes sketches the right cube primitive at
+    100 TB: an hourly sketch cube is |keys|x256 integer rows, and every
+    coarser rollup (day, week, whole-corpus) is a grouped MAX over it, not
+    a second trillion-row scan. Same portable md5 construction as q118,
+    so the merged estimate hash-matches DuckDB exactly; exact per-day
+    distincts are joined alongside to pin the error.
+
+    Reference anchor: the profiling rollups that re-aggregate
+    per-window counters to session level (`tools/profiler.py`,
+    SURVEY A5) — here with a mergeable cardinality sketch instead of
+    additive counters."""
+    events = read_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    hashed = events.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+        F.substring(h, 1, 2).alias("bucket"),
+        F.substring(h, 3, 29).alias("suffix"),
+    )
+    nz = F.expr("trim(LEADING '0' FROM suffix)")
+    first_digit_val = F.expr(
+        "instr('0123456789abcdef', substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
+    )
+    lz_digit = (
+        F.when(first_digit_val >= 8, 0)
+        .when(first_digit_val >= 4, 1)
+        .when(first_digit_val >= 2, 2)
+        .otherwise(3)
+    )
+    rho_hour = (
+        hashed.select(
+            "event_type",
+            "day",
+            "hr",
+            "bucket",
+            (
+                4 * (29 - F.length(nz))
+                + F.when(nz == "", 0).otherwise(lz_digit)
+                + 1
+            ).cast("long").alias("r"),
+        )
+        .groupBy("event_type", "day", "hr", "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
+    # THE MERGE: day-level registers from hour-level registers only.
+    rho_day = rho_hour.groupBy("event_type", "day", "bucket").agg(
+        F.max("m_j").alias("m_j")
+    )
+    hours = rho_hour.groupBy("event_type", "day").agg(
+        F.countDistinct("hr").alias("n_hours")
+    )
+    per_key = rho_day.groupBy("event_type", "day").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_pow"),
+        F.count("*").alias("n_buckets"),
+    )
+    e_raw = (
+        _HLL_ALPHA * HLL_M * HLL_M
+        / (F.col("sum_pow") + (HLL_M - F.col("n_buckets")))
+    )
+    zeros = HLL_M - F.col("n_buckets")
+    corrected = per_key.select(
+        "event_type",
+        "day",
+        F.when(
+            (e_raw <= 2.5 * HLL_M) & (zeros > 0),
+            HLL_M * F.log(HLL_M * 1.0 / zeros),
+        )
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+    exact = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        exact.join(F.broadcast(corrected), ["event_type", "day"])
+        .join(F.broadcast(hours), ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "n_hours",
+            "exact_users",
+            F.round("e").cast("long").alias("hll_users"),
+            F.round(
+                F.abs(F.col("e") - F.col("exact_users"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_error"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Behavioral funnel + retention (event telemetry rollups)
 # ---------------------------------------------------------------------------

@@ -668,6 +668,177 @@ def q94_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q267_bleu_candidate_score",
+    oracle=f"""
+    WITH mh AS {_DUCK_MINHASH},
+         bands AS (SELECT doc_id, seed // {BAND_SIZE} AS band,
+                          MIN(CASE WHEN seed % {BAND_SIZE} = 0 THEN sig END)
+                          || MIN(CASE WHEN seed % {BAND_SIZE} = 1 THEN sig END)
+                              AS band_sig
+                   FROM mh GROUP BY doc_id, seed // {BAND_SIZE}),
+         hubs AS (SELECT band, band_sig, MIN(doc_id) AS hub,
+                         COUNT(*) AS bucket_size
+                  FROM bands GROUP BY band, band_sig),
+         cand AS (SELECT DISTINCT h.hub AS doc_a, b.doc_id AS doc_b
+                  FROM bands b JOIN hubs h USING (band, band_sig)
+                  WHERE h.bucket_size >= 2 AND b.doc_id <> h.hub),
+         toks AS (SELECT doc_id, pos, w FROM {DUCK_WORDS} t),
+         uni AS (SELECT doc_id, w AS g, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM toks GROUP BY doc_id, w),
+         bi AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+                FROM (SELECT doc_id,
+                             w || ' ' || lead(w) OVER (PARTITION BY doc_id
+                                                       ORDER BY pos) AS g
+                      FROM toks)
+                WHERE g IS NOT NULL GROUP BY doc_id, g),
+         lens AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM toks GROUP BY doc_id),
+         c1 AS (SELECT cand.doc_a, cand.doc_b,
+                       CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+                FROM cand JOIN uni a ON a.doc_id = cand.doc_a
+                          JOIN uni b ON b.doc_id = cand.doc_b AND b.g = a.g
+                GROUP BY cand.doc_a, cand.doc_b),
+         c2 AS (SELECT cand.doc_a, cand.doc_b,
+                       CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m
+                FROM cand JOIN bi a ON a.doc_id = cand.doc_a
+                          JOIN bi b ON b.doc_id = cand.doc_b AND b.g = a.g
+                GROUP BY cand.doc_a, cand.doc_b),
+         scored AS (SELECT cand.doc_a, cand.doc_b,
+                           COALESCE(c1.m, 0) AS m1,
+                           COALESCE(c2.m, 0) AS m2,
+                           la.n AS len_a, lb.n AS len_b
+                    FROM cand
+                    LEFT JOIN c1 ON c1.doc_a = cand.doc_a
+                                AND c1.doc_b = cand.doc_b
+                    LEFT JOIN c2 ON c2.doc_a = cand.doc_a
+                                AND c2.doc_b = cand.doc_b
+                    JOIN lens la ON la.doc_id = cand.doc_a
+                    JOIN lens lb ON lb.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, m1, m2, len_a, len_b,
+           ROUND(CASE WHEN m1 * 1.0 / len_a
+                           + m2 * 1.0 / GREATEST(len_a - 1, 1) = 0
+                      THEN 0.0
+                      ELSE (2 * (m1 * 1.0 / len_a)
+                              * (m2 * 1.0 / GREATEST(len_a - 1, 1)))
+                           / (m1 * 1.0 / len_a
+                              + m2 * 1.0 / GREATEST(len_a - 1, 1))
+                 END * LEAST(CAST(1.0 AS DOUBLE), len_a * 1.0 / len_b),
+                 6) AS bleu2
+    FROM scored
+    """,
+)
+def q267_bleu_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-style clipped n-gram precision over the LSH candidate pairs —
+    the MT-metric view of near-duplication (modified unigram/bigram
+    precision with clipping, combined by harmonic mean with a linear
+    brevity penalty). Where Jaccard (q94's gate) treats a document as a
+    shingle SET, this scores the token MULTISET with repetition-aware
+    clipping: min(count_a(g), count_b(g)) — the standard n-gram overlap
+    audit run on generated-text corpora to catch training-data echo.
+
+    Exactness: m1/m2/lengths are exact integers; both engines then
+    evaluate the IDENTICAL rational expression (2*p1*p2)/(p1+p2) * bp in
+    binary64, so the 6dp rounding hash-matches.
+
+    Scale: pairs come from q49a's STAR candidate stream — every bucket
+    member scores against its family hub (doc_a = the bucket's min
+    doc_id), not against every other member. On the duplicate-dense sf1
+    corpus that is 143k pairs instead of q49's 11.1M all-pairs (the
+    same blowup q78 dodged the same way); per-doc n-gram counts are
+    linear scan-side aggregates and the clipped intersection touches
+    only candidate docs' gram rows — verify-on-candidates-only, with
+    n-gram tables instead of shingle sets."""
+    docs = read_table(spark, sf_dir, "documents")
+    mh = minhash_signatures(spark, sf_dir)
+    bands = cached_df(("q49_bands", sf_dir), lambda: bands_from_minhash(mh))
+    hubs = bands.groupBy("band", "band_sig").agg(
+        F.min("doc_id").alias("hub"),
+        F.count("*").alias("bucket_size"),
+    )
+    cand = (
+        bands.join(hubs, ["band", "band_sig"])
+        .filter(
+            (F.col("bucket_size") >= 2) & (F.col("doc_id") != F.col("hub"))
+        )
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    uni = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    bigram_arr = F.expr(
+        "CASE WHEN size(ws) >= 2 THEN "
+        "transform(sequence(0, size(ws) - 2), "
+        "i -> concat_ws(' ', ws[i], ws[i+1])) "
+        "ELSE array() END"
+    )
+    bi = (
+        toks.select("doc_id", F.explode(bigram_arr).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    lens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+
+    def clipped(grams: DataFrame, out: str) -> DataFrame:
+        a, b = grams.alias("a"), grams.alias("b")
+        return (
+            cand.join(a, F.col("a.doc_id") == F.col("doc_a"))
+            .join(
+                b,
+                (F.col("b.doc_id") == F.col("doc_b"))
+                & (F.col("b.g") == F.col("a.g")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least(F.col("a.c"), F.col("b.c"))).alias(out))
+        )
+
+    scored = (
+        cand.join(clipped(uni, "_m1"), ["doc_a", "doc_b"], "left")
+        .join(clipped(bi, "_m2"), ["doc_a", "doc_b"], "left")
+        .join(
+            lens.select(
+                F.col("doc_id").alias("doc_a"), F.col("n").alias("len_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("doc_b"), F.col("n").alias("len_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("_m1", F.lit(0)).cast("long").alias("m1"),
+            F.coalesce("_m2", F.lit(0)).cast("long").alias("m2"),
+            "len_a",
+            "len_b",
+        )
+    )
+    p1 = F.col("m1") * 1.0 / F.col("len_a")
+    p2 = F.col("m2") * 1.0 / F.greatest(F.col("len_a") - 1, F.lit(1))
+    f_mean = F.when(p1 + p2 == 0, F.lit(0.0)).otherwise(
+        (F.lit(2) * p1 * p2) / (p1 + p2)
+    )
+    bp = F.least(F.lit(1.0), F.col("len_a") * 1.0 / F.col("len_b"))
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "m1",
+        "m2",
+        "len_a",
+        "len_b",
+        F.round(f_mean * bp, 6).alias("bleu2"),
+    )
+
+
+@query(
     "q103_repeated_spans",
     oracle="""
     WITH spans AS (

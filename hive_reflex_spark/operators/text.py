@@ -870,6 +870,129 @@ def q114_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distributed top-k with deterministic bounds (TPUT)
+# ---------------------------------------------------------------------------
+
+TPUT_P = 32  # partitions ("nodes"); scales with the cluster, not the data
+TPUT_M = 20  # local top-m shipped per partition
+TPUT_K = 10  # global top-k reported
+
+# bucket = (first two md5 hex digits as 0..255) mod P — portable + uniform
+_TPUT_BUCKET = (
+    "((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 "
+    "+ instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) "
+    f"% {TPUT_P}"
+)
+
+
+@query(
+    "q266_tput_topk_bounds",
+    oracle=f"""
+    WITH words AS (SELECT doc_id, w FROM {DUCK_WORDS} words),
+         cnts AS (SELECT {_TPUT_BUCKET} AS b, w,
+                         CAST(COUNT(*) AS BIGINT) AS c
+                  FROM words GROUP BY {_TPUT_BUCKET}, w),
+         ranked AS (SELECT b, w, c,
+                           ROW_NUMBER() OVER (PARTITION BY b
+                                              ORDER BY c DESC, w) AS rn
+                    FROM cnts),
+         locals_ AS (SELECT b, w, c FROM ranked WHERE rn <= {TPUT_M}),
+         taus AS (SELECT nodes.b,
+                         COALESCE(t.tau, 0) AS tau
+                  FROM (SELECT unnest(range({TPUT_P})) AS b) nodes
+                  LEFT JOIN (SELECT b,
+                                    CASE WHEN COUNT(*) = {TPUT_M}
+                                         THEN MIN(c) ELSE 0 END AS tau
+                             FROM locals_ GROUP BY b) t
+                    ON t.b = nodes.b),
+         cands AS (SELECT DISTINCT w FROM locals_),
+         bounds AS (SELECT g.w,
+                           CAST(SUM(COALESCE(l.c, 0)) AS BIGINT) AS lb,
+                           CAST(SUM(COALESCE(l.c, g.tau)) AS BIGINT) AS ub
+                    FROM (SELECT c.w, t.b, t.tau
+                          FROM cands c CROSS JOIN taus t) g
+                    LEFT JOIN locals_ l ON l.b = g.b AND l.w = g.w
+                    GROUP BY g.w),
+         truth AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt
+                   FROM words GROUP BY w)
+    SELECT bounds.w, bounds.lb, bounds.ub, truth.true_cnt,
+           CAST(truth.true_cnt BETWEEN bounds.lb AND bounds.ub
+                AS INTEGER) AS in_bounds
+    FROM bounds JOIN truth ON truth.w = bounds.w
+    ORDER BY bounds.lb DESC, bounds.w LIMIT {TPUT_K}
+    """,
+)
+def q266_tput_topk_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k with DETERMINISTIC error bounds (the TPUT /
+    threshold-algorithm shape, Cao & Wang 2004): the corpus is split
+    into TPUT_P=32 deterministic md5 buckets (the "nodes"), each node
+    ships only its local top-m (TPUT_M=20) words plus its threshold tau
+    (its m-th count; 0 if it holds fewer than m words). For every shipped
+    candidate the coordinator derives
+      lb = sum of counts from nodes that reported it,
+      ub = lb + sum of tau over nodes that did NOT report it
+    (a word a node does not report has local count <= that node's tau).
+    The true count provably sits in [lb, ub] — pinned per row by the
+    in_bounds column — which is what CMS (q114) cannot give: CMS bounds
+    hold only in expectation over hash draws; TPUT's are worst-case.
+
+    Scale: the only corpus-wide shuffle is the (bucket, word) count;
+    the local-top window partitions by bucket — bucket count tracks the
+    CLUSTER size (one per node/executor slice), so each window sorts a
+    |vocab|/P slice, and everything after it operates on at most
+    P*m shipped rows plus the P-row broadcast tau table."""
+    words = doc_words(spark, sf_dir).select("doc_id", "w")
+    bexpr = F.expr(_TPUT_BUCKET.replace("VARCHAR", "STRING"))
+    cnts = (
+        words.select(bexpr.alias("b"), "w")
+        .groupBy("b", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    win = Window.partitionBy("b").orderBy(F.desc("c"), "w")
+    ranked = cnts.withColumn("rn", F.row_number().over(win))
+    locals_ = ranked.filter(F.col("rn") <= TPUT_M).select("b", "w", "c")
+    nodes = spark.range(TPUT_P).select(F.col("id").cast("long").alias("b"))
+    taus = (
+        nodes.join(
+            locals_.groupBy("b").agg(
+                F.when(F.count("*") == TPUT_M, F.min("c"))
+                .otherwise(F.lit(0))
+                .alias("tau")
+            ),
+            "b",
+            "left",
+        )
+        .select("b", F.coalesce("tau", F.lit(0)).alias("tau"))
+    )
+    cands = locals_.select("w").distinct()
+    grid = cands.crossJoin(F.broadcast(taus))
+    bounds = (
+        grid.join(F.broadcast(locals_), ["b", "w"], "left")
+        .groupBy("w")
+        .agg(
+            F.sum(F.coalesce("c", F.lit(0))).alias("lb"),
+            F.sum(F.coalesce("c", F.col("tau"))).alias("ub"),
+        )
+    )
+    truth = words.groupBy("w").agg(F.count("*").alias("true_cnt"))
+    return (
+        bounds.join(truth, "w")
+        .select(
+            "w",
+            "lb",
+            "ub",
+            "true_cnt",
+            F.col("true_cnt")
+            .between(F.col("lb"), F.col("ub"))
+            .cast("int")
+            .alias("in_bounds"),
+        )
+        .orderBy(F.desc("lb"), "w")
+        .limit(TPUT_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations
 # ---------------------------------------------------------------------------
 

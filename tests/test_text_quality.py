@@ -204,6 +204,9 @@ def test_registry_window_covers_new_families():
         "q160a_slcan_transport",        # new: S8 real-transport wire codec
         "q250a_stream_novelty",         # new: ingest-side novelty
         "q256a_siegel_repeated_median", # new: 50%-breakdown trend
+        "q265_hll_sketch_rollup",       # new: sketch-cube rollup merge
+        "q266_tput_topk_bounds",        # new: deterministic-bounds top-k
+        "q267_bleu_candidate_score",    # new: clipped n-gram precision
         "q03_top_revenue",            # code changed: join-then-agg plan
         "q247_name_linkage",          # code changed: per-position cap oracle
         "q261_mmr_rerank",            # code changed: single MMR constant
