@@ -673,9 +673,6 @@ def q118_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
          rho_day AS (SELECT event_type, day, bucket,
                             CAST(MAX(m_j) AS BIGINT) AS m_j
                      FROM rho_hour GROUP BY event_type, day, bucket),
-         hours AS (SELECT event_type, day,
-                          CAST(COUNT(DISTINCT hr) AS BIGINT) AS n_hours
-                   FROM rho_hour GROUP BY event_type, day),
          per_key AS (SELECT event_type, day,
                             SUM(pow(2.0, -m_j)) AS sum_pow,
                             CAST(COUNT(*) AS BIGINT) AS n_buckets
@@ -691,15 +688,16 @@ def q118_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ELSE e_raw END AS e
                        FROM est),
          exact AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                          CAST(COUNT(DISTINCT EXTRACT(hour FROM ts)) AS BIGINT)
+                              AS n_hours,
                           CAST(COUNT(DISTINCT user_id) AS BIGINT)
                               AS exact_users
                    FROM events GROUP BY event_type, CAST(ts AS DATE))
-    SELECT exact.event_type, exact.day, hours.n_hours, exact.exact_users,
+    SELECT exact.event_type, exact.day, exact.n_hours, exact.exact_users,
            CAST(ROUND(corrected.e) AS BIGINT) AS hll_users,
            ROUND(abs(corrected.e - exact.exact_users)
                  / exact.exact_users, 6) AS rel_error
     FROM exact JOIN corrected USING (event_type, day)
-               JOIN hours USING (event_type, day)
     """,
 )
 def q265_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,9 +754,6 @@ def q265_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho_day = rho_hour.groupBy("event_type", "day", "bucket").agg(
         F.max("m_j").alias("m_j")
     )
-    hours = rho_hour.groupBy("event_type", "day").agg(
-        F.countDistinct("hr").alias("n_hours")
-    )
     per_key = rho_day.groupBy("event_type", "day").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_pow"),
         F.count("*").alias("n_buckets"),
@@ -778,12 +773,16 @@ def q265_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(e_raw)
         .alias("e"),
     )
+    # exact-audit branch: n_hours rides the same scan/aggregate as the
+    # exact distinct (the sketch side itself needs only 2 events scans)
     exact = events.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    ).agg(
+        F.countDistinct(F.hour("ts")).alias("n_hours"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
     return (
         exact.join(F.broadcast(corrected), ["event_type", "day"])
-        .join(F.broadcast(hours), ["event_type", "day"])
         .select(
             "event_type",
             "day",

@@ -344,6 +344,25 @@ PICKS = {
         "direction is a unionAll projection — no second pair join; the "
         "size joins are shuffle-hash on doc id."
     ),
+    "q265_hll_sketch_rollup": (
+        "Sketch-cube merge: ONE corpus-scale grouped MAX builds the hour "
+        "registers; the day grain is a grouped MAX over the sketch rows "
+        "only (no second events scan on the sketch side); the exact-audit "
+        "branch carries n_hours on its own aggregate, and the estimate "
+        "joins back as a broadcast."
+    ),
+    "q266_tput_topk_bounds": (
+        "TPUT bounds: the only corpus-wide exchange is the (bucket, word) "
+        "count; the local-top window partitions by the 32-node bucket key; "
+        "taus and the shipped locals are broadcast into the candidate "
+        "grid — bounds math runs on at most P*m rows."
+    ),
+    "q267_bleu_candidate_score": (
+        "BLEU on star candidates: bucket hubs reuse the q49 band "
+        "partitioning (co-partitioned aggregate + join); gram tables are "
+        "scan-side array transforms + one grouped count; clipped "
+        "intersections touch candidate docs' gram rows only."
+    ),
 }
 
 
