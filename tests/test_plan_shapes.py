@@ -592,3 +592,42 @@ def test_q232_dcg_join_is_broadcast_buildable(spark, sf_smoke):
     assert "SortMergeJoin" not in plan, (
         "q232 grades join lost its broadcast — corpus-scale shuffle"
     )
+
+
+def test_q265_sketch_side_scans_events_once(spark, sf_smoke):
+    """q265: the sketch side must build hour registers in ONE events scan
+    and derive the day grain from the sketch rows (grouped MAX), never a
+    rescan — the whole query reads events exactly twice (sketch build +
+    exact audit), and the estimate joins back as a broadcast."""
+    plan = plan_of(spark, "q265_hll_sketch_rollup", sf_smoke)
+    assert plan.count("Scan parquet") == 2, (
+        "q265 grew an extra events scan — the rollup must merge sketch "
+        "rows, not re-read the fact table"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q266_single_corpus_exchange_then_broadcasts(spark, sf_smoke):
+    """q266: the only corpus-keyed exchange feeds the (bucket, word)
+    count; local tops, taus, and the candidate grid must be broadcast
+    (bounds math on at most P*m rows) — the truth join is the audit, not
+    the algorithm, and may hash-join, but nothing may sort-merge."""
+    plan = plan_of(spark, "q266_tput_topk_bounds", sf_smoke)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "the candidate x taus grid must be a broadcast cross join"
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q267_feeds_from_star_not_all_pairs(spark, sf_smoke):
+    """q267: candidates must come from the hub join (bands ⋈ hubs on the
+    band keys), NEVER a bands self-join on doc_id inequality — the
+    all-pairs feed is quadratic in bucket size on duplicate-dense
+    corpora (11.1M vs 143k pairs at sf1)."""
+    plan = plan_of(spark, "q267_bleu_candidate_score", sf_smoke)
+    assert "CartesianProduct" not in plan
+    # star feed: a min(doc_id) hub aggregate must exist in the plan
+    assert "min(doc_id" in plan, "hub aggregate missing — not the star feed"
