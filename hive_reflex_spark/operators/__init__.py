@@ -40,6 +40,7 @@ _registry.finalize_order([
     "q250a_stream_novelty",       # ingest-side novelty via stateful stream
     "q256a_siegel_repeated_median",  # 50%-breakdown robust trend
     "q265_hll_sketch_rollup",     # sketch-cube merge: hour→day registers
+    "q265a_stream_hll_registers", # ingest-side HLL register maintenance
     "q266_tput_topk_bounds",      # worst-case-bounded distributed top-k
     "q267_bleu_candidate_score",  # clipped n-gram precision on LSH pairs
     # code changed this round — re-verify

@@ -1045,6 +1045,63 @@ def q121_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(cells, mode="complete")
 
 
+@query(
+    "q265a_stream_hll_registers",
+    oracle="""
+    SELECT event_type,
+           substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+           CAST(MAX(
+               4 * (29 - len(ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 29), '0')))
+               + CASE WHEN ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 29), '0') = ''
+                      THEN 0
+                      ELSE CASE WHEN instr('0123456789abcdef',
+                                substr(ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 29), '0'), 1, 1)) - 1 >= 8 THEN 0
+                                WHEN instr('0123456789abcdef',
+                                substr(ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 29), '0'), 1, 1)) - 1 >= 4 THEN 1
+                                WHEN instr('0123456789abcdef',
+                                substr(ltrim(substr(md5(CAST(user_id AS VARCHAR)), 3, 29), '0'), 1, 1)) - 1 >= 2 THEN 2
+                                ELSE 3 END
+                 END + 1) AS BIGINT) AS m_j
+    FROM events GROUP BY event_type, substr(md5(CAST(user_id AS VARCHAR)), 1, 2)
+    """,
+)
+def q265a_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers maintained BY THE STREAM (the ingest-side
+    twin of q118/q265): each micro-batch folds its user hashes into the
+    per-event-type register table via a streaming groupBy MAX — the
+    state is at most |event_type| x 256 integers regardless of stream
+    length, and complete-mode emission equals the batch register table
+    on ANY chunking because MAX is the mergeable combine (the same
+    property q265 exploits to roll hour sketches up to days). Distinct
+    users over an unbounded event stream in fixed memory; the q118
+    estimate math runs on this table whenever a reader wants a number."""
+    stream = stream_events(spark, sf_dir)
+    h = F.md5(F.col("user_id").cast("string"))
+    hashed = stream.select(
+        "event_type",
+        F.substring(h, 1, 2).alias("bucket"),
+        F.substring(h, 3, 29).alias("suffix"),
+    )
+    nz = F.expr("trim(LEADING '0' FROM suffix)")
+    fdv = F.expr(
+        "instr('0123456789abcdef', "
+        "substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
+    )
+    lz = F.when(fdv >= 8, 0).when(fdv >= 4, 1).when(fdv >= 2, 2).otherwise(3)
+    regs = (
+        hashed.select(
+            "event_type",
+            "bucket",
+            (4 * (29 - F.length(nz)) + F.when(nz == "", 0).otherwise(lz) + 1)
+            .cast("long")
+            .alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
+    return run_to_memory(regs, mode="complete")
+
+
 # ---------------------------------------------------------------------------
 # Stream-STREAM LEFT OUTER interval join — watermark-gated null emission
 # ---------------------------------------------------------------------------

@@ -140,3 +140,43 @@ def test_bleu_score_bounds_and_saturation(spark):
         assert (r["bleu2"] == 1.0) == saturated, r
     # LSH candidates are near-dups: the score should reflect that
     assert max(r["bleu2"] for r in rows) >= 0.5
+
+
+def test_stream_hll_registers_equal_batch(spark):
+    """q265a's streaming register table (micro-batched groupBy MAX in
+    complete mode) must be row-identical to the same registers computed
+    in one batch pass — MAX is the mergeable combine, so chunking cannot
+    change the state."""
+    from hive_reflex_spark.streaming.ops import q265a_stream_hll_registers
+    from hive_reflex_spark.io import read_table
+
+    got = q265a_stream_hll_registers(spark, SF_SMOKE)
+
+    events = read_table(spark, SF_SMOKE, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    nz = F.expr("trim(LEADING '0' FROM suffix)")
+    fdv = F.expr(
+        "instr('0123456789abcdef', "
+        "substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
+    )
+    lz = (
+        F.when(fdv >= 8, 0).when(fdv >= 4, 1).when(fdv >= 2, 2).otherwise(3)
+    )
+    batch = (
+        events.select(
+            "event_type",
+            F.substring(h, 1, 2).alias("bucket"),
+            F.substring(h, 3, 29).alias("suffix"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            (4 * (29 - F.length(nz)) + F.when(nz == "", 0).otherwise(lz) + 1)
+            .cast("long")
+            .alias("r"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0

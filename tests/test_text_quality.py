@@ -205,6 +205,7 @@ def test_registry_window_covers_new_families():
         "q250a_stream_novelty",         # new: ingest-side novelty
         "q256a_siegel_repeated_median", # new: 50%-breakdown trend
         "q265_hll_sketch_rollup",       # new: sketch-cube rollup merge
+        "q265a_stream_hll_registers",   # new: streaming HLL registers
         "q266_tput_topk_bounds",        # new: deterministic-bounds top-k
         "q267_bleu_candidate_score",    # new: clipped n-gram precision
         "q03_top_revenue",            # code changed: join-then-agg plan
