@@ -160,6 +160,17 @@ def bench_block(
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             read_table(spark, sf_dir, t).count()
 
+    # Per-job floor: a no-work single-stage action through the same
+    # session and sink. Sub-second headline queries pay this scheduling
+    # floor 1-3x each; recording it lets the artifact separate
+    # irreducible local-mode overhead from actual query work.
+    floor_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        force_eval(spark.range(n_shuffle))
+        floor_runs.append(time.time() - t0)
+    job_floor = round(min(floor_runs), 3)
+
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -207,6 +218,7 @@ def bench_block(
         "aqe": aqe_on,
         "reps": n_runs,
         "worst_rep_dispersion": round(worst_disp, 2),
+        "job_floor": job_floor,
     }
 
 
