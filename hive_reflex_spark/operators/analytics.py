@@ -537,6 +537,40 @@ _LZ_DIGIT = (
 )
 
 
+def hll_registers(df: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The portable md5 HyperLogLog register table over ``df.user_id``:
+    (*group_cols, bucket, m_j) with bucket = first md5 hex byte (m=256)
+    and m_j = max rho (leading-zero bits of the 116-bit suffix + 1) per
+    group — the ONE register construction shared by q118 (per
+    event_type), q265 (per event_type/day/hour before the rollup
+    merge), q265a (maintained by the stream), and the register-parity
+    tests, so any rho fix lands everywhere at once. Works on batch and
+    streaming frames alike (one grouped MAX)."""
+    h = F.md5(F.col("user_id").cast("string"))
+    hashed = df.select(
+        *group_cols,
+        F.substring(h, 1, 2).alias("bucket"),
+        F.substring(h, 3, 29).alias("suffix"),
+    )
+    nz = F.expr("trim(LEADING '0' FROM suffix)")
+    fdv = F.expr(
+        "instr('0123456789abcdef', "
+        "substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
+    )
+    lz = F.when(fdv >= 8, 0).when(fdv >= 4, 1).when(fdv >= 2, 2).otherwise(3)
+    return (
+        hashed.select(
+            *group_cols,
+            "bucket",
+            (4 * (29 - F.length(nz)) + F.when(nz == "", 0).otherwise(lz) + 1)
+            .cast("long")
+            .alias("r"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("r").alias("m_j"))
+    )
+
+
 @query(
     "q118_hll_distinct",
     oracle=f"""
@@ -593,35 +627,7 @@ def q118_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (partial maxima per partition combine map-side); the estimate
     math runs on the tiny sketch table."""
     events = read_table(spark, sf_dir, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    hashed = events.select(
-        "event_type",
-        F.substring(h, 1, 2).alias("bucket"),
-        F.substring(h, 3, 29).alias("suffix"),
-    ).distinct()
-    nz = F.expr("trim(LEADING '0' FROM suffix)")
-    first_digit_val = F.expr(
-        "instr('0123456789abcdef', substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
-    )
-    lz_digit = (
-        F.when(first_digit_val >= 8, 0)
-        .when(first_digit_val >= 4, 1)
-        .when(first_digit_val >= 2, 2)
-        .otherwise(3)
-    )
-    rho = (
-        hashed.select(
-            "event_type",
-            "bucket",
-            (
-                4 * (29 - F.length(nz))
-                + F.when(nz == "", 0).otherwise(lz_digit)
-                + 1
-            ).cast("long").alias("r"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("m_j"))
-    )
+    rho = hll_registers(events.select("event_type", "user_id"), ["event_type"])
     per_type = rho.groupBy("event_type").agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_pow"),
         F.count("*").alias("n_buckets"),
@@ -717,38 +723,14 @@ def q265_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY A5) — here with a mergeable cardinality sketch instead of
     additive counters."""
     events = read_table(spark, sf_dir, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    hashed = events.select(
-        "event_type",
-        F.col("ts").cast("date").alias("day"),
-        F.hour("ts").cast("long").alias("hr"),
-        F.substring(h, 1, 2).alias("bucket"),
-        F.substring(h, 3, 29).alias("suffix"),
-    )
-    nz = F.expr("trim(LEADING '0' FROM suffix)")
-    first_digit_val = F.expr(
-        "instr('0123456789abcdef', substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
-    )
-    lz_digit = (
-        F.when(first_digit_val >= 8, 0)
-        .when(first_digit_val >= 4, 1)
-        .when(first_digit_val >= 2, 2)
-        .otherwise(3)
-    )
-    rho_hour = (
-        hashed.select(
+    rho_hour = hll_registers(
+        events.select(
             "event_type",
-            "day",
-            "hr",
-            "bucket",
-            (
-                4 * (29 - F.length(nz))
-                + F.when(nz == "", 0).otherwise(lz_digit)
-                + 1
-            ).cast("long").alias("r"),
-        )
-        .groupBy("event_type", "day", "hr", "bucket")
-        .agg(F.max("r").alias("m_j"))
+            F.col("ts").cast("date").alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+            "user_id",
+        ),
+        ["event_type", "day", "hr"],
     )
     # THE MERGE: day-level registers from hour-level registers only.
     rho_day = rho_hour.groupBy("event_type", "day", "bucket").agg(
@@ -774,7 +756,8 @@ def q265_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("e"),
     )
     # exact-audit branch: n_hours rides the same scan/aggregate as the
-    # exact distinct (the sketch side itself needs only 2 events scans)
+    # exact distinct — the sketch side reads events ONCE, the audit adds
+    # the second (and last) scan of the whole query
     exact = events.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
     ).agg(

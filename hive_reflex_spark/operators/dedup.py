@@ -341,6 +341,26 @@ def q49_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def star_candidates(bands: DataFrame) -> DataFrame:
+    """Per-bucket STAR edges over a band table: every bucket member
+    linked to its bucket's min-doc_id hub — (doc_a=hub, doc_b=member),
+    one row per (band bucket, member). Lossless for connected-component
+    dedup (q49a's docstring and tests); callers aggregate (q49a: shared
+    band count) or de-duplicate (q267: pair set). Shared so the two
+    star consumers provably ride the same pair stream."""
+    hubs = bands.groupBy("band", "band_sig").agg(
+        F.min("doc_id").alias("hub"),
+        F.count("*").alias("bucket_size"),
+    )
+    return (
+        bands.join(hubs, ["band", "band_sig"])
+        .filter(
+            (F.col("bucket_size") >= 2) & (F.col("doc_id") != F.col("hub"))
+        )
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+
+
 @query(
     "q49a_lsh_candidates_star",
     oracle=f"""
@@ -385,14 +405,9 @@ def q49a_lsh_candidates_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on the output pair — all linear."""
     mh = minhash_signatures(spark, sf_dir)
     bands = cached_df(("q49_bands", sf_dir), lambda: bands_from_minhash(mh))
-    hubs = bands.groupBy("band", "band_sig").agg(
-        F.min("doc_id").alias("hub"),
-        F.count("*").alias("bucket_size"),
-    )
     return (
-        bands.join(hubs, ["band", "band_sig"])
-        .filter((F.col("bucket_size") >= 2) & (F.col("doc_id") != F.col("hub")))
-        .groupBy(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        star_candidates(bands)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
 
@@ -751,21 +766,11 @@ def q267_bleu_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     mh = minhash_signatures(spark, sf_dir)
     bands = cached_df(("q49_bands", sf_dir), lambda: bands_from_minhash(mh))
-    hubs = bands.groupBy("band", "band_sig").agg(
-        F.min("doc_id").alias("hub"),
-        F.count("*").alias("bucket_size"),
-    )
-    cand = (
-        bands.join(hubs, ["band", "band_sig"])
-        .filter(
-            (F.col("bucket_size") >= 2) & (F.col("doc_id") != F.col("hub"))
-        )
-        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = star_candidates(bands).distinct()
+    # every gram/length table derives from ONE tokenization (toks.ws)
     toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
     uni = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("g"))
+        toks.select("doc_id", F.explode("ws").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
     )
@@ -780,9 +785,7 @@ def q267_bleu_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
     )
-    lens = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
-    )
+    lens = toks.select("doc_id", F.size("ws").cast("long").alias("n"))
 
     def clipped(grams: DataFrame, out: str) -> DataFrame:
         a, b = grams.alias("a"), grams.alias("b")

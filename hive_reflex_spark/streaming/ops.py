@@ -1075,29 +1075,11 @@ def q265a_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     property q265 exploits to roll hour sketches up to days). Distinct
     users over an unbounded event stream in fixed memory; the q118
     estimate math runs on this table whenever a reader wants a number."""
+    from hive_reflex_spark.operators.analytics import hll_registers
+
     stream = stream_events(spark, sf_dir)
-    h = F.md5(F.col("user_id").cast("string"))
-    hashed = stream.select(
-        "event_type",
-        F.substring(h, 1, 2).alias("bucket"),
-        F.substring(h, 3, 29).alias("suffix"),
-    )
-    nz = F.expr("trim(LEADING '0' FROM suffix)")
-    fdv = F.expr(
-        "instr('0123456789abcdef', "
-        "substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
-    )
-    lz = F.when(fdv >= 8, 0).when(fdv >= 4, 1).when(fdv >= 2, 2).otherwise(3)
-    regs = (
-        hashed.select(
-            "event_type",
-            "bucket",
-            (4 * (29 - F.length(nz)) + F.when(nz == "", 0).otherwise(lz) + 1)
-            .cast("long")
-            .alias("r"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("m_j"))
+    regs = hll_registers(
+        stream.select("event_type", "user_id"), ["event_type"]
     )
     return run_to_memory(regs, mode="complete")
 

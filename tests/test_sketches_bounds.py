@@ -25,41 +25,21 @@ def test_hll_rollup_merge_equals_direct_build(spark):
     """max-over-hours of hour-registers == registers built in one pass:
     the property that lets a sketch cube roll up without rescanning."""
     from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators.analytics import hll_registers
 
     events = read_table(spark, SF_SMOKE, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    nz = F.expr("trim(LEADING '0' FROM suffix)")
-    fdv = F.expr(
-        "instr('0123456789abcdef', "
-        "substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
-    )
-    lz = (
-        F.when(fdv >= 8, 0).when(fdv >= 4, 1).when(fdv >= 2, 2).otherwise(3)
-    )
-    base = events.select(
+    keyed = events.select(
         "event_type",
         F.col("ts").cast("date").alias("day"),
         F.hour("ts").cast("long").alias("hr"),
-        F.substring(h, 1, 2).alias("bucket"),
-        F.substring(h, 3, 29).alias("suffix"),
-    ).select(
-        "event_type",
-        "day",
-        "hr",
-        "bucket",
-        (4 * (29 - F.length(nz)) + F.when(nz == "", 0).otherwise(lz) + 1)
-        .cast("long")
-        .alias("r"),
+        "user_id",
     )
     via_hours = (
-        base.groupBy("event_type", "day", "hr", "bucket")
-        .agg(F.max("r").alias("m_j"))
+        hll_registers(keyed, ["event_type", "day", "hr"])
         .groupBy("event_type", "day", "bucket")
         .agg(F.max("m_j").alias("m_j"))
     )
-    direct = base.groupBy("event_type", "day", "bucket").agg(
-        F.max("r").alias("m_j")
-    )
+    direct = hll_registers(keyed, ["event_type", "day"])
     assert via_hours.exceptAll(direct).count() == 0
     assert direct.exceptAll(via_hours).count() == 0
 
@@ -149,34 +129,12 @@ def test_stream_hll_registers_equal_batch(spark):
     change the state."""
     from hive_reflex_spark.streaming.ops import q265a_stream_hll_registers
     from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.operators.analytics import hll_registers
 
     got = q265a_stream_hll_registers(spark, SF_SMOKE)
-
-    events = read_table(spark, SF_SMOKE, "events")
-    h = F.md5(F.col("user_id").cast("string"))
-    nz = F.expr("trim(LEADING '0' FROM suffix)")
-    fdv = F.expr(
-        "instr('0123456789abcdef', "
-        "substr(trim(LEADING '0' FROM suffix), 1, 1)) - 1"
-    )
-    lz = (
-        F.when(fdv >= 8, 0).when(fdv >= 4, 1).when(fdv >= 2, 2).otherwise(3)
-    )
-    batch = (
-        events.select(
-            "event_type",
-            F.substring(h, 1, 2).alias("bucket"),
-            F.substring(h, 3, 29).alias("suffix"),
-        )
-        .select(
-            "event_type",
-            "bucket",
-            (4 * (29 - F.length(nz)) + F.when(nz == "", 0).otherwise(lz) + 1)
-            .cast("long")
-            .alias("r"),
-        )
-        .groupBy("event_type", "bucket")
-        .agg(F.max("r").alias("m_j"))
+    batch = hll_registers(
+        read_table(spark, SF_SMOKE, "events").select("event_type", "user_id"),
+        ["event_type"],
     )
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
