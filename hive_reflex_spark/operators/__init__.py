@@ -28,13 +28,13 @@ from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
 # the judged correctness surface. Round-8 window: the 7 registrations
-# new this round (first driver rows), the 8 queries whose code changed
-# this round (changed code must be re-judged — incl. the q118/q49a
-# shared-helper refactors), then the stalest r01/r02 hash-greens per
-# scripts/rotate_window.py (VERDICT r7 item 4: convert standing local
-# sweeps into fresh driver evidence, oldest first). The list is 56
-# long, so its last 6 names (q15-q20) sit just outside the 50-slot
-# window and keep their standing r02 evidence.
+# new this round (first driver rows), the 10 queries whose code changed
+# this round (changed code must be re-judged — incl. the q118/q49a/
+# q47/q263 shared-helper refactors), then the stalest r01/r02
+# hash-greens per scripts/rotate_window.py (VERDICT r7 item 4: convert
+# standing local sweeps into fresh driver evidence, oldest first). The
+# list is 58 long, so its last 8 names (q12/q13/q15-q20) sit just
+# outside the 50-slot window and keep their standing r02 evidence.
 _registry.finalize_order([
     # NEW this round — first driver rows
     "q160a_slcan_transport",      # S8 real-transport wire codec (r7 item 6)
@@ -53,6 +53,8 @@ _registry.finalize_order([
     "q67b_conv2d_blocked",        # round_half_away bit-exact emulation
     "q118_hll_distinct",          # shared hll_registers refactor
     "q49a_lsh_candidates_star",   # shared star_candidates refactor
+    "q47_jaccard_pairs",          # shared capped_postings/sizes refactor
+    "q263_containment_pairs",     # shared capped_postings/sizes refactor
     # stalest hash-greens: last driver-checked r01
     "q72_accuracy_eval",
     "q73_distillation_kl",

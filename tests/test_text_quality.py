@@ -218,6 +218,8 @@ def test_registry_window_covers_new_families():
         "q67b_conv2d_blocked",        # code changed: round_half_away
         "q118_hll_distinct",          # code changed: shared hll_registers
         "q49a_lsh_candidates_star",   # code changed: shared star_candidates
+        "q47_jaccard_pairs",          # code changed: shared postings/sizes
+        "q263_containment_pairs",     # code changed: shared postings/sizes
     ):
         assert must in window, must
 
