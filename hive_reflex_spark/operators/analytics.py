@@ -782,6 +782,265 @@ def q265_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta-style) sketch: distinct UNION and
+# INTERSECTION estimates — the set-operation capability HLL lacks
+# ---------------------------------------------------------------------------
+
+KMV_K = 32  # sketch size; rse ~ 1/sqrt(k-2) ~ 18% — audit column pins it
+
+# md5-derived uniform in (0,1): the same exact dyadic polynomial as
+# q124's A-ES keys (10 hex digits, every term exact in binary64) —
+# both engines build the IDENTICAL uniform from the identical hash.
+_KMV_U_SQL = " + ".join(
+    "(instr('0123456789abcdef', "
+    f"substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+    f" * {16.0 ** -(i + 1)!r}"
+    for i in range(10)
+)
+
+
+def _kmv_u_spark() -> Column:
+    return sum(
+        (
+            F.expr(
+                "instr('0123456789abcdef', "
+                f"substr(md5(CAST(user_id AS STRING)), {i + 1}, 1)) - 1"
+            )
+            * (16.0 ** -(i + 1))
+        )
+        for i in range(10)
+    )
+
+
+@query(
+    "q268_kmv_set_sketch",
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS dday, user_id
+                FROM events),
+         keyed AS (SELECT dday, user_id,
+                          {_KMV_U_SQL} AS u
+                   FROM ev),
+         sk AS (SELECT dday, user_id, u FROM (
+                    SELECT dday, user_id, u,
+                           ROW_NUMBER() OVER (PARTITION BY dday
+                                              ORDER BY u, user_id) AS rn
+                    FROM keyed) WHERE rn <= {KMV_K}),
+         stat AS (SELECT dday, CAST(COUNT(*) AS BIGINT) AS n_sk,
+                         MAX(u) AS kth
+                  FROM sk GROUP BY dday),
+         pairs AS (SELECT a.dday AS day_a, b.dday AS day_b,
+                          CASE WHEN a.n_sk < {KMV_K}
+                               THEN CAST(a.n_sk AS DOUBLE)
+                               ELSE ({KMV_K} - 1) * 1.0 / a.kth END AS e_a,
+                          CASE WHEN b.n_sk < {KMV_K}
+                               THEN CAST(b.n_sk AS DOUBLE)
+                               ELSE ({KMV_K} - 1) * 1.0 / b.kth END AS e_b
+                   FROM stat a JOIN stat b
+                     ON b.dday = a.dday + 1),
+         pairu AS (SELECT p.day_a, p.day_b, s.user_id,
+                          MIN(s.u) AS u,
+                          CAST(MAX(CASE WHEN s.dday = p.day_a
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+                          CAST(MAX(CASE WHEN s.dday = p.day_b
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+                   FROM pairs p JOIN sk s
+                     ON s.dday IN (p.day_a, p.day_b)
+                   GROUP BY p.day_a, p.day_b, s.user_id),
+         mk AS (SELECT day_a, day_b, u, in_a, in_b FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY day_a, day_b
+                        ORDER BY u, user_id) AS rn
+                    FROM pairu) WHERE rn <= {KMV_K}),
+         pstat AS (SELECT day_a, day_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_merged,
+                          MAX(u) AS kth,
+                          CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+                   FROM mk GROUP BY day_a, day_b),
+         fullpair AS (SELECT p.day_a, p.day_b, e.user_id,
+                             CAST(MAX(CASE WHEN e.dday = p.day_a
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS in_a,
+                             CAST(MAX(CASE WHEN e.dday = p.day_b
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS in_b
+                      FROM pairs p JOIN ev e
+                        ON e.dday IN (p.day_a, p.day_b)
+                      GROUP BY p.day_a, p.day_b, e.user_id),
+         exact AS (SELECT day_a, day_b,
+                          CAST(COUNT(*) AS BIGINT) AS exact_union,
+                          CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter
+                   FROM fullpair GROUP BY day_a, day_b),
+         ests AS (SELECT p.day_a, p.day_b, p.e_a, p.e_b,
+                         CASE WHEN n_merged < {KMV_K}
+                              THEN CAST(n_merged AS DOUBLE)
+                              ELSE ({KMV_K} - 1) * 1.0 / pstat.kth
+                         END AS e_union,
+                         n_both * 1.0 / n_merged AS jac
+                  FROM pstat JOIN pairs p
+                    ON p.day_a = pstat.day_a AND p.day_b = pstat.day_b)
+    SELECT e.day_a, e.day_b,
+           ROUND(ests.e_a, 6) AS est_a,
+           ROUND(ests.e_b, 6) AS est_b,
+           ROUND(ests.e_union, 6) AS est_union,
+           ROUND(ests.jac * ests.e_union, 6) AS est_inter,
+           e.exact_union, e.exact_inter,
+           ROUND(abs(ests.e_union - e.exact_union) / e.exact_union, 6)
+               AS union_rel_err,
+           CASE WHEN e.exact_inter = 0 THEN NULL
+                ELSE ROUND(abs(ests.jac * ests.e_union - e.exact_inter)
+                           / e.exact_inter, 6)
+           END AS inter_rel_err
+    FROM exact e JOIN ests
+      ON e.day_a = ests.day_a AND e.day_b = ests.day_b
+    """,
+)
+def q268_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002; the theta-sketch
+    core) distinct sketches with SET OPERATIONS: per active day, keep
+    the k smallest hash-uniforms of user_id; then for every consecutive
+    day pair estimate |A∪B| = (k-1)/u_(k) over the MERGED sketch and
+    |A∩B| via the Jaccard estimator |S_k(A∪B) ∩ S(A) ∩ S(B)| / k ×
+    |A∪B| — day-over-day audience overlap from sketches alone. This is
+    the capability HLL (q118/q265) structurally lacks: HLL registers
+    merge for union only; KMV sketches intersect and difference too,
+    which is why theta sketches are the warehouse primitive for
+    audience-overlap questions (q120's wow-retention answered without
+    re-touching the fact table). Underfull sketches (|A| < k) degrade
+    to exact counts by construction, so the sf0.001 fixture (11-15
+    users/day < k=32) pins the exact branch and sf0.01+ (125-141/day)
+    pins the estimator branch. Exact union/intersection ride alongside
+    as the error audit (the production path keeps sketches only).
+
+    The hash-uniform is q124's exact dyadic md5 polynomial — identical
+    in both engines, so sketch membership (not just the bound) hash-
+    matches. Scale: a KMV sketch is a bounded top-k per group — partial
+    k-smallest per partition, merged at the shuffle (same envelope as
+    q221's priority sample); pairwise merges touch only |days| × 2k
+    sketch rows, never the fact table. The exact-audit branch is the
+    only corpus-scale aggregate in the query and exists for the
+    rel_err columns.
+
+    Reference anchor: the reference's distinct-cardinality rollups in
+    `tools/log_analyzer.py` aggregate exact sets per window; this is the
+    sketch the same report ships at 100 TB when windows must compose."""
+    events = read_table(spark, sf_dir, "events")
+    ev = events.select(
+        F.col("ts").cast("date").alias("dday"), "user_id"
+    ).distinct()
+    keyed = ev.select("dday", "user_id", _kmv_u_spark().alias("u"))
+    w = Window.partitionBy("dday").orderBy("u", "user_id")
+    sk = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    e_side = lambda n, kth: F.when(  # noqa: E731
+        F.col(n) < KMV_K, F.col(n).cast("double")
+    ).otherwise((KMV_K - 1) * 1.0 / F.col(kth))
+    stat = sk.groupBy("dday").agg(
+        F.count("*").alias("n_sk"), F.max("u").alias("kth")
+    )
+    pairs = (
+        stat.select(
+            F.col("dday").alias("day_a"),
+            e_side("n_sk", "kth").alias("e_a"),
+        )
+        .join(
+            stat.select(
+                F.col("dday").alias("day_b"),
+                e_side("n_sk", "kth").alias("e_b"),
+            ),
+            F.col("day_b") == F.date_add(F.col("day_a"), 1),
+        )
+    )
+    # |days| is dimension-scale: the pair table broadcasts, sketches are
+    # k-row-bounded per day, so this join is sketch-side only
+    pairu = (
+        F.broadcast(pairs)
+        .join(
+            sk,
+            (F.col("dday") == F.col("day_a"))
+            | (F.col("dday") == F.col("day_b")),
+        )
+        .groupBy("day_a", "day_b", "user_id")
+        .agg(
+            F.min("u").alias("u"),
+            F.max(F.when(F.col("dday") == F.col("day_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("in_a"),
+            F.max(F.when(F.col("dday") == F.col("day_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("in_b"),
+        )
+    )
+    wm = Window.partitionBy("day_a", "day_b").orderBy("u", "user_id")
+    mk = (
+        pairu.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    pstat = mk.groupBy("day_a", "day_b").agg(
+        F.count("*").alias("n_merged"),
+        F.max("u").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    e_union = F.when(
+        F.col("n_merged") < KMV_K, F.col("n_merged").cast("double")
+    ).otherwise((KMV_K - 1) * 1.0 / F.col("kth"))
+    ests = pstat.join(F.broadcast(pairs), ["day_a", "day_b"]).select(
+        "day_a",
+        "day_b",
+        "e_a",
+        "e_b",
+        e_union.alias("e_union"),
+        (F.col("n_both") * 1.0 / F.col("n_merged")).alias("jac"),
+    )
+    # exact-audit branch — the only corpus-scale aggregate in the query
+    fullpair = (
+        F.broadcast(pairs.select("day_a", "day_b"))
+        .join(
+            ev,
+            (F.col("dday") == F.col("day_a"))
+            | (F.col("dday") == F.col("day_b")),
+        )
+        .groupBy("day_a", "day_b", "user_id")
+        .agg(
+            F.max(F.when(F.col("dday") == F.col("day_a"), 1).otherwise(0))
+            .cast("long")
+            .alias("in_a"),
+            F.max(F.when(F.col("dday") == F.col("day_b"), 1).otherwise(0))
+            .cast("long")
+            .alias("in_b"),
+        )
+    )
+    exact = fullpair.groupBy("day_a", "day_b").agg(
+        F.count("*").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_inter"),
+    )
+    return exact.join(F.broadcast(ests), ["day_a", "day_b"]).select(
+        "day_a",
+        "day_b",
+        F.round("e_a", 6).alias("est_a"),
+        F.round("e_b", 6).alias("est_b"),
+        F.round("e_union", 6).alias("est_union"),
+        F.round(F.col("jac") * F.col("e_union"), 6).alias("est_inter"),
+        "exact_union",
+        "exact_inter",
+        F.round(
+            F.abs(F.col("e_union") - F.col("exact_union"))
+            / F.col("exact_union"),
+            6,
+        ).alias("union_rel_err"),
+        F.when(F.col("exact_inter") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.abs(F.col("jac") * F.col("e_union") - F.col("exact_inter"))
+                / F.col("exact_inter"),
+                6,
+            )
+        )
+        .alias("inter_rel_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Behavioral funnel + retention (event telemetry rollups)
 # ---------------------------------------------------------------------------
 

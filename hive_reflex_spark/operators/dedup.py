@@ -569,6 +569,171 @@ def q51a_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: cluster-restricted semantic dedup over embeddings
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4  # fixture-calibrated: the gaussian tail (same as q51a)
+
+from hive_reflex_spark.operators.similarity import (  # noqa: E402
+    N_CENTROIDS_STRIDE as _SEM_STRIDE,
+)
+
+
+@query(
+    "q269_semantic_dedup",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM
+        (SELECT vec_id, CAST(dim AS INTEGER) AS dim, CAST(v AS DOUBLE) AS v
+         FROM (SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                      unnest(embedding) AS v
+               FROM embeddings))),
+         cents AS (SELECT vec_id AS cid, dim, v AS cv FROM coords
+                   WHERE vec_id % {_SEM_STRIDE} = 0),
+         cdots AS (SELECT x.vec_id, c.cid,
+                          CAST(SUM(CAST(ROUND(x.v * c.cv * 1000000000)
+                               AS BIGINT)) AS BIGINT) / 1000000000.0 AS dot
+                   FROM coords x JOIN cents c USING (dim)
+                   GROUP BY x.vec_id, c.cid),
+         assign AS (SELECT vec_id, cid FROM (
+                        SELECT vec_id, cid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                  ORDER BY dot DESC, cid) AS rn
+                        FROM cdots) WHERE rn = 1),
+         norms AS (SELECT vec_id,
+                          sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000)
+                               AS BIGINT)) AS BIGINT) / 1000000000.0) AS nrm
+                   FROM coords GROUP BY vec_id),
+         ac AS (SELECT s.cid, a.vec_id, a.dim, a.v
+                FROM coords a JOIN assign s ON s.vec_id = a.vec_id),
+         dots AS (SELECT a.cid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                         CAST(SUM(CAST(ROUND(a.v * b.v * 1000000000)
+                              AS BIGINT)) AS BIGINT) / 1000000000.0 AS dot
+                  FROM ac a JOIN ac b ON a.cid = b.cid AND a.dim = b.dim
+                       AND a.vec_id < b.vec_id
+                  GROUP BY a.cid, a.vec_id, b.vec_id),
+         dup AS (SELECT cid, vec_a, vec_b FROM dots
+                 JOIN norms na ON vec_a = na.vec_id
+                 JOIN norms nb ON vec_b = nb.vec_id
+                 WHERE dot / (na.nrm * nb.nrm) >= {SEMDEDUP_TAU}),
+         dropped AS (SELECT cid, vec_b AS vec_id FROM dup
+                     GROUP BY cid, vec_b),
+         pairs AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+                   FROM dup GROUP BY cid),
+         drops AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dropped,
+                          MIN(vec_id) AS min_dropped,
+                          MAX(vec_id) AS max_dropped
+                   FROM dropped GROUP BY cid),
+         members AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members
+                     FROM assign GROUP BY cid)
+    SELECT m.cid AS centroid_id, m.n_members,
+           COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           d.min_dropped, d.max_dropped
+    FROM members m
+    LEFT JOIN pairs p ON p.cid = m.cid
+    LEFT JOIN drops d ON d.cid = m.cid
+    """,
+)
+def q269_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication restricted
+    to k-means clusters — the SIXTH dedup modality (exact / Jaccard /
+    MinHash / SimHash / embedding-brute-force q51a) and the one that
+    actually scales the embedding-cosine criterion: vectors are coarse-
+    quantized to their max-dot centroid (q54a's IVF assignment,
+    deterministic stride-50 seed centroids), then the cosine >= tau
+    keep-lowest-id rule runs WITHIN clusters only. Cluster sizes are
+    corpus/k, so pairwise work is n²/k instead of n² — the paper's
+    recipe for web-scale semantic pruning, and the unfenced counterpart
+    of q51a's 512-vector brute-force fence. tau={SEMDEDUP_TAU} is the
+    same extreme-tail threshold as q51a on this gaussian fixture.
+
+    Per-cluster report: members, verified dup pairs, dropped vectors
+    (a vector drops when ANY lower-id cluster-mate sits at cosine >=
+    tau — SemDeDup's keep-one policy), min/max dropped ids.
+
+    Scale: the centroid table broadcasts (k x d doubles); assignment is
+    one scan of the corpus; the within-cluster self-join shuffles on
+    (cid, dim) hash keys so each cluster's pairs co-locate; norms and
+    dots use exact integer-unit sums (engine-deterministic). At 100 TB
+    k grows with the corpus (SemDeDup used 50k clusters for LAION) to
+    hold cluster sizes ~constant.
+
+    Reference anchor: the reference's duplicate-weight pruning
+    (`optimizer/sparsity_optimizer.py` magnitude tiers) shares the
+    keep-one-representative policy; here the representative set is
+    embedding-space rather than weight-space."""
+    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.operators.tensor import embedding_coords
+
+    coords = embedding_coords(spark, sf_dir).select("vec_id", "dim", "v")
+    cents = coords.filter(
+        F.col("vec_id") % _SEM_STRIDE == 0
+    ).select(F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv"))
+    cdots = (
+        coords.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "cid")
+        .agg(exact_sum(F.col("v") * F.col("cv"), 9).alias("dot"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid")
+    assign = (
+        cdots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    norms = coords.groupBy("vec_id").agg(
+        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+    )
+    ac = coords.join(assign, "vec_id")
+    a = ac.alias("a")
+    b = ac.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .agg(exact_sum(F.col("a.v") * F.col("b.v"), 9).alias("dot"))
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    dup = (
+        dots.join(F.broadcast(na), F.col("vec_a") == F.col("na.vec_id"))
+        .join(F.broadcast(nb), F.col("vec_b") == F.col("nb.vec_id"))
+        .filter(
+            F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")) >= SEMDEDUP_TAU
+        )
+        .select("cid", "vec_a", "vec_b")
+    )
+    dropped = dup.select("cid", F.col("vec_b").alias("vec_id")).distinct()
+    pairs = dup.groupBy("cid").agg(F.count("*").alias("n_dup_pairs"))
+    drops = dropped.groupBy("cid").agg(
+        F.count("*").alias("n_dropped"),
+        F.min("vec_id").alias("min_dropped"),
+        F.max("vec_id").alias("max_dropped"),
+    )
+    members = assign.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return (
+        members.join(pairs, "cid", "left")
+        .join(drops, "cid", "left")
+        .select(
+            F.col("cid").alias("centroid_id"),
+            "n_members",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long")
+            .alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            "min_dropped",
+            "max_dropped",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end near-dup filter: LSH candidates -> verify -> keep-first
 # ---------------------------------------------------------------------------
 
