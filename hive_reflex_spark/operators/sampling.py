@@ -188,6 +188,75 @@ def q87_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUZZY_TAU = 0.02  # contaminated iff >=2% of a doc's shingles hit the
+# benchmark — fixture-calibrated (PaLM used 70% of 8-grams; this corpus
+# is short synthetic docs whose max observed overlap is ~3.4%)
+
+
+@query(
+    "q270_fuzzy_decontaminate",
+    oracle=f"""
+    WITH sh AS (SELECT * FROM {_DUCK_SH4} s),
+         bench AS (SELECT DISTINCT shingle FROM sh
+                   WHERE doc_id % {_BENCH_MOD} = 0),
+         tr AS (SELECT doc_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                       CAST(SUM(CASE WHEN b.shingle IS NOT NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                FROM sh LEFT JOIN bench b USING (shingle)
+                WHERE doc_id % {_BENCH_MOD} <> 0
+                GROUP BY doc_id)
+    SELECT doc_id, n_shingles, n_hit,
+           ROUND(n_hit * 1.0 / n_shingles, 6) AS contamination_ratio,
+           n_hit * 1.0 / n_shingles >= {_FUZZY_TAU} AS is_contaminated
+    FROM tr WHERE n_hit > 0
+    """,
+)
+def q270_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED benchmark decontamination: q87 flags a training doc on ANY
+    shared shingle; this computes the contamination RATIO — the fraction
+    of the doc's distinct 4-word shingles that appear anywhere in the
+    benchmark set — and applies a threshold rule, which is how the
+    production decision is actually made (PaLM removed docs with >=70%
+    of 8-grams seen in eval data; GPT-3's appendix used 13-gram overlap
+    counts). The ratio separates verbatim-leak docs (~1.0: an eval
+    answer pasted into the corpus) from incidental phrase collisions
+    (~0.01), which an any-hit rule cannot.
+
+    Scale: identical envelope to q87 — the benchmark shingle set is
+    small by construction and BROADCASTS; the corpus side is one
+    scan-side shingle transform plus a grouped count. The denominator
+    (per-doc distinct-shingle count) rides the same aggregate as the
+    hit count via the left join, so no second corpus pass.
+
+    Reference anchor: same as q87 (`tools/dataset_tools.py` holdout
+    hygiene), upgraded from membership to measure."""
+    sh = _shingles4(spark, sf_dir)
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    tr = (
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hit"),
+        )
+    )
+    ratio = F.col("n_hit") * 1.0 / F.col("n_shingles")
+    return tr.filter(F.col("n_hit") > 0).select(
+        "doc_id",
+        "n_shingles",
+        "n_hit",
+        F.round(ratio, 6).alias("contamination_ratio"),
+        (ratio >= _FUZZY_TAU).alias("is_contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing: concat-and-chunk documents into fixed context windows
 # ---------------------------------------------------------------------------

@@ -175,6 +175,88 @@ def q43_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENTROPY_TAU = 0.94  # low-entropy flag: norm below the fixture's ~5% tail
+
+
+@query(
+    "q271_token_entropy",
+    oracle=f"""
+    WITH c AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+               FROM {DUCK_WORDS} words GROUP BY doc_id, w),
+         d AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      CAST(COUNT(*) AS BIGINT) AS n_types,
+                      CAST(MAX(c) AS BIGINT) AS max_count,
+                      CAST(SUM(CAST(ROUND(c * ln(c) * 1000000000) AS BIGINT))
+                           AS BIGINT) / 1000000000.0 AS s
+               FROM c GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_types,
+           ROUND(max_count * 1.0 / n_tokens, 6) AS top_share,
+           ROUND((ln(n_tokens) - s / n_tokens) / ln(2), 6) AS entropy_bits,
+           CASE WHEN n_types > 1
+                THEN ROUND((ln(n_tokens) - s / n_tokens) / ln(n_types), 6)
+           END AS norm_entropy,
+           CASE WHEN n_types > 1
+                THEN (ln(n_tokens) - s / n_tokens) / ln(n_types)
+                     < {_ENTROPY_TAU}
+                ELSE TRUE
+           END AS is_low_entropy
+    FROM d
+    """,
+)
+def q271_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy — the quality filter that
+    catches repetitive/templated/spammy text that length and stopword
+    heuristics (q43) and Gopher's repeated-line ratios (q91) both miss:
+    Shannon entropy of the word-frequency distribution, H = log2(n) -
+    (1/n)·Σ c·log2(c), plus the normalized form H / log2(n_types)
+    (evenness: 1.0 = perfectly uniform usage, → 0 = one token dominates)
+    and the top-token share. Docs below the evenness tail
+    ({_ENTROPY_TAU}) are flagged; single-type docs are degenerate
+    repetition and flag unconditionally.
+
+    Exactness: each c·ln(c) term freezes to integer 1e-9 units before
+    the per-doc sum (order-independent; identical integer c gives the
+    identical double ln in both engines — the q223/q95 discipline), and
+    the closed form needs only ONE log beyond the frozen sum, so no
+    cross-engine accumulation drift. Scale: one grouped count and one
+    per-doc rollup — two scan-shaped aggregates keyed on doc_id, no
+    joins, no windows; entropy of a 100 TB corpus is embarrassingly
+    parallel.
+
+    Reference anchor: the activation-distribution entropy probes in
+    `analysis/activation_stats.py` (SURVEY A1) — the same statistic,
+    over token counts instead of activation histograms."""
+    words = doc_words(spark, sf_dir)
+    c = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    d = c.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.max("c").cast("long").alias("max_count"),
+        (
+            F.sum(
+                F.round(F.col("c") * F.log(F.col("c")) * 1e9).cast("long")
+            ).cast("long")
+            / 1e9
+        ).alias("s"),
+    )
+    h_nats = F.log(F.col("n_tokens")) - F.col("s") / F.col("n_tokens")
+    norm = h_nats / F.log(F.col("n_types"))
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("max_count") * 1.0 / F.col("n_tokens"), 6).alias(
+            "top_share"
+        ),
+        F.round(h_nats / F.log(F.lit(2.0)), 6).alias("entropy_bits"),
+        F.when(F.col("n_types") > 1, F.round(norm, 6)).alias("norm_entropy"),
+        F.when(F.col("n_types") > 1, norm < _ENTROPY_TAU)
+        .otherwise(F.lit(True))
+        .alias("is_low_entropy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Language ID (n-gram/marker heuristic)
 # ---------------------------------------------------------------------------
