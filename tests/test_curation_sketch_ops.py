@@ -1,0 +1,187 @@
+"""Invariant tests for the round-8 continuation additions:
+
+- q268 KMV set sketch: mergeability (union-merge of two day sketches ==
+  sketch built directly on the union of the day audiences), the exact
+  degradation branch for underfull sketches, and estimator sanity bands.
+- q269 SemDeDup: every reported drop is verified by an independent
+  numpy brute force of the cluster-restricted cosine rule.
+- q270 fuzzy decontamination: flags the SAME doc set as q87's any-hit
+  rule (the ratio is a refinement, not a different universe) with
+  ratios in (0, 1].
+- q271 token entropy: 6dp parity with a pure-Python recomputation and
+  the Shannon bounds 0 <= H <= log2(n_types).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+import numpy as np
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _u(user_id: int) -> float:
+    """The exact dyadic md5 uniform both engines build (q124/q268)."""
+    h = hashlib.md5(str(user_id).encode()).hexdigest()
+    return sum(
+        int(h[i], 16) * 16.0 ** -(i + 1) for i in range(10)
+    )
+
+
+def _day_users(sf_dir: str) -> dict:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT DISTINCT CAST(ts AS DATE) AS dday, user_id "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    by_day: dict = {}
+    for d, u in rows:
+        by_day.setdefault(d, set()).add(u)
+    return by_day
+
+
+def _kmv(users: set, k: int) -> list:
+    return sorted(((_u(u), u) for u in users))[:k]
+
+
+def test_kmv_merge_equals_direct_build():
+    """KMV mergeability: k-smallest of (sketch_a ∪ sketch_b) must equal
+    the sketch built directly on (A ∪ B) — the property that lets day
+    sketches compose into weeks without rescanning the fact table."""
+    from hive_reflex_spark.operators.analytics import KMV_K
+
+    by_day = _day_users(SF_CORRECT)
+    days = sorted(by_day)
+    for a, b in zip(days, days[1:]):
+        sk_a, sk_b = _kmv(by_day[a], KMV_K), _kmv(by_day[b], KMV_K)
+        merged = sorted({*sk_a, *sk_b})[:KMV_K]
+        direct = _kmv(by_day[a] | by_day[b], KMV_K)
+        assert merged == direct, (a, b)
+
+
+def test_kmv_underfull_is_exact(spark):
+    """Sketches smaller than k are the set itself: estimates must equal
+    the exact counts bit-for-bit at sf0.001 (11-15 users/day < k=32)."""
+    from hive_reflex_spark.operators.analytics import (
+        KMV_K,
+        q268_kmv_set_sketch,
+    )
+
+    by_day = _day_users(SF_SMOKE)
+    assert all(len(v) < KMV_K for v in by_day.values()), "fixture drifted"
+    rows = q268_kmv_set_sketch(spark, SF_SMOKE).collect()
+    assert len(rows) == len(by_day) - 1
+    for r in rows:
+        assert r["est_union"] == float(r["exact_union"]), r
+        assert r["est_inter"] == float(r["exact_inter"]), r
+        assert r["union_rel_err"] == 0.0
+
+
+def test_kmv_estimator_sanity(spark):
+    """Full sketches (sf0.01: 125-141 users/day) must estimate inside
+    the design band: rse ~ 1/sqrt(k-2) ~ 18%, allow ~3 sigma."""
+    from hive_reflex_spark.operators.analytics import q268_kmv_set_sketch
+
+    rows = q268_kmv_set_sketch(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r["union_rel_err"] <= 0.55, r
+        assert r["est_inter"] <= r["est_union"] + 1e-9, r
+        assert r["est_a"] > 0 and r["est_b"] > 0
+
+
+def test_semdedup_drops_verified_by_bruteforce(spark):
+    """Independent numpy replay of the cluster-restricted rule: for each
+    cluster, a vector is dropped iff some lower-id cluster-mate sits at
+    cosine >= tau (with the same 1e-9 integer-unit dot discipline)."""
+    from hive_reflex_spark.operators.dedup import (
+        SEMDEDUP_TAU,
+        _SEM_STRIDE,
+        q269_semantic_dedup,
+    )
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in raw])
+    X = np.array([r[1] for r in raw], dtype=np.float64)
+
+    def xdot(a: np.ndarray, b: np.ndarray) -> float:
+        return float(np.sum(np.round(a * b * 1e9)).astype(np.int64)) / 1e9
+
+    cent_mask = ids % _SEM_STRIDE == 0
+    cids, C = ids[cent_mask], X[cent_mask]
+    assign = {}
+    for i, vid in enumerate(ids):
+        dots = [(xdot(X[i], C[j]), -cids[j]) for j in range(len(cids))]
+        assign[vid] = -max(dots)[1]
+    nrm = {vid: math.sqrt(xdot(X[i], X[i])) for i, vid in enumerate(ids)}
+    idx = {vid: i for i, vid in enumerate(ids)}
+
+    expected_members: Counter = Counter(assign.values())
+    expected_drops: dict = Counter()
+    for cid in set(assign.values()):
+        mem = sorted(v for v in ids if assign[v] == cid)
+        for j, vb in enumerate(mem):
+            for va in mem[:j]:
+                cos = xdot(X[idx[va]], X[idx[vb]]) / (nrm[va] * nrm[vb])
+                if cos >= SEMDEDUP_TAU:
+                    expected_drops[cid] += 1
+                    break
+
+    rows = q269_semantic_dedup(spark, SF_SMOKE).collect()
+    assert sum(r["n_members"] for r in rows) == len(ids)
+    for r in rows:
+        assert r["n_members"] == expected_members[r["centroid_id"]], r
+        assert r["n_dropped"] == expected_drops.get(r["centroid_id"], 0), r
+
+
+def test_fuzzy_decontaminate_consistent_with_q87(spark):
+    """q270's doc universe (n_hit > 0) is exactly q87's flagged set, and
+    every ratio is a true fraction of the doc's shingle count."""
+    from hive_reflex_spark.operators.sampling import (
+        q87_decontaminate,
+        q270_fuzzy_decontaminate,
+    )
+
+    any_hit = {r["doc_id"] for r in q87_decontaminate(spark, SF_CORRECT).collect()}
+    rows = q270_fuzzy_decontaminate(spark, SF_CORRECT).collect()
+    assert {r["doc_id"] for r in rows} == any_hit
+    for r in rows:
+        assert 0 < r["n_hit"] <= r["n_shingles"], r
+        assert 0 < r["contamination_ratio"] <= 1.0, r
+        assert r["is_contaminated"] == (
+            r["n_hit"] / r["n_shingles"] >= 0.02
+        ), r
+
+
+def test_token_entropy_matches_python(spark):
+    """6dp parity with Counter/math.log, plus the Shannon bounds."""
+    from hive_reflex_spark.operators.text import q271_token_entropy
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+    rows = q271_token_entropy(spark, SF_SMOKE).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        counts = Counter(texts[r["doc_id"]].split(" "))
+        n = sum(counts.values())
+        # the frozen-term discipline: c*ln(c) in 1e-9 integer units
+        s = sum(round(c * math.log(c) * 1e9) for c in counts.values()) / 1e9
+        h_bits = (math.log(n) - s / n) / math.log(2)
+        assert r["n_tokens"] == n and r["n_types"] == len(counts)
+        assert abs(r["entropy_bits"] - round(h_bits, 6)) <= 1e-9, r
+        # entropy_bits is rounded to 6dp, so the bound needs 5e-7 slack
+        assert -1e-6 <= r["entropy_bits"] <= math.log2(len(counts)) + 1e-6
+        if r["norm_entropy"] is not None:
+            assert r["norm_entropy"] <= 1.0 + 1e-6
