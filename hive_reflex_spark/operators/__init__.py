@@ -27,16 +27,20 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-8 window: the 7 registrations
+# the judged correctness surface. Round-8 window: the 11 registrations
 # new this round (first driver rows), the 10 queries whose code changed
 # this round (changed code must be re-judged — incl. the q118/q49a/
 # q47/q263 shared-helper refactors), then the stalest r01/r02
 # hash-greens per scripts/rotate_window.py (VERDICT r7 item 4: convert
 # standing local sweeps into fresh driver evidence, oldest first). The
-# list is 58 long, so its last 8 names (q12/q13/q15-q20) sit just
+# list is 62 long, so its last 12 names (q51a/q09-q13/q15-q20) sit just
 # outside the 50-slot window and keep their standing r02 evidence.
 _registry.finalize_order([
     # NEW this round — first driver rows
+    "q268_kmv_set_sketch",        # KMV union+intersection sketch
+    "q269_semantic_dedup",        # SemDeDup cluster-restricted dedup
+    "q270_fuzzy_decontaminate",   # graded contamination-ratio rule
+    "q271_token_entropy",         # word-distribution evenness filter
     "q160a_slcan_transport",      # S8 real-transport wire codec (r7 item 6)
     "q250a_stream_novelty",       # ingest-side novelty via stateful stream
     "q256a_siegel_repeated_median",  # 50%-breakdown robust trend

@@ -951,15 +951,17 @@ def q268_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_b") == F.date_add(F.col("day_a"), 1),
         )
     )
-    # |days| is dimension-scale: the pair table broadcasts, sketches are
-    # k-row-bounded per day, so this join is sketch-side only
+    # |days| is dimension-scale: pair membership exploded to (pair, dday)
+    # rows and EQUI-joined (a day belongs to <=2 consecutive pairs), so
+    # both the sketch join and the exact audit are hash joins against a
+    # broadcast — never an OR-condition nested-loop over all pairs
+    pmem = pairs.select(
+        "day_a",
+        "day_b",
+        F.explode(F.array("day_a", "day_b")).alias("dday"),
+    )
     pairu = (
-        F.broadcast(pairs)
-        .join(
-            sk,
-            (F.col("dday") == F.col("day_a"))
-            | (F.col("dday") == F.col("day_b")),
-        )
+        sk.join(F.broadcast(pmem), "dday")
         .groupBy("day_a", "day_b", "user_id")
         .agg(
             F.min("u").alias("u"),
@@ -994,12 +996,7 @@ def q268_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact-audit branch — the only corpus-scale aggregate in the query
     fullpair = (
-        F.broadcast(pairs.select("day_a", "day_b"))
-        .join(
-            ev,
-            (F.col("dday") == F.col("day_a"))
-            | (F.col("dday") == F.col("day_b")),
-        )
+        ev.join(F.broadcast(pmem), "dday")
         .groupBy("day_a", "day_b", "user_id")
         .agg(
             F.max(F.when(F.col("dday") == F.col("day_a"), 1).otherwise(0))

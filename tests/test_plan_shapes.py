@@ -631,3 +631,46 @@ def test_q267_feeds_from_star_not_all_pairs(spark, sf_smoke):
     assert "CartesianProduct" not in plan
     # star feed: a min(doc_id) hub aggregate must exist in the plan
     assert "min(doc_id" in plan, "hub aggregate missing — not the star feed"
+
+
+def test_q268_sketch_is_partial_topk_and_equi_joins(spark, sf_smoke):
+    """q268: the per-day k-smallest must plan as WindowGroupLimit
+    (partial top-k per partition, merged at the shuffle — the bounded
+    sketch heap), and pair membership must reach the corpus through
+    EQUI hash joins of the exploded (pair, day) table, never an
+    OR-condition nested loop over all pairs."""
+    plan = plan_of(spark, "q268_kmv_set_sketch", sf_smoke)
+    assert "WindowGroupLimit" in plan, "sketch lost the rank-limit pushdown"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "pair membership degraded to an OR-condition nested loop"
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q269_centroids_broadcast_pairs_cluster_restricted(spark, sf_smoke):
+    """q269 SemDeDup: the centroid table must BROADCAST into the
+    assignment join (k x d doubles), and the pairwise stage must be an
+    equi-join on (cid, dim) — cluster-restricted, never a cartesian
+    across clusters."""
+    plan = plan_of(spark, "q269_semantic_dedup", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q270_benchmark_side_broadcasts(spark, sf_smoke):
+    """q270: the benchmark shingle set is small by construction and must
+    broadcast — the corpus-side scan never shuffles for the hit join."""
+    plan = plan_of(spark, "q270_fuzzy_decontaminate", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q271_is_two_aggregates_no_joins(spark, sf_smoke):
+    """q271 token entropy: two scan-shaped grouped aggregates keyed on
+    doc_id — no join, no window, one corpus scan."""
+    plan = plan_of(spark, "q271_token_entropy", sf_smoke)
+    for op in ("Join", "Window", "CartesianProduct"):
+        assert op not in plan, f"q271 grew a {op}"
+    assert plan.count("FileScan parquet") == 1

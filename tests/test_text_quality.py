@@ -203,6 +203,10 @@ def test_registry_window_covers_new_families():
         # r01/r02 hash-greens (scripts/rotate_window.py) — the listed
         # names that overflow the 50-slot window keep their standing
         # r02 evidence.
+        "q268_kmv_set_sketch",          # new: KMV set-operation sketch
+        "q269_semantic_dedup",          # new: SemDeDup cluster dedup
+        "q270_fuzzy_decontaminate",     # new: contamination-ratio rule
+        "q271_token_entropy",           # new: token-evenness filter
         "q160a_slcan_transport",        # new: S8 real-transport wire codec
         "q250a_stream_novelty",         # new: ingest-side novelty
         "q256a_siegel_repeated_median", # new: 50%-breakdown trend
