@@ -363,6 +363,31 @@ PICKS = {
         "scan-side array transforms + one grouped count; clipped "
         "intersections touch candidate docs' gram rows only."
     ),
+    "q268_kmv_set_sketch": (
+        "KMV set sketch: the per-day k-smallest plans as WindowGroupLimit "
+        "(partial top-k per partition, merged at the shuffle — the bounded "
+        "sketch heap); pair membership is an exploded (pair, day) table "
+        "EQUI-broadcast into both the sketch join and the exact audit — "
+        "no OR-condition nested loop anywhere."
+    ),
+    "q269_semantic_dedup": (
+        "SemDeDup: centroids broadcast into the assignment join (k x d "
+        "doubles); the pairwise stage equi-joins on (cid, dim) so each "
+        "cluster's pairs co-locate — n^2/k work, never a cross-cluster "
+        "cartesian; norms/dots are exact integer-unit sums in codegen."
+    ),
+    "q270_fuzzy_decontaminate": (
+        "Graded decontamination: the benchmark shingle set broadcasts; "
+        "the corpus side is one scan-side shingle transform + a grouped "
+        "count carrying both the hit numerator and the per-doc "
+        "denominator on the same aggregate."
+    ),
+    "q271_token_entropy": (
+        "Token entropy: two grouped aggregates on one parquet scan — no "
+        "join, no window; the c*ln(c) terms freeze to integer 1e-9 units "
+        "inside the partial aggregate, so the corpus-scale reduction is "
+        "order-independent map-side combine."
+    ),
 }
 
 
