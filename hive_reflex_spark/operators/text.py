@@ -354,6 +354,159 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 8  # character k-gram length (same gram unit as q45)
+WINNOW_W = 4  # winnowing window: guarantee = any shared substring of
+# length >= W+K-1 (11 chars) yields a shared fingerprint
+
+
+@query(
+    "q272_winnowing_fingerprint",
+    oracle=f"""
+    WITH grams AS (SELECT doc_id,
+                          CAST(pos AS INTEGER) AS pos,
+                          md5(substr(text, CAST(pos AS INTEGER), {WINNOW_K}))
+                              AS h
+                   FROM (SELECT doc_id, text,
+                                unnest(range(1, len(text) - {WINNOW_K - 2}))
+                                    AS pos
+                         FROM documents)),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+                   FROM grams GROUP BY doc_id),
+         wins AS (SELECT doc_id, CAST(i AS INTEGER) AS i
+                  FROM (SELECT doc_id,
+                               unnest(range(1, n_grams - {WINNOW_W - 2}))
+                                   AS i
+                        FROM sizes WHERE n_grams >= {WINNOW_W})),
+         sel AS (SELECT doc_id, pos, h FROM (
+                     SELECT w.doc_id, g.pos, g.h,
+                            ROW_NUMBER() OVER (
+                                PARTITION BY w.doc_id, w.i
+                                ORDER BY g.h, g.pos DESC) AS rn
+                     FROM wins w JOIN grams g
+                       ON g.doc_id = w.doc_id
+                      AND g.pos >= w.i AND g.pos < w.i + {WINNOW_W})
+                 WHERE rn = 1
+                 GROUP BY doc_id, pos, h),
+         perdoc AS (SELECT doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_fp
+                    FROM sel GROUP BY doc_id),
+         hashes AS (SELECT doc_id, h FROM sel GROUP BY doc_id, h),
+         docs_per_hash AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs
+                           FROM hashes GROUP BY h),
+         shared AS (SELECT hashes.doc_id,
+                           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_shared_fp
+                    FROM hashes JOIN docs_per_hash USING (h)
+                    GROUP BY hashes.doc_id)
+    SELECT s.doc_id, s.n_grams, p.n_fp,
+           ROUND(p.n_fp * 1.0 / s.n_grams, 6) AS density,
+           COALESCE(sh.n_shared_fp, 0) AS n_shared_fp
+    FROM sizes s
+    JOIN perdoc p ON p.doc_id = s.doc_id
+    LEFT JOIN shared sh ON sh.doc_id = s.doc_id
+    WHERE s.n_grams >= {WINNOW_W}
+    """,
+)
+def q272_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): in every window of {WINNOW_W} consecutive
+    character-{WINNOW_K}-gram hashes, select the minimum (rightmost on
+    ties); the distinct selected positions are the fingerprint set.
+    Unlike q45's 1-permutation MinHash (one hash per doc, probabilistic)
+    winnowing GUARANTEES any shared substring of length >= w+k-1
+    ({WINNOW_W + WINNOW_K - 1} chars) produces a shared fingerprint, at
+    expected density 2/(w+1) — the local-similarity detector used for
+    plagiarism/license-scan/boilerplate audits where misses are not
+    acceptable. Per-doc report: gram count, fingerprints kept, realized
+    density, and how many of the doc's fingerprints also appear in some
+    OTHER doc (the cross-corpus overlap signal).
+
+    Scale: the whole selection runs as ARRAY expressions inside one
+    projection — a document fits in memory by definition, so windows
+    never explode into join rows on the Spark side (the oracle's
+    window×gram join is the semantic spec, not the plan). The min-fold
+    uses `h <= acc` so the RIGHTMOST minimal gram wins, matching the
+    oracle's ORDER BY h, pos DESC; md5-hex compares lexicographically
+    the same in both engines (the q48 MinHash convention). The only
+    shuffles are the per-doc rollup and the fingerprint-sharing count
+    (one grouped count on the slim (doc, hash) stream).
+
+    Reference anchor: q45's rolling fingerprint family
+    (`tools/dataset_tools.py` content hashing), upgraded from
+    one-hash-per-doc to the guaranteed positional scheme."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text").withColumn(
+        "harr",
+        F.when(
+            F.length("text") >= WINNOW_K,
+            F.expr(
+                f"transform(sequence(1, length(text) - {WINNOW_K - 1}), "
+                f"p -> md5(substring(text, p, {WINNOW_K})))"
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<string>)")),
+    )
+    # per-window min (the selected HASH), then the rightmost position of
+    # that min via reverse+array_position; the (pos, h) pair array is
+    # fully built BEFORE the explode — indexing harr after a Generate
+    # would let CollapseProject inline the whole md5 transform into
+    # every exploded row (measured 350 s vs 4 s on sf0.01)
+    sel = (
+        base.filter(F.size("harr") >= WINNOW_W)
+        .withColumn(
+            "warr",
+            F.expr(
+                f"transform(sequence(1, size(harr) - {WINNOW_W - 1}), "
+                f"i -> array_min(slice(harr, i, {WINNOW_W})))"
+            ),
+        )
+        .withColumn(
+            "fp_pairs",
+            F.expr(
+                f"""array_distinct(transform(
+                    sequence(1, size(warr)),
+                    i -> struct(
+                        i + {WINNOW_W} - array_position(
+                            reverse(slice(harr, i, {WINNOW_W})),
+                            warr[i - 1]) AS pos,
+                        warr[i - 1] AS h)))"""
+            ),
+        )
+    )
+    # explode_OUTER: a plain explode makes Catalyst infer a
+    # size(fp_pairs) > 0 constraint and push it to the scan filter with
+    # the whole nested HOF chain INLINED (warr inlines harr per window —
+    # a cubic md5 blowup measured at >300 s; outer generates no
+    # constraint, and fp_pairs is never empty after the >= W gate)
+    fp = sel.select(
+        "doc_id",
+        F.size("harr").cast("long").alias("n_grams"),
+        F.explode_outer("fp_pairs").alias("fp"),
+    ).select("doc_id", "n_grams", F.col("fp.pos").alias("pos"),
+             F.col("fp.h").alias("h"))
+    perdoc = fp.groupBy("doc_id", "n_grams").agg(
+        F.count("*").alias("n_fp")
+    )
+    hashes = fp.select("doc_id", "h").distinct()
+    docs_per_hash = hashes.groupBy("h").agg(F.count("*").alias("n_docs"))
+    shared = (
+        hashes.join(docs_per_hash, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_fp")
+        )
+    )
+    return perdoc.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_fp",
+        F.round(F.col("n_fp") * 1.0 / F.col("n_grams"), 6).alias("density"),
+        F.coalesce("n_shared_fp", F.lit(0)).cast("long")
+        .alias("n_shared_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # BPE-ish regex token counting
 # ---------------------------------------------------------------------------

@@ -185,3 +185,57 @@ def test_token_entropy_matches_python(spark):
         assert -1e-6 <= r["entropy_bits"] <= math.log2(len(counts)) + 1e-6
         if r["norm_entropy"] is not None:
             assert r["norm_entropy"] <= 1.0 + 1e-6
+
+
+def test_winnowing_matches_python_and_guarantee(spark):
+    """q272 parity with a literal pure-Python winnowing replay, plus the
+    density expectation 2/(w+1) and the MOSS guarantee: two docs sharing
+    a substring of length >= w+k-1 share a fingerprint hash."""
+    from hive_reflex_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        q272_winnowing_fingerprint,
+    )
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+
+    def winnow(text: str) -> set:
+        hs = [
+            hashlib.md5(text[p : p + WINNOW_K].encode()).hexdigest()
+            for p in range(len(text) - WINNOW_K + 1)
+        ]
+        sel = set()
+        for i in range(len(hs) - WINNOW_W + 1):
+            win = hs[i : i + WINNOW_W]
+            m = min(win)
+            j = i + max(o for o, h in enumerate(win) if h == m)
+            sel.add((j, hs[j]))
+        return sel
+
+    fps = {d: winnow(t) for d, t in texts.items() if len(t) >= WINNOW_K + 3}
+    rows = {r["doc_id"]: r for r in
+            q272_winnowing_fingerprint(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(fps)
+    all_hashes = Counter(h for s in fps.values() for _, h in {(p, h) for p, h in s})
+    by_doc_hashes = {d: {h for _, h in s} for d, s in fps.items()}
+    hash_docs = Counter(h for d, hs in by_doc_hashes.items() for h in hs)
+    for d, r in rows.items():
+        assert r["n_fp"] == len(fps[d]), d
+        assert r["n_shared_fp"] == sum(
+            1 for h in by_doc_hashes[d] if hash_docs[h] > 1
+        ), d
+    dens = [r["n_fp"] / r["n_grams"] for r in rows.values()]
+    assert abs(sum(dens) / len(dens) - 2 / (WINNOW_W + 1)) < 0.05
+    # guarantee: plant a shared 11-char substring between two synthetic
+    # docs and verify the pure replay (the operator's exact semantics)
+    # yields a common fingerprint hash
+    probe = "zqxjkvbwpyg"
+    assert len(probe) >= WINNOW_W + WINNOW_K - 1
+    a = winnow("aaaa " + probe + " bbbb")
+    b = winnow("cccc " + probe + " dddd")
+    assert {h for _, h in a} & {h for _, h in b}

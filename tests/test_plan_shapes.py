@@ -674,3 +674,20 @@ def test_q271_is_two_aggregates_no_joins(spark, sf_smoke):
     for op in ("Join", "Window", "CartesianProduct"):
         assert op not in plan, f"q271 grew a {op}"
     assert plan.count("FileScan parquet") == 1
+
+
+def test_q272_winnowing_stays_array_side(spark, sf_smoke):
+    """q272: the window selection runs as ARRAY expressions in one
+    projection — no window operator, no gram self-join; and the explode
+    must be OUTER (a plain explode makes Catalyst push an inferred
+    size>0 constraint into the scan filter with the whole nested HOF
+    chain inlined — a measured 350 s cubic blowup at sf0.01). The only
+    joins are the per-doc rollup joins on doc_id."""
+    plan = plan_of(spark, "q272_winnowing_fingerprint", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan, "winnowing leaked into a window operator"
+    # one Generate per consumer branch (per-doc rollup, hash sharing x2)
+    assert plan.count("Generate explode") <= 3
+    # the pathological inlined filter mentions md5 many times; the healthy
+    # plan evaluates the md5 transform in a handful of projections only
+    assert plan.count("md5") <= 20, "HOF chain inlined into scan filter"
