@@ -169,7 +169,24 @@ def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from expanding each capped posting list in place: no shingle
     self-join shuffle, no O(df²) blowup from a viral phrase. Jaccard is
     computed consistently over the capped shingle universe; the oracle
-    mirrors the cap."""
+    mirrors the cap. Pair generation + scoring live in
+    collision_jaccard_pairs (shared with q273's recall audit)."""
+    p = collision_jaccard_pairs(spark, sf_dir)
+    return p.filter(F.col("jac") >= 0.5).select(
+        "doc_a",
+        "doc_b",
+        "intersection",
+        "union_size",
+        F.round("jac", 6).alias("jaccard"),
+    )
+
+
+def collision_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every pair sharing >= 1 capped shingle, exactly scored:
+    (doc_a, doc_b, intersection, union_size, jac[double, unrounded]) —
+    q47's generator BEFORE its J >= 0.5 gate, shared by q273's
+    LSH-recall audit so truth pairs and the gated report provably ride
+    one pair stream."""
     grouped = capped_postings(spark, sf_dir)
     sizes = capped_universe_sizes(spark, sf_dir, grouped)
     pair_expr = F.expr(
@@ -200,7 +217,6 @@ def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sa.hint("shuffle_hash"), F.col("doc_a") == F.col("sa.doc_id")
         )
         .join(sb.hint("shuffle_hash"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
         .select(
             "doc_a",
             "doc_b",
@@ -208,7 +224,7 @@ def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sa.n") + F.col("sb.n") - F.col("intersection")).alias(
                 "union_size"
             ),
-            F.round(jac, 6).alias("jaccard"),
+            jac.alias("jac"),
         )
     )
 
@@ -429,6 +445,117 @@ def q49a_lsh_candidates_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         star_candidates(bands)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical LSH recall audit: the measured S-curve next to q260's theory
+# ---------------------------------------------------------------------------
+
+_N_LSH_BANDS = N_PERMS // BAND_SIZE
+
+# per-decile theoretical capture probability 1-(1-m^r)^b at the bucket
+# midpoint, precomputed in Python so neither engine evaluates pow()
+_RECALL_THEORY = {
+    bkt: round(
+        1.0 - (1.0 - ((bkt + 0.5) / 10.0) ** BAND_SIZE) ** _N_LSH_BANDS, 6
+    )
+    for bkt in range(10)
+}
+_RECALL_THEORY_CASE = (
+    "CASE "
+    + " ".join(f"WHEN bucket = {b} THEN {t!r}" for b, t in _RECALL_THEORY.items())
+    + " END"
+)
+
+
+@query(
+    "q273_lsh_recall_curve",
+    oracle=f"""
+    WITH dsh_all AS {_DUCK_DSH},
+         dsh AS (SELECT * FROM dsh_all WHERE shingle NOT IN
+                 (SELECT shingle FROM dsh_all
+                  GROUP BY shingle HAVING COUNT(*) > {MAX_SHINGLE_DF})),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                          COUNT(*) AS intersection
+                   FROM dsh a JOIN dsh b
+                     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+         jac AS (SELECT doc_a, doc_b,
+                        intersection * 1.0
+                            / (sa.n + sb.n - intersection) AS j
+                 FROM pairs
+                 JOIN sizes sa ON doc_a = sa.doc_id
+                 JOIN sizes sb ON doc_b = sb.doc_id),
+         mh AS {_DUCK_MINHASH},
+         bands AS (SELECT doc_id, seed // {BAND_SIZE} AS band,
+                          MIN(CASE WHEN seed % {BAND_SIZE} = 0 THEN sig END)
+                          || MIN(CASE WHEN seed % {BAND_SIZE} = 1 THEN sig END)
+                              AS band_sig
+                   FROM mh GROUP BY doc_id, seed // {BAND_SIZE}),
+         cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_sig = b.band_sig
+                       AND a.doc_id < b.doc_id),
+         lab AS (SELECT LEAST(CAST(floor(j * 10) AS BIGINT),
+                              CAST(9 AS BIGINT)) AS bucket,
+                        CASE WHEN c.doc_a IS NOT NULL
+                             THEN 1 ELSE 0 END AS caught
+                 FROM jac LEFT JOIN cand c
+                   ON jac.doc_a = c.doc_a AND jac.doc_b = c.doc_b)
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(caught) AS BIGINT) AS n_caught,
+           ROUND(SUM(caught) * 1.0 / COUNT(*), 6) AS recall,
+           {_RECALL_THEORY_CASE} AS theory_p
+    FROM lab GROUP BY bucket
+    """,
+)
+def q273_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH recall by true-Jaccard decile — the MEASURED
+    S-curve that q260's banding planner predicts analytically: every
+    collision pair's exact capped-universe Jaccard (q47's generator,
+    shared via collision_jaccard_pairs) is bucketed into deciles and
+    checked against the q49 band-candidate set; recall per bucket sits
+    next to the planner's 1-(1-J^r)^b midpoint prediction. This is the
+    tuning audit a production dedup run ships with its drop decisions:
+    it shows WHERE the banding misses (low-J buckets, by design) and
+    that the J >= 0.5 action region is effectively fully captured —
+    measured evidence, not just theory, that the LSH gate can replace
+    the all-pairs plan.
+
+    Theory values are Python-precomputed constants (no cross-engine
+    pow()); recall is an exact integer ratio rounded at 6dp.
+
+    Scale: truth pairs come from the capped posting-list expansion
+    (O(collisions), df-capped); candidates from the band equi-join; the
+    audit join is pair-key to pair-key — all three inputs are
+    collision-sized, never corpus².
+
+    Reference anchor: SURVEY §5's coverage-test strategy
+    (`simulator/test_sim_reflex.py` accuracy-vs-reference audits),
+    applied to the dedup index instead of the inference kernels."""
+    truth = collision_jaccard_pairs(spark, sf_dir)
+    cand = (
+        q49_lsh_candidates(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("caught", F.lit(1))
+    )
+    lab = truth.join(cand, ["doc_a", "doc_b"], "left").select(
+        F.least(F.floor(F.col("jac") * 10), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+        F.coalesce("caught", F.lit(0)).alias("caught"),
+    )
+    return (
+        lab.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("caught").cast("long").alias("n_caught"),
+            F.round(F.sum("caught") * 1.0 / F.count("*"), 6).alias("recall"),
+        )
+        .withColumn("theory_p", F.expr(_RECALL_THEORY_CASE))
     )
 
 

@@ -239,3 +239,27 @@ def test_winnowing_matches_python_and_guarantee(spark):
     a = winnow("aaaa " + probe + " bbbb")
     b = winnow("cccc " + probe + " dddd")
     assert {h for _, h in a} & {h for _, h in b}
+
+
+def test_lsh_recall_curve_invariants(spark):
+    """q273: recall is a true ratio, the J>=0.9 action bucket is fully
+    (or near-fully) captured, the sub-0.1 noise bucket is nearly all
+    missed (by design), and theory_p matches the planner formula."""
+    from hive_reflex_spark.operators.dedup import (
+        BAND_SIZE,
+        N_PERMS,
+        q273_lsh_recall_curve,
+    )
+
+    rows = {r["bucket"]: r for r in
+            q273_lsh_recall_curve(spark, SF_CORRECT).collect()}
+    assert rows
+    nb = N_PERMS // BAND_SIZE
+    for b, r in rows.items():
+        assert 0 <= r["n_caught"] <= r["n_pairs"], r
+        assert abs(r["recall"] - round(r["n_caught"] / r["n_pairs"], 6)) < 1e-9
+        m = (b + 0.5) / 10.0
+        assert float(r["theory_p"]) == round(1 - (1 - m**BAND_SIZE) ** nb, 6)
+    assert 9 in rows and rows[9]["recall"] >= 0.9, rows.get(9)
+    if 0 in rows:
+        assert rows[0]["recall"] <= 0.1, rows[0]
