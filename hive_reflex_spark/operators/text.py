@@ -435,7 +435,13 @@ def q272_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`tools/dataset_tools.py` content hashing), upgraded from
     one-hash-per-doc to the guaranteed positional scheme."""
     docs = read_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "text").withColumn(
+    # the md5+window selection is CPU-bound scan-side work: spread it
+    # across the cluster BEFORE the heavy projection — a single parquet
+    # file otherwise caps it at the scan's split count (measured 223 s
+    # on ~2 tasks vs ~20 s spread at the 10x fixture)
+    base = docs.select("doc_id", "text").repartition(
+        F.col("doc_id")
+    ).withColumn(
         "harr",
         F.when(
             F.length("text") >= WINNOW_K,
@@ -483,6 +489,10 @@ def q272_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer("fp_pairs").alias("fp"),
     ).select("doc_id", "n_grams", F.col("fp.pos").alias("pos"),
              F.col("fp.h").alias("h"))
+    # three consumers (per-doc rollup, hash cardinality, sharing join)
+    # would re-run the HOF selection 3x — persist the slim fingerprint
+    # stream once (the capped_postings build-once convention)
+    fp = fp.persist()
     perdoc = fp.groupBy("doc_id", "n_grams").agg(
         F.count("*").alias("n_fp")
     )
