@@ -388,6 +388,21 @@ PICKS = {
         "inside the partial aggregate, so the corpus-scale reduction is "
         "order-independent map-side combine."
     ),
+    "q272_winnowing_fingerprint": (
+        "Winnowing: doc_id repartition spreads the CPU-bound md5+window "
+        "selection, which then runs entirely as array expressions in one "
+        "projection (no window operator, no gram self-join); the explode "
+        "is OUTER so Catalyst cannot push an inferred size>0 constraint "
+        "into the scan with the HOF chain inlined (a measured 350 s "
+        "cubic blowup); fingerprint rollups run on the slim persisted "
+        "(doc, pos, hash) stream."
+    ),
+    "q273_lsh_recall_curve": (
+        "LSH recall audit: truth pairs from the capped posting-list "
+        "expansion (O(collisions)), candidates from the band equi-join, "
+        "audit join pair-key to pair-key — all collision-sized; theory "
+        "column is a constant CASE (no cross-engine pow)."
+    ),
 }
 
 
