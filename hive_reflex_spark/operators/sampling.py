@@ -348,6 +348,106 @@ def q89_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BATCH_B = 32  # docs per padded batch
+
+
+@query(
+    "q274_length_bucket_batching",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id,
+                         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                  FROM documents),
+         rnd AS (SELECT doc_id, n,
+                        (ROW_NUMBER() OVER (
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                         - 1) // {BATCH_B} AS batch
+                 FROM docs),
+         srt AS (SELECT doc_id, n,
+                        (ROW_NUMBER() OVER (ORDER BY n, doc_id)
+                         - 1) // {BATCH_B} AS batch
+                 FROM docs),
+         lab AS (SELECT 'shuffled' AS regime, batch, n FROM rnd
+                 UNION ALL
+                 SELECT 'length_bucketed' AS regime, batch, n FROM srt),
+         per_batch AS (SELECT regime, batch,
+                              CAST(COUNT(*) AS BIGINT) AS n_docs,
+                              CAST(MAX(n) AS BIGINT) AS max_len,
+                              CAST(SUM(n) AS BIGINT) AS tok
+                       FROM lab GROUP BY regime, batch)
+    SELECT regime,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(tok) AS BIGINT) AS real_tokens,
+           CAST(SUM(n_docs * max_len) AS BIGINT) AS padded_tokens,
+           CAST(SUM(n_docs * max_len - tok) AS BIGINT) AS pad_waste,
+           ROUND(SUM(n_docs * max_len - tok) * 1.0
+                 / SUM(n_docs * max_len), 6) AS waste_frac
+    FROM per_batch GROUP BY regime
+    """,
+)
+def q274_length_bucket_batching(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Padding-waste accounting for BATCHED (pad-to-max) training — the
+    other standard batching regime next to q89's concat-and-chunk
+    packing: every batch of {BATCH_B} sequences pads to its longest
+    member, so batch composition decides how many FLOPs are spent on
+    pad tokens. Two regimes over the identical corpus: 'shuffled'
+    (md5-ordered — the random-batch baseline) vs 'length_bucketed'
+    (length-sorted batches — the bucketing/SortishSampler trick every
+    seq2seq stack ships). The report gives real vs padded token
+    totals and the waste fraction per regime; the delta is the
+    measured FLOP saving the bucketing justification cites.
+
+    All-integer accounting (lengths, maxima, sums) so both engines
+    hash-match exactly; batch assignment is a rank over a deterministic
+    md5/length order. Scale: two global ranks at dimension cost — in
+    production the rank is per shard (q113's manifest), which changes
+    nothing about the per-batch arithmetic; everything after the rank
+    is one grouped aggregate.
+
+    Reference anchor: the reference's static batch scheduler padding
+    audit (`tools/profiler.py` cycle accounting per fixed-size window,
+    SURVEY A5) — here over token lengths instead of cycle slots."""
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    w_rnd = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    w_srt = Window.orderBy("n", "doc_id")
+    rnd = docs.select(
+        F.lit("shuffled").alias("regime"),
+        ((F.row_number().over(w_rnd) - 1) / BATCH_B)
+        .cast("long")
+        .alias("batch"),
+        "n",
+    )
+    srt = docs.select(
+        F.lit("length_bucketed").alias("regime"),
+        ((F.row_number().over(w_srt) - 1) / BATCH_B)
+        .cast("long")
+        .alias("batch"),
+        "n",
+    )
+    per_batch = (
+        rnd.unionAll(srt)
+        .groupBy("regime", "batch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n").alias("max_len"),
+            F.sum("n").alias("tok"),
+        )
+    )
+    padded = F.col("n_docs") * F.col("max_len")
+    return per_batch.groupBy("regime").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("tok").cast("long").alias("real_tokens"),
+        F.sum(padded).cast("long").alias("padded_tokens"),
+        F.sum(padded - F.col("tok")).cast("long").alias("pad_waste"),
+        F.round(
+            F.sum(padded - F.col("tok")) * 1.0 / F.sum(padded), 6
+        ).alias("waste_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Domain mixture: temperature-resampled source weights
 # ---------------------------------------------------------------------------

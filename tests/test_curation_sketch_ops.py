@@ -263,3 +263,23 @@ def test_lsh_recall_curve_invariants(spark):
     assert 9 in rows and rows[9]["recall"] >= 0.9, rows.get(9)
     if 0 in rows:
         assert rows[0]["recall"] <= 0.1, rows[0]
+
+
+def test_length_bucket_batching_invariants(spark):
+    """q274: identical corpus under both regimes (same real_tokens and
+    batch count), bucketing never wastes more than shuffling, and the
+    padded total is conserved as real + waste."""
+    from hive_reflex_spark.operators.sampling import (
+        q274_length_bucket_batching,
+    )
+
+    rows = {r["regime"]: r for r in
+            q274_length_bucket_batching(spark, SF_CORRECT).collect()}
+    assert set(rows) == {"shuffled", "length_bucketed"}
+    sh, lb = rows["shuffled"], rows["length_bucketed"]
+    assert sh["real_tokens"] == lb["real_tokens"]
+    assert sh["n_batches"] == lb["n_batches"]
+    for r in rows.values():
+        assert r["padded_tokens"] == r["real_tokens"] + r["pad_waste"], r
+        assert 0 <= r["waste_frac"] < 1
+    assert lb["pad_waste"] <= sh["pad_waste"]

@@ -205,6 +205,7 @@ def test_registry_window_covers_new_families():
         # r02 evidence.
         "q272_winnowing_fingerprint",   # new: MOSS winnowing fingerprints
         "q273_lsh_recall_curve",        # new: measured LSH S-curve
+        "q274_length_bucket_batching",  # new: padding-waste regimes
         "q268_kmv_set_sketch",          # new: KMV set-operation sketch
         "q269_semantic_dedup",          # new: SemDeDup cluster dedup
         "q270_fuzzy_decontaminate",     # new: contamination-ratio rule
