@@ -21,7 +21,7 @@ import os
 from collections.abc import Iterable
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -1082,6 +1082,95 @@ def q265a_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream.select("event_type", "user_id"), ["event_type"]
     )
     return run_to_memory(regs, mode="complete")
+
+
+def _kmv_stream_oracle() -> str:
+    from hive_reflex_spark.operators.analytics import _KMV_U_SQL, KMV_K
+
+    return f"""
+    WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS dday, user_id
+                FROM events),
+         keyed AS (SELECT dday, user_id, {_KMV_U_SQL} AS u FROM ev)
+    SELECT dday, user_id, ROUND(u, 9) AS u FROM (
+        SELECT dday, user_id, u,
+               ROW_NUMBER() OVER (PARTITION BY dday
+                                  ORDER BY u, user_id) AS rn
+        FROM keyed) WHERE rn <= {KMV_K}
+    """
+
+
+@query("q268a_stream_kmv", oracle=_kmv_stream_oracle())
+def q268a_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketches maintained BY THE STREAM — the third ingest-side
+    sketch twin (q121 count-min grid, q265a HLL registers, now the
+    k-minimum-values bottom-k): per active day, the state store holds
+    the k smallest (hash-uniform, user_id) pairs ever seen — 2k scalars
+    per day regardless of stream length — and each micro-batch folds
+    its arrivals in with one bounded merge. Unlike q250a's novelty
+    (which needs an ingestion-ordered replay), KMV's merge is fully
+    ORDER-INDEPENDENT: the final state equals the batch-built sketch on
+    ANY chunking — the mergeability q268 exploits pairwise, exercised
+    here by the stream's arbitrary file-split batching. The emitted
+    sketch supports the full q268 report (union AND intersection
+    estimates) without ever rescanning the stream's history.
+
+    Determinism contract: every final sketch member was in the running
+    sketch from its arrival onward (bottom-k state only evicts, never
+    readmits), so the k-smallest cut over all emitted rows equals the
+    final state — which the oracle computes as the batch sketch."""
+    from hive_reflex_spark.operators.analytics import KMV_K, _kmv_u_spark
+
+    stream = stream_events(spark, sf_dir)
+    keyed = stream.select(
+        F.col("ts").cast("date").alias("dday"),
+        "user_id",
+        _kmv_u_spark().alias("u"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            us, ids = state.get
+            members = {int(i): float(v) for v, i in zip(us, ids)}
+        else:
+            members = {}
+        for pdf in pdfs:
+            for uid, uval in zip(pdf["user_id"], pdf["u"]):
+                members[int(uid)] = float(uval)
+        if not members:
+            return
+        smallest = sorted(
+            ((v, i) for i, v in members.items())
+        )[:KMV_K]
+        state.update((
+            [v for v, _ in smallest],
+            [i for _, i in smallest],
+        ))
+        yield pd.DataFrame(
+            {
+                "dday": [key[0]] * len(smallest),
+                "user_id": [i for _, i in smallest],
+                "u": [v for v, _ in smallest],
+            }
+        )
+
+    out = keyed.groupBy("dday").applyInPandasWithState(
+        fn,
+        outputStructType="dday date, user_id long, u double",
+        stateStructType="us array<double>, ids array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    emitted = run_to_memory(out, mode="update").dropDuplicates(
+        ["dday", "user_id"]
+    )
+    w = Window.partitionBy("dday").orderBy("u", "user_id")
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .select("dday", "user_id", F.round("u", 9).alias("u"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -283,3 +283,22 @@ def test_length_bucket_batching_invariants(spark):
         assert r["padded_tokens"] == r["real_tokens"] + r["pad_waste"], r
         assert 0 <= r["waste_frac"] < 1
     assert lb["pad_waste"] <= sh["pad_waste"]
+
+
+def test_stream_kmv_equals_batch_sketch(spark):
+    """q268a: the stream-maintained bottom-k state must equal the
+    batch-built sketch exactly — KMV's merge is order-independent, so
+    the stream's arbitrary file-split chunking cannot change it."""
+    from hive_reflex_spark.operators.analytics import KMV_K
+    from hive_reflex_spark.streaming.ops import q268a_stream_kmv
+
+    got = {
+        (r["dday"], r["user_id"]): r["u"]
+        for r in q268a_stream_kmv(spark, SF_SMOKE).collect()
+    }
+    by_day = _day_users(SF_SMOKE)
+    want = {}
+    for d, users in by_day.items():
+        for v, u in _kmv(users, KMV_K):
+            want[(d, u)] = round(v, 9)
+    assert got == want
