@@ -290,6 +290,148 @@ def q112_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ISO_BINS = 10  # score deciles entering the isotonic fit
+
+# q112's doc-level scored stream as a DuckDB CTE body (shared text)
+_DUCK_DSIR_DOC = f"""
+    words AS (SELECT doc_id, lang, w FROM {DUCK_WORDS} words),
+    raw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+    tgt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM words WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY w),
+    tot AS (SELECT CAST((SELECT SUM(cnt) FROM raw) AS BIGINT) AS t_raw,
+                   CAST((SELECT SUM(cnt) FROM tgt) AS BIGINT) AS t_tgt,
+                   CAST((SELECT COUNT(*) FROM raw) AS BIGINT) AS v),
+    lr AS (SELECT raw.w,
+                  CAST(ROUND(
+                      (ln((COALESCE(tgt.cnt, 0) + 1.0) / (tot.t_tgt + tot.v))
+                       - ln((raw.cnt + 1.0) / (tot.t_raw + tot.v)))
+                      * 1000000000) AS BIGINT) AS lr9
+           FROM raw LEFT JOIN tgt USING (w), tot),
+    scored AS (SELECT doc_id,
+                      MAX(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                               THEN 1 ELSE 0 END) AS y,
+                      CAST(SUM(lr9) AS BIGINT) / 1000000000.0 / COUNT(*)
+                          AS s
+               FROM words JOIN lr USING (w)
+               GROUP BY doc_id)
+"""
+
+
+@query(
+    "q275_isotonic_calibration",
+    oracle=f"""
+    WITH {_DUCK_DSIR_DOC},
+    binned AS (SELECT CAST(NTILE({_ISO_BINS}) OVER (ORDER BY s, doc_id)
+                          AS BIGINT) AS bin, y
+               FROM scored),
+    bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(y) AS BIGINT) AS pos
+             FROM binned GROUP BY bin),
+    prefix AS (SELECT bin,
+                      CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+                      CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+               FROM bins
+               UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                                CAST(0 AS BIGINT)),
+    mins AS (SELECT i.bin AS ibin, jm1.bin AS jbin,
+                    MIN((k.cp - jm1.cp) * 1.0 / (k.cn - jm1.cn)) AS mn
+             FROM bins i
+             JOIN prefix jm1 ON jm1.bin < i.bin
+             JOIN prefix k ON k.bin >= i.bin
+             GROUP BY i.bin, jm1.bin),
+    iso AS (SELECT ibin AS bin, MAX(mn) AS iso_raw FROM mins GROUP BY ibin)
+    SELECT b.bin, b.n AS n_docs, b.pos AS n_target,
+           ROUND(b.pos * 1.0 / b.n, 6) AS raw_rate,
+           ROUND(iso.iso_raw, 6) AS iso_rate
+    FROM bins b JOIN iso USING (bin)
+    """,
+)
+def q275_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (PAVA) of q112's DSIR importance score
+    against the target-language label — the calibration step between a
+    raw classifier score and a usable sampling probability, and the
+    method behind every 'calibrated quality classifier' in data-
+    curation pipelines (q235's ECE measures the miscalibration this
+    fit removes). Scores bin into {_ISO_BINS} deciles; the isotonic
+    fit uses the minimax characterization iso_i = max_(j<=i)
+    min_(k>=i) mean(pos)/(n) over bin blocks j..k — a closed relational
+    form (no sequential pool-adjacent loop), exact on the bins'
+    integer prefix sums, so both engines produce identical doubles
+    before the 6dp rounding.
+
+    Scale: the corpus reduces to {_ISO_BINS} integer rows in one
+    grouped aggregate (the decile rank is the only corpus-wide
+    operation — per shard in production, q113's manifest); the
+    minimax triple join is over an 11-row prefix table — dimension
+    cost. Output: per-bin raw vs isotonic target rate, monotone
+    nondecreasing by construction.
+
+    Reference anchor: the reference's accuracy-eval tiers
+    (`analysis/accuracy_eval.py`, SURVEY A13) report per-threshold
+    rates; this is the order-preserving regression that turns those
+    rates into a calibrated curve."""
+    scored = (
+        q112_dsir_importance(spark, sf_dir)
+        .select(
+            "doc_id",
+            (F.col("lang") == DSIR_TARGET_LANG).cast("long").alias("y"),
+            F.col("avg_log_ratio").alias("s"),
+        )
+    )
+    w = Window.orderBy("s", "doc_id")
+    binned = scored.select(
+        F.ntile(_ISO_BINS).over(w).cast("long").alias("bin"), "y"
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("y").cast("long").alias("pos")
+    )
+    wcum = Window.orderBy("bin")
+    prefix = bins.select(
+        "bin",
+        F.sum("n").over(wcum).cast("long").alias("cn"),
+        F.sum("pos").over(wcum).cast("long").alias("cp"),
+    ).unionAll(
+        spark.range(1).select(
+            F.lit(0).cast("long").alias("bin"),
+            F.lit(0).cast("long").alias("cn"),
+            F.lit(0).cast("long").alias("cp"),
+        )
+    )
+    i = bins.select(F.col("bin").alias("ibin"))
+    jm1 = prefix.select(
+        F.col("bin").alias("jbin"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    k = prefix.select(
+        F.col("bin").alias("kbin"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    mins = (
+        i.join(F.broadcast(jm1), F.col("jbin") < F.col("ibin"))
+        .join(F.broadcast(k), F.col("kbin") >= F.col("ibin"))
+        .groupBy("ibin", "jbin")
+        .agg(
+            F.min(
+                (F.col("kcp") - F.col("jcp"))
+                * 1.0
+                / (F.col("kcn") - F.col("jcn"))
+            ).alias("mn")
+        )
+    )
+    iso = mins.groupBy(F.col("ibin").alias("bin")).agg(
+        F.max("mn").alias("iso_raw")
+    )
+    return bins.join(iso, "bin").select(
+        "bin",
+        F.col("n").alias("n_docs"),
+        F.col("pos").alias("n_target"),
+        F.round(F.col("pos") * 1.0 / F.col("n"), 6).alias("raw_rate"),
+        F.round("iso_raw", 6).alias("iso_rate"),
+    )
+
+
 TFIDF_QUERY_DOC = 7  # the "query document" for similarity search
 TFIDF_TOP_K = 10
 

@@ -302,3 +302,48 @@ def test_stream_kmv_equals_batch_sketch(spark):
         for v, u in _kmv(users, KMV_K):
             want[(d, u)] = round(v, 9)
     assert got == want
+
+
+def test_isotonic_calibration_is_pava(spark):
+    """q275: the minimax relational form must equal classic sequential
+    PAVA (pool adjacent violators), be monotone nondecreasing, and
+    preserve the weighted mean exactly."""
+    from hive_reflex_spark.operators.retrieval import (
+        q275_isotonic_calibration,
+    )
+
+    rows = sorted(
+        q275_isotonic_calibration(spark, SF_CORRECT).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows
+    n = [r["n_docs"] for r in rows]
+    pos = [r["n_target"] for r in rows]
+
+    # sequential PAVA on (pos/n, weight n)
+    blocks = []  # (sum_pos, sum_n)
+    for p, w in zip(pos, n):
+        blocks.append((p, w))
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p2, w2 = blocks.pop()
+            p1, w1 = blocks.pop()
+            blocks.append((p1 + p2, w1 + w2))
+    # expand each block across the bins it pooled (weights vary per bin)
+    fitted = []
+    idx = 0
+    for p, w in blocks:
+        consumed = 0
+        while consumed < w:
+            consumed += n[idx]
+            fitted.append(p / w)
+            idx += 1
+    assert len(fitted) == len(rows)
+
+    got = [r["iso_rate"] for r in rows]
+    for g, f in zip(got, fitted):
+        assert abs(g - round(f, 6)) <= 1e-9, (got, fitted)
+    assert got == sorted(got), got
+    # mean preservation: sum(iso * n) == sum(pos) exactly (PAVA property)
+    assert abs(sum(f * w for f, w in zip(fitted, n)) - sum(pos)) < 1e-6
