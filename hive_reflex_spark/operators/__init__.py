@@ -27,20 +27,21 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-8 window: the 16 registrations
+# the judged correctness surface. Round-8 window: the 17 registrations
 # new this round (first driver rows), the 10 queries whose code changed
 # this round (changed code must be re-judged — incl. the q118/q49a/
 # q47/q263 shared-helper refactors), then the stalest r01/r02
 # hash-greens per scripts/rotate_window.py (VERDICT r7 item 4: convert
 # standing local sweeps into fresh driver evidence, oldest first). The
-# list is 67 long, so its last 17 names (q100/q85/q86/q87/q89/q51a/
-# q09-q13/q15-q20) sit just outside the 50-slot window and keep their standing r02 evidence.
+# list is 68 long, so its last 18 names (q80/q100/q85/q86/q87/q89/
+# q51a/q09-q13/q15-q20) sit just outside the 50-slot window and keep their standing r02 evidence.
 _registry.finalize_order([
     # NEW this round — first driver rows
     "q272_winnowing_fingerprint", # MOSS guaranteed positional fingerprints
     "q273_lsh_recall_curve",      # measured LSH S-curve vs q260 theory
     "q274_length_bucket_batching",  # padding-waste accounting per regime
     "q275_isotonic_calibration",  # PAVA fit of the DSIR score
+    "q276_jl_projection",         # JL dim reduction + distortion audit
     "q268_kmv_set_sketch",        # KMV union+intersection sketch
     "q268a_stream_kmv",           # ingest-side bottom-k sketch state
     "q269_semantic_dedup",        # SemDeDup cluster-restricted dedup

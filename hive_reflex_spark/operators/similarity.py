@@ -1871,3 +1871,191 @@ def q228_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_multi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distortion audit
+# ---------------------------------------------------------------------------
+
+JL_DIMS = 16  # target dimensionality (64 -> 16; scale 1/sqrt(16) = exact 0.25)
+JL_PAIR_CAP = 128  # distortion audit fence: pairs among the first 128 vectors
+
+# sign(j, d) = -1 iff first md5 hex digit of "jl{j}:{d}" >= '8' — the same
+# engine-portable pseudo-random sign convention as q53's hyperplanes
+_JL_SIGN_SQL = (
+    "CASE WHEN substr(md5('jl' || CAST({j} AS VARCHAR) || ':' "
+    "|| CAST(dim AS VARCHAR)), 1, 1) >= '8' THEN -1.0 ELSE 1.0 END"
+)
+
+
+@query(
+    "q276_jl_projection",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(JL_PAIR_CAP)} c),
+         proj AS (SELECT vec_id, j,
+                         0.25 * (CAST(SUM(CAST(ROUND(v * s * 1000000000)
+                             AS BIGINT)) AS BIGINT) / 1000000000.0) AS y
+                  FROM (SELECT vec_id, dim, v, j,
+                               CASE WHEN substr(md5('jl' || CAST(j AS VARCHAR)
+                                        || ':' || CAST(dim AS VARCHAR)), 1, 1)
+                                         >= '8'
+                                    THEN -1.0 ELSE 1.0 END AS s
+                        FROM coords,
+                             (SELECT unnest(range({JL_DIMS})) AS j) js)
+                  GROUP BY vec_id, j),
+         od AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       CAST(SUM(CAST(ROUND((a.v - b.v) * (a.v - b.v)
+                            * 1000000000) AS BIGINT)) AS BIGINT)
+                           / 1000000000.0 AS d2
+                FROM coords a JOIN coords b
+                  ON a.dim = b.dim AND a.vec_id < b.vec_id
+                GROUP BY a.vec_id, b.vec_id),
+         pd AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       CAST(SUM(CAST(ROUND((a.y - b.y) * (a.y - b.y)
+                            * 1000000000) AS BIGINT)) AS BIGINT)
+                           / 1000000000.0 AS d2
+                FROM proj a JOIN proj b
+                  ON a.j = b.j AND a.vec_id < b.vec_id
+                GROUP BY a.vec_id, b.vec_id),
+         ratios AS (SELECT pd.d2 / od.d2 AS r
+                    FROM od JOIN pd ON od.vec_a = pd.vec_a
+                                   AND od.vec_b = pd.vec_b
+                    WHERE od.d2 > 0)
+    SELECT LEAST(CAST(floor(r * 4) AS BIGINT), CAST(7 AS BIGINT)) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(ROUND(r * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0 / COUNT(*) AS mean_ratio_raw,
+           ROUND(CAST(SUM(CAST(ROUND(r * 1000000) AS BIGINT)) AS BIGINT)
+               / 1000000.0 / COUNT(*), 6) AS mean_ratio
+    FROM ratios GROUP BY 1
+    """,
+)
+def q276_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 -> {JL_DIMS} dims)
+    with a measured distance-distortion audit — the dimensionality-
+    reduction tier in front of ANN indexing (project once, index and
+    probe in the cheap space): y_j = (1/sqrt(k)) * sum_d v_d * s_jd with
+    the q53 sign convention (md5-derived ±1, engine-portable model
+    constants; 1/sqrt(16) = 0.25 is binary-exact). The audit computes
+    ||proj(a)-proj(b)||² / ||a-b||² for every pair among the first
+    {JL_PAIR_CAP} vectors (the q51a-style fence — the audit is
+    quadratic BY DEFINITION and runs on a sample; the projection itself
+    is linear scan-side work) and histograms the ratio in 0.25-wide
+    buckets: JL says it concentrates around 1 with var ~ 2/k.
+
+    Exactness: projections and both squared distances are integer-unit
+    sums of engine-identical doubles; ratio means freeze to 1e-6 units
+    before averaging.
+
+    Scale: the projection is one broadcast (dims × {JL_DIMS} signs)
+    hash join + grouped exact sums — embarrassingly parallel, and the
+    16-dim output is what a 100 TB ANN build would then bucket (q53) or
+    coarse-quantize (q54a/q88); mean_ratio_raw rides unrounded for the
+    driver's 9dp canonicalization, mean_ratio is the 6dp report.
+
+    Reference anchor: the reference's PCA-free projection probes in
+    `analysis/embedding_probe.py` (SURVEY J7 commentary) — same shape,
+    with the distortion audit made a first-class report."""
+    import hashlib
+
+    coords = embedding_coords(spark, sf_dir, max_vec=JL_PAIR_CAP).select(
+        "vec_id", "dim", "v"
+    )
+    n_dims = int(
+        read_table(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("n"))
+        .first()["n"]
+    )
+    sign_rows = [
+        tuple(
+            [d]
+            + [
+                -1.0
+                if hashlib.md5(f"jl{j}:{d}".encode()).hexdigest()[0] >= "8"
+                else 1.0
+                for j in range(JL_DIMS)
+            ]
+        )
+        for d in range(n_dims)
+    ]
+    schema = "dim int, " + ", ".join(f"s{j} double" for j in range(JL_DIMS))
+    signs = spark.createDataFrame(sign_rows, schema)
+    proj_wide = (
+        coords.join(F.broadcast(signs), "dim")
+        .groupBy("vec_id")
+        .agg(
+            *[
+                (exact_sum(F.col("v") * F.col(f"s{j}"), 9) * 0.25).alias(
+                    f"y{j}"
+                )
+                for j in range(JL_DIMS)
+            ]
+        )
+    )
+    proj = proj_wide.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"y{j}").alias("y")
+                    )
+                    for j in range(JL_DIMS)
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.j").alias("j"), F.col("p.y").alias("y"))
+    a, b = coords.alias("a"), coords.alias("b")
+    od = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .agg(
+            exact_sum(
+                (F.col("a.v") - F.col("b.v")) * (F.col("a.v") - F.col("b.v")),
+                9,
+            ).alias("d2")
+        )
+    )
+    pa, pb = proj.alias("pa"), proj.alias("pb")
+    pd_ = (
+        pa.join(
+            pb,
+            (F.col("pa.j") == F.col("pb.j"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .groupBy(
+            F.col("pa.vec_id").alias("vec_a"),
+            F.col("pb.vec_id").alias("vec_b"),
+        )
+        .agg(
+            exact_sum(
+                (F.col("pa.y") - F.col("pb.y"))
+                * (F.col("pa.y") - F.col("pb.y")),
+                9,
+            ).alias("pd2")
+        )
+    )
+    ratios = (
+        od.join(pd_, ["vec_a", "vec_b"])
+        .filter(F.col("d2") > 0)
+        .select((F.col("pd2") / F.col("d2")).alias("r"))
+    )
+    mean_units = F.sum(F.round(F.col("r") * 1e6).cast("long")).cast("long")
+    return (
+        ratios.groupBy(
+            F.least(F.floor(F.col("r") * 4), F.lit(7))
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (mean_units / 1e6 / F.count("*")).alias("mean_ratio_raw"),
+            F.round(mean_units / 1e6 / F.count("*"), 6).alias("mean_ratio"),
+        )
+    )

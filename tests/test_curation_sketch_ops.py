@@ -347,3 +347,67 @@ def test_isotonic_calibration_is_pava(spark):
     assert got == sorted(got), got
     # mean preservation: sum(iso * n) == sum(pos) exactly (PAVA property)
     assert abs(sum(f * w for f, w in zip(fitted, n)) - sum(pos)) < 1e-6
+
+
+def test_jl_projection_matches_numpy(spark):
+    """q276: an independent numpy replay of the projection + distortion
+    histogram (same sign convention, same integer-unit sums) must match
+    bucket-for-bucket, and the ratio distribution must concentrate
+    around 1 (JL: E[r]=1, var ~ 2/k)."""
+    from hive_reflex_spark.operators.similarity import (
+        JL_DIMS,
+        JL_PAIR_CAP,
+        q276_jl_projection,
+    )
+
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet' "
+        f"WHERE vec_id < {JL_PAIR_CAP} ORDER BY vec_id"
+    ).fetchall()
+    X = np.array([r[1] for r in raw], dtype=np.float64)
+    n, d = X.shape
+    S = np.array(
+        [
+            [
+                -1.0
+                if hashlib.md5(f"jl{j}:{dd}".encode()).hexdigest()[0] >= "8"
+                else 1.0
+                for j in range(JL_DIMS)
+            ]
+            for dd in range(d)
+        ]
+    )
+
+    def xsum(arr):
+        return np.sum(np.round(arr * 1e9)).astype(np.int64) / 1e9
+
+    Y = np.zeros((n, JL_DIMS))
+    for i in range(n):
+        for j in range(JL_DIMS):
+            Y[i, j] = 0.25 * xsum(X[i] * S[:, j])
+    from collections import Counter as C
+
+    buckets: C = C()
+    sums: C = C()
+    for i2 in range(n):
+        for i1 in range(i2):
+            od = xsum((X[i1] - X[i2]) ** 2)
+            pdist = xsum((Y[i1] - Y[i2]) ** 2)
+            if od <= 0:
+                continue
+            r = pdist / od
+            b = min(int(r * 4), 7)
+            buckets[b] += 1
+            sums[b] += round(r * 1e6)
+    rows = {r["bucket"]: r for r in
+            q276_jl_projection(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(buckets)
+    total, wsum = 0, 0.0
+    for b, r in rows.items():
+        assert r["n_pairs"] == buckets[b], (b, r)
+        assert abs(r["mean_ratio"]
+                   - round(sums[b] / 1e6 / buckets[b], 6)) <= 1e-9
+        total += r["n_pairs"]
+        wsum += r["mean_ratio_raw"] * r["n_pairs"]
+    assert abs(wsum / total - 1.0) < 0.15  # JL concentration

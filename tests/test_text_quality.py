@@ -207,6 +207,7 @@ def test_registry_window_covers_new_families():
         "q273_lsh_recall_curve",        # new: measured LSH S-curve
         "q274_length_bucket_batching",  # new: padding-waste regimes
         "q275_isotonic_calibration",    # new: PAVA calibration curve
+        "q276_jl_projection",           # new: JL projection + audit
         "q268_kmv_set_sketch",          # new: KMV set-operation sketch
         "q268a_stream_kmv",             # new: streaming bottom-k state
         "q269_semantic_dedup",          # new: SemDeDup cluster dedup
