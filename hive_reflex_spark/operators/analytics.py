@@ -812,6 +812,32 @@ def _kmv_u_spark() -> Column:
     )
 
 
+def day_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (dday, user_id) — the exact-audit input shared by q268
+    and q277."""
+    events = read_table(spark, sf_dir, "events")
+    return events.select(
+        F.col("ts").cast("date").alias("dday"), "user_id"
+    ).distinct()
+
+
+def kmv_day_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day KMV sketch rows (dday, user_id, u): the k smallest
+    hash-uniforms per active day — ONE sketch build shared by q268's
+    pairwise set operations and q277's rolling-window merges (and
+    maintained incrementally by q268a's stream). WindowGroupLimit plans
+    this as a partial top-k per partition merged at the shuffle."""
+    keyed = day_users(spark, sf_dir).select(
+        "dday", "user_id", _kmv_u_spark().alias("u")
+    )
+    w = Window.partitionBy("dday").orderBy("u", "user_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+
+
 @query(
     "q268_kmv_set_sketch",
     oracle=f"""
@@ -921,17 +947,8 @@ def q268_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference anchor: the reference's distinct-cardinality rollups in
     `tools/log_analyzer.py` aggregate exact sets per window; this is the
     sketch the same report ships at 100 TB when windows must compose."""
-    events = read_table(spark, sf_dir, "events")
-    ev = events.select(
-        F.col("ts").cast("date").alias("dday"), "user_id"
-    ).distinct()
-    keyed = ev.select("dday", "user_id", _kmv_u_spark().alias("u"))
-    w = Window.partitionBy("dday").orderBy("u", "user_id")
-    sk = (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= KMV_K)
-        .drop("rn")
-    )
+    ev = day_users(spark, sf_dir)
+    sk = kmv_day_sketches(spark, sf_dir)
     e_side = lambda n, kth: F.when(  # noqa: E731
         F.col(n) < KMV_K, F.col(n).cast("double")
     ).otherwise((KMV_K - 1) * 1.0 / F.col(kth))
@@ -1034,6 +1051,123 @@ def q268_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("inter_rel_err"),
+    )
+
+
+ROLLING_DAYS = 7  # trailing window width for the rolling distinct
+
+
+@query(
+    "q277_rolling_distinct_kmv",
+    oracle=f"""
+    WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS dday, user_id
+                FROM events),
+         keyed AS (SELECT dday, user_id, {_KMV_U_SQL} AS u FROM ev),
+         sk AS (SELECT dday, user_id, u FROM (
+                    SELECT dday, user_id, u,
+                           ROW_NUMBER() OVER (PARTITION BY dday
+                                              ORDER BY u, user_id) AS rn
+                    FROM keyed) WHERE rn <= {KMV_K}),
+         days AS (SELECT DISTINCT dday FROM ev),
+         wdays AS (SELECT d.dday AS day, x.dday AS member
+                   FROM days d JOIN days x
+                     ON x.dday BETWEEN d.dday - {ROLLING_DAYS - 1}
+                            AND d.dday),
+         pooled AS (SELECT w.day, s.user_id, MIN(s.u) AS u
+                    FROM wdays w JOIN sk s ON s.dday = w.member
+                    GROUP BY w.day, s.user_id),
+         mk AS (SELECT day, u FROM (
+                    SELECT day, u, ROW_NUMBER() OVER (
+                        PARTITION BY day ORDER BY u, user_id) AS rn
+                    FROM pooled) WHERE rn <= {KMV_K}),
+         est AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_merged,
+                        MAX(u) AS kth
+                 FROM mk GROUP BY day),
+         exact AS (SELECT w.day,
+                          CAST(COUNT(DISTINCT w.member) AS BIGINT)
+                              AS n_days,
+                          CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+                              AS exact_distinct
+                   FROM wdays w JOIN ev e ON e.dday = w.member
+                   GROUP BY w.day)
+    SELECT exact.day, exact.n_days,
+           ROUND(CASE WHEN est.n_merged < {KMV_K}
+                      THEN CAST(est.n_merged AS DOUBLE)
+                      ELSE ({KMV_K} - 1) * 1.0 / est.kth END, 6)
+               AS est_distinct,
+           exact.exact_distinct,
+           ROUND(abs(CASE WHEN est.n_merged < {KMV_K}
+                          THEN CAST(est.n_merged AS DOUBLE)
+                          ELSE ({KMV_K} - 1) * 1.0 / est.kth END
+                     - exact.exact_distinct) / exact.exact_distinct, 6)
+               AS rel_err
+    FROM exact JOIN est ON est.day = exact.day
+    """,
+)
+def q277_rolling_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-{ROLLING_DAYS}-day distinct active users from the day
+    SKETCHES alone — the classic sketch payoff: rolling COUNT(DISTINCT)
+    is not a decomposable aggregate (window frames can't reuse partial
+    distincts, so the exact form rescans every frame), but KMV sketches
+    merge, so each output day is one k-smallest pass over at most
+    {ROLLING_DAYS} × k pooled sketch rows. Same day-sketch build as
+    q268 (shared kmv_day_sketches — and q268a maintains that table
+    incrementally by stream, so at 100 TB the fact table is never
+    rescanned at report time: the rolling estimate reads |days| × k
+    scalars). Underfull merges degrade to exact counts; the exact audit
+    joins alongside with the realized per-day relative error.
+
+    Reference anchor: the trailing-window activity rollups in
+    `tools/log_analyzer.py` (SURVEY A6) — with the non-decomposable
+    distinct replaced by the mergeable sketch."""
+    ev = day_users(spark, sf_dir)
+    sk = kmv_day_sketches(spark, sf_dir)
+    days = ev.select("dday").distinct()
+    wdays = (
+        days.select(F.col("dday").alias("day"))
+        .join(
+            days.select(F.col("dday").alias("member")),
+            (F.col("member") >= F.date_sub(F.col("day"), ROLLING_DAYS - 1))
+            & (F.col("member") <= F.col("day")),
+        )
+    )
+    # |days| is dimension-scale: the (day, member) calendar broadcasts
+    pooled = (
+        sk.join(
+            F.broadcast(wdays), F.col("dday") == F.col("member")
+        )
+        .groupBy("day", "user_id")
+        .agg(F.min("u").alias("u"))
+    )
+    wm = Window.partitionBy("day").orderBy("u", "user_id")
+    mk = (
+        pooled.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+    )
+    est = mk.groupBy("day").agg(
+        F.count("*").alias("n_merged"), F.max("u").alias("kth")
+    )
+    e_val = F.when(
+        F.col("n_merged") < KMV_K, F.col("n_merged").cast("double")
+    ).otherwise((KMV_K - 1) * 1.0 / F.col("kth"))
+    exact = (
+        ev.join(F.broadcast(wdays), F.col("dday") == F.col("member"))
+        .groupBy("day")
+        .agg(
+            F.countDistinct("member").alias("n_days"),
+            F.countDistinct("user_id").alias("exact_distinct"),
+        )
+    )
+    return exact.join(F.broadcast(est), "day").select(
+        "day",
+        "n_days",
+        F.round(e_val, 6).alias("est_distinct"),
+        "exact_distinct",
+        F.round(
+            F.abs(e_val - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
     )
 
 

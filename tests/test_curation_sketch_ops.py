@@ -411,3 +411,37 @@ def test_jl_projection_matches_numpy(spark):
         total += r["n_pairs"]
         wsum += r["mean_ratio_raw"] * r["n_pairs"]
     assert abs(wsum / total - 1.0) < 0.15  # JL concentration
+
+
+def test_rolling_distinct_kmv_window_semantics(spark):
+    """q277: each day's estimate must be the KMV estimate of the pooled
+    trailing-window sketch (pure-Python replay), and underfull windows
+    (sf0.001: <=15 users/day over 7 days can exceed k, so check both
+    branches via the replay rather than assuming one)."""
+    from hive_reflex_spark.operators.analytics import (
+        KMV_K,
+        ROLLING_DAYS,
+        q277_rolling_distinct_kmv,
+    )
+
+    by_day = _day_users(SF_SMOKE)
+    days = sorted(by_day)
+    rows = {r["day"]: r for r in
+            q277_rolling_distinct_kmv(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(days)
+    for d in days:
+        window = [x for x in days if 0 <= (d - x).days < ROLLING_DAYS]
+        pooled: dict = {}
+        for x in window:
+            for v, u in _kmv(by_day[x], KMV_K):
+                pooled.setdefault(u, v)
+        merged = sorted((v, u) for u, v in pooled.items())[:KMV_K]
+        if len(merged) < KMV_K:
+            est = float(len(merged))
+        else:
+            est = (KMV_K - 1) / merged[-1][0]
+        exact = len(set().union(*(by_day[x] for x in window)))
+        r = rows[d]
+        assert r["n_days"] == len(window)
+        assert abs(r["est_distinct"] - round(est, 6)) <= 1e-9, (d, r, est)
+        assert r["exact_distinct"] == exact
