@@ -312,3 +312,174 @@ def q233_media_dup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_doc",
         "n_dropped",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamming-banded perceptual NEAR-dup pairs (q233 catches only exact
+# signature collisions; this catches 1-3 bucket edits)
+# ---------------------------------------------------------------------------
+
+PH_BANDS = 4  # 16 buckets -> 4 bands of 4
+PH_HD_MAX = 3  # verified symbol-Hamming threshold; pigeonhole over 4
+# bands GUARANTEES every signature pair at distance <= 3 shares a clean
+# band. The near-match signature quantizes at /4.0 (64 levels) — FINER
+# than q233's /8.0 equality families: banding needs selectivity, and
+# /4.0 is still a binary-exact power-of-two step. Banding runs over
+# DISTINCT signatures (exact-equal payloads collapse into q233-style
+# families FIRST): on a duplicate-dense corpus the per-doc band join is
+# quadratic in bucket size (the same blowup q49a's star dodged), while
+# the family universe stays near-constant under duplication.
+
+
+@query(
+    "q278_phash_hamming_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS L FROM documents),
+    pos AS (SELECT doc_id, L, p,
+                   CAST(('0x' || substr(hx, 2 * CAST(p AS INT) - 1, 2))
+                        AS INT) AS bv
+            FROM d, unnest(range(1, L + 1)) AS t(p)),
+    pool AS (SELECT doc_id,
+                    CAST(((p - 1) * 16) // L AS INT) AS bucket,
+                    CAST(FLOOR(CAST(SUM(bv) AS DOUBLE)
+                         / COUNT(*) / 4.0 + 0.5) AS BIGINT) AS qv
+             FROM pos GROUP BY doc_id, ((p - 1) * 16) // L),
+    sig AS (SELECT doc_id,
+                   string_agg(CAST(qv AS VARCHAR), '-' ORDER BY bucket)
+                       AS sig
+            FROM pool GROUP BY doc_id),
+    fam AS (SELECT sig, MIN(doc_id) AS fam_doc,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM sig GROUP BY sig),
+    fpool AS (SELECT pool.doc_id, bucket, qv FROM pool
+              JOIN fam ON fam.fam_doc = pool.doc_id),
+    bands AS (SELECT doc_id, bucket // {16 // PH_BANDS} AS band,
+                     string_agg(CAST(qv AS VARCHAR), '-' ORDER BY bucket)
+                         AS band_sig
+              FROM fpool GROUP BY doc_id, bucket // {16 // PH_BANDS}),
+    cand AS (SELECT DISTINCT a.doc_id AS fam_a, b.doc_id AS fam_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.band_sig = b.band_sig
+                  AND a.doc_id < b.doc_id),
+    ham AS (SELECT c.fam_a, c.fam_b,
+                   CAST(SUM(CASE WHEN pa.qv <> pb.qv THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hamming
+            FROM cand c
+            JOIN fpool pa ON pa.doc_id = c.fam_a
+            JOIN fpool pb ON pb.doc_id = c.fam_b
+                         AND pb.bucket = pa.bucket
+            GROUP BY c.fam_a, c.fam_b)
+    SELECT ham.fam_a, ham.fam_b, ham.hamming,
+           fa.n_docs AS docs_a, fb.n_docs AS docs_b
+    FROM ham
+    JOIN fam fa ON fa.fam_doc = ham.fam_a
+    JOIN fam fb ON fb.fam_doc = ham.fam_b
+    WHERE ham.hamming <= {PH_HD_MAX}
+    """,
+)
+def q278_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-banded perceptual NEAR-duplicate pairs over media
+    payloads — the LSH step of image dedup that exact-signature
+    families (q233) skip: exact-equal thumbnails collapse into families
+    FIRST (min-doc representative), then the 16-symbol quantized
+    signature of each FAMILY splits into {PH_BANDS} bands of
+    {16 // PH_BANDS}; families sharing any clean band become
+    candidates (pigeonhole: a pair within Hamming {PH_HD_MAX} over 16
+    symbols cannot dirty all {PH_BANDS} bands, so banding is LOSSLESS
+    at the verified threshold — MinHash banding's guarantee structure,
+    but deterministic); candidates verify by exact symbol-Hamming.
+    Distinct signatures can't collide at distance 0, so every output
+    row is a true NEAR-miss (1..{PH_HD_MAX} bucket edits — the
+    re-encode/crop/brighten class), each carrying both families' doc
+    counts for drop accounting.
+
+    Scale: the family-first collapse is what survives duplicate-dense
+    corpora — per-doc banding is quadratic in bucket size under
+    duplication (the q49a star lesson), while the distinct-signature
+    universe stays near-constant; band join is O(signature
+    collisions), verification touches candidate families' 16-row
+    signatures only.
+
+    Reference anchor: q233's thumbnail signature (multimodal decode
+    tier), upgraded from equality-families to banded near-match."""
+    docs = read_table(spark, sf_dir, "documents")
+    rp = resize_payload(with_binary_payload(docs), n_buckets=16)
+    pool = rp.select(
+        "doc_id",
+        "bucket",
+        F.floor(F.col("mean_byte") / 4.0 + 0.5).cast("long").alias("qv"),
+    )
+    sig = pool.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "qv"))),
+                lambda s: s["qv"].cast("string"),
+            ),
+            "-",
+        ).alias("sig")
+    )
+    fam = sig.groupBy("sig").agg(
+        F.min("doc_id").alias("fam_doc"), F.count("*").alias("n_docs")
+    )
+    fpool = pool.join(
+        fam.select(F.col("fam_doc").alias("doc_id")), "doc_id", "semi"
+    )
+    bands = (
+        fpool.withColumn(
+            "band", (F.col("bucket") / (16 // PH_BANDS)).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("bucket", "qv"))),
+                    lambda s: s["qv"].cast("string"),
+                ),
+                "-",
+            ).alias("band_sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("fam_a"),
+            F.col("b.doc_id").alias("fam_b"),
+        )
+        .distinct()
+    )
+    pa, pb = fpool.alias("pa"), fpool.alias("pb")
+    ham = (
+        cand.join(pa, F.col("fam_a") == F.col("pa.doc_id"))
+        .join(
+            pb,
+            (F.col("fam_b") == F.col("pb.doc_id"))
+            & (F.col("pa.bucket") == F.col("pb.bucket")),
+        )
+        .groupBy("fam_a", "fam_b")
+        .agg(
+            F.sum(
+                F.when(F.col("pa.qv") != F.col("pb.qv"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("hamming")
+        )
+        .filter(F.col("hamming") <= PH_HD_MAX)
+    )
+    fa = fam.select(
+        F.col("fam_doc").alias("fam_a"), F.col("n_docs").alias("docs_a")
+    )
+    fb = fam.select(
+        F.col("fam_doc").alias("fam_b"), F.col("n_docs").alias("docs_b")
+    )
+    return (
+        ham.join(fa, "fam_a")
+        .join(fb, "fam_b")
+        .select("fam_a", "fam_b", "hamming", "docs_a", "docs_b")
+    )

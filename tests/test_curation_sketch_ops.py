@@ -445,3 +445,53 @@ def test_rolling_distinct_kmv_window_semantics(spark):
         assert r["n_days"] == len(window)
         assert abs(r["est_distinct"] - round(est, 6)) <= 1e-9, (d, r, est)
         assert r["exact_distinct"] == exact
+
+
+def test_phash_banding_lossless_at_threshold(spark):
+    """q278: pigeonhole guarantee — EVERY pair at symbol-Hamming <=
+    PH_HD_MAX must appear in the output (banding cannot miss one),
+    verified against an all-pairs numpy brute force of the identical
+    signature construction."""
+    from hive_reflex_spark.sources.multimodal import (
+        PH_HD_MAX,
+        q278_phash_hamming_pairs,
+    )
+
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    )
+
+    def sig(text: str) -> list:
+        arr = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+        idx = (np.arange(len(arr)) * 16) // len(arr)
+        sums = np.bincount(idx, weights=arr, minlength=16)
+        counts = np.bincount(idx, minlength=16)
+        used = np.nonzero(counts)[0]
+        return [
+            int(np.floor(sums[u] / counts[u] / 4.0 + 0.5)) for u in used
+        ]
+
+    sigs = {d: sig(t) for d, t in texts.items() if t}
+    # exact-equal signatures collapse into families first (min doc)
+    fams: dict = {}
+    for d in sorted(sigs):
+        fams.setdefault(tuple(sigs[d]), [d, 0])[1] += 1
+    reps = {v[0]: (list(k), v[1]) for k, v in fams.items()}
+    want = {}
+    ids = sorted(reps)
+    for j, b in enumerate(ids):
+        for a in ids[:j]:
+            sa, sb = reps[a][0], reps[b][0]
+            if len(sa) != len(sb):
+                continue
+            h = sum(1 for x, y in zip(sa, sb) if x != y)
+            if h <= PH_HD_MAX:
+                want[(a, b)] = (h, reps[a][1], reps[b][1])
+    rows = {
+        (r["fam_a"], r["fam_b"]): (r["hamming"], r["docs_a"], r["docs_b"])
+        for r in q278_phash_hamming_pairs(spark, SF_SMOKE).collect()
+    }
+    assert rows == want

@@ -208,6 +208,7 @@ def test_registry_window_covers_new_families():
         "q274_length_bucket_batching",  # new: padding-waste regimes
         "q275_isotonic_calibration",    # new: PAVA calibration curve
         "q276_jl_projection",           # new: JL projection + audit
+        "q278_phash_hamming_pairs",     # new: banded perceptual near-dup
         "q268_kmv_set_sketch",          # new: KMV set-operation sketch
         "q268a_stream_kmv",             # new: streaming bottom-k state
         "q277_rolling_distinct_kmv",    # new: sliding sketch-merge distinct
