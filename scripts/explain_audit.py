@@ -403,6 +403,33 @@ PICKS = {
         "audit join pair-key to pair-key — all collision-sized; theory "
         "column is a constant CASE (no cross-engine pow)."
     ),
+    "q274_length_bucket_batching": (
+        "Padding-waste audit: two deterministic global ranks (md5 order "
+        "vs length order) feed ONE unioned grouped aggregate; everything "
+        "after the rank is integer arithmetic on batch rows."
+    ),
+    "q275_isotonic_calibration": (
+        "PAVA relationally: the corpus reduces to 10 decile rows in one "
+        "aggregate; the minimax fit is an 11-row broadcast triple join — "
+        "dimension cost, no sequential pool-adjacent loop."
+    ),
+    "q276_jl_projection": (
+        "JL projection: dims x 16 sign constants broadcast into one "
+        "grouped exact-sum join (linear scan-side); the distortion audit "
+        "is the fenced 128-vector pair sample by definition."
+    ),
+    "q277_rolling_distinct_kmv": (
+        "Rolling distinct from sketches: the (day, member) calendar "
+        "broadcasts into the shared day-sketch table; each output day is "
+        "a k-smallest over <= 7k pooled sketch rows (WindowGroupLimit), "
+        "never a fact-table rescan per frame."
+    ),
+    "q278_phash_hamming_pairs": (
+        "Perceptual near-dup banding: exact-equal signatures collapse to "
+        "min-doc families BEFORE the band self-join (quadratic in bucket "
+        "size otherwise on duplicate-dense corpora); verification joins "
+        "touch candidate families' 16-row signatures only."
+    ),
 }
 
 
