@@ -2078,6 +2078,97 @@ def q188_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @query(
+    "q279_mann_whitney",
+    oracle="""
+    WITH ranked AS (SELECT event_type, value,
+                           RANK() OVER (ORDER BY value) AS r,
+                           COUNT(*) OVER (PARTITION BY value) AS c
+                    FROM events),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+         ties AS (SELECT CAST(SUM(c * CAST(c AS BIGINT) * c - c)
+                              AS BIGINT) AS t3t
+                  FROM (SELECT value, CAST(COUNT(*) AS BIGINT) AS c
+                        FROM events GROUP BY value)),
+         grp AS (SELECT event_type,
+                        CAST(COUNT(*) AS BIGINT) AS n1,
+                        CAST(SUM(2 * r + c - 1) AS BIGINT) AS r2sum
+                 FROM ranked GROUP BY event_type)
+    SELECT g.event_type, g.n1,
+           CAST(g.r2sum - g.n1 * (g.n1 + 1) AS BIGINT) AS u2x,
+           ROUND((g.r2sum / 2.0 - g.n1 * (g.n1 + 1) / 2.0
+                  - g.n1 * (tot.n - g.n1) / 2.0)
+                 / sqrt(g.n1 * 1.0 * (tot.n - g.n1) / 12.0
+                        * ((tot.n + 1)
+                           - ties.t3t * 1.0 / (tot.n * (tot.n - 1.0)))),
+                 6) AS z,
+           ROUND(1.0 - 2.0 * (g.r2sum / 2.0 - g.n1 * (g.n1 + 1) / 2.0)
+                 / (g.n1 * 1.0 * (tot.n - g.n1)), 6) AS rank_biserial
+    FROM grp g, tot, ties
+    """,
+)
+def q279_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) for each event_type's value
+    distribution against the rest of the stream — the nonparametric
+    A/B readout that q189's mean-based comparison cannot give when
+    values are skewed or heavy-tailed: U from tie-averaged ranks, the
+    tie-corrected normal approximation z, and the rank-biserial effect
+    size (1 - 2U/(n1 n2)).
+
+    Exactness: tie-averaged ranks are exact halves, so 2*avg_rank =
+    2*RANK + tiecount - 1 sums as a BIGINT (u2x = 2U is emitted as the
+    exact integer witness); the z and effect columns divide exact
+    integers in identical order in both engines before 6dp rounding.
+
+    Scale: one global rank (per shard in production, merged by offset
+    like q113's manifest) and two grouped aggregates; the tie table
+    groups on value — everything is dimension-scale after the rank.
+
+    Reference anchor: q189's experiment-readout family
+    (`tools/log_analyzer.py` A/B telemetry), upgraded from mean
+    contrasts to the rank test."""
+    events = read_table(spark, sf_dir, "events")
+    w_rank = Window.orderBy("value")
+    w_tie = Window.partitionBy("value")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.rank().over(w_rank).alias("r"),
+        F.count("*").over(w_tie).alias("c"),
+    )
+    tot_n = events.count()
+    t3t = (
+        events.groupBy("value")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.sum(
+                F.col("c").cast("long") * F.col("c") * F.col("c")
+                - F.col("c")
+            ).cast("long")
+        )
+        .first()[0]
+    )
+    grp = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n1"),
+        F.sum(2 * F.col("r") + F.col("c") - 1).cast("long").alias("r2sum"),
+    )
+    n1 = F.col("n1")
+    rsum = F.col("r2sum") / 2.0
+    u = rsum - n1 * (n1 + 1) / 2.0
+    n2 = F.lit(tot_n) - n1
+    sigma = F.sqrt(
+        n1 * 1.0 * n2 / 12.0
+        * ((tot_n + 1) - t3t * 1.0 / (tot_n * (tot_n - 1.0)))
+    )
+    return grp.select(
+        "event_type",
+        "n1",
+        (F.col("r2sum") - n1 * (n1 + 1)).cast("long").alias("u2x"),
+        F.round((u - n1 * n2 / 2.0) / sigma, 6).alias("z"),
+        F.round(1.0 - 2.0 * u / (n1 * 1.0 * n2), 6).alias("rank_biserial"),
+    )
+
+
+@query(
     "q189_ab_test_readout",
     oracle="""
     WITH u AS (SELECT DISTINCT user_id FROM events),

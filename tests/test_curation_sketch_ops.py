@@ -495,3 +495,45 @@ def test_phash_banding_lossless_at_threshold(spark):
         for r in q278_phash_hamming_pairs(spark, SF_SMOKE).collect()
     }
     assert rows == want
+
+
+def test_mann_whitney_matches_python(spark):
+    """q279: exact-integer U witness and 6dp z / effect parity with a
+    pure-Python tie-averaged rank computation."""
+    from hive_reflex_spark.operators.analytics import q279_mann_whitney
+
+    con = duckdb.connect()
+    data = con.execute(
+        f"SELECT event_type, value FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    vals = sorted(v for _, v in data)
+    n = len(vals)
+    # tie-averaged rank per value, exact in halves
+    first = {}
+    count: Counter = Counter()
+    for i, v in enumerate(vals):
+        first.setdefault(v, i + 1)
+        count[v] += 1
+    rank2 = {v: 2 * first[v] + count[v] - 1 for v in first}  # = 2*avg_rank
+    t3t = sum(c**3 - c for c in count.values())
+    groups: dict = {}
+    for g, v in data:
+        groups.setdefault(g, []).append(v)
+    rows = {r["event_type"]: r for r in
+            q279_mann_whitney(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(groups)
+    for g, vs in groups.items():
+        n1 = len(vs)
+        r2sum = sum(rank2[v] for v in vs)
+        u2x = r2sum - n1 * (n1 + 1)
+        u = u2x / 2
+        n2 = n - n1
+        mu = n1 * n2 / 2
+        sigma = math.sqrt(
+            n1 * n2 / 12 * ((n + 1) - t3t / (n * (n - 1)))
+        )
+        r = rows[g]
+        assert r["n1"] == n1 and r["u2x"] == u2x, (g, r)
+        assert abs(r["z"] - round((u - mu) / sigma, 6)) <= 1e-9
+        assert abs(r["rank_biserial"] - round(1 - 2 * u / (n1 * n2), 6)) <= 1e-9
+        assert -1 <= r["rank_biserial"] <= 1

@@ -212,6 +212,7 @@ def test_registry_window_covers_new_families():
         "q268_kmv_set_sketch",          # new: KMV set-operation sketch
         "q268a_stream_kmv",             # new: streaming bottom-k state
         "q277_rolling_distinct_kmv",    # new: sliding sketch-merge distinct
+        "q279_mann_whitney",            # new: rank-sum A/B readout
         "q269_semantic_dedup",          # new: SemDeDup cluster dedup
         "q270_fuzzy_decontaminate",     # new: contamination-ratio rule
         "q271_token_entropy",           # new: token-evenness filter
