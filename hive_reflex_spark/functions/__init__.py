@@ -139,3 +139,33 @@ def duck_exact_sum_window(expr: str, over: str, scale: int = 2) -> str:
         f"CAST(SUM(CAST(ROUND(({expr}) * {p}) AS BIGINT)) OVER {over} AS BIGINT)"
         f" / {p}.0"
     )
+
+
+def dyadic_md5_uniform(expr: str) -> Column:
+    """Exact dyadic md5-derived uniform in (0, 1): the first 10 hex
+    digits of md5(CAST(expr AS STRING)) as a base-16 polynomial — every
+    term is exact in binary64, so Spark and DuckDB build the IDENTICAL
+    uniform from the identical hash (no hex->int builtin needed).
+    Shared by q124's A-ES keys and the KMV sketch family
+    (q268/q268a/q277). ``expr`` is a SQL expression string (a column
+    name or cast-able expression)."""
+    return sum(
+        (
+            F.expr(
+                "instr('0123456789abcdef', "
+                f"substr(md5(CAST(({expr}) AS STRING)), {i + 1}, 1)) - 1"
+            )
+            * (16.0 ** -(i + 1))
+        )
+        for i in range(10)
+    )
+
+
+def duck_dyadic_md5_uniform(expr: str) -> str:
+    """DuckDB SQL twin of :func:`dyadic_md5_uniform`."""
+    return " + ".join(
+        "(instr('0123456789abcdef', "
+        f"substr(md5(CAST(({expr}) AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16.0 ** -(i + 1)!r}"
+        for i in range(10)
+    )

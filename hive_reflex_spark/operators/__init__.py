@@ -28,13 +28,15 @@ from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
 # the judged correctness surface. Round-8 window: the 20 registrations
-# new this round (first driver rows), the 10 queries whose code changed
-# this round (changed code must be re-judged — incl. the q118/q49a/
-# q47/q263 shared-helper refactors), then the stalest r01/r02
-# hash-greens per scripts/rotate_window.py (VERDICT r7 item 4: convert
-# standing local sweeps into fresh driver evidence, oldest first). The
-# list is 71 long, so its last 21 names (q65/q81/q82/q80/q100/q85/
-# q86/q87/q89/q51a/q09-q13/q15-q20) sit just outside the 50-slot window and keep their standing r02 evidence.
+# new this round (first driver rows), then the 11 queries whose code
+# changed this round (changed code must be re-judged — incl. the
+# q118/q49a/q47/q263 shared-helper refactors and the q124 shared
+# dyadic-uniform refactor), then the stalest r01/r02 hash-greens per
+# scripts/rotate_window.py (VERDICT r7 item 4: convert standing local
+# sweeps into fresh driver evidence, oldest first). The list is 72
+# long, so its last 22 names (q08/q65/q81/q82/q80/q100/q85/q86/q87/
+# q89/q51a/q09-q13/q15-q20) sit just outside the 50-slot window and
+# keep their standing r01/r02 evidence.
 _registry.finalize_order([
     # NEW this round — first driver rows
     "q272_winnowing_fingerprint", # MOSS guaranteed positional fingerprints
@@ -68,6 +70,7 @@ _registry.finalize_order([
     "q49a_lsh_candidates_star",   # shared star_candidates refactor
     "q47_jaccard_pairs",          # shared capped_postings/sizes refactor
     "q263_containment_pairs",     # shared capped_postings/sizes refactor
+    "q124_weighted_sample",       # shared dyadic_md5_uniform refactor
     # stalest hash-greens: last driver-checked r01
     "q72_accuracy_eval",
     "q73_distillation_kl",

@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.functions import exact_sum
+from hive_reflex_spark.functions import (
+    duck_dyadic_md5_uniform,
+    dyadic_md5_uniform,
+    exact_sum,
+)
 from hive_reflex_spark.io import read_table
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
@@ -788,28 +792,15 @@ def q265_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KMV_K = 32  # sketch size; rse ~ 1/sqrt(k-2) ~ 18% — audit column pins it
 
-# md5-derived uniform in (0,1): the same exact dyadic polynomial as
-# q124's A-ES keys (10 hex digits, every term exact in binary64) —
-# both engines build the IDENTICAL uniform from the identical hash.
-_KMV_U_SQL = " + ".join(
-    "(instr('0123456789abcdef', "
-    f"substr(md5(CAST(user_id AS VARCHAR)), {i + 1}, 1)) - 1)"
-    f" * {16.0 ** -(i + 1)!r}"
-    for i in range(10)
-)
+# md5-derived uniform in (0,1): the SHARED exact dyadic polynomial
+# (functions.dyadic_md5_uniform — q124's A-ES keys use the same
+# builder) so both engines build the IDENTICAL uniform from the
+# identical hash.
+_KMV_U_SQL = duck_dyadic_md5_uniform("user_id")
 
 
 def _kmv_u_spark() -> Column:
-    return sum(
-        (
-            F.expr(
-                "instr('0123456789abcdef', "
-                f"substr(md5(CAST(user_id AS STRING)), {i + 1}, 1)) - 1"
-            )
-            * (16.0 ** -(i + 1))
-        )
-        for i in range(10)
-    )
+    return dyadic_md5_uniform("user_id")
 
 
 def day_users(spark: SparkSession, sf_dir: str) -> DataFrame:

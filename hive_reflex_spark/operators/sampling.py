@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hive_reflex_spark.functions import (
+    duck_dyadic_md5_uniform,
+    dyadic_md5_uniform,
+)
 from hive_reflex_spark.io import read_table
 from hive_reflex_spark.registry import query
 
@@ -583,13 +587,11 @@ def q113_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WSAMPLE_K = 20  # sample size per source
 
-# md5-derived uniform in (0,1): a 10-hex-digit dyadic polynomial — every
-# term is exact in binary double, so both engines build the identical
-# uniform from the identical hash (no hex->int builtin needed anywhere).
-_U_TERMS_SQL = " + ".join(
-    f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16.0 ** -(i + 1)!r}"
-    for i in range(10)
-)
+# md5-derived uniform in (0,1): the SHARED exact dyadic polynomial
+# (functions.dyadic_md5_uniform; the KMV family q268/q268a/q277 uses
+# the same builder on user_id) — every term is exact in binary double,
+# so both engines build the identical uniform from the identical hash.
+_U_TERMS_SQL = duck_dyadic_md5_uniform("doc_id")
 
 
 @query(
@@ -624,16 +626,7 @@ def q124_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits, identical in both engines, and keys freeze to 9dp before
     ranking with doc_id as the tiebreak."""
     docs = read_table(spark, sf_dir, "documents")
-    u = sum(
-        (
-            F.expr(
-                "instr('0123456789abcdef', "
-                f"substr(md5(CAST(doc_id AS STRING)), {i + 1}, 1)) - 1"
-            )
-            * (16.0 ** -(i + 1))
-        )
-        for i in range(10)
-    )
+    u = dyadic_md5_uniform("doc_id")
     keyed = docs.select(
         "doc_id",
         "source",
