@@ -27,17 +27,26 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-8 window: the 20 registrations
-# new this round (first driver rows), then the 11 queries whose code
-# changed this round (changed code must be re-judged — incl. the
-# q118/q49a/q47/q263 shared-helper refactors and the q124 shared
-# dyadic-uniform refactor), then the stalest r01/r02 hash-greens per
-# scripts/rotate_window.py (VERDICT r7 item 4: convert standing local
-# sweeps into fresh driver evidence, oldest first). The list is 72
-# long, so its last 22 names (q08/q65/q81/q82/q80/q100/q85/q86/q87/
-# q89/q51a/q09-q13/q15-q20) sit just outside the 50-slot window and
-# keep their standing r01/r02 evidence.
+# the judged correctness surface. Round-8 window: the 27 registrations
+# new this round (first driver rows; the fourth-session additions
+# q280-q286 lead), then the 11 queries whose code changed this round
+# (changed code must be re-judged — incl. the q118/q49a/q47/q263
+# shared-helper refactors and the q124 shared dyadic-uniform refactor),
+# then the stalest r01/r02 hash-greens per scripts/rotate_window.py
+# (VERDICT r7 item 4: convert standing local sweeps into fresh driver
+# evidence, oldest first). The list is 79 long, so the names after the
+# 50th (q50_simhash onward: q50/q79/q02/q04-q06/q08, then the r02 tier
+# q65/q81/q82/q80/q100/q85-q87/q89/q51a/q09-q13/q15-q20) sit just
+# outside the 50-slot window and keep their standing r01/r02 evidence.
 _registry.finalize_order([
+    # NEW this round, fourth session — first driver rows
+    "q285_hyperball",             # neighborhood function via HLL merges
+    "q283_exact_quantile",        # two-pass exact distributed selection
+    "q281_bh_fdr",                # exact sign tests + integer BH control
+    "q280_roc_auc",               # ROC operating points + rank-exact AUC
+    "q282_chi2_independence",     # frozen-units chi-squared + Cramer's V
+    "q284_good_turing",           # trigram missing mass / smoothed counts
+    "q286_kendall_tau",           # tie-corrected rank correlation
     # NEW this round — first driver rows
     "q272_winnowing_fingerprint", # MOSS guaranteed positional fingerprints
     "q273_lsh_recall_curve",      # measured LSH S-curve vs q260 theory

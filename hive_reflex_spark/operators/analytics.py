@@ -4732,3 +4732,572 @@ def q256a_siegel_repeated_median(
             "siegel_intercept",
         )
     )
+
+
+@query(
+    "q280_roc_auc",
+    oracle="""
+    WITH scored AS (SELECT event_id, value,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END AS y
+                    FROM events),
+         tot AS (SELECT CAST(SUM(y) AS BIGINT) AS p,
+                        CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+                 FROM scored),
+         ranked AS (SELECT y,
+                           RANK() OVER (ORDER BY value) AS r,
+                           COUNT(*) OVER (PARTITION BY value) AS c
+                    FROM scored),
+         aucn AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN 2 * r + c - 1
+                                       ELSE 0 END)
+                              - (SELECT p * (p + 1) FROM tot)
+                              AS BIGINT) AS auc2num
+                  FROM ranked),
+         decs AS (SELECT y,
+                         NTILE(10) OVER (ORDER BY value DESC, event_id)
+                             AS decile
+                  FROM scored),
+         per AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(y) AS BIGINT) AS n_pos
+                 FROM decs GROUP BY decile),
+         cum AS (SELECT decile, n, n_pos,
+                        CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT)
+                            AS cum_tp,
+                        CAST(SUM(n - n_pos) OVER (ORDER BY decile)
+                             AS BIGINT) AS cum_fp,
+                        CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT)
+                            AS cum_n
+                 FROM per)
+    SELECT cum.decile, cum.n, cum.n_pos, cum.cum_tp, cum.cum_fp,
+           ROUND(cum.cum_tp * 1.0 / tot.p, 6) AS tpr,
+           ROUND(cum.cum_fp * 1.0 / tot.neg, 6) AS fpr,
+           ROUND(cum.cum_tp * 1.0 / cum.cum_n, 6) AS precision_at,
+           aucn.auc2num,
+           ROUND(aucn.auc2num * 1.0 / (2.0 * tot.p * tot.neg), 6) AS auc
+    FROM cum, tot, aucn
+    """,
+)
+def q280_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC curve + exact AUC for a score/label pair (score = event
+    value, positive class = 'purchase'): decile-bucketed operating
+    points (cumulative TP/FP from the highest-score decile down, with
+    TPR/FPR/precision) plus the exact rank-statistic AUC — the
+    classifier-eval readout next to q235's calibration ECE and q279's
+    rank-sum test (AUC == U/(P*N), the Mann-Whitney identity).
+
+    Exactness: tie-averaged ranks are exact halves (2*avg_rank =
+    2*RANK + tiecount - 1, the q279 trick), so auc2num = 2*U is an
+    exact BIGINT witness; every curve point is a ratio of exact
+    integer counts rounded at 6dp. Decile assignment uses NTILE over
+    the unique (value DESC, event_id) order — deterministic under ties.
+
+    Scale: one global rank + one NTILE (per-shard rank merged by
+    offset in production, like q113's manifest), then a 10-row
+    cumulative window — no joins at event scale."""
+    events = read_table(spark, sf_dir, "events")
+    scored = events.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    tot = scored.agg(
+        F.sum("y").cast("long").alias("p"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    ranked = scored.select(
+        "y",
+        F.rank().over(Window.orderBy("value")).alias("r"),
+        F.count("*").over(Window.partitionBy("value")).alias("c"),
+    )
+    r2sum = ranked.agg(
+        F.sum(
+            F.when(F.col("y") == 1, 2 * F.col("r") + F.col("c") - 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("r2sum_pos")
+    )
+    decs = scored.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("value"), "event_id"))
+        .alias("decile"),
+    )
+    per = decs.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n_pos").over(w).cast("long").alias("cum_tp"),
+        F.sum(F.col("n") - F.col("n_pos")).over(w).cast("long").alias(
+            "cum_fp"
+        ),
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+    )
+    aucn = r2sum.join(F.broadcast(tot)).select(
+        (F.col("r2sum_pos") - F.col("p") * (F.col("p") + 1))
+        .cast("long")
+        .alias("auc2num"),
+        "p",
+        "neg",
+    )
+    return cum.join(F.broadcast(aucn)).select(
+        "decile",
+        "n",
+        "n_pos",
+        "cum_tp",
+        "cum_fp",
+        F.round(F.col("cum_tp") * 1.0 / F.col("p"), 6).alias("tpr"),
+        F.round(F.col("cum_fp") * 1.0 / F.col("neg"), 6).alias("fpr"),
+        F.round(F.col("cum_tp") * 1.0 / F.col("cum_n"), 6).alias(
+            "precision_at"
+        ),
+        "auc2num",
+        F.round(
+            F.col("auc2num") * 1.0 / (2.0 * F.col("p") * F.col("neg")), 6
+        ).alias("auc"),
+    )
+
+
+@query(
+    "q286_kendall_tau",
+    oracle="""
+    WITH daily AS (SELECT event_type,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events GROUP BY 1, 2),
+         joint AS (SELECT a.d, a.event_type AS type_a,
+                          b.event_type AS type_b,
+                          a.cents AS xa, b.cents AS ya
+                   FROM daily a JOIN daily b
+                     ON a.d = b.d AND a.event_type < b.event_type),
+         pairs AS (SELECT p.type_a, p.type_b,
+                          CASE WHEN (q.xa - p.xa) * (q.ya - p.ya) > 0
+                               THEN 1 ELSE 0 END AS conc,
+                          CASE WHEN (q.xa - p.xa) * (q.ya - p.ya) < 0
+                               THEN 1 ELSE 0 END AS disc,
+                          CASE WHEN q.xa = p.xa THEN 1 ELSE 0 END AS tx,
+                          CASE WHEN q.ya = p.ya THEN 1 ELSE 0 END AS ty
+                   FROM joint p JOIN joint q
+                     ON p.type_a = q.type_a AND p.type_b = q.type_b
+                        AND p.d < q.d),
+         agg AS (SELECT type_a, type_b,
+                        CAST(COUNT(*) AS BIGINT) AS n0,
+                        CAST(SUM(conc) AS BIGINT) AS nc,
+                        CAST(SUM(disc) AS BIGINT) AS nd,
+                        CAST(SUM(tx) AS BIGINT) AS n1,
+                        CAST(SUM(ty) AS BIGINT) AS n2
+                 FROM pairs GROUP BY type_a, type_b)
+    SELECT type_a, type_b, n0, nc, nd, n1, n2,
+           ROUND((nc - nd) * 1.0
+                 / NULLIF(sqrt((n0 - n1) * 1.0 * (n0 - n2)), 0), 6)
+               AS tau_b
+    FROM agg
+    """,
+)
+def q286_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between every pair of event-type
+    daily-total series — the robust, tie-corrected companion to q123's
+    Pearson r (outlier days move Pearson arbitrarily; tau counts order
+    inversions). nc/nd = concordant/discordant day pairs, n1/n2 =
+    pairs tied in x/y, tau_b = (nc-nd)/sqrt((n0-n1)(n0-n2)), NULL when
+    a series is constant (denominator 0; try_divide/NULLIF on both
+    engines).
+
+    Exactness: daily totals reduce to exact integer cents (the q256
+    convention), so every pair class is an exact BIGINT count; the
+    single double expression divides identical integers before 6dp
+    rounding.
+
+    Scale: the event-scale work is ONE grouped aggregate to daily
+    cents; the pairwise stage is days^2 per type pair — bounded by
+    the calendar, not the corpus (30 days -> 435 pairs), so the
+    self-join is dimension-scale at any SF."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "d",
+        F.col("cents").alias("xa"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        "d",
+        F.col("cents").alias("ya"),
+    )
+    joint = a.join(b, "d").filter(F.col("type_a") < F.col("type_b"))
+    p = joint.select(
+        "type_a", "type_b", F.col("d").alias("dp"),
+        F.col("xa").alias("pxa"), F.col("ya").alias("pya"),
+    )
+    q = joint.select(
+        "type_a", "type_b", F.col("d").alias("dq"),
+        F.col("xa").alias("qxa"), F.col("ya").alias("qya"),
+    )
+    dx = F.col("qxa") - F.col("pxa")
+    dy = F.col("qya") - F.col("pya")
+    pairs = p.join(q, ["type_a", "type_b"]).filter(
+        F.col("dp") < F.col("dq")
+    )
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(dx * dy > 0, 1).otherwise(0)).cast("long").alias("nc"),
+        F.sum(F.when(dx * dy < 0, 1).otherwise(0)).cast("long").alias("nd"),
+        F.sum(F.when(dx == 0, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(dy == 0, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    n0, nc, nd = F.col("n0"), F.col("nc"), F.col("nd")
+    return agg.select(
+        "type_a", "type_b", "n0", "nc", "nd", "n1", "n2",
+        F.round(
+            F.try_divide(
+                (nc - nd) * 1.0,
+                F.sqrt((n0 - F.col("n1")) * 1.0 * (n0 - F.col("n2"))),
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "q282_chi2_independence",
+    oracle="""
+    WITH cells AS (SELECT event_type,
+                          CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT)
+                              AS dow,
+                          CAST(COUNT(*) AS BIGINT) AS o
+                   FROM events GROUP BY 1, 2),
+         rows_t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt,
+                           COUNT(*) AS r_cells
+                    FROM cells GROUP BY event_type),
+         cols_t AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct
+                    FROM cells GROUP BY dow),
+         tot AS (SELECT CAST(SUM(o) AS BIGINT) AS tt,
+                        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr,
+                        CAST(COUNT(DISTINCT dow) AS BIGINT) AS nc
+                 FROM cells),
+         scored AS (SELECT c.event_type, c.dow, c.o, r.rt, k.ct, t.tt,
+                           t.nr, t.nc,
+                           CAST(c.o * t.tt - r.rt * k.ct AS BIGINT)
+                               AS delta,
+                           CAST(ROUND(1e6 * ((c.o * t.tt - r.rt * k.ct)
+                                             * 1.0
+                                             * (c.o * t.tt - r.rt * k.ct))
+                                      / (r.rt * 1.0 * k.ct * t.tt))
+                                AS BIGINT) AS chi2_units
+                    FROM cells c
+                    JOIN rows_t r ON c.event_type = r.event_type
+                    JOIN cols_t k ON c.dow = k.dow
+                    CROSS JOIN tot t),
+         summed AS (SELECT *,
+                           CAST(SUM(chi2_units) OVER () AS BIGINT)
+                               AS chi2_total_units
+                    FROM scored)
+    SELECT event_type, dow, o AS observed,
+           CAST(ROUND(1e6 * (rt * 1.0 * ct / tt)) AS BIGINT)
+               AS expected_units,
+           delta, chi2_units, chi2_total_units,
+           CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+           ROUND(sqrt((chi2_total_units / 1e6)
+                      / (tt * 1.0 * LEAST(nr - 1, nc - 1))), 6)
+               AS cramers_v
+    FROM summed
+    """,
+)
+def q282_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between event_type and
+    day-of-week (day-number mod 7): per-cell observed count, expected
+    count, and chi-squared contribution, plus the global statistic,
+    degrees of freedom, and Cramer's V effect size — the categorical
+    drift/seasonality readout next to q238's KS (continuous) and
+    q230's Benford (digit) tests.
+
+    Exactness: the per-cell deviation delta = O*T - R*C is an exact
+    BIGINT (all counts), each cell's chi-squared contribution is ONE
+    identical double expression in both engines frozen to integer
+    1e-6 units before the (order-independent) integer total, and
+    Cramer's V derives from that frozen total.
+
+    Scale: one grouped count at event scale, then everything is
+    |types| x 7 cells — the margins broadcast back onto the cell
+    table; no second pass over events."""
+    events = read_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        "event_type",
+        ((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long") % 7)
+        .cast("long")
+        .alias("dow"),
+    ).agg(F.count("*").alias("o"))
+    rows_t = cells.groupBy("event_type").agg(
+        F.sum("o").cast("long").alias("rt")
+    )
+    cols_t = cells.groupBy("dow").agg(F.sum("o").cast("long").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("tt"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("dow").cast("long").alias("nc"),
+    )
+    delta = F.col("o") * F.col("tt") - F.col("rt") * F.col("ct")
+    scored = (
+        cells.join(rows_t, "event_type")
+        .join(F.broadcast(cols_t), "dow")
+        .join(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "o",
+            "rt",
+            "ct",
+            "tt",
+            "nr",
+            "nc",
+            delta.cast("long").alias("delta"),
+            F.round(
+                F.lit(1e6)
+                * (delta * 1.0 * delta)
+                / (F.col("rt") * 1.0 * F.col("ct") * F.col("tt"))
+            )
+            .cast("long")
+            .alias("chi2_units"),
+        )
+    )
+    summed = scored.withColumn(
+        "chi2_total_units",
+        F.sum("chi2_units")
+        .over(Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing))
+        .cast("long"),
+    )
+    return summed.select(
+        "event_type",
+        "dow",
+        F.col("o").alias("observed"),
+        F.round(F.lit(1e6) * (F.col("rt") * 1.0 * F.col("ct") / F.col("tt")))
+        .cast("long")
+        .alias("expected_units"),
+        "delta",
+        "chi2_units",
+        "chi2_total_units",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(
+                (F.col("chi2_total_units") / F.lit(1e6))
+                / (F.col("tt") * 1.0
+                   * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+# Sign-test window cap: the trailing-delta count is bounded so the exact
+# binomial tail arithmetic stays in BIGINT (2^n and p_num*20*m must not
+# overflow; 40 < 62 leaves headroom) — the test is "trend over the last
+# ~6 weeks", not "since the epoch", at any corpus scale.
+_SIGN_TEST_MAX_N = 40
+
+
+def _binom_cum_rows(max_n: int) -> list[tuple[int, int, int, int, int]]:
+    """(n, k, cle, cleprev, tot) for n in 1..max_n, k in 0..n, where
+    cle = sum_{i<=k} C(n,i), cleprev = cle(k-1), tot = 2^n — the exact
+    integer binomial tail table (multiplicative recurrence, always
+    divides exactly). max_n=40 -> 860 rows of BIGINTs <= 2^40, the
+    bounded driver-side state the Spark plan broadcasts."""
+    rows = []
+    for n in range(1, max_n + 1):
+        c = 1
+        cums = []
+        cum = 0
+        for k in range(0, n + 1):
+            if k > 0:
+                c = c * (n - k + 1) // k
+            cum += c
+            cums.append(cum)
+        for k in range(0, n + 1):
+            rows.append((n, k, cums[k], cums[k - 1] if k > 0 else 0,
+                         cums[n]))
+    return rows
+
+
+@query(
+    "q281_bh_fdr",
+    oracle=f"""
+    WITH RECURSIVE
+         daily AS (SELECT event_type,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events GROUP BY 1, 2),
+         delt AS (SELECT event_type, d,
+                         cents - LAG(cents) OVER (PARTITION BY event_type
+                                                  ORDER BY d) AS delta
+                  FROM daily),
+         nz AS (SELECT event_type, delta,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY d DESC) AS rn
+                FROM delt WHERE delta IS NOT NULL AND delta <> 0),
+         stats AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS k
+                   FROM nz WHERE rn <= {_SIGN_TEST_MAX_N}
+                   GROUP BY event_type),
+         ns AS (SELECT DISTINCT n FROM stats),
+         binom(n, k, c) AS (
+             SELECT n, CAST(0 AS BIGINT) AS k, CAST(1 AS BIGINT) AS c
+             FROM ns
+             UNION ALL
+             SELECT n, k + 1, c * (n - k) // (k + 1)
+             FROM binom WHERE k < n),
+         cum AS (SELECT n, k,
+                        CAST(SUM(c) OVER (PARTITION BY n ORDER BY k)
+                             AS BIGINT) AS cle
+                 FROM binom),
+         wtot AS (SELECT n, k, cle,
+                         CAST(COALESCE(LAG(cle) OVER (PARTITION BY n
+                                                      ORDER BY k), 0)
+                              AS BIGINT) AS cleprev,
+                         CAST(MAX(cle) OVER (PARTITION BY n) AS BIGINT)
+                             AS tot
+                  FROM cum),
+         joined AS (SELECT s.event_type, s.n, s.k,
+                           CAST(LEAST(w.tot,
+                                      2 * LEAST(w.cle, w.tot - w.cleprev))
+                                AS BIGINT) AS p_num,
+                           w.tot
+                    FROM stats s JOIN wtot w ON s.n = w.n AND s.k = w.k),
+         ranked AS (SELECT j.*,
+                           CAST(COUNT(*) OVER () AS BIGINT) AS m,
+                           ROW_NUMBER() OVER (ORDER BY j.p_num * 1.0
+                                                       / j.tot,
+                                              j.event_type) AS i
+                    FROM joined j),
+         crit AS (SELECT ranked.*,
+                         MAX(CASE WHEN p_num * 20 * m <= i * tot
+                                  THEN i END) OVER () AS i_max
+                  FROM ranked)
+    SELECT event_type, n, k AS k_pos, p_num, tot AS p_den,
+           ROUND(p_num * 1.0 / tot, 6) AS p_value,
+           CAST(i AS BIGINT) AS bh_rank, m AS n_tests,
+           CAST(CASE WHEN i_max IS NOT NULL AND i <= i_max
+                     THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM crit
+    """,
+)
+def q281_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control: an EXACT two-sided sign test per
+    event_type (is the daily total drifting?) with Benjamini-Hochberg
+    FDR selection across the family of tests at alpha = 0.05 — the
+    many-metrics dashboard answer to q189/q279's single-comparison
+    readouts (testing every metric at 0.05 individually inflates the
+    false-alarm rate; BH caps the expected false-discovery fraction).
+
+    Exactness, end to end: daily totals are exact cents; deltas and
+    their signs are exact; the binomial tail p-value is an exact
+    rational p_num/2^n (both BIGINT; two-sided = min(1, 2*min(tails)));
+    and the BH acceptance test p_(i) <= i*alpha/m is evaluated as the
+    cross-multiplied INTEGER inequality p_num*20*m <= i*2^n — no
+    floating comparison decides anything. The trailing-window cap
+    (_SIGN_TEST_MAX_N = 40 deltas) keeps 2^n in range; the emitted
+    p_value is the exact rational rendered at 6dp.
+
+    Scale: events reduce to |types| x |days| in one grouped aggregate;
+    the binomial table is 860 precomputed rows broadcast to the (tiny)
+    stats table; BH ranks |types| rows. The Spark side ships the table
+    from the driver (bounded state); the oracle derives the SAME table
+    via a recursive CTE on the multiplicative recurrence
+    C(n,k+1) = C(n,k)*(n-k)/(k+1), which divides exactly."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    wd = Window.partitionBy("event_type").orderBy("d")
+    delt = daily.withColumn(
+        "delta", F.col("cents") - F.lag("cents").over(wd)
+    ).filter(F.col("delta").isNotNull() & (F.col("delta") != 0))
+    wrev = Window.partitionBy("event_type").orderBy(F.desc("d"))
+    nz = delt.withColumn("rn", F.row_number().over(wrev)).filter(
+        F.col("rn") <= _SIGN_TEST_MAX_N
+    )
+    stats = nz.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("delta") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    binom = spark.createDataFrame(
+        _binom_cum_rows(_SIGN_TEST_MAX_N),
+        "n long, k long, cle long, cleprev long, tot long",
+    )
+    joined = stats.join(F.broadcast(binom), ["n", "k"]).select(
+        "event_type",
+        "n",
+        "k",
+        F.least(
+            F.col("tot"),
+            2 * F.least(F.col("cle"), F.col("tot") - F.col("cleprev")),
+        )
+        .cast("long")
+        .alias("p_num"),
+        "tot",
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = joined.select(
+        "*",
+        F.count("*").over(wall).cast("long").alias("m"),
+        F.row_number()
+        .over(Window.orderBy(F.col("p_num") * 1.0 / F.col("tot"),
+                             "event_type"))
+        .alias("i"),
+    )
+    crit = ranked.withColumn(
+        "i_max",
+        F.max(
+            F.when(
+                F.col("p_num") * 20 * F.col("m")
+                <= F.col("i") * F.col("tot"),
+                F.col("i"),
+            )
+        ).over(wall),
+    )
+    return crit.select(
+        "event_type",
+        "n",
+        F.col("k").alias("k_pos"),
+        "p_num",
+        F.col("tot").alias("p_den"),
+        F.round(F.col("p_num") * 1.0 / F.col("tot"), 6).alias("p_value"),
+        F.col("i").cast("long").alias("bh_rank"),
+        F.col("m").alias("n_tests"),
+        F.when(
+            F.col("i_max").isNotNull() & (F.col("i") <= F.col("i_max")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    )

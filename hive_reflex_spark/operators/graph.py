@@ -548,3 +548,197 @@ def q248_knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("homophily"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: the neighborhood function via per-node HLL registers
+# ---------------------------------------------------------------------------
+
+_HB_ROUNDS = 3  # fixed ball radius (unrolled in the oracle)
+
+
+def _hyperball_oracle() -> str:
+    from hive_reflex_spark.operators.analytics import (
+        HLL_M,
+        _HLL_ALPHA,
+        _LZ_DIGIT,
+    )
+    from hive_reflex_spark.registry import ORACLES
+
+    q47_sql = ORACLES["q47_jaccard_pairs"].strip()
+    lz = _LZ_DIGIT.format(
+        d="instr('0123456789abcdef', substr(ltrim(suffix, '0'), 1, 1)) - 1"
+    )
+    ctes = [
+        f"""edges AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM ({q47_sql}) p)""",
+        """bidir AS (SELECT a AS u, b AS v FROM edges
+                     UNION ALL SELECT b AS u, a AS v FROM edges)""",
+        f"""r0 AS (SELECT doc_id AS v,
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                             AS bucket,
+                         CAST(4 * (29 - len(ltrim(substr(md5(CAST(doc_id
+                                  AS VARCHAR)), 3, 29), '0')))
+                              + CASE WHEN ltrim(substr(md5(CAST(doc_id
+                                          AS VARCHAR)), 3, 29), '0') = ''
+                                     THEN 0 ELSE {lz} END + 1
+                              AS BIGINT) AS m_j
+                  FROM (SELECT doc_id,
+                               substr(md5(CAST(doc_id AS VARCHAR)), 3, 29)
+                                   AS suffix
+                        FROM documents))""",
+    ]
+    for t in range(1, _HB_ROUNDS + 1):
+        ctes.append(
+            f"""r{t} AS (SELECT v, bucket, CAST(MAX(m_j) AS BIGINT) AS m_j
+                 FROM (SELECT v, bucket, m_j FROM r{t - 1}
+                       UNION ALL
+                       SELECT e.v, r.bucket, r.m_j
+                       FROM bidir e JOIN r{t - 1} r ON r.v = e.u)
+                 GROUP BY v, bucket)"""
+        )
+    for t in range(0, _HB_ROUNDS + 1):
+        ctes.append(
+            f"""s{t} AS (SELECT CAST({t} AS BIGINT) AS t,
+                        CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                        CAST(SUM(mass) AS BIGINT) AS register_mass,
+                        CAST(SUM(CAST(ROUND(1e6 * e) AS BIGINT))
+                             AS BIGINT) AS nf_units
+                 FROM (SELECT v, mass,
+                              CASE WHEN e_raw <= 2.5 * {HLL_M}
+                                        AND {HLL_M} - nb > 0
+                                   THEN {HLL_M} * ln({HLL_M} * 1.0
+                                                     / ({HLL_M} - nb))
+                                   ELSE e_raw END AS e
+                       FROM (SELECT v, SUM(m_j) AS mass,
+                                    COUNT(*) AS nb,
+                                    CAST({_HLL_ALPHA} AS DOUBLE)
+                                        * {HLL_M} * {HLL_M}
+                                        / (SUM(pow(2.0, -m_j))
+                                           + ({HLL_M} - COUNT(*)))
+                                        AS e_raw
+                             FROM r{t} GROUP BY v)))"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM s{t}" for t in range(0, _HB_ROUNDS + 1)
+    )
+    return f"""
+    WITH {','.join(ctes)},
+    allr AS ({unions})
+    SELECT allr.t, allr.n_nodes, allr.register_mass, allr.nf_units,
+           CAST(ROUND(allr.nf_units / 1e6) AS BIGINT) AS nf_est,
+           ROUND(allr.nf_units * 1.0 / fin.nf_units, 6) AS reach_ratio
+    FROM allr, (SELECT nf_units FROM s{_HB_ROUNDS}) fin
+    """
+
+
+@query("q285_hyperball", oracle=_hyperball_oracle())
+def q285_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2013): the neighborhood function
+    N(t) = sum over nodes of |ball(v, t)| on the verified near-dup
+    graph (q47's J>=0.5 edges over ALL documents, isolated nodes
+    included), computed by per-node HLL registers that each round
+    max-merges with the neighbors' registers — the algorithm that
+    measured the Facebook graph's four degrees of separation, and the
+    canonical "graph metric via mergeable sketch" pattern: exact BFS
+    from every node is |V| traversals, HyperBall is T rounds of one
+    grouped MAX each. reach_ratio(t) = N(t)/N(T) reads off how fast
+    the graph saturates (effective-diameter form); register_mass is
+    the exact-integer convergence witness (monotone, fixpoint when
+    stable between rounds).
+
+    Exactness: registers are md5-deterministic integers (the q118
+    construction, per node instead of per event_type); each round is
+    an integer MAX; per-node estimates freeze to 1e-6 units BEFORE the
+    corpus sum (order-independent), and the small-range linear-count
+    correction is q118's verbatim.
+
+    Scale: state is |V| x <=256 small integers (the HyperBall paper's
+    memory bound); each round shuffles register rows along edges — a
+    hash join on vertex id, no BFS frontier materialization. Fixed
+    T = 3 rounds (near-dup components have tiny diameters; q231's
+    clustering coefficient says cliquish) — the oracle unrolls the
+    same three max-merges."""
+    from hive_reflex_spark.operators.analytics import (
+        HLL_M,
+        _HLL_ALPHA,
+        hll_registers,
+    )
+    from hive_reflex_spark.operators.dedup import q47_jaccard_pairs
+
+    from hive_reflex_spark.io import read_table as _rt
+
+    docs = _rt(spark, sf_dir, "documents")
+    edges = q47_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    bidir = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = docs.select(
+        F.col("doc_id").alias("v"), F.col("doc_id").alias("user_id")
+    )
+    regs = hll_registers(nodes, ["v"]).localCheckpoint(eager=True)
+
+    def summarize(r: DataFrame, t: int) -> DataFrame:
+        per = r.groupBy("v").agg(
+            F.sum("m_j").alias("mass"),
+            F.count("*").alias("nb"),
+            F.sum(F.pow(F.lit(2.0), -F.col("m_j"))).alias("sum_pow"),
+        )
+        e_raw = (
+            _HLL_ALPHA * HLL_M * HLL_M
+            / (F.col("sum_pow") + (HLL_M - F.col("nb")))
+        )
+        est = per.select(
+            "mass",
+            F.when(
+                (e_raw <= 2.5 * HLL_M) & (HLL_M - F.col("nb") > 0),
+                HLL_M * F.log(HLL_M * 1.0 / (HLL_M - F.col("nb"))),
+            )
+            .otherwise(e_raw)
+            .alias("e"),
+        )
+        return est.agg(
+            F.lit(t).cast("long").alias("t"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("mass").cast("long").alias("register_mass"),
+            F.sum(F.round(F.lit(1e6) * F.col("e")).cast("long"))
+            .cast("long")
+            .alias("nf_units"),
+        ).select("t", "n_nodes", "register_mass", "nf_units")
+
+    summaries = [summarize(regs, 0)]
+    for t in range(1, _HB_ROUNDS + 1):
+        contrib = bidir.join(
+            regs.withColumnRenamed("v", "u"), "u"
+        ).select("v", "bucket", "m_j")
+        regs = (
+            regs.unionByName(contrib)
+            .groupBy("v", "bucket")
+            .agg(F.max("m_j").alias("m_j"))
+            .localCheckpoint(eager=True)
+        )
+        summaries.append(summarize(regs, t))
+    allr = summaries[0]
+    for s in summaries[1:]:
+        allr = allr.unionByName(s)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return allr.withColumn(
+        "nf_est", F.round(F.col("nf_units") / F.lit(1e6)).cast("long")
+    ).withColumn(
+        "reach_ratio",
+        F.round(
+            F.col("nf_units")
+            * 1.0
+            / F.max(F.when(F.col("t") == _HB_ROUNDS, F.col("nf_units")))
+            .over(wall),
+            6,
+        ),
+    )

@@ -3230,3 +3230,100 @@ def q255_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.expr(f"{spark_exact_sum_unit(vol, 4)} AS revenue"),
     )
+
+
+# q283 two-pass exact-quantile machinery: percent targets and the
+# coarse-histogram bucket width. $655.36 buckets over the TPC-H price
+# domain (~$900..$105k) keep the pass-1 histogram at ~160 rows — the
+# bounded driver-side state that makes the second pass a few-bucket
+# pushed-down range scan instead of a global sort.
+_QUANTILE_PCTS = (25, 50, 75, 90, 99)
+_QUANTILE_BUCKET_CENTS = 1 << 16
+
+
+@query(
+    "q283_exact_quantile",
+    oracle="""
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   AS cents
+               FROM lineitem),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         qs AS (SELECT CAST(p AS BIGINT) AS pct
+                FROM (VALUES (25), (50), (75), (90), (99)) AS t(p)),
+         ranks AS (SELECT qs.pct,
+                          CAST((qs.pct * n.n + 99) // 100 AS BIGINT)
+                              AS rank,
+                          n.n
+                   FROM qs, n),
+         ordered AS (SELECT cents,
+                            ROW_NUMBER() OVER (ORDER BY cents) AS rn
+                     FROM c)
+    SELECT r.pct, r.rank, r.n, o.cents AS value_cents,
+           ROUND(o.cents / 100.0, 6) AS value
+    FROM ranks r JOIN ordered o ON o.rn = r.rank
+    """,
+)
+def q283_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT order statistics of l_extendedprice at p25/p50/p75/p90/p99
+    via the classic two-pass distributed selection — no global sort,
+    no approx sketch: pass 1 reduces the fact table to a coarse
+    bucket histogram (~160 rows of bounded driver-side state), the
+    driver walks the cumulative counts to locate each target rank's
+    bucket and in-bucket offset, and pass 2 scans ONLY those buckets
+    (a pushed-down range filter), ranking within each to pick the
+    exact element. The scale answer to q15's percentile battery:
+    a global ORDER BY of 100 TB is a full-data shuffle, while this is
+    two scans + a shuffle of |selected buckets| rows.
+
+    Exactness: cents are exact BIGINTs; the target rank is the exact
+    integer ceil(pct*n/100) = (pct*n + 99) div 100 (percentile_disc
+    semantics) — no floating ceil(q*n), whose double rounding is off
+    the rational answer when q*n is a mathematical integer (0.9*n).
+    The oracle selects the same rank from one explicit global
+    ROW_NUMBER — engine-feasible at oracle scales.
+
+    Ties: equal cents order arbitrarily under ROW_NUMBER, but every
+    permutation yields the SAME selected value — the statistic is
+    well-defined without a tiebreak column."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].select(
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    w = _QUANTILE_BUCKET_CENTS
+    hist = (
+        li.groupBy((F.col("cents") - (F.col("cents") % w)).alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    buckets = sorted((r["b"], r["cnt"]) for r in hist)
+    n = sum(c for _, c in buckets)
+    targets = []  # (pct, rank, bucket, in-bucket offset)
+    for pct in _QUANTILE_PCTS:
+        rank = (pct * n + 99) // 100
+        cum = 0
+        for b, cnt in buckets:
+            if cum + cnt >= rank:
+                targets.append((pct, rank, b, rank - cum))
+                break
+            cum += cnt
+    tdf = spark.createDataFrame(
+        targets, "pct long, rank long, b long, off long"
+    )
+    wanted = sorted({t[2] for t in targets})
+    inb = li.filter(
+        (F.col("cents") - (F.col("cents") % w)).isin(wanted)
+    ).select(
+        "cents", (F.col("cents") - (F.col("cents") % w)).alias("b")
+    )
+    ranked = inb.withColumn(
+        "off",
+        F.row_number().over(Window.partitionBy("b").orderBy("cents")),
+    )
+    return ranked.join(F.broadcast(tdf), ["b", "off"]).select(
+        "pct",
+        "rank",
+        F.lit(n).cast("long").alias("n"),
+        F.col("cents").alias("value_cents"),
+        F.round(F.col("cents") / 100.0, 6).alias("value"),
+    )

@@ -1776,3 +1776,110 @@ def q251_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ttr", 6).alias("ttr"),
         )
     )
+
+
+@query(
+    "q284_good_turing",
+    oracle="""
+    WITH tri AS (SELECT unnest(list_transform(
+                            range(1, len(string_split(text, ' ')) - 1),
+                            i -> string_split(text, ' ')[i] || ' '
+                                 || string_split(text, ' ')[i+1] || ' '
+                                 || string_split(text, ' ')[i+2])) AS g
+                 FROM documents),
+         freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r
+                  FROM tri GROUP BY g),
+         fof AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r
+                 FROM freq GROUP BY r),
+         tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tokens,
+                        CAST(SUM(n_r) AS BIGINT) AS vocab,
+                        CAST(MAX(CASE WHEN r = 1 THEN n_r ELSE 0 END)
+                             AS BIGINT) AS n1
+                 FROM fof),
+         head AS (SELECT r, n_r,
+                         ROW_NUMBER() OVER (ORDER BY r) AS rk
+                  FROM fof)
+    SELECT f.r, f.n_r,
+           CAST(ROUND(1e6 * ((f.r + 1) * 1.0 * nx.n_r / f.n_r))
+                AS BIGINT) AS r_star_units,
+           t.n_tokens, t.vocab,
+           ROUND(t.n1 * 1.0 / t.n_tokens, 6) AS missing_mass
+    FROM head f
+    LEFT JOIN fof nx ON nx.r = f.r + 1
+    CROSS JOIN tot t
+    WHERE f.rk <= 20
+    """,
+)
+def q284_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing vocabulary-mass estimate over corpus word TRIGRAMS:
+    the frequency-of-frequencies table N_r (how many trigrams occur
+    exactly r times), the Turing-smoothed count
+    r* = (r+1)*N_{r+1}/N_r in 1e-6 units (NULL where N_{r+1} is empty
+    — classic GT is undefined there; SGT regression is the usual
+    patch), and the missing mass P0 = N_1/N — the probability the
+    NEXT trigram drawn from the stream is novel. The corpus-growth
+    planning number next to q181's vocab-growth curve and q223's Zipf
+    slope: it says how much tail phrase-vocabulary MORE data would
+    still buy. Trigrams (not unigrams) because the synthetic corpus
+    has a closed ~30-word vocabulary — its unigram tail is empty at
+    every SF, while the trigram space is open.
+
+    Exactness: N_r, N, V, N_1 are exact BIGINT counts; r* is one
+    identical integer-ratio double frozen to 1e-6 units; P0 is an
+    exact-integer ratio rounded at 6dp. The report keeps the 20
+    SMALLEST occupied r (where GT smoothing is actually used) — an
+    adaptive cut that never empties, unlike a fixed r <= K.
+
+    Scale: trigram construction is one array transform per doc
+    (partition-local, no shuffle — the q272 explode_outer discipline),
+    then word-count + histogram shuffles on already-reduced keys; the
+    3-value totals row broadcasts back onto 20 rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    tri = (
+        docs.select(F.split("text", " ").alias("ws"))
+        .select(
+            F.explode_outer(
+                F.expr(
+                    "CASE WHEN size(ws) >= 3 THEN "
+                    "transform(sequence(0, size(ws) - 3), "
+                    "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])) "
+                    "ELSE array() END"
+                )
+            ).alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+    )
+    freq = tri.groupBy("g").agg(F.count("*").cast("long").alias("r"))
+    fof = freq.groupBy("r").agg(F.count("*").cast("long").alias("n_r"))
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab"),
+        F.max(F.when(F.col("r") == 1, F.col("n_r")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    head = fof.withColumn(
+        "rk", F.row_number().over(Window.orderBy("r"))
+    ).filter(F.col("rk") <= 20)
+    nx = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+    )
+    return (
+        head.join(nx, "r", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                F.lit(1e6)
+                * ((F.col("r") + 1) * 1.0 * F.col("n_next") / F.col("n_r"))
+            )
+            .cast("long")
+            .alias("r_star_units"),
+            "n_tokens",
+            "vocab",
+            F.round(F.col("n1") * 1.0 / F.col("n_tokens"), 6).alias(
+                "missing_mass"
+            ),
+        )
+    )

@@ -430,6 +430,49 @@ PICKS = {
         "size otherwise on duplicate-dense corpora); verification joins "
         "touch candidate families' 16-row signatures only."
     ),
+    "q280_roc_auc": (
+        "ROC/AUC: ONE event-scale pass (rank + ntile share the scan), "
+        "then 10-row cumulative windows; the AUC witness auc2num is an "
+        "exact-integer aggregate broadcast onto the curve points. "
+        "Production shape for the global rank: per-shard rank + offset "
+        "merge, the q113 manifest pattern."
+    ),
+    "q281_bh_fdr": (
+        "BH-FDR: events reduce to |types| x |days| in one grouped "
+        "aggregate; the 860-row exact binomial tail table broadcasts "
+        "from the driver; every comparison after that is integer "
+        "arithmetic on a |types|-row frame."
+    ),
+    "q282_chi2_independence": (
+        "Chi-squared: one grouped count at event scale; row/column "
+        "margins broadcast back onto |types| x 7 cells; contributions "
+        "freeze to 1e-6 integer units before the order-independent "
+        "total."
+    ),
+    "q283_exact_quantile": (
+        "Two-pass exact selection: pass 1 is a partial+final hash "
+        "aggregate to ~160 histogram rows (bounded driver state); pass "
+        "2 scans ONLY the target buckets via a pushed-down IN filter "
+        "and ranks within buckets — no global sort at any scale."
+    ),
+    "q284_good_turing": (
+        "Good-Turing: trigram construction is a partition-local array "
+        "transform (explode_outer — the q272 constraint-inlining "
+        "fence); two further shuffles are on already-reduced keys "
+        "(gram counts, then the tiny r histogram)."
+    ),
+    "q285_hyperball": (
+        "HyperBall: per-node register state (|V| x <=256 ints) "
+        "max-merges along edges, one hash join + grouped MAX per "
+        "round, localCheckpoint between rounds to truncate lineage — "
+        "the neighborhood function without per-source BFS."
+    ),
+    "q286_kendall_tau": (
+        "Kendall tau-b: the event-scale work is ONE grouped aggregate "
+        "to daily cents; the pairwise classification is days^2 per "
+        "type pair — calendar-bounded, so the self-join stays "
+        "dimension-scale at any SF."
+    ),
 }
 
 

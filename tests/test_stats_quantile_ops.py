@@ -1,0 +1,280 @@
+"""Invariant tests for the round-8 fourth-session additions:
+
+- q280 ROC/AUC: auc2num equals the brute-force pairwise count
+  2*#(pos>neg) + #(pos==neg); curve points are monotone and end at
+  (1, 1).
+- q281 BH-FDR: p-values equal math.comb exact binomial tails; the
+  rejected set equals an independent Python Benjamini-Hochberg.
+- q282 chi-squared: per-row deltas sum to zero; the frozen-unit total
+  matches a numpy float recomputation to 1e-6 relative.
+- q283 exact quantile: every reported value equals numpy's sorted
+  order statistic at the exact integer rank.
+- q284 Good-Turing: N_r table and missing mass match a pure-Python
+  trigram recount; sum r*N_r == n_tokens.
+- q285 HyperBall: nf_units at every round equals a full Python replay
+  (BFS balls -> per-ball register union -> q118 estimate) — the
+  max-merge == set-union semantics of the algorithm.
+- q286 Kendall tau-b: pair classes match a brute-force double loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import duckdb
+
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _events(sf_dir: str):
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT event_id, event_type, value, "
+        f"CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+
+
+def test_roc_auc_matches_pairwise_bruteforce(spark):
+    from hive_reflex_spark.operators.analytics import q280_roc_auc
+
+    rows = q280_roc_auc(spark, SF_SMOKE).collect()
+    ev = _events(SF_SMOKE)
+    pos = sorted(v for _, t, v, _ in ev if t == "purchase")
+    neg = sorted(v for _, t, v, _ in ev if t != "purchase")
+    # 2*U via bisect on the sorted negative side: exact integers in halves
+    import bisect
+
+    auc2 = 0
+    for v in pos:
+        lt = bisect.bisect_left(neg, v)
+        eq = bisect.bisect_right(neg, v) - lt
+        auc2 += 2 * lt + eq
+    assert {r.auc2num for r in rows} == {auc2}
+    by_dec = sorted(rows, key=lambda r: r.decile)
+    assert [r.decile for r in by_dec] == list(range(1, 11))
+    # cumulative counts are monotone and saturate at the class totals
+    assert all(
+        a.cum_tp <= b.cum_tp and a.cum_fp <= b.cum_fp
+        for a, b in zip(by_dec, by_dec[1:])
+    )
+    assert by_dec[-1].cum_tp == len(pos) and by_dec[-1].cum_fp == len(neg)
+    assert by_dec[-1].tpr == 1.0 and by_dec[-1].fpr == 1.0
+    assert abs(by_dec[0].auc - auc2 / (2 * len(pos) * len(neg))) < 1e-6
+
+
+def _daily_deltas(sf_dir: str) -> dict[str, list[int]]:
+    by_type: dict[str, dict[int, int]] = {}
+    for _, t, v, d in _events(sf_dir):
+        day = by_type.setdefault(t, {})
+        day[d] = day.get(d, 0) + round(v * 100)
+    out = {}
+    for t, days in by_type.items():
+        ordered = [days[d] for d in sorted(days)]
+        deltas = [b - a for a, b in zip(ordered, ordered[1:]) if b != a]
+        out[t] = deltas[-40:]
+    return out
+
+
+def test_bh_fdr_matches_python_binomial_and_bh(spark):
+    from hive_reflex_spark.operators.analytics import q281_bh_fdr
+
+    rows = {r.event_type: r for r in q281_bh_fdr(spark, SF_CORRECT).collect()}
+    deltas = _daily_deltas(SF_CORRECT)
+    ps = {}
+    for t, dl in deltas.items():
+        if not dl:
+            continue
+        n, k = len(dl), sum(1 for x in dl if x > 0)
+        cle = sum(math.comb(n, i) for i in range(0, k + 1))
+        cge = sum(math.comb(n, i) for i in range(k, n + 1))
+        p_num = min(2**n, 2 * min(cle, cge))
+        r = rows[t]
+        assert (r.n, r.k_pos, r.p_num, r.p_den) == (n, k, p_num, 2**n)
+        ps[t] = (p_num, 2**n)
+    # independent BH at alpha=0.05 over the exact rationals
+    m = len(ps)
+    ranked = sorted(ps.items(), key=lambda kv: (kv[1][0] / kv[1][1], kv[0]))
+    i_max = 0
+    for i, (_, (num, den)) in enumerate(ranked, start=1):
+        if num * 20 * m <= i * den:
+            i_max = i
+    expect_rej = {t for t, _ in ranked[:i_max]}
+    assert {t for t, r in rows.items() if r.rejected == 1} == expect_rej
+
+
+def test_chi2_rows_sum_to_zero_and_match_float(spark):
+    from hive_reflex_spark.operators.analytics import (
+        q282_chi2_independence,
+    )
+
+    rows = q282_chi2_independence(spark, SF_SMOKE).collect()
+    by_type: dict[str, int] = {}
+    for r in rows:
+        by_type[r.event_type] = by_type.get(r.event_type, 0) + r.delta
+    assert all(v == 0 for v in by_type.values())
+    # float recomputation of the statistic from the observed counts
+    tot = sum(r.observed for r in rows)
+    rt = Counter()
+    ct = Counter()
+    for r in rows:
+        rt[r.event_type] += r.observed
+        ct[r.dow] += r.observed
+    chi2 = sum(
+        (r.observed - rt[r.event_type] * ct[r.dow] / tot) ** 2
+        / (rt[r.event_type] * ct[r.dow] / tot)
+        for r in rows
+    )
+    got = rows[0].chi2_total_units / 1e6
+    assert abs(got - chi2) / max(chi2, 1e-9) < 1e-6
+    assert rows[0].dof == (len(rt) - 1) * (len(ct) - 1)
+
+
+def test_exact_quantile_matches_sorted_order_statistic(spark):
+    from hive_reflex_spark.operators.relational import q283_exact_quantile
+
+    rows = q283_exact_quantile(spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    cents = sorted(
+        c
+        for (c,) in con.execute(
+            f"SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+            f"FROM '{SF_SMOKE}/lineitem.parquet'"
+        ).fetchall()
+    )
+    n = len(cents)
+    assert {r.pct for r in rows} == {25, 50, 75, 90, 99}
+    for r in rows:
+        rank = (r.pct * n + 99) // 100
+        assert r.n == n and r.rank == rank
+        assert r.value_cents == cents[rank - 1]
+
+
+def test_good_turing_matches_python_recount(spark):
+    from hive_reflex_spark.operators.text import q284_good_turing
+
+    rows = q284_good_turing(spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    texts = [
+        t
+        for (t,) in con.execute(
+            f"SELECT text FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    ]
+    grams = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for i in range(len(ws) - 2):
+            grams[" ".join(ws[i : i + 3])] += 1
+    fof = Counter(grams.values())
+    n_tokens = sum(grams.values())
+    smallest = sorted(fof)[:20]
+    assert {(r.r, r.n_r) for r in rows} == {(r, fof[r]) for r in smallest}
+    for r in rows:
+        assert r.n_tokens == n_tokens and r.vocab == len(grams)
+        assert abs(r.missing_mass - fof.get(1, 0) / n_tokens) < 1e-6
+        if r.r + 1 in fof:
+            want = round(1e6 * (r.r + 1) * fof[r.r + 1] / fof[r.r])
+            assert abs(r.r_star_units - want) <= 1
+        else:
+            assert r.r_star_units is None
+    # conservation: sum over the FULL histogram equals the token count
+    assert sum(r * c for r, c in fof.items()) == n_tokens
+
+
+def _hll_estimate(regs: dict[str, int]) -> float:
+    m = 256
+    alpha = 0.7213 / (1 + 1.079 / m)
+    sum_pow = sum(2.0 ** -v for v in regs.values()) + (m - len(regs))
+    e_raw = alpha * m * m / sum_pow
+    zeros = m - len(regs)
+    if e_raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return e_raw
+
+
+def _node_register(v: int) -> tuple[str, int]:
+    h = hashlib.md5(str(v).encode()).hexdigest()
+    bucket, suffix = h[:2], h[2:31]
+    stripped = suffix.lstrip("0")
+    if not stripped:
+        lead = 0
+    else:
+        d = int(stripped[0], 16)
+        lead = 0 if d >= 8 else 1 if d >= 4 else 2 if d >= 2 else 3
+    return bucket, 4 * (29 - len(stripped)) + lead + 1
+
+
+def test_hyperball_equals_bfs_ball_replay(spark):
+    from hive_reflex_spark.operators.dedup import q47_jaccard_pairs
+    from hive_reflex_spark.operators.graph import q285_hyperball
+
+    rows = {r.t: r for r in q285_hyperball(spark, SF_SMOKE).collect()}
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in q47_jaccard_pairs(spark, SF_SMOKE)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    con = duckdb.connect()
+    nodes = [
+        d
+        for (d,) in con.execute(
+            f"SELECT doc_id FROM '{SF_SMOKE}/documents.parquet'"
+        ).fetchall()
+    ]
+    adj: dict[int, set[int]] = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    balls = {v: {v} for v in nodes}
+    for t in range(0, 4):
+        if t > 0:
+            balls = {
+                v: ball | {u for w in ball for u in adj[w]}
+                for v, ball in balls.items()
+            }
+        nf_units = 0
+        mass = 0
+        for v, ball in balls.items():
+            regs: dict[str, int] = {}
+            for u in ball:
+                b, r = _node_register(u)
+                regs[b] = max(regs.get(b, 0), r)
+            mass += sum(regs.values())
+            nf_units += round(1e6 * _hll_estimate(regs))
+        row = rows[t]
+        assert row.n_nodes == len(nodes)
+        assert row.register_mass == mass, t
+        assert row.nf_units == nf_units, t
+    assert rows[3].reach_ratio == 1.0
+
+
+def test_kendall_tau_matches_double_loop(spark):
+    from hive_reflex_spark.operators.analytics import q286_kendall_tau
+
+    rows = q286_kendall_tau(spark, SF_SMOKE).collect()
+    daily: dict[str, dict[int, int]] = {}
+    for _, t, v, d in _events(SF_SMOKE):
+        daily.setdefault(t, {})[d] = daily.setdefault(t, {}).get(d, 0) + round(
+            v * 100
+        )
+    for r in rows:
+        xa, xb = daily[r.type_a], daily[r.type_b]
+        days = sorted(set(xa) & set(xb))
+        nc = nd = n1 = n2 = 0
+        for i in range(len(days)):
+            for j in range(i + 1, len(days)):
+                dx = xa[days[j]] - xa[days[i]]
+                dy = xb[days[j]] - xb[days[i]]
+                nc += dx * dy > 0
+                nd += dx * dy < 0
+                n1 += dx == 0
+                n2 += dy == 0
+        n0 = len(days) * (len(days) - 1) // 2
+        assert (r.n0, r.nc, r.nd, r.n1, r.n2) == (n0, nc, nd, n1, n2)
+        denom = math.sqrt((n0 - n1) * (n0 - n2))
+        if denom:
+            assert abs(r.tau_b - (nc - nd) / denom) < 1e-6

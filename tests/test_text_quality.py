@@ -203,6 +203,13 @@ def test_registry_window_covers_new_families():
         # r01/r02 hash-greens (scripts/rotate_window.py) — the listed
         # names that overflow the 50-slot window keep their standing
         # r02 evidence.
+        "q285_hyperball",               # new: HLL neighborhood function
+        "q283_exact_quantile",          # new: two-pass exact selection
+        "q281_bh_fdr",                  # new: exact sign tests + BH
+        "q280_roc_auc",                 # new: ROC curve + rank AUC
+        "q282_chi2_independence",       # new: frozen-units chi-squared
+        "q284_good_turing",             # new: trigram missing mass
+        "q286_kendall_tau",             # new: tau-b rank correlation
         "q272_winnowing_fingerprint",   # new: MOSS winnowing fingerprints
         "q273_lsh_recall_curve",        # new: measured LSH S-curve
         "q274_length_bucket_batching",  # new: padding-waste regimes
