@@ -5301,3 +5301,332 @@ def q281_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("rejected"),
     )
+
+
+# q288 split-finder bin count: equal-frequency bins over the score, the
+# XGBoost-style histogram resolution. 64 keeps the candidate-split table
+# dimension-scale while the corpus-scale work stays in ONE ntile pass.
+_SPLIT_BINS = 64
+
+
+@query(
+    "q288_gbdt_split",
+    oracle=f"""
+    WITH scored AS (SELECT event_id, value,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                           END AS y
+                    FROM events),
+         binned AS (SELECT y, value,
+                           NTILE({_SPLIT_BINS})
+                               OVER (ORDER BY value, event_id) AS bin
+                    FROM scored),
+         per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(y) AS BIGINT) AS pos,
+                        MAX(value) AS thr
+                 FROM binned GROUP BY bin),
+         cum AS (SELECT bin, thr,
+                        CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS lp,
+                        CAST(SUM(n - pos) OVER (ORDER BY bin) AS BIGINT)
+                            AS lnn,
+                        CAST(SUM(pos) OVER () AS BIGINT) AS tp,
+                        CAST(SUM(n - pos) OVER () AS BIGINT) AS tn
+                 FROM per),
+         gains AS (SELECT bin, thr, lp, lnn,
+                          tp - lp AS rp, tn - lnn AS rn,
+                          CAST(ROUND(1e9 * (
+                              (1.0 - (tp * 1.0 * tp + tn * 1.0 * tn)
+                                     / ((tp + tn) * 1.0 * (tp + tn)))
+                              - ((lp + lnn) * 1.0 / (tp + tn))
+                                * (1.0 - (lp * 1.0 * lp + lnn * 1.0 * lnn)
+                                         / ((lp + lnn) * 1.0 * (lp + lnn)))
+                              - ((tp - lp + tn - lnn) * 1.0 / (tp + tn))
+                                * (1.0 - ((tp - lp) * 1.0 * (tp - lp)
+                                          + (tn - lnn) * 1.0 * (tn - lnn))
+                                         / ((tp - lp + tn - lnn) * 1.0
+                                            * (tp - lp + tn - lnn)))))
+                               AS BIGINT) AS gain_units
+                   FROM cum WHERE bin < {_SPLIT_BINS})
+    SELECT bin, ROUND(thr, 6) AS threshold, lp, lnn AS ln_, rp, rn,
+           gain_units,
+           CAST(ROW_NUMBER() OVER (ORDER BY gain_units DESC, bin) AS INT)
+               AS split_rank
+    FROM gains
+    """,
+)
+def q288_gbdt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based decision-stump split finder — the inner loop of
+    every distributed GBDT trainer (XGBoost/LightGBM 'hist' mode):
+    bucket the feature (event value) into 64 equal-frequency bins in
+    ONE pass, reduce to per-bin (count, positives, boundary), then
+    score every candidate split 'left = bins 1..i' by exact Gini
+    impurity decrease from the cumulative counts. The corpus never
+    materializes per-split partitions — 63 candidate splits are
+    evaluated from one 64-row table, which is precisely why the
+    histogram trick wins at scale.
+
+    Exactness: bin assignment is NTILE over the unique (value,
+    event_id) order; all class counts are exact BIGINTs; the Gini
+    gain is ONE identical double expression over those integers
+    frozen to 1e-9 units; split_rank breaks gain ties by bin.
+
+    Scale: one event-scale ntile (per-shard rank + offset merge in
+    production, the q113 pattern), one grouped aggregate, then
+    64-row windows."""
+    events = read_table(spark, sf_dir, "events")
+    scored = events.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    binned = scored.select(
+        "y",
+        "value",
+        F.ntile(_SPLIT_BINS)
+        .over(Window.orderBy("value", "event_id"))
+        .alias("bin"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.max("value").alias("thr"),
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "bin",
+        "thr",
+        F.sum("pos").over(wcum).cast("long").alias("lp"),
+        F.sum(F.col("n") - F.col("pos")).over(wcum).cast("long").alias(
+            "lnn"
+        ),
+        F.sum("pos").over(wall).cast("long").alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(wall).cast("long").alias(
+            "tn"
+        ),
+    ).filter(F.col("bin") < _SPLIT_BINS)
+    tp, tn = F.col("tp"), F.col("tn")
+    lp, lnn = F.col("lp"), F.col("lnn")
+    rp, rn = tp - lp, tn - lnn
+    g_parent = 1.0 - (tp * 1.0 * tp + tn * 1.0 * tn) / (
+        (tp + tn) * 1.0 * (tp + tn)
+    )
+    g_left = 1.0 - (lp * 1.0 * lp + lnn * 1.0 * lnn) / (
+        (lp + lnn) * 1.0 * (lp + lnn)
+    )
+    g_right = 1.0 - (rp * 1.0 * rp + rn * 1.0 * rn) / (
+        (rp + rn) * 1.0 * (rp + rn)
+    )
+    gain = (
+        g_parent
+        - ((lp + lnn) * 1.0 / (tp + tn)) * g_left
+        - ((rp + rn) * 1.0 / (tp + tn)) * g_right
+    )
+    gains = cum.select(
+        "bin",
+        F.round("thr", 6).alias("threshold"),
+        "lp",
+        F.col("lnn").alias("ln_"),
+        rp.cast("long").alias("rp"),
+        rn.cast("long").alias("rn"),
+        F.round(F.lit(1e9) * gain).cast("long").alias("gain_units"),
+    )
+    return gains.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("gain_units"), "bin"))
+        .cast("int")
+        .alias("split_rank"),
+    )
+
+
+# q289 permutation count: 200 deterministic md5-keyed relabelings per
+# type pair. Resolution floor of the p-value is 1/(B+1) ~ 0.005 — the
+# standard exact-test budget; the pool is calendar-bounded so B scales
+# the work linearly on a dimension-sized table, never on the corpus.
+_PERM_B = 200
+
+
+@query(
+    "q289_permutation_test",
+    oracle=f"""
+    WITH daily AS (SELECT event_type,
+                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                               AS BIGINT) AS cents
+                   FROM events GROUP BY 1, 2),
+         types AS (SELECT DISTINCT event_type FROM daily),
+         prs AS (SELECT a.event_type AS ta, b.event_type AS tb
+                 FROM types a JOIN types b
+                   ON a.event_type < b.event_type),
+         pool AS (SELECT p.ta, p.tb, d.event_type, d.d, d.cents
+                  FROM prs p JOIN daily d ON d.event_type = p.ta
+                  UNION ALL
+                  SELECT p.ta, p.tb, d.event_type, d.d, d.cents
+                  FROM prs p JOIN daily d ON d.event_type = p.tb),
+         obs AS (SELECT ta, tb,
+                        CAST(SUM(CASE WHEN event_type = ta THEN 1
+                                 ELSE 0 END) AS BIGINT) AS na,
+                        CAST(SUM(CASE WHEN event_type = tb THEN 1
+                                 ELSE 0 END) AS BIGINT) AS nb,
+                        CAST(SUM(cents) AS BIGINT) AS total,
+                        CAST(SUM(CASE WHEN event_type = ta THEN cents
+                                 ELSE 0 END) AS BIGINT) AS t_obs
+                 FROM pool GROUP BY ta, tb),
+         perms AS (SELECT pool.*, g.b,
+                          md5(CAST(g.b AS VARCHAR) || ':' || event_type
+                              || ':' || CAST(d AS VARCHAR)) AS k
+                   FROM pool, generate_series(1, {_PERM_B}) g(b)),
+         ranked AS (SELECT ta, tb, b, cents,
+                           ROW_NUMBER() OVER (PARTITION BY ta, tb, b
+                                              ORDER BY k, event_type, d)
+                               AS rn
+                    FROM perms),
+         tb_sums AS (SELECT r.ta, r.tb, r.b,
+                            CAST(SUM(CASE WHEN r.rn <= o.na THEN r.cents
+                                     ELSE 0 END) AS BIGINT) AS t_b
+                     FROM ranked r JOIN obs o
+                       ON o.ta = r.ta AND o.tb = r.tb
+                     GROUP BY r.ta, r.tb, r.b),
+         ext AS (SELECT o.ta, o.tb, o.na, o.nb, o.t_obs,
+                        CAST(SUM(CASE WHEN
+                                 abs(s.t_b * (o.na + o.nb)
+                                     - o.na * o.total)
+                                 >= abs(o.t_obs * (o.na + o.nb)
+                                        - o.na * o.total)
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_extreme
+                 FROM obs o JOIN tb_sums s
+                   ON s.ta = o.ta AND s.tb = o.tb
+                 GROUP BY o.ta, o.tb, o.na, o.nb, o.t_obs)
+    SELECT ta AS type_a, tb AS type_b, na, nb, t_obs, n_extreme,
+           CAST(ROUND(1e6 * (1 + n_extreme) * 1.0 / (1 + {_PERM_B}))
+                AS BIGINT) AS p_units
+    FROM ext
+    """,
+)
+def q289_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample permutation test between every pair of
+    event-type daily-total series — the assumption-free significance
+    readout next to q279's rank test and q281's sign test: does type
+    A's daily spend differ from type B's beyond relabeling noise?
+    B = 200 DETERMINISTIC permutations (rank the pooled days by
+    md5(b:type:day) and hand the first n_a to group A — both engines
+    derive the identical relabelings, so the Monte-Carlo test becomes
+    a reproducible artifact), statistic = group-A sum of exact daily
+    cents, two-sided extremeness decided by the cross-multiplied
+    INTEGER inequality |T_b*(na+nb) - na*total| >= |T_obs*(...)| —
+    no floating comparison anywhere; p = (1+n_extreme)/(B+1) in 1e-6
+    units (the add-one estimator that keeps p > 0).
+
+    Scale: events reduce to |types| x |days| once (the q256/q281
+    convention); the permutation table is pairs x pool x B —
+    calendar-bounded dimensions, never corpus rows — and each
+    permutation is one 60-row window partition."""
+    events = read_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    types = daily.select("event_type").distinct()
+    prs = (
+        types.select(F.col("event_type").alias("ta"))
+        .join(types.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    pool = prs.join(
+        daily, F.col("event_type") == F.col("ta")
+    ).unionByName(prs.join(daily, F.col("event_type") == F.col("tb")))
+    obs = pool.groupBy("ta", "tb").agg(
+        F.sum(F.when(F.col("event_type") == F.col("ta"), 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("event_type") == F.col("tb"), 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+        F.sum("cents").cast("long").alias("total"),
+        F.sum(
+            F.when(F.col("event_type") == F.col("ta"), F.col("cents"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("t_obs"),
+    )
+    perms = pool.select(
+        "ta",
+        "tb",
+        "event_type",
+        "d",
+        "cents",
+        F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b"),
+    ).withColumn(
+        "k",
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.col("b").cast("string"),
+                F.col("event_type"),
+                F.col("d").cast("string"),
+            )
+        ),
+    )
+    wp = Window.partitionBy("ta", "tb", "b").orderBy(
+        "k", "event_type", "d"
+    )
+    ranked = perms.withColumn("rn", F.row_number().over(wp))
+    tb_sums = (
+        ranked.join(F.broadcast(obs), ["ta", "tb"])
+        .groupBy("ta", "tb", "b")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= F.col("na"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("t_b")
+        )
+    )
+    ext = (
+        tb_sums.join(F.broadcast(obs), ["ta", "tb"])
+        .groupBy("ta", "tb", "na", "nb", "t_obs")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("t_b") * (F.col("na") + F.col("nb"))
+                        - F.col("na") * F.col("total")
+                    )
+                    >= F.abs(
+                        F.col("t_obs") * (F.col("na") + F.col("nb"))
+                        - F.col("na") * F.col("total")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme")
+        )
+    )
+    return ext.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        "na",
+        "nb",
+        "t_obs",
+        "n_extreme",
+        F.round(
+            F.lit(1e6) * (1 + F.col("n_extreme")) * 1.0 / (1 + _PERM_B)
+        )
+        .cast("long")
+        .alias("p_units"),
+    )

@@ -569,10 +569,10 @@ _DUCK_BM25 = f"""
 """
 
 
-@query(
-    "q173_hybrid_rerank",
-    oracle=f"""
-    WITH {_DUCK_BM25},
+# BM25+cosine candidate scoring CTE chain (through `scored`), shared by
+# q173's blended rerank and q287's reciprocal-rank fusion.
+_DUCK_HYBRID_SCORED = f"""
+    {_DUCK_BM25},
     mx AS (SELECT MAX(bm25) AS maxb FROM bm),
     nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
     coords AS (SELECT * FROM {_duck_coords(None)} c),
@@ -602,6 +602,13 @@ _DUCK_BM25 = f"""
                FROM link l
                JOIN dots d ON d.doc_id = l.doc_id
                JOIN nd ON nd.vec_id = l.vec_id, qn, mx)
+"""
+
+
+@query(
+    "q173_hybrid_rerank",
+    oracle=f"""
+    WITH {_DUCK_HYBRID_SCORED}
     SELECT doc_id, ROUND(bm25, 6) AS bm25, ROUND(cosine, 6) AS cosine,
            ROUND(hybrid, 6) AS hybrid,
            CAST(ROW_NUMBER() OVER (ORDER BY hybrid DESC, doc_id) AS INT)
@@ -620,6 +627,21 @@ def q173_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     50/50. (doc→vector linkage is doc_id mod |embeddings| — fixture
     plumbing standing in for a real doc↔embedding key.) Every sum is
     integer-unit exact, so the blended doubles hash-match DuckDB."""
+    scored = hybrid_scored(spark, sf_dir)
+    w = Window.orderBy(F.desc("hybrid"), "doc_id")
+    return scored.select(
+        "doc_id",
+        F.round("bm25", 6).alias("bm25"),
+        F.round("cosine", 6).alias("cosine"),
+        F.round("hybrid", 6).alias("hybrid"),
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+
+
+def hybrid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25, cosine, hybrid) over the BM25 top-K candidates —
+    the two-stage scoring shared by q173 (blend rerank) and q287 (RRF);
+    mirrors _DUCK_HYBRID_SCORED's `scored` CTE."""
     from hive_reflex_spark.functions import exact_sum
     from hive_reflex_spark.operators.tensor import embedding_coords
 
@@ -664,13 +686,80 @@ def q173_hybrid_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hybrid"),
         )
     )
-    w = Window.orderBy(F.desc("hybrid"), "doc_id")
-    return scored.select(
+    return scored
+
+
+# RRF smoothing constant (Cormack et al. 2009's k=60) — large enough that
+# a rank-1 hit on one list cannot drown consistent mid-rank agreement.
+_RRF_K = 60
+
+
+@query(
+    "q287_rrf_fusion",
+    oracle=f"""
+    WITH {_DUCK_HYBRID_SCORED},
+    ranked AS (SELECT doc_id,
+                      CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                           AS BIGINT) AS bm25_rank,
+                      CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                           AS BIGINT) AS cos_rank
+               FROM scored),
+    fused AS (SELECT doc_id, bm25_rank, cos_rank,
+                     CAST(ROUND(1e9 / ({_RRF_K} + bm25_rank)) AS BIGINT)
+                     + CAST(ROUND(1e9 / ({_RRF_K} + cos_rank)) AS BIGINT)
+                         AS rrf_units
+              FROM ranked)
+    SELECT doc_id, bm25_rank, cos_rank, rrf_units,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf_units DESC, doc_id) AS INT)
+               AS rrf_rank
+    FROM fused
+    """,
+)
+def q287_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the lexical and
+    semantic rankings over the shared BM25 top-K candidates:
+    score = sum over lists of 1/(k + rank), k = 60 — the
+    score-scale-free alternative to q173's 50/50 blend (RRF needs no
+    max-normalization and is immune to one list's score distribution
+    dominating; it is what Elasticsearch/Vespa ship for hybrid
+    search). Output: both per-list ranks, the fused score, the fused
+    ranking.
+
+    Exactness: ranks are exact integers under deterministic (score
+    DESC, doc_id) orders; each reciprocal term freezes to integer
+    1e-9 units BEFORE the sum (1e9/(60+r) cannot land on a .5
+    boundary: a tie needs (60+r) | 2e9 with odd quotient, i.e.
+    60+r in {{1024*5^b}}, far above any candidate rank).
+
+    Scale: everything after the shared q110/q173 candidate stage is
+    a K-row window — the fusion itself is free."""
+    scored = hybrid_scored(spark, sf_dir)
+    ranked = scored.select(
         "doc_id",
-        F.round("bm25", 6).alias("bm25"),
-        F.round("cosine", 6).alias("cosine"),
-        F.round("hybrid", 6).alias("hybrid"),
-        F.row_number().over(w).cast("int").alias("rnk"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .cast("long")
+        .alias("bm25_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "doc_id"))
+        .cast("long")
+        .alias("cos_rank"),
+    )
+    fused = ranked.select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.round(F.lit(1e9) / (_RRF_K + F.col("bm25_rank"))).cast("long")
+            + F.round(F.lit(1e9) / (_RRF_K + F.col("cos_rank"))).cast("long")
+        ).alias("rrf_units"),
+    )
+    return fused.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf_units"), "doc_id"))
+        .cast("int")
+        .alias("rrf_rank"),
     )
 
 @query(

@@ -473,6 +473,23 @@ PICKS = {
         "type pair — calendar-bounded, so the self-join stays "
         "dimension-scale at any SF."
     ),
+    "q287_rrf_fusion": (
+        "RRF: everything after the shared q110/q173 candidate stage "
+        "is a K-row window — three ROW_NUMBERs and an integer-unit "
+        "sum; no second corpus pass for the fusion."
+    ),
+    "q288_gbdt_split": (
+        "Histogram split finder: one event-scale ntile pass reduces "
+        "to a 64-row bin table; all 63 candidate splits score from "
+        "cumulative windows over it — per-split partition "
+        "materialization never happens."
+    ),
+    "q289_permutation_test": (
+        "Permutation test: events reduce once to |types| x |days|; "
+        "the B=200 relabelings expand a calendar-bounded pool "
+        "partition-locally (explode of a sequence, no corpus join) "
+        "and each permutation is a 60-row window partition."
+    ),
 }
 
 

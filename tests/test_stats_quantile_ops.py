@@ -278,3 +278,90 @@ def test_kendall_tau_matches_double_loop(spark):
         denom = math.sqrt((n0 - n1) * (n0 - n2))
         if denom:
             assert abs(r.tau_b - (nc - nd) / denom) < 1e-6
+
+
+def test_rrf_fusion_matches_rank_recompute(spark):
+    from hive_reflex_spark.operators.retrieval import (
+        q173_hybrid_rerank,
+        q287_rrf_fusion,
+    )
+
+    fused = q287_rrf_fusion(spark, SF_CORRECT).collect()
+    hyb = q173_hybrid_rerank(spark, SF_CORRECT).collect()
+    assert {r.doc_id for r in fused} == {r.doc_id for r in hyb}
+    for r in fused:
+        want = round(1e9 / (60 + r.bm25_rank)) + round(
+            1e9 / (60 + r.cos_rank)
+        )
+        assert r.rrf_units == want
+    # both rank columns are permutations of 1..K
+    k = len(fused)
+    assert sorted(r.bm25_rank for r in fused) == list(range(1, k + 1))
+    assert sorted(r.cos_rank for r in fused) == list(range(1, k + 1))
+    assert sorted(r.rrf_rank for r in fused) == list(range(1, k + 1))
+
+
+def test_gbdt_split_gain_recompute_and_conservation(spark):
+    from hive_reflex_spark.operators.analytics import q288_gbdt_split
+
+    rows = q288_gbdt_split(spark, SF_SMOKE).collect()
+    tp = rows[0].lp + rows[0].rp
+    tn = rows[0].ln_ + rows[0].rn
+    best = None
+    for r in rows:
+        assert r.lp + r.rp == tp and r.ln_ + r.rn == tn
+        t = tp + tn
+        gp = 1 - (tp**2 + tn**2) / t**2
+        l, rr = r.lp + r.ln_, r.rp + r.rn
+        gl = 1 - (r.lp**2 + r.ln_**2) / l**2
+        gr = 1 - (r.rp**2 + r.rn**2) / rr**2
+        gain = gp - (l / t) * gl - (rr / t) * gr
+        assert abs(r.gain_units - round(1e9 * gain)) <= 1
+        if best is None or r.gain_units > best:
+            best = r.gain_units
+    assert next(r for r in rows if r.split_rank == 1).gain_units == best
+    # thresholds are nondecreasing in bin (equal-frequency bin maxima)
+    by_bin = sorted(rows, key=lambda r: r.bin)
+    assert all(
+        a.threshold <= b.threshold for a, b in zip(by_bin, by_bin[1:])
+    )
+
+
+def test_permutation_test_full_python_replay(spark):
+    from hive_reflex_spark.operators.analytics import (
+        _PERM_B,
+        q289_permutation_test,
+    )
+
+    rows = q289_permutation_test(spark, SF_SMOKE).collect()
+    daily: dict[str, dict[int, int]] = {}
+    for _, t, v, d in _events(SF_SMOKE):
+        daily.setdefault(t, {})[d] = daily.setdefault(t, {}).get(d, 0) + round(
+            v * 100
+        )
+    for r in rows:
+        pool = [(r.type_a, d, c) for d, c in daily[r.type_a].items()] + [
+            (r.type_b, d, c) for d, c in daily[r.type_b].items()
+        ]
+        na = len(daily[r.type_a])
+        total = sum(c for _, _, c in pool)
+        t_obs = sum(c for t, _, c in pool if t == r.type_a)
+        assert (r.na, r.t_obs) == (na, t_obs)
+        obs_dev = abs(t_obs * len(pool) - na * total)
+        n_ext = 0
+        for b in range(1, _PERM_B + 1):
+            keyed = sorted(
+                pool,
+                key=lambda it: (
+                    hashlib.md5(
+                        f"{b}:{it[0]}:{it[1]}".encode()
+                    ).hexdigest(),
+                    it[0],
+                    it[1],
+                ),
+            )
+            t_b = sum(c for _, _, c in keyed[:na])
+            if abs(t_b * len(pool) - na * total) >= obs_dev:
+                n_ext += 1
+        assert r.n_extreme == n_ext
+        assert r.p_units == round(1e6 * (1 + n_ext) / (1 + _PERM_B))

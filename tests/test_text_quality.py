@@ -203,6 +203,9 @@ def test_registry_window_covers_new_families():
         # r01/r02 hash-greens (scripts/rotate_window.py) — the listed
         # names that overflow the 50-slot window keep their standing
         # r02 evidence.
+        "q289_permutation_test",        # new: exact permutation test
+        "q288_gbdt_split",              # new: histogram split finder
+        "q287_rrf_fusion",              # new: reciprocal-rank fusion
         "q285_hyperball",               # new: HLL neighborhood function
         "q283_exact_quantile",          # new: two-pass exact selection
         "q281_bh_fdr",                  # new: exact sign tests + BH
@@ -240,6 +243,7 @@ def test_registry_window_covers_new_families():
         "q49a_lsh_candidates_star",   # code changed: shared star_candidates
         "q47_jaccard_pairs",          # code changed: shared postings/sizes
         "q263_containment_pairs",     # code changed: shared postings/sizes
+        "q173_hybrid_rerank",         # code changed: hybrid_scored helper
     ):
         assert must in window, must
 
