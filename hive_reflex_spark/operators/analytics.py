@@ -5630,3 +5630,302 @@ def q289_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p_units"),
     )
+
+
+# q290 CountSketch geometry: 4 independent md5-keyed rows x 16 signed
+# buckets (q114's CMS grid shape with signs) — enough rows for a
+# middle-two median, small enough that the sketch is a 64-int state.
+_CS_ROWS = 4
+_CS_BUCKETS = 16
+_CS_TOP = 10
+
+
+@query(
+    "q290_count_sketch",
+    oracle=f"""
+    WITH f AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f_true
+               FROM events GROUP BY user_id),
+         rows_j AS (SELECT CAST(j AS BIGINT) AS j
+                    FROM (VALUES (1), (2), (3), (4)) t(j)),
+         keyed AS (SELECT f.user_id, f.f_true, rows_j.j,
+                          CAST(instr('0123456789abcdef',
+                                     substr(md5('h' || CAST(rows_j.j AS
+                                            VARCHAR) || ':' ||
+                                            CAST(f.user_id AS VARCHAR)),
+                                            1, 1)) - 1 AS BIGINT)
+                              % {_CS_BUCKETS} AS bucket,
+                          CASE WHEN instr('0123456789abcdef',
+                                     substr(md5('s' || CAST(rows_j.j AS
+                                            VARCHAR) || ':' ||
+                                            CAST(f.user_id AS VARCHAR)),
+                                            1, 1)) - 1 < 8
+                               THEN 1 ELSE -1 END AS sgn
+                   FROM f, rows_j),
+         grid AS (SELECT j, bucket,
+                         CAST(SUM(sgn * f_true) AS BIGINT) AS c
+                  FROM keyed GROUP BY j, bucket),
+         top AS (SELECT user_id, f_true
+                 FROM f ORDER BY f_true DESC, user_id
+                 LIMIT {_CS_TOP}),
+         ests AS (SELECT t.user_id, t.f_true,
+                         k.sgn * g.c AS est,
+                         ROW_NUMBER() OVER (PARTITION BY t.user_id
+                                            ORDER BY k.sgn * g.c, k.j)
+                             AS rn
+                  FROM top t
+                  JOIN keyed k ON k.user_id = t.user_id
+                  JOIN grid g ON g.j = k.j AND g.bucket = k.bucket)
+    SELECT user_id, f_true,
+           CAST(SUM(CASE WHEN rn IN (2, 3) THEN est ELSE 0 END)
+                AS BIGINT) AS est2x,
+           CAST(SUM(CASE WHEN rn IN (2, 3) THEN est ELSE 0 END)
+                - 2 * f_true AS BIGINT) AS err2x
+    FROM ests GROUP BY user_id, f_true
+    """,
+)
+def q290_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CountSketch (Charikar-Chen-Farach-Colton 2002) over per-user
+    event counts: 4 x 16 SIGNED counters — the UNBIASED, turnstile
+    (deletion-tolerant) member of the frequency-sketch family, next
+    to q114's CMS (overestimate-only bound) and q266's TPUT
+    (worst-case bounds). Each row hashes users to a bucket and a
+    +/-1 sign; colliding keys cancel in expectation instead of
+    inflating, and the row estimates' MEDIAN kills outlier rows.
+    Report: the top-10 true-heaviest users with their estimates.
+
+    Exactness: the grid is ONE grouped integer aggregate (signed
+    counts — fully mergeable/order-independent); the median of 4 row
+    estimates is emitted as est2x = the exact-integer sum of the two
+    middle order statistics (2*median, avoiding the .5), so every
+    output cell is a BIGINT.
+
+    Scale: events reduce to per-user counts once; the expansion is
+    x4 on the USER table, not on events; the sketch itself is 64
+    integers — broadcastable state, the same shape q121 maintains
+    by stream."""
+    events = read_table(spark, sf_dir, "events")
+    f = events.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("f_true")
+    )
+    rows_j = spark.range(1, _CS_ROWS + 1).select(F.col("id").alias("j"))
+    hkey = F.md5(
+        F.concat(
+            F.lit("h"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    skey = F.md5(
+        F.concat(
+            F.lit("s"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    hexpos = F.expr("instr('0123456789abcdef', substr(hk, 1, 1)) - 1")
+    sexpos = F.expr("instr('0123456789abcdef', substr(sk, 1, 1)) - 1")
+    keyed = (
+        f.join(F.broadcast(rows_j))
+        .withColumn("hk", hkey)
+        .withColumn("sk", skey)
+        .select(
+            "user_id",
+            "f_true",
+            "j",
+            (hexpos % _CS_BUCKETS).cast("long").alias("bucket"),
+            F.when(sexpos < 8, 1).otherwise(-1).alias("sgn"),
+        )
+    )
+    grid = keyed.groupBy("j", "bucket").agg(
+        F.sum(F.col("sgn") * F.col("f_true")).cast("long").alias("c")
+    )
+    top = f.orderBy(F.desc("f_true"), "user_id").limit(_CS_TOP)
+    ests = (
+        F.broadcast(top)
+        .join(keyed, ["user_id", "f_true"])
+        .join(F.broadcast(grid), ["j", "bucket"])
+        .select(
+            "user_id",
+            "f_true",
+            (F.col("sgn") * F.col("c")).alias("est"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("sgn") * F.col("c"), "j"
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    mid = F.sum(
+        F.when(F.col("rn").isin(2, 3), F.col("est")).otherwise(0)
+    ).cast("long")
+    return ests.groupBy("user_id", "f_true").agg(
+        mid.alias("est2x"),
+        (mid - 2 * F.col("f_true")).cast("long").alias("err2x"),
+    )
+
+
+@query(
+    "q291_brier_decomposition",
+    oracle="""
+    WITH scored AS (SELECT event_id,
+                           CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                           CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END AS y
+                    FROM events),
+         bounds AS (SELECT CAST(MIN(cents) AS BIGINT) AS mn,
+                           CAST(MAX(cents) AS BIGINT) AS mx,
+                           CAST(COUNT(*) AS BIGINT) AS n_all,
+                           CAST(SUM(y) AS BIGINT) AS p_all
+                    FROM scored),
+         binned AS (SELECT y, cents,
+                           NTILE(10) OVER (ORDER BY cents, event_id)
+                               AS bin
+                    FROM scored),
+         per AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(y) AS BIGINT) AS pos,
+                        CAST(SUM(cents) AS BIGINT) AS sc
+                 FROM binned GROUP BY bin),
+         terms AS (SELECT per.bin, per.n, per.pos,
+                          (per.sc - per.n * b.mn) * 1.0
+                              / (per.n * 1.0 * (b.mx - b.mn)) AS fbar,
+                          per.pos * 1.0 / per.n AS ybar,
+                          b.n_all, b.p_all,
+                          CAST(ROUND(1e9 * per.n
+                               * ((per.sc - per.n * b.mn) * 1.0
+                                  / (per.n * 1.0 * (b.mx - b.mn))
+                                  - per.pos * 1.0 / per.n)
+                               * ((per.sc - per.n * b.mn) * 1.0
+                                  / (per.n * 1.0 * (b.mx - b.mn))
+                                  - per.pos * 1.0 / per.n)
+                               / b.n_all) AS BIGINT) AS rel_units_k,
+                          CAST(ROUND(1e9 * per.n
+                               * (per.pos * 1.0 / per.n
+                                  - b.p_all * 1.0 / b.n_all)
+                               * (per.pos * 1.0 / per.n
+                                  - b.p_all * 1.0 / b.n_all)
+                               / b.n_all) AS BIGINT) AS res_units_k
+                   FROM per, bounds b),
+         tot AS (SELECT CAST(SUM(rel_units_k) AS BIGINT) AS rel_units,
+                        CAST(SUM(res_units_k) AS BIGINT) AS res_units,
+                        CAST(ROUND(1e9 * (MAX(p_all) * 1.0 / MAX(n_all))
+                             * (1.0 - MAX(p_all) * 1.0 / MAX(n_all)))
+                             AS BIGINT) AS unc_units
+                 FROM terms)
+    SELECT t.bin, t.n, t.pos,
+           ROUND(t.fbar, 6) AS fbar, ROUND(t.ybar, 6) AS ybar,
+           t.rel_units_k, t.res_units_k,
+           tot.rel_units, tot.res_units, tot.unc_units,
+           CAST(tot.rel_units - tot.res_units + tot.unc_units AS BIGINT)
+               AS brier_units
+    FROM terms t, tot
+    """,
+)
+def q291_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the binned forecast
+    (score deciles as forecast bins, forecast = bin-mean normalized
+    score): BRIER = RELIABILITY - RESOLUTION + UNCERTAINTY. The
+    proper-scoring-rule companion to q235's ECE: reliability is the
+    calibration error ECE squares, resolution is what ECE cannot see
+    (how much the forecast separates outcomes — a useless
+    always-say-base-rate forecast is perfectly calibrated), and
+    uncertainty ybar(1-ybar) is the floor no forecaster beats.
+    Per-bin rows carry each bin's contribution; the identity holds
+    EXACTLY by construction since the forecast is constant within
+    bins (the binned-forecast form of the decomposition).
+
+    Exactness: bins via NTILE over the unique (cents, event_id)
+    order; every bin moment is an exact BIGINT (counts, positives,
+    cent sums); each component term is ONE identical double
+    expression over those integers frozen to 1e-9 units before the
+    integer total; brier_units derives from the three integer
+    totals.
+
+    Scale: one event-scale ntile + one grouped aggregate; everything
+    after is a 10-row frame with a broadcast 1-row bounds table."""
+    events = read_table(spark, sf_dir, "events")
+    scored = events.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    bounds = scored.agg(
+        F.min("cents").cast("long").alias("mn"),
+        F.max("cents").cast("long").alias("mx"),
+        F.count("*").cast("long").alias("n_all"),
+        F.sum("y").cast("long").alias("p_all"),
+    )
+    binned = scored.select(
+        "y",
+        "cents",
+        F.ntile(10).over(Window.orderBy("cents", "event_id")).alias("bin"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        F.sum("cents").cast("long").alias("sc"),
+    )
+    fbar = (F.col("sc") - F.col("n") * F.col("mn")) * 1.0 / (
+        F.col("n") * 1.0 * (F.col("mx") - F.col("mn"))
+    )
+    ybar = F.col("pos") * 1.0 / F.col("n")
+    ybar_all = F.col("p_all") * 1.0 / F.col("n_all")
+    terms = per.join(F.broadcast(bounds)).select(
+        "bin",
+        "n",
+        "pos",
+        fbar.alias("fbar"),
+        ybar.alias("ybar"),
+        "n_all",
+        "p_all",
+        F.round(
+            F.lit(1e9)
+            * F.col("n")
+            * (fbar - ybar)
+            * (fbar - ybar)
+            / F.col("n_all")
+        )
+        .cast("long")
+        .alias("rel_units_k"),
+        F.round(
+            F.lit(1e9)
+            * F.col("n")
+            * (ybar - ybar_all)
+            * (ybar - ybar_all)
+            / F.col("n_all")
+        )
+        .cast("long")
+        .alias("res_units_k"),
+    )
+    tot = terms.agg(
+        F.sum("rel_units_k").cast("long").alias("rel_units"),
+        F.sum("res_units_k").cast("long").alias("res_units"),
+        F.round(
+            F.lit(1e9)
+            * (F.max("p_all") * 1.0 / F.max("n_all"))
+            * (1.0 - F.max("p_all") * 1.0 / F.max("n_all"))
+        )
+        .cast("long")
+        .alias("unc_units"),
+    )
+    return terms.join(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "pos",
+        F.round("fbar", 6).alias("fbar"),
+        F.round("ybar", 6).alias("ybar"),
+        "rel_units_k",
+        "res_units_k",
+        "rel_units",
+        "res_units",
+        "unc_units",
+        (F.col("rel_units") - F.col("res_units") + F.col("unc_units"))
+        .cast("long")
+        .alias("brier_units"),
+    )

@@ -1883,3 +1883,126 @@ def q284_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q292_source_divergence",
+    oracle="""
+    WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+         vocab AS (SELECT DISTINCT w FROM words),
+         vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM words GROUP BY source),
+         cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM words GROUP BY source, w),
+         grid AS (SELECT s.source, s.n, vb.w,
+                         CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
+                  FROM srcs s CROSS JOIN vocab vb
+                  LEFT JOIN cnt ON cnt.source = s.source
+                                AND cnt.w = vb.w),
+         p AS (SELECT source, w,
+                      (c + 1) * 1.0 / (n + vsz.v) AS pr
+               FROM grid, vsz),
+         pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                          a.w, a.pr AS pa, b.pr AS pb
+                   FROM p a JOIN p b
+                     ON a.w = b.w AND a.source < b.source),
+         units AS (SELECT source_a, source_b,
+                          CAST(SUM(CAST(ROUND(1e9 * pa * ln(pa / pb))
+                                        AS BIGINT)) AS BIGINT)
+                              AS kl_ab_units,
+                          CAST(SUM(CAST(ROUND(1e9 * pb * ln(pb / pa))
+                                        AS BIGINT)) AS BIGINT)
+                              AS kl_ba_units,
+                          CAST(SUM(CAST(ROUND(1e9 * (
+                               0.5 * pa * ln(pa / ((pa + pb) / 2))
+                               + 0.5 * pb * ln(pb / ((pa + pb) / 2))))
+                                        AS BIGINT)) AS BIGINT)
+                              AS js_units
+                   FROM pairs GROUP BY source_a, source_b)
+    SELECT source_a, source_b, kl_ab_units, kl_ba_units, js_units,
+           ROUND(js_units / 1e9, 6) AS js_nats
+    FROM units
+    """,
+)
+def q292_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise KL and Jensen-Shannon divergence between every two
+    sources' add-1-smoothed unigram language models — the
+    distribution-level mixture-planning signal next to q93's domain
+    mixture and q225's source temperatures: JS says which sources are
+    near-duplicates of each other DISTRIBUTIONALLY (merge or
+    down-weight) and which add genuine diversity; the two KL
+    directions expose asymmetric containment (a source whose LM is a
+    subset of another's). DSIR (q112) is the per-document form of the
+    same log-ratio; this is the source-by-source matrix.
+
+    Exactness: each pairwise term p*ln(p/q) freezes to integer 1e-9
+    units before the (order-independent) sum — identical integer
+    counts give identical doubles and identical ln in both engines
+    (the q271 c*ln(c) discipline); smoothing makes every probability
+    strictly positive so no log guard is needed.
+
+    Scale: the corpus reduces ONCE to |sources| x |vocab| counts; the
+    pair expansion is dimension-scale (|sources|^2 x |vocab| rows of
+    arithmetic, no corpus rescan)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    vocab = words.select("w").distinct()
+    vsz = vocab.agg(F.count("*").cast("long").alias("v"))
+    srcs = words.groupBy("source").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    cnt = words.groupBy("source", "w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    grid = (
+        srcs.join(F.broadcast(vocab))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "n",
+            "w",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+        )
+    )
+    p = grid.join(F.broadcast(vsz)).select(
+        "source",
+        "w",
+        ((F.col("c") + 1) * 1.0 / (F.col("n") + F.col("v"))).alias("pr"),
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "w", F.col("pr").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "w", F.col("pr").alias("pb")
+    )
+    pairs = a.join(b, "w").filter(F.col("source_a") < F.col("source_b"))
+    pa, pb = F.col("pa"), F.col("pb")
+    m = (pa + pb) / 2
+    units = pairs.groupBy("source_a", "source_b").agg(
+        F.sum(F.round(F.lit(1e9) * pa * F.log(pa / pb)).cast("long"))
+        .cast("long")
+        .alias("kl_ab_units"),
+        F.sum(F.round(F.lit(1e9) * pb * F.log(pb / pa)).cast("long"))
+        .cast("long")
+        .alias("kl_ba_units"),
+        F.sum(
+            F.round(
+                F.lit(1e9)
+                * (0.5 * pa * F.log(pa / m) + 0.5 * pb * F.log(pb / m))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("js_units"),
+    )
+    return units.select(
+        "source_a",
+        "source_b",
+        "kl_ab_units",
+        "kl_ba_units",
+        "js_units",
+        F.round(F.col("js_units") / F.lit(1e9), 6).alias("js_nats"),
+    )

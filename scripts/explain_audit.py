@@ -490,6 +490,23 @@ PICKS = {
         "partition-locally (explode of a sequence, no corpus join) "
         "and each permutation is a 60-row window partition."
     ),
+    "q290_count_sketch": (
+        "CountSketch: events reduce to per-user counts once; the x4 "
+        "row expansion happens on the USER table; the 64-cell signed "
+        "grid is one mergeable aggregate that broadcasts back onto "
+        "the top-10 report."
+    ),
+    "q291_brier_decomposition": (
+        "Brier decomposition: one event-scale ntile + one grouped "
+        "aggregate to 10 bin rows; components are arithmetic against "
+        "a broadcast 1-row bounds/base-rate table."
+    ),
+    "q292_source_divergence": (
+        "Source divergence: the corpus reduces ONCE to |sources| x "
+        "|vocab| counts; the pair expansion joins the tiny smoothed "
+        "LM table to itself on the word key — dimension-scale, no "
+        "corpus rescan."
+    ),
 }
 
 

@@ -365,3 +365,102 @@ def test_permutation_test_full_python_replay(spark):
                 n_ext += 1
         assert r.n_extreme == n_ext
         assert r.p_units == round(1e6 * (1 + n_ext) / (1 + _PERM_B))
+
+
+def test_count_sketch_full_python_replay(spark):
+    from hive_reflex_spark.operators.analytics import (
+        _CS_BUCKETS,
+        _CS_ROWS,
+        q290_count_sketch,
+    )
+
+    rows = q290_count_sketch(spark, SF_SMOKE).collect()
+    f = Counter()
+    con = duckdb.connect()
+    for (u, c) in con.execute(
+        f"SELECT user_id, COUNT(*) FROM '{SF_SMOKE}/events.parquet' "
+        f"GROUP BY user_id"
+    ).fetchall():
+        f[u] = c
+
+    def hx(prefix: str, j: int, u: int) -> int:
+        return int(
+            hashlib.md5(f"{prefix}{j}:{u}".encode()).hexdigest()[0], 16
+        )
+
+    grid: dict[tuple[int, int], int] = {}
+    for u, c in f.items():
+        for j in range(1, _CS_ROWS + 1):
+            b = hx("h", j, u) % _CS_BUCKETS
+            s = 1 if hx("s", j, u) < 8 else -1
+            grid[(j, b)] = grid.get((j, b), 0) + s * c
+    top = sorted(f.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert {(r.user_id, r.f_true) for r in rows} == set(top)
+    for r in rows:
+        ests = sorted(
+            (1 if hx("s", j, r.user_id) < 8 else -1)
+            * grid[(j, hx("h", j, r.user_id) % _CS_BUCKETS)]
+            for j in range(1, _CS_ROWS + 1)
+        )
+        est2x = ests[1] + ests[2]
+        assert r.est2x == est2x and r.err2x == est2x - 2 * r.f_true
+
+
+def test_brier_murphy_identity_and_bounds(spark):
+    from hive_reflex_spark.operators.analytics import (
+        q291_brier_decomposition,
+    )
+
+    rows = q291_brier_decomposition(spark, SF_SMOKE).collect()
+    r0 = rows[0]
+    # identity by construction; components nonnegative
+    assert r0.brier_units == r0.rel_units - r0.res_units + r0.unc_units
+    assert r0.rel_units >= 0 and r0.res_units >= 0 and r0.unc_units >= 0
+    assert sum(r.rel_units_k for r in rows) == r0.rel_units
+    assert sum(r.res_units_k for r in rows) == r0.res_units
+    # direct float Brier with the binned forecast reproduces the total
+    n = sum(r.n for r in rows)
+    p = sum(r.pos for r in rows)
+    direct = sum(
+        r.pos * (r.fbar - 1) ** 2 + (r.n - r.pos) * r.fbar**2
+        for r in rows
+    ) / n
+    assert abs(direct - r0.brier_units / 1e9) < 5e-5
+    # uncertainty is the base-rate variance
+    ybar = p / n
+    assert abs(r0.unc_units / 1e9 - ybar * (1 - ybar)) < 1e-8
+    # forecast bin means are nondecreasing in bin (built from sorted cents)
+    by_bin = sorted(rows, key=lambda r: r.bin)
+    assert all(a.fbar <= b.fbar for a, b in zip(by_bin, by_bin[1:]))
+
+
+def test_source_divergence_python_replay_and_bounds(spark):
+    from hive_reflex_spark.operators.text import q292_source_divergence
+
+    rows = q292_source_divergence(spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    wc: dict[str, Counter] = {}
+    for (src, text) in con.execute(
+        f"SELECT source, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall():
+        wc.setdefault(src, Counter()).update(text.split(" "))
+    vocab = sorted({w for c in wc.values() for w in c})
+    v = len(vocab)
+    ln2 = math.log(2)
+    for r in rows:
+        assert r.kl_ab_units >= 0 and r.kl_ba_units >= 0
+        assert 0 <= r.js_units <= round(1e9 * ln2) + 10
+        ca, cb = wc[r.source_a], wc[r.source_b]
+        na, nb = sum(ca.values()), sum(cb.values())
+        kl_ab = js = 0
+        for w in vocab:
+            pa = (ca.get(w, 0) + 1) / (na + v)
+            pb = (cb.get(w, 0) + 1) / (nb + v)
+            kl_ab += round(1e9 * pa * math.log(pa / pb))
+            m = (pa + pb) / 2
+            js += round(
+                1e9
+                * (0.5 * pa * math.log(pa / m) + 0.5 * pb * math.log(pb / m))
+            )
+        assert r.kl_ab_units == kl_ab
+        assert r.js_units == js

@@ -203,6 +203,9 @@ def test_registry_window_covers_new_families():
         # r01/r02 hash-greens (scripts/rotate_window.py) — the listed
         # names that overflow the 50-slot window keep their standing
         # r02 evidence.
+        "q290_count_sketch",            # new: signed frequency sketch
+        "q291_brier_decomposition",     # new: Murphy decomposition
+        "q292_source_divergence",       # new: source KL/JS matrix
         "q289_permutation_test",        # new: exact permutation test
         "q288_gbdt_split",              # new: histogram split finder
         "q287_rrf_fusion",              # new: reciprocal-rank fusion
