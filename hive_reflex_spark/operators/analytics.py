@@ -5929,3 +5929,151 @@ def q291_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("brier_units"),
     )
+
+
+# q293 period split: the first _CUPED_PRE_DAYS days of the window are the
+# pre-experiment covariate period, the rest is the measured period.
+_CUPED_PRE_DAYS = 15
+
+
+@query(
+    "q293_cuped_adjustment",
+    oracle=f"""
+    WITH ev AS (SELECT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                       CAST(ROUND(value * 100) AS BIGINT) AS cents
+                FROM events),
+         d0 AS (SELECT CAST(MIN(d) AS BIGINT) AS mind FROM ev),
+         per_user AS (SELECT user_id,
+                             CAST(SUM(CASE WHEN d - d0.mind
+                                                < {_CUPED_PRE_DAYS}
+                                      THEN cents ELSE 0 END) AS BIGINT)
+                                 AS x,
+                             CAST(SUM(CASE WHEN d - d0.mind
+                                                >= {_CUPED_PRE_DAYS}
+                                      THEN cents ELSE 0 END) AS BIGINT)
+                                 AS y,
+                             user_id % 2 AS arm
+                      FROM ev, d0 GROUP BY user_id),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(x) AS BIGINT) AS sx,
+                      CAST(SUM(y) AS BIGINT) AS sy,
+                      CAST(SUM(x * y) AS BIGINT) AS sxy,
+                      CAST(SUM(x * x) AS BIGINT) AS sxx,
+                      CAST(SUM(y * y) AS BIGINT) AS syy,
+                      CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_a,
+                      CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END)
+                           AS BIGINT) AS sx_a,
+                      CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END)
+                           AS BIGINT) AS sy_a,
+                      CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_b,
+                      CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)
+                           AS BIGINT) AS sx_b,
+                      CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)
+                           AS BIGINT) AS sy_b
+               FROM per_user)
+    SELECT n AS n_users, n_a, n_b,
+           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+               AS theta,
+           ROUND(sy_b * 1.0 / n_b - sy_a * 1.0 / n_a, 6) AS raw_lift,
+           ROUND((sy_b * 1.0 / n_b - sy_a * 1.0 / n_a)
+                 - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                   * (sx_b * 1.0 / n_b - sx_a * 1.0 / n_a), 6)
+               AS adj_lift,
+           ROUND(((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+               AS rho2
+    FROM m
+    """,
+)
+def q293_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for the q189-style
+    parity-arm experiment: per-user pre-period spend (first 15 days)
+    as the covariate X, measured-period spend as the metric Y,
+    theta = cov(X,Y)/var(X) from pooled exact moments, and the
+    adjusted lift diff(Y) - theta*diff(X) — the industry-standard
+    trick that removes the user-level variance the covariate
+    explains (rho^2 of it, reported), so the same experiment reaches
+    significance with ~1/(1-rho^2) times less traffic. Pre-period
+    data cannot be affected by the treatment, so the adjustment is
+    unbiased by construction.
+
+    Exactness: per-user X/Y are exact BIGINT cents; all five pooled
+    moments and the six per-arm sums are exact BIGINTs in ONE
+    aggregate; theta, lifts and rho^2 are identical double
+    expressions over them at 6dp. (Cross-moments of per-user cents
+    fit BIGINT at fixture scales; the production swap at petabyte
+    per-user magnitudes is DECIMAL(38) moments, same shape.)
+
+    Scale: one event-scale grouped aggregate to per-user rows, one
+    1-row moment reduction — the q128/q123 exact-moment pattern
+    applied to experimentation."""
+    events = read_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    d0 = ev.agg(F.min("d").cast("long").alias("mind"))
+    pre = F.col("d") - F.col("mind") < _CUPED_PRE_DAYS
+    per_user = (
+        ev.join(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(~pre, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    arm_a = F.col("arm") == 0
+    m = per_user.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.when(arm_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(arm_a, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_a"),
+        F.sum(F.when(arm_a, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_a"),
+        F.sum(F.when(~arm_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~arm_a, F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sx_b"),
+        F.sum(F.when(~arm_a, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sy_b"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    theta = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+    raw = F.col("sy_b") * 1.0 / F.col("n_b") - F.col("sy_a") * 1.0 / F.col(
+        "n_a"
+    )
+    dx = F.col("sx_b") * 1.0 / F.col("n_b") - F.col("sx_a") * 1.0 / F.col(
+        "n_a"
+    )
+    rho2 = ((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        "n_a",
+        "n_b",
+        F.round(theta, 6).alias("theta"),
+        F.round(raw, 6).alias("raw_lift"),
+        F.round(raw - theta * dx, 6).alias("adj_lift"),
+        F.round(rho2, 6).alias("rho2"),
+    )

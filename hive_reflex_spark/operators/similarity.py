@@ -2059,3 +2059,156 @@ def q276_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(mean_units / 1e6 / F.count("*"), 6).alias("mean_ratio"),
         )
     )
+
+
+@query(
+    "q294_simplified_silhouette",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         cents AS (SELECT vec_id AS cid, dim, v AS cv FROM coords
+                   WHERE vec_id % {N_CENTROIDS_STRIDE} = 0),
+         dots AS (SELECT x.vec_id, c.cid,
+                         CAST(SUM(CAST(ROUND(x.v * c.cv * 1000000000)
+                              AS BIGINT)) AS BIGINT) / 1000000000.0 AS dot
+                  FROM coords x JOIN cents c USING (dim)
+                  GROUP BY x.vec_id, c.cid),
+         nx AS (SELECT vec_id,
+                       sqrt(CAST(SUM(CAST(ROUND(v * v * 1000000000)
+                            AS BIGINT)) AS BIGINT) / 1000000000.0) AS nrm
+                FROM coords GROUP BY vec_id),
+         nc AS (SELECT cid,
+                       sqrt(CAST(SUM(CAST(ROUND(cv * cv * 1000000000)
+                            AS BIGINT)) AS BIGINT) / 1000000000.0) AS cnrm
+                FROM cents GROUP BY cid),
+         dist AS (SELECT d.vec_id, d.cid,
+                         1.0 - d.dot / (nx.nrm * nc.cnrm) AS dd,
+                         ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                            ORDER BY d.dot DESC, d.cid)
+                             AS rn
+                  FROM dots d
+                  JOIN nx ON nx.vec_id = d.vec_id
+                  JOIN nc ON nc.cid = d.cid),
+         per_vec AS (SELECT vec_id,
+                            MAX(CASE WHEN rn = 1 THEN cid END) AS own,
+                            MAX(CASE WHEN rn = 1 THEN dd END) AS a,
+                            MIN(CASE WHEN rn > 1 THEN dd END) AS b
+                     FROM dist GROUP BY vec_id),
+         sil AS (SELECT own,
+                        CAST(ROUND(1e6 * (b - a)
+                             / NULLIF(GREATEST(a, b), 0)) AS BIGINT)
+                            AS s_units
+                 FROM per_vec),
+         per_c AS (SELECT own AS centroid_id,
+                          CAST(COUNT(*) AS BIGINT) AS n,
+                          CAST(SUM(s_units) AS BIGINT) AS sum_sil_units
+                   FROM sil GROUP BY own),
+         g AS (SELECT CAST(SUM(sum_sil_units) AS BIGINT) AS gsum,
+                      CAST(SUM(n) AS BIGINT) AS gn
+               FROM per_c)
+    SELECT per_c.centroid_id, per_c.n, per_c.sum_sil_units,
+           ROUND(per_c.sum_sil_units * 1.0 / per_c.n / 1e6, 6)
+               AS mean_sil,
+           ROUND(g.gsum * 1.0 / g.gn / 1e6, 6) AS global_mean_sil
+    FROM per_c, g
+    """,
+)
+def q294_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED silhouette of the IVF clustering (q54a's max-dot
+    assignment to the stride-50 seed centroids): per point,
+    a = cosine distance to the OWN centroid, b = distance to the
+    nearest OTHER centroid, s = (b-a)/max(a,b) — the clustering
+    quality number that says whether the coarse quantizer's cells are
+    tight (s near 1) or smeared (s near 0, ANN probes must widen).
+    The 'simplified' form replaces full-silhouette's O(n^2) pairwise
+    mean with centroid distances — O(n*k), which is exactly what
+    makes silhouette computable at corpus scale (full silhouette on
+    100 TB is an all-pairs join; this is the q269/q51a fence lesson
+    as an evaluation metric).
+
+    Exactness: dots and norms are the integer-unit exact sums every
+    ANN query here uses; per-point s freezes to 1e-6 units before
+    the per-cluster integer sums; the degenerate a=b=0 point (a
+    centroid colliding with another) emits NULL via the guarded
+    division on both engines.
+
+    Scale: one corpus x centroids broadcast join (the q54a shape) in
+    the ARRAY-FOLD form — the per-pair dot is one zip_with/aggregate
+    integer fold (bit-identical to the coordinate plan's exact_sum,
+    the q52a contract) so the join carries |V| x k pair rows, not
+    |V| x k x dims coordinate rows (the coordinate form measured
+    226 s at sf1 against ~4 s for the fold); then one per-vec reduce
+    and |centroids|-row arithmetic."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = _fold_dot(units=True)
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    cents_a = emb.filter(
+        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # the fixture parquet has ~2 row groups; without a re-spread the
+    # CPU-bound fold runs 2-wide (263 s at sf1) instead of cluster-wide
+    # (the q272 lesson) — vec_id is uniform so this is a clean fan-out
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    paired = (
+        emb.repartition(nparts, "vec_id")
+        .join(F.broadcast(cents_a))
+        .select(
+            "vec_id",
+            "cid",
+            dot(F.col("e"), F.col("ce")).alias("dot"),
+            "nrm",
+            "cnrm",
+        )
+    )
+    dist = paired.select(
+        "vec_id",
+        "cid",
+        (1.0 - F.col("dot") / (F.col("nrm") * F.col("cnrm"))).alias("dd"),
+        F.row_number()
+        .over(Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid"))
+        .alias("rn"),
+    )
+    per_vec = dist.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("own"),
+        F.max(F.when(F.col("rn") == 1, F.col("dd"))).alias("a"),
+        F.min(F.when(F.col("rn") > 1, F.col("dd"))).alias("b"),
+    )
+    sil = per_vec.select(
+        "own",
+        F.round(
+            F.lit(1e6)
+            * F.try_divide(
+                F.col("b") - F.col("a"),
+                F.nullif(F.greatest("a", "b"), F.lit(0.0)),
+            )
+        )
+        .cast("long")
+        .alias("s_units"),
+    )
+    per_c = sil.groupBy(F.col("own").alias("centroid_id")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("s_units").cast("long").alias("sum_sil_units"),
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_c.select(
+        "centroid_id",
+        "n",
+        "sum_sil_units",
+        F.round(
+            F.col("sum_sil_units") * 1.0 / F.col("n") / F.lit(1e6), 6
+        ).alias("mean_sil"),
+        F.round(
+            F.sum("sum_sil_units").over(wall)
+            * 1.0
+            / F.sum("n").over(wall)
+            / F.lit(1e6),
+            6,
+        ).alias("global_mean_sil"),
+    )

@@ -1534,3 +1534,83 @@ def q250a_stream_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("novel").cast("long")) * 1.0 / F.count("*"), 6
         ).alias("novelty"),
     )
+
+
+def _cs_stream_oracle() -> str:
+    from hive_reflex_spark.operators.analytics import _CS_BUCKETS
+
+    return f"""
+    WITH rows_j AS (SELECT CAST(j AS BIGINT) AS j
+                    FROM (VALUES (1), (2), (3), (4)) t(j)),
+         keyed AS (SELECT rows_j.j,
+                          CAST(instr('0123456789abcdef',
+                                     substr(md5('h' || CAST(rows_j.j AS
+                                            VARCHAR) || ':' ||
+                                            CAST(e.user_id AS VARCHAR)),
+                                            1, 1)) - 1 AS BIGINT)
+                              % {_CS_BUCKETS} AS bucket,
+                          CASE WHEN instr('0123456789abcdef',
+                                     substr(md5('s' || CAST(rows_j.j AS
+                                            VARCHAR) || ':' ||
+                                            CAST(e.user_id AS VARCHAR)),
+                                            1, 1)) - 1 < 8
+                               THEN 1 ELSE -1 END AS sgn
+                   FROM events e, rows_j)
+    SELECT j, bucket, CAST(SUM(sgn) AS BIGINT) AS c
+    FROM keyed GROUP BY j, bucket
+    """
+
+
+@query("q290a_stream_count_sketch", oracle=_cs_stream_oracle())
+def q290a_stream_count_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CountSketch grid maintained BY THE STREAM — the fourth
+    ingest-side sketch twin (q121 CMS grid, q265a HLL registers,
+    q268a KMV bottom-k, now the SIGNED grid): each event adds its
+    +/-1 sign into one of 4 x 16 counters via a streaming groupBy
+    SUM, so the state is 64 integers for an unbounded stream and —
+    signed sums being fully order-independent — the complete-mode
+    emission equals the batch grid on ANY chunking. The turnstile
+    story is why this twin matters: of the family, only CountSketch
+    also absorbs RETRACTIONS (a CDC delete is one more row with the
+    sign flipped), giving unbiased frequency estimates over a
+    correction-carrying stream where CMS only ever grows. q290 runs
+    its median-estimate readout against exactly this table."""
+    from hive_reflex_spark.operators.analytics import _CS_BUCKETS, _CS_ROWS
+
+    stream = stream_events(spark, sf_dir)
+    rows_j = spark.range(1, _CS_ROWS + 1).select(F.col("id").alias("j"))
+    hkey = F.md5(
+        F.concat(
+            F.lit("h"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    skey = F.md5(
+        F.concat(
+            F.lit("s"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    hexpos = F.expr("instr('0123456789abcdef', substr(hk, 1, 1)) - 1")
+    sexpos = F.expr("instr('0123456789abcdef', substr(sk, 1, 1)) - 1")
+    keyed = (
+        stream.select("user_id")
+        .join(F.broadcast(rows_j))
+        .withColumn("hk", hkey)
+        .withColumn("sk", skey)
+        .select(
+            "j",
+            (hexpos % _CS_BUCKETS).cast("long").alias("bucket"),
+            F.when(sexpos < 8, 1).otherwise(-1).alias("sgn"),
+        )
+    )
+    grid = keyed.groupBy("j", "bucket").agg(
+        F.sum("sgn").cast("long").alias("c")
+    )
+    return run_to_memory(grid, mode="complete")

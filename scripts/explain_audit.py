@@ -501,6 +501,17 @@ PICKS = {
         "aggregate to 10 bin rows; components are arithmetic against "
         "a broadcast 1-row bounds/base-rate table."
     ),
+    "q293_cuped_adjustment": (
+        "CUPED: one event-scale grouped aggregate to per-user (X, Y) "
+        "rows, then a 1-row exact-moment reduction — the q128/q123 "
+        "moment pattern applied to experimentation."
+    ),
+    "q294_simplified_silhouette": (
+        "Simplified silhouette: corpus x centroids broadcast join in "
+        "the array-fold form (pair rows, not coordinate rows) with a "
+        "vec_id repartition so the CPU-bound fold spans the cluster "
+        "(2-partition parquet measured 263 s vs 24 s at sf1)."
+    ),
     "q292_source_divergence": (
         "Source divergence: the corpus reduces ONCE to |sources| x "
         "|vocab| counts; the pair expansion joins the tiny smoothed "

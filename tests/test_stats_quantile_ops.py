@@ -464,3 +464,92 @@ def test_source_divergence_python_replay_and_bounds(spark):
             )
         assert r.kl_ab_units == kl_ab
         assert r.js_units == js
+
+
+def test_cuped_matches_moment_recompute(spark):
+    from hive_reflex_spark.operators.analytics import (
+        _CUPED_PRE_DAYS,
+        q293_cuped_adjustment,
+    )
+
+    r = q293_cuped_adjustment(spark, SF_SMOKE).collect()[0]
+    per: dict[int, list[int]] = {}
+    days = [d for _, _, _, d in _events(SF_SMOKE)]
+    mind = min(days)
+    con = duckdb.connect()
+    for (u, d, c) in con.execute(
+        f"SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT), "
+        f"CAST(ROUND(value * 100) AS BIGINT) "
+        f"FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall():
+        xy = per.setdefault(u, [0, 0])
+        xy[0 if d - mind < _CUPED_PRE_DAYS else 1] += c
+    n = len(per)
+    xs = [xy[0] for xy in per.values()]
+    ys = [xy[1] for xy in per.values()]
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r.n_users == n and r.n_a + r.n_b == n
+    assert abs(r.theta - theta) < 1e-5
+    a = [(xy[0], xy[1]) for u, xy in per.items() if u % 2 == 0]
+    b = [(xy[0], xy[1]) for u, xy in per.items() if u % 2 == 1]
+    raw = sum(y for _, y in b) / len(b) - sum(y for _, y in a) / len(a)
+    dx = sum(x for x, _ in b) / len(b) - sum(x for x, _ in a) / len(a)
+    assert abs(r.raw_lift - raw) < 1e-4
+    assert abs(r.adj_lift - (raw - theta * dx)) < 1e-4
+    assert 0 <= r.rho2 <= 1
+
+
+def test_silhouette_bounds_and_assignment_consistency(spark):
+    from hive_reflex_spark.operators.similarity import (
+        q294_simplified_silhouette,
+        q54a_ivf_assign,
+    )
+
+    sil = q294_simplified_silhouette(spark, SF_SMOKE).collect()
+    assign = {
+        r.centroid_id: r.n_assigned
+        for r in q54a_ivf_assign(spark, SF_SMOKE).collect()
+    }
+    # same clusters and sizes as the IVF assignment
+    assert {(r.centroid_id, r.n) for r in sil} == set(assign.items())
+    for r in sil:
+        # mean silhouette is bounded in [-1, 1]
+        assert -1.0 <= r.mean_sil <= 1.0
+        assert -1.0 <= r.global_mean_sil <= 1.0
+
+
+def test_stream_count_sketch_equals_batch_grid(spark):
+    from hive_reflex_spark.operators.analytics import (
+        _CS_BUCKETS,
+        _CS_ROWS,
+    )
+    from hive_reflex_spark.streaming.ops import q290a_stream_count_sketch
+
+    rows = q290a_stream_count_sketch(spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    grid: dict[tuple[int, int], int] = {}
+    for (u, c) in con.execute(
+        f"SELECT user_id, COUNT(*) FROM '{SF_SMOKE}/events.parquet' "
+        f"GROUP BY user_id"
+    ).fetchall():
+        for j in range(1, _CS_ROWS + 1):
+            b = (
+                int(
+                    hashlib.md5(f"h{j}:{u}".encode()).hexdigest()[0], 16
+                )
+                % _CS_BUCKETS
+            )
+            s = (
+                1
+                if int(
+                    hashlib.md5(f"s{j}:{u}".encode()).hexdigest()[0], 16
+                )
+                < 8
+                else -1
+            )
+            grid[(j, b)] = grid.get((j, b), 0) + s * c
+    got = {(r.j, r.bucket): r.c for r in rows}
+    assert got == {k: v for k, v in grid.items()}

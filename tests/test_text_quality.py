@@ -203,6 +203,9 @@ def test_registry_window_covers_new_families():
         # r01/r02 hash-greens (scripts/rotate_window.py) — the listed
         # names that overflow the 50-slot window keep their standing
         # r02 evidence.
+        "q293_cuped_adjustment",        # new: CUPED adjusted lift
+        "q294_simplified_silhouette",   # new: clustering quality
+        "q290a_stream_count_sketch",    # new: streaming signed grid
         "q290_count_sketch",            # new: signed frequency sketch
         "q291_brier_decomposition",     # new: Murphy decomposition
         "q292_source_divergence",       # new: source KL/JS matrix
