@@ -691,3 +691,54 @@ def test_q272_winnowing_stays_array_side(spark, sf_smoke):
     # the pathological inlined filter mentions md5 many times; the healthy
     # plan evaluates the md5 transform in a handful of projections only
     assert plan.count("md5") <= 20, "HOF chain inlined into scan filter"
+
+
+def test_q294_fold_is_repartitioned_and_broadcast(spark, sf_smoke):
+    """q294: the CPU-bound array-fold pair join must (a) broadcast the
+    centroid side and (b) sit on a vec_id repartition — without the
+    re-spread the fold inherits the fixture parquet's 2 row-group
+    split and runs 2-wide (measured 263 s vs 24 s at sf1)."""
+    plan = plan_of(spark, "q294_simplified_silhouette", sf_smoke)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(vec_id" in plan, "fold lost its re-spread"
+    assert "CartesianProduct" not in plan
+
+
+def test_q283_second_pass_filter_reaches_scan(spark, sf_smoke):
+    """q283: pass 2 must scan ONLY the selected buckets — the bucket
+    IN-filter (expressed over cents arithmetic) belongs in the scan
+    Filter, and the global plan must not contain a sort over the fact
+    table (the whole point of two-pass selection)."""
+    plan = plan_of(spark, "q283_exact_quantile", sf_smoke)
+    assert "Sort [cents" not in plan, "global sort crept in"
+    assert plan.count("Exchange") <= 3
+    assert "Filter" in plan
+
+
+def test_q284_trigram_explode_is_outer(spark, sf_smoke):
+    """q284: the trigram Generate must be OUTER (q272's
+    constraint-inlining fence) and the whole construction stays in
+    projections — no join until the tiny r-histogram lookup."""
+    plan = plan_of(spark, "q284_good_turing", sf_smoke)
+    assert "Generate explode" in plan
+    assert plan.count("md5") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_q289_pool_expansion_has_no_corpus_join(spark, sf_smoke):
+    """q289: the B=200 expansion must be a Generate over the
+    calendar-bounded pool (partition-local), never a join against
+    events; obs attaches by broadcast."""
+    plan = plan_of(spark, "q289_permutation_test", sf_smoke)
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q290_grid_and_top_broadcast(spark, sf_smoke):
+    """q290: the x4 expansion happens on the user table; the 64-cell
+    grid and the top-10 report side both broadcast back — no
+    corpus-side shuffle beyond the per-user count."""
+    plan = plan_of(spark, "q290_count_sketch", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
