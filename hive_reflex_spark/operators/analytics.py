@@ -541,16 +541,19 @@ _LZ_DIGIT = (
 )
 
 
-def hll_registers(df: DataFrame, group_cols: list[str]) -> DataFrame:
-    """The portable md5 HyperLogLog register table over ``df.user_id``:
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_col: str = "user_id"
+) -> DataFrame:
+    """The portable md5 HyperLogLog register table over ``df[key_col]``:
     (*group_cols, bucket, m_j) with bucket = first md5 hex byte (m=256)
     and m_j = max rho (leading-zero bits of the 116-bit suffix + 1) per
     group — the ONE register construction shared by q118 (per
     event_type), q265 (per event_type/day/hour before the rollup
-    merge), q265a (maintained by the stream), and the register-parity
-    tests, so any rho fix lands everywhere at once. Works on batch and
-    streaming frames alike (one grouped MAX)."""
-    h = F.md5(F.col("user_id").cast("string"))
+    merge), q265a (maintained by the stream), q285 (per graph node),
+    and the register-parity tests, so any rho fix lands everywhere at
+    once. Works on batch and streaming frames alike (one grouped
+    MAX)."""
+    h = F.md5(F.col(key_col).cast("string"))
     hashed = df.select(
         *group_cols,
         F.substring(h, 1, 2).alias("bucket"),
@@ -4866,14 +4869,34 @@ def q280_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q286_kendall_tau",
-    oracle="""
-    WITH daily AS (SELECT event_type,
+# The exact daily-cents reduction shared by q281/q286/q289 (q256/q279
+# predate it and keep their inlined twins): one grouped aggregate from
+# events to |types| x |days| exact integer cents.
+_DUCK_DAILY_CENTS = """daily AS (SELECT event_type,
                           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
                           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
                                AS BIGINT) AS cents
-                   FROM events GROUP BY 1, 2),
+                   FROM events GROUP BY 1, 2)"""
+
+
+def daily_cents(events: DataFrame) -> DataFrame:
+    """(event_type, d, cents): the Spark twin of _DUCK_DAILY_CENTS."""
+    return events.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+
+
+@query(
+    "q286_kendall_tau",
+    oracle=f"""
+    WITH {_DUCK_DAILY_CENTS},
          joint AS (SELECT a.d, a.event_type AS type_a,
                           b.event_type AS type_b,
                           a.cents AS xa, b.cents AS ya
@@ -4921,17 +4944,7 @@ def q286_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents; the pairwise stage is days^2 per type pair — bounded by
     the calendar, not the corpus (30 days -> 435 pairs), so the
     self-join is dimension-scale at any SF."""
-    events = read_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type",
-        (F.unix_micros("ts") / F.lit(86_400_000_000))
-        .cast("long")
-        .alias("d"),
-    ).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long"))
-        .cast("long")
-        .alias("cents")
-    )
+    daily = daily_cents(read_table(spark, sf_dir, "events"))
     a = daily.select(
         F.col("event_type").alias("type_a"),
         "d",
@@ -4979,11 +4992,17 @@ def q286_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q282_chi2_independence",
     oracle="""
-    WITH cells AS (SELECT event_type,
-                          CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT)
-                              AS dow,
-                          CAST(COUNT(*) AS BIGINT) AS o
-                   FROM events GROUP BY 1, 2),
+    WITH obs AS (SELECT event_type,
+                        CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT)
+                            AS dow,
+                        CAST(COUNT(*) AS BIGINT) AS o
+                 FROM events GROUP BY 1, 2),
+         cells AS (SELECT t.event_type, d.dow,
+                          CAST(COALESCE(obs.o, 0) AS BIGINT) AS o
+                   FROM (SELECT DISTINCT event_type FROM obs) t
+                   CROSS JOIN (SELECT DISTINCT dow FROM obs) d
+                   LEFT JOIN obs ON obs.event_type = t.event_type
+                                 AND obs.dow = d.dow),
          rows_t AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS rt,
                            COUNT(*) AS r_cells
                     FROM cells GROUP BY event_type),
@@ -5023,8 +5042,10 @@ def q286_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q282_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-squared test of independence between event_type and
-    day-of-week (day-number mod 7): per-cell observed count, expected
-    count, and chi-squared contribution, plus the global statistic,
+    day-of-week (day-number mod 7): per-cell observed count (over the
+    FULL type x dow grid — structural zeros included, since a missing
+    cell still owes its (O-E)^2/E = E term), expected count, and
+    chi-squared contribution, plus the global statistic,
     degrees of freedom, and Cramer's V effect size — the categorical
     drift/seasonality readout next to q238's KS (continuous) and
     q230's Benford (digit) tests.
@@ -5039,12 +5060,25 @@ def q282_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types| x 7 cells — the margins broadcast back onto the cell
     table; no second pass over events."""
     events = read_table(spark, sf_dir, "events")
-    cells = events.groupBy(
+    obs = events.groupBy(
         "event_type",
         ((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long") % 7)
         .cast("long")
         .alias("dow"),
     ).agg(F.count("*").alias("o"))
+    # full grid incl. structural zeros: a never-on-Tuesdays type still
+    # owes its (O-E)^2/E = E term, and per-row deltas must sum to zero
+    cells = (
+        obs.select("event_type")
+        .distinct()
+        .join(F.broadcast(obs.select("dow").distinct()))
+        .join(obs, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            F.coalesce("o", F.lit(0)).cast("long").alias("o"),
+        )
+    )
     rows_t = cells.groupBy("event_type").agg(
         F.sum("o").cast("long").alias("rt")
     )
@@ -5140,11 +5174,7 @@ def _binom_cum_rows(max_n: int) -> list[tuple[int, int, int, int, int]]:
     "q281_bh_fdr",
     oracle=f"""
     WITH RECURSIVE
-         daily AS (SELECT event_type,
-                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
-                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
-                               AS BIGINT) AS cents
-                   FROM events GROUP BY 1, 2),
+         {_DUCK_DAILY_CENTS},
          delt AS (SELECT event_type, d,
                          cents - LAG(cents) OVER (PARTITION BY event_type
                                                   ORDER BY d) AS delta
@@ -5223,17 +5253,7 @@ def q281_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the driver (bounded state); the oracle derives the SAME table
     via a recursive CTE on the multiplicative recurrence
     C(n,k+1) = C(n,k)*(n-k)/(k+1), which divides exactly."""
-    events = read_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type",
-        (F.unix_micros("ts") / F.lit(86_400_000_000))
-        .cast("long")
-        .alias("d"),
-    ).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long"))
-        .cast("long")
-        .alias("cents")
-    )
+    daily = daily_cents(read_table(spark, sf_dir, "events"))
     wd = Window.partitionBy("event_type").orderBy("d")
     delt = daily.withColumn(
         "delta", F.col("cents") - F.lag("cents").over(wd)
@@ -5329,7 +5349,8 @@ _SPLIT_BINS = 64
                         CAST(SUM(n - pos) OVER (ORDER BY bin) AS BIGINT)
                             AS lnn,
                         CAST(SUM(pos) OVER () AS BIGINT) AS tp,
-                        CAST(SUM(n - pos) OVER () AS BIGINT) AS tn
+                        CAST(SUM(n - pos) OVER () AS BIGINT) AS tn,
+                        MAX(bin) OVER () AS maxbin
                  FROM per),
          gains AS (SELECT bin, thr, lp, lnn,
                           tp - lp AS rp, tn - lnn AS rn,
@@ -5345,7 +5366,7 @@ _SPLIT_BINS = 64
                                          / ((tp - lp + tn - lnn) * 1.0
                                             * (tp - lp + tn - lnn)))))
                                AS BIGINT) AS gain_units
-                   FROM cum WHERE bin < {_SPLIT_BINS})
+                   FROM cum WHERE bin < maxbin)
     SELECT bin, ROUND(thr, 6) AS threshold, lp, lnn AS ln_, rp, rn,
            gain_units,
            CAST(ROW_NUMBER() OVER (ORDER BY gain_units DESC, bin) AS INT)
@@ -5397,6 +5418,8 @@ def q288_gbdt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # exclude the LAST OCCUPIED bin, not bin 64: with < 64 occupied
+    # bins the full-left "split" has an empty right child (0/0 Gini)
     cum = per.select(
         "bin",
         "thr",
@@ -5408,7 +5431,8 @@ def q288_gbdt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") - F.col("pos")).over(wall).cast("long").alias(
             "tn"
         ),
-    ).filter(F.col("bin") < _SPLIT_BINS)
+        F.max("bin").over(wall).alias("maxbin"),
+    ).filter(F.col("bin") < F.col("maxbin"))
     tp, tn = F.col("tp"), F.col("tn")
     lp, lnn = F.col("lp"), F.col("lnn")
     rp, rn = tp - lp, tn - lnn
@@ -5454,11 +5478,7 @@ _PERM_B = 200
 @query(
     "q289_permutation_test",
     oracle=f"""
-    WITH daily AS (SELECT event_type,
-                          CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
-                          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
-                               AS BIGINT) AS cents
-                   FROM events GROUP BY 1, 2),
+    WITH {_DUCK_DAILY_CENTS},
          types AS (SELECT DISTINCT event_type FROM daily),
          prs AS (SELECT a.event_type AS ta, b.event_type AS tb
                  FROM types a JOIN types b
@@ -5527,17 +5547,7 @@ def q289_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention); the permutation table is pairs x pool x B —
     calendar-bounded dimensions, never corpus rows — and each
     permutation is one 60-row window partition."""
-    events = read_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type",
-        (F.unix_micros("ts") / F.lit(86_400_000_000))
-        .cast("long")
-        .alias("d"),
-    ).agg(
-        F.sum(F.round(F.col("value") * 100).cast("long"))
-        .cast("long")
-        .alias("cents")
-    )
+    daily = daily_cents(read_table(spark, sf_dir, "events"))
     types = daily.select("event_type").distinct()
     prs = (
         types.select(F.col("event_type").alias("ta"))
@@ -5638,6 +5648,63 @@ def q289_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CS_ROWS = 4
 _CS_BUCKETS = 16
 _CS_TOP = 10
+# the two middle order statistics of the _CS_ROWS row estimates — their
+# sum is the exact-integer 2*median the report emits
+_CS_MID = (_CS_ROWS // 2, _CS_ROWS // 2 + 1)
+_CS_ROWS_VALUES = ", ".join(f"({j})" for j in range(1, _CS_ROWS + 1))
+
+
+def _cs_keyed_sql(uexpr: str) -> str:
+    """DuckDB fragment: the (j, bucket, sgn) CountSketch keying of one
+    key expression — the ONE hash definition shared by q290's batch
+    oracle and q290a's stream oracle (rows_j must be in scope)."""
+    return f"""CAST(instr('0123456789abcdef',
+                     substr(md5('h' || CAST(rows_j.j AS VARCHAR) || ':'
+                            || CAST({uexpr} AS VARCHAR)), 1, 1)) - 1
+                AS BIGINT) % {_CS_BUCKETS} AS bucket,
+           CASE WHEN instr('0123456789abcdef',
+                     substr(md5('s' || CAST(rows_j.j AS VARCHAR) || ':'
+                            || CAST({uexpr} AS VARCHAR)), 1, 1)) - 1 < 8
+                THEN 1 ELSE -1 END AS sgn"""
+
+
+def cs_keyed(df: DataFrame) -> DataFrame:
+    """(everything in df, j, bucket, sgn): the Spark twin of
+    _cs_keyed_sql over df.user_id, expanded x _CS_ROWS. Shared by q290
+    (batch grid + report) and q290a (streaming grid maintenance)."""
+    rows_j = (
+        df.sparkSession.range(1, _CS_ROWS + 1)
+        .select(F.col("id").alias("j"))
+    )
+    hkey = F.md5(
+        F.concat(
+            F.lit("h"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    skey = F.md5(
+        F.concat(
+            F.lit("s"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    hexpos = F.expr("instr('0123456789abcdef', substr(hk, 1, 1)) - 1")
+    sexpos = F.expr("instr('0123456789abcdef', substr(sk, 1, 1)) - 1")
+    return (
+        df.join(F.broadcast(rows_j))
+        .withColumn("hk", hkey)
+        .withColumn("sk", skey)
+        .select(
+            *df.columns,
+            "j",
+            (hexpos % _CS_BUCKETS).cast("long").alias("bucket"),
+            F.when(sexpos < 8, 1).otherwise(-1).alias("sgn"),
+        )
+    )
 
 
 @query(
@@ -5646,20 +5713,9 @@ _CS_TOP = 10
     WITH f AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS f_true
                FROM events GROUP BY user_id),
          rows_j AS (SELECT CAST(j AS BIGINT) AS j
-                    FROM (VALUES (1), (2), (3), (4)) t(j)),
+                    FROM (VALUES {_CS_ROWS_VALUES}) t(j)),
          keyed AS (SELECT f.user_id, f.f_true, rows_j.j,
-                          CAST(instr('0123456789abcdef',
-                                     substr(md5('h' || CAST(rows_j.j AS
-                                            VARCHAR) || ':' ||
-                                            CAST(f.user_id AS VARCHAR)),
-                                            1, 1)) - 1 AS BIGINT)
-                              % {_CS_BUCKETS} AS bucket,
-                          CASE WHEN instr('0123456789abcdef',
-                                     substr(md5('s' || CAST(rows_j.j AS
-                                            VARCHAR) || ':' ||
-                                            CAST(f.user_id AS VARCHAR)),
-                                            1, 1)) - 1 < 8
-                               THEN 1 ELSE -1 END AS sgn
+                          {_cs_keyed_sql("f.user_id")}
                    FROM f, rows_j),
          grid AS (SELECT j, bucket,
                          CAST(SUM(sgn * f_true) AS BIGINT) AS c
@@ -5676,9 +5732,9 @@ _CS_TOP = 10
                   JOIN keyed k ON k.user_id = t.user_id
                   JOIN grid g ON g.j = k.j AND g.bucket = k.bucket)
     SELECT user_id, f_true,
-           CAST(SUM(CASE WHEN rn IN (2, 3) THEN est ELSE 0 END)
+           CAST(SUM(CASE WHEN rn IN {_CS_MID} THEN est ELSE 0 END)
                 AS BIGINT) AS est2x,
-           CAST(SUM(CASE WHEN rn IN (2, 3) THEN est ELSE 0 END)
+           CAST(SUM(CASE WHEN rn IN {_CS_MID} THEN est ELSE 0 END)
                 - 2 * f_true AS BIGINT) AS err2x
     FROM ests GROUP BY user_id, f_true
     """,
@@ -5707,37 +5763,7 @@ def q290_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = events.groupBy("user_id").agg(
         F.count("*").cast("long").alias("f_true")
     )
-    rows_j = spark.range(1, _CS_ROWS + 1).select(F.col("id").alias("j"))
-    hkey = F.md5(
-        F.concat(
-            F.lit("h"),
-            F.col("j").cast("string"),
-            F.lit(":"),
-            F.col("user_id").cast("string"),
-        )
-    )
-    skey = F.md5(
-        F.concat(
-            F.lit("s"),
-            F.col("j").cast("string"),
-            F.lit(":"),
-            F.col("user_id").cast("string"),
-        )
-    )
-    hexpos = F.expr("instr('0123456789abcdef', substr(hk, 1, 1)) - 1")
-    sexpos = F.expr("instr('0123456789abcdef', substr(sk, 1, 1)) - 1")
-    keyed = (
-        f.join(F.broadcast(rows_j))
-        .withColumn("hk", hkey)
-        .withColumn("sk", skey)
-        .select(
-            "user_id",
-            "f_true",
-            "j",
-            (hexpos % _CS_BUCKETS).cast("long").alias("bucket"),
-            F.when(sexpos < 8, 1).otherwise(-1).alias("sgn"),
-        )
-    )
+    keyed = cs_keyed(f)
     grid = keyed.groupBy("j", "bucket").agg(
         F.sum(F.col("sgn") * F.col("f_true")).cast("long").alias("c")
     )
@@ -5760,7 +5786,7 @@ def q290_count_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mid = F.sum(
-        F.when(F.col("rn").isin(2, 3), F.col("est")).otherwise(0)
+        F.when(F.col("rn").isin(*_CS_MID), F.col("est")).otherwise(0)
     ).cast("long")
     return ests.groupBy("user_id", "f_true").agg(
         mid.alias("est2x"),

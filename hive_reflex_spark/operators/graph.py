@@ -679,10 +679,10 @@ def q285_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    nodes = docs.select(
-        F.col("doc_id").alias("v"), F.col("doc_id").alias("user_id")
+    nodes = docs.select(F.col("doc_id").alias("v"))
+    regs = hll_registers(nodes, ["v"], key_col="v").localCheckpoint(
+        eager=True
     )
-    regs = hll_registers(nodes, ["v"]).localCheckpoint(eager=True)
 
     def summarize(r: DataFrame, t: int) -> DataFrame:
         per = r.groupBy("v").agg(

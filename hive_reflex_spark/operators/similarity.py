@@ -2178,12 +2178,15 @@ def q294_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 1, F.col("dd"))).alias("a"),
         F.min(F.when(F.col("rn") > 1, F.col("dd"))).alias("b"),
     )
+    # NOTE: the units expression must be the oracle's exact tree —
+    # (1e6*(b-a))/g, NOT 1e6*((b-a)/g): the two associations round to
+    # DIFFERENT 1e-6 units for some inputs (witness: a=0.12050849...,
+    # b=0.94326703... gives ...243.49999999988 vs ...243.5).
     sil = per_vec.select(
         "own",
         F.round(
-            F.lit(1e6)
-            * F.try_divide(
-                F.col("b") - F.col("a"),
+            F.try_divide(
+                F.lit(1e6) * (F.col("b") - F.col("a")),
                 F.nullif(F.greatest("a", "b"), F.lit(0.0)),
             )
         )

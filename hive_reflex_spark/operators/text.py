@@ -1890,12 +1890,12 @@ def q284_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (SELECT source, unnest(string_split(text, ' ')) AS w
                    FROM documents),
-         vocab AS (SELECT DISTINCT w FROM words),
-         vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
-         srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
-                  FROM words GROUP BY source),
          cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
                  FROM words GROUP BY source, w),
+         vocab AS (SELECT DISTINCT w FROM cnt),
+         vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+                  FROM cnt GROUP BY source),
          grid AS (SELECT s.source, s.n, vb.w,
                          CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
                   FROM srcs s CROSS JOIN vocab vb
@@ -1950,14 +1950,14 @@ def q292_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split("text", " ")).alias("w")
     )
-    vocab = words.select("w").distinct()
-    vsz = vocab.agg(F.count("*").cast("long").alias("v"))
-    srcs = words.groupBy("source").agg(
-        F.count("*").cast("long").alias("n")
-    )
     cnt = words.groupBy("source", "w").agg(
         F.count("*").cast("long").alias("c")
     )
+    # vocab and totals derive from the already-reduced count table —
+    # the corpus is exploded exactly once
+    vocab = cnt.select("w").distinct()
+    vsz = vocab.agg(F.count("*").cast("long").alias("v"))
+    srcs = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     grid = (
         srcs.join(F.broadcast(vocab))
         .join(cnt, ["source", "w"], "left")

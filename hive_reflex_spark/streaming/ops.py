@@ -1537,24 +1537,15 @@ def q250a_stream_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cs_stream_oracle() -> str:
-    from hive_reflex_spark.operators.analytics import _CS_BUCKETS
+    from hive_reflex_spark.operators.analytics import (
+        _CS_ROWS_VALUES,
+        _cs_keyed_sql,
+    )
 
     return f"""
     WITH rows_j AS (SELECT CAST(j AS BIGINT) AS j
-                    FROM (VALUES (1), (2), (3), (4)) t(j)),
-         keyed AS (SELECT rows_j.j,
-                          CAST(instr('0123456789abcdef',
-                                     substr(md5('h' || CAST(rows_j.j AS
-                                            VARCHAR) || ':' ||
-                                            CAST(e.user_id AS VARCHAR)),
-                                            1, 1)) - 1 AS BIGINT)
-                              % {_CS_BUCKETS} AS bucket,
-                          CASE WHEN instr('0123456789abcdef',
-                                     substr(md5('s' || CAST(rows_j.j AS
-                                            VARCHAR) || ':' ||
-                                            CAST(e.user_id AS VARCHAR)),
-                                            1, 1)) - 1 < 8
-                               THEN 1 ELSE -1 END AS sgn
+                    FROM (VALUES {_CS_ROWS_VALUES}) t(j)),
+         keyed AS (SELECT rows_j.j, {_cs_keyed_sql("e.user_id")}
                    FROM events e, rows_j)
     SELECT j, bucket, CAST(SUM(sgn) AS BIGINT) AS c
     FROM keyed GROUP BY j, bucket
@@ -1577,38 +1568,11 @@ def q290a_stream_count_sketch(
     sign flipped), giving unbiased frequency estimates over a
     correction-carrying stream where CMS only ever grows. q290 runs
     its median-estimate readout against exactly this table."""
-    from hive_reflex_spark.operators.analytics import _CS_BUCKETS, _CS_ROWS
+    from hive_reflex_spark.operators.analytics import cs_keyed
 
     stream = stream_events(spark, sf_dir)
-    rows_j = spark.range(1, _CS_ROWS + 1).select(F.col("id").alias("j"))
-    hkey = F.md5(
-        F.concat(
-            F.lit("h"),
-            F.col("j").cast("string"),
-            F.lit(":"),
-            F.col("user_id").cast("string"),
-        )
-    )
-    skey = F.md5(
-        F.concat(
-            F.lit("s"),
-            F.col("j").cast("string"),
-            F.lit(":"),
-            F.col("user_id").cast("string"),
-        )
-    )
-    hexpos = F.expr("instr('0123456789abcdef', substr(hk, 1, 1)) - 1")
-    sexpos = F.expr("instr('0123456789abcdef', substr(sk, 1, 1)) - 1")
-    keyed = (
-        stream.select("user_id")
-        .join(F.broadcast(rows_j))
-        .withColumn("hk", hkey)
-        .withColumn("sk", skey)
-        .select(
-            "j",
-            (hexpos % _CS_BUCKETS).cast("long").alias("bucket"),
-            F.when(sexpos < 8, 1).otherwise(-1).alias("sgn"),
-        )
+    keyed = cs_keyed(stream.select("user_id")).select(
+        "j", "bucket", "sgn"
     )
     grid = keyed.groupBy("j", "bucket").agg(
         F.sum("sgn").cast("long").alias("c")
