@@ -6103,3 +6103,157 @@ def q293_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(raw - theta * dx, 6).alias("adj_lift"),
         F.round(rho2, 6).alias("rho2"),
     )
+
+
+@query(
+    "q295_auc_delong",
+    oracle="""
+    WITH scored AS (SELECT event_id, value,
+                           CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END AS y
+                    FROM events),
+         tot AS (SELECT CAST(SUM(y) AS BIGINT) AS p,
+                        CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+                 FROM scored),
+         ranked AS (SELECT y,
+                           2 * RANK() OVER (ORDER BY value)
+                           + COUNT(*) OVER (PARTITION BY value) - 1
+                               AS r2_comb,
+                           2 * RANK() OVER (PARTITION BY y
+                                            ORDER BY value)
+                           + COUNT(*) OVER (PARTITION BY y, value) - 1
+                               AS r2_within
+                    FROM scored),
+         comp AS (SELECT y,
+                         CAST(r2_comb - r2_within AS BIGINT) AS a2
+                  FROM ranked),
+         aucn AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN a2 ELSE 0 END)
+                              AS BIGINT) AS auc2num
+                  FROM comp),
+         units AS (SELECT
+                       CAST(SUM(CASE WHEN y = 1 THEN CAST(ROUND(1e6
+                            * ((a2 * 1.0 * tot.p - aucn.auc2num)
+                               / (2.0 * tot.p * tot.neg))
+                            * ((a2 * 1.0 * tot.p - aucn.auc2num)
+                               / (2.0 * tot.p * tot.neg)))
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS s10u,
+                       CAST(SUM(CASE WHEN y = 0 THEN CAST(ROUND(1e6
+                            * ((a2 * 1.0 * tot.neg - aucn.auc2num)
+                               / (2.0 * tot.p * tot.neg))
+                            * ((a2 * 1.0 * tot.neg - aucn.auc2num)
+                               / (2.0 * tot.p * tot.neg)))
+                            AS BIGINT) ELSE 0 END) AS BIGINT) AS s01u
+                   FROM comp, tot, aucn)
+    SELECT tot.p, tot.neg, aucn.auc2num,
+           ROUND(aucn.auc2num * 1.0 / (2.0 * tot.p * tot.neg), 6)
+               AS auc,
+           units.s10u, units.s01u,
+           ROUND(sqrt(units.s10u / 1e6 / (tot.p - 1.0) / tot.p
+                      + units.s01u / 1e6 / (tot.neg - 1.0) / tot.neg),
+                 6) AS se,
+           ROUND(aucn.auc2num * 1.0 / (2.0 * tot.p * tot.neg)
+                 - CAST(1.96 AS DOUBLE)
+                   * sqrt(units.s10u / 1e6 / (tot.p - 1.0) / tot.p
+                          + units.s01u / 1e6 / (tot.neg - 1.0)
+                            / tot.neg), 6) AS ci_lo,
+           ROUND(aucn.auc2num * 1.0 / (2.0 * tot.p * tot.neg)
+                 + CAST(1.96 AS DOUBLE)
+                   * sqrt(units.s10u / 1e6 / (tot.p - 1.0) / tot.p
+                          + units.s01u / 1e6 / (tot.neg - 1.0)
+                            / tot.neg), 6) AS ci_hi
+    FROM tot, aucn, units
+    """,
+)
+def q295_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC with its DeLong (1988) standard error and 95% CI — the
+    uncertainty band q280's point estimate lacks (two classifiers
+    whose AUCs differ by less than ~2 SE are NOT distinguishable on
+    this eval set; shipping the better-looking one is noise-chasing).
+    DeLong's placement values come free from the rank machinery:
+    V10_i = (combined tie-avg rank - within-class tie-avg rank)/N_neg
+    for each positive (likewise V01 per negative), SE^2 =
+    var(V10)/P + var(V01)/N.
+
+    Exactness: both tie-averaged ranks are exact halves, so
+    a2 = 2*(r_comb - r_within) is an exact BIGINT per row; each
+    squared deviation (a BOUNDED quantity <= 1) freezes to 1e-6
+    units before the order-independent sum; the final se/ci are one
+    identical double expression over the frozen integers.
+
+    Scale: two global ranks + one per-class rank over the same scan
+    (per-shard rank + offset merge in production, the q113 pattern),
+    then a 1-row reduction — no pairwise work despite the pairwise
+    definition."""
+    events = read_table(spark, sf_dir, "events")
+    scored = events.select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("y"),
+    )
+    tot = scored.agg(
+        F.sum("y").cast("long").alias("p"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg"),
+    )
+    r2_comb = (
+        2 * F.rank().over(Window.orderBy("value"))
+        + F.count("*").over(Window.partitionBy("value"))
+        - 1
+    )
+    r2_within = (
+        2 * F.rank().over(Window.partitionBy("y").orderBy("value"))
+        + F.count("*").over(Window.partitionBy("y", "value"))
+        - 1
+    )
+    comp = scored.select(
+        "y", (r2_comb - r2_within).cast("long").alias("a2")
+    )
+    aucn = comp.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("a2")).otherwise(0))
+        .cast("long")
+        .alias("auc2num")
+    )
+    j = comp.join(F.broadcast(tot)).join(F.broadcast(aucn))
+    dev10 = (F.col("a2") * 1.0 * F.col("p") - F.col("auc2num")) / (
+        2.0 * F.col("p") * F.col("neg")
+    )
+    dev01 = (F.col("a2") * 1.0 * F.col("neg") - F.col("auc2num")) / (
+        2.0 * F.col("p") * F.col("neg")
+    )
+    units = j.agg(
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.round(F.lit(1e6) * dev10 * dev10).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s10u"),
+        F.sum(
+            F.when(
+                F.col("y") == 0,
+                F.round(F.lit(1e6) * dev01 * dev01).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("s01u"),
+    )
+    out = tot.join(F.broadcast(aucn)).join(F.broadcast(units))
+    auc = F.col("auc2num") * 1.0 / (2.0 * F.col("p") * F.col("neg"))
+    se = F.sqrt(
+        F.col("s10u") / F.lit(1e6) / (F.col("p") - 1.0) / F.col("p")
+        + F.col("s01u") / F.lit(1e6) / (F.col("neg") - 1.0) / F.col("neg")
+    )
+    return out.select(
+        "p",
+        "neg",
+        "auc2num",
+        F.round(auc, 6).alias("auc"),
+        "s10u",
+        "s01u",
+        F.round(se, 6).alias("se"),
+        F.round(auc - F.lit(1.96) * se, 6).alias("ci_lo"),
+        F.round(auc + F.lit(1.96) * se, 6).alias("ci_hi"),
+    )

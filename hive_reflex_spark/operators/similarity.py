@@ -2061,6 +2061,57 @@ def q276_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_own_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, own, a, b): every vector's max-dot IVF cluster (q54a's
+    assignment rule), its cosine distance to that centroid (a) and to
+    the nearest OTHER centroid (b) — the ARRAY-FOLD form of the
+    corpus x centroids join shared by q294 (silhouette) and q297
+    (cluster-label NMI). The per-pair dot is one zip_with/aggregate
+    integer fold, bit-identical to the coordinate plan's exact_sum
+    (the q52a contract), so the join carries |V| x k pair rows, not
+    |V| x k x dims coordinate rows."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    dot = _fold_dot(units=True)
+    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    cents_a = emb.filter(
+        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # the fixture parquet has ~2 row groups; without a re-spread the
+    # CPU-bound fold runs 2-wide (263 s at sf1) instead of cluster-wide
+    # (the q272 lesson) — vec_id is uniform so this is a clean fan-out
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    paired = (
+        emb.repartition(nparts, "vec_id")
+        .join(F.broadcast(cents_a))
+        .select(
+            "vec_id",
+            "cid",
+            dot(F.col("e"), F.col("ce")).alias("dot"),
+            "nrm",
+            "cnrm",
+        )
+    )
+    dist = paired.select(
+        "vec_id",
+        "cid",
+        (1.0 - F.col("dot") / (F.col("nrm") * F.col("cnrm"))).alias("dd"),
+        F.row_number()
+        .over(Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid"))
+        .alias("rn"),
+    )
+    return dist.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("own"),
+        F.max(F.when(F.col("rn") == 1, F.col("dd"))).alias("a"),
+        F.min(F.when(F.col("rn") > 1, F.col("dd"))).alias("b"),
+    )
+
+
 @query(
     "q294_simplified_silhouette",
     oracle=f"""
@@ -2138,46 +2189,7 @@ def q294_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     |V| x k x dims coordinate rows (the coordinate form measured
     226 s at sf1 against ~4 s for the fold); then one per-vec reduce
     and |centroids|-row arithmetic."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
-    )
-    dot = _fold_dot(units=True)
-    emb = emb.withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
-    cents_a = emb.filter(
-        F.col("vec_id") % N_CENTROIDS_STRIDE == 0
-    ).select(
-        F.col("vec_id").alias("cid"),
-        F.col("e").alias("ce"),
-        F.col("nrm").alias("cnrm"),
-    )
-    # the fixture parquet has ~2 row groups; without a re-spread the
-    # CPU-bound fold runs 2-wide (263 s at sf1) instead of cluster-wide
-    # (the q272 lesson) — vec_id is uniform so this is a clean fan-out
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    paired = (
-        emb.repartition(nparts, "vec_id")
-        .join(F.broadcast(cents_a))
-        .select(
-            "vec_id",
-            "cid",
-            dot(F.col("e"), F.col("ce")).alias("dot"),
-            "nrm",
-            "cnrm",
-        )
-    )
-    dist = paired.select(
-        "vec_id",
-        "cid",
-        (1.0 - F.col("dot") / (F.col("nrm") * F.col("cnrm"))).alias("dd"),
-        F.row_number()
-        .over(Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid"))
-        .alias("rn"),
-    )
-    per_vec = dist.groupBy("vec_id").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("own"),
-        F.max(F.when(F.col("rn") == 1, F.col("dd"))).alias("a"),
-        F.min(F.when(F.col("rn") > 1, F.col("dd"))).alias("b"),
-    )
+    per_vec = ivf_own_arrays(spark, sf_dir)
     # NOTE: the units expression must be the oracle's exact tree —
     # (1e6*(b-a))/g, NOT 1e6*((b-a)/g): the two associations round to
     # DIFFERENT 1e-6 units for some inputs (witness: a=0.12050849...,
@@ -2214,4 +2226,176 @@ def q294_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6),
             6,
         ).alias("global_mean_sil"),
+    )
+
+
+@query(
+    "q297_cluster_label_nmi",
+    oracle=f"""
+    WITH coords AS (SELECT * FROM {_duck_coords(None)} c),
+         cents AS (SELECT vec_id AS cid, dim, v AS cv FROM coords
+                   WHERE vec_id % {N_CENTROIDS_STRIDE} = 0),
+         dots AS (SELECT x.vec_id, c.cid,
+                         CAST(SUM(CAST(ROUND(x.v * c.cv * 1000000000)
+                              AS BIGINT)) AS BIGINT) / 1000000000.0 AS dot
+                  FROM coords x JOIN cents c USING (dim)
+                  GROUP BY x.vec_id, c.cid),
+         assign AS (SELECT vec_id, cid FROM (
+                        SELECT vec_id, cid,
+                               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                                  ORDER BY dot DESC, cid)
+                                   AS rn
+                        FROM dots) WHERE rn = 1),
+         joint AS (SELECT a.cid, e.label,
+                          CAST(COUNT(*) AS BIGINT) AS n_cl
+                   FROM assign a JOIN embeddings e USING (vec_id)
+                   GROUP BY a.cid, e.label),
+         mc AS (SELECT cid, CAST(SUM(n_cl) AS BIGINT) AS n_c
+                FROM joint GROUP BY cid),
+         ml AS (SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l
+                FROM joint GROUP BY label),
+         tot AS (SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM joint),
+         iu AS (SELECT CAST(SUM(CAST(ROUND(1e9 * (j.n_cl * 1.0 / tot.n)
+                            * ln(tot.n * 1.0 * j.n_cl
+                                 / (mc.n_c * 1.0 * ml.n_l)))
+                            AS BIGINT)) AS BIGINT) AS i_units
+               FROM joint j
+               JOIN mc ON mc.cid = j.cid
+               JOIN ml ON ml.label = j.label
+               CROSS JOIN tot),
+         hcu AS (SELECT CAST(SUM(CAST(ROUND(1e9 * (mc.n_c * 1.0 / tot.n)
+                             * ln(tot.n * 1.0 / mc.n_c)) AS BIGINT))
+                        AS BIGINT) AS hc_units
+                FROM mc, tot),
+         hlu AS (SELECT CAST(SUM(CAST(ROUND(1e9 * (ml.n_l * 1.0 / tot.n)
+                             * ln(tot.n * 1.0 / ml.n_l)) AS BIGINT))
+                        AS BIGINT) AS hl_units
+                FROM ml, tot),
+         pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS n_majority
+                 FROM (SELECT cid, MAX(n_cl) AS mx
+                       FROM joint GROUP BY cid))
+    SELECT tot.n AS n_vecs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mc) AS n_clusters,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ml) AS n_labels,
+           iu.i_units, hcu.hc_units, hlu.hl_units,
+           ROUND(iu.i_units * 1.0
+                 / NULLIF(sqrt(hcu.hc_units * 1.0 * hlu.hl_units), 0),
+                 6) AS nmi,
+           pur.n_majority,
+           ROUND(pur.n_majority * 1.0 / tot.n, 6) AS purity
+    FROM tot, iu, hcu, hlu, pur
+    """,
+)
+def q297_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information (and purity) between the IVF
+    clustering and the ground-truth labels — the external-validity
+    companion to q294's internal silhouette: silhouette says the
+    cells are geometrically tight, NMI says whether they align with
+    anything REAL. NMI = I(C;L)/sqrt(H(C)H(L)) from the cluster x
+    label contingency counts; purity = majority-label mass.
+
+    Exactness: every count is an exact BIGINT from one grouped
+    aggregate over the (assignment join labels) table; each
+    p*ln(...) term freezes to integer 1e-9 units before the
+    (order-independent) sums — the q271/q292 ln discipline; the
+    final NMI is one identical double expression over three frozen
+    integers, NULL-guarded for the degenerate single-cluster case.
+
+    Scale: assignment reuses the shared array-fold join
+    (ivf_own_arrays); everything after is |clusters| x |labels|
+    dimension-scale arithmetic."""
+    per_vec = ivf_own_arrays(spark, sf_dir)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    joint = (
+        per_vec.select("vec_id", "own")
+        .join(emb, "vec_id")
+        .groupBy(F.col("own").alias("cid"), "label")
+        .agg(F.count("*").cast("long").alias("n_cl"))
+    )
+    mc = joint.groupBy("cid").agg(F.sum("n_cl").cast("long").alias("n_c"))
+    ml = joint.groupBy("label").agg(
+        F.sum("n_cl").cast("long").alias("n_l")
+    )
+    tot = joint.agg(F.sum("n_cl").cast("long").alias("n"))
+    iu = (
+        joint.join(F.broadcast(mc), "cid")
+        .join(F.broadcast(ml), "label")
+        .join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.round(
+                    F.lit(1e9)
+                    * (F.col("n_cl") * 1.0 / F.col("n"))
+                    * F.log(
+                        F.col("n")
+                        * 1.0
+                        * F.col("n_cl")
+                        / (F.col("n_c") * 1.0 * F.col("n_l"))
+                    )
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("i_units")
+        )
+    )
+    hcu = mc.join(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.lit(1e9)
+                * (F.col("n_c") * 1.0 / F.col("n"))
+                * F.log(F.col("n") * 1.0 / F.col("n_c"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hc_units")
+    )
+    hlu = ml.join(F.broadcast(tot)).agg(
+        F.sum(
+            F.round(
+                F.lit(1e9)
+                * (F.col("n_l") * 1.0 / F.col("n"))
+                * F.log(F.col("n") * 1.0 / F.col("n_l"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("hl_units")
+    )
+    nc = mc.agg(F.count("*").cast("long").alias("n_clusters"))
+    nl = ml.agg(F.count("*").cast("long").alias("n_labels"))
+    pur = (
+        joint.groupBy("cid")
+        .agg(F.max("n_cl").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("n_majority"))
+    )
+    out = (
+        tot.join(F.broadcast(iu))
+        .join(F.broadcast(hcu))
+        .join(F.broadcast(hlu))
+        .join(F.broadcast(nc))
+        .join(F.broadcast(nl))
+        .join(F.broadcast(pur))
+    )
+    return out.select(
+        F.col("n").alias("n_vecs"),
+        "n_clusters",
+        "n_labels",
+        "i_units",
+        "hc_units",
+        "hl_units",
+        F.round(
+            F.try_divide(
+                F.col("i_units") * 1.0,
+                F.nullif(
+                    F.sqrt(F.col("hc_units") * 1.0 * F.col("hl_units")),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias("nmi"),
+        "n_majority",
+        F.round(F.col("n_majority") * 1.0 / F.col("n"), 6).alias(
+            "purity"
+        ),
     )

@@ -2006,3 +2006,109 @@ def q292_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "js_units",
         F.round(F.col("js_units") / F.lit(1e9), 6).alias("js_nats"),
     )
+
+
+# q296's two paired keep-rules: a length gate and a token-count gate —
+# deliberately simple deterministic filters; the operator's value is
+# the PAIRED disagreement test, not the rules themselves.
+_MCN_CHAR_MIN = 300
+_MCN_TOKEN_MIN = 60
+
+
+@query(
+    "q296_mcnemar_filters",
+    oracle=f"""
+    WITH flags AS (SELECT
+                       CASE WHEN n_chars >= {_MCN_CHAR_MIN}
+                            THEN 1 ELSE 0 END AS ka,
+                       CASE WHEN len(string_split(text, ' '))
+                                 >= {_MCN_TOKEN_MIN}
+                            THEN 1 ELSE 0 END AS kb
+                   FROM documents),
+         cells AS (SELECT
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(ka * kb) AS BIGINT) AS keep_both,
+                       CAST(SUM(ka * (1 - kb)) AS BIGINT) AS a_only,
+                       CAST(SUM((1 - ka) * kb) AS BIGINT) AS b_only,
+                       CAST(SUM((1 - ka) * (1 - kb)) AS BIGINT)
+                           AS keep_neither
+                   FROM flags)
+    SELECT n_docs, keep_both, a_only, b_only, keep_neither,
+           CAST(ROUND(1e9 * ((a_only - b_only) * 1.0
+                             * (a_only - b_only))
+                      / NULLIF(a_only + b_only, 0)) AS BIGINT)
+               AS mcnemar_units,
+           CAST(ROUND(1e9 * (GREATEST(ABS(a_only - b_only) - 1, 0)
+                             * 1.0
+                             * GREATEST(ABS(a_only - b_only) - 1, 0))
+                      / NULLIF(a_only + b_only, 0)) AS BIGINT)
+               AS mcnemar_cc_units,
+           ROUND(keep_both * 1.0 / n_docs, 6) AS agree_keep_rate,
+           ROUND((keep_both + keep_neither) * 1.0 / n_docs, 6) AS agreement
+    FROM cells
+    """,
+)
+def q296_mcnemar_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two keep-filters evaluated on the
+    SAME documents (a length gate vs a token-count gate): the 2x2
+    agreement cells and the chi-squared statistic (b-c)^2/(b+c) over
+    the DISAGREEMENT cells only — the correct way to compare two
+    curation filters, where comparing raw keep-rates ignores that the
+    decisions are paired (the both/neither cells carry no evidence
+    about which filter is stricter). The continuity-corrected variant
+    rides alongside. Companion to q281's family-wide control: this is
+    the single paired comparison, exact in the same spirit.
+
+    Exactness: all four cells are exact BIGINTs from ONE scan; both
+    statistics are exact rationals frozen to 1e-9 units with guarded
+    denominators (b+c = 0 -> NULL on both engines).
+
+    Scale: one scan, one 1-row aggregate — nothing else."""
+    docs = read_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        F.when(F.col("n_chars") >= _MCN_CHAR_MIN, 1)
+        .otherwise(0)
+        .alias("ka"),
+        F.when(F.size(F.split("text", " ")) >= _MCN_TOKEN_MIN, 1)
+        .otherwise(0)
+        .alias("kb"),
+    )
+    ka, kb = F.col("ka"), F.col("kb")
+    cells = flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ka * kb).cast("long").alias("keep_both"),
+        F.sum(ka * (1 - kb)).cast("long").alias("a_only"),
+        F.sum((1 - ka) * kb).cast("long").alias("b_only"),
+        F.sum((1 - ka) * (1 - kb)).cast("long").alias("keep_neither"),
+    )
+    b, c = F.col("a_only"), F.col("b_only")
+    cc = F.greatest(F.abs(b - c) - 1, F.lit(0))
+    return cells.select(
+        "n_docs",
+        "keep_both",
+        "a_only",
+        "b_only",
+        "keep_neither",
+        F.round(
+            F.try_divide(
+                F.lit(1e9) * ((b - c) * 1.0 * (b - c)),
+                F.nullif(b + c, F.lit(0)),
+            )
+        )
+        .cast("long")
+        .alias("mcnemar_units"),
+        F.round(
+            F.try_divide(
+                F.lit(1e9) * (cc * 1.0 * cc),
+                F.nullif(b + c, F.lit(0)),
+            )
+        )
+        .cast("long")
+        .alias("mcnemar_cc_units"),
+        F.round(F.col("keep_both") * 1.0 / F.col("n_docs"), 6).alias(
+            "agree_keep_rate"
+        ),
+        F.round(
+            (F.col("keep_both") + F.col("keep_neither")) * 1.0 / F.col("n_docs"), 6
+        ).alias("agreement"),
+    )

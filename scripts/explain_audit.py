@@ -501,6 +501,16 @@ PICKS = {
         "aggregate to 10 bin rows; components are arithmetic against "
         "a broadcast 1-row bounds/base-rate table."
     ),
+    "q295_auc_delong": (
+        "DeLong AUC CI: three ranks share one event scan (combined + "
+        "per-class), then a 1-row frozen-units reduction — the "
+        "pairwise-defined variance without pairwise work."
+    ),
+    "q297_cluster_label_nmi": (
+        "Cluster-label NMI: assignment reuses the shared array-fold "
+        "broadcast join (ivf_own_arrays, vec_id re-spread); all "
+        "entropy terms are |clusters| x |labels| arithmetic."
+    ),
     "q293_cuped_adjustment": (
         "CUPED: one event-scale grouped aggregate to per-user (X, Y) "
         "rows, then a 1-row exact-moment reduction — the q128/q123 "

@@ -553,3 +553,125 @@ def test_stream_count_sketch_equals_batch_grid(spark):
             grid[(j, b)] = grid.get((j, b), 0) + s * c
     got = {(r.j, r.bucket): r.c for r in rows}
     assert got == {k: v for k, v in grid.items()}
+
+
+def test_auc_delong_python_replay(spark):
+    from hive_reflex_spark.operators.analytics import q295_auc_delong
+
+    r = q295_auc_delong(spark, SF_SMOKE).collect()[0]
+    ev = _events(SF_SMOKE)
+    pos = sorted(v for _, t, v, _ in ev if t == "purchase")
+    neg = sorted(v for _, t, v, _ in ev if t != "purchase")
+    import bisect
+
+    p_n, n_n = len(pos), len(neg)
+    assert (r.p, r.neg) == (p_n, n_n)
+    # placement values: V10_i = (#neg below + half ties)/N in halves
+    s10u = 0
+    auc2 = r.auc2num
+    for v in pos:
+        lt = bisect.bisect_left(neg, v)
+        eq = bisect.bisect_right(neg, v) - lt
+        a2 = 2 * lt + eq
+        dev = (a2 * p_n - auc2) / (2.0 * p_n * n_n)
+        s10u += round(1e6 * dev * dev)
+    s01u = 0
+    for v in neg:
+        lt = bisect.bisect_left(pos, v)
+        eq = bisect.bisect_right(pos, v) - lt
+        # placements of negatives w.r.t. positives ABOVE them mirror
+        # the rank identity: a2 = 2*#pos_below + ties
+        a2 = 2 * lt + eq
+        dev = (a2 * n_n - auc2) / (2.0 * p_n * n_n)
+        s01u += round(1e6 * dev * dev)
+    assert r.s10u == s10u
+    assert r.s01u == s01u
+    se = math.sqrt(
+        s10u / 1e6 / (p_n - 1) / p_n + s01u / 1e6 / (n_n - 1) / n_n
+    )
+    assert abs(r.se - se) < 2e-6
+    assert r.ci_lo < r.auc < r.ci_hi
+    assert abs((r.ci_hi - r.ci_lo) / 2 - 1.96 * se) < 5e-6
+
+
+def test_mcnemar_cells_and_units_replay(spark):
+    from hive_reflex_spark.operators.text import (
+        _MCN_CHAR_MIN,
+        _MCN_TOKEN_MIN,
+        q296_mcnemar_filters,
+    )
+
+    r = q296_mcnemar_filters(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    cells = [0, 0, 0, 0]
+    for (nc, text) in con.execute(
+        f"SELECT n_chars, text FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall():
+        ka = nc >= _MCN_CHAR_MIN
+        kb = len(text.split(" ")) >= _MCN_TOKEN_MIN
+        cells[(not ka) * 2 + (not kb)] += 1
+    both, b_only_inv, a_only_inv, neither = cells
+    assert (r.keep_both, r.a_only, r.b_only, r.keep_neither) == (
+        both,
+        b_only_inv,
+        a_only_inv,
+        neither,
+    )
+    b, c = r.a_only, r.b_only
+    if b + c:
+        assert r.mcnemar_units == round(1e9 * (b - c) ** 2 / (b + c))
+        cc = max(abs(b - c) - 1, 0)
+        assert r.mcnemar_cc_units == round(1e9 * cc * cc / (b + c))
+    assert r.keep_both + r.a_only + r.b_only + r.keep_neither == r.n_docs
+
+
+def test_cluster_label_nmi_python_replay(spark):
+    from hive_reflex_spark.operators.similarity import (
+        N_CENTROIDS_STRIDE,
+        q297_cluster_label_nmi,
+    )
+
+    r = q297_cluster_label_nmi(spark, SF_CORRECT).collect()[0]
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding "
+        f"FROM '{SF_CORRECT}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: (lab, list(emb)) for vid, lab, emb in rows}
+    cents = {
+        vid: emb
+        for vid, (lab, emb) in vecs.items()
+        if vid % N_CENTROIDS_STRIDE == 0
+    }
+
+    def xdot(a, b):
+        return sum(round(x * y * 1e9) for x, y in zip(a, b)) / 1e9
+
+    joint = Counter()
+    for vid, (lab, emb) in vecs.items():
+        best = max(
+            sorted(cents), key=lambda cid: (xdot(emb, cents[cid]), -cid)
+        )
+        joint[(best, lab)] += 1
+    n = sum(joint.values())
+    mc = Counter()
+    ml = Counter()
+    for (cid, lab), cnt in joint.items():
+        mc[cid] += cnt
+        ml[lab] += cnt
+    i_units = sum(
+        round(1e9 * (cnt / n) * math.log(n * cnt / (mc[cid] * ml[lab])))
+        for (cid, lab), cnt in joint.items()
+    )
+    hc = sum(round(1e9 * (v / n) * math.log(n / v)) for v in mc.values())
+    hl = sum(round(1e9 * (v / n) * math.log(n / v)) for v in ml.values())
+    assert (r.n_vecs, r.n_clusters, r.n_labels) == (n, len(mc), len(ml))
+    assert (r.i_units, r.hc_units, r.hl_units) == (i_units, hc, hl)
+    pur = sum(
+        max(cnt for (c2, _), cnt in joint.items() if c2 == cid)
+        for cid in mc
+    )
+    assert r.n_majority == pur
+    assert 0 <= r.purity <= 1
+    if hc and hl:
+        assert abs(r.nmi - i_units / math.sqrt(hc * hl)) < 1e-6

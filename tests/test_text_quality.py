@@ -203,6 +203,9 @@ def test_registry_window_covers_new_families():
         # r01/r02 hash-greens (scripts/rotate_window.py) — the listed
         # names that overflow the 50-slot window keep their standing
         # r02 evidence.
+        "q295_auc_delong",              # new: AUC with DeLong CI
+        "q296_mcnemar_filters",         # new: paired filter test
+        "q297_cluster_label_nmi",       # new: clustering NMI/purity
         "q293_cuped_adjustment",        # new: CUPED adjusted lift
         "q294_simplified_silhouette",   # new: clustering quality
         "q290a_stream_count_sketch",    # new: streaming signed grid
