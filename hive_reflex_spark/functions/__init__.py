@@ -169,3 +169,83 @@ def duck_dyadic_md5_uniform(expr: str) -> str:
         f" * {16.0 ** -(i + 1)!r}"
         for i in range(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# CountSketch keying (shared by operators.analytics q290 and
+# streaming.ops q290a — it lives HERE, outside the operators package,
+# so the streaming oracle can build at import time without triggering
+# operators/__init__'s finalize_order mid-registration)
+# ---------------------------------------------------------------------------
+
+# KMV sketch size (shared by the analytics KMV family and the
+# streaming twin's import-safe oracle): rse ~ 1/sqrt(k-2) ~ 18%.
+KMV_K = 32
+
+# 4 independent md5-keyed rows x 16 signed buckets (the CMS grid shape
+# with signs) — enough rows for a middle-two median, small enough that
+# the sketch is a 64-int state. NOTE: the bucket is the FIRST md5 hex
+# nibble (0-15), so _CS_BUCKETS must stay 16 unless the keying below
+# widens to more hex chars.
+_CS_ROWS = 4
+_CS_BUCKETS = 16
+assert _CS_BUCKETS == 16, "bucket = one hex nibble; widen the keying first"
+# the two middle order statistics of the _CS_ROWS row estimates — their
+# sum is the exact-integer 2*median the report emits
+_CS_MID = (_CS_ROWS // 2, _CS_ROWS // 2 + 1)
+_CS_ROWS_VALUES = ", ".join(f"({j})" for j in range(1, _CS_ROWS + 1))
+
+
+def _cs_keyed_sql(uexpr: str) -> str:
+    """DuckDB fragment: the (j, bucket, sgn) CountSketch keying of one
+    key expression — the ONE hash definition shared by q290's batch
+    oracle and q290a's stream oracle (rows_j must be in scope)."""
+    return f"""CAST(instr('0123456789abcdef',
+                     substr(md5('h' || CAST(rows_j.j AS VARCHAR) || ':'
+                            || CAST({uexpr} AS VARCHAR)), 1, 1)) - 1
+                AS BIGINT) % {_CS_BUCKETS} AS bucket,
+           CASE WHEN instr('0123456789abcdef',
+                     substr(md5('s' || CAST(rows_j.j AS VARCHAR) || ':'
+                            || CAST({uexpr} AS VARCHAR)), 1, 1)) - 1 < 8
+                THEN 1 ELSE -1 END AS sgn"""
+
+
+def cs_keyed(df: DataFrame) -> DataFrame:
+    """(everything in df, j, bucket, sgn): the Spark twin of
+    _cs_keyed_sql over df.user_id, expanded x _CS_ROWS. Shared by q290
+    (batch grid + report) and q290a (streaming grid maintenance)."""
+    rows_j = (
+        df.sparkSession.range(1, _CS_ROWS + 1)
+        .select(F.col("id").alias("j"))
+    )
+    hkey = F.md5(
+        F.concat(
+            F.lit("h"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    skey = F.md5(
+        F.concat(
+            F.lit("s"),
+            F.col("j").cast("string"),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        )
+    )
+    hexpos = F.expr("instr('0123456789abcdef', substr(hk, 1, 1)) - 1")
+    sexpos = F.expr("instr('0123456789abcdef', substr(sk, 1, 1)) - 1")
+    return (
+        df.join(F.broadcast(rows_j))
+        .withColumn("hk", hkey)
+        .withColumn("sk", skey)
+        .select(
+            *df.columns,
+            "j",
+            (hexpos % _CS_BUCKETS).cast("long").alias("bucket"),
+            F.when(sexpos < 8, 1).otherwise(-1).alias("sgn"),
+        )
+    )
+
+

@@ -793,7 +793,7 @@ def q265_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # INTERSECTION estimates — the set-operation capability HLL lacks
 # ---------------------------------------------------------------------------
 
-KMV_K = 32  # sketch size; rse ~ 1/sqrt(k-2) ~ 18% — audit column pins it
+from hive_reflex_spark.functions import KMV_K  # noqa: E402  (single source)
 
 # md5-derived uniform in (0,1): the SHARED exact dyadic polynomial
 # (functions.dyadic_md5_uniform — q124's A-ES keys use the same
@@ -5642,71 +5642,21 @@ def q289_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# q290 CountSketch geometry: 4 independent md5-keyed rows x 16 signed
-# buckets (q114's CMS grid shape with signs) — enough rows for a
-# middle-two median, small enough that the sketch is a 64-int state.
-_CS_ROWS = 4
-_CS_BUCKETS = 16
+# q290's report depth (the sketch geometry itself lives in
+# hive_reflex_spark.functions so the streaming twin's oracle can build
+# WITHOUT importing the operators package at module-import time — an
+# import-time cycle there silently re-ordered the registry when
+# streaming.ops was imported first).
 _CS_TOP = 10
-# the two middle order statistics of the _CS_ROWS row estimates — their
-# sum is the exact-integer 2*median the report emits
-_CS_MID = (_CS_ROWS // 2, _CS_ROWS // 2 + 1)
-_CS_ROWS_VALUES = ", ".join(f"({j})" for j in range(1, _CS_ROWS + 1))
 
-
-def _cs_keyed_sql(uexpr: str) -> str:
-    """DuckDB fragment: the (j, bucket, sgn) CountSketch keying of one
-    key expression — the ONE hash definition shared by q290's batch
-    oracle and q290a's stream oracle (rows_j must be in scope)."""
-    return f"""CAST(instr('0123456789abcdef',
-                     substr(md5('h' || CAST(rows_j.j AS VARCHAR) || ':'
-                            || CAST({uexpr} AS VARCHAR)), 1, 1)) - 1
-                AS BIGINT) % {_CS_BUCKETS} AS bucket,
-           CASE WHEN instr('0123456789abcdef',
-                     substr(md5('s' || CAST(rows_j.j AS VARCHAR) || ':'
-                            || CAST({uexpr} AS VARCHAR)), 1, 1)) - 1 < 8
-                THEN 1 ELSE -1 END AS sgn"""
-
-
-def cs_keyed(df: DataFrame) -> DataFrame:
-    """(everything in df, j, bucket, sgn): the Spark twin of
-    _cs_keyed_sql over df.user_id, expanded x _CS_ROWS. Shared by q290
-    (batch grid + report) and q290a (streaming grid maintenance)."""
-    rows_j = (
-        df.sparkSession.range(1, _CS_ROWS + 1)
-        .select(F.col("id").alias("j"))
-    )
-    hkey = F.md5(
-        F.concat(
-            F.lit("h"),
-            F.col("j").cast("string"),
-            F.lit(":"),
-            F.col("user_id").cast("string"),
-        )
-    )
-    skey = F.md5(
-        F.concat(
-            F.lit("s"),
-            F.col("j").cast("string"),
-            F.lit(":"),
-            F.col("user_id").cast("string"),
-        )
-    )
-    hexpos = F.expr("instr('0123456789abcdef', substr(hk, 1, 1)) - 1")
-    sexpos = F.expr("instr('0123456789abcdef', substr(sk, 1, 1)) - 1")
-    return (
-        df.join(F.broadcast(rows_j))
-        .withColumn("hk", hkey)
-        .withColumn("sk", skey)
-        .select(
-            *df.columns,
-            "j",
-            (hexpos % _CS_BUCKETS).cast("long").alias("bucket"),
-            F.when(sexpos < 8, 1).otherwise(-1).alias("sgn"),
-        )
-    )
-
-
+from hive_reflex_spark.functions import (  # noqa: E402
+    _CS_BUCKETS,
+    _CS_MID,
+    _CS_ROWS,
+    _CS_ROWS_VALUES,
+    _cs_keyed_sql,
+    cs_keyed,
+)
 @query(
     "q290_count_sketch",
     oracle=f"""
@@ -6108,7 +6058,7 @@ def q293_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q295_auc_delong",
     oracle="""
-    WITH scored AS (SELECT event_id, value,
+    WITH scored AS (SELECT value,
                            CASE WHEN event_type = 'purchase' THEN 1
                                 ELSE 0 END AS y
                     FROM events),
@@ -6138,9 +6088,13 @@ def q293_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / (2.0 * tot.p * tot.neg)))
                             AS BIGINT) ELSE 0 END) AS BIGINT) AS s10u,
                        CAST(SUM(CASE WHEN y = 0 THEN CAST(ROUND(1e6
-                            * ((a2 * 1.0 * tot.neg - aucn.auc2num)
+                            * ((a2 * 1.0 * tot.neg
+                                - (2.0 * tot.p * tot.neg
+                                   - aucn.auc2num))
                                / (2.0 * tot.p * tot.neg))
-                            * ((a2 * 1.0 * tot.neg - aucn.auc2num)
+                            * ((a2 * 1.0 * tot.neg
+                                - (2.0 * tot.p * tot.neg
+                                   - aucn.auc2num))
                                / (2.0 * tot.p * tot.neg)))
                             AS BIGINT) ELSE 0 END) AS BIGINT) AS s01u
                    FROM comp, tot, aucn)
@@ -6171,8 +6125,9 @@ def q295_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
     this eval set; shipping the better-looking one is noise-chasing).
     DeLong's placement values come free from the rank machinery:
     V10_i = (combined tie-avg rank - within-class tie-avg rank)/N_neg
-    for each positive (likewise V01 per negative), SE^2 =
-    var(V10)/P + var(V01)/N.
+    for each positive; per negative the same rank difference counts
+    positives BELOW it (mean 2P(1-AUC)), so its deviation centers at
+    1-AUC. SE^2 = var(V10)/P + var(V01)/N.
 
     Exactness: both tie-averaged ranks are exact halves, so
     a2 = 2*(r_comb - r_within) is an exact BIGINT per row; each
@@ -6186,7 +6141,6 @@ def q295_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition."""
     events = read_table(spark, sf_dir, "events")
     scored = events.select(
-        "event_id",
         "value",
         F.when(F.col("event_type") == "purchase", 1)
         .otherwise(0)
@@ -6219,9 +6173,13 @@ def q295_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev10 = (F.col("a2") * 1.0 * F.col("p") - F.col("auc2num")) / (
         2.0 * F.col("p") * F.col("neg")
     )
-    dev01 = (F.col("a2") * 1.0 * F.col("neg") - F.col("auc2num")) / (
-        2.0 * F.col("p") * F.col("neg")
-    )
+    # negatives' placements count positives BELOW them, whose mean is
+    # 2P(1-AUC) — center there, not at AUC (a 2.4x-inflated SE on a
+    # constructed AUC=0.83 sample otherwise)
+    dev01 = (
+        F.col("a2") * 1.0 * F.col("neg")
+        - (2.0 * F.col("p") * F.col("neg") - F.col("auc2num"))
+    ) / (2.0 * F.col("p") * F.col("neg"))
     units = j.agg(
         F.sum(
             F.when(

@@ -1085,7 +1085,15 @@ def q265a_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmv_stream_oracle() -> str:
-    from hive_reflex_spark.operators.analytics import _KMV_U_SQL, KMV_K
+    # import-safe: built at module-import time, so it must not touch
+    # the operators package (operators/__init__ would finalize the
+    # registry order mid-registration under streaming-first import)
+    from hive_reflex_spark.functions import (
+        KMV_K,
+        duck_dyadic_md5_uniform,
+    )
+
+    _KMV_U_SQL = duck_dyadic_md5_uniform("user_id")
 
     return f"""
     WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS dday, user_id
@@ -1537,10 +1545,8 @@ def q250a_stream_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cs_stream_oracle() -> str:
-    from hive_reflex_spark.operators.analytics import (
-        _CS_ROWS_VALUES,
-        _cs_keyed_sql,
-    )
+    # import-safe: see _kmv_stream_oracle
+    from hive_reflex_spark.functions import _CS_ROWS_VALUES, _cs_keyed_sql
 
     return f"""
     WITH rows_j AS (SELECT CAST(j AS BIGINT) AS j
@@ -1568,7 +1574,7 @@ def q290a_stream_count_sketch(
     sign flipped), giving unbiased frequency estimates over a
     correction-carrying stream where CMS only ever grows. q290 runs
     its median-estimate readout against exactly this table."""
-    from hive_reflex_spark.operators.analytics import cs_keyed
+    from hive_reflex_spark.functions import cs_keyed
 
     stream = stream_events(spark, sf_dir)
     keyed = cs_keyed(stream.select("user_id")).select(

@@ -579,10 +579,10 @@ def test_auc_delong_python_replay(spark):
     for v in neg:
         lt = bisect.bisect_left(pos, v)
         eq = bisect.bisect_right(pos, v) - lt
-        # placements of negatives w.r.t. positives ABOVE them mirror
-        # the rank identity: a2 = 2*#pos_below + ties
+        # a2 counts positives BELOW the negative (mean 2P(1-AUC)), so
+        # the deviation centers at 1-AUC, not AUC
         a2 = 2 * lt + eq
-        dev = (a2 * n_n - auc2) / (2.0 * p_n * n_n)
+        dev = (a2 * n_n - (2 * p_n * n_n - auc2)) / (2.0 * p_n * n_n)
         s01u += round(1e6 * dev * dev)
     assert r.s10u == s10u
     assert r.s01u == s01u
@@ -675,3 +675,69 @@ def test_cluster_label_nmi_python_replay(spark):
     assert 0 <= r.purity <= 1
     if hc and hl:
         assert abs(r.nmi - i_units / math.sqrt(hc * hl)) < 1e-6
+
+
+def test_delong_formula_matches_canonical_on_skewed_sample():
+    """The repo's rank-difference DeLong form equals the canonical
+    placement-value computation on a construction where AUC != 0.5 —
+    the case where centering the negatives' statistic at AUC instead
+    of 1-AUC inflated the SE 2.4x (review finding, fixed)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    pos = rng.normal(1, 1, 40)
+    neg = rng.normal(0, 1, 60)
+    p_n, n_n = len(pos), len(neg)
+    v10 = np.array(
+        [(np.sum(v > neg) + 0.5 * np.sum(v == neg)) / n_n for v in pos]
+    )
+    v01 = np.array(
+        [(np.sum(pos > v) + 0.5 * np.sum(pos == v)) / p_n for v in neg]
+    )
+    se_canon = math.sqrt(
+        v10.var(ddof=1) / p_n + v01.var(ddof=1) / n_n
+    )
+    auc2 = sum(
+        2 * np.sum(v > neg) + np.sum(v == neg) for v in pos
+    )
+    s10 = sum(
+        ((2 * np.sum(v > neg) + np.sum(v == neg)) * p_n - auc2) ** 2
+        for v in pos
+    ) / (2.0 * p_n * n_n) ** 2
+    s01 = sum(
+        (
+            (2 * np.sum(v > pos) + np.sum(v == pos)) * n_n
+            - (2 * p_n * n_n - auc2)
+        )
+        ** 2
+        for v in neg
+    ) / (2.0 * p_n * n_n) ** 2
+    se_repo = math.sqrt(s10 / (p_n - 1) / p_n + s01 / (n_n - 1) / n_n)
+    assert abs(se_canon - se_repo) < 1e-12
+
+
+def test_registry_order_survives_streaming_first_import():
+    """Importing hive_reflex_spark.streaming.ops BEFORE the operators
+    package must not corrupt the judged window order: the stream
+    oracle builders run at module-import time and once imported
+    operators.analytics mid-registration, silently appending q290a
+    (and everything after it in ops.py) to the registry tail. They
+    now build from hive_reflex_spark.functions only (review finding,
+    fixed) — proven here in a pristine subprocess."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo');"
+        "import hive_reflex_spark.streaming.ops;"
+        "import hive_reflex_spark.operators;"
+        "from hive_reflex_spark import registry;"
+        "names = list(registry.QUERIES);"
+        "assert names.index('q290a_stream_count_sketch') < 50;"
+        "assert names.index('q268a_stream_kmv') < 50;"
+        "print('ORDER-OK')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert "ORDER-OK" in out.stdout, out.stderr[-2000:]
