@@ -6215,3 +6215,107 @@ def q295_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(auc - F.lit(1.96) * se, 6).alias("ci_lo"),
         F.round(auc + F.lit(1.96) * se, 6).alias("ci_hi"),
     )
+
+
+@query(
+    "q298_spearman",
+    oracle=f"""
+    WITH {_DUCK_DAILY_CENTS},
+         joint AS (SELECT a.d, a.event_type AS type_a,
+                          b.event_type AS type_b,
+                          a.cents AS xa, b.cents AS ya
+                   FROM daily a JOIN daily b
+                     ON a.d = b.d AND a.event_type < b.event_type),
+         ranked AS (SELECT type_a, type_b,
+                           2 * RANK() OVER (PARTITION BY type_a, type_b
+                                            ORDER BY xa)
+                           + COUNT(*) OVER (PARTITION BY type_a, type_b,
+                                            xa) - 1 AS rx2,
+                           2 * RANK() OVER (PARTITION BY type_a, type_b
+                                            ORDER BY ya)
+                           + COUNT(*) OVER (PARTITION BY type_a, type_b,
+                                            ya) - 1 AS ry2
+                    FROM joint),
+         m AS (SELECT type_a, type_b,
+                      CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(rx2) AS BIGINT) AS sx,
+                      CAST(SUM(ry2) AS BIGINT) AS sy,
+                      CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+                      CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+                      CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+               FROM ranked GROUP BY type_a, type_b)
+    SELECT type_a, type_b, n,
+           ROUND((n * sxy - sx * sy) * 1.0
+                 / NULLIF(sqrt((n * sxx - sx * sx) * 1.0
+                               * (n * syy - sy * sy)), 0), 6) AS rho
+    FROM m
+    """,
+)
+def q298_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between every pair of event-type
+    daily series — completing the correlation triple (q123 Pearson on
+    values, q286 Kendall on order inversions, now Pearson on RANKS):
+    monotone-but-nonlinear co-movement that Pearson understates,
+    cheaper than Kendall's pairwise classification (one rank + one
+    moment reduction vs days^2 pairs). Tie-robust by construction:
+    tie-averaged ranks feed the full product-moment formula, which
+    equals the textbook 1 - 6*sum(d^2)/(n(n^2-1)) exactly when ranks
+    are untied and is the CORRECT generalization when they are not.
+
+    Exactness: 2*avg_rank = 2*RANK + tiecount - 1 is an exact BIGINT
+    (the q279 machinery), so all five moments are exact integers; rho
+    is one identical double expression at 6dp, NULL when a series is
+    constant.
+
+    Scale: daily reduction shared (daily_cents); per-pair ranks
+    partition by the type pair — calendar-bounded frames."""
+    daily = daily_cents(read_table(spark, sf_dir, "events"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"), "d", F.col("cents").alias("xa")
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), "d", F.col("cents").alias("ya")
+    )
+    joint = a.join(b, "d").filter(F.col("type_a") < F.col("type_b"))
+    wp = ["type_a", "type_b"]
+    rx2 = (
+        2 * F.rank().over(Window.partitionBy(*wp).orderBy("xa"))
+        + F.count("*").over(Window.partitionBy(*wp, "xa"))
+        - 1
+    )
+    ry2 = (
+        2 * F.rank().over(Window.partitionBy(*wp).orderBy("ya"))
+        + F.count("*").over(Window.partitionBy(*wp, "ya"))
+        - 1
+    )
+    ranked = joint.select(
+        "type_a", "type_b", rx2.alias("rx2"), ry2.alias("ry2")
+    )
+    m = ranked.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return m.select(
+        "type_a",
+        "type_b",
+        "n",
+        F.round(
+            F.try_divide(
+                (n * F.col("sxy") - sx * sy) * 1.0,
+                F.nullif(
+                    F.sqrt(
+                        (n * F.col("sxx") - sx * sx)
+                        * 1.0
+                        * (n * F.col("syy") - sy * sy)
+                    ),
+                    F.lit(0.0),
+                ),
+            ),
+            6,
+        ).alias("rho"),
+    )

@@ -3285,11 +3285,40 @@ def q283_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ties: equal cents order arbitrarily under ROW_NUMBER, but every
     permutation yields the SAME selected value — the statistic is
     well-defined without a tiebreak column."""
-    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].select(
+    li = _lineitem_cents(spark, sf_dir)
+    n = two_pass_total(li)
+    targets = [(pct, (pct * n + 99) // 100) for pct in _QUANTILE_PCTS]
+    vals = two_pass_rank_values(li, sorted({r for _, r in targets}))
+    tdf = li.sparkSession.createDataFrame(targets, "pct long, rank long")
+    return tdf.join(F.broadcast(vals), "rank").select(
+        "pct",
+        "rank",
+        F.lit(n).cast("long").alias("n"),
+        F.col("cents").alias("value_cents"),
+        F.round(F.col("cents") / 100.0, 6).alias("value"),
+    )
+
+
+def _lineitem_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, "lineitem")["lineitem"].select(
         F.round(F.col("l_extendedprice") * 100)
         .cast("long")
         .alias("cents")
     )
+
+
+def two_pass_total(li: DataFrame) -> int:
+    """Total row count via the pass-1 histogram's driver walk shape."""
+    return li.count()
+
+
+def two_pass_rank_values(li: DataFrame, ranks: list[int]) -> DataFrame:
+    """(rank, cents): the exact order statistic at each requested rank
+    of ``li.cents`` via the two-pass selection — pass 1 reduces to a
+    coarse bucket histogram (bounded driver state), pass 2 scans ONLY
+    the target buckets with a pushed-down IN filter and ranks within
+    each. Shared by q283 (point quantiles) and q299 (order-statistic
+    confidence brackets)."""
     w = _QUANTILE_BUCKET_CENTS
     hist = (
         li.groupBy((F.col("cents") - (F.col("cents") % w)).alias("b"))
@@ -3297,20 +3326,18 @@ def q283_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     buckets = sorted((r["b"], r["cnt"]) for r in hist)
-    n = sum(c for _, c in buckets)
-    targets = []  # (pct, rank, bucket, in-bucket offset)
-    for pct in _QUANTILE_PCTS:
-        rank = (pct * n + 99) // 100
+    targets = []  # (rank, bucket, in-bucket offset)
+    for rank in ranks:
         cum = 0
         for b, cnt in buckets:
             if cum + cnt >= rank:
-                targets.append((pct, rank, b, rank - cum))
+                targets.append((rank, b, rank - cum))
                 break
             cum += cnt
-    tdf = spark.createDataFrame(
-        targets, "pct long, rank long, b long, off long"
+    tdf = li.sparkSession.createDataFrame(
+        targets, "rank long, b long, off long"
     )
-    wanted = sorted({t[2] for t in targets})
+    wanted = sorted({t[1] for t in targets})
     inb = li.filter(
         (F.col("cents") - (F.col("cents") % w)).isin(wanted)
     ).select(
@@ -3321,9 +3348,113 @@ def q283_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.partitionBy("b").orderBy("cents")),
     )
     return ranked.join(F.broadcast(tdf), ["b", "off"]).select(
+        "rank", "cents"
+    )
+
+
+# q299 bracket: the distribution-free 95% order-statistic CI ranks for
+# Binomial(n, q) via the normal approximation (z = 1.96), clamped to
+# [1, n]; hi takes the conservative +1 of the textbook bracket.
+_CI_PCTS = (25, 50, 75, 90)
+_CI_Z = 1.96
+
+
+@query(
+    "q299_quantile_order_ci",
+    oracle=f"""
+    WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   AS cents
+               FROM lineitem),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         qs AS (SELECT CAST(p AS BIGINT) AS pct
+                FROM (VALUES (25), (50), (75), (90)) AS t(p)),
+         ranks AS (SELECT qs.pct, n.n,
+                          CAST((qs.pct * n.n + 99) // 100 AS BIGINT)
+                              AS rank,
+                          CAST(GREATEST(1, LEAST(n.n, FLOOR(
+                              n.n * (qs.pct * 1.0 / 100)
+                              - CAST({_CI_Z} AS DOUBLE)
+                                * sqrt(n.n * (qs.pct * 1.0 / 100)
+                                       * (1 - qs.pct * 1.0 / 100)))))
+                              AS BIGINT) AS lo_rank,
+                          CAST(GREATEST(1, LEAST(n.n, CEIL(
+                              n.n * (qs.pct * 1.0 / 100)
+                              + CAST({_CI_Z} AS DOUBLE)
+                                * sqrt(n.n * (qs.pct * 1.0 / 100)
+                                       * (1 - qs.pct * 1.0 / 100)))
+                              + 1)) AS BIGINT) AS hi_rank
+                   FROM qs, n),
+         ordered AS (SELECT cents,
+                            ROW_NUMBER() OVER (ORDER BY cents) AS rn
+                     FROM c)
+    SELECT r.pct, r.n, r.lo_rank, r.rank, r.hi_rank,
+           lo.cents AS lo_cents, pt.cents AS value_cents,
+           hi.cents AS hi_cents,
+           ROUND(pt.cents / 100.0, 6) AS value,
+           ROUND((hi.cents - lo.cents) / 100.0, 6) AS ci_width
+    FROM ranks r
+    JOIN ordered lo ON lo.rn = r.lo_rank
+    JOIN ordered pt ON pt.rn = r.rank
+    JOIN ordered hi ON hi.rn = r.hi_rank
+    """,
+)
+def q299_quantile_order_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence brackets for the exact
+    quantiles: the classic order-statistic CI — the number of
+    observations below the true q-quantile is Binomial(n, q), so the
+    interval [X_(lo), X_(hi)] with lo/hi = nq -/+ 1.96*sqrt(nq(1-q))
+    covers it at ~95% with NO distributional assumption — the
+    uncertainty companion to q283's point estimates (a p99 from 60k
+    rows and a p99 from 600 rows print the same point value; only the
+    bracket says which one to trust). All three order statistics per
+    pct come from the SAME two-pass selection (shared
+    two_pass_rank_values): one histogram pass, one few-bucket rescan
+    for all 12 ranks — never a global sort.
+
+    Exactness: the point rank is the exact integer (pct*n+99) div 100;
+    lo/hi ranks come from ONE identical double expression (floor/ceil
+    of the normal bracket) computed in Python on the Spark side and in
+    SQL by the oracle over the same doubles; all values are exact
+    cents."""
+    import math as _math
+
+    li = _lineitem_cents(spark, sf_dir)
+    n = two_pass_total(li)
+    rows = []
+    for pct in _CI_PCTS:
+        q = pct * 1.0 / 100
+        half = _CI_Z * _math.sqrt(n * q * (1 - q))
+        lo = max(1, min(n, int(_math.floor(n * q - half))))
+        hi = max(1, min(n, int(_math.ceil(n * q + half)) + 1))
+        rank = (pct * n + 99) // 100
+        rows.append((pct, n, lo, rank, hi))
+    all_ranks = sorted({r for row in rows for r in row[2:5]})
+    vals = two_pass_rank_values(li, all_ranks)
+    tdf = spark.createDataFrame(
+        rows, "pct long, n long, lo_rank long, rank long, hi_rank long"
+    )
+    v = lambda alias: vals.select(  # noqa: E731
+        F.col("rank").alias(f"{alias}_key"),
+        F.col("cents").alias(f"{alias}_cents"),
+    )
+    out = (
+        tdf.join(
+            F.broadcast(v("lo")), F.col("lo_rank") == F.col("lo_key")
+        )
+        .join(F.broadcast(v("pt")), F.col("rank") == F.col("pt_key"))
+        .join(F.broadcast(v("hi")), F.col("hi_rank") == F.col("hi_key"))
+    )
+    return out.select(
         "pct",
+        "n",
+        "lo_rank",
         "rank",
-        F.lit(n).cast("long").alias("n"),
-        F.col("cents").alias("value_cents"),
-        F.round(F.col("cents") / 100.0, 6).alias("value"),
+        "hi_rank",
+        F.col("lo_cents"),
+        F.col("pt_cents").alias("value_cents"),
+        F.col("hi_cents"),
+        F.round(F.col("pt_cents") / 100.0, 6).alias("value"),
+        F.round((F.col("hi_cents") - F.col("lo_cents")) / 100.0, 6).alias(
+            "ci_width"
+        ),
     )

@@ -501,6 +501,16 @@ PICKS = {
         "aggregate to 10 bin rows; components are arithmetic against "
         "a broadcast 1-row bounds/base-rate table."
     ),
+    "q298_spearman": (
+        "Spearman: the shared daily-cents reduction, per-pair ranks "
+        "partitioned by the type pair (calendar-bounded frames), one "
+        "exact-moment reduction — no pairwise day join."
+    ),
+    "q299_quantile_order_ci": (
+        "Quantile CI brackets: one histogram pass + ONE few-bucket "
+        "rescan serves all 12 order statistics (shared "
+        "two_pass_rank_values) — never a global sort."
+    ),
     "q295_auc_delong": (
         "DeLong AUC CI: three ranks share one event scan (combined + "
         "per-class), then a 1-row frozen-units reduction — the "

@@ -741,3 +741,89 @@ def test_registry_order_survives_streaming_first_import():
         [sys.executable, "-c", code], capture_output=True, text=True
     )
     assert "ORDER-OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_spearman_matches_textbook_form_and_replay(spark):
+    from hive_reflex_spark.operators.analytics import q298_spearman
+
+    rows = q298_spearman(spark, SF_SMOKE).collect()
+    daily: dict[str, dict[int, int]] = {}
+    for _, t, v, d in _events(SF_SMOKE):
+        daily.setdefault(t, {})[d] = daily.setdefault(t, {}).get(d, 0) + round(
+            v * 100
+        )
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            r = (i + 1 + j) / 2.0
+            for k in range(i, j):
+                ranks[order[k]] = r
+            i = j
+        return ranks
+
+    for r in rows:
+        xa, xb = daily[r.type_a], daily[r.type_b]
+        days = sorted(set(xa) & set(xb))
+        xs = [xa[d] for d in days]
+        ys = [xb[d] for d in days]
+        rx, ry = avg_ranks(xs), avg_ranks(ys)
+        n = len(days)
+        # full product-moment Pearson on tie-averaged ranks
+        mx, my = sum(rx) / n, sum(ry) / n
+        num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+        den = math.sqrt(
+            sum((a - mx) ** 2 for a in rx)
+            * sum((b - my) ** 2 for b in ry)
+        )
+        assert abs(r.rho - num / den) < 1e-6
+        # the textbook 1 - 6*sum(d^2)/(n(n^2-1)) agrees when untied
+        if len(set(xs)) == n and len(set(ys)) == n:
+            d2 = sum((a - b) ** 2 for a, b in zip(rx, ry))
+            book = 1 - 6 * d2 / (n * (n * n - 1))
+            # r.rho is engine-rounded at 6dp
+            assert abs(r.rho - book) < 1.1e-6
+        assert -1.0 <= r.rho <= 1.0
+
+
+def test_quantile_ci_brackets_and_exact_binomial_coverage(spark):
+    from hive_reflex_spark.operators.relational import (
+        q299_quantile_order_ci,
+    )
+
+    rows = q299_quantile_order_ci(spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    cents = sorted(
+        c
+        for (c,) in con.execute(
+            f"SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+            f"FROM '{SF_SMOKE}/lineitem.parquet'"
+        ).fetchall()
+    )
+    n = len(cents)
+    for r in rows:
+        assert r.lo_rank <= r.rank <= r.hi_rank
+        assert r.lo_cents == cents[r.lo_rank - 1]
+        assert r.value_cents == cents[r.rank - 1]
+        assert r.hi_cents == cents[r.hi_rank - 1]
+        assert r.lo_cents <= r.value_cents <= r.hi_cents
+        # canonical coverage: #obs below the true q-quantile is
+        # Binomial(n, q); the bracket [X_(lo), X_(hi)] covers iff
+        # lo <= Bin < hi — exact CDF must give >= ~95%
+        q = r.pct / 100
+        def pmf(k):
+            return math.exp(
+                math.lgamma(n + 1)
+                - math.lgamma(k + 1)
+                - math.lgamma(n - k + 1)
+                + k * math.log(q)
+                + (n - k) * math.log(1 - q)
+            )
+
+        cov = sum(pmf(k) for k in range(r.lo_rank, r.hi_rank))
+        assert cov >= 0.94, (r.pct, cov)
