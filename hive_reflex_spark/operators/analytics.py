@@ -4893,15 +4893,36 @@ def daily_cents(events: DataFrame) -> DataFrame:
     )
 
 
+# the (type_a < type_b) day-aligned series pairing shared by q286
+# (Kendall) and q298 (Spearman) — both engines
+_DUCK_TYPE_PAIR_JOINT = """joint AS (SELECT a.d, a.event_type AS type_a,
+                          b.event_type AS type_b,
+                          a.cents AS xa, b.cents AS ya
+                   FROM daily a JOIN daily b
+                     ON a.d = b.d AND a.event_type < b.event_type)"""
+
+
+def type_pair_joint(daily: DataFrame) -> DataFrame:
+    """(d, type_a, type_b, xa, ya): the Spark twin of
+    _DUCK_TYPE_PAIR_JOINT over a daily_cents frame."""
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        "d",
+        F.col("cents").alias("xa"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        "d",
+        F.col("cents").alias("ya"),
+    )
+    return a.join(b, "d").filter(F.col("type_a") < F.col("type_b"))
+
+
 @query(
     "q286_kendall_tau",
     oracle=f"""
     WITH {_DUCK_DAILY_CENTS},
-         joint AS (SELECT a.d, a.event_type AS type_a,
-                          b.event_type AS type_b,
-                          a.cents AS xa, b.cents AS ya
-                   FROM daily a JOIN daily b
-                     ON a.d = b.d AND a.event_type < b.event_type),
+         {_DUCK_TYPE_PAIR_JOINT},
          pairs AS (SELECT p.type_a, p.type_b,
                           CASE WHEN (q.xa - p.xa) * (q.ya - p.ya) > 0
                                THEN 1 ELSE 0 END AS conc,
@@ -4945,17 +4966,7 @@ def q286_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the calendar, not the corpus (30 days -> 435 pairs), so the
     self-join is dimension-scale at any SF."""
     daily = daily_cents(read_table(spark, sf_dir, "events"))
-    a = daily.select(
-        F.col("event_type").alias("type_a"),
-        "d",
-        F.col("cents").alias("xa"),
-    )
-    b = daily.select(
-        F.col("event_type").alias("type_b"),
-        "d",
-        F.col("cents").alias("ya"),
-    )
-    joint = a.join(b, "d").filter(F.col("type_a") < F.col("type_b"))
+    joint = type_pair_joint(daily)
     p = joint.select(
         "type_a", "type_b", F.col("d").alias("dp"),
         F.col("xa").alias("pxa"), F.col("ya").alias("pya"),
@@ -6221,11 +6232,7 @@ def q295_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q298_spearman",
     oracle=f"""
     WITH {_DUCK_DAILY_CENTS},
-         joint AS (SELECT a.d, a.event_type AS type_a,
-                          b.event_type AS type_b,
-                          a.cents AS xa, b.cents AS ya
-                   FROM daily a JOIN daily b
-                     ON a.d = b.d AND a.event_type < b.event_type),
+         {_DUCK_TYPE_PAIR_JOINT},
          ranked AS (SELECT type_a, type_b,
                            2 * RANK() OVER (PARTITION BY type_a, type_b
                                             ORDER BY xa)
@@ -6270,13 +6277,7 @@ def q298_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: daily reduction shared (daily_cents); per-pair ranks
     partition by the type pair — calendar-bounded frames."""
     daily = daily_cents(read_table(spark, sf_dir, "events"))
-    a = daily.select(
-        F.col("event_type").alias("type_a"), "d", F.col("cents").alias("xa")
-    )
-    b = daily.select(
-        F.col("event_type").alias("type_b"), "d", F.col("cents").alias("ya")
-    )
-    joint = a.join(b, "d").filter(F.col("type_a") < F.col("type_b"))
+    joint = type_pair_joint(daily)
     wp = ["type_a", "type_b"]
     rx2 = (
         2 * F.rank().over(Window.partitionBy(*wp).orderBy("xa"))

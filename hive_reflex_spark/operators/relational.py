@@ -3286,9 +3286,11 @@ def q283_exact_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation yields the SAME selected value — the statistic is
     well-defined without a tiebreak column."""
     li = _lineitem_cents(spark, sf_dir)
-    n = two_pass_total(li)
+    n, buckets = two_pass_histogram(li)
     targets = [(pct, (pct * n + 99) // 100) for pct in _QUANTILE_PCTS]
-    vals = two_pass_rank_values(li, sorted({r for _, r in targets}))
+    vals = two_pass_rank_values(
+        li, buckets, sorted({r for _, r in targets})
+    )
     tdf = li.sparkSession.createDataFrame(targets, "pct long, rank long")
     return tdf.join(F.broadcast(vals), "rank").select(
         "pct",
@@ -3307,18 +3309,12 @@ def _lineitem_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def two_pass_total(li: DataFrame) -> int:
-    """Total row count via the pass-1 histogram's driver walk shape."""
-    return li.count()
-
-
-def two_pass_rank_values(li: DataFrame, ranks: list[int]) -> DataFrame:
-    """(rank, cents): the exact order statistic at each requested rank
-    of ``li.cents`` via the two-pass selection — pass 1 reduces to a
-    coarse bucket histogram (bounded driver state), pass 2 scans ONLY
-    the target buckets with a pushed-down IN filter and ranks within
-    each. Shared by q283 (point quantiles) and q299 (order-statistic
-    confidence brackets)."""
+def two_pass_histogram(li: DataFrame) -> tuple[int, list]:
+    """Pass 1 of the two-pass selection: the coarse bucket histogram
+    (bounded driver state), with the total row count read from its
+    sum — no separate COUNT scan. Feed the result to
+    :func:`two_pass_rank_values` so the whole selection is exactly
+    two table passes."""
     w = _QUANTILE_BUCKET_CENTS
     hist = (
         li.groupBy((F.col("cents") - (F.col("cents") % w)).alias("b"))
@@ -3326,6 +3322,18 @@ def two_pass_rank_values(li: DataFrame, ranks: list[int]) -> DataFrame:
         .collect()
     )
     buckets = sorted((r["b"], r["cnt"]) for r in hist)
+    return sum(c for _, c in buckets), buckets
+
+
+def two_pass_rank_values(
+    li: DataFrame, buckets: list, ranks: list[int]
+) -> DataFrame:
+    """(rank, cents): the exact order statistic at each requested rank
+    of ``li.cents`` — pass 2 of the selection: scans ONLY the target
+    buckets of the pass-1 histogram with a pushed-down IN filter and
+    ranks within each. Shared by q283 (point quantiles) and q299
+    (order-statistic confidence brackets)."""
+    w = _QUANTILE_BUCKET_CENTS
     targets = []  # (rank, bucket, in-bucket offset)
     for rank in ranks:
         cum = 0
@@ -3355,7 +3363,7 @@ def two_pass_rank_values(li: DataFrame, ranks: list[int]) -> DataFrame:
 # q299 bracket: the distribution-free 95% order-statistic CI ranks for
 # Binomial(n, q) via the normal approximation (z = 1.96), clamped to
 # [1, n]; hi takes the conservative +1 of the textbook bracket.
-_CI_PCTS = (25, 50, 75, 90)
+_CI_PCTS = (25, 50, 75, 90, 99)
 _CI_Z = 1.96
 
 
@@ -3367,7 +3375,7 @@ _CI_Z = 1.96
                FROM lineitem),
          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
          qs AS (SELECT CAST(p AS BIGINT) AS pct
-                FROM (VALUES (25), (50), (75), (90)) AS t(p)),
+                FROM (VALUES (25), (50), (75), (90), (99)) AS t(p)),
          ranks AS (SELECT qs.pct, n.n,
                           CAST((qs.pct * n.n + 99) // 100 AS BIGINT)
                               AS rank,
@@ -3419,7 +3427,7 @@ def q299_quantile_order_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math as _math
 
     li = _lineitem_cents(spark, sf_dir)
-    n = two_pass_total(li)
+    n, buckets = two_pass_histogram(li)
     rows = []
     for pct in _CI_PCTS:
         q = pct * 1.0 / 100
@@ -3429,24 +3437,39 @@ def q299_quantile_order_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank = (pct * n + 99) // 100
         rows.append((pct, n, lo, rank, hi))
     all_ranks = sorted({r for row in rows for r in row[2:5]})
-    vals = two_pass_rank_values(li, all_ranks)
-    tdf = spark.createDataFrame(
-        rows, "pct long, n long, lo_rank long, rank long, hi_rank long"
+    vals = two_pass_rank_values(li, buckets, all_ranks)
+    # melt the 3 bracket roles to 12 (pct, role, rank) rows so the
+    # pass-2 rescan joins ONCE (three re-aliased broadcast copies of
+    # the lazy vals plan would recompute the rescan up to 3x)
+    melted = spark.createDataFrame(
+        [
+            (pct, role, rk)
+            for (pct, _n, lo, rank, hi) in rows
+            for role, rk in (("lo", lo), ("pt", rank), ("hi", hi))
+        ],
+        "pct long, role string, rank long",
     )
-    v = lambda alias: vals.select(  # noqa: E731
-        F.col("rank").alias(f"{alias}_key"),
-        F.col("cents").alias(f"{alias}_cents"),
+    picked = melted.join(F.broadcast(vals), "rank").groupBy("pct").agg(
+        F.max(F.when(F.col("role") == "lo", F.col("rank"))).alias(
+            "lo_rank"
+        ),
+        F.max(F.when(F.col("role") == "pt", F.col("rank"))).alias("rank"),
+        F.max(F.when(F.col("role") == "hi", F.col("rank"))).alias(
+            "hi_rank"
+        ),
+        F.max(F.when(F.col("role") == "lo", F.col("cents"))).alias(
+            "lo_cents"
+        ),
+        F.max(F.when(F.col("role") == "pt", F.col("cents"))).alias(
+            "pt_cents"
+        ),
+        F.max(F.when(F.col("role") == "hi", F.col("cents"))).alias(
+            "hi_cents"
+        ),
     )
-    out = (
-        tdf.join(
-            F.broadcast(v("lo")), F.col("lo_rank") == F.col("lo_key")
-        )
-        .join(F.broadcast(v("pt")), F.col("rank") == F.col("pt_key"))
-        .join(F.broadcast(v("hi")), F.col("hi_rank") == F.col("hi_key"))
-    )
-    return out.select(
+    return picked.select(
         "pct",
-        "n",
+        F.lit(n).cast("long").alias("n"),
         "lo_rank",
         "rank",
         "hi_rank",

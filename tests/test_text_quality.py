@@ -250,10 +250,11 @@ def test_registry_window_covers_new_families():
         "q30b_gram_matmul_numpy",     # code changed: round_half_away
         "q66d_attention_blocked",     # code changed: round_half_away
         "q67b_conv2d_blocked",        # code changed: round_half_away
-        "q118_hll_distinct",          # code changed: shared hll_registers
         "q49a_lsh_candidates_star",   # code changed: shared star_candidates
-        # (q47/q263's postings refactor overflows past slot 50; q47 is
-        # transitively re-judged via in-window embedders q285/q267/q273.)
+        "q263_containment_pairs",     # code changed: shared postings/sizes
+        # (q47 and q118 overflow past slot 50 — both transitively
+        # re-judged via in-window embedders: q47 by q285/q267/q273,
+        # q118's register construction by q265/q265a/q285.)
         "q173_hybrid_rerank",         # code changed: hybrid_scored helper
     ):
         assert must in window, must
