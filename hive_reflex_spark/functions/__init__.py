@@ -189,7 +189,12 @@ KMV_K = 32
 # widens to more hex chars.
 _CS_ROWS = 4
 _CS_BUCKETS = 16
-assert _CS_BUCKETS == 16, "bucket = one hex nibble; widen the keying first"
+# explicit raise (not assert — load-bearing, must survive `python -O`)
+if _CS_BUCKETS != 16:
+    raise ValueError(
+        "_CS_BUCKETS must be 16: bucket = one md5 hex nibble; widen the "
+        "keying in _cs_keyed_sql before changing the grid"
+    )
 # the two middle order statistics of the _CS_ROWS row estimates — their
 # sum is the exact-integer 2*median the report emits
 _CS_MID = (_CS_ROWS // 2, _CS_ROWS // 2 + 1)

@@ -5962,15 +5962,17 @@ _CUPED_PRE_DAYS = 15
                            AS BIGINT) AS sy_b
                FROM per_user)
     SELECT n AS n_users, n_a, n_b,
-           ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
-               AS theta,
+           ROUND((n * sxy - sx * sy) * 1.0
+                 / NULLIF(n * sxx - sx * sx, 0), 6) AS theta,
            ROUND(sy_b * 1.0 / n_b - sy_a * 1.0 / n_a, 6) AS raw_lift,
            ROUND((sy_b * 1.0 / n_b - sy_a * 1.0 / n_a)
-                 - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                 - ((n * sxy - sx * sy) * 1.0
+                    / NULLIF(n * sxx - sx * sx, 0))
                    * (sx_b * 1.0 / n_b - sx_a * 1.0 / n_a), 6)
                AS adj_lift,
            ROUND(((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
-                 / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+                 / NULLIF((n * sxx - sx * sx) * 1.0
+                          * (n * syy - sy * sy), 0), 6)
                AS rho2
     FROM m
     """,
@@ -6045,15 +6047,19 @@ def q293_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
-    theta = (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+    # try_divide/NULLIF on the variance denominators: a zero-variance
+    # pre-period covariate must yield NULL identically in both engines
+    # (Spark NULL vs DuckDB inf otherwise — ADVICE r8)
+    theta = F.try_divide((n * sxy - sx * sy) * 1.0, n * sxx - sx * sx)
     raw = F.col("sy_b") * 1.0 / F.col("n_b") - F.col("sy_a") * 1.0 / F.col(
         "n_a"
     )
     dx = F.col("sx_b") * 1.0 / F.col("n_b") - F.col("sx_a") * 1.0 / F.col(
         "n_a"
     )
-    rho2 = ((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)) / (
-        (n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)
+    rho2 = F.try_divide(
+        (n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy),
+        (n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy),
     )
     return m.select(
         F.col("n").alias("n_users"),
@@ -6113,18 +6119,18 @@ def q293_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(aucn.auc2num * 1.0 / (2.0 * tot.p * tot.neg), 6)
                AS auc,
            units.s10u, units.s01u,
-           ROUND(sqrt(units.s10u / 1e6 / (tot.p - 1.0) / tot.p
-                      + units.s01u / 1e6 / (tot.neg - 1.0) / tot.neg),
+           ROUND(sqrt(units.s10u / 1e6 / NULLIF(tot.p - 1.0, 0) / tot.p
+                      + units.s01u / 1e6 / NULLIF(tot.neg - 1.0, 0) / tot.neg),
                  6) AS se,
            ROUND(aucn.auc2num * 1.0 / (2.0 * tot.p * tot.neg)
                  - CAST(1.96 AS DOUBLE)
-                   * sqrt(units.s10u / 1e6 / (tot.p - 1.0) / tot.p
-                          + units.s01u / 1e6 / (tot.neg - 1.0)
+                   * sqrt(units.s10u / 1e6 / NULLIF(tot.p - 1.0, 0) / tot.p
+                          + units.s01u / 1e6 / NULLIF(tot.neg - 1.0, 0)
                             / tot.neg), 6) AS ci_lo,
            ROUND(aucn.auc2num * 1.0 / (2.0 * tot.p * tot.neg)
                  + CAST(1.96 AS DOUBLE)
-                   * sqrt(units.s10u / 1e6 / (tot.p - 1.0) / tot.p
-                          + units.s01u / 1e6 / (tot.neg - 1.0)
+                   * sqrt(units.s10u / 1e6 / NULLIF(tot.p - 1.0, 0) / tot.p
+                          + units.s01u / 1e6 / NULLIF(tot.neg - 1.0, 0)
                             / tot.neg), 6) AS ci_hi
     FROM tot, aucn, units
     """,
@@ -6211,9 +6217,15 @@ def q295_auc_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = tot.join(F.broadcast(aucn)).join(F.broadcast(units))
     auc = F.col("auc2num") * 1.0 / (2.0 * F.col("p") * F.col("neg"))
+    # try_divide on (p-1)/(neg-1): a single-example class degenerates the
+    # variance term to division by zero with engine-dependent results
+    # (Spark NULL vs DuckDB inf — ADVICE r8); same division ORDER as
+    # before so the defined-case doubles are bit-identical
     se = F.sqrt(
-        F.col("s10u") / F.lit(1e6) / (F.col("p") - 1.0) / F.col("p")
-        + F.col("s01u") / F.lit(1e6) / (F.col("neg") - 1.0) / F.col("neg")
+        F.try_divide(F.col("s10u") / F.lit(1e6), F.col("p") - 1.0)
+        / F.col("p")
+        + F.try_divide(F.col("s01u") / F.lit(1e6), F.col("neg") - 1.0)
+        / F.col("neg")
     )
     return out.select(
         "p",

@@ -462,10 +462,14 @@ _RECALL_THEORY = {
     )
     for bkt in range(10)
 }
+# CAST ... AS DOUBLE is load-bearing: bare decimal literals type the CASE
+# as DECIMAL, and Spark (decimal(6,6)) vs DuckDB (decimal(7,6)) disagree on
+# precision — identical values, different arrow dtypes, driver hash-red
+# (CORRECTNESS_r08 q273; check_oracle now rejects DECIMAL outputs outright).
 _RECALL_THEORY_CASE = (
-    "CASE "
+    "CAST(CASE "
     + " ".join(f"WHEN bucket = {b} THEN {t!r}" for b, t in _RECALL_THEORY.items())
-    + " END"
+    + " END AS DOUBLE)"
 )
 
 
@@ -507,7 +511,8 @@ _RECALL_THEORY_CASE = (
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(caught) AS BIGINT) AS n_caught,
-           ROUND(SUM(caught) * 1.0 / COUNT(*), 6) AS recall,
+           CAST(FLOOR((CAST(SUM(caught) AS BIGINT) * 2000000 + COUNT(*))
+                / (2.0 * COUNT(*))) AS BIGINT) / 1000000.0 AS recall,
            {_RECALL_THEORY_CASE} AS theory_p
     FROM lab GROUP BY bucket
     """,
@@ -526,7 +531,10 @@ def q273_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs plan.
 
     Theory values are Python-precomputed constants (no cross-engine
-    pow()); recall is an exact integer ratio rounded at 6dp.
+    pow()), CAST to DOUBLE in both engines (bare decimal literals get
+    engine-divergent DECIMAL precisions); recall half-ups at the
+    integer level — floor((caught*2e6 + n) / 2n) — pure BIGINT-exact
+    arithmetic identical on any engine (registry header rule).
 
     Scale: truth pairs come from the capped posting-list expansion
     (O(collisions), df-capped); candidates from the band equi-join; the
@@ -553,7 +561,13 @@ def q273_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_pairs"),
             F.sum("caught").cast("long").alias("n_caught"),
-            F.round(F.sum("caught") * 1.0 / F.count("*"), 6).alias("recall"),
+            (
+                F.floor(
+                    (F.sum("caught").cast("long") * 2000000 + F.count("*"))
+                    / (2.0 * F.count("*"))
+                ).cast("long")
+                / 1e6
+            ).alias("recall"),
         )
         .withColumn("theory_p", F.expr(_RECALL_THEORY_CASE))
     )

@@ -3309,15 +3309,33 @@ def _lineitem_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_key(w: int):
+    """Sign-safe bucket key floor(cents/w)*w. ``w`` is a power of two, so
+    the double division is an exponent shift — bit-exact for any BIGINT
+    cents — and floor handles negative cents correctly (the previous
+    ``cents - cents % w`` form used sign-of-dividend modulo, which
+    mis-bucketed negatives into bucket 0)."""
+    if w & (w - 1):
+        raise ValueError(f"bucket width must be a power of two, got {w}")
+    return (F.floor(F.col("cents") / float(w)) * w).cast("long")
+
+
 def two_pass_histogram(li: DataFrame) -> tuple[int, list]:
     """Pass 1 of the two-pass selection: the coarse bucket histogram
     (bounded driver state), with the total row count read from its
     sum — no separate COUNT scan. Feed the result to
     :func:`two_pass_rank_values` so the whole selection is exactly
-    two table passes."""
+    two table passes.
+
+    Contract: driver state is one row per occupied width-``w`` bucket,
+    i.e. ~(value span)/w rows. The fixed _QUANTILE_BUCKET_CENTS keeps
+    that ~160 rows for the TPC-H extendedprice domain (cents up to
+    ~1.1e7); reusing the helper on a wider domain means sizing w to the
+    domain, not trusting the default. Runs an eager collect() at
+    plan-construction time by design (the pass-2 plan depends on it)."""
     w = _QUANTILE_BUCKET_CENTS
     hist = (
-        li.groupBy((F.col("cents") - (F.col("cents") % w)).alias("b"))
+        li.groupBy(_bucket_key(w).alias("b"))
         .agg(F.count("*").alias("cnt"))
         .collect()
     )
@@ -3346,10 +3364,8 @@ def two_pass_rank_values(
         targets, "rank long, b long, off long"
     )
     wanted = sorted({t[1] for t in targets})
-    inb = li.filter(
-        (F.col("cents") - (F.col("cents") % w)).isin(wanted)
-    ).select(
-        "cents", (F.col("cents") - (F.col("cents") % w)).alias("b")
+    inb = li.filter(_bucket_key(w).isin(wanted)).select(
+        "cents", _bucket_key(w).alias("b")
     )
     ranked = inb.withColumn(
         "off",

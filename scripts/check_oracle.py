@@ -53,6 +53,80 @@ def canon_rows(cols, rows):
     return sorted(cols), sorted(out, key=lambda t: tuple(map(str, t)))
 
 
+def canon_arrow_type(t) -> str:
+    """Canonical name for an arrow dtype, normalizing representation
+    differences that are benign across engines (large_* variants,
+    timestamp unit/tz) while keeping width/precision differences —
+    the class that flipped the driver hash on q273 (Spark decimal(6,6)
+    vs DuckDB decimal128(7,6), identical values)."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_float32(t):
+        return "float"
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
+        return f"list<{canon_arrow_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{canon_arrow_type(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def arrow_dtype_check(name, sdf, con, oracle_sql):
+    """Compare arrow-level dtypes between Spark and DuckDB, and reject
+    DECIMAL output columns outright.
+
+    The driver's value hash is arrow-type-sensitive; value-level
+    canonicalization (floats rounded, Decimal -> float) passed q273 in
+    r8 while the driver hash failed on a decimal-precision mismatch.
+    Spark's arrow schema comes from the plan (no job); DuckDB's from a
+    LIMIT-0 arrow fetch. Returns a list of failure strings (empty = ok).
+    """
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    fails = []
+    s_schema = to_arrow_schema(sdf.schema)
+    d_schema = con.execute(
+        f"SELECT * FROM ({oracle_sql}) __dtype_probe LIMIT 0"
+    ).fetch_arrow_table().schema
+    s_types = {f.name: canon_arrow_type(f.type) for f in s_schema}
+    d_types = {f.name: canon_arrow_type(f.type) for f in d_schema}
+    for side, types in (("spark", s_types), ("duck", d_types)):
+        decs = [c for c, t in sorted(types.items()) if t.startswith("decimal")]
+        if decs:
+            fails.append(
+                f"DECIMAL output columns are banned (registry rule; driver "
+                f"hash is precision-sensitive): {side} {decs} — CAST to "
+                f"DOUBLE or emit integer units"
+            )
+    if s_types != d_types:
+        diff = {
+            c: (s_types.get(c), d_types.get(c))
+            for c in sorted(set(s_types) | set(d_types))
+            if s_types.get(c) != d_types.get(c)
+        }
+        fails.append(f"arrow dtypes differ (spark, duck): {diff}")
+    return fails
+
+
 def kind(v):
     if v is None:
         return None
@@ -109,7 +183,12 @@ def main() -> int:
         sc, sr = canon_rows(scols, srows)
         dc, dr = canon_rows(dcols, drows)
         ok = True
-        if sc != dc:
+        dtype_fails = arrow_dtype_check(name, sdf, con, oracles[name])
+        if dtype_fails:
+            for msg in dtype_fails:
+                print(f"FAIL {name}: {msg}")
+            ok = False
+        elif sc != dc:
             print(f"FAIL {name}: columns differ: spark={sc} duck={dc}")
             ok = False
         elif len(sr) != len(dr):

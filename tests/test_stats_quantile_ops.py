@@ -827,3 +827,125 @@ def test_quantile_ci_brackets_and_exact_binomial_coverage(spark):
 
         cov = sum(pmf(k) for k in range(r.lo_rank, r.hi_rank))
         assert cov >= 0.94, (r.pct, cov)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8 degenerate-input guards: both engines must return NULL (not
+# inf/NaN on one side) when a variance denominator collapses to zero.
+# ---------------------------------------------------------------------------
+
+
+def _degenerate_events_dir(tmp_path, rows):
+    """Write an events.parquet with the given (event_id, ts, user_id,
+    event_type, value) rows into a tmp sf-dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _duck_on(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS "
+            f"SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        return con.execute(sql).fetchall()
+    finally:
+        con.close()
+
+
+def test_cuped_zero_variance_covariate_is_null_both_engines(
+    spark, tmp_path
+):
+    """Every user has the IDENTICAL pre-period spend -> var(X)=0 ->
+    theta/adj_lift/rho2 NULL in Spark (try_divide) AND DuckDB (NULLIF)."""
+    from datetime import datetime, timedelta
+
+    import hive_reflex_spark.operators  # noqa: F401
+    from hive_reflex_spark.registry import ORACLES, QUERIES
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(4):
+        rows.append((eid, t0, u, "purchase", 1.00))  # pre: x=100 for all
+        eid += 1
+        rows.append(
+            (eid, t0 + timedelta(days=20), u, "purchase", 1.0 + u)
+        )  # post: varying y
+        eid += 1
+    d = _degenerate_events_dir(tmp_path, rows)
+
+    r = QUERIES["q293_cuped_adjustment"](spark, d).collect()[0]
+    assert r.theta is None and r.adj_lift is None and r.rho2 is None
+    assert r.raw_lift is not None  # unguarded path still defined
+
+    (dr,) = _duck_on(d, ORACLES["q293_cuped_adjustment"])
+    cols = ["n_users", "n_a", "n_b", "theta", "raw_lift", "adj_lift",
+            "rho2"]
+    duck = dict(zip(cols, dr))
+    assert duck["theta"] is None
+    assert duck["adj_lift"] is None
+    assert duck["rho2"] is None
+
+
+def test_delong_single_positive_is_null_both_engines(spark, tmp_path):
+    """One positive example -> (p-1)=0 -> se/ci NULL in both engines."""
+    from datetime import datetime, timedelta
+
+    import hive_reflex_spark.operators  # noqa: F401
+    from hive_reflex_spark.registry import ORACLES, QUERIES
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(0, t0, 0, "purchase", 5.0)]
+    for i in range(1, 6):
+        rows.append((i, t0 + timedelta(hours=i), i, "view", float(i)))
+    d = _degenerate_events_dir(tmp_path, rows)
+
+    r = QUERIES["q295_auc_delong"](spark, d).collect()[0]
+    assert r.p == 1 and r.neg == 5
+    assert r.auc is not None
+    assert r.se is None and r.ci_lo is None and r.ci_hi is None
+
+    (dr,) = _duck_on(d, ORACLES["q295_auc_delong"])
+    cols = ["p", "neg", "auc2num", "auc", "s10u", "s01u", "se",
+            "ci_lo", "ci_hi"]
+    duck = dict(zip(cols, dr))
+    assert duck["se"] is None
+    assert duck["ci_lo"] is None and duck["ci_hi"] is None
+
+
+def test_two_pass_bucket_key_floors_negative_cents(spark):
+    """The sign-safe bucket key: -150 cents must land in bucket -65536,
+    not bucket 0 (the old cents - cents%w form mis-bucketed it)."""
+    from hive_reflex_spark.operators.relational import (
+        two_pass_histogram,
+        two_pass_rank_values,
+    )
+
+    li = spark.createDataFrame(
+        [(-150,), (-65537,), (0,), (1,), (70000,)], "cents long"
+    )
+    n, buckets = two_pass_histogram(li)
+    assert n == 5
+    assert dict(buckets) == {-131072: 1, -65536: 1, 0: 2, 65536: 1}
+    # rank 1 = the minimum, rank 2 = -150: exact selection across
+    # negative buckets
+    vals = {
+        r.rank: r.cents
+        for r in two_pass_rank_values(li, buckets, [1, 2, 5]).collect()
+    }
+    assert vals == {1: -65537, 2: -150, 5: 70000}
