@@ -1,20 +1,47 @@
-"""Invariant tests for the round-8 fourth-session additions:
+"""Invariant tests for the stats/experimentation tier.
 
-- q280 ROC/AUC: auc2num equals the brute-force pairwise count
-  2*#(pos>neg) + #(pos==neg); curve points are monotone and end at
-  (1, 1).
-- q281 BH-FDR: p-values equal math.comb exact binomial tails; the
-  rejected set equals an independent Python Benjamini-Hochberg.
-- q282 chi-squared: per-row deltas sum to zero; the frozen-unit total
-  matches a numpy float recomputation to 1e-6 relative.
-- q283 exact quantile: every reported value equals numpy's sorted
-  order statistic at the exact integer rank.
-- q284 Good-Turing: N_r table and missing mass match a pure-Python
-  trigram recount; sum r*N_r == n_tokens.
-- q285 HyperBall: nf_units at every round equals a full Python replay
-  (BFS balls -> per-ball register union -> q118 estimate) — the
-  max-merge == set-union semantics of the algorithm.
-- q286 Kendall tau-b: pair classes match a brute-force double loop.
+CANONICAL-FORM AUDIT (the q295 lesson, completed in r9): engine-parity
+cannot catch a statistic that is wrong identically in both engines, so
+every statistical operator below has an INDEPENDENT textbook-form
+cross-check computed from the raw fixture data — not a replay of the
+repo's own frozen-unit expression. Stat -> canonical check:
+
+- q279 Mann-Whitney: tie-averaged ranks + textbook U/z with the tie
+  correction, pure Python (test_curation_sketch_ops.py).
+- q280 ROC/AUC: brute-force pairwise count 2*#(pos>neg) + #(pos==neg).
+- q281 BH-FDR: math.comb exact binomial tails + independent Python BH.
+- q282 chi-squared: textbook sum (O-E)^2/E from observed marginals.
+- q283 exact quantile: sorted order statistic at the exact rank.
+- q284 Good-Turing: pure-Python trigram recount; N_1/N missing mass;
+  conservation sum r*N_r == n_tokens.
+- q285 HyperBall: ground-truth BFS balls -> register union (max-merge
+  == set-union IS the algorithm's canonical claim).
+- q286 Kendall tau-b: brute-force double loop over all pairs.
+- q287 RRF: textbook sum 1/(k+rank), ranks checked as permutations.
+- q288 GBDT split: textbook Gini gain recomputed from cell counts;
+  conservation of class totals across splits.
+- q289 permutation test: independent replay of the md5-keyed
+  relabeling (the construction IS the statistic) + textbook add-one
+  p = (1+n_extreme)/(1+B).
+- q290/q290a CountSketch: grid recomputed from TRUE per-user counts
+  (duckdb group-by), textbook median-of-row-estimates readout.
+- q291 Brier: Murphy identity REL-RES+UNC, direct float Brier from the
+  binned forecasts, UNC == ybar*(1-ybar).
+- q292 KL/JS: textbook divergence from raw word counts with math.log.
+- q293 CUPED: theta = cov/var recomputed from raw per-user spend
+  (Deng et al. form); raw/adjusted lifts from the arm means.
+- q294 silhouette: s=(b-a)/max(a,b) from raw embeddings in BOTH the
+  frozen-unit form (exact) and plain float (textbook, 1e-4) —
+  test_silhouette_matches_canonical_numpy_recompute.
+- q295 DeLong: canonical numpy covariance form on a constructed
+  skewed sample (test_delong_formula_matches_canonical_on_skewed_sample)
+  + placement-value replay on the fixture.
+- q296 McNemar: cells counted from raw docs + textbook (b-c)^2/(b+c)
+  and the continuity-corrected variant.
+- q297 NMI: joint contingency from raw labels + textbook MI/entropy.
+- q298 Spearman: textbook rho on midranks (named ..._textbook_form).
+- q299 quantile CI: exact Binomial(n, q) coverage of the bracket
+  (>= 94%) + order statistics from the sorted raw values.
 """
 
 from __future__ import annotations
@@ -949,3 +976,71 @@ def test_two_pass_bucket_key_floors_negative_cents(spark):
         for r in two_pass_rank_values(li, buckets, [1, 2, 5]).collect()
     }
     assert vals == {1: -65537, 2: -150, 5: 70000}
+
+
+def test_silhouette_matches_canonical_numpy_recompute(spark):
+    """q294 canonical form (the q295-lesson audit gap): the simplified
+    silhouette s_i = (b_i - a_i)/max(a_i, b_i) with a = cosine distance
+    to the OWN (max-dot) centroid and b = to the nearest OTHER centroid
+    — recomputed from the raw embeddings in pure Python, both in the
+    frozen-unit form (exact equality) and in plain float (the textbook
+    formula, 1e-4 closeness) so a mis-frozen unit expression cannot hide
+    behind an engine-parity green."""
+    from hive_reflex_spark.operators.similarity import (
+        N_CENTROIDS_STRIDE,
+        q294_simplified_silhouette,
+    )
+
+    rows = q294_simplified_silhouette(spark, SF_SMOKE).collect()
+    con = duckdb.connect()
+    raw = con.execute(
+        f"SELECT vec_id, embedding FROM '{SF_SMOKE}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: list(emb) for vid, emb in raw}
+    cents = {
+        vid: emb
+        for vid, emb in vecs.items()
+        if vid % N_CENTROIDS_STRIDE == 0
+    }
+
+    def xdot(a, b):
+        return sum(round(x * y * 1e9) for x, y in zip(a, b)) / 1e9
+
+    nrm = {vid: math.sqrt(xdot(e, e)) for vid, e in vecs.items()}
+    per_c: dict[int, list] = {}
+    float_sil: dict[int, list] = {}
+    for vid, e in vecs.items():
+        dots = {cid: xdot(e, cents[cid]) for cid in cents}
+        own = max(sorted(cents), key=lambda cid: (dots[cid], -cid))
+        dd = {
+            cid: 1.0 - dots[cid] / (nrm[vid] * nrm[cid]) for cid in cents
+        }
+        a = dd[own]
+        b = min(v for cid, v in dd.items() if cid != own)
+        g = max(a, b)
+        # frozen-unit form: the oracle's exact tree (1e6*(b-a))/g
+        s_units = None if g == 0 else round((1e6 * (b - a)) / g)
+        per_c.setdefault(own, []).append(s_units)
+        float_sil.setdefault(own, []).append(
+            0.0 if g == 0 else (b - a) / g
+        )
+
+    assert {r.centroid_id for r in rows} == set(per_c)
+    all_units = [u for us in per_c.values() for u in us if u is not None]
+    all_float = [s for ss in float_sil.values() for s in ss]
+    for r in rows:
+        us = [u for u in per_c[r.centroid_id] if u is not None]
+        assert r.n == len(per_c[r.centroid_id])
+        assert r.sum_sil_units == sum(us)
+        # textbook float form — catches a wrong freezing, not just a
+        # wrong engine
+        mean_f = sum(float_sil[r.centroid_id]) / len(
+            float_sil[r.centroid_id]
+        )
+        assert abs(r.mean_sil - mean_f) < 1e-4, (r.centroid_id,)
+        assert abs(
+            r.global_mean_sil - sum(all_float) / len(all_float)
+        ) < 1e-4
+    n_tot = sum(len(v) for v in per_c.values())
+    got_global = rows[0].global_mean_sil
+    assert got_global == round(sum(all_units) * 1.0 / n_tot / 1e6, 6)
