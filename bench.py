@@ -141,10 +141,18 @@ def configure_for(spark, sf_dir: str) -> tuple[int, bool]:
 
 
 def bench_block(
-    spark, sf_dir: str, qs, oracles, n_runs: int, label: str
+    spark, sf_dir: str, qs, oracles, n_runs: int, label: str,
+    duck_runs: int | None = None,
 ) -> dict:
     """Time the headline set (Spark + DuckDB twins) at one SF. Returns
-    the per-query and aggregate numbers as a JSON-ready dict."""
+    the per-query and aggregate numbers as a JSON-ready dict.
+
+    ``duck_runs`` decouples the oracle's rep count from Spark's: at sf1
+    a DuckDB pass is ~50 s while a Spark rep is sub-second, so Spark
+    takes >=3 reps (dispersion guard live: the steady-state set needs
+    >=2 reps — the r8 artifact's min-of-2 left the guard vacuous and a
+    loaded driver box recorded q01 at 1.77 s with 'dispersion 0.0')
+    while DuckDB keeps min-of-2 plus its own dispersion record."""
     import duckdb
 
     from hive_reflex_spark.io import TABLES, read_table
@@ -183,6 +191,8 @@ def bench_block(
     times: dict[str, float] = {}
     duck_times: dict[str, float] = {}
     worst_disp = 0.0
+    duck_worst_disp = 0.0
+    noisy: dict[str, float] = {}  # residual >bar after extra reps, by side
     for name in HEADLINE:
         key = name.split("_", 1)[0]
         best, runs, disp = timed_min(
@@ -190,6 +200,8 @@ def bench_block(
         )
         times[key] = round(best, 2)
         worst_disp = max(worst_disp, disp)
+        if disp > DISPERSION_BAR:
+            noisy[key] = round(disp, 2)
         n = qs[name](spark, sf_dir).count()  # untimed, for the log line
         line = (
             f"# [{label}] {name}: {times[key]:.2f}s"
@@ -197,10 +209,13 @@ def bench_block(
         )
         if name in oracles:
             dbest, druns, ddisp = timed_min(
-                lambda: con.execute(oracles[name]).fetchall(), n_runs
+                lambda: con.execute(oracles[name]).fetchall(),
+                duck_runs or n_runs,
             )
             duck_times[key] = round(dbest, 2)
-            worst_disp = max(worst_disp, ddisp)
+            duck_worst_disp = max(duck_worst_disp, ddisp)
+            if ddisp > DISPERSION_BAR:
+                noisy["duck_" + key] = round(ddisp, 2)
             ratio = round(times[key] / max(duck_times[key], 1e-9), 2)
             line += f" | duckdb {duck_times[key]:.2f}s | ratio {ratio}"
         print(line, file=sys.stderr)
@@ -208,7 +223,7 @@ def bench_block(
     total = round(sum(times.values()), 2)
     duck_total = round(sum(duck_times.values()), 2)
     comparable = round(sum(times[n] for n in duck_times), 2)
-    return {
+    out = {
         "value": total,
         "queries": times,
         "duckdb_queries": duck_times,
@@ -218,8 +233,13 @@ def bench_block(
         "aqe": aqe_on,
         "reps": n_runs,
         "worst_rep_dispersion": round(worst_disp, 2),
+        "duckdb_worst_dispersion": round(duck_worst_disp, 2),
         "job_floor": job_floor,
     }
+    if noisy:
+        # per-query attribution: which query blew the floor, which side
+        out["noisy"] = noisy
+    return out
 
 
 def ensure_sf1(sf1_dir: str) -> bool:
@@ -270,8 +290,14 @@ def main() -> int:
     sf1_block = None
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/hrs_sf1")
     if os.environ.get("SPARK_GRAFT_SF1", "") != "off" and ensure_sf1(sf1_dir):
-        sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2"))
-        sf1_block = bench_block(spark, sf1_dir, qs, oracles, sf1_runs, "sf1")
+        # Spark reps >=3 so the dispersion guard is live (min-of-2 left
+        # it vacuous — r8's q01 driver anomaly); DuckDB stays min-of-2
+        # (its sf1 pass alone is ~50 s) with its own dispersion field.
+        sf1_runs = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "3"))
+        sf1_duck = int(os.environ.get("SPARK_GRAFT_SF1_DUCK_RUNS", "2"))
+        sf1_block = bench_block(
+            spark, sf1_dir, qs, oracles, sf1_runs, "sf1", duck_runs=sf1_duck
+        )
         sf1_block["sf_dir"] = sf1_dir
 
     out = {

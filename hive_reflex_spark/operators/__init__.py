@@ -27,85 +27,25 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-8 window: the 41 registrations
-# new this round (first driver rows; the fourth-session additions
-# q280-q299 fill 21 of the 50 slots and lead), then 9 of the 12
-# changed-code queries (changed code must be re-judged — incl. the
-# q118/q49a shared-helper refactors and the q173 hybrid_scored
-# extraction). Three changed-code entries overflow past slot 50 and
-# keep standing evidence + this session's full-sweep greens: q47 and
-# q263 (capped-postings refactor — q47 is transitively re-judged by
-# the IN-window queries that embed its SQL and plan wholesale: q285
-# hyperball, q267, q273) and q124 (prior-session dyadic refactor,
-# re-verified by every full sweep since). The list is 94 long; names
-# after the 50th (q47/q263/q124, then q72-q75/q70/q71/q59-q61/
-# q43-q45/q42a/q50/q79/q02/q04-q06/q08, then the r02 tier) keep their
-# standing r01/r02 evidence.
+# the judged correctness surface. Round-9 window (the r8 verdict's #2:
+# spend the window on the staleness backlog, freeze new registrations):
+# 7 changed-code slots (q273's decimal->DOUBLE fix; the ADVICE guards on
+# q293/q295; the two_pass_histogram floor-div shared by q283/q299; the
+# _CS_BUCKETS guard shared by q290/q290a) + the 43 stalest r01/r02
+# hash-greens oldest-first (scripts/rotate_window.py). q68/q28 stay out:
+# rows-only by design with standing rows evidence and oracled twins
+# (q68a/q118). The ~19 remaining r02 greens (q54b/q88/q21-q26/q29/q90/
+# q51-q58 tier) clear in r10. Every query not listed keeps its standing
+# hash-green driver row and original registration order after this block.
 _registry.finalize_order([
-    # NEW this round, fourth session — first driver rows
-    "q299_quantile_order_ci",     # distribution-free quantile brackets
-    "q298_spearman",              # rank correlation (the third of three)
-    "q295_auc_delong",            # AUC with DeLong SE + 95% CI
-    "q296_mcnemar_filters",       # paired keep-filter disagreement test
-    "q297_cluster_label_nmi",     # external clustering validity (NMI)
-    "q293_cuped_adjustment",      # variance-reduced experiment lift
-    "q294_simplified_silhouette", # centroid-based clustering quality
-    "q290a_stream_count_sketch",  # ingest-side signed grid state
-    "q290_count_sketch",          # unbiased signed frequency sketch
-    "q291_brier_decomposition",   # reliability/resolution/uncertainty
-    "q292_source_divergence",     # pairwise source KL/JS matrix
-    "q289_permutation_test",      # exact md5-deterministic relabel test
-    "q288_gbdt_split",            # histogram decision-stump split finder
-    "q287_rrf_fusion",            # reciprocal-rank hybrid fusion
-    "q285_hyperball",             # neighborhood function via HLL merges
-    "q283_exact_quantile",        # two-pass exact distributed selection
-    "q281_bh_fdr",                # exact sign tests + integer BH control
-    "q280_roc_auc",               # ROC operating points + rank-exact AUC
-    "q282_chi2_independence",     # frozen-units chi-squared + Cramer's V
-    "q284_good_turing",           # trigram missing mass / smoothed counts
-    "q286_kendall_tau",           # tie-corrected rank correlation
-    # NEW this round — first driver rows
-    "q272_winnowing_fingerprint", # MOSS guaranteed positional fingerprints
-    "q273_lsh_recall_curve",      # measured LSH S-curve vs q260 theory
-    "q274_length_bucket_batching",  # padding-waste accounting per regime
-    "q275_isotonic_calibration",  # PAVA fit of the DSIR score
-    "q276_jl_projection",         # JL dim reduction + distortion audit
-    "q278_phash_hamming_pairs",   # banded perceptual NEAR-dup pairs
-    "q268_kmv_set_sketch",        # KMV union+intersection sketch
-    "q268a_stream_kmv",           # ingest-side bottom-k sketch state
-    "q277_rolling_distinct_kmv",  # sliding distinct from merged sketches
-    "q279_mann_whitney",          # nonparametric rank-sum A/B readout
-    "q269_semantic_dedup",        # SemDeDup cluster-restricted dedup
-    "q270_fuzzy_decontaminate",   # graded contamination-ratio rule
-    "q271_token_entropy",         # word-distribution evenness filter
-    "q160a_slcan_transport",      # S8 real-transport wire codec (r7 item 6)
-    "q250a_stream_novelty",       # ingest-side novelty via stateful stream
-    "q256a_siegel_repeated_median",  # 50%-breakdown robust trend
-    "q265_hll_sketch_rollup",     # sketch-cube merge: hour→day registers
-    "q265a_stream_hll_registers", # ingest-side HLL register maintenance
-    "q266_tput_topk_bounds",      # worst-case-bounded distributed top-k
-    "q267_bleu_candidate_score",  # clipped n-gram precision on LSH pairs
-    # code changed this round — re-verify
-    "q03_top_revenue",            # join-then-agg plan (r8 perf lever)
-    "q247_name_linkage",          # per-position blocking-cap oracle fix
-    "q261_mmr_rerank",            # _MMR_MU single constant + left join
-    "q30b_gram_matmul_numpy",     # round_half_away bit-exact emulation
-    "q66d_attention_blocked",     # round_half_away bit-exact emulation
-    "q67b_conv2d_blocked",        # round_half_away bit-exact emulation
-    "q263_containment_pairs",     # shared capped_postings/sizes refactor
-    "q49a_lsh_candidates_star",   # shared star_candidates refactor
-    "q173_hybrid_rerank",         # shared hybrid_scored extraction (r8s4)
-    "q47_jaccard_pairs",          # shared capped_postings/sizes refactor
-    "q118_hll_distinct",          # shared hll_registers refactor
-    "q124_weighted_sample",       # shared dyadic_md5_uniform refactor
-    #   ^ q47/q118/q124 land at slots 51-53 (outside the judged 50),
-    #   chosen for the STRONGEST transitive in-window coverage: q47's
-    #   refactored SQL/plan is embedded wholesale by in-window
-    #   q285/q267/q273; q118's shared register construction is
-    #   exercised by in-window q265/q265a/q285; q124's prior-session
-    #   change is re-verified by every full sweep since. q263 keeps a
-    #   judged slot because NOTHING in-window exercises its own
-    #   call-site of the postings refactor.
+    # code changed this round — must be re-judged
+    "q273_lsh_recall_curve",      # r8's one red: DECIMAL->DOUBLE + exact-unit recall
+    "q293_cuped_adjustment",      # try_divide/NULLIF variance guards (ADVICE)
+    "q295_auc_delong",            # (p-1)/(neg-1) guards (ADVICE)
+    "q283_exact_quantile",        # sign-safe floor-div bucket key (shared helper)
+    "q299_quantile_order_ci",     # same two-pass helper
+    "q290_count_sketch",          # _CS_BUCKETS assert -> raise (shared module)
+    "q290a_stream_count_sketch",  # same constant
     # stalest hash-greens: last driver-checked r01
     "q72_accuracy_eval",
     "q73_distillation_kl",
@@ -149,11 +89,8 @@ _registry.finalize_order([
     "q18_above_avg_orders",
     "q19_gaps_islands",
     "q20_sessionize",
-    # (q68/q28 stay OUT of the window: rows-only by design with standing
-    # rows evidence and oracled twins q68a/q118.)
-    # NOTE: only the first 50 names are driver-checked; every query not
-    # listed keeps its standing hash-green driver row and its original
-    # registration order after this block.
+    "q51_cosine_topk",
+    "q53_lsh_buckets",
 ])
 
 __all__ = [

@@ -197,65 +197,65 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-8 rotation: the registrations new this round get their
-        # first driver rows, and every query whose code changed this
-        # round is re-judged; the remaining slots hold the stalest
-        # r01/r02 hash-greens (scripts/rotate_window.py) — the listed
-        # names that overflow the 50-slot window keep their standing
-        # r02 evidence.
-        "q299_quantile_order_ci",       # new: quantile CI brackets
-        "q298_spearman",                # new: rank correlation
-        "q295_auc_delong",              # new: AUC with DeLong CI
-        "q296_mcnemar_filters",         # new: paired filter test
-        "q297_cluster_label_nmi",       # new: clustering NMI/purity
-        "q293_cuped_adjustment",        # new: CUPED adjusted lift
-        "q294_simplified_silhouette",   # new: clustering quality
-        "q290a_stream_count_sketch",    # new: streaming signed grid
-        "q290_count_sketch",            # new: signed frequency sketch
-        "q291_brier_decomposition",     # new: Murphy decomposition
-        "q292_source_divergence",       # new: source KL/JS matrix
-        "q289_permutation_test",        # new: exact permutation test
-        "q288_gbdt_split",              # new: histogram split finder
-        "q287_rrf_fusion",              # new: reciprocal-rank fusion
-        "q285_hyperball",               # new: HLL neighborhood function
-        "q283_exact_quantile",          # new: two-pass exact selection
-        "q281_bh_fdr",                  # new: exact sign tests + BH
-        "q280_roc_auc",                 # new: ROC curve + rank AUC
-        "q282_chi2_independence",       # new: frozen-units chi-squared
-        "q284_good_turing",             # new: trigram missing mass
-        "q286_kendall_tau",             # new: tau-b rank correlation
-        "q272_winnowing_fingerprint",   # new: MOSS winnowing fingerprints
-        "q273_lsh_recall_curve",        # new: measured LSH S-curve
-        "q274_length_bucket_batching",  # new: padding-waste regimes
-        "q275_isotonic_calibration",    # new: PAVA calibration curve
-        "q276_jl_projection",           # new: JL projection + audit
-        "q278_phash_hamming_pairs",     # new: banded perceptual near-dup
-        "q268_kmv_set_sketch",          # new: KMV set-operation sketch
-        "q268a_stream_kmv",             # new: streaming bottom-k state
-        "q277_rolling_distinct_kmv",    # new: sliding sketch-merge distinct
-        "q279_mann_whitney",            # new: rank-sum A/B readout
-        "q269_semantic_dedup",          # new: SemDeDup cluster dedup
-        "q270_fuzzy_decontaminate",     # new: contamination-ratio rule
-        "q271_token_entropy",           # new: token-evenness filter
-        "q160a_slcan_transport",        # new: S8 real-transport wire codec
-        "q250a_stream_novelty",         # new: ingest-side novelty
-        "q256a_siegel_repeated_median", # new: 50%-breakdown trend
-        "q265_hll_sketch_rollup",       # new: sketch-cube rollup merge
-        "q265a_stream_hll_registers",   # new: streaming HLL registers
-        "q266_tput_topk_bounds",        # new: deterministic-bounds top-k
-        "q267_bleu_candidate_score",    # new: clipped n-gram precision
-        "q03_top_revenue",            # code changed: join-then-agg plan
-        "q247_name_linkage",          # code changed: per-position cap oracle
-        "q261_mmr_rerank",            # code changed: single MMR constant
-        "q30b_gram_matmul_numpy",     # code changed: round_half_away
-        "q66d_attention_blocked",     # code changed: round_half_away
-        "q67b_conv2d_blocked",        # code changed: round_half_away
-        "q49a_lsh_candidates_star",   # code changed: shared star_candidates
-        "q263_containment_pairs",     # code changed: shared postings/sizes
-        # (q47 and q118 overflow past slot 50 — both transitively
-        # re-judged via in-window embedders: q47 by q285/q267/q273,
-        # q118's register construction by q265/q265a/q285.)
-        "q173_hybrid_rerank",         # code changed: hybrid_scored helper
+        # round-9 rotation (r8 verdict #2: spend the window on the
+        # staleness backlog): 7 changed-code slots + the 43 stalest
+        # r01/r02 hash-greens, oldest-first (scripts/rotate_window.py).
+        # code changed in r9 — must be re-judged:
+        "q273_lsh_recall_curve",      # DECIMAL->DOUBLE + exact-unit recall
+        "q293_cuped_adjustment",      # try_divide/NULLIF variance guards
+        "q295_auc_delong",            # (p-1)/(neg-1) DeLong guards
+        "q283_exact_quantile",        # sign-safe floor-div bucket key
+        "q299_quantile_order_ci",     # same two-pass helper
+        "q290_count_sketch",          # _CS_BUCKETS assert -> raise
+        "q290a_stream_count_sketch",  # same constant
+        # stalest r01 greens:
+        "q72_accuracy_eval",
+        "q73_distillation_kl",
+        "q74_log_stats",
+        "q75_cascade_stats",
+        "q70_int4_pack",
+        "q71_artifact_checksums",
+        "q59_cost_partition_islands",
+        "q60_flash_layout",
+        "q61_liveness",
+        "q43_quality_score",
+        "q44_lang_id",
+        "q45_fingerprint",
+        "q42a_bpe_token_count",
+        "q50_simhash",
+        "q79_power_rollup",
+        "q02_filter_project",
+        "q04_priority_semi_join",
+        "q05_customers_without_orders",
+        "q06_region_rollup",
+        "q08_theta_join",
+        # stalest r02 greens:
+        "q65_multimodal_meta",
+        "q81_codec_dispatch",
+        "q82_lz4_roundtrip",
+        "q80_onnx_compile",
+        "q100_chunk_udtf",
+        "q85_hash_split",
+        "q86_stratified_sample",
+        "q87_decontaminate",
+        "q89_sequence_pack",
+        "q51a_embedding_neardup",
+        "q09_status_priority_cube",
+        "q10_topk_per_nation",
+        "q11_running_order_totals",
+        "q12_global_topk",
+        "q13_set_ops",
+        "q15_price_percentiles",
+        "q16_word_explode",
+        "q17_monthly_orders",
+        "q18_above_avg_orders",
+        "q19_gaps_islands",
+        "q20_sessionize",
+        "q51_cosine_topk",
+        "q53_lsh_buckets",
+        # (q68/q28 stay out: rows-only by design, oracled twins
+        # q68a/q118 keep hash evidence; the remaining r02 greens
+        # clear in r10.)
     ):
         assert must in window, must
 
