@@ -201,10 +201,10 @@ def run_cascade(events: DataFrame) -> DataFrame:
            COUNT(*) AS n_exits,
            CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0
                / COUNT(*) AS mean_value,
-           ROUND(COUNT(*) * CASE exit_stage WHEN 1 THEN {STAGE_COST[1]!r}
+           ROUND(COUNT(*) * CAST(CASE exit_stage WHEN 1 THEN {STAGE_COST[1]!r}
                  WHEN 2 THEN {STAGE_COST[1] + STAGE_COST[2]!r}
-                 ELSE {STAGE_COST[1] + STAGE_COST[2] + STAGE_COST[3]!r} END, 2)
-               AS total_cost
+                 ELSE {STAGE_COST[1] + STAGE_COST[2] + STAGE_COST[3]!r} END
+                 AS DOUBLE), 2) AS total_cost
     FROM (SELECT event_id, value,
                  CASE WHEN value > 300.0 THEN 1
                       WHEN value > 150.0 THEN 2

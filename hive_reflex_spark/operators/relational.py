@@ -471,7 +471,8 @@ def q10_topk_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"]
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("n_name", "c_custkey", "c_acctbal")
-        .withColumn("rnk", F.row_number().over(w))
+        # long: DuckDB ROW_NUMBER is BIGINT; exact arrow-dtype parity
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= 3)
     )
 
@@ -513,11 +514,13 @@ def q11_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(wcum) / 100.0)
         .alias("running_total"),
-        F.row_number().over(w).alias("order_seq"),
+        # long casts: DuckDB emits BIGINT for ROW_NUMBER/date_diff while
+        # Spark's are int — exact arrow-dtype parity (check_oracle rule)
+        F.row_number().over(w).cast("long").alias("order_seq"),
         F.coalesce(
             F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
             F.lit(-1),
-        ).alias("days_since_prev"),
+        ).cast("long").alias("days_since_prev"),
     )
 
 

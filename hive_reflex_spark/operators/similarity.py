@@ -92,7 +92,8 @@ def q51_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cosine"), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        # long: DuckDB ROW_NUMBER is BIGINT; exact arrow-dtype parity
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
 

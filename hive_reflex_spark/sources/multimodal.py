@@ -175,7 +175,8 @@ def q65_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = F.encode("text", "UTF-8")
     return docs.select(
         "doc_id",
-        F.length(payload).alias("n_bytes"),
+        # long: DuckDB length() is BIGINT; exact arrow-dtype parity
+        F.length(payload).cast("long").alias("n_bytes"),
         F.ceil(F.length(payload) / 256.0).cast("long").alias("n_frames"),
         F.substring(F.md5("text"), 1, 8).alias("content_key"),
     )
