@@ -55,14 +55,25 @@ def canon_rows(cols, rows):
 
 def canon_arrow_type(t) -> str:
     """Canonical name for an arrow dtype, normalizing representation
-    differences that are benign across engines (large_* variants,
-    timestamp unit/tz) while keeping width/precision differences —
-    the class that flipped the driver hash on q273 (Spark decimal(6,6)
-    vs DuckDB decimal128(7,6), identical values)."""
+    differences that are PROVEN benign across engines while keeping the
+    dangerous ones:
+
+    - large_* string/binary/list variants and timestamp unit/tz: engine
+      export details, normalized;
+    - integer WIDTH (int32 vs int64): normalized — 23 registry queries
+      hold standing hash-green driver rows with width-mismatched rank/
+      bin columns in BOTH directions (r9 scan), so the driver hash is
+      width-insensitive; new queries should still CAST to long for
+      cleanliness, existing ones get fixed as they rotate;
+    - kept fatal: decimal (any precision — the class that flipped the
+      driver hash on q273: Spark decimal(6,6) vs DuckDB decimal128(7,6),
+      identical values), int-vs-float, and any cross-kind difference."""
     import pyarrow as pa
 
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_integer(t):
+        return "uint" if pa.types.is_unsigned_integer(t) else "int"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
