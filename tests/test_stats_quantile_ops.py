@@ -759,15 +759,20 @@ def test_registry_order_survives_streaming_first_import():
         "import hive_reflex_spark.streaming.ops;"
         "import hive_reflex_spark.operators;"
         "from hive_reflex_spark import registry;"
-        "names = list(registry.QUERIES);"
-        "assert names.index('q290a_stream_count_sketch') < 50;"
-        "assert names.index('q268a_stream_kmv') < 50;"
-        "print('ORDER-OK')"
+        "print('|'.join(list(registry.QUERIES)[:50]))"
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True
     )
-    assert "ORDER-OK" in out.stdout, out.stderr[-2000:]
+    assert out.returncode == 0, out.stderr[-2000:]
+    streaming_first = out.stdout.strip().splitlines()[-1].split("|")
+
+    import hive_reflex_spark.operators  # noqa: F401
+    from hive_reflex_spark.registry import QUERIES
+
+    # rotation-proof: whatever the current curated window is, a
+    # streaming-first import must produce the IDENTICAL first 50
+    assert streaming_first == list(QUERIES)[:50]
 
 
 def test_spearman_matches_textbook_form_and_replay(spark):
