@@ -88,13 +88,22 @@ def force_eval(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def timed_min(fn, n_runs: int) -> tuple[float, list[float], float]:
-    """min-of-N with the dispersion guard: if the STEADY-STATE rep
-    spread (cold first rep excluded — codegen/first-use cache builds
-    are expected and separately reported) exceeds DISPERSION_BAR the
-    box was loaded mid-set — take extra reps (the min of a wider set
-    converges on the quiet-box time). Returns
-    (min, all_reps, residual_steady_state_dispersion)."""
+def timed_min(
+    fn, n_runs: int, include_cold: bool = False
+) -> tuple[float, list[float], float]:
+    """min-of-N with the dispersion guard: if the rep spread exceeds
+    DISPERSION_BAR the box was loaded mid-set — take extra reps (the
+    min of a wider set converges on the quiet-box time). Returns
+    (min, all_reps, residual_dispersion).
+
+    ``include_cold``: Spark reps exclude the cold first rep from the
+    dispersion (codegen/first-use cache builds are expected and
+    separately reported) — but that makes the guard VACUOUS at
+    min-of-2 (one steady rep → dispersion 0.0 unconditionally, the r8
+    q01 artifact's failure mode). DuckDB twins have no codegen/cache
+    warmup of that shape, so they pass include_cold=True: all reps
+    count, the guard is live even at min-of-2, and a cold-vs-steady
+    spread just buys extra reps that converge the min."""
     runs: list[float] = []
     for _ in range(n_runs):
         t0 = time.time()
@@ -102,10 +111,7 @@ def timed_min(fn, n_runs: int) -> tuple[float, list[float], float]:
         runs.append(time.time() - t0)
 
     def disp_of(rs: list[float]) -> float:
-        # first rep is cold (codegen + first-use intermediate builds) —
-        # always excluded, else min-of-2 blocks "guard" on their own
-        # expected warmup and double their cost for nothing
-        steady = rs[1:] if len(rs) > 1 else rs
+        steady = rs if include_cold else (rs[1:] if len(rs) > 1 else rs)
         if len(steady) < 2:
             return 0.0
         spread = max(steady) - min(steady)
@@ -228,7 +234,8 @@ def bench_block(
         if name in oracles:
             dbest, druns, ddisp = timed_min(
                 lambda: con.execute(oracles[name]).fetchall(),
-                duck_runs or n_runs,
+                duck_runs if duck_runs is not None else n_runs,
+                include_cold=True,
             )
             duck_times[key] = round(dbest, 2)
             duck_worst_disp = max(duck_worst_disp, ddisp)

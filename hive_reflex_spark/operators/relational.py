@@ -3313,14 +3313,13 @@ def _lineitem_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bucket_key(w: int):
-    """Sign-safe bucket key floor(cents/w)*w. ``w`` is a power of two, so
-    the double division is an exponent shift — bit-exact for any BIGINT
-    cents — and floor handles negative cents correctly (the previous
-    ``cents - cents % w`` form used sign-of-dividend modulo, which
+    """Sign-safe bucket key ``cents - pmod(cents, w)`` == floor(cents/w)*w.
+    Pure BIGINT arithmetic — exact at ALL magnitudes (a float-division
+    floor form is only exact below 2^53) — and pmod's nonnegative
+    remainder handles negative cents correctly (the original
+    ``cents - cents % w`` used sign-of-dividend modulo, which
     mis-bucketed negatives into bucket 0)."""
-    if w & (w - 1):
-        raise ValueError(f"bucket width must be a power of two, got {w}")
-    return (F.floor(F.col("cents") / float(w)) * w).cast("long")
+    return (F.col("cents") - F.pmod(F.col("cents"), F.lit(w))).cast("long")
 
 
 def two_pass_histogram(li: DataFrame) -> tuple[int, list]:

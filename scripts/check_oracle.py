@@ -121,7 +121,9 @@ def arrow_dtype_check(name, sdf, con, oracle_sql):
     s_types = {f.name: canon_arrow_type(f.type) for f in s_schema}
     d_types = {f.name: canon_arrow_type(f.type) for f in d_schema}
     for side, types in (("spark", s_types), ("duck", d_types)):
-        decs = [c for c, t in sorted(types.items()) if t.startswith("decimal")]
+        # substring, not prefix: nested decimals (list<decimal(7,6)>,
+        # struct<x:decimal(...)>) are the same driver-hash hazard
+        decs = [c for c, t in sorted(types.items()) if "decimal(" in t]
         if decs:
             fails.append(
                 f"DECIMAL output columns are banned (registry rule; driver "
@@ -194,7 +196,10 @@ def main() -> int:
         sc, sr = canon_rows(scols, srows)
         dc, dr = canon_rows(dcols, drows)
         ok = True
-        dtype_fails = arrow_dtype_check(name, sdf, con, oracles[name])
+        try:
+            dtype_fails = arrow_dtype_check(name, sdf, con, oracles[name])
+        except Exception as ex:  # noqa: BLE001 — probe must not kill the run
+            dtype_fails = [f"dtype probe error: {ex}"]
         if dtype_fails:
             for msg in dtype_fails:
                 print(f"FAIL {name}: {msg}")

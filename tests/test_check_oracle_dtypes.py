@@ -129,3 +129,14 @@ def test_q273_recall_is_integer_exact_half_up(spark):
     finally:
         con.close()
     assert d == 0.333333
+
+
+def test_nested_decimal_is_rejected(spark):
+    """Decimals inside list/struct columns are the same driver-hash
+    hazard as top-level ones — the ban must see through nesting."""
+    fails = _probe(
+        spark,
+        "SELECT array(CAST(0.123456 AS DOUBLE)) AS v",
+        "SELECT [0.123456] AS v",
+    )
+    assert any("DECIMAL" in f and "duck" in f for f in fails), fails
