@@ -1049,3 +1049,26 @@ def test_silhouette_matches_canonical_numpy_recompute(spark):
     n_tot = sum(len(v) for v in per_c.values())
     got_global = rows[0].global_mean_sil
     assert got_global == round(sum(all_units) * 1.0 / n_tot / 1e6, 6)
+
+
+def test_bucket_key_matches_python_floor_div_property(spark):
+    """Property: the pure-BIGINT bucket key cents - pmod(cents, w)
+    equals Python's floor-division bucketing floor(c/w)*w for adversarial
+    magnitudes on both sides of zero, INCLUDING values past 2^53 where a
+    float-floor form silently mis-buckets."""
+    from hive_reflex_spark.operators.relational import (
+        _QUANTILE_BUCKET_CENTS,
+        _bucket_key,
+    )
+
+    w = _QUANTILE_BUCKET_CENTS
+    vals = [0, 1, -1, w - 1, w, w + 1, -w, -w - 1, -w + 1,
+            2**53 + 1, 2**53 + w + 3, -(2**53) - 1,
+            2**62 + 12345, -(2**62) - 12345, 150, -150]
+    li = spark.createDataFrame([(v,) for v in vals], "cents long")
+    got = {
+        r.cents: r.b
+        for r in li.select("cents", _bucket_key(w).alias("b")).collect()
+    }
+    for v in vals:
+        assert got[v] == (v // w) * w, (v, got[v], (v // w) * w)
