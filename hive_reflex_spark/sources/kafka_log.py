@@ -1,0 +1,179 @@
+"""Kafka-shaped commit log: partitioned, offset-addressed, replayable.
+
+The reference's bus is a physical broadcast transport
+(``examples/example_reflex_node.c:109-120`` rx path); its fleet-scale
+engine-side equivalent is a partitioned commit log (Kafka and its
+wire-compatible kin). No broker exists in this environment and pyspark
+ships without the kafka connector jar, so this module implements the
+SEMANTICS on a directory layout, with the exact record shape Spark's
+kafka source exposes — swap ``log_read``/``log_read_stream`` for
+``spark.readStream.format("kafka")`` on a cluster and every downstream
+plan (the SLCAN parse + CAN decode chain, the watermark rollups) is
+unchanged:
+
+- records are (topic, partition, offset, ts, key, value) — the kafka
+  source's projection;
+- producers partition BY KEY (hash(key) % n_partitions) so one key's
+  records stay totally ordered within a partition — Kafka's ordering
+  contract, and the reason a node's command stream replays in order;
+- offsets are per-partition, dense, monotone across appends
+  (brokers assign at append; here a window over the batch plus the
+  log's current high-water mark);
+- consumption is REPLAYABLE: batch reads accept per-partition start
+  offsets (the committed-offset resume shape) and the streaming reader
+  is a file source over the same directory (per-file = per-append
+  batch, ``maxFilesPerTrigger`` = replay pacing).
+
+Scale: the directory log is partition-pruned on read (partition is a
+physical column), appends are one shuffle on the key hash, and offset
+assignment is a per-partition window — no global coordination, which
+is exactly why Kafka itself scales the same way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_reflex_spark.session import pin_session
+
+# the kafka source's record projection (value/key as binary)
+KAFKA_RECORD_SCHEMA = (
+    "topic string, partition int, offset long, "
+    "ts timestamp, key binary, value binary"
+)
+
+
+def _topic_dir(log_dir: str, topic: str) -> str:
+    return os.path.join(log_dir, f"topic={topic}")
+
+
+def log_append(
+    df: DataFrame,
+    log_dir: str,
+    topic: str,
+    n_partitions: int = 4,
+    key_col: str = "key",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> None:
+    """Append a batch to the log, assigning partitions BY KEY and
+    per-partition dense offsets continuing from the log's high-water
+    mark. ``key_col``/``value_col`` may be any castable-to-string
+    columns; they ship as binary (the kafka wire shape).
+
+    Ordering within the appended batch is (ts, key, value) — a
+    deterministic total order so offset assignment is reproducible;
+    a real broker orders by arrival, which a batch has to choose."""
+    spark = df.sparkSession
+    pin_session(spark)
+    part = F.pmod(F.xxhash64(F.col(key_col).cast("string")), n_partitions)
+    recs = df.select(
+        F.lit(topic).alias("topic"),
+        part.cast("int").alias("partition"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        F.encode(F.col(key_col).cast("string"), "UTF-8").alias("key"),
+        F.encode(F.col(value_col).cast("string"), "UTF-8").alias("value"),
+    )
+    w = Window.partitionBy("partition").orderBy("ts", "key", "value")
+    recs = recs.withColumn(
+        "batch_off", (F.row_number().over(w) - 1).cast("long")
+    )
+    tdir = _topic_dir(log_dir, topic)
+    base = None
+    if os.path.isdir(tdir):
+        # high-water mark per partition: next offset = max + 1
+        base = (
+            spark.read.parquet(tdir)
+            .groupBy("partition")
+            .agg((F.max("offset") + 1).cast("long").alias("hwm"))
+        )
+    if base is not None:
+        recs = recs.join(F.broadcast(base), "partition", "left").withColumn(
+            "offset", F.coalesce("hwm", F.lit(0)) + F.col("batch_off")
+        )
+    else:
+        recs = recs.withColumn("offset", F.col("batch_off"))
+    out = recs.select(
+        "topic", "partition", "offset", "ts", "key", "value"
+    )
+    # one file per (append, partition): the streaming reader sees each
+    # append as one trigger's worth of files, like a broker's new
+    # segment; partition stays a physical column for pruned reads
+    out.repartition("partition").write.mode("append").partitionBy(
+        "partition"
+    ).parquet(tdir)
+
+
+def log_read(
+    spark: SparkSession,
+    log_dir: str,
+    topic: str,
+    start_offsets: dict[int, int] | int | None = None,
+) -> DataFrame:
+    """Batch replay from committed offsets: records with
+    offset >= start for their partition (int = every partition, dict =
+    per-partition, None/0 = from the beginning — kafka's earliest).
+    The offset predicate composes with partition pruning on the scan."""
+    pin_session(spark)
+    df = spark.read.parquet(_topic_dir(log_dir, topic)).withColumn(
+        "topic", F.lit(topic)
+    )
+    if not start_offsets:
+        return df.select(
+            "topic", "partition", "offset", "ts", "key", "value"
+        )
+    if isinstance(start_offsets, int):
+        cond = F.col("offset") >= start_offsets
+    else:
+        cond = F.lit(False)
+        for p, off in sorted(start_offsets.items()):
+            cond = cond | (
+                (F.col("partition") == p) & (F.col("offset") >= off)
+            )
+        # partitions without a committed offset start from earliest
+        known = list(start_offsets)
+        cond = cond | ~F.col("partition").isin(known)
+    return df.filter(cond).select(
+        "topic", "partition", "offset", "ts", "key", "value"
+    )
+
+
+def log_read_stream(
+    spark: SparkSession,
+    log_dir: str,
+    topic: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming consumption of the same log: Spark's file source over
+    the topic directory (schema pinned; each append's files arrive as
+    new data — the broker-poll shape). ``max_files_per_trigger`` paces
+    a replay the way kafka's maxOffsetsPerTrigger does."""
+    pin_session(spark)
+    reader = (
+        spark.readStream.schema(
+            "topic string, offset long, ts timestamp, "
+            "key binary, value binary"
+        )
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    df = reader.load(_topic_dir(log_dir, topic))
+    # partition= is a hive path column the fixed schema drops; recover
+    # it from the file path so the record shape matches log_read
+    part = F.regexp_extract(
+        F.input_file_name(), r"partition=(\d+)", 1
+    ).cast("int")
+    return df.select(
+        F.lit(topic).alias("topic"),
+        part.alias("partition"),
+        "offset",
+        "ts",
+        "key",
+        "value",
+    )

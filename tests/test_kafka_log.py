@@ -1,0 +1,209 @@
+"""Kafka-shaped commit log (sources/kafka_log.py): the S8 bus on a
+partitioned, offset-addressed, replayable transport.
+
+The semantics under test are Kafka's contract, checked against ground
+truth computed independently:
+
+- keyed partitioning: every key lands in exactly one partition;
+- per-partition offsets are dense from 0 and stay monotone across
+  appends (high-water-mark continuation);
+- replay: batch reads from per-partition start offsets return exactly
+  the records at-or-above those offsets (unknown partitions from
+  earliest);
+- the streaming reader over the same directory yields the identical
+  record set as the batch reader;
+- end to end: SLCAN frames produced onto the log, consumed, parsed and
+  decoded give the SAME per-node rollup as the direct (transport-free)
+  decode path — a byte-level defect anywhere in produce/consume breaks
+  the comparison.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _ticks(spark, n=256):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("id"))
+        ).alias("ts"),
+    )
+
+
+def _wire(spark, n=256):
+    """SLCAN wire lines with a producer key (the 11-bit id hex — a
+    node's command stream keys to one value, Kafka-style)."""
+    from hive_reflex_spark.streaming.ops import (
+        slcan_encode_lines,
+        synthesize_can_frames,
+    )
+
+    frames = synthesize_can_frames(
+        _ticks(spark, n), value_col="event_id", ts_col="ts"
+    )
+    return (
+        slcan_encode_lines(frames)
+        .withColumn("t0", F.lit("2024-01-01").cast("timestamp"))
+        .withColumn("k", F.substring("value", 2, 3))
+    )
+
+
+def _append(spark, log_dir, n=256, **kw):
+    from hive_reflex_spark.sources.kafka_log import log_append
+
+    log_append(
+        _wire(spark, n),
+        str(log_dir),
+        "can",
+        key_col="k",
+        value_col="value",
+        ts_col="t0",
+        **kw,
+    )
+
+
+def test_keyed_partitioning_and_dense_offsets(spark, tmp_path):
+    from hive_reflex_spark.sources.kafka_log import log_read
+
+    _append(spark, tmp_path, n=256, n_partitions=4)
+    recs = log_read(spark, str(tmp_path), "can").collect()
+    assert len(recs) == 256
+    # every key in exactly one partition
+    key_parts: dict[bytes, set[int]] = {}
+    by_part: dict[int, list[int]] = {}
+    for r in recs:
+        key_parts.setdefault(bytes(r.key), set()).add(r.partition)
+        by_part.setdefault(r.partition, []).append(r.offset)
+    assert all(len(ps) == 1 for ps in key_parts.values())
+    assert len(by_part) > 1  # keys actually spread
+    # offsets dense from 0 within each partition
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), p
+
+
+def test_offsets_continue_across_appends(spark, tmp_path):
+    from hive_reflex_spark.sources.kafka_log import log_read
+
+    _append(spark, tmp_path, n=64, n_partitions=2)
+    first = {
+        (r.partition, r.offset)
+        for r in log_read(spark, str(tmp_path), "can").collect()
+    }
+    _append(spark, tmp_path, n=64, n_partitions=2)
+    both = log_read(spark, str(tmp_path), "can").collect()
+    assert len(both) == 128
+    by_part: dict[int, list[int]] = {}
+    for r in both:
+        by_part.setdefault(r.partition, []).append(r.offset)
+    # still dense from 0 after the second append: the high-water mark
+    # continued the sequence instead of restarting it
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), p
+    assert first < {(r.partition, r.offset) for r in both}
+
+
+def test_replay_from_committed_offsets(spark, tmp_path):
+    from hive_reflex_spark.sources.kafka_log import log_read
+
+    _append(spark, tmp_path, n=256, n_partitions=4)
+    full = log_read(spark, str(tmp_path), "can").collect()
+    parts = sorted({r.partition for r in full})
+    commit = {parts[0]: 10, parts[1]: 0}  # resume points; rest earliest
+    got = {
+        (r.partition, r.offset)
+        for r in log_read(
+            spark, str(tmp_path), "can", start_offsets=commit
+        ).collect()
+    }
+    want = {
+        (r.partition, r.offset)
+        for r in full
+        if r.offset >= commit.get(r.partition, 0)
+    }
+    assert got == want
+    # int form: one global start offset
+    got_all = {
+        (r.partition, r.offset)
+        for r in log_read(
+            spark, str(tmp_path), "can", start_offsets=5
+        ).collect()
+    }
+    assert got_all == {(r.partition, r.offset) for r in full if r.offset >= 5}
+
+
+def test_stream_reader_matches_batch(spark, tmp_path):
+    from hive_reflex_spark.sources.kafka_log import (
+        log_read,
+        log_read_stream,
+    )
+
+    _append(spark, tmp_path, n=128, n_partitions=4)
+    batch = {
+        (r.partition, r.offset, bytes(r.value))
+        for r in log_read(spark, str(tmp_path), "can").collect()
+    }
+    stream = log_read_stream(spark, str(tmp_path), "can")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kafka_log_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.partition, r.offset, bytes(r.value))
+        for r in spark.sql("SELECT * FROM kafka_log_t").collect()
+    }
+    assert got == batch
+
+
+def test_slcan_over_log_matches_direct_decode(spark, tmp_path):
+    """End to end: produce SLCAN onto the log, consume+parse+decode, and
+    the per-node rollup equals the transport-free decode of the same
+    frames — only a byte-exact produce/consume round-trip matches."""
+    from hive_reflex_spark.sources.kafka_log import log_read
+    from hive_reflex_spark.streaming.ops import (
+        decode_can_frames,
+        parse_slcan_frames,
+        synthesize_can_frames,
+    )
+
+    _append(spark, tmp_path, n=256, n_partitions=4)
+    lines = log_read(spark, str(tmp_path), "can").select(
+        F.decode("value", "UTF-8").alias("value"),
+        F.col("ts").alias("ts0"),
+    )
+    via_log = (
+        decode_can_frames(parse_slcan_frames(lines, ts_col="ts0"))
+        .groupBy("node_id")
+        .agg(
+            F.count("*").alias("n_cmd"),
+            F.sum(F.round(F.col("target_angle") * 100).cast("long"))
+            .alias("sum_centideg"),
+            F.sum(F.round(F.col("compliance") * 255).cast("long"))
+            .alias("sum_comp"),
+        )
+    )
+    direct = (
+        decode_can_frames(
+            synthesize_can_frames(
+                _ticks(spark, 256), value_col="event_id", ts_col="ts"
+            )
+        )
+        .groupBy("node_id")
+        .agg(
+            F.count("*").alias("n_cmd"),
+            F.sum(F.round(F.col("target_angle") * 100).cast("long"))
+            .alias("sum_centideg"),
+            F.sum(F.round(F.col("compliance") * 255).cast("long"))
+            .alias("sum_comp"),
+        )
+    )
+    a = sorted(map(tuple, via_log.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) > 0
