@@ -131,7 +131,18 @@ def timed_min(
 
 def configure_for(spark, sf_dir: str) -> tuple[int, bool]:
     """Size shuffle partitions to the input and gate AQE by size (the
-    100-TB default is ON; toy inputs measure the static plan)."""
+    100-TB default is ON; toy inputs measure the static plan).
+
+    Floor stays 8, NOT the core count — measured both ways (r9):
+    flooring at 32 cores cuts q47's straggler variance (0.57-0.99 s
+    spread at 8 partitions vs 0.60-0.69 s at 32, same min: a skewed
+    CPU-bound stage's wall is one straggler task) but charges every
+    job-floor query ~2-3x in task scheduling with AQE off at toy
+    scale (q03 0.35 s -> 1.7 s, sf0.1 aggregate ratio 1.2-1.4 -> 3.0,
+    reproduced twice). The variance is the cheaper cost and the
+    'noisy' field attributes it; at cluster scale AQE (on above 1 GB)
+    coalesces over-provisioned shuffles, so the toy floor does not
+    generalize upward."""
     in_bytes = input_bytes(sf_dir)
     n_shuffle = int(
         os.environ.get(
