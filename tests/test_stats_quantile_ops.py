@@ -22,7 +22,8 @@ repo's own frozen-unit expression. Stat -> canonical check:
   conservation of class totals across splits.
 - q289 permutation test: independent replay of the md5-keyed
   relabeling (the construction IS the statistic) + textbook add-one
-  p = (1+n_extreme)/(1+B).
+  p = (1+n_extreme)/(1+B) + a planted exact-null fixture that must
+  yield p = 1 exactly (distribution-level property, not a replay).
 - q290/q290a CountSketch: grid recomputed from TRUE per-user counts
   (duckdb group-by), textbook median-of-row-estimates readout.
 - q291 Brier: Murphy identity REL-RES+UNC, direct float Brier from the
@@ -1072,3 +1073,35 @@ def test_bucket_key_matches_python_floor_div_property(spark):
     }
     for v in vals:
         assert got[v] == (v // w) * w, (v, got[v], (v // w) * w)
+
+
+def test_permutation_test_planted_null_gives_p_one(spark, tmp_path):
+    """Canonical distribution-level property (not a construction
+    replay): on a PLANTED exact null — two event types with identical
+    daily totals — the observed deviation is 0, every one of the B
+    relabelings is at least as extreme, and the add-one estimator
+    must return exactly p = 1 (1e6 units) with n_extreme == B."""
+    from datetime import datetime, timedelta
+
+    from hive_reflex_spark.operators.analytics import (
+        _PERM_B,
+        q289_permutation_test,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(6):
+        for typ in ("aa", "bb"):
+            rows.append(
+                (eid, t0 + timedelta(days=day), eid % 7, typ,
+                 10.0 + day)  # same value per day for both types
+            )
+            eid += 1
+    d = _degenerate_events_dir(tmp_path, rows)
+    r = q289_permutation_test(spark, d).collect()
+    assert len(r) == 1
+    assert (r[0].type_a, r[0].type_b) == ("aa", "bb")
+    assert r[0].t_obs * 2 == sum(round((10.0 + day) * 100) for day in range(6)) * 2
+    assert r[0].n_extreme == _PERM_B
+    assert r[0].p_units == 1_000_000
