@@ -243,6 +243,15 @@ def bench_block(
         key = name.split("_", 1)[0]
         line = spark_lines[name]
         if name in oracles:
+            # One untimed warm pass first (mirrors the Spark warm-up):
+            # on a quiet box the first rep is routinely page-cache cold
+            # at sf1, and the live include_cold guard would read that as
+            # contention and buy ~50 s of extra reps on EVERY run. After
+            # the warm pass all timed reps are steady, so the guard (all
+            # reps count, live even at min-of-2) measures contention
+            # only — the r9 lesson that cold-excluded min-of-2 is
+            # vacuous stays honored because nothing is excluded.
+            con.execute(oracles[name]).fetchall()
             dbest, druns, ddisp = timed_min(
                 lambda: con.execute(oracles[name]).fetchall(),
                 duck_runs if duck_runs is not None else n_runs,

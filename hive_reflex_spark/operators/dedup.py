@@ -511,8 +511,8 @@ _RECALL_THEORY_CASE = (
     SELECT bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(SUM(caught) AS BIGINT) AS n_caught,
-           CAST(FLOOR((CAST(SUM(caught) AS BIGINT) * 2000000 + COUNT(*))
-                / (2.0 * COUNT(*))) AS BIGINT) / 1000000.0 AS recall,
+           ((CAST(SUM(caught) AS BIGINT) * 2000000 + COUNT(*))
+                // (2 * COUNT(*))) / 1000000.0 AS recall,
            {_RECALL_THEORY_CASE} AS theory_p
     FROM lab GROUP BY bucket
     """,
@@ -533,8 +533,10 @@ def q273_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Theory values are Python-precomputed constants (no cross-engine
     pow()), CAST to DOUBLE in both engines (bare decimal literals get
     engine-divergent DECIMAL precisions); recall half-ups at the
-    integer level — floor((caught*2e6 + n) / 2n) — pure BIGINT-exact
-    arithmetic identical on any engine (registry header rule).
+    integer level — (caught*2e6 + n) DIV (2n) — pure BIGINT integer
+    division on both engines (Spark `DIV`, DuckDB `//`), exact at any
+    magnitude (registry header rule); only the final /1e6 presentation
+    step is float.
 
     Scale: truth pairs come from the capped posting-list expansion
     (O(collisions), df-capped); candidates from the band equi-join; the
@@ -562,10 +564,10 @@ def q273_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_pairs"),
             F.sum("caught").cast("long").alias("n_caught"),
             (
-                F.floor(
-                    (F.sum("caught").cast("long") * 2000000 + F.count("*"))
-                    / (2.0 * F.count("*"))
-                ).cast("long")
+                F.expr(
+                    "(CAST(SUM(caught) AS BIGINT) * 2000000 + COUNT(*))"
+                    " DIV (2 * COUNT(*))"
+                )
                 / 1e6
             ).alias("recall"),
         )

@@ -28,10 +28,21 @@ Scale: the directory log is partition-pruned on read (partition is a
 physical column), appends are one shuffle on the key hash, and offset
 assignment is a per-partition window — no global coordination, which
 is exactly why Kafka itself scales the same way.
+
+SINGLE WRITER PER TOPIC: offset assignment is read-then-append (fetch
+the high-water mark, append above it), exactly a broker LEADER's job —
+and like Kafka, only one leader may assign offsets for a partition.
+Two concurrent ``log_append`` calls on one topic would both read the
+same high-water mark and mint duplicate offsets; serialize producers
+per topic (or shard topics per producer). The high-water mark itself
+is kept in a ``_hwm.json`` sidecar next to the topic's data (written
+atomically via rename), so an append is O(batch), not O(total log); a
+missing/stale sidecar falls back to one full-scan rebuild.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -50,6 +61,39 @@ def _topic_dir(log_dir: str, topic: str) -> str:
     return os.path.join(log_dir, f"topic={topic}")
 
 
+def _hwm_path(tdir: str) -> str:
+    # sidecar lives NEXT TO the topic dir (inside it would shadow the
+    # parquet reader's directory listing)
+    return tdir + "._hwm.json"
+
+
+def _read_hwm(spark: SparkSession, tdir: str) -> dict[int, int]:
+    """Per-partition next-offset map. Prefers the O(1) sidecar; falls
+    back to one full scan for logs that predate it (and for a sidecar
+    lost to a partial copy). Empty dict = empty/new topic."""
+    path = _hwm_path(tdir)
+    if os.path.exists(path):
+        with open(path) as f:
+            return {int(k): int(v) for k, v in json.load(f).items()}
+    if not os.path.isdir(tdir):
+        return {}
+    rows = (
+        spark.read.parquet(tdir)
+        .groupBy("partition")
+        .agg((F.max("offset") + 1).cast("long").alias("hwm"))
+        .collect()
+    )
+    return {int(r["partition"]): int(r["hwm"]) for r in rows}
+
+
+def _write_hwm(tdir: str, hwm: dict[int, int]) -> None:
+    path = _hwm_path(tdir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({str(k): v for k, v in sorted(hwm.items())}, f)
+    os.replace(tmp, path)
+
+
 def log_append(
     df: DataFrame,
     log_dir: str,
@@ -66,7 +110,11 @@ def log_append(
 
     Ordering within the appended batch is (ts, key, value) — a
     deterministic total order so offset assignment is reproducible;
-    a real broker orders by arrival, which a batch has to choose."""
+    a real broker orders by arrival, which a batch has to choose.
+
+    Single-writer contract (module docstring): the high-water-mark
+    read below and the append are not one atomic step — exactly like a
+    broker, one leader per topic assigns offsets."""
     spark = df.sparkSession
     pin_session(spark)
     part = F.pmod(F.xxhash64(F.col(key_col).cast("string")), n_partitions)
@@ -82,17 +130,19 @@ def log_append(
         "batch_off", (F.row_number().over(w) - 1).cast("long")
     )
     tdir = _topic_dir(log_dir, topic)
-    base = None
-    if os.path.isdir(tdir):
-        # high-water mark per partition: next offset = max + 1
-        base = (
-            spark.read.parquet(tdir)
-            .groupBy("partition")
-            .agg((F.max("offset") + 1).cast("long").alias("hwm"))
+    # O(1) high-water mark from the sidecar (full-scan fallback only for
+    # pre-sidecar logs); the map is n_partitions-sized driver state
+    hwm = _read_hwm(spark, tdir)
+    if hwm:
+        base = F.create_map(
+            *[F.lit(x) for kv in sorted(hwm.items()) for x in kv]
         )
-    if base is not None:
-        recs = recs.join(F.broadcast(base), "partition", "left").withColumn(
-            "offset", F.coalesce("hwm", F.lit(0)) + F.col("batch_off")
+        recs = recs.withColumn(
+            "offset",
+            F.coalesce(
+                base[F.col("partition")].cast("long"), F.lit(0).cast("long")
+            )
+            + F.col("batch_off"),
         )
     else:
         recs = recs.withColumn("offset", F.col("batch_off"))
@@ -105,6 +155,15 @@ def log_append(
     out.repartition("partition").write.mode("append").partitionBy(
         "partition"
     ).parquet(tdir)
+    # advance the sidecar from the batch's own per-partition counts —
+    # O(batch) and bounded driver state (<= n_partitions rows)
+    counts = {
+        int(r["partition"]): int(r["count"])
+        for r in recs.groupBy("partition").count().collect()
+    }
+    for p, c in counts.items():
+        hwm[p] = hwm.get(p, 0) + c
+    _write_hwm(tdir, hwm)
 
 
 def log_read(

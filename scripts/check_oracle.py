@@ -109,17 +109,35 @@ def arrow_dtype_check(name, sdf, con, oracle_sql):
     canonicalization (floats rounded, Decimal -> float) passed q273 in
     r8 while the driver hash failed on a decimal-precision mismatch.
     Spark's arrow schema comes from the plan (no job); DuckDB's from a
-    LIMIT-0 arrow fetch. Returns a list of failure strings (empty = ok).
+    LIMIT-0 arrow fetch. Returns (failures, warnings) — both lists of
+    strings; empty failures = ok. Integer-width mismatches (int32 vs
+    int64) are WARNINGS: proven driver-hash-benign (r9 scan, 23
+    standing greens both directions) but worth flushing out as queries
+    rotate, so they stay visible without failing the sweep.
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
     fails = []
+    warns = []
     s_schema = to_arrow_schema(sdf.schema)
     d_schema = con.execute(
         f"SELECT * FROM ({oracle_sql}) __dtype_probe LIMIT 0"
     ).fetch_arrow_table().schema
+    s_raw = {f.name: str(f.type) for f in s_schema}
+    d_raw = {f.name: str(f.type) for f in d_schema}
     s_types = {f.name: canon_arrow_type(f.type) for f in s_schema}
     d_types = {f.name: canon_arrow_type(f.type) for f in d_schema}
+    for c in sorted(set(s_types) & set(d_types)):
+        if (
+            s_types[c] == d_types[c]
+            and s_raw.get(c) != d_raw.get(c)
+            and "int" in s_types[c]
+        ):
+            warns.append(
+                f"integer width differs on {c!r}: spark={s_raw[c]} "
+                f"duck={d_raw[c]} (driver-hash benign; CAST to long when "
+                f"this query next rotates)"
+            )
     for side, types in (("spark", s_types), ("duck", d_types)):
         # substring, not prefix: nested decimals (list<decimal(7,6)>,
         # struct<x:decimal(...)>) are the same driver-hash hazard
@@ -137,7 +155,7 @@ def arrow_dtype_check(name, sdf, con, oracle_sql):
             if s_types.get(c) != d_types.get(c)
         }
         fails.append(f"arrow dtypes differ (spark, duck): {diff}")
-    return fails
+    return fails, warns
 
 
 def kind(v):
@@ -197,9 +215,17 @@ def main() -> int:
         dc, dr = canon_rows(dcols, drows)
         ok = True
         try:
-            dtype_fails = arrow_dtype_check(name, sdf, con, oracles[name])
-        except Exception as ex:  # noqa: BLE001 — probe must not kill the run
-            dtype_fails = [f"dtype probe error: {ex}"]
+            dtype_fails, dtype_warns = arrow_dtype_check(
+                name, sdf, con, oracles[name]
+            )
+        except Exception as ex:  # noqa: BLE001 — a probe INFRASTRUCTURE
+            # problem (pyarrow missing, a Spark type to_arrow_schema can't
+            # express, a LIMIT-0 quirk) must not flip the sweep red when
+            # the value comparison below still runs; genuine dtype
+            # mismatches come back as fails above, not exceptions.
+            dtype_fails, dtype_warns = [], [f"dtype probe error (infra): {ex}"]
+        for msg in dtype_warns:
+            print(f"WARN {name}: {msg}")
         if dtype_fails:
             for msg in dtype_fails:
                 print(f"FAIL {name}: {msg}")

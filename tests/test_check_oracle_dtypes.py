@@ -36,7 +36,19 @@ def _probe(spark, spark_sql: str, duck_sql: str):
     sdf = spark.sql(spark_sql)
     con = duckdb.connect()
     try:
-        return check_oracle.arrow_dtype_check("probe", sdf, con, duck_sql)
+        fails, _warns = check_oracle.arrow_dtype_check(
+            "probe", sdf, con, duck_sql
+        )
+        return fails
+    finally:
+        con.close()
+
+
+def _probe_warns(spark, spark_sql: str, duck_sql: str):
+    sdf = spark.sql(spark_sql)
+    con = duckdb.connect()
+    try:
+        return check_oracle.arrow_dtype_check("probe", sdf, con, duck_sql)[1]
     finally:
         con.close()
 
@@ -99,7 +111,7 @@ def test_q273_output_schema_is_decimal_free(spark, sf_smoke):
             p = os.path.join(sf_smoke, f"{t}.parquet")
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        fails = check_oracle.arrow_dtype_check(
+        fails, _warns = check_oracle.arrow_dtype_check(
             "q273", sdf, con, ORACLES["q273_lsh_recall_curve"]
         )
     finally:
@@ -108,27 +120,54 @@ def test_q273_output_schema_is_decimal_free(spark, sf_smoke):
 
 
 def test_q273_recall_is_integer_exact_half_up(spark):
-    """The recall column must come from floor((c*2e6 + n) / 2n) — BIGINT
-    half-up, not float ROUND: plant an exact .0000005 tie and check the
-    half-up result on both engine expressions."""
-    # 1 caught of 8 pairs = 0.125 exactly; 1 of 3 = 0.333333|3... rounds
-    # down; the tie case 1 of 1600000... too big to plant, use 3 of 4e6?
-    # Representable tie: caught=1, pairs=1600000 -> 0.000000625; instead
-    # pin the arithmetic identity directly at small scale.
+    """The recall column comes from (c*2e6 + n) DIV (2n) — pure BIGINT
+    integer division on both engines (Spark DIV, DuckDB //), never a
+    float intermediate: check the half-up identity at small scale AND at
+    a magnitude where a double-division form would lose ulps (>2^53)."""
     row = spark.sql(
-        "SELECT CAST(FLOOR((CAST(1 AS BIGINT) * 2000000 + 3) / (2e0 * 3)) "
-        "AS BIGINT) / 1e6 AS recall"
+        "SELECT ((CAST(1 AS BIGINT) * 2000000 + 3) DIV (2 * 3)) / 1e6 "
+        "AS recall"
     ).collect()[0]
     assert row["recall"] == 0.333333
     con = duckdb.connect()
     try:
         d = con.execute(
-            "SELECT CAST(FLOOR((CAST(1 AS BIGINT) * 2000000 + 3) / (2.0 * 3)) "
-            "AS BIGINT) / 1000000.0 AS recall"
+            "SELECT ((CAST(1 AS BIGINT) * 2000000 + 3) // (2 * 3)) "
+            "/ 1000000.0 AS recall"
+        ).fetchone()[0]
+        # exactness past 2^53: numerator c*2e6 + n ≈ 8.8e18 (> 2^53, still
+        # inside BIGINT) — a double intermediate collapses low bits; the
+        # integer div must match Python's exact //
+        big_c, big_n = (1 << 42) + 1, (1 << 43) + 1
+        expected = (big_c * 2000000 + big_n) // (2 * big_n)
+        d_big = con.execute(
+            f"SELECT (CAST({big_c} AS BIGINT) * 2000000 + {big_n}) "
+            f"// (2 * CAST({big_n} AS BIGINT))"
         ).fetchone()[0]
     finally:
         con.close()
     assert d == 0.333333
+    assert d_big == expected
+    s_big = spark.sql(
+        f"SELECT (CAST({big_c} AS BIGINT) * 2000000 + {big_n}) "
+        f"DIV (2 * CAST({big_n} AS BIGINT)) AS v"
+    ).collect()[0]["v"]
+    assert s_big == expected
+
+
+def test_integer_width_mismatch_warns_but_passes(spark):
+    """int32-vs-int64 is driver-hash benign (r9 scan): the guard must
+    PASS it but name the column in a warning so rotations flush it."""
+    sdf = spark.sql("SELECT CAST(1 AS BIGINT) AS v")
+    con = duckdb.connect()
+    try:
+        fails, warns = check_oracle.arrow_dtype_check(
+            "probe", sdf, con, "SELECT CAST(1 AS INTEGER) AS v"
+        )
+    finally:
+        con.close()
+    assert fails == []
+    assert any("integer width differs" in w and "'v'" in w for w in warns), warns
 
 
 def test_nested_decimal_is_rejected(spark):

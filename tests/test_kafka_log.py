@@ -207,3 +207,37 @@ def test_slcan_over_log_matches_direct_decode(spark, tmp_path):
     a = sorted(map(tuple, via_log.collect()))
     b = sorted(map(tuple, direct.collect()))
     assert a == b and len(a) > 0
+
+
+def test_hwm_sidecar_is_written_and_scan_fallback_agrees(spark, tmp_path):
+    """ADVICE r9: the high-water mark must come from an O(1) sidecar,
+    not a full topic rescan per append — and a log whose sidecar is
+    missing (pre-sidecar layout) must rebuild the identical map."""
+    import os
+
+    from hive_reflex_spark.sources.kafka_log import (
+        _hwm_path,
+        _read_hwm,
+        _topic_dir,
+    )
+
+    _append(spark, tmp_path, n=64, n_partitions=2)
+    _append(spark, tmp_path, n=64, n_partitions=2)
+    tdir = _topic_dir(str(tmp_path), "can")
+    path = _hwm_path(tdir)
+    assert os.path.exists(path)
+    from_sidecar = _read_hwm(spark, tdir)
+    assert sum(from_sidecar.values()) == 128
+    # fallback path: drop the sidecar, force the one-time full scan
+    os.remove(path)
+    from_scan = _read_hwm(spark, tdir)
+    assert from_scan == from_sidecar
+    # and a third append on the scan-rebuilt hwm still extends densely
+    _append(spark, tmp_path, n=64, n_partitions=2)
+    from hive_reflex_spark.sources.kafka_log import log_read
+
+    by_part: dict[int, list[int]] = {}
+    for r in log_read(spark, str(tmp_path), "can").collect():
+        by_part.setdefault(r.partition, []).append(r.offset)
+    for p, offs in by_part.items():
+        assert sorted(offs) == list(range(len(offs))), p
