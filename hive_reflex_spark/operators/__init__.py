@@ -27,70 +27,79 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-9 window (the r8 verdict's #2:
-# spend the window on the staleness backlog, freeze new registrations):
-# 7 changed-code slots (q273's decimal->DOUBLE fix; the ADVICE guards on
-# q293/q295; the two_pass_histogram floor-div shared by q283/q299; the
-# _CS_BUCKETS guard shared by q290/q290a) + the 43 stalest r01/r02
-# hash-greens oldest-first (scripts/rotate_window.py). q68/q28 stay out:
+# the judged correctness surface. Round-10 window (the r9 verdict's #1/#2:
+# retire the r02 staleness backlog + register the commit-log transport):
+# 1 new registration (q160b) + 21 changed-code slots (q273's integer-div
+# recall fix; the 19-query int-width cast batch — the r9 dtype scan's
+# benign list, each cast is changed code and rides its own slot) + the
+# 19 stale-r02 rows (q26/q54b are both stale AND cast) + the 12 stalest
+# r03 rows as fill (rotate_window.py order — includes q123, whose
+# canonical-form Pearson replay also lands this round). q68/q28 stay out:
 # rows-only by design with standing rows evidence and oracled twins
-# (q68a/q118). The ~19 remaining r02 greens (q54b/q88/q21-q26/q29/q90/
-# q51-q58 tier) clear in r10. Every query not listed keeps its standing
-# hash-green driver row and original registration order after this block.
+# (q68a/q118). After this window NO registry row is older than r03 —
+# the staleness SLO (>=35 slots to the backlog while any row is >5
+# rounds stale) is satisfied: 19 r02 + 4 r03 casts + 12 r03 fill = 35.
+# Every query not listed keeps its standing hash-green driver row and
+# original registration order after this block.
 _registry.finalize_order([
+    # new registration — first driver row
+    "q160b_kafka_log_transport",  # S8 commit-log transport (r9 verdict #2)
     # code changed this round — must be re-judged
-    "q273_lsh_recall_curve",      # r8's one red: DECIMAL->DOUBLE + exact-unit recall
-    "q293_cuped_adjustment",      # try_divide/NULLIF variance guards (ADVICE)
-    "q295_auc_delong",            # (p-1)/(neg-1) guards (ADVICE)
-    "q283_exact_quantile",        # sign-safe floor-div bucket key (shared helper)
-    "q299_quantile_order_ci",     # same two-pass helper
-    "q290_count_sketch",          # _CS_BUCKETS assert -> raise (shared module)
-    "q290a_stream_count_sketch",  # same constant
-    # stalest hash-greens: last driver-checked r01
-    "q72_accuracy_eval",
-    "q73_distillation_kl",
-    "q74_log_stats",
-    "q75_cascade_stats",
-    "q70_int4_pack",
-    "q71_artifact_checksums",
-    "q59_cost_partition_islands",
-    "q60_flash_layout",
-    "q61_liveness",
-    "q43_quality_score",
-    "q44_lang_id",
-    "q45_fingerprint",
-    "q42a_bpe_token_count",
-    "q50_simhash",
-    "q79_power_rollup",
-    "q02_filter_project",
-    "q04_priority_semi_join",
-    "q05_customers_without_orders",
-    "q06_region_rollup",
-    "q08_theta_join",
-    # stalest hash-greens: last driver-checked r02
-    "q65_multimodal_meta",
-    "q81_codec_dispatch",
-    "q82_lz4_roundtrip",
-    "q80_onnx_compile",
-    "q100_chunk_udtf",
-    "q85_hash_split",
-    "q86_stratified_sample",
-    "q87_decontaminate",
-    "q89_sequence_pack",
-    "q51a_embedding_neardup",
-    "q09_status_priority_cube",
-    "q10_topk_per_nation",
-    "q11_running_order_totals",
-    "q12_global_topk",
-    "q13_set_ops",
-    "q15_price_percentiles",
-    "q16_word_explode",
-    "q17_monthly_orders",
-    "q18_above_avg_orders",
-    "q19_gaps_islands",
-    "q20_sessionize",
-    "q51_cosine_topk",
-    "q53_lsh_buckets",
+    "q273_lsh_recall_curve",      # recall half-up now pure BIGINT DIV (ADVICE)
+    # int-width cast batch (spark rank/bin/ntile columns -> long; q66d
+    # narrowed to its family's int32) — stale rows among them re-judge
+    # their staleness and their cast in the same slot
+    "q54b_ivf_topk",              # r02 + rnk cast
+    "q26_rank_functions",         # r02 + rnk/drnk/quartile/seq casts
+    "q102b_ivfpq_topk",           # r03 + rnk cast
+    "q124_weighted_sample",       # r03 + rnk cast
+    "q27_collect_types",          # r03 + n_types cast
+    "q95_perplexity_filter",      # r03 + bucket cast
+    "q139_scd2_intervals",        # item_bytes cast
+    "q249_quantile_normalize",    # decile cast
+    "q280_roc_auc",               # decile cast
+    "q288_gbdt_split",            # bin cast
+    "q291_brier_decomposition",   # bin cast
+    "q38_channel_norms",          # norm_rank cast
+    "q42_token_stats",            # min/max_tokens casts
+    "q52_cosine_topk_arrays",     # rnk cast (shared helper with q52a)
+    "q52a_cosine_topk_units",     # rnk cast (same helper)
+    "q66d_attention_blocked",     # out_dim int32 (family-consistent)
+    "q67_conv2d",                 # ox cast
+    "q67a_depthwise_conv1d",      # ot cast
+    "q67b_conv2d_blocked",        # ox cast (blocked twin)
+    # remaining stale r02 rows (pre-cleared 19/19 at the 10x fixture at
+    # the r9 close)
+    "q88_ivf_kmeans",
+    "q21_event_pivot",
+    "q22_delta_encode",
+    "q23_moving_avg_predict",
+    "q24_json_extract",
+    "q25_regex_extract",
+    "q29_range_frames",
+    "q90_sql_api",
+    "q55_fir_lowpass",
+    "q56_pid_windowed",
+    "q57_gap_detect",
+    "q58_phase_windows",
+    "q59a_asof_join",
+    "q57a_late_data",
+    "q62_streaming_hourly",
+    "q63_stream_static_join",
+    "q64_streaming_sessions",
+    # fill: stalest r03 rows, rotate_window.py order
+    "q108_adaptive_cascade",
+    "q116_mad_outliers",
+    "q118_hll_distinct",
+    "q119_funnel",
+    "q120_wow_retention",
+    "q123_metric_correlation",
+    "q65a_resize_pool",
+    "q80a_onnx_bert",
+    "q80b_onnx_mobilenet",
+    "q91_repetition_metrics",
+    "q92_bpe_merges",
+    "q98_bpe_tokenize",
 ])
 
 __all__ = [

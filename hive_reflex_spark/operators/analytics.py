@@ -4391,7 +4391,7 @@ def q249_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    scored = docs.withColumn("decile", F.ntile(10).over(w))
+    scored = docs.withColumn("decile", F.ntile(10).over(w).cast("long"))
     pooled = scored.groupBy("decile").agg(
         F.sum("n_chars").alias("pool_chars"),
         F.count("*").alias("pool_docs"),
@@ -4827,6 +4827,7 @@ def q280_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.ntile(10)
         .over(Window.orderBy(F.desc("value"), "event_id"))
+        .cast("long")
         .alias("decile"),
     )
     per = decs.groupBy("decile").agg(
@@ -5418,6 +5419,7 @@ def q288_gbdt_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.ntile(_SPLIT_BINS)
         .over(Window.orderBy("value", "event_id"))
+        .cast("long")
         .alias("bin"),
     )
     per = binned.groupBy("bin").agg(
@@ -5851,7 +5853,10 @@ def q291_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = scored.select(
         "y",
         "cents",
-        F.ntile(10).over(Window.orderBy("cents", "event_id")).alias("bin"),
+        F.ntile(10)
+        .over(Window.orderBy("cents", "event_id"))
+        .cast("long")
+        .alias("bin"),
     )
     per = binned.groupBy("bin").agg(
         F.count("*").cast("long").alias("n"),

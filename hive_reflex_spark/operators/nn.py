@@ -249,12 +249,16 @@ def attention_blocked(
             yield pd.DataFrame(
                 {
                     "qid": Qi[ii.ravel()],
-                    "out_dim": dd.ravel().astype(np.int64),
+                    # int32, matching the shared _attn_oracle's `dim AS
+                    # out_dim` and the coordinate-chain twins (q66/q66c):
+                    # widening here alone would leave the one engine-side
+                    # width mismatch in the family
+                    "out_dim": dd.ravel().astype(np.int32),
                     "out_v": out.ravel(),
                 }
             )
 
-    return q_df.mapInPandas(blocks, "qid long, out_dim long, out_v double")
+    return q_df.mapInPandas(blocks, "qid long, out_dim int, out_v double")
 
 
 @query("q66d_attention_blocked", oracle=_attn_oracle(256, 256, 320))
@@ -323,7 +327,7 @@ def q67_conv2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         img.crossJoin(F.broadcast(kernel))
         .withColumn("oy", F.col("y") - F.col("dy"))
-        .withColumn("ox", F.col("x") - F.col("dx"))
+        .withColumn("ox", (F.col("x") - F.col("dx")).cast("long"))
         .filter(F.col("oy").between(1, 30) & F.col("ox").between(1, 62))
         .groupBy("oy", "ox")
         .agg(
@@ -373,14 +377,14 @@ def conv2d_blocked(
         return pd.DataFrame(
             {
                 "oy": (oy.ravel() + 1).astype(np.int64),
-                "ox": (ox.ravel() + 1).astype(np.int32),
+                "ox": (ox.ravel() + 1).astype(np.int64),
                 "conv_v": out.ravel(),
                 "n_taps": np.full(T.size, 9, dtype=np.int64),
             }
         )
 
     return img_df.groupBy("img_id").applyInPandas(
-        fn, "oy long, ox int, conv_v double, n_taps long"
+        fn, "oy long, ox long, conv_v double, n_taps long"
     )
 
 
@@ -661,7 +665,7 @@ def q67a_depthwise_conv1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sig.crossJoin(F.broadcast(kernel))
-        .withColumn("ot", F.col("t") - F.col("dt"))
+        .withColumn("ot", (F.col("t") - F.col("dt")).cast("long"))
         .filter(F.col("ot").between(2, 61))
         .groupBy("channel", "ot")
         .agg(

@@ -1161,12 +1161,12 @@ def q26_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         "c_custkey",
         F.col("bal_bucket").cast("long").alias("bal_bucket"),
-        F.rank().over(wr).alias("rnk"),
-        F.dense_rank().over(wr).alias("drnk"),
+        F.rank().over(wr).cast("long").alias("rnk"),
+        F.dense_rank().over(wr).cast("long").alias("drnk"),
         F.round(F.percent_rank().over(wr), 6).alias("prnk"),
-        F.ntile(4).over(wt).alias("quartile"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
         F.first("c_custkey").over(wt).alias("richest_cust"),
-        F.row_number().over(wt).alias("seq"),
+        F.row_number().over(wt).cast("long").alias("seq"),
     )
 
 
@@ -1197,7 +1197,7 @@ def q27_collect_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").agg(
         F.concat_ws(",", F.array_sort(F.collect_set("event_type")))
         .alias("type_set"),
-        F.size(F.collect_set("event_type")).alias("n_types"),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
     )
 
 

@@ -635,7 +635,7 @@ def q124_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
     return (
-        keyed.withColumn("rnk", F.row_number().over(w))
+        keyed.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= WSAMPLE_K)
         .select("source", "rnk", "doc_id", "weight", "es_key")
     )

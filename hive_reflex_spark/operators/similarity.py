@@ -173,8 +173,10 @@ def _cosine_topk_arrays(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.col("neighbor_id")
     )
+    # rnk as long: row_number is int32 in Spark, BIGINT in the oracle —
+    # benign for the driver hash but the schemas should agree exactly
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
 
@@ -604,7 +606,7 @@ def q54b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(wr))
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
 
@@ -1280,10 +1282,12 @@ def q102b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
     )
+    # local width fix (pq_topk itself stays int32 so q102a's judged plan
+    # is untouched): the IVF-PQ oracle types rnk BIGINT
     return pq_topk(
         spark, sf_dir, list(range(PQ_N_QUERIES)), k=TOP_K, exact=True,
         cand=cand,
-    )
+    ).withColumn("rnk", F.col("rnk").cast("long"))
 
 
 def ivfpq_topk(

@@ -149,7 +149,7 @@ def q139_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("long").alias("version_n"),
         (nxt.isNull() & ~F.col("tombstone")).alias("is_current"),
         "tombstone",
-        "item_bytes",
+        F.col("item_bytes").cast("long").alias("item_bytes"),
     )
 
 @query(

@@ -649,7 +649,7 @@ def q38_channel_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norms.select(
         "dim",
         F.round(F.col("raw_norm"), 6).alias("l2_norm"),
-        F.row_number().over(w).alias("norm_rank"),
+        F.row_number().over(w).cast("long").alias("norm_rank"),
     )
 
 

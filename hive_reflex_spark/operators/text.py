@@ -114,8 +114,8 @@ def q42_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(ntok.cast("long")).alias("total_tokens"),
         (F.sum(ntok.cast("long")) * 1.0 / F.count("*")).alias("avg_tokens"),
-        F.min(ntok).alias("min_tokens"),
-        F.max(ntok).alias("max_tokens"),
+        F.min(ntok.cast("long")).alias("min_tokens"),
+        F.max(ntok.cast("long")).alias("max_tokens"),
         F.sum("n_chars").alias("total_chars"),
         F.sum(
             F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0)
@@ -902,7 +902,9 @@ def q95_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_src = Window.partitionBy("source").orderBy("nll", "doc_id")
     bucketed = scored.select(
-        "source", "nll", F.ntile(N_PPL_BUCKETS).over(w_src).alias("bucket")
+        "source",
+        "nll",
+        F.ntile(N_PPL_BUCKETS).over(w_src).cast("long").alias("bucket"),
     )
     return bucketed.groupBy("source", "bucket").agg(
         F.count("*").alias("n_docs"),

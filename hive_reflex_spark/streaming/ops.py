@@ -537,6 +537,58 @@ def q160a_slcan_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q160b_kafka_log_transport", oracle=_CAN_ROLLUP_ORACLE)
+def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q160's rollup with the PARTITIONED COMMIT LOG in the transport
+    loop (the fleet-scale S8 shape next to q160a's point-to-point
+    socket): SLCAN wire lines are PRODUCED into the Kafka-shaped log
+    (`sources/kafka_log.py` — keyed partitioning on the wire id, dense
+    per-partition offsets, the kafka source's record projection), then
+    CONSUMED back (batch replay from earliest) and only then parsed and
+    decoded by the identical plan. Same oracle as q160/q160a: the
+    per-node rollup hash-matches ONLY if every byte survives
+    produce→consume→decode — key hashing, binary encode/decode, offset
+    assignment and replay all sit on the verified path. On a cluster
+    `log_read` swaps for the kafka connector with the downstream plan
+    unchanged. Reference anchor: the bus rx path the log transports,
+    `examples/example_reflex_node.c:109-120`."""
+    import tempfile
+
+    from hive_reflex_spark.functions import exact_sum
+    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.sources.kafka_log import log_append, log_read
+
+    ticks = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    frames = synthesize_can_frames(ticks, value_col="event_id", ts_col="ts")
+    wire = slcan_encode_lines(frames).select(
+        # key = the 11-bit wire id (hex chars 2..4): per-node total order
+        # within a partition, kafka's per-key ordering contract
+        F.substring("value", 2, 3).alias("k"),
+        F.col("value"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("t0"),
+    )
+    # produce happens at plan-construction (a broker append is eager by
+    # nature); a fresh directory per call keeps the query idempotent —
+    # re-running never double-appends into an earlier call's log
+    log_dir = tempfile.mkdtemp(prefix="hrs_q160b_log_")
+    log_append(
+        wire, log_dir, "slcan", n_partitions=4,
+        key_col="k", value_col="value", ts_col="t0",
+    )
+    lines = log_read(spark, log_dir, "slcan").select(
+        F.decode("value", "UTF-8").alias("value"),
+        F.col("ts").alias("ts0"),
+    )
+    decoded = decode_can_frames(parse_slcan_frames(lines, ts_col="ts0"))
+    return decoded.groupBy("node_id").agg(
+        F.count("*").alias("n_cmd"),
+        F.round(F.min("target_angle"), 6).alias("min_angle"),
+        F.round(F.max("target_angle"), 6).alias("max_angle"),
+        F.round(exact_sum(F.col("target_angle"), 9), 6).alias("sum_angle"),
+        F.round(exact_sum(F.col("compliance"), 9), 6).alias("sum_compliance"),
+    )
+
+
 @query(
     "q217_device_roundtrip",
     oracle="""

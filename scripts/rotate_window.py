@@ -29,6 +29,41 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Standing staleness SLO (r9 verdict #3 — executable, not a per-round
+# verdict ask): a row is STALE when its newest driver evidence is more
+# than STALE_ROUNDS rounds old at the round being planned. Whenever any
+# row is stale, at least min(n_stale, BACKLOG_QUOTA) of the window's
+# slots go to the stalest backlog rows BEFORE new registrations claim
+# space — so a burst of new queries can never starve the refresh cycle
+# (r8's process miss). 35-of-50 keeps ~15 slots/round for new + changed
+# code while a full 337-row refresh still completes in <=7 rounds.
+STALE_ROUNDS = 5
+BACKLOG_QUOTA = 35
+WINDOW_SIZE = 50
+
+
+def backlog_quota(n_stale: int, floor: int = BACKLOG_QUOTA) -> int:
+    """Minimum window slots owed to the staleness backlog."""
+    return min(n_stale, floor)
+
+
+def stale_rows(
+    latest: dict[str, int], next_round: int, stale_after: int = STALE_ROUNDS
+) -> list[str]:
+    """Names whose newest evidence (any kind) is > stale_after rounds old
+    at ``next_round``, stalest first (ties keep dict order)."""
+    aged = [
+        (rnd, name)
+        for name, rnd in latest.items()
+        if next_round - rnd > stale_after
+    ]
+    return [n for _, n in sorted(aged, key=lambda t: t[0])]
+
+
+def new_registration_budget(n_stale: int, size: int = WINDOW_SIZE) -> int:
+    """How many never-checked queries the window may admit this round."""
+    return max(0, size - backlog_quota(n_stale))
+
 
 def main() -> int:
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
@@ -67,11 +102,27 @@ def main() -> int:
         (n for n in QUERIES if n in hash_r and n not in failed),
         key=lambda n: hash_r[n],  # oldest green first
     )
+
+    # staleness SLO: cap new registrations so the backlog keeps its quota
+    latest = {
+        n: max(hash_r.get(n, 0), rows_r.get(n, 0), fail_r.get(n, 0))
+        for n in QUERIES
+        if n in hash_r or n in rows_r or n in fail_r
+    }
+    next_round = max(latest.values(), default=0) + 1
+    stale = stale_rows(latest, next_round)
+    budget = new_registration_budget(len(stale), size)
+    if len(never) > budget:
+        print(f"# SLO: {len(stale)} rows are >{STALE_ROUNDS} rounds stale "
+              f"-> new-registration budget {budget}; deferring "
+              f"{len(never) - budget} never-checked entries")
+        never = never[:budget]
     proposal = (failed + never + rows_only + greens)[:size]
 
     print(f"# {len(failed)} failed-after-green/regressed, "
           f"{len(never)} never-checked, {len(rows_only)} rows-only, "
-          f"{len(greens)} hash-green of {len(QUERIES)} registered")
+          f"{len(greens)} hash-green of {len(QUERIES)} registered; "
+          f"{len(stale)} stale (SLO quota {backlog_quota(len(stale))})")
     print(f"# proposed first-{size} window "
           f"({sum(1 for n in proposal if n in never)} first driver rows):")
     for n in proposal:

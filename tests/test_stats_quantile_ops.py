@@ -43,6 +43,21 @@ repo's own frozen-unit expression. Stat -> canonical check:
 - q298 Spearman: textbook rho on midranks (named ..._textbook_form).
 - q299 quantile CI: exact Binomial(n, q) coverage of the bracket
   (>= 94%) + order statistics from the sorted raw values.
+
+Backward extension (r9 verdict #5 — the pre-r8 statistics operators
+that predate the lesson):
+
+- q123 Pearson: np.corrcoef on the raw hourly cent series per pair.
+- q128 OLS: np.polyfit least squares + corr^2 R^2 on the raw series.
+- q189 two-proportion z: pure-Python funnel recount (first view ->
+  purchase within 24 h) + textbook pooled-variance z.
+- q204 Gini: mean-absolute-difference form sum|xi-xj| / (2 n^2 mu) —
+  a DIFFERENT closed form than the query's rank formula.
+- q235 ECE: per-vector softmax recount in exact frozen units for bin
+  membership, plain-float textbook sum (n_b/N)|acc_b - conf_b| for the
+  statistic.
+- q249 quantile normalization: independent Python ntile + the
+  pooled-decile-mean mapping recomputed from raw (source, n_chars).
 """
 
 from __future__ import annotations
@@ -1105,3 +1120,222 @@ def test_permutation_test_planted_null_gives_p_one(spark, tmp_path):
     assert r[0].t_obs * 2 == sum(round((10.0 + day) * 100) for day in range(6)) * 2
     assert r[0].n_extreme == _PERM_B
     assert r[0].p_units == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# r10: canonical-form replays extended BACKWARD to the pre-r8 statistics
+# operators (r9 verdict #5) — each checks the TEXTBOOK form of the
+# statistic against raw fixture data, not the repo's own expression.
+# ---------------------------------------------------------------------------
+
+
+def _hourly_cents(sf_dir: str):
+    """(event_type, hour_index, cents) — the raw series both q123 and
+    q128 aggregate. Quantization (ROUND(value*100)) reuses duckdb as a
+    data-prep step (q290 precedent); the statistics are recomputed in
+    numpy below."""
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT event_type, "
+        f"CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h, "
+        f"CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+
+
+def test_pearson_matches_numpy_corrcoef(spark):
+    """q123's exact-integer-moment correlation must equal the textbook
+    Pearson r (np.corrcoef) on the identical raw hourly series."""
+    import numpy as np
+
+    from hive_reflex_spark.operators.analytics import q123_metric_correlation
+
+    rows = q123_metric_correlation(spark, SF_SMOKE).collect()
+    assert rows
+    series: dict[str, dict[int, int]] = {}
+    for t, h, cents in _hourly_cents(SF_SMOKE):
+        series.setdefault(t, {})[h] = cents
+    for r in rows:
+        a, b = series[r.type_a], series[r.type_b]
+        hours = sorted(set(a) & set(b))
+        assert r.n == len(hours)
+        x = np.array([a[h] for h in hours], dtype=np.float64)
+        y = np.array([b[h] for h in hours], dtype=np.float64)
+        canonical = float(np.corrcoef(x, y)[0, 1])
+        assert abs(r.pearson_r - canonical) < 2e-6, (r.type_a, r.type_b)
+
+
+def test_trend_ols_matches_numpy_polyfit(spark):
+    """q128's closed-form moments must equal np.polyfit least squares
+    (slope, intercept) and corr^2 (R^2) on the raw hourly series."""
+    import numpy as np
+
+    from hive_reflex_spark.operators.analytics import q128_trend_ols
+
+    rows = q128_trend_ols(spark, SF_SMOKE).collect()
+    assert rows
+    series: dict[str, list[tuple[int, int]]] = {}
+    for t, h, cents in _hourly_cents(SF_SMOKE):
+        series.setdefault(t, []).append((h, cents))
+    for r in rows:
+        pts = series[r.event_type]
+        assert r.n == len(pts)
+        h0 = min(h for h, _ in pts)
+        x = np.array([h - h0 for h, _ in pts], dtype=np.float64)
+        y = np.array([c for _, c in pts], dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = float(np.corrcoef(x, y)[0, 1]) ** 2
+        assert abs(r.slope_per_hour - slope / 100.0) < 1e-5, r.event_type
+        assert abs(r.intercept - intercept / 100.0) < 1e-4, r.event_type
+        assert abs(r.r_squared - r2) < 2e-6, r.event_type
+
+
+def test_ab_readout_matches_textbook_two_proportion_z(spark):
+    """q189's funnel counts and pooled z recomputed in pure Python:
+    conversion = purchase within 24 h of the user's FIRST view, arms by
+    user_id parity, z = (rb-ra)/sqrt(p(1-p)(1/na+1/nb))."""
+    from hive_reflex_spark.operators.analytics import q189_ab_test_readout
+
+    row = q189_ab_test_readout(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    ev = con.execute(
+        f"SELECT user_id, event_type, epoch_us(ts) "
+        f"FROM '{SF_SMOKE}/events.parquet'"
+    ).fetchall()
+    first_view: dict[int, int] = {}
+    buys: dict[int, list[int]] = {}
+    users = set()
+    for uid, t, us in ev:
+        users.add(uid)
+        if t == "view":
+            first_view[uid] = min(first_view.get(uid, us), us)
+        elif t == "purchase":
+            buys.setdefault(uid, []).append(us)
+    n = {"A": 0, "B": 0}
+    conv = {"A": 0, "B": 0}
+    day_us = 86_400_000_000
+    for uid in users:
+        arm = "A" if uid % 2 == 0 else "B"
+        n[arm] += 1
+        tv = first_view.get(uid)
+        if tv is not None and any(
+            tv <= tb <= tv + day_us for tb in buys.get(uid, ())
+        ):
+            conv[arm] += 1
+    assert (row.n_a, row.conv_a) == (n["A"], conv["A"])
+    assert (row.n_b, row.conv_b) == (n["B"], conv["B"])
+    ra, rb = conv["A"] / n["A"], conv["B"] / n["B"]
+    assert abs(row.rate_a - ra) < 1e-6 and abs(row.rate_b - rb) < 1e-6
+    p = (conv["A"] + conv["B"]) / (n["A"] + n["B"])
+    if 0 < p < 1:
+        z = (rb - ra) / math.sqrt(p * (1 - p) * (1 / n["A"] + 1 / n["B"]))
+        assert abs(row.z_score - z) < 1e-6
+    else:
+        assert row.z_score is None
+
+
+def test_gini_matches_mean_absolute_difference_form(spark):
+    """q204 uses the rank closed form G = 2*sum(i*xi)/(n*sum x)-(n+1)/n;
+    the canonical definition is the relative mean absolute difference
+    G = sum_ij |xi-xj| / (2 n^2 mu). The two must agree exactly."""
+    from hive_reflex_spark.operators.analytics import q204_revenue_gini
+
+    row = q204_revenue_gini(spark, SF_SMOKE).collect()[0]
+    con = duckdb.connect()
+    units = [
+        u
+        for (u,) in con.execute(
+            f"SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+            f"AS BIGINT) FROM '{SF_SMOKE}/orders.parquet' GROUP BY o_custkey"
+        ).fetchall()
+    ]
+    n, total = len(units), sum(units)
+    assert row.n_customers == n
+    assert abs(row.total_revenue - total / 100.0) < 1e-6
+    xs = sorted(units)
+    # O(n) exact MAD via the sorted prefix identity:
+    # sum_ij |xi-xj| = 2 * sum_i ((2i - n + 1) * x_(i)) with 0-based i
+    mad2 = 2 * sum((2 * i - n + 1) * x for i, x in enumerate(xs))
+    canonical = mad2 / (2.0 * n * n * (total / n))
+    assert abs(row.gini - canonical) < 2e-6
+
+
+def test_calibration_ece_matches_textbook_weighted_gap(spark):
+    """q235 recomputed from raw embeddings: bin membership replays the
+    exact frozen-unit construction (integer e6/ppm/floor-div), while
+    accuracy, confidence, and ECE = sum_b (n_b/N)|acc_b - conf_b| are
+    plain-float textbook aggregation (Guo et al. 2017, eq. 3)."""
+    import pandas as pd  # noqa: F401 — pyarrow path below
+
+    import pyarrow.parquet as pq
+
+    from hive_reflex_spark.operators.analytics import q235_calibration_ece
+
+    rows = {r.bin: r for r in q235_calibration_ece(spark, SF_SMOKE).collect()}
+    tbl = pq.read_table(f"{SF_SMOKE}/embeddings.parquet").to_pydict()
+    bins: dict[int, list[tuple[float, int]]] = {}
+    for vec, label in zip(tbl["embedding"], tbl["label"]):
+        vs = [float(x) for x in vec]
+        vmax = max(vs)
+        e6 = [math.floor(math.exp(12.0 * (v - vmax)) * 1e6 + 0.5) for v in vs]
+        sum_e, max_e = sum(e6), max(e6)
+        pred_dim = min(
+            range(len(vs)), key=lambda d: (-vs[d], d)
+        )
+        conf = ((1_000_000 * max_e) // sum_e) / 1e6
+        b = min((10 * max_e) // sum_e, 9)
+        bins.setdefault(int(b), []).append((conf, int(pred_dim % 10 == label)))
+    assert set(bins) == set(rows)
+    n_total = sum(len(v) for v in bins.values())
+    ece = 0.0
+    for b, members in bins.items():
+        n_b = len(members)
+        conf_b = sum(c for c, _ in members) / n_b
+        acc_b = sum(k for _, k in members) / n_b
+        assert rows[b].n_vectors == n_b
+        assert abs(rows[b].avg_confidence - conf_b) < 2e-6
+        assert abs(rows[b].accuracy - acc_b) < 1e-6
+        assert abs(rows[b].calib_gap - (acc_b - conf_b)) < 2e-6
+        ece += (n_b / n_total) * abs(acc_b - conf_b)
+    for r in rows.values():
+        assert abs(r.ece - ece) < 2e-6
+
+
+def test_quantile_normalize_matches_python_ntile_and_pooled_mean(spark):
+    """q249 replayed independently: Python ntile(10) over each source's
+    (n_chars, doc_id) order, then the canonical quantile-normalization
+    mapping — decile d's target is the POOLED mean of decile-d members
+    across all sources."""
+    from hive_reflex_spark.operators.analytics import q249_quantile_normalize
+
+    got = {
+        (r.source, r.decile): r
+        for r in q249_quantile_normalize(spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, n_chars FROM '{SF_SMOKE}/documents.parquet'"
+    ).fetchall()
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for doc_id, src, n_chars in docs:
+        by_src.setdefault(src, []).append((n_chars, doc_id))
+    cells: dict[tuple[str, int], list[int]] = {}
+    pool: dict[int, list[int]] = {}
+    for src, members in by_src.items():
+        members.sort()
+        n, k = len(members), 10
+        base, rem = divmod(n, k)
+        i = 0
+        for d in range(1, k + 1):
+            width = base + (1 if d <= rem else 0)
+            for n_chars, _ in members[i : i + width]:
+                cells.setdefault((src, d), []).append(n_chars)
+                pool.setdefault(d, []).append(n_chars)
+            i += width
+    assert set(cells) == set(got)
+    for key, chars in cells.items():
+        assert got[key].n_docs == len(chars)
+        assert abs(got[key].raw_avg - sum(chars) / len(chars)) < 1e-6
+        d = key[1]
+        target = sum(pool[d]) / len(pool[d])
+        assert abs(got[key].normalized - target) < 1e-6

@@ -197,65 +197,60 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-9 rotation (r8 verdict #2: spend the window on the
-        # staleness backlog): 7 changed-code slots + the 43 stalest
-        # r01/r02 hash-greens, oldest-first (scripts/rotate_window.py).
-        # code changed in r9 — must be re-judged:
-        "q273_lsh_recall_curve",      # DECIMAL->DOUBLE + exact-unit recall
-        "q293_cuped_adjustment",      # try_divide/NULLIF variance guards
-        "q295_auc_delong",            # (p-1)/(neg-1) DeLong guards
-        "q283_exact_quantile",        # sign-safe floor-div bucket key
-        "q299_quantile_order_ci",     # same two-pass helper
-        "q290_count_sketch",          # _CS_BUCKETS assert -> raise
-        "q290a_stream_count_sketch",  # same constant
-        # stalest r01 greens:
-        "q72_accuracy_eval",
-        "q73_distillation_kl",
-        "q74_log_stats",
-        "q75_cascade_stats",
-        "q70_int4_pack",
-        "q71_artifact_checksums",
-        "q59_cost_partition_islands",
-        "q60_flash_layout",
-        "q61_liveness",
-        "q43_quality_score",
-        "q44_lang_id",
-        "q45_fingerprint",
-        "q42a_bpe_token_count",
-        "q50_simhash",
-        "q79_power_rollup",
-        "q02_filter_project",
-        "q04_priority_semi_join",
-        "q05_customers_without_orders",
-        "q06_region_rollup",
-        "q08_theta_join",
-        # stalest r02 greens:
-        "q65_multimodal_meta",
-        "q81_codec_dispatch",
-        "q82_lz4_roundtrip",
-        "q80_onnx_compile",
-        "q100_chunk_udtf",
-        "q85_hash_split",
-        "q86_stratified_sample",
-        "q87_decontaminate",
-        "q89_sequence_pack",
-        "q51a_embedding_neardup",
-        "q09_status_priority_cube",
-        "q10_topk_per_nation",
-        "q11_running_order_totals",
-        "q12_global_topk",
-        "q13_set_ops",
-        "q15_price_percentiles",
-        "q16_word_explode",
-        "q17_monthly_orders",
-        "q18_above_avg_orders",
-        "q19_gaps_islands",
-        "q20_sessionize",
-        "q51_cosine_topk",
-        "q53_lsh_buckets",
-        # (q68/q28 stay out: rows-only by design, oracled twins
-        # q68a/q118 keep hash evidence; the remaining r02 greens
-        # clear in r10.)
+        # round-10 rotation (r9 verdict #1/#2): q160b first driver row,
+        # the integer-div/int-width changed-code batch, the 19 stale-r02
+        # rows, and 12 stalest-r03 fill slots. q68/q28 stay out:
+        # rows-only by design with oracled twins (q68a/q118).
+        "q160b_kafka_log_transport",
+        "q273_lsh_recall_curve",
+        "q54b_ivf_topk",
+        "q26_rank_functions",
+        "q102b_ivfpq_topk",
+        "q124_weighted_sample",
+        "q27_collect_types",
+        "q95_perplexity_filter",
+        "q139_scd2_intervals",
+        "q249_quantile_normalize",
+        "q280_roc_auc",
+        "q288_gbdt_split",
+        "q291_brier_decomposition",
+        "q38_channel_norms",
+        "q42_token_stats",
+        "q52_cosine_topk_arrays",
+        "q52a_cosine_topk_units",
+        "q66d_attention_blocked",
+        "q67_conv2d",
+        "q67a_depthwise_conv1d",
+        "q67b_conv2d_blocked",
+        "q88_ivf_kmeans",
+        "q21_event_pivot",
+        "q22_delta_encode",
+        "q23_moving_avg_predict",
+        "q24_json_extract",
+        "q25_regex_extract",
+        "q29_range_frames",
+        "q90_sql_api",
+        "q55_fir_lowpass",
+        "q56_pid_windowed",
+        "q57_gap_detect",
+        "q58_phase_windows",
+        "q59a_asof_join",
+        "q57a_late_data",
+        "q62_streaming_hourly",
+        "q63_stream_static_join",
+        "q64_streaming_sessions",
+        "q108_adaptive_cascade",
+        "q116_mad_outliers",
+        "q118_hll_distinct",
+        "q119_funnel",
+        "q120_wow_retention",
+        "q123_metric_correlation",
+        "q65a_resize_pool",
+        "q80a_onnx_bert",
+        "q80b_onnx_mobilenet",
+        "q91_repetition_metrics",
+        "q92_bpe_merges",
+        "q98_bpe_tokenize",
     ):
         assert must in window, must
 
