@@ -538,6 +538,13 @@ PICKS = {
         "LM table to itself on the word key — dimension-scale, no "
         "corpus rescan."
     ),
+    "q160b_kafka_log_transport": (
+        "Commit-log transport: produce is one key-hash shuffle + a "
+        "per-partition offset window; consume reads the partition= "
+        "hive layout (pruned scans) and the decode rollup runs the "
+        "same partial/final hash agg as q160 — the log adds one write "
+        "and one columnar read, never a second data-scale exchange."
+    ),
 }
 
 
