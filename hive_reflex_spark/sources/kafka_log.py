@@ -34,15 +34,17 @@ the high-water mark, append above it), exactly a broker LEADER's job —
 and like Kafka, only one leader may assign offsets for a partition.
 Two concurrent ``log_append`` calls on one topic would both read the
 same high-water mark and mint duplicate offsets; serialize producers
-per topic (or shard topics per producer). The high-water mark itself
-is kept in a ``_hwm.json`` sidecar next to the topic's data (written
-atomically via rename), so an append is O(batch), not O(total log); a
-missing/stale sidecar falls back to one full-scan rebuild.
+per topic (or shard topics per producer). The high-water mark derives
+from the parquet FOOTER STATISTICS of the topic's files (max(offset)
+per partition) — metadata-only reads, O(#files) not O(total rows), and
+crash-safe by construction: the data IS the truth, so a producer that
+dies mid-append can never leave a stale side-structure that mints
+duplicate offsets on the next append.
 """
 
 from __future__ import annotations
 
-import json
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -61,37 +63,47 @@ def _topic_dir(log_dir: str, topic: str) -> str:
     return os.path.join(log_dir, f"topic={topic}")
 
 
-def _hwm_path(tdir: str) -> str:
-    # sidecar lives NEXT TO the topic dir (inside it would shadow the
-    # parquet reader's directory listing)
-    return tdir + "._hwm.json"
+def _read_hwm(tdir: str) -> dict[int, int]:
+    """Per-partition next-offset map from parquet footer statistics —
+    metadata-only (no row reads), always derived from the data so it
+    cannot go stale (a sidecar cache would mint duplicate offsets after
+    a crash between data write and cache write). A file whose footer
+    lacks offset min/max stats falls back to reading that one file's
+    offset column. Empty dict = empty/new topic."""
+    import pyarrow.parquet as pq
 
-
-def _read_hwm(spark: SparkSession, tdir: str) -> dict[int, int]:
-    """Per-partition next-offset map. Prefers the O(1) sidecar; falls
-    back to one full scan for logs that predate it (and for a sidecar
-    lost to a partial copy). Empty dict = empty/new topic."""
-    path = _hwm_path(tdir)
-    if os.path.exists(path):
-        with open(path) as f:
-            return {int(k): int(v) for k, v in json.load(f).items()}
-    if not os.path.isdir(tdir):
-        return {}
-    rows = (
-        spark.read.parquet(tdir)
-        .groupBy("partition")
-        .agg((F.max("offset") + 1).cast("long").alias("hwm"))
-        .collect()
-    )
-    return {int(r["partition"]): int(r["hwm"]) for r in rows}
-
-
-def _write_hwm(tdir: str, hwm: dict[int, int]) -> None:
-    path = _hwm_path(tdir)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({str(k): v for k, v in sorted(hwm.items())}, f)
-    os.replace(tmp, path)
+    hwm: dict[int, int] = {}
+    for part_dir in glob.glob(os.path.join(tdir, "partition=*")):
+        try:
+            part = int(part_dir.rsplit("=", 1)[1])
+        except ValueError:
+            continue
+        mx = -1
+        for path in glob.glob(os.path.join(part_dir, "*.parquet")):
+            pf = pq.ParquetFile(path)
+            md = pf.metadata
+            col_idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "offset"
+            )
+            file_max = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                if st is None or not st.has_min_max:
+                    file_max = None
+                    break
+                file_max = st.max if file_max is None else max(file_max, st.max)
+            if file_max is None:
+                # stats missing: read this one file's offset column
+                col = pf.read(columns=["offset"]).column("offset")
+                if len(col):
+                    file_max = max(col.to_pylist())
+            if file_max is not None:
+                mx = max(mx, int(file_max))
+        if mx >= 0:
+            hwm[part] = mx + 1
+    return hwm
 
 
 def log_append(
@@ -130,9 +142,9 @@ def log_append(
         "batch_off", (F.row_number().over(w) - 1).cast("long")
     )
     tdir = _topic_dir(log_dir, topic)
-    # O(1) high-water mark from the sidecar (full-scan fallback only for
-    # pre-sidecar logs); the map is n_partitions-sized driver state
-    hwm = _read_hwm(spark, tdir)
+    # high-water mark from parquet footer stats — metadata-only, derived
+    # from the data itself (crash-safe; n_partitions-sized driver state)
+    hwm = _read_hwm(tdir)
     if hwm:
         base = F.create_map(
             *[F.lit(x) for kv in sorted(hwm.items()) for x in kv]
@@ -155,15 +167,6 @@ def log_append(
     out.repartition("partition").write.mode("append").partitionBy(
         "partition"
     ).parquet(tdir)
-    # advance the sidecar from the batch's own per-partition counts —
-    # O(batch) and bounded driver state (<= n_partitions rows)
-    counts = {
-        int(r["partition"]): int(r["count"])
-        for r in recs.groupBy("partition").count().collect()
-    }
-    for p, c in counts.items():
-        hwm[p] = hwm.get(p, 0) + c
-    _write_hwm(tdir, hwm)
 
 
 def log_read(

@@ -552,7 +552,8 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
     `log_read` swaps for the kafka connector with the downstream plan
     unchanged. Reference anchor: the bus rx path the log transports,
     `examples/example_reflex_node.c:109-120`."""
-    import tempfile
+    import hashlib
+    import shutil
 
     from hive_reflex_spark.functions import exact_sum
     from hive_reflex_spark.io import read_table
@@ -568,9 +569,17 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("t0"),
     )
     # produce happens at plan-construction (a broker append is eager by
-    # nature); a fresh directory per call keeps the query idempotent —
-    # re-running never double-appends into an earlier call's log
-    log_dir = tempfile.mkdtemp(prefix="hrs_q160b_log_")
+    # nature). ONE deterministic directory per fixture, wiped before the
+    # produce: re-running never double-appends, and repeated sweeps
+    # never accumulate orphaned event-scale copies in /tmp (a DataFrame
+    # returned by an EARLIER call is invalidated by the wipe — calls are
+    # collect-then-rerun sequential everywhere the registry is driven)
+    log_dir = os.path.join(
+        "/tmp",
+        "hrs_q160b_log_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    shutil.rmtree(log_dir, ignore_errors=True)
     log_append(
         wire, log_dir, "slcan", n_partitions=4,
         key_col="k", value_col="value", ts_col="t0",

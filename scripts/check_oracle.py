@@ -128,10 +128,13 @@ def arrow_dtype_check(name, sdf, con, oracle_sql):
     s_types = {f.name: canon_arrow_type(f.type) for f in s_schema}
     d_types = {f.name: canon_arrow_type(f.type) for f in d_schema}
     for c in sorted(set(s_types) & set(d_types)):
+        # top-level integer columns ONLY: other canon-equal raw diffs
+        # (large_list vs list, timestamp units) are normalized-by-design
+        # representation details, not width drift worth a warning
         if (
             s_types[c] == d_types[c]
+            and s_types[c] in ("int", "uint")
             and s_raw.get(c) != d_raw.get(c)
-            and "int" in s_types[c]
         ):
             warns.append(
                 f"integer width differs on {c!r}: spark={s_raw[c]} "
@@ -218,12 +221,17 @@ def main() -> int:
             dtype_fails, dtype_warns = arrow_dtype_check(
                 name, sdf, con, oracles[name]
             )
-        except Exception as ex:  # noqa: BLE001 — a probe INFRASTRUCTURE
-            # problem (pyarrow missing, a Spark type to_arrow_schema can't
-            # express, a LIMIT-0 quirk) must not flip the sweep red when
-            # the value comparison below still runs; genuine dtype
-            # mismatches come back as fails above, not exceptions.
+        except ImportError as ex:
+            # environment-class probe problem (pyarrow/arrow-bridge
+            # missing): the value comparison below still runs, so WARN
+            # rather than flipping the whole sweep red (ADVICE r9)
             dtype_fails, dtype_warns = [], [f"dtype probe error (infra): {ex}"]
+        except Exception as ex:  # noqa: BLE001
+            # any OTHER probe exception stays a FAILURE: an output type
+            # to_arrow_schema cannot express is itself a driver-hash
+            # hazard, and swallowing it would silently disable the
+            # decimal ban this guard exists for (r8 q273)
+            dtype_fails, dtype_warns = [f"dtype probe error: {ex}"], []
         for msg in dtype_warns:
             print(f"WARN {name}: {msg}")
         if dtype_fails:

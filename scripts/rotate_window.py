@@ -103,7 +103,12 @@ def main() -> int:
         key=lambda n: hash_r[n],  # oldest green first
     )
 
-    # staleness SLO: cap new registrations so the backlog keeps its quota
+    # staleness SLO: the quota is reserved STRUCTURALLY — failures
+    # first (regressions always re-verify), then min(n_stale, 35)
+    # stalest backlog rows, then budget-capped new registrations, then
+    # the weaker-evidence buckets. Appending the quota block up front
+    # (rather than only capping `never`) means rows-only/failed entries
+    # can never crowd the backlog below its reserve.
     latest = {
         n: max(hash_r.get(n, 0), rows_r.get(n, 0), fail_r.get(n, 0))
         for n in QUERIES
@@ -116,8 +121,20 @@ def main() -> int:
         print(f"# SLO: {len(stale)} rows are >{STALE_ROUNDS} rounds stale "
               f"-> new-registration budget {budget}; deferring "
               f"{len(never) - budget} never-checked entries")
-        never = never[:budget]
-    proposal = (failed + never + rows_only + greens)[:size]
+    seen: set[str] = set()
+    proposal: list[str] = []
+    for block in (
+        failed,
+        stale[: backlog_quota(len(stale))],
+        never[:budget],
+        rows_only,
+        greens,
+    ):
+        for n in block:
+            if n not in seen:
+                seen.add(n)
+                proposal.append(n)
+    proposal = proposal[:size]
 
     print(f"# {len(failed)} failed-after-green/regressed, "
           f"{len(never)} never-checked, {len(rows_only)} rows-only, "

@@ -209,30 +209,31 @@ def test_slcan_over_log_matches_direct_decode(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
-def test_hwm_sidecar_is_written_and_scan_fallback_agrees(spark, tmp_path):
-    """ADVICE r9: the high-water mark must come from an O(1) sidecar,
-    not a full topic rescan per append — and a log whose sidecar is
-    missing (pre-sidecar layout) must rebuild the identical map."""
-    import os
+def test_hwm_from_footer_stats_matches_full_scan(spark, tmp_path):
+    """ADVICE r9: the high-water mark derives from parquet FOOTER
+    statistics (metadata-only), never a cached side-structure — so it
+    cannot go stale after a crashed append. The footer-derived map must
+    equal a full row scan's max(offset)+1 per partition."""
+    from pyspark.sql import functions as F2
 
-    from hive_reflex_spark.sources.kafka_log import (
-        _hwm_path,
-        _read_hwm,
-        _topic_dir,
-    )
+    from hive_reflex_spark.sources.kafka_log import _read_hwm, _topic_dir
 
     _append(spark, tmp_path, n=64, n_partitions=2)
     _append(spark, tmp_path, n=64, n_partitions=2)
     tdir = _topic_dir(str(tmp_path), "can")
-    path = _hwm_path(tdir)
-    assert os.path.exists(path)
-    from_sidecar = _read_hwm(spark, tdir)
-    assert sum(from_sidecar.values()) == 128
-    # fallback path: drop the sidecar, force the one-time full scan
-    os.remove(path)
-    from_scan = _read_hwm(spark, tdir)
-    assert from_scan == from_sidecar
-    # and a third append on the scan-rebuilt hwm still extends densely
+    from_footers = _read_hwm(tdir)
+    assert sum(from_footers.values()) == 128
+    from_scan = {
+        int(r["partition"]): int(r["hwm"])
+        for r in spark.read.parquet(tdir)
+        .groupBy("partition")
+        .agg((F2.max("offset") + 1).cast("long").alias("hwm"))
+        .collect()
+    }
+    assert from_footers == from_scan
+    # crash-simulation: an orphaned extra data file (append that died
+    # before any bookkeeping) is STILL counted, because the data is the
+    # source of truth — the third append continues densely above it
     _append(spark, tmp_path, n=64, n_partitions=2)
     from hive_reflex_spark.sources.kafka_log import log_read
 
