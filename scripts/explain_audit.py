@@ -538,6 +538,13 @@ PICKS = {
         "LM table to itself on the word key — dimension-scale, no "
         "corpus rescan."
     ),
+    "q246a_multires_interval_join": (
+        "Multi-res interval join: the interval side emits buckets at "
+        "its own length tier (hour/day — the 2-day tail emits 3 rows, "
+        "not 49), the 20-row window side broadcasts with all tiers "
+        "expanded; one (tier, bucket) equi-join, exact re-check "
+        "map-side, no theta join anywhere."
+    ),
     "q160b_kafka_log_transport": (
         "Commit-log transport: produce is one key-hash shuffle + a "
         "per-partition offset window; consume reads the partition= "
