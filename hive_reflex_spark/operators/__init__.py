@@ -64,6 +64,9 @@ _registry.finalize_order([
     "q42_token_stats",            # min/max_tokens casts
     "q52_cosine_topk_arrays",     # rnk cast (shared helper with q52a)
     "q52a_cosine_topk_units",     # rnk cast (same helper)
+    "q52b_cosine_topk_numpy",     # rnk cast (r04-stale; found by the
+                                  # WARN path in the close sweep after
+                                  # the first probe mis-read it clean)
     "q66d_attention_blocked",     # out_dim int32 (family-consistent)
     "q67_conv2d",                 # ox cast
     "q67a_depthwise_conv1d",      # ot cast
@@ -99,7 +102,9 @@ _registry.finalize_order([
     "q80b_onnx_mobilenet",
     "q91_repetition_metrics",
     "q92_bpe_merges",
-    "q98_bpe_tokenize",
+    # (q98_bpe_tokenize yielded its fill slot to the q52b cast — q52b is
+    # itself backlog-stale (r04) so the 35-slot quota holds; q98 leads
+    # the r11 fill instead.)
 ])
 
 __all__ = [

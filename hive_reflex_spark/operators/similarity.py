@@ -252,7 +252,7 @@ def q52b_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("cosine"), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
 

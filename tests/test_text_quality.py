@@ -218,6 +218,7 @@ def test_registry_window_covers_new_families():
         "q42_token_stats",
         "q52_cosine_topk_arrays",
         "q52a_cosine_topk_units",
+        "q52b_cosine_topk_numpy",
         "q66d_attention_blocked",
         "q67_conv2d",
         "q67a_depthwise_conv1d",
@@ -250,7 +251,6 @@ def test_registry_window_covers_new_families():
         "q80b_onnx_mobilenet",
         "q91_repetition_metrics",
         "q92_bpe_merges",
-        "q98_bpe_tokenize",
     ):
         assert must in window, must
 
