@@ -64,9 +64,14 @@ _registry.finalize_order([
     "q42_token_stats",            # min/max_tokens casts
     "q52_cosine_topk_arrays",     # rnk cast (shared helper with q52a)
     "q52a_cosine_topk_units",     # rnk cast (same helper)
-    "q52b_cosine_topk_numpy",     # rnk cast (r04-stale; found by the
-                                  # WARN path in the close sweep after
-                                  # the first probe mis-read it clean)
+    # the four r9-scan entries first probed "clean" were NOT — the CLI
+    # grep anchored on ^WARN and Spark's stage-spinner \r prefixes hid
+    # the lines; a raw-capture rescan found all four, casts applied:
+    "q52b_cosine_topk_numpy",     # rnk cast (r04-stale)
+    "q102a_pq_adc_topk",          # rnk cast via pq_topk (r03-stale;
+                                  # shared helper — q102b in-window too)
+    "q121_stream_countmin",       # j cast (r03-stale)
+    "q157_model_pack_roundtrip",  # layer cast (r04-stale)
     "q66d_attention_blocked",     # out_dim int32 (family-consistent)
     "q67_conv2d",                 # ox cast
     "q67a_depthwise_conv1d",      # ot cast
@@ -99,12 +104,10 @@ _registry.finalize_order([
     "q123_metric_correlation",
     "q65a_resize_pool",
     "q80a_onnx_bert",
-    "q80b_onnx_mobilenet",
-    "q91_repetition_metrics",
-    "q92_bpe_merges",
-    # (q98_bpe_tokenize yielded its fill slot to the q52b cast — q52b is
-    # itself backlog-stale (r04) so the 35-slot quota holds; q98 leads
-    # the r11 fill instead.)
+    # (q80b/q91/q92/q98 yielded their fill slots to the q52b/q102a/
+    # q121/q157 casts — all four casts are themselves backlog-stale
+    # rows, so the 35-slot quota holds; the four displaced r03 rows
+    # lead the r11 fill instead.)
 ])
 
 __all__ = [

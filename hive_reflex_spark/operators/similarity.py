@@ -1188,7 +1188,7 @@ def pq_topk(
         base.groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(adist_agg)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rnk", F.row_number().over(wr))
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
         .filter(F.col("rnk") <= k)
     )
 
@@ -1282,12 +1282,10 @@ def q102b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
     )
-    # local width fix (pq_topk itself stays int32 so q102a's judged plan
-    # is untouched): the IVF-PQ oracle types rnk BIGINT
     return pq_topk(
         spark, sf_dir, list(range(PQ_N_QUERIES)), k=TOP_K, exact=True,
         cand=cand,
-    ).withColumn("rnk", F.col("rnk").cast("long"))
+    )
 
 
 def ivfpq_topk(

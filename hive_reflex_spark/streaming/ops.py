@@ -1089,7 +1089,7 @@ def q121_stream_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly why streaming partial aggregation is correct here). User
     frequencies over an unbounded event stream in 64 integers."""
     stream = stream_events(spark, sf_dir)
-    depth = F.array(*[F.lit(j) for j in range(4)])
+    depth = F.array(*[F.lit(j).cast("long") for j in range(4)])
     cells = (
         stream.select(F.col("user_id").cast("string").alias("u"))
         .select(F.explode(depth).alias("j"), "u")

@@ -219,6 +219,9 @@ def test_registry_window_covers_new_families():
         "q52_cosine_topk_arrays",
         "q52a_cosine_topk_units",
         "q52b_cosine_topk_numpy",
+        "q102a_pq_adc_topk",
+        "q121_stream_countmin",
+        "q157_model_pack_roundtrip",
         "q66d_attention_blocked",
         "q67_conv2d",
         "q67a_depthwise_conv1d",
@@ -248,9 +251,6 @@ def test_registry_window_covers_new_families():
         "q123_metric_correlation",
         "q65a_resize_pool",
         "q80a_onnx_bert",
-        "q80b_onnx_mobilenet",
-        "q91_repetition_metrics",
-        "q92_bpe_merges",
     ):
         assert must in window, must
 
