@@ -742,3 +742,26 @@ def test_q290_grid_and_top_broadcast(spark, sf_smoke):
     plan = plan_of(spark, "q290_count_sketch", sf_smoke)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q246a_broadcasts_windows_and_avoids_theta_join(spark, sf_smoke):
+    """q246a's scale claim: the interval side never theta-joins — the
+    tiered bucket equi-join broadcasts the (windows x tiers x buckets)
+    probe side, and no CartesianProduct / BroadcastNestedLoopJoin
+    appears anywhere (the oracle's O(n*m) shape must stay oracle-only)."""
+    plan = plan_of(spark, "q246a_multires_interval_join", sf_smoke)
+    assert "BroadcastHashJoin" in plan, "window-bucket side lost its broadcast"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q160b_consume_scan_is_partition_pruned_columnar(spark, sf_smoke):
+    """q160b's transport claim: consumption reads the commit log's
+    partition= hive layout back through a columnar parquet scan (the
+    partition column must come from the directory layout, not a data
+    column), and the rollup stays the q160 partial/final hash-agg pair
+    with no join anywhere in the decode path."""
+    plan = plan_of(spark, "q160b_kafka_log_transport", sf_smoke)
+    assert "FileScan parquet" in plan and "partition" in plan
+    assert "HashAggregate" in plan
+    assert "Join" not in plan, "decode path should be join-free"
