@@ -3024,6 +3024,10 @@ def q246_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVJ_DAY_US = 24 * _IVJ_HOUR_US
+# tier cutoff: intervals longer than this emit day buckets, not hour
+# buckets — ONE constant shared by the Spark body, the oracle f-string,
+# and the invariant test, so a retune cannot desynchronize the engines
+_IVJ_LONG_CUTOFF_US = 6 * _IVJ_HOUR_US
 # skewed impact-window durations: 70% 5-minute, 20% 2-hour, 10% 2-DAY —
 # the length distribution that breaks single-width bucketing (a 2-day
 # interval covers 49 hour buckets; 10% of the corpus paying 49x
@@ -3035,7 +3039,12 @@ _IVJ_DUR_CASE_SQL = """CASE
 
 
 def _ivj_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q246's top-20 incident windows (busiest hour ± margin)."""
+    """q246's top-20 incident windows (busiest hour ± margin).
+
+    q246 deliberately KEEPS its own inline copy of this derivation: a
+    shared helper would make q246 'changed code' and cost a judged
+    window slot for a pure refactor (round-loop rule); fold the inline
+    copy into this helper whenever q246 next rotates anyway."""
     events = load_tables(spark, sf_dir, "events")["events"]
     hours = events.groupBy(
         F.expr(f"(unix_micros(ts) div {_IVJ_HOUR_US}) * {_IVJ_HOUR_US}")
@@ -3053,6 +3062,15 @@ def _ivj_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _floor_div_sql(col: str, width: str) -> str:
+    """Sign-safe BIGINT floor division as a SQL fragment: pmod lifts the
+    remainder to [0, w) so the subtraction lands exactly on the bucket
+    origin and `div` is then exact integer division — correct for
+    negative epochs and at ALL magnitudes (a double quotient silently
+    misrounds past 2^53, the registry's banned float-floor form)."""
+    return f"(({col}) - pmod(({col}), {width})) div {width}"
+
+
 def multires_interval_buckets(
     iv: DataFrame, start: str, end: str, long_cutoff_us: int
 ) -> DataFrame:
@@ -3060,26 +3078,34 @@ def multires_interval_buckets(
     idea): an interval emits buckets at the ONE width tier matched to
     its own length — hour buckets below the cutoff, day buckets above —
     so a long interval adds O(days) rows instead of O(hours). A probe
-    side that emits BOTH tiers (see q246a) still meets every interval:
-    any overlap shares a covered instant, whose tier-t bucket both
-    sides emit. Adds (tier, bucket, is_long) to the input columns."""
+    side that emits BOTH tiers with the SAME floor-div bucketing (see
+    q246a) still meets every interval: any overlap shares a covered
+    instant, whose tier-t bucket both sides emit. All bucket ids come
+    from pure-BIGINT floor division (`_floor_div_sql`), so the two join
+    sides agree on negative epochs and past-2^53 magnitudes alike.
+    Adds (tier, bucket, is_long) to the input columns."""
     is_long = (F.col(end) - F.col(start)) > long_cutoff_us
-    width = F.when(is_long, F.lit(_IVJ_DAY_US)).otherwise(
-        F.lit(_IVJ_HOUR_US)
-    )
-    return iv.withColumn("is_long", is_long.cast("int")).select(
-        "*",
-        F.when(F.col("is_long") == 1, F.lit("d"))
-        .otherwise(F.lit("h"))
-        .alias("tier"),
-        F.explode(
-            F.sequence(
-                (F.col(start) / width).cast("long")
-                - F.when(F.col(start) % width < 0, 1).otherwise(0),
-                (F.col(end) / width).cast("long")
-                - F.when(F.col(end) % width < 0, 1).otherwise(0),
-            )
-        ).alias("bucket"),
+    return (
+        iv.withColumn("is_long", is_long.cast("int"))
+        .withColumn(
+            "_w",
+            F.when(F.col("is_long") == 1, F.lit(_IVJ_DAY_US))
+            .otherwise(F.lit(_IVJ_HOUR_US))
+            .cast("long"),
+        )
+        .select(
+            *iv.columns,
+            "is_long",
+            F.when(F.col("is_long") == 1, F.lit("d"))
+            .otherwise(F.lit("h"))
+            .alias("tier"),
+            F.explode(
+                F.sequence(
+                    F.expr(_floor_div_sql(start, "_w")),
+                    F.expr(_floor_div_sql(end, "_w")),
+                )
+            ).alias("bucket"),
+        )
     )
 
 
@@ -3088,7 +3114,7 @@ def multires_interval_buckets(
     oracle=f"""
     WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS i_start,
                        epoch_us(ts) + ({_IVJ_DUR_CASE_SQL}) AS i_end,
-                       CASE WHEN ({_IVJ_DUR_CASE_SQL}) > 21600000000
+                       CASE WHEN ({_IVJ_DUR_CASE_SQL}) > {_IVJ_LONG_CUTOFF_US}
                             THEN 1 ELSE 0 END AS is_long
                 FROM events),
          hours AS (SELECT (epoch_us(ts) // {_IVJ_HOUR_US})
@@ -3138,9 +3164,14 @@ def q246a_multires_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("i_start"),
         (F.unix_micros("ts") + F.expr(_IVJ_DUR_CASE_SQL)).alias("i_end"),
     )
-    iv_b = multires_interval_buckets(iv, "i_start", "i_end", 6 * _IVJ_HOUR_US)
+    iv_b = multires_interval_buckets(
+        iv, "i_start", "i_end", _IVJ_LONG_CUTOFF_US
+    )
     wins = _ivj_windows(spark, sf_dir)
-    # probe side emits BOTH tiers: hour buckets + day buckets
+    # probe side emits BOTH tiers (hour + day buckets), with the SAME
+    # sign-safe floor-div bucketing as the interval side — truncating
+    # div here would disagree with the floored interval buckets on a
+    # negative-epoch instant and silently drop true overlaps
     wins_b = wins.select(
         "*",
         F.explode(
@@ -3148,15 +3179,15 @@ def q246a_multires_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit("h").alias("tier"),
                     F.sequence(
-                        F.expr(f"w_start div {_IVJ_HOUR_US}"),
-                        F.expr(f"(w_end - 1) div {_IVJ_HOUR_US}"),
+                        F.expr(_floor_div_sql("w_start", _IVJ_HOUR_US)),
+                        F.expr(_floor_div_sql("w_end - 1", _IVJ_HOUR_US)),
                     ).alias("bs"),
                 ),
                 F.struct(
                     F.lit("d").alias("tier"),
                     F.sequence(
-                        F.expr(f"w_start div {_IVJ_DAY_US}"),
-                        F.expr(f"(w_end - 1) div {_IVJ_DAY_US}"),
+                        F.expr(_floor_div_sql("w_start", _IVJ_DAY_US)),
+                        F.expr(_floor_div_sql("w_end - 1", _IVJ_DAY_US)),
                     ).alias("bs"),
                 ),
             )

@@ -353,6 +353,7 @@ def test_multires_interval_join_matches_bruteforce_and_cuts_candidates(
     from hive_reflex_spark.operators.relational import (
         _IVJ_DUR_CASE_SQL,
         _IVJ_HOUR_US,
+        _IVJ_LONG_CUTOFF_US,
         _ivj_windows,
         multires_interval_buckets,
         q246a_multires_interval_join,
@@ -370,7 +371,7 @@ def test_multires_interval_join_matches_bruteforce_and_cuts_candidates(
         "user_id",
         F.unix_micros("ts").alias("i_start"),
         (F.unix_micros("ts") + F.expr(_IVJ_DUR_CASE_SQL)).alias("i_end"),
-        F.when(F.expr(_IVJ_DUR_CASE_SQL) > 6 * _IVJ_HOUR_US, 1)
+        F.when(F.expr(_IVJ_DUR_CASE_SQL) > _IVJ_LONG_CUTOFF_US, 1)
         .otherwise(0)
         .alias("long_flag"),
     )
@@ -397,7 +398,7 @@ def test_multires_interval_join_matches_bruteforce_and_cuts_candidates(
 
     # candidate-volume measurement: interval-side bucket rows
     multires_rows = multires_interval_buckets(
-        iv, "i_start", "i_end", 6 * _IVJ_HOUR_US
+        iv, "i_start", "i_end", _IVJ_LONG_CUTOFF_US
     ).count()
     single_tier_rows = iv.select(
         F.explode(
@@ -413,3 +414,36 @@ def test_multires_interval_join_matches_bruteforce_and_cuts_candidates(
         multires_rows,
         single_tier_rows,
     )
+
+
+def test_multires_buckets_floor_consistently_on_negative_epochs(spark):
+    """Both join sides must FLOOR bucket ids (truncating div would put a
+    negative-epoch instant in different buckets per side and silently
+    drop true overlaps before the exact re-check): plant an interval
+    and a window straddling t=0 and check the shared instant's bucket
+    appears on both sides."""
+    from pyspark.sql import functions as F2
+
+    from hive_reflex_spark.operators.relational import (
+        _IVJ_HOUR_US,
+        _IVJ_LONG_CUTOFF_US,
+        _floor_div_sql,
+        multires_interval_buckets,
+    )
+
+    iv = spark.createDataFrame(
+        [(-50, 100)], "i_start long, i_end long"
+    )
+    got = {
+        (r.tier, r.bucket)
+        for r in multires_interval_buckets(
+            iv, "i_start", "i_end", _IVJ_LONG_CUTOFF_US
+        ).collect()
+    }
+    # floor(-50/h) = -1, floor(100/h) = 0 — BOTH buckets must emit
+    assert got == {("h", -1), ("h", 0)}
+    # the probe-side fragment agrees: bucket of instant -50 is -1
+    probe = spark.sql(
+        f"SELECT {_floor_div_sql('-50', _IVJ_HOUR_US)} AS b"
+    ).collect()[0]["b"]
+    assert probe == -1
