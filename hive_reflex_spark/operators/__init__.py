@@ -27,87 +27,76 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-10 window (the r9 verdict's #1/#2:
-# retire the r02 staleness backlog + register the commit-log transport):
-# 1 new registration (q160b) + 21 changed-code slots (q273's integer-div
-# recall fix; the 19-query int-width cast batch — the r9 dtype scan's
-# benign list, each cast is changed code and rides its own slot) + the
-# 19 stale-r02 rows (q26/q54b are both stale AND cast) + the 12 stalest
-# r03 rows as fill (rotate_window.py order — includes q123, whose
-# canonical-form Pearson replay also lands this round). q68/q28 stay out:
-# rows-only by design with standing rows evidence and oracled twins
-# (q68a/q118). After this window NO registry row is older than r03 —
-# the staleness SLO (>=35 slots to the backlog while any row is >5
-# rounds stale) is satisfied: 19 r02 + 4 r03 casts + 12 r03 fill = 35.
-# Every query not listed keeps its standing hash-green driver row and
-# original registration order after this block.
+# the judged correctness surface. Round-11 window (the r10 verdict's #1/#3:
+# land q246a's first driver row, keep the 35-slot staleness quota on the
+# r03/r04 backlog): 1 never-checked registration (q246a, pre-cleared at
+# sf0.001/sf0.01/10x + hostile in r10, judge re-verified independently) +
+# 2 changed-code slots (q246 — its inline window derivation folded into
+# the shared _ivj_windows helper per relational.py's own deferral note;
+# q160b — kafka_log hwm hardening + per-fixture log-dir lock, both ADVICE
+# items) + the 30 remaining r03 rows oldest-first (the 4 fills displaced
+# by r10's width casts lead) + the 17 stalest r04 rows as fill
+# (rotate_window.py order). 3 + 47 stale = 50; quota 35 satisfied with
+# headroom. q68/q28 stay out: rows-only by design with standing rows
+# evidence and oracled twins (q68a/q118). Every query not listed keeps
+# its standing hash-green driver row and original registration order
+# after this block.
 _registry.finalize_order([
-    # new registration — first driver row
-    "q160b_kafka_log_transport",  # S8 commit-log transport (r9 verdict #2)
+    # new registration — first driver row (r10 verdict #1)
+    "q246a_multires_interval_join",
     # code changed this round — must be re-judged
-    "q273_lsh_recall_curve",      # recall half-up now pure BIGINT DIV (ADVICE)
-    # int-width cast batch (spark rank/bin/ntile columns -> long; q66d
-    # narrowed to its family's int32) — stale rows among them re-judge
-    # their staleness and their cast in the same slot
-    "q54b_ivf_topk",              # r02 + rnk cast
-    "q26_rank_functions",         # r02 + rnk/drnk/quartile/seq casts
-    "q102b_ivfpq_topk",           # r03 + rnk cast
-    "q124_weighted_sample",       # r03 + rnk cast
-    "q27_collect_types",          # r03 + n_types cast
-    "q95_perplexity_filter",      # r03 + bucket cast
-    "q139_scd2_intervals",        # item_bytes cast
-    "q249_quantile_normalize",    # decile cast
-    "q280_roc_auc",               # decile cast
-    "q288_gbdt_split",            # bin cast
-    "q291_brier_decomposition",   # bin cast
-    "q38_channel_norms",          # norm_rank cast
-    "q42_token_stats",            # min/max_tokens casts
-    "q52_cosine_topk_arrays",     # rnk cast (shared helper with q52a)
-    "q52a_cosine_topk_units",     # rnk cast (same helper)
-    # the four r9-scan entries first probed "clean" were NOT — the CLI
-    # grep anchored on ^WARN and Spark's stage-spinner \r prefixes hid
-    # the lines; a raw-capture rescan found all four, casts applied:
-    "q52b_cosine_topk_numpy",     # rnk cast (r04-stale)
-    "q102a_pq_adc_topk",          # rnk cast via pq_topk (r03-stale;
-                                  # shared helper — q102b in-window too)
-    "q121_stream_countmin",       # j cast (r03-stale)
-    "q157_model_pack_roundtrip",  # layer cast (r04-stale)
-    "q66d_attention_blocked",     # out_dim int32 (family-consistent)
-    "q67_conv2d",                 # ox cast
-    "q67a_depthwise_conv1d",      # ot cast
-    "q67b_conv2d_blocked",        # ox cast (blocked twin)
-    # remaining stale r02 rows (pre-cleared 19/19 at the 10x fixture at
-    # the r9 close)
-    "q88_ivf_kmeans",
-    "q21_event_pivot",
-    "q22_delta_encode",
-    "q23_moving_avg_predict",
-    "q24_json_extract",
-    "q25_regex_extract",
-    "q29_range_frames",
-    "q90_sql_api",
-    "q55_fir_lowpass",
-    "q56_pid_windowed",
-    "q57_gap_detect",
-    "q58_phase_windows",
-    "q59a_asof_join",
-    "q57a_late_data",
-    "q62_streaming_hourly",
-    "q63_stream_static_join",
-    "q64_streaming_sessions",
-    # fill: stalest r03 rows, rotate_window.py order
-    "q108_adaptive_cascade",
-    "q116_mad_outliers",
-    "q118_hll_distinct",
-    "q119_funnel",
-    "q120_wow_retention",
-    "q123_metric_correlation",
-    "q65a_resize_pool",
-    "q80a_onnx_bert",
-    # (q80b/q91/q92/q98 yielded their fill slots to the q52b/q102a/
-    # q121/q157 casts — all four casts are themselves backlog-stale
-    # rows, so the 35-slot quota holds; the four displaced r03 rows
-    # lead the r11 fill instead.)
+    "q246_interval_bucket_join",   # window derivation folded into _ivj_windows
+    "q160b_kafka_log_transport",   # hwm local-path guard + log-dir flock (ADVICE)
+    # r03 backlog, oldest-first: the four fills displaced by the r10
+    # width-cast swaps lead, then rotate_window.py order
+    "q80b_onnx_mobilenet",
+    "q91_repetition_metrics",
+    "q92_bpe_merges",
+    "q98_bpe_tokenize",
+    "q105_pii_scrub",
+    "q114_countmin_heavy_hitters",
+    "q93_domain_mixture",
+    "q113_shard_manifest",
+    "q54a_ivf_assign",
+    "q96_embedding_int8",
+    "q102_pq_encode",
+    "q106_diversity_sample",
+    "q117_embedding_drift",
+    "q103_repeated_spans",
+    "q115_cdc_chunks",
+    "q107_layernorm",
+    "q107a_rmsnorm",
+    "q68a_lstm_unrolled",
+    "q68b_gru_unrolled",
+    "q109b_rope",
+    "q110_bm25_topk",
+    "q111_quality_classifier",
+    "q112_dsir_importance",
+    "q122_tfidf_doc_similarity",
+    "q21a_event_unpivot",
+    "q125_data_profile",
+    "q99_resample_interpolate",
+    "q97_stream_dedup",
+    "q101_stream_interval_join",
+    "q104_incremental_rollup",
+    # fill: stalest r04 rows, rotate_window.py order
+    "q132_sparse_speedup_estimate",
+    "q145_csr_rowptr",
+    "q152_array_hof",
+    "q128_trend_ols",
+    "q153_sequence_pattern",
+    "q163_frame_sample",
+    "q164_media_features",
+    "q161_profile_csv_roundtrip",
+    "q162_jsonlog_roundtrip",
+    "q159_buffer_allocation",
+    "q137_rtl_prune",
+    "q138_schedule_levels",
+    "q166_layer_slices",
+    "q126_pmi_collocations",
+    "q141_grouped_udaf",
+    "q127_bloom_filter",
+    "q47_jaccard_pairs",
 ])
 
 __all__ = [

@@ -65,15 +65,13 @@ def new_registration_budget(n_stale: int, size: int = WINDOW_SIZE) -> int:
     return max(0, size - backlog_quota(n_stale))
 
 
-def main() -> int:
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-
-    import hive_reflex_spark.operators  # noqa: F401 — registers queries
-    from hive_reflex_spark.registry import QUERIES
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    # name -> latest round seen per evidence kind; a rows record with
-    # hash_match=False is a FAILURE, not weak evidence
+def load_evidence(
+    root: str,
+) -> tuple[dict[str, int], dict[str, int], dict[str, int]]:
+    """Read every CORRECTNESS_r*.json under ``root`` and return
+    (hash_r, rows_r, fail_r): name -> latest round seen per evidence
+    kind. A record with hash_match=False is a FAILURE, not weak
+    evidence."""
     hash_r: dict[str, int] = {}
     rows_r: dict[str, int] = {}
     fail_r: dict[str, int] = {}
@@ -88,27 +86,82 @@ def main() -> int:
                 fail_r[name] = max(fail_r.get(name, 0), rnd)
             elif rec.get("spark_rows") is not None:
                 rows_r[name] = max(rows_r.get(name, 0), rnd)
+    return hash_r, rows_r, fail_r
 
-    # failures first (must re-verify the fix), then never-checked, then
-    # rows-only-evidenced, then hash-greens by staleness; a hash-green in
-    # ANY round keeps a query out of the weaker buckets
+
+def propose(
+    queries: list[str],
+    hash_r: dict[str, int],
+    rows_r: dict[str, int],
+    fail_r: dict[str, int],
+    size: int = WINDOW_SIZE,
+) -> list[str]:
+    """The SLO-satisfying window proposal for the next round, given the
+    registry order and the per-kind evidence maps from
+    :func:`load_evidence`.
+
+    Block order (the quota is reserved STRUCTURALLY): failures first
+    (regressions always re-verify), then min(n_stale, 35) stalest
+    backlog rows, then budget-capped new registrations, then the
+    weaker-evidence buckets. Appending the quota block up front (rather
+    than only capping `never`) means rows-only/failed entries can never
+    crowd the backlog below its reserve."""
+    failed = [n for n in queries
+              if n in fail_r and fail_r[n] >= hash_r.get(n, 0)]
+    never = [n for n in queries
+             if n not in hash_r and n not in rows_r and n not in failed]
+    rows_only = [n for n in queries
+                 if n in rows_r and n not in hash_r and n not in failed]
+    greens = sorted(
+        (n for n in queries if n in hash_r and n not in failed),
+        key=lambda n: hash_r[n],  # oldest green first
+    )
+
+    latest = {
+        n: max(hash_r.get(n, 0), rows_r.get(n, 0), fail_r.get(n, 0))
+        for n in queries
+        if n in hash_r or n in rows_r or n in fail_r
+    }
+    next_round = max(latest.values(), default=0) + 1
+    stale = stale_rows(latest, next_round)
+    budget = new_registration_budget(len(stale), size)
+    # quota slots must go to DISTINCT backlog rows: a stale row that is
+    # also failed already re-verifies via the failed block, so slice the
+    # quota over the not-yet-admitted remainder (ADVICE r10)
+    stale_pending = [n for n in stale if n not in failed]
+    seen: set[str] = set()
+    proposal: list[str] = []
+    for block in (
+        failed,
+        stale_pending[: backlog_quota(len(stale))],
+        never[:budget],
+        rows_only,
+        greens,
+    ):
+        for n in block:
+            if n not in seen:
+                seen.add(n)
+                proposal.append(n)
+    return proposal[:size]
+
+
+def main() -> int:
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+    import hive_reflex_spark.operators  # noqa: F401 — registers queries
+    from hive_reflex_spark.registry import QUERIES
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hash_r, rows_r, fail_r = load_evidence(root)
+
     failed = [n for n in QUERIES
               if n in fail_r and fail_r[n] >= hash_r.get(n, 0)]
     never = [n for n in QUERIES
              if n not in hash_r and n not in rows_r and n not in failed]
     rows_only = [n for n in QUERIES
                  if n in rows_r and n not in hash_r and n not in failed]
-    greens = sorted(
-        (n for n in QUERIES if n in hash_r and n not in failed),
-        key=lambda n: hash_r[n],  # oldest green first
-    )
+    greens = [n for n in QUERIES if n in hash_r and n not in failed]
 
-    # staleness SLO: the quota is reserved STRUCTURALLY — failures
-    # first (regressions always re-verify), then min(n_stale, 35)
-    # stalest backlog rows, then budget-capped new registrations, then
-    # the weaker-evidence buckets. Appending the quota block up front
-    # (rather than only capping `never`) means rows-only/failed entries
-    # can never crowd the backlog below its reserve.
     latest = {
         n: max(hash_r.get(n, 0), rows_r.get(n, 0), fail_r.get(n, 0))
         for n in QUERIES
@@ -121,20 +174,7 @@ def main() -> int:
         print(f"# SLO: {len(stale)} rows are >{STALE_ROUNDS} rounds stale "
               f"-> new-registration budget {budget}; deferring "
               f"{len(never) - budget} never-checked entries")
-    seen: set[str] = set()
-    proposal: list[str] = []
-    for block in (
-        failed,
-        stale[: backlog_quota(len(stale))],
-        never[:budget],
-        rows_only,
-        greens,
-    ):
-        for n in block:
-            if n not in seen:
-                seen.add(n)
-                proposal.append(n)
-    proposal = proposal[:size]
+    proposal = propose(list(QUERIES), hash_r, rows_r, fail_r, size)
 
     print(f"# {len(failed)} failed-after-green/regressed, "
           f"{len(never)} never-checked, {len(rows_only)} rows-only, "

@@ -197,60 +197,61 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-10 rotation (r9 verdict #1/#2): q160b first driver row,
-        # the integer-div/int-width changed-code batch, the 19 stale-r02
-        # rows, and 12 stalest-r03 fill slots. q68/q28 stay out:
-        # rows-only by design with oracled twins (q68a/q118).
+        # round-11 rotation (r10 verdict #1/#3): q246a first driver row,
+        # the two changed-code slots (q246 helper fold, q160b ADVICE
+        # hardening), the 30 remaining r03 rows, and 17 stalest-r04 fill
+        # slots. q68/q28 stay out: rows-only by design with oracled
+        # twins (q68a/q118).
+        "q246a_multires_interval_join",
+        "q246_interval_bucket_join",
         "q160b_kafka_log_transport",
-        "q273_lsh_recall_curve",
-        "q54b_ivf_topk",
-        "q26_rank_functions",
-        "q102b_ivfpq_topk",
-        "q124_weighted_sample",
-        "q27_collect_types",
-        "q95_perplexity_filter",
-        "q139_scd2_intervals",
-        "q249_quantile_normalize",
-        "q280_roc_auc",
-        "q288_gbdt_split",
-        "q291_brier_decomposition",
-        "q38_channel_norms",
-        "q42_token_stats",
-        "q52_cosine_topk_arrays",
-        "q52a_cosine_topk_units",
-        "q52b_cosine_topk_numpy",
-        "q102a_pq_adc_topk",
-        "q121_stream_countmin",
-        "q157_model_pack_roundtrip",
-        "q66d_attention_blocked",
-        "q67_conv2d",
-        "q67a_depthwise_conv1d",
-        "q67b_conv2d_blocked",
-        "q88_ivf_kmeans",
-        "q21_event_pivot",
-        "q22_delta_encode",
-        "q23_moving_avg_predict",
-        "q24_json_extract",
-        "q25_regex_extract",
-        "q29_range_frames",
-        "q90_sql_api",
-        "q55_fir_lowpass",
-        "q56_pid_windowed",
-        "q57_gap_detect",
-        "q58_phase_windows",
-        "q59a_asof_join",
-        "q57a_late_data",
-        "q62_streaming_hourly",
-        "q63_stream_static_join",
-        "q64_streaming_sessions",
-        "q108_adaptive_cascade",
-        "q116_mad_outliers",
-        "q118_hll_distinct",
-        "q119_funnel",
-        "q120_wow_retention",
-        "q123_metric_correlation",
-        "q65a_resize_pool",
-        "q80a_onnx_bert",
+        "q80b_onnx_mobilenet",
+        "q91_repetition_metrics",
+        "q92_bpe_merges",
+        "q98_bpe_tokenize",
+        "q105_pii_scrub",
+        "q114_countmin_heavy_hitters",
+        "q93_domain_mixture",
+        "q113_shard_manifest",
+        "q54a_ivf_assign",
+        "q96_embedding_int8",
+        "q102_pq_encode",
+        "q106_diversity_sample",
+        "q117_embedding_drift",
+        "q103_repeated_spans",
+        "q115_cdc_chunks",
+        "q107_layernorm",
+        "q107a_rmsnorm",
+        "q68a_lstm_unrolled",
+        "q68b_gru_unrolled",
+        "q109b_rope",
+        "q110_bm25_topk",
+        "q111_quality_classifier",
+        "q112_dsir_importance",
+        "q122_tfidf_doc_similarity",
+        "q21a_event_unpivot",
+        "q125_data_profile",
+        "q99_resample_interpolate",
+        "q97_stream_dedup",
+        "q101_stream_interval_join",
+        "q104_incremental_rollup",
+        "q132_sparse_speedup_estimate",
+        "q145_csr_rowptr",
+        "q152_array_hof",
+        "q128_trend_ols",
+        "q153_sequence_pattern",
+        "q163_frame_sample",
+        "q164_media_features",
+        "q161_profile_csv_roundtrip",
+        "q162_jsonlog_roundtrip",
+        "q159_buffer_allocation",
+        "q137_rtl_prune",
+        "q138_schedule_levels",
+        "q166_layer_slices",
+        "q126_pmi_collocations",
+        "q141_grouped_udaf",
+        "q127_bloom_filter",
+        "q47_jaccard_pairs",
     ):
         assert must in window, must
 
