@@ -2959,19 +2959,7 @@ def q246_interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
     )
-    hours = ev.groupBy(
-        F.expr(f"(ts_us div {_IVJ_HOUR_US}) * {_IVJ_HOUR_US}").alias("h_us")
-    ).agg(F.count("*").alias("c"))
-    wr = Window.orderBy(F.desc("c"), "h_us")
-    wins = (
-        hours.withColumn("window_id", F.row_number().over(wr).cast("int"))
-        .filter(F.col("window_id") <= _IVJ_TOP)
-        .select(
-            "window_id",
-            (F.col("h_us") - 900_000_000).alias("w_start"),
-            (F.col("h_us") + 4_500_000_000).alias("w_end"),
-        )
-    )
+    wins = _ivj_windows(spark, sf_dir)
     # bucket decomposition: one row per covered hour bucket on each side
     sess_b = sess.select(
         "user_id",
@@ -3039,12 +3027,11 @@ _IVJ_DUR_CASE_SQL = """CASE
 
 
 def _ivj_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q246's top-20 incident windows (busiest hour ± margin).
-
-    q246 deliberately KEEPS its own inline copy of this derivation: a
-    shared helper would make q246 'changed code' and cost a judged
-    window slot for a pure refactor (round-loop rule); fold the inline
-    copy into this helper whenever q246 next rotates anyway."""
+    """The top-20 incident windows (busiest hour ± margin) shared by
+    q246 and q246a. q246's inline copy of this derivation was folded in
+    here when q246 rotated into the r11 window (the refactor rode the
+    same judged slot as its staleness refresh, as the r10 deferral note
+    promised)."""
     events = load_tables(spark, sf_dir, "events")["events"]
     hours = events.groupBy(
         F.expr(f"(unix_micros(ts) div {_IVJ_HOUR_US}) * {_IVJ_HOUR_US}")

@@ -63,6 +63,40 @@ def _topic_dir(log_dir: str, topic: str) -> str:
     return os.path.join(log_dir, f"topic={topic}")
 
 
+def _local_fs_path(path: str) -> str | None:
+    """The glob-able local path for ``path``, or None when it names a
+    non-local filesystem (hdfs://, s3a://, ...). A driver-side glob over
+    a remote URI silently matches nothing — which would read an existing
+    topic as empty and mint duplicate offsets — so callers must branch
+    to the Spark-read high-water mark instead."""
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(path)
+    if parts.scheme in ("", "file"):
+        return parts.path if parts.scheme else path
+    return None
+
+
+def _read_hwm_spark(spark: SparkSession, tdir: str) -> dict[int, int]:
+    """High-water mark via a Spark scan of the topic directory — the
+    path-agnostic fallback for non-local log dirs. Parquet footer
+    statistics still make this cheap (max(offset) per partition is
+    answered from row-group stats after partition pruning); the collect
+    is n_partitions rows. A missing directory is an empty/new topic."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(tdir)
+    except AnalysisException:
+        return {}
+    rows = (
+        df.groupBy("partition")
+        .agg(F.max("offset").alias("mx"))
+        .collect()
+    )
+    return {int(r["partition"]): int(r["mx"]) + 1 for r in rows}
+
+
 def _read_hwm(tdir: str) -> dict[int, int]:
     """Per-partition next-offset map from parquet footer statistics —
     metadata-only (no row reads), always derived from the data so it
@@ -83,10 +117,20 @@ def _read_hwm(tdir: str) -> dict[int, int]:
             pf = pq.ParquetFile(path)
             md = pf.metadata
             col_idx = next(
-                i
-                for i in range(md.num_columns)
-                if md.schema.column(i).name == "offset"
+                (
+                    i
+                    for i in range(md.num_columns)
+                    if md.schema.column(i).name == "offset"
+                ),
+                None,
             )
+            if col_idx is None:
+                # a foreign/corrupt parquet in the partition dir must be
+                # a loud error, not a bare StopIteration out of the scan
+                raise ValueError(
+                    f"{path}: no 'offset' column in parquet footer — "
+                    "not a commit-log segment"
+                )
             file_max = None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(col_idx).statistics
@@ -143,8 +187,14 @@ def log_append(
     )
     tdir = _topic_dir(log_dir, topic)
     # high-water mark from parquet footer stats — metadata-only, derived
-    # from the data itself (crash-safe; n_partitions-sized driver state)
-    hwm = _read_hwm(tdir)
+    # from the data itself (crash-safe; n_partitions-sized driver state).
+    # The pyarrow fast path only sees LOCAL paths; for hdfs://s3a:// log
+    # dirs fall back to the Spark scan so an existing topic can never be
+    # misread as empty (duplicate offsets) by a no-match glob.
+    local = _local_fs_path(tdir)
+    hwm = _read_hwm(local) if local is not None else _read_hwm_spark(
+        spark, tdir
+    )
     if hwm:
         base = F.create_map(
             *[F.lit(x) for kv in sorted(hwm.items()) for x in kv]

@@ -552,6 +552,7 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
     `log_read` swaps for the kafka connector with the downstream plan
     unchanged. Reference anchor: the bus rx path the log transports,
     `examples/example_reflex_node.c:109-120`."""
+    import fcntl
     import hashlib
     import shutil
 
@@ -573,17 +574,25 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
     # produce: re-running never double-appends, and repeated sweeps
     # never accumulate orphaned event-scale copies in /tmp (a DataFrame
     # returned by an EARLIER call is invalidated by the wipe — calls are
-    # collect-then-rerun sequential everywhere the registry is driven)
+    # collect-then-rerun sequential everywhere the registry is driven).
+    # The wipe+produce pair holds an flock on a sibling lockfile so two
+    # processes sweeping the SAME fixture serialize instead of one
+    # rmtree-ing files the other's executing produce is scanning.
     log_dir = os.path.join(
         "/tmp",
         "hrs_q160b_log_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
     )
-    shutil.rmtree(log_dir, ignore_errors=True)
-    log_append(
-        wire, log_dir, "slcan", n_partitions=4,
-        key_col="k", value_col="value", ts_col="t0",
-    )
+    with open(log_dir + ".lock", "w") as lockf:
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            shutil.rmtree(log_dir, ignore_errors=True)
+            log_append(
+                wire, log_dir, "slcan", n_partitions=4,
+                key_col="k", value_col="value", ts_col="t0",
+            )
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
     lines = log_read(spark, log_dir, "slcan").select(
         F.decode("value", "UTF-8").alias("value"),
         F.col("ts").alias("ts0"),

@@ -242,3 +242,55 @@ def test_hwm_from_footer_stats_matches_full_scan(spark, tmp_path):
         by_part.setdefault(r.partition, []).append(r.offset)
     for p, offs in by_part.items():
         assert sorted(offs) == list(range(len(offs))), p
+
+
+def test_local_fs_path_classification():
+    """ADVICE r10: a driver-side glob over a REMOTE log dir matches
+    nothing and would misread an existing topic as empty (duplicate
+    offsets) — so remote schemes must classify as non-local."""
+    from hive_reflex_spark.sources.kafka_log import _local_fs_path
+
+    assert _local_fs_path("/tmp/x/topic=t") == "/tmp/x/topic=t"
+    assert _local_fs_path("file:/tmp/x/topic=t") == "/tmp/x/topic=t"
+    assert _local_fs_path("file:///tmp/x/topic=t") == "/tmp/x/topic=t"
+    assert _local_fs_path("hdfs://nn:8020/logs/topic=t") is None
+    assert _local_fs_path("s3a://bucket/logs/topic=t") is None
+
+
+def test_hwm_spark_fallback_matches_footer_path(spark, tmp_path):
+    """The Spark-scan high-water mark (the non-local-path fallback) must
+    agree exactly with the pyarrow footer-statistics fast path, and an
+    absent topic directory must read as a new topic, not an error."""
+    from hive_reflex_spark.sources.kafka_log import (
+        _read_hwm,
+        _read_hwm_spark,
+        _topic_dir,
+    )
+
+    _append(spark, tmp_path, n=64, n_partitions=2)
+    tdir = _topic_dir(str(tmp_path), "can")
+    assert _read_hwm_spark(spark, tdir) == _read_hwm(tdir)
+    assert _read_hwm_spark(spark, str(tmp_path / "no_such_topic")) == {}
+
+
+def test_foreign_parquet_in_partition_dir_raises(spark, tmp_path):
+    """ADVICE r10: a parquet file without an 'offset' column in a
+    partition dir must raise a descriptive error naming the file, not a
+    bare StopIteration out of the footer scan."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hive_reflex_spark.sources.kafka_log import _read_hwm, _topic_dir
+
+    _append(spark, tmp_path, n=64, n_partitions=2)
+    tdir = _topic_dir(str(tmp_path), "can")
+    part_dir = sorted(
+        d for d in os.listdir(tdir) if d.startswith("partition=")
+    )[0]
+    foreign = os.path.join(tdir, part_dir, "foreign.parquet")
+    pq.write_table(pa.table({"not_offset": [1, 2, 3]}), foreign)
+    with pytest.raises(ValueError, match="foreign.parquet"):
+        _read_hwm(tdir)
