@@ -60,11 +60,11 @@ def canon_arrow_type(t) -> str:
 
     - large_* string/binary/list variants and timestamp unit/tz: engine
       export details, normalized;
-    - integer WIDTH (int32 vs int64): normalized — 23 registry queries
-      hold standing hash-green driver rows with width-mismatched rank/
-      bin columns in BOTH directions (r9 scan), so the driver hash is
-      width-insensitive; new queries should still CAST to long for
-      cleanliness, existing ones get fixed as they rotate;
+    - integer width is compared EXACTLY (r10 verdict #5): the 23 legacy
+      width diffs the old normalization tolerated are all cast away and
+      the registry-wide raw-captured scan reports 0 diffs — keeping the
+      width window open would silently re-admit the class, so int32 vs
+      int64 is now a sweep FAILURE, nested occurrences included;
     - kept fatal: decimal (any precision — the class that flipped the
       driver hash on q273: Spark decimal(6,6) vs DuckDB decimal128(7,6),
       identical values), int-vs-float, and any cross-kind difference."""
@@ -73,7 +73,7 @@ def canon_arrow_type(t) -> str:
     if pa.types.is_decimal(t):
         return f"decimal({t.precision},{t.scale})"
     if pa.types.is_integer(t):
-        return "uint" if pa.types.is_unsigned_integer(t) else "int"
+        return str(t)  # exact width + signedness: int8..int64, uint8..
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
@@ -110,10 +110,10 @@ def arrow_dtype_check(name, sdf, con, oracle_sql):
     r8 while the driver hash failed on a decimal-precision mismatch.
     Spark's arrow schema comes from the plan (no job); DuckDB's from a
     LIMIT-0 arrow fetch. Returns (failures, warnings) — both lists of
-    strings; empty failures = ok. Integer-width mismatches (int32 vs
-    int64) are WARNINGS: proven driver-hash-benign (r9 scan, 23
-    standing greens both directions) but worth flushing out as queries
-    rotate, so they stay visible without failing the sweep.
+    strings; empty failures = ok. Integer-width mismatches are FAILURES
+    since r11 (the 23 legacy diffs are cast away and the registry scan
+    reports 0 — canon_arrow_type keeps exact widths, so they surface
+    through the ordinary dtype diff below).
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -123,24 +123,8 @@ def arrow_dtype_check(name, sdf, con, oracle_sql):
     d_schema = con.execute(
         f"SELECT * FROM ({oracle_sql}) __dtype_probe LIMIT 0"
     ).fetch_arrow_table().schema
-    s_raw = {f.name: str(f.type) for f in s_schema}
-    d_raw = {f.name: str(f.type) for f in d_schema}
     s_types = {f.name: canon_arrow_type(f.type) for f in s_schema}
     d_types = {f.name: canon_arrow_type(f.type) for f in d_schema}
-    for c in sorted(set(s_types) & set(d_types)):
-        # top-level integer columns ONLY: other canon-equal raw diffs
-        # (large_list vs list, timestamp units) are normalized-by-design
-        # representation details, not width drift worth a warning
-        if (
-            s_types[c] == d_types[c]
-            and s_types[c] in ("int", "uint")
-            and s_raw.get(c) != d_raw.get(c)
-        ):
-            warns.append(
-                f"integer width differs on {c!r}: spark={s_raw[c]} "
-                f"duck={d_raw[c]} (driver-hash benign; CAST to long when "
-                f"this query next rotates)"
-            )
     for side, types in (("spark", s_types), ("duck", d_types)):
         # substring, not prefix: nested decimals (list<decimal(7,6)>,
         # struct<x:decimal(...)>) are the same driver-hash hazard
