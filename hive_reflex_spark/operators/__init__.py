@@ -30,20 +30,24 @@ from hive_reflex_spark import registry as _registry
 # the judged correctness surface. Round-11 window (the r10 verdict's #1/#3:
 # land q246a's first driver row, keep the 35-slot staleness quota on the
 # r03/r04 backlog): 1 never-checked registration (q246a, pre-cleared at
-# sf0.001/sf0.01/10x + hostile in r10, judge re-verified independently) +
+# sf0.001/sf0.01/10x + hostile in r10, judge re-verified independently)
+# + 1 r11 registration (q246b, the verdict-#7 skew-salted shuffle twin,
+# pre-cleared this round at all three fixtures + hostile) +
 # 2 changed-code slots (q246 — its inline window derivation folded into
 # the shared _ivj_windows helper per relational.py's own deferral note;
 # q160b — kafka_log hwm hardening + per-fixture log-dir lock, both ADVICE
 # items) + the 30 remaining r03 rows oldest-first (the 4 fills displaced
-# by r10's width casts lead) + the 17 stalest r04 rows as fill
-# (rotate_window.py order). 3 + 47 stale = 50; quota 35 satisfied with
-# headroom. q68/q28 stay out: rows-only by design with standing rows
+# by r10's width casts lead) + the 16 stalest r04 rows as fill
+# (rotate_window.py order; q47 yielded its fill slot to q246b).
+# 4 + 46 stale = 50; quota 35 satisfied with headroom. q68/q28 stay
+# out: rows-only by design with standing rows
 # evidence and oracled twins (q68a/q118). Every query not listed keeps
 # its standing hash-green driver row and original registration order
 # after this block.
 _registry.finalize_order([
-    # new registration — first driver row (r10 verdict #1)
+    # new registrations — first driver rows (r10 verdict #1 / #7)
     "q246a_multires_interval_join",
+    "q246b_salted_interval_join",  # skew-salted shuffle twin (verdict #7's pick)
     # code changed this round — must be re-judged
     "q246_interval_bucket_join",   # window derivation folded into _ivj_windows
     "q160b_kafka_log_transport",   # hwm local-path guard + log-dir flock (ADVICE)
@@ -96,7 +100,6 @@ _registry.finalize_order([
     "q126_pmi_collocations",
     "q141_grouped_udaf",
     "q127_bloom_filter",
-    "q47_jaccard_pairs",
 ])
 
 __all__ = [

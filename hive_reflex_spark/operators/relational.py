@@ -3096,9 +3096,10 @@ def multires_interval_buckets(
     )
 
 
-@query(
-    "q246a_multires_interval_join",
-    oracle=f"""
+# one oracle for the whole multi-resolution family (q246a broadcast
+# probe, q246b salted shuffle): the brute-force O(n·m) theta join —
+# both registered plans must reproduce it exactly
+_IVJ_MULTIRES_ORACLE = f"""
     WITH iv AS (SELECT event_id, user_id, epoch_us(ts) AS i_start,
                        epoch_us(ts) + ({_IVJ_DUR_CASE_SQL}) AS i_end,
                        CASE WHEN ({_IVJ_DUR_CASE_SQL}) > {_IVJ_LONG_CUTOFF_US}
@@ -3121,45 +3122,17 @@ def multires_interval_buckets(
     FROM wins w JOIN iv
       ON iv.i_start < w.w_end AND iv.i_end >= w.w_start
     GROUP BY w.window_id, w.w_start
-    """,
-)
-def q246a_multires_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q246's bucket decomposition at a SKEWED interval-length
-    distribution — the case single-width bucketing handles badly, and
-    the reason real range-join strategies go multi-resolution. Each
-    event spawns a deterministic "impact window": 70% last 5 minutes,
-    20% two hours, 10% TWO DAYS. Under q246's single 1-hour grid the
-    2-day tail emits 49 buckets per interval and dominates the
-    decomposed row count (measured in tests: ~4x the multi-res
-    candidate volume); here each interval emits buckets at the width
-    tier matched to its own length (hour / day, cutoff 6 h), and only
-    the 20-row probe side pays the both-tiers duplication. Exact
-    overlap re-check on the bucket matches, distinct per (event,
-    window), integer-exact aggregates — identical results to the
-    oracle's O(n·m) theta join at any bucket layout.
+    """
 
-    Scale (100 TB): skew is the NORM in real interval data (user
-    sessions, incident windows, order validity ranges). Multi-res
-    bounds per-interval fan-out at O(length/width_of_own_tier) with a
-    tier table that is log(range)-sized; the probe side's all-tiers
-    expansion is |windows| x |tiers| — dimension-scale. The equi-join
-    key stays (tier, bucket): one shuffle, no theta join anywhere."""
-    events = load_tables(spark, sf_dir, "events")["events"]
-    iv = events.select(
-        "event_id",
-        "user_id",
-        F.unix_micros("ts").alias("i_start"),
-        (F.unix_micros("ts") + F.expr(_IVJ_DUR_CASE_SQL)).alias("i_end"),
-    )
-    iv_b = multires_interval_buckets(
-        iv, "i_start", "i_end", _IVJ_LONG_CUTOFF_US
-    )
-    wins = _ivj_windows(spark, sf_dir)
-    # probe side emits BOTH tiers (hour + day buckets), with the SAME
-    # sign-safe floor-div bucketing as the interval side — truncating
-    # div here would disagree with the floored interval buckets on a
-    # negative-epoch instant and silently drop true overlaps
-    wins_b = wins.select(
+
+def _ivj_probe_buckets(wins: DataFrame) -> DataFrame:
+    """The probe side's ALL-TIERS bucket expansion shared by q246a and
+    q246b: each window emits its covered buckets at BOTH widths (hour +
+    day) with the SAME sign-safe floor-div bucketing as the interval
+    side — truncating div here would disagree with the floored interval
+    buckets on a negative-epoch instant and silently drop true
+    overlaps. |windows| x |tiers| x O(span/width) rows."""
+    return wins.select(
         "*",
         F.explode(
             F.array(
@@ -3186,8 +3159,119 @@ def q246a_multires_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tb.tier").alias("tier"),
         F.explode(F.col("tb.bs")).alias("bucket"),
     )
+
+
+def _ivj_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed impact-window interval set shared by q246a/q246b:
+    one interval per event, 70% 5-minute / 20% 2-hour / 10% 2-day."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("i_start"),
+        (F.unix_micros("ts") + F.expr(_IVJ_DUR_CASE_SQL)).alias("i_end"),
+    )
+
+
+@query("q246a_multires_interval_join", oracle=_IVJ_MULTIRES_ORACLE)
+def q246a_multires_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q246's bucket decomposition at a SKEWED interval-length
+    distribution — the case single-width bucketing handles badly, and
+    the reason real range-join strategies go multi-resolution. Each
+    event spawns a deterministic "impact window": 70% last 5 minutes,
+    20% two hours, 10% TWO DAYS. Under q246's single 1-hour grid the
+    2-day tail emits 49 buckets per interval and dominates the
+    decomposed row count (measured in tests: ~4x the multi-res
+    candidate volume); here each interval emits buckets at the width
+    tier matched to its own length (hour / day, cutoff 6 h), and only
+    the 20-row probe side pays the both-tiers duplication. Exact
+    overlap re-check on the bucket matches, distinct per (event,
+    window), integer-exact aggregates — identical results to the
+    oracle's O(n·m) theta join at any bucket layout.
+
+    Scale (100 TB): skew is the NORM in real interval data (user
+    sessions, incident windows, order validity ranges). Multi-res
+    bounds per-interval fan-out at O(length/width_of_own_tier) with a
+    tier table that is log(range)-sized; the probe side's all-tiers
+    expansion is |windows| x |tiers| — dimension-scale. The equi-join
+    key stays (tier, bucket): one shuffle, no theta join anywhere."""
+    iv_b = multires_interval_buckets(
+        _ivj_intervals(spark, sf_dir), "i_start", "i_end",
+        _IVJ_LONG_CUTOFF_US,
+    )
+    wins_b = _ivj_probe_buckets(_ivj_windows(spark, sf_dir))
     matched = (
         iv_b.join(F.broadcast(wins_b), ["tier", "bucket"])
+        .filter(
+            (F.col("i_start") < F.col("w_end"))
+            & (F.col("i_end") >= F.col("w_start"))
+        )
+        .select("event_id", "user_id", "is_long", "window_id", "w_start")
+        .distinct()
+    )
+    return matched.groupBy("window_id", "w_start").agg(
+        F.count("*").alias("n_hits"),
+        F.sum("is_long").cast("long").alias("n_long_hits"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).select(
+        "window_id",
+        F.timestamp_micros(F.col("w_start")).alias("window_start"),
+        "n_hits",
+        "n_long_hits",
+        "n_users",
+    )
+
+
+# salt fan-out for q246b: spreads one hot (tier, bucket) reducer key
+# across _IVJ_SALT shuffle partitions. 8 bounds the probe-side
+# replication at 8x a dimension-scale table while cutting the hottest
+# key's per-task share 8x; retune with the cluster's task count.
+_IVJ_SALT = 8
+
+
+@query("q246b_salted_interval_join", oracle=_IVJ_MULTIRES_ORACLE)
+def q246b_salted_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q246a's multi-resolution decomposition executed as a SALTED
+    SHUFFLE join — the plan that survives when the window side is
+    itself data-scale (per-entity maintenance/incident windows at 100 TB
+    don't broadcast) and the bucket key is skewed: every 2-day interval
+    in the same calendar day collides on ONE (d, day) key, so that
+    reducer key holds ~10% of the corpus no matter how many executors
+    exist. The interval side salts each row with hash(event_id) mod S
+    (deterministic — an (event, window) pair always meets on exactly one
+    salt, so the dedup semantics are unchanged); the probe side
+    replicates each (tier, bucket) row S times, one per salt value; the
+    equi-join runs on (tier, bucket, salt) under an explicit
+    shuffle-hash hint, spreading the hot day-tier key across S tasks.
+    Same exact-overlap re-check, same aggregates, same theta-join oracle
+    as q246a — identical results, different physical strategy.
+
+    At THIS fixture's scale a broadcast (q246a) is strictly better; the
+    query exists to pin the salted plan shape the 100-TB case needs —
+    the plan test asserts the join is ShuffledHashJoin on the salted
+    key with no broadcast anywhere on the match path.
+
+    Scale (100 TB): max per-task rows for the hottest key drop from
+    |hot bucket| to |hot bucket|/S at the cost of S× replicating a
+    dimension-sized probe side — the standard skew-salting trade. AQE's
+    skew-join split solves the SORT-merge flavor of this automatically;
+    salting is the form that composes with the shuffle-HASH join and
+    with per-key state (the hot key never materializes in one task)."""
+    iv_b = multires_interval_buckets(
+        _ivj_intervals(spark, sf_dir), "i_start", "i_end",
+        _IVJ_LONG_CUTOFF_US,
+    )
+    iv_s = iv_b.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_IVJ_SALT)).cast("int")
+    )
+    # sequence(int, int) yields array<int>, so the exploded salt is
+    # already the interval side's int — generators can't be cast inline
+    wins_s = _ivj_probe_buckets(_ivj_windows(spark, sf_dir)).select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(_IVJ_SALT - 1))).alias("salt"),
+    )
+    matched = (
+        iv_s.join(wins_s.hint("shuffle_hash"), ["tier", "bucket", "salt"])
         .filter(
             (F.col("i_start") < F.col("w_end"))
             & (F.col("i_end") >= F.col("w_start"))

@@ -545,6 +545,14 @@ PICKS = {
         "expanded; one (tier, bucket) equi-join, exact re-check "
         "map-side, no theta join anywhere."
     ),
+    "q246b_salted_interval_join": (
+        "Salted interval join: q246a's decomposition as a SHUFFLE "
+        "hash join for the can't-broadcast case — interval rows salt "
+        "on hash(event_id) mod 8, the probe side replicates per salt, "
+        "the join key is (tier, bucket, salt) so the hot day-tier "
+        "bucket spreads across 8 tasks; plan-pinned ShuffledHashJoin "
+        "with zero broadcast on the match path."
+    ),
     "q160b_kafka_log_transport": (
         "Commit-log transport: produce is one key-hash shuffle + a "
         "per-partition offset window; consume reads the partition= "

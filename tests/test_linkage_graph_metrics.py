@@ -447,3 +447,47 @@ def test_multires_buckets_floor_consistently_on_negative_epochs(spark):
         f"SELECT {_floor_div_sql('-50', _IVJ_HOUR_US)} AS b"
     ).collect()[0]["b"]
     assert probe == -1
+
+
+def test_salted_interval_join_matches_broadcast_twin_and_spreads_hot_key(
+    spark, sf_smoke
+):
+    """q246b: (1) the salted shuffle plan returns EXACTLY q246a's
+    broadcast-plan result (same oracle, same semantics, different
+    physical strategy); (2) the salt actually spreads the hottest
+    (tier, bucket) reducer key — the max per-key row count after
+    salting must be materially below the unsalted max, or the skew
+    demo is vacuous; (3) the salt is deterministic per event, so an
+    (event, window) pair meets on exactly one salt and the distinct
+    can never double-count."""
+    from hive_reflex_spark.operators.relational import (
+        _IVJ_LONG_CUTOFF_US,
+        _IVJ_SALT,
+        _ivj_intervals,
+        multires_interval_buckets,
+        q246a_multires_interval_join,
+        q246b_salted_interval_join,
+    )
+
+    a = {tuple(r) for r in q246a_multires_interval_join(spark, sf_smoke).collect()}
+    b = {tuple(r) for r in q246b_salted_interval_join(spark, sf_smoke).collect()}
+    assert a == b and len(a) > 0
+
+    iv_b = multires_interval_buckets(
+        _ivj_intervals(spark, sf_smoke), "i_start", "i_end",
+        _IVJ_LONG_CUTOFF_US,
+    ).withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(_IVJ_SALT)).cast("int")
+    )
+    unsalted_max = (
+        iv_b.groupBy("tier", "bucket").count().agg(F.max("count")).first()[0]
+    )
+    salted_max = (
+        iv_b.groupBy("tier", "bucket", "salt")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # a perfect spread would be /8; demand at least /2 so fixture noise
+    # can't green a salt that stopped spreading
+    assert salted_max * 2 < unsalted_max, (salted_max, unsalted_max)

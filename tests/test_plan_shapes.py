@@ -755,6 +755,24 @@ def test_q246a_broadcasts_windows_and_avoids_theta_join(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q246b_salted_join_is_shuffle_hash_on_salted_key(spark, sf_smoke):
+    """q246b's whole point is the PLAN: the match join must be a
+    ShuffledHashJoin whose key includes the salt (the hot day-tier
+    bucket spreads across salt partitions), with NO broadcast anywhere
+    on the match path — if Catalyst or AQE quietly demotes this back to
+    a broadcast, the query no longer demonstrates the 100-TB strategy
+    it exists to pin. The theta shapes stay banned, and the floor-div
+    bucket math stays pure BIGINT (no double quotient)."""
+    plan = plan_of(spark, "q246b_salted_interval_join", sf_smoke)
+    assert "ShuffledHashJoin" in plan, "salted join lost its shuffle-hash"
+    assert "BroadcastHashJoin" not in plan, "match path must not broadcast"
+    assert "salt" in plan, "join key lost the salt"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "as double" not in plan.lower(), "banned float-floor crept in"
+
+
 def test_q160b_consume_scan_is_partition_pruned_columnar(spark, sf_smoke):
     """q160b's transport claim: consumption reads the commit log's
     partition= hive layout back through a columnar parquet scan (the

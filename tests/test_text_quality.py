@@ -203,6 +203,7 @@ def test_registry_window_covers_new_families():
         # slots. q68/q28 stay out: rows-only by design with oracled
         # twins (q68a/q118).
         "q246a_multires_interval_join",
+        "q246b_salted_interval_join",
         "q246_interval_bucket_join",
         "q160b_kafka_log_transport",
         "q80b_onnx_mobilenet",
@@ -251,7 +252,6 @@ def test_registry_window_covers_new_families():
         "q126_pmi_collocations",
         "q141_grouped_udaf",
         "q127_bloom_filter",
-        "q47_jaccard_pairs",
     ):
         assert must in window, must
 
