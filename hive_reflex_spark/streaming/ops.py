@@ -570,29 +570,48 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("t0"),
     )
     # produce happens at plan-construction (a broker append is eager by
-    # nature). ONE deterministic directory per fixture, wiped before the
-    # produce: re-running never double-appends, and repeated sweeps
-    # never accumulate orphaned event-scale copies in /tmp (a DataFrame
-    # returned by an EARLIER call is invalidated by the wipe — calls are
-    # collect-then-rerun sequential everywhere the registry is driven).
-    # The wipe+produce pair holds an flock on a sibling lockfile so two
-    # processes sweeping the SAME fixture serialize instead of one
-    # rmtree-ing files the other's executing produce is scanning.
+    # nature). ONE deterministic directory per fixture, produced AT MOST
+    # ONCE and then REUSED: the produce is deterministic (ordering,
+    # partitioning and offsets are all functions of the fixture), so a
+    # log carrying a completion marker with a matching fixture
+    # fingerprint is byte-equivalent to reproducing it. Reuse — instead
+    # of wipe-on-every-call — is what makes CONCURRENT sweeps safe: no
+    # call ever deletes files another process's returned (lazy) plan is
+    # still scanning. Only a missing/stale marker (crashed produce, or
+    # the fixture rebuilt under the same path) wipes and reproduces,
+    # under an exclusive flock so two first-producers serialize; the
+    # marker re-check happens inside the lock.
     log_dir = os.path.join(
         "/tmp",
         "hrs_q160b_log_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
     )
-    with open(log_dir + ".lock", "w") as lockf:
-        fcntl.flock(lockf, fcntl.LOCK_EX)
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(ev_path)
+    fingerprint = f"{ev_path}:{st.st_size}:{st.st_mtime_ns}"
+    marker = os.path.join(log_dir, "_COMPLETE")
+
+    def _marker_ok() -> bool:
         try:
-            shutil.rmtree(log_dir, ignore_errors=True)
-            log_append(
-                wire, log_dir, "slcan", n_partitions=4,
-                key_col="k", value_col="value", ts_col="t0",
-            )
-        finally:
-            fcntl.flock(lockf, fcntl.LOCK_UN)
+            with open(marker) as mf:
+                return mf.read() == fingerprint
+        except OSError:
+            return False
+
+    if not _marker_ok():
+        with open(log_dir + ".lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if not _marker_ok():  # may have been produced while waiting
+                    shutil.rmtree(log_dir, ignore_errors=True)
+                    log_append(
+                        wire, log_dir, "slcan", n_partitions=4,
+                        key_col="k", value_col="value", ts_col="t0",
+                    )
+                    with open(marker, "w") as mf:
+                        mf.write(fingerprint)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
     lines = log_read(spark, log_dir, "slcan").select(
         F.decode("value", "UTF-8").alias("value"),
         F.col("ts").alias("ts0"),

@@ -109,16 +109,15 @@ def arrow_dtype_check(name, sdf, con, oracle_sql):
     canonicalization (floats rounded, Decimal -> float) passed q273 in
     r8 while the driver hash failed on a decimal-precision mismatch.
     Spark's arrow schema comes from the plan (no job); DuckDB's from a
-    LIMIT-0 arrow fetch. Returns (failures, warnings) — both lists of
-    strings; empty failures = ok. Integer-width mismatches are FAILURES
-    since r11 (the 23 legacy diffs are cast away and the registry scan
-    reports 0 — canon_arrow_type keeps exact widths, so they surface
-    through the ordinary dtype diff below).
+    LIMIT-0 arrow fetch. Returns a list of failure strings; empty = ok.
+    Integer-width mismatches are FAILURES since r11 (the 23 legacy diffs
+    are cast away and the registry scan reports 0 — canon_arrow_type
+    keeps exact widths, so they surface through the ordinary dtype diff
+    below).
     """
     from pyspark.sql.pandas.types import to_arrow_schema
 
     fails = []
-    warns = []
     s_schema = to_arrow_schema(sdf.schema)
     d_schema = con.execute(
         f"SELECT * FROM ({oracle_sql}) __dtype_probe LIMIT 0"
@@ -142,7 +141,7 @@ def arrow_dtype_check(name, sdf, con, oracle_sql):
             if s_types.get(c) != d_types.get(c)
         }
         fails.append(f"arrow dtypes differ (spark, duck): {diff}")
-    return fails, warns
+    return fails
 
 
 def kind(v):
@@ -202,9 +201,8 @@ def main() -> int:
         dc, dr = canon_rows(dcols, drows)
         ok = True
         try:
-            dtype_fails, dtype_warns = arrow_dtype_check(
-                name, sdf, con, oracles[name]
-            )
+            dtype_fails = arrow_dtype_check(name, sdf, con, oracles[name])
+            dtype_warns = []
         except ImportError as ex:
             # environment-class probe problem (pyarrow/arrow-bridge
             # missing): the value comparison below still runs, so WARN

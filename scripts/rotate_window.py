@@ -89,6 +89,44 @@ def load_evidence(
     return hash_r, rows_r, fail_r
 
 
+def classify(
+    queries: list[str],
+    hash_r: dict[str, int],
+    rows_r: dict[str, int],
+    fail_r: dict[str, int],
+) -> dict:
+    """Bucket the registry by evidence kind — the ONE place the
+    classification rules live (propose() and main()'s summary both read
+    from here, so they cannot desynchronize). Returns failed / never /
+    rows_only / greens (oldest green first) / latest / next_round /
+    stale."""
+    failed = [n for n in queries
+              if n in fail_r and fail_r[n] >= hash_r.get(n, 0)]
+    never = [n for n in queries
+             if n not in hash_r and n not in rows_r and n not in failed]
+    rows_only = [n for n in queries
+                 if n in rows_r and n not in hash_r and n not in failed]
+    greens = sorted(
+        (n for n in queries if n in hash_r and n not in failed),
+        key=lambda n: hash_r[n],  # oldest green first
+    )
+    latest = {
+        n: max(hash_r.get(n, 0), rows_r.get(n, 0), fail_r.get(n, 0))
+        for n in queries
+        if n in hash_r or n in rows_r or n in fail_r
+    }
+    next_round = max(latest.values(), default=0) + 1
+    return {
+        "failed": failed,
+        "never": never,
+        "rows_only": rows_only,
+        "greens": greens,
+        "latest": latest,
+        "next_round": next_round,
+        "stale": stale_rows(latest, next_round),
+    }
+
+
 def propose(
     queries: list[str],
     hash_r: dict[str, int],
@@ -106,37 +144,21 @@ def propose(
     weaker-evidence buckets. Appending the quota block up front (rather
     than only capping `never`) means rows-only/failed entries can never
     crowd the backlog below its reserve."""
-    failed = [n for n in queries
-              if n in fail_r and fail_r[n] >= hash_r.get(n, 0)]
-    never = [n for n in queries
-             if n not in hash_r and n not in rows_r and n not in failed]
-    rows_only = [n for n in queries
-                 if n in rows_r and n not in hash_r and n not in failed]
-    greens = sorted(
-        (n for n in queries if n in hash_r and n not in failed),
-        key=lambda n: hash_r[n],  # oldest green first
-    )
-
-    latest = {
-        n: max(hash_r.get(n, 0), rows_r.get(n, 0), fail_r.get(n, 0))
-        for n in queries
-        if n in hash_r or n in rows_r or n in fail_r
-    }
-    next_round = max(latest.values(), default=0) + 1
-    stale = stale_rows(latest, next_round)
+    c = classify(queries, hash_r, rows_r, fail_r)
+    stale = c["stale"]
     budget = new_registration_budget(len(stale), size)
     # quota slots must go to DISTINCT backlog rows: a stale row that is
     # also failed already re-verifies via the failed block, so slice the
     # quota over the not-yet-admitted remainder (ADVICE r10)
-    stale_pending = [n for n in stale if n not in failed]
+    stale_pending = [n for n in stale if n not in c["failed"]]
     seen: set[str] = set()
     proposal: list[str] = []
     for block in (
-        failed,
+        c["failed"],
         stale_pending[: backlog_quota(len(stale))],
-        never[:budget],
-        rows_only,
-        greens,
+        c["never"][:budget],
+        c["rows_only"],
+        c["greens"],
     ):
         for n in block:
             if n not in seen:
@@ -154,21 +176,9 @@ def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hash_r, rows_r, fail_r = load_evidence(root)
 
-    failed = [n for n in QUERIES
-              if n in fail_r and fail_r[n] >= hash_r.get(n, 0)]
-    never = [n for n in QUERIES
-             if n not in hash_r and n not in rows_r and n not in failed]
-    rows_only = [n for n in QUERIES
-                 if n in rows_r and n not in hash_r and n not in failed]
-    greens = [n for n in QUERIES if n in hash_r and n not in failed]
-
-    latest = {
-        n: max(hash_r.get(n, 0), rows_r.get(n, 0), fail_r.get(n, 0))
-        for n in QUERIES
-        if n in hash_r or n in rows_r or n in fail_r
-    }
-    next_round = max(latest.values(), default=0) + 1
-    stale = stale_rows(latest, next_round)
+    c = classify(list(QUERIES), hash_r, rows_r, fail_r)
+    failed, never = c["failed"], c["never"]
+    rows_only, greens, stale = c["rows_only"], c["greens"], c["stale"]
     budget = new_registration_budget(len(stale), size)
     if len(never) > budget:
         print(f"# SLO: {len(stale)} rows are >{STALE_ROUNDS} rounds stale "

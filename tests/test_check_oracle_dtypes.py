@@ -36,19 +36,7 @@ def _probe(spark, spark_sql: str, duck_sql: str):
     sdf = spark.sql(spark_sql)
     con = duckdb.connect()
     try:
-        fails, _warns = check_oracle.arrow_dtype_check(
-            "probe", sdf, con, duck_sql
-        )
-        return fails
-    finally:
-        con.close()
-
-
-def _probe_warns(spark, spark_sql: str, duck_sql: str):
-    sdf = spark.sql(spark_sql)
-    con = duckdb.connect()
-    try:
-        return check_oracle.arrow_dtype_check("probe", sdf, con, duck_sql)[1]
+        return check_oracle.arrow_dtype_check("probe", sdf, con, duck_sql)
     finally:
         con.close()
 
@@ -111,7 +99,7 @@ def test_q273_output_schema_is_decimal_free(spark, sf_smoke):
             p = os.path.join(sf_smoke, f"{t}.parquet")
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-        fails, _warns = check_oracle.arrow_dtype_check(
+        fails = check_oracle.arrow_dtype_check(
             "q273", sdf, con, ORACLES["q273_lsh_recall_curve"]
         )
     finally:
@@ -155,19 +143,29 @@ def test_q273_recall_is_integer_exact_half_up(spark):
     assert s_big == expected
 
 
-def test_integer_width_mismatch_warns_but_passes(spark):
-    """int32-vs-int64 is driver-hash benign (r9 scan): the guard must
-    PASS it but name the column in a warning so rotations flush it."""
-    sdf = spark.sql("SELECT CAST(1 AS BIGINT) AS v")
-    con = duckdb.connect()
-    try:
-        fails, warns = check_oracle.arrow_dtype_check(
-            "probe", sdf, con, "SELECT CAST(1 AS INTEGER) AS v"
-        )
-    finally:
-        con.close()
-    assert fails == []
-    assert any("integer width differs" in w and "'v'" in w for w in warns), warns
+def test_integer_width_mismatch_is_rejected(spark):
+    """int32-vs-int64 is a FAILURE since r11 (verdict #5): the 23 legacy
+    diffs the old WARN path tolerated are all cast away and the
+    registry scan reports 0, so any new width drift must red the sweep
+    instead of riding the driver hash's width-insensitivity."""
+    fails = _probe(
+        spark,
+        "SELECT CAST(1 AS BIGINT) AS v",
+        "SELECT CAST(1 AS INTEGER) AS v",
+    )
+    assert any("arrow dtypes differ" in f for f in fails), fails
+
+
+def test_nested_integer_width_mismatch_is_rejected(spark):
+    """Width exactness must see through nesting too — a list<int32> vs
+    list<int64> disagreement is the same hash hazard as a top-level
+    one, and the old normalization hid it without even a warning."""
+    fails = _probe(
+        spark,
+        "SELECT array(CAST(1 AS BIGINT)) AS v",
+        "SELECT [CAST(1 AS INTEGER)] AS v",
+    )
+    assert any("arrow dtypes differ" in f for f in fails), fails
 
 
 def test_nested_decimal_is_rejected(spark):

@@ -197,11 +197,11 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-11 rotation (r10 verdict #1/#3): q246a first driver row,
-        # the two changed-code slots (q246 helper fold, q160b ADVICE
-        # hardening), the 30 remaining r03 rows, and 17 stalest-r04 fill
-        # slots. q68/q28 stay out: rows-only by design with oracled
-        # twins (q68a/q118).
+        # round-11 rotation (r10 verdict #1/#3/#7): q246a + q246b first
+        # driver rows, the two changed-code slots (q246 helper fold,
+        # q160b ADVICE hardening), the 30 remaining r03 rows, and 16
+        # stalest-r04 fill slots. q68/q28 stay out: rows-only by design
+        # with oracled twins (q68a/q118).
         "q246a_multires_interval_join",
         "q246b_salted_interval_join",
         "q246_interval_bucket_join",
