@@ -3249,7 +3249,13 @@ def q246b_salted_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     At THIS fixture's scale a broadcast (q246a) is strictly better; the
     query exists to pin the salted plan shape the 100-TB case needs —
     the plan test asserts the join is ShuffledHashJoin on the salted
-    key with no broadcast anywhere on the match path.
+    key with no broadcast anywhere on the match path. (The generic
+    single-key form of this pattern is functions/skew.salted_join,
+    exercised by q142; this one is inline because it composes a
+    COMPOSITE (tier, bucket) key, a salt that is a pure function of
+    event_id, and the shuffle-hash hint — extending the shared helper
+    would make q142 changed code for a refactor, the round-loop rule's
+    no-go.)
 
     Scale (100 TB): max per-task rows for the hottest key drop from
     |hot bucket| to |hot bucket|/S at the cost of S× replicating a

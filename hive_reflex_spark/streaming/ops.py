@@ -570,39 +570,44 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("t0"),
     )
     # produce happens at plan-construction (a broker append is eager by
-    # nature). ONE deterministic directory per fixture, produced AT MOST
-    # ONCE and then REUSED: the produce is deterministic (ordering,
-    # partitioning and offsets are all functions of the fixture), so a
-    # log carrying a completion marker with a matching fixture
-    # fingerprint is byte-equivalent to reproducing it. Reuse — instead
-    # of wipe-on-every-call — is what makes CONCURRENT sweeps safe: no
-    # call ever deletes files another process's returned (lazy) plan is
-    # still scanning. Only a missing/stale marker (crashed produce, or
-    # the fixture rebuilt under the same path) wipes and reproduces,
-    # under an exclusive flock so two first-producers serialize; the
-    # marker re-check happens inside the lock.
-    log_dir = os.path.join(
-        "/tmp",
-        "hrs_q160b_log_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
+    # nature). The log dir is keyed by a FINGERPRINT of everything the
+    # produce depends on — the fixture file's (path, size, mtime) AND a
+    # hash of the produce-path sources (this module + kafka_log.py) —
+    # and produced AT MOST ONCE per fingerprint, then REUSED: the
+    # produce is deterministic, so a completed log for the same
+    # fingerprint is byte-equivalent to reproducing it. Keying (rather
+    # than wiping a shared dir) is what makes this safe twice over:
+    # (a) CONCURRENT sweeps — a rebuilt fixture or changed code writes
+    # into a DIFFERENT directory, so no call ever deletes files another
+    # process's returned (lazy) plan is still scanning; (b) REGRESSION
+    # masking — any edit to the produce path changes the code hash and
+    # forces a fresh produce, so a stale green log can never vouch for
+    # new code. Two first-producers of one fingerprint serialize on an
+    # exclusive flock with the completion marker re-checked inside the
+    # lock; superseded sibling dirs are reaped only after an hour idle
+    # (any live scan finishes long before), bounding /tmp growth.
+    import hive_reflex_spark.sources.kafka_log as _klog
+
+    code_h = hashlib.md5()
+    for mod_path in (os.path.abspath(__file__), _klog.__file__):
+        with open(mod_path, "rb") as mf:
+            code_h.update(mf.read())
     ev_path = os.path.join(sf_dir, "events.parquet")
     st = os.stat(ev_path)
-    fingerprint = f"{ev_path}:{st.st_size}:{st.st_mtime_ns}"
+    fingerprint = hashlib.md5(
+        f"{ev_path}:{st.st_size}:{st.st_mtime_ns}:"
+        f"{code_h.hexdigest()}".encode()
+    ).hexdigest()[:10]
+    base = "hrs_q160b_log_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    log_dir = os.path.join("/tmp", f"{base}_{fingerprint}")
     marker = os.path.join(log_dir, "_COMPLETE")
 
-    def _marker_ok() -> bool:
-        try:
-            with open(marker) as mf:
-                return mf.read() == fingerprint
-        except OSError:
-            return False
-
-    if not _marker_ok():
+    if not os.path.exists(marker):
         with open(log_dir + ".lock", "w") as lockf:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             try:
-                if not _marker_ok():  # may have been produced while waiting
+                if not os.path.exists(marker):  # produced while waiting?
+                    # a dir without its marker is a crashed produce
                     shutil.rmtree(log_dir, ignore_errors=True)
                     log_append(
                         wire, log_dir, "slcan", n_partitions=4,
@@ -612,6 +617,19 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
                         mf.write(fingerprint)
             finally:
                 fcntl.flock(lockf, fcntl.LOCK_UN)
+    # reap superseded fingerprints for this fixture once they have sat
+    # idle for an hour — old enough that no live plan still reads them
+    import glob as _glob
+    import time as _time
+
+    for sib in _glob.glob(os.path.join("/tmp", f"{base}_*")):
+        if sib == log_dir or sib.endswith(".lock"):
+            continue
+        try:
+            if _time.time() - os.path.getmtime(sib) > 3600:
+                shutil.rmtree(sib, ignore_errors=True)
+        except OSError:
+            pass
     lines = log_read(spark, log_dir, "slcan").select(
         F.decode("value", "UTF-8").alias("value"),
         F.col("ts").alias("ts0"),

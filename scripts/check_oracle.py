@@ -101,7 +101,7 @@ def canon_arrow_type(t) -> str:
     return str(t)
 
 
-def arrow_dtype_check(name, sdf, con, oracle_sql):
+def arrow_dtype_check(sdf, con, oracle_sql):
     """Compare arrow-level dtypes between Spark and DuckDB, and reject
     DECIMAL output columns outright.
 
@@ -201,7 +201,7 @@ def main() -> int:
         dc, dr = canon_rows(dcols, drows)
         ok = True
         try:
-            dtype_fails = arrow_dtype_check(name, sdf, con, oracles[name])
+            dtype_fails = arrow_dtype_check(sdf, con, oracles[name])
             dtype_warns = []
         except ImportError as ex:
             # environment-class probe problem (pyarrow/arrow-bridge

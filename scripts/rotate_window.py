@@ -133,10 +133,12 @@ def propose(
     rows_r: dict[str, int],
     fail_r: dict[str, int],
     size: int = WINDOW_SIZE,
+    cls: dict | None = None,
 ) -> list[str]:
     """The SLO-satisfying window proposal for the next round, given the
     registry order and the per-kind evidence maps from
-    :func:`load_evidence`.
+    :func:`load_evidence` (pass ``cls`` to reuse an already-computed
+    :func:`classify` result instead of re-bucketing).
 
     Block order (the quota is reserved STRUCTURALLY): failures first
     (regressions always re-verify), then min(n_stale, 35) stalest
@@ -144,7 +146,7 @@ def propose(
     weaker-evidence buckets. Appending the quota block up front (rather
     than only capping `never`) means rows-only/failed entries can never
     crowd the backlog below its reserve."""
-    c = classify(queries, hash_r, rows_r, fail_r)
+    c = cls if cls is not None else classify(queries, hash_r, rows_r, fail_r)
     stale = c["stale"]
     budget = new_registration_budget(len(stale), size)
     # quota slots must go to DISTINCT backlog rows: a stale row that is
@@ -184,7 +186,7 @@ def main() -> int:
         print(f"# SLO: {len(stale)} rows are >{STALE_ROUNDS} rounds stale "
               f"-> new-registration budget {budget}; deferring "
               f"{len(never) - budget} never-checked entries")
-    proposal = propose(list(QUERIES), hash_r, rows_r, fail_r, size)
+    proposal = propose(list(QUERIES), hash_r, rows_r, fail_r, size, cls=c)
 
     print(f"# {len(failed)} failed-after-green/regressed, "
           f"{len(never)} never-checked, {len(rows_only)} rows-only, "

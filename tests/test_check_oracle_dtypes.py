@@ -36,7 +36,7 @@ def _probe(spark, spark_sql: str, duck_sql: str):
     sdf = spark.sql(spark_sql)
     con = duckdb.connect()
     try:
-        return check_oracle.arrow_dtype_check("probe", sdf, con, duck_sql)
+        return check_oracle.arrow_dtype_check(sdf, con, duck_sql)
     finally:
         con.close()
 
@@ -100,7 +100,7 @@ def test_q273_output_schema_is_decimal_free(spark, sf_smoke):
             if os.path.exists(p):
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         fails = check_oracle.arrow_dtype_check(
-            "q273", sdf, con, ORACLES["q273_lsh_recall_curve"]
+            sdf, con, ORACLES["q273_lsh_recall_curve"]
         )
     finally:
         con.close()
