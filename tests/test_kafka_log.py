@@ -244,6 +244,45 @@ def test_hwm_from_footer_stats_matches_full_scan(spark, tmp_path):
         assert sorted(offs) == list(range(len(offs))), p
 
 
+def test_q160b_log_produced_once_and_superseded_dirs_reaped(spark):
+    """The q160b transport log is keyed by (fixture, produce-code)
+    fingerprint and produced at most once per key: a repeat call reuses
+    the same directory (no wipe — concurrent sweeps can never delete a
+    directory a live plan is scanning), and a superseded sibling
+    fingerprint older than an hour is reaped on the next call."""
+    import glob
+    import os
+    import time
+
+    from tests.conftest import SF_SMOKE
+
+    import hive_reflex_spark.operators  # noqa: F401 — registers queries
+    from hive_reflex_spark.registry import QUERIES
+
+    q = QUERIES["q160b_kafka_log_transport"]
+    first = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert len(first) == 4
+    import hashlib
+
+    base = "/tmp/hrs_q160b_log_" + hashlib.md5(
+        SF_SMOKE.encode()
+    ).hexdigest()[:10]
+    dirs0 = {d for d in glob.glob(base + "_*") if not d.endswith(".lock")}
+    assert len(dirs0) == 1, dirs0
+    marker = os.path.join(next(iter(dirs0)), "_COMPLETE")
+    produced_at = os.path.getmtime(marker)
+
+    # plant a superseded fingerprint dir, 2 h idle
+    stale = base + "_deadbeef00"
+    os.makedirs(stale, exist_ok=True)
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+
+    again = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert again == first
+    assert os.path.getmtime(marker) == produced_at, "log was re-produced"
+    assert not os.path.exists(stale), "superseded sibling not reaped"
+
+
 def test_local_fs_path_classification():
     """ADVICE r10: a driver-side glob over a REMOTE log dir matches
     nothing and would misread an existing topic as empty (duplicate
