@@ -572,24 +572,30 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
     # produce happens at plan-construction (a broker append is eager by
     # nature). The log dir is keyed by a FINGERPRINT of everything the
     # produce depends on — the fixture file's (path, size, mtime) AND a
-    # hash of the produce-path sources (this module + kafka_log.py) —
-    # and produced AT MOST ONCE per fingerprint, then REUSED: the
-    # produce is deterministic, so a completed log for the same
-    # fingerprint is byte-equivalent to reproducing it. Keying (rather
-    # than wiping a shared dir) is what makes this safe twice over:
-    # (a) CONCURRENT sweeps — a rebuilt fixture or changed code writes
-    # into a DIFFERENT directory, so no call ever deletes files another
+    # hash of the produce-path sources (this module, kafka_log.py, and
+    # io.py whose read_table feeds the wire rows) — and produced AT
+    # MOST ONCE per fingerprint, then REUSED: the produce is
+    # deterministic, so a completed log for the same fingerprint is
+    # byte-equivalent to reproducing it. Keying (rather than wiping a
+    # shared dir) is what makes this safe twice over: (a) CONCURRENT
+    # sweeps — a rebuilt fixture or changed code writes into a
+    # DIFFERENT directory, so no call ever deletes files another
     # process's returned (lazy) plan is still scanning; (b) REGRESSION
     # masking — any edit to the produce path changes the code hash and
     # forces a fresh produce, so a stale green log can never vouch for
     # new code. Two first-producers of one fingerprint serialize on an
     # exclusive flock with the completion marker re-checked inside the
-    # lock; superseded sibling dirs are reaped only after an hour idle
-    # (any live scan finishes long before), bounding /tmp growth.
+    # lock. Every call refreshes its OWN dir's mtime, then reaps
+    # siblings (superseded fingerprint dirs, their lock files, and the
+    # legacy unsuffixed layout) once they have sat untouched for an
+    # hour — so "idle" really means "no process has reused it either",
+    # and /tmp growth stays bounded.
+    import hive_reflex_spark.io as _hio
     import hive_reflex_spark.sources.kafka_log as _klog
 
     code_h = hashlib.md5()
-    for mod_path in (os.path.abspath(__file__), _klog.__file__):
+    for mod_path in (os.path.abspath(__file__), _klog.__file__,
+                     _hio.__file__):
         with open(mod_path, "rb") as mf:
             code_h.update(mf.read())
     ev_path = os.path.join(sf_dir, "events.parquet")
@@ -600,6 +606,8 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:10]
     base = "hrs_q160b_log_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     log_dir = os.path.join("/tmp", f"{base}_{fingerprint}")
+    # marker PRESENCE is the completion signal; the fingerprint lives
+    # in the directory name, not the marker content
     marker = os.path.join(log_dir, "_COMPLETE")
 
     if not os.path.exists(marker):
@@ -613,21 +621,30 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
                         wire, log_dir, "slcan", n_partitions=4,
                         key_col="k", value_col="value", ts_col="t0",
                     )
-                    with open(marker, "w") as mf:
-                        mf.write(fingerprint)
+                    with open(marker, "w"):
+                        pass
             finally:
                 fcntl.flock(lockf, fcntl.LOCK_UN)
-    # reap superseded fingerprints for this fixture once they have sat
-    # idle for an hour — old enough that no live plan still reads them
+    # refresh our dir's mtime BEFORE reaping: reuse must count as
+    # activity, or a >1h-old dir this very call returns a plan over
+    # could be reaped by a concurrent process with a different
+    # fingerprint
+    os.utime(log_dir)
     import glob as _glob
     import time as _time
 
-    for sib in _glob.glob(os.path.join("/tmp", f"{base}_*")):
-        if sib == log_dir or sib.endswith(".lock"):
+    for sib in _glob.glob(os.path.join("/tmp", f"{base}*")):
+        if sib in (log_dir, log_dir + ".lock"):
             continue
         try:
             if _time.time() - os.path.getmtime(sib) > 3600:
-                shutil.rmtree(sib, ignore_errors=True)
+                # covers superseded fingerprint dirs, their stale lock
+                # files (mtime = last acquisition — no produce runs an
+                # hour), and the legacy unsuffixed /tmp/{base} layout
+                if os.path.isdir(sib):
+                    shutil.rmtree(sib, ignore_errors=True)
+                else:
+                    os.unlink(sib)
         except OSError:
             pass
     lines = log_read(spark, log_dir, "slcan").select(

@@ -260,27 +260,43 @@ def test_q160b_log_produced_once_and_superseded_dirs_reaped(spark):
     from hive_reflex_spark.registry import QUERIES
 
     q = QUERIES["q160b_kafka_log_transport"]
-    first = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
-    assert len(first) == 4
     import hashlib
+    import shutil
 
     base = "/tmp/hrs_q160b_log_" + hashlib.md5(
         SF_SMOKE.encode()
     ).hexdigest()[:10]
+    # start clean: a sibling from an earlier run with DIFFERENT code
+    # (new fingerprint) legitimately survives the 1h reaper and would
+    # flake the exactly-one-dir assertion below
+    for leftover in glob.glob(base + "*"):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover, ignore_errors=True)
+        else:
+            os.unlink(leftover)
+
+    first = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
+    assert len(first) == 4
     dirs0 = {d for d in glob.glob(base + "_*") if not d.endswith(".lock")}
     assert len(dirs0) == 1, dirs0
     marker = os.path.join(next(iter(dirs0)), "_COMPLETE")
     produced_at = os.path.getmtime(marker)
 
-    # plant a superseded fingerprint dir, 2 h idle
+    # plant superseded siblings, 2 h idle: a fingerprint dir, its lock
+    # file, and the legacy unsuffixed layout — the reaper must take all
+    old = time.time() - 7200
     stale = base + "_deadbeef00"
     os.makedirs(stale, exist_ok=True)
-    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+    open(stale + ".lock", "w").close()
+    os.makedirs(base, exist_ok=True)
+    for p in (stale, stale + ".lock", base):
+        os.utime(p, (old, old))
 
     again = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
     assert again == first
     assert os.path.getmtime(marker) == produced_at, "log was re-produced"
-    assert not os.path.exists(stale), "superseded sibling not reaped"
+    for p in (stale, stale + ".lock", base):
+        assert not os.path.exists(p), f"superseded {p} not reaped"
 
 
 def test_local_fs_path_classification():
