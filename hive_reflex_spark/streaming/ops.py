@@ -610,7 +610,9 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the directory name, not the marker content
     marker = os.path.join(log_dir, "_COMPLETE")
 
-    if not os.path.exists(marker):
+    def _ensure_log() -> None:
+        if os.path.exists(marker):
+            return
         with open(log_dir + ".lock", "w") as lockf:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             try:
@@ -625,26 +627,46 @@ def q160b_kafka_log_transport(spark: SparkSession, sf_dir: str) -> DataFrame:
                         pass
             finally:
                 fcntl.flock(lockf, fcntl.LOCK_UN)
+
+    _ensure_log()
     # refresh our dir's mtime BEFORE reaping: reuse must count as
     # activity, or a >1h-old dir this very call returns a plan over
     # could be reaped by a concurrent process with a different
-    # fingerprint
-    os.utime(log_dir)
+    # fingerprint. If a racing reaper already took the dir (it was >1h
+    # idle until this instant), reproduce under the lock and retry —
+    # the residual window is then one getmtime-vs-utime interleaving
+    # on a dir whose FIRST reuse after an hour's sleep coincides with
+    # another fingerprint's reap to the microsecond; accepted.
+    try:
+        os.utime(log_dir)
+    except OSError:
+        _ensure_log()
+        os.utime(log_dir)
     import glob as _glob
     import time as _time
 
     for sib in _glob.glob(os.path.join("/tmp", f"{base}*")):
-        if sib in (log_dir, log_dir + ".lock"):
+        # NEVER unlink lock files: removing a path another process may
+        # flock splits future lockers onto a fresh inode and two
+        # producers enter the critical section together (classic
+        # unlink/reopen flock hazard). They are 0-byte; they stay.
+        if sib == log_dir or sib.endswith(".lock"):
             continue
         try:
-            if _time.time() - os.path.getmtime(sib) > 3600:
-                # covers superseded fingerprint dirs, their stale lock
-                # files (mtime = last acquisition — no produce runs an
-                # hour), and the legacy unsuffixed /tmp/{base} layout
-                if os.path.isdir(sib):
-                    shutil.rmtree(sib, ignore_errors=True)
-                else:
-                    os.unlink(sib)
+            # fingerprint-suffixed dirs ({base}_*) refresh their mtime
+            # on every reuse, so 1h idle truly means abandoned; the
+            # legacy EXACT-{base} layout (pre-fingerprint code never
+            # touches mtime on reuse) gets a 24h grace instead — note
+            # base itself ends in 10 hex, so test the "{base}_" prefix,
+            # not a suffix pattern
+            idle = _time.time() - os.path.getmtime(sib)
+            horizon = (
+                3600
+                if sib.startswith(os.path.join("/tmp", base) + "_")
+                else 86400
+            )
+            if idle > horizon:
+                shutil.rmtree(sib, ignore_errors=True)
         except OSError:
             pass
     lines = log_read(spark, log_dir, "slcan").select(

@@ -270,10 +270,13 @@ def test_q160b_log_produced_once_and_superseded_dirs_reaped(spark):
     # (new fingerprint) legitimately survives the 1h reaper and would
     # flake the exactly-one-dir assertion below
     for leftover in glob.glob(base + "*"):
-        if os.path.isdir(leftover):
-            shutil.rmtree(leftover, ignore_errors=True)
-        else:
-            os.unlink(leftover)
+        try:
+            if os.path.isdir(leftover):
+                shutil.rmtree(leftover, ignore_errors=True)
+            else:
+                os.unlink(leftover)
+        except OSError:
+            pass  # another job on this host may clean concurrently
 
     first = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
     assert len(first) == 4
@@ -282,21 +285,30 @@ def test_q160b_log_produced_once_and_superseded_dirs_reaped(spark):
     marker = os.path.join(next(iter(dirs0)), "_COMPLETE")
     produced_at = os.path.getmtime(marker)
 
-    # plant superseded siblings, 2 h idle: a fingerprint dir, its lock
-    # file, and the legacy unsuffixed layout — the reaper must take all
-    old = time.time() - 7200
+    # plant superseded siblings: a fingerprint dir 2h idle (reaped —
+    # new-code reuse refreshes mtime, so 1h idle means abandoned), its
+    # lock file (NEVER reaped: unlinking a lockable path splits future
+    # flockers onto a fresh inode), the legacy unsuffixed dir at 2h
+    # (KEPT — legacy reuse never refreshes mtime, 24h grace) and at
+    # 25h (reaped)
     stale = base + "_deadbeef00"
     os.makedirs(stale, exist_ok=True)
     open(stale + ".lock", "w").close()
     os.makedirs(base, exist_ok=True)
     for p in (stale, stale + ".lock", base):
-        os.utime(p, (old, old))
+        os.utime(p, (time.time() - 7200, time.time() - 7200))
 
     again = sorted(map(tuple, q(spark, SF_SMOKE).collect()))
     assert again == first
     assert os.path.getmtime(marker) == produced_at, "log was re-produced"
-    for p in (stale, stale + ".lock", base):
-        assert not os.path.exists(p), f"superseded {p} not reaped"
+    assert not os.path.exists(stale), "superseded fingerprint dir kept"
+    assert os.path.exists(stale + ".lock"), "lock file must never be reaped"
+    assert os.path.exists(base), "legacy dir reaped inside its 24h grace"
+
+    os.utime(base, (time.time() - 90000, time.time() - 90000))
+    q(spark, SF_SMOKE).collect()
+    assert not os.path.exists(base), "legacy dir kept past 24h idle"
+    os.unlink(stale + ".lock")
 
 
 def test_local_fs_path_classification():
