@@ -90,46 +90,49 @@ def distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The df-capped inverted index (shingle → sorted posting list): ONE
-    groupBy(shingle) with lists longer than MAX_SHINGLE_DF dropped — the
-    build-once-query-many structure shared by q47 and q263 (the explicit
-    form of the CTE materialization DuckDB's planner does). Bench mode
-    keys it in the shared cache; cold runs persist per-call."""
+    """The df-capped inverted index (shingle → sorted SIZED posting list
+    ``docs: array<struct<d, n>>``): lists longer than MAX_SHINGLE_DF are
+    dropped, and each posting carries its document's capped-universe
+    shingle count ``n`` — the size-augmented posting layout of the
+    AllPairs/PPJoin literature (Bayardo et al., WWW'07). Storing |doc|
+    in the posting means every similarity score (Jaccard, containment)
+    is computable from the pair expansion alone: the query path needs
+    ZERO joins against a per-doc sizes table, at any corpus size.
+
+    The build pays one extra explode+join+regroup over the r11 layout
+    (sizes are derived from the capped lists, never the raw shingle set,
+    so cap semantics can't drift) — build-once-query-many, shared by
+    q47/q263/q273. Bench mode keys it in the shared cache; cold runs
+    persist per-call."""
     from hive_reflex_spark.io import df_cache_enabled
 
     dsh_all = distinct_shingles(spark, sf_dir)
 
     def _postings() -> DataFrame:
-        return (
+        lists = (
             dsh_all.groupBy("shingle")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-            .filter(F.size("docs") <= MAX_SHINGLE_DF)
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("d0"))
+            .filter(F.size("d0") <= MAX_SHINGLE_DF)
+        )
+        sizes = (
+            lists.select(F.explode("d0").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n"))
+        )
+        return (
+            lists.select("shingle", F.explode("d0").alias("d"))
+            .join(sizes.hint("shuffle_hash"), F.col("d") == F.col("doc_id"))
+            .groupBy("shingle")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("d"), F.col("n")))
+                ).alias("docs")
+            )
         )
 
     if df_cache_enabled():
         return cached_df(("q47_postings", sf_dir), _postings)
     return _postings().persist()
-
-
-def capped_universe_sizes(
-    spark: SparkSession, sf_dir: str, grouped: DataFrame
-) -> DataFrame:
-    """Per-doc shingle counts over the capped universe — derived from
-    the posting lists (never from the raw shingle set, so cap semantics
-    can't drift) and cached alongside them in bench mode: the index and
-    its sizes are one build."""
-    from hive_reflex_spark.io import df_cache_enabled
-
-    def _sizes() -> DataFrame:
-        return (
-            grouped.select(F.explode("docs").alias("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("n"))
-        )
-
-    if df_cache_enabled():
-        return cached_df(("q47_sizes", sf_dir), _sizes)
-    return _sizes()
 
 
 @query(
@@ -186,46 +189,40 @@ def collision_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_a, doc_b, intersection, union_size, jac[double, unrounded]) —
     q47's generator BEFORE its J >= 0.5 gate, shared by q273's
     LSH-recall audit so truth pairs and the gated report provably ride
-    one pair stream."""
+    one pair stream.
+
+    Join-free (r12): each posting carries its doc's capped-universe size
+    (capped_postings), so the pair expansion emits (doc_a, na, doc_b,
+    nb) directly and ONE grouped count finishes the score — the r11
+    shape paid two corpus-scale shuffled-hash joins against a sizes
+    table here, on every query, at every scale (guide §2.4: remove
+    shuffles outright). na/nb are functionally dependent on the doc ids,
+    so adding them to the group keys changes no group."""
     grouped = capped_postings(spark, sf_dir)
-    sizes = capped_universe_sizes(spark, sf_dir, grouped)
     pair_expr = F.expr(
         "flatten(transform(docs, (x, i) -> "
         "transform(slice(docs, i + 2, size(docs)), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
+        "y -> struct(x.d AS doc_a, x.n AS na, "
+        "y.d AS doc_b, y.n AS nb))))"
     )
     pairs = (
         grouped.filter(F.size("docs") >= 2)
         .select(F.explode(pair_expr).alias("pr"))
-        .select("pr.doc_a", "pr.doc_b")
-        .groupBy("doc_a", "doc_b")
+        .select("pr.doc_a", "pr.na", "pr.doc_b", "pr.nb")
+        .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count("*").alias("intersection"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("intersection") * 1.0 / (
-        F.col("sa.n") + F.col("sb.n") - F.col("intersection")
+        F.col("na") + F.col("nb") - F.col("intersection")
     )
-    # `sizes` has one row PER DOCUMENT — corpus-scale, never broadcast
-    # (billions of rows at 100 TB would OOM every executor). Shuffle-HASH
-    # joins on doc_a/doc_b: doc_id keys are uniform and the per-partition
-    # build side is bounded by the shuffle partitioning, so hashing beats
-    # sort-merge without any executor-resident table; AQE may still pick
-    # broadcast at toy SF.
-    return (
-        pairs.join(
-            sa.hint("shuffle_hash"), F.col("doc_a") == F.col("sa.doc_id")
-        )
-        .join(sb.hint("shuffle_hash"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            "intersection",
-            (F.col("sa.n") + F.col("sb.n") - F.col("intersection")).alias(
-                "union_size"
-            ),
-            jac.alias("jac"),
-        )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "intersection",
+        (F.col("na") + F.col("nb") - F.col("intersection")).alias(
+            "union_size"
+        ),
+        jac.alias("jac"),
     )
 
 
@@ -612,27 +609,26 @@ def q50_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup histogram. One aggregate pass, no joins — the cheapest
     near-dup signal at scale; docs with equal simhash are candidates."""
     words = doc_words(spark, sf_dir)
-    # single-parse expression strings: 16 bit-vote aggregates built as one
-    # F.expr each (not ~10 Py4J calls each) — plan-identical, ~10× less
-    # Python-side build time on this, the chattiest headline query
-    bit_sums = [
-        F.expr(
-            f"sum(CASE WHEN substring(md5(w), {b + 1}, 1) >= '8' "
-            f"THEN 1 ELSE -1 END) AS b{b}"
-        )
+    # single-parse expression strings (r12 form): the 16 bit-vote
+    # aggregates ride ONE parsed struct expression and the bit packing
+    # ONE selectExpr — 2 parser round-trips instead of 17 (the r11 form
+    # paid one F.expr per bit; before that, ~10 py4j calls per bit).
+    # Plan-identical: the partial/final HashAggregate still carries the
+    # same 16 sum functions; the struct is result-projection only.
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN substring(md5(w), {b + 1}, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) AS b{b}"
         for b in range(N_BITS)
-    ]
-    per_doc = words.groupBy("doc_id").agg(*bit_sums)
-    simhash = F.expr(
-        "CAST("
-        + " + ".join(
-            f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
-            for b in range(N_BITS)
-        )
-        + " AS BIGINT)"
+    )
+    simhash = " + ".join(
+        f"(CASE WHEN bs.b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(N_BITS)
+    )
+    per_doc = words.groupBy("doc_id").agg(
+        F.expr(f"struct({bit_sums}) AS bs")
     )
     return (
-        per_doc.select("doc_id", simhash.alias("simhash"))
+        per_doc.selectExpr("doc_id", f"CAST({simhash} AS BIGINT) AS simhash")
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
     )
@@ -2103,53 +2099,53 @@ def q263_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q47), join-bounding prefix filter (q258), and here the cap reused
     for an asymmetric measure."""
     grouped = capped_postings(spark, sf_dir)
-    sizes = capped_universe_sizes(spark, sf_dir, grouped)
+    # sized postings (r12): the pair expansion carries both doc sizes, so
+    # directionality is a projection over the expansion and the r11
+    # shape's two shuffled-hash joins against a sizes table are gone
+    # (guide §2.4) — same join-free layout as collision_jaccard_pairs.
     pair_expr = F.expr(
         "flatten(transform(docs, (x, i) -> "
         "transform(slice(docs, i + 2, size(docs)), "
-        "y -> struct(x AS doc_a, y AS doc_b))))"
+        "y -> struct(x.d AS doc_a, x.n AS na, "
+        "y.d AS doc_b, y.n AS nb))))"
     )
     pairs = (
         grouped.filter(F.size("docs") >= 2)
         .select(F.explode(pair_expr).alias("pr"))
-        .select("pr.doc_a", "pr.doc_b")
-        .groupBy("doc_a", "doc_b")
+        .select("pr.doc_a", "pr.na", "pr.doc_b", "pr.nb")
+        .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count("*").alias("i"))
     )
     directed = pairs.select(
         F.col("doc_a").alias("contained"),
         F.col("doc_b").alias("container"),
+        F.col("na").alias("nc"),
+        F.col("nb").alias("ns"),
         "i",
     ).unionAll(
         pairs.select(
             F.col("doc_b").alias("contained"),
             F.col("doc_a").alias("container"),
+            F.col("nb").alias("nc"),
+            F.col("na").alias("ns"),
             "i",
         )
     )
-    sc = sizes.alias("sc")
-    sb = sizes.alias("sb")
     return (
-        directed.join(
-            sc.hint("shuffle_hash"), F.col("contained") == F.col("sc.doc_id")
-        )
-        .join(
-            sb.hint("shuffle_hash"), F.col("container") == F.col("sb.doc_id")
-        )
-        .filter(10 * F.col("i") >= 7 * F.col("sc.n"))
+        directed.filter(10 * F.col("i") >= 7 * F.col("nc"))
         .select(
             "contained",
             "container",
             F.col("i").cast("long").alias("intersection"),
-            F.col("sc.n").cast("long").alias("contained_size"),
-            F.col("sb.n").cast("long").alias("container_size"),
-            F.round(F.col("i") * 1.0 / F.col("sc.n"), 6).alias(
+            F.col("nc").cast("long").alias("contained_size"),
+            F.col("ns").cast("long").alias("container_size"),
+            F.round(F.col("i") * 1.0 / F.col("nc"), 6).alias(
                 "containment"
             ),
             F.round(
                 F.col("i")
                 * 1.0
-                / (F.col("sc.n") + F.col("sb.n") - F.col("i")),
+                / (F.col("nc") + F.col("ns") - F.col("i")),
                 6,
             ).alias("jaccard"),
         )

@@ -93,16 +93,22 @@ def q66_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "kid")
         .agg(F.expr(f"{spark_exact_sum(f'q.v * k.v / {SQRT_D}', 9)} AS s"))
     )
-    wq = Window.partitionBy("qid")
-    e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
-    attn = scores.withColumn("e", e).withColumn(
-        "w",
-        F.col("e")
-        / (F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq) / 1_000_000.0),
+    # softmax as two parsed window expressions (plan-identical: same two
+    # qid-partitioned Window specs the Column form built; 1e6 is a DOUBLE
+    # literal, matching the Python-float divisor — never write 1000000.0
+    # in SQL, which parses as DECIMAL and changes the arithmetic)
+    attn = scores.selectExpr(
+        "qid",
+        "kid",
+        "round(exp(s - max(s) OVER (PARTITION BY qid)), 6) AS e",
+    ).selectExpr(
+        "qid",
+        "kid",
+        "e / (sum(CAST(round(e * 1e6) AS BIGINT))"
+        " OVER (PARTITION BY qid) / 1e6) AS w",
     )
     return (
-        attn.select("qid", "kid", "w")
-        .join(F.broadcast(kv), "kid")
+        attn.join(F.broadcast(kv), "kid")
         .groupBy("qid", F.col("dim").alias("out_dim"))
         .agg(F.expr(f"{spark_exact_sum_round6('w * v')} AS out_v"))
     )
@@ -165,19 +171,22 @@ def q66c_attention_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "kid")
         .agg(F.expr(f"{spark_exact_sum(f'q.v * k.v / {SQRT_D}', 9)} AS s"))
     )
-    wq = Window.partitionBy("qid")
-    e = F.round(F.exp(F.col("s") - F.max("s").over(wq)), 6)
-    attn = scores.withColumn("e", e).withColumn(
-        "w",
-        F.col("e")
-        / (
-            F.sum(F.round(F.col("e") * 1_000_000).cast("long")).over(wq)
-            / 1_000_000.0
-        ),
+    # softmax as two parsed window expressions (plan-identical: same two
+    # qid-partitioned Window specs the Column form built; 1e6 is a DOUBLE
+    # literal, matching the Python-float divisor — never write 1000000.0
+    # in SQL, which parses as DECIMAL and changes the arithmetic)
+    attn = scores.selectExpr(
+        "qid",
+        "kid",
+        "round(exp(s - max(s) OVER (PARTITION BY qid)), 6) AS e",
+    ).selectExpr(
+        "qid",
+        "kid",
+        "e / (sum(CAST(round(e * 1e6) AS BIGINT))"
+        " OVER (PARTITION BY qid) / 1e6) AS w",
     )
     return (
-        attn.select("qid", "kid", "w")
-        .join(F.broadcast(kv), "kid")
+        attn.join(F.broadcast(kv), "kid")
         .groupBy("qid", F.col("dim").alias("out_dim"))
         .agg(F.expr(f"{spark_exact_sum_round6('w * v')} AS out_v"))
     )

@@ -190,28 +190,28 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the same ~20% the old pre-agg shuffled — less shuffle AND 5x
     smaller aggregate state, with no spill-prone full-key hash."""
     t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
-    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
-    ords = t["orders"].filter(
-        F.col("o_orderdate") < F.lit("2000-03-15").cast("timestamp")
-    )
-    li = t["lineitem"].filter(
-        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
-    )
-    oc = ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+    # parsed predicate/projection strings (plan-identical; the TIMESTAMP
+    # literal is the same cast the Column form built) — q03 is the most
+    # plan-heavy headline query, so build chatter shows up in its wall
+    cust = t["customer"].filter("c_mktsegment = 'BUILDING'")
+    ords = t["orders"].filter("o_orderdate < TIMESTAMP '2000-03-15'")
+    li = t["lineitem"].filter("l_shipdate > TIMESTAMP '1996-03-15'")
+    oc = ords.join(F.broadcast(cust), F.expr("o_custkey = c_custkey"))
     return (
-        li.join(oc.hint("shuffle_hash"), li.l_orderkey == oc.o_orderkey)
+        li.join(oc.hint("shuffle_hash"), F.expr("l_orderkey = o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             # 2dp x 2dp = 4dp-exact nonneg: codegen fast path, no
             # per-value BigDecimal on the fact-scale sum
-            exact_sum_unit(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
-            ).alias("revenue")
+            F.expr(
+                f"{spark_exact_sum_unit('l_extendedprice * (1 - l_discount)', 4)}"
+                " AS revenue"
+            )
         )
-        .select(
+        .selectExpr(
             "l_orderkey",
             "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "date_format(o_orderdate, 'yyyy-MM-dd') AS order_date",
             "o_orderpriority",
         )
         .orderBy(F.desc("revenue"), "l_orderkey")

@@ -126,19 +126,34 @@ def _fold_dot(units: bool):
     accumulates 9dp integer units per element (order-independent, shares
     q51's oracle bit-exactly); ``units=False`` folds raw double products
     and rounds once downstream — ~3× cheaper per pair (no per-element
-    round+cast), the production fast path."""
+    round+cast), the production fast path.
+
+    Built as ONE parsed SQL expression per dot (not ~10 nested py4j
+    Column calls): the fold is the chattiest expression in the similarity
+    family and the headline bench times plan construction — single-parse
+    halves q52's Python-side build (guide §7.3 planning overhead;
+    plan-identical, the parser emits the same zip_with/aggregate tree)."""
+
+    def col_name(c) -> str:
+        # accept either a column name or a Column that wraps a plain
+        # attribute (F.col("e")) — the fold is only ever applied to those
+        if isinstance(c, str):
+            return c
+        return c._jc.toString()
+
     if units:
-        return lambda a, b: F.aggregate(
-            F.zip_with(
-                a, b, lambda x, y: F.round(x * y * 1_000_000_000).cast("long")
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ) / 1_000_000_000.0
-    return lambda a, b: F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+        # NOTE: divide by 1e9 (a DOUBLE literal), never 1000000000.0 —
+        # SQL decimal-point literals parse as DECIMAL and would switch
+        # the fold's quotient to decimal arithmetic; the Column form this
+        # replaces divided by a Python float (double)
+        return lambda a, b: F.expr(
+            f"aggregate(zip_with({col_name(a)}, {col_name(b)}, "
+            "(x, y) -> CAST(round(x * y * 1e9) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x) / 1e9"
+        )
+    return lambda a, b: F.expr(
+        f"aggregate(zip_with({col_name(a)}, {col_name(b)}, "
+        "(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
 
 

@@ -464,58 +464,53 @@ def q59a_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — total cost is one sort of |events| + |orders| rows. Orders
     sort ascending by (date, key), so the running last is exactly the
     top-1 by (date DESC, key DESC); at equal timestamps orders sort
-    before events, matching the oracle's ``<=``."""
+    before events, matching the oracle's ``<=``.
+
+    Built as four parsed expression blocks (selectExpr / one windowed
+    F.expr) instead of ~20 py4j Column calls — plan-identical, and
+    plan construction is ~40% of this query's bench wall at toy SF
+    (guide §7.3 planning overhead)."""
     events = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts"
     )
     orders = read_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
     )
-    ev = events.select(
+    odt = dict(orders.dtypes)
+    ev = events.selectExpr(
         "user_id",
-        F.col("ts").cast("timestamp").alias("t"),
-        F.lit(1).alias("is_event"),
-        F.lit(None).cast("long").alias("okey"),
+        "CAST(ts AS timestamp) AS t",
+        "1 AS is_event",
+        "CAST(NULL AS BIGINT) AS okey",
         "event_id",
-        F.lit(None)
-        .cast(dict(orders.dtypes)["o_orderdate"])
-        .alias("odate"),
-        F.lit(None)
-        .cast(dict(orders.dtypes)["o_totalprice"])
-        .alias("ototal"),
+        f"CAST(NULL AS {odt['o_orderdate']}) AS odate",
+        f"CAST(NULL AS {odt['o_totalprice']}) AS ototal",
     )
-    od = orders.select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp").alias("t"),
-        F.lit(0).alias("is_event"),
-        F.col("o_orderkey").cast("long").alias("okey"),
-        F.lit(None).cast(dict(events.dtypes)["event_id"]).alias("event_id"),
-        F.col("o_orderdate").alias("odate"),
-        F.col("o_totalprice").alias("ototal"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "is_event", "okey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    od = orders.selectExpr(
+        "o_custkey AS user_id",
+        "CAST(o_orderdate AS timestamp) AS t",
+        "0 AS is_event",
+        "CAST(o_orderkey AS BIGINT) AS okey",
+        f"CAST(NULL AS {dict(events.dtypes)['event_id']}) AS event_id",
+        "o_orderdate AS odate",
+        "o_totalprice AS ototal",
     )
     tagged = ev.unionByName(od).withColumn(
         "latest",
-        F.last(
-            F.when(
-                F.col("is_event") == 0,
-                F.struct("odate", "okey", "ototal"),
-            ),
-            ignorenulls=True,
-        ).over(w),
+        F.expr(
+            "last(CASE WHEN is_event = 0 THEN struct(odate, okey, ototal)"
+            " END, true) OVER (PARTITION BY user_id"
+            " ORDER BY t, is_event, okey"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        ),
     )
-    return (
-        tagged.filter((F.col("is_event") == 1) & F.col("latest").isNotNull())
-        .select(
-            "event_id",
-            "user_id",
-            F.col("latest.okey").alias("latest_orderkey"),
-            F.col("latest.ototal").alias("latest_total"),
-        )
+    return tagged.filter(
+        "is_event = 1 AND latest IS NOT NULL"
+    ).selectExpr(
+        "event_id",
+        "user_id",
+        "latest.okey AS latest_orderkey",
+        "latest.ototal AS latest_total",
     )
 
 

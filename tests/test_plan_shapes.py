@@ -296,9 +296,33 @@ def test_q220_zonemap_replay_broadcasts_quarters(spark, sf_smoke):
 
 
 def test_q47_no_broadcast_hints(spark, sf_smoke):
-    """q47 joins pairs against the per-doc sizes table twice; both joins
-    must be plain hash joins (zero hints) — sizes has one row per doc."""
+    """q47's sized postings (r12) embed each doc's capped-universe size
+    in the posting struct, so the scoring path must contain no broadcast
+    hint — and in fact no join of any kind (next test)."""
     assert hinted_broadcasts_of(spark, "q47_jaccard_pairs", sf_smoke) == 0
+
+
+@pytest.mark.parametrize(
+    "name", ["q47_jaccard_pairs", "q263_containment_pairs"]
+)
+def test_sized_postings_score_without_joins(spark, sf_smoke, name):
+    """r12 layout pin: with sizes stored in the posting lists
+    (AllPairs/PPJoin-style), Jaccard and containment scoring are one
+    grouped count over the pair expansion — a Join node past the index
+    build means the per-doc sizes join crept back into the query path."""
+    plan = plan_of(spark, name, sf_smoke)
+    # the index build (below the pair Generate) legitimately joins sizes
+    # back onto the exploded lists; everything above it must be join-free
+    score_segment = plan.split("Generate", 1)[0]
+    for join_kind in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+    ):
+        assert join_kind not in score_segment, (
+            f"{name}: {join_kind} reappeared above the pair expansion"
+        )
 
 
 def test_q92_bpe_winner_broadcasts(spark, sf_smoke):
