@@ -284,6 +284,10 @@ def bench_block(
     if noisy:
         # per-query attribution: which query blew the floor, which side
         out["noisy"] = noisy
+    # release the block's DuckDB connection: the sf0.1 block's in-process
+    # allocator state otherwise lives through the sf1 block's Spark reps
+    # (measurement hygiene — same reason the Spark/DuckDB loops are split)
+    con.close()
     return out
 
 

@@ -881,44 +881,43 @@ def neardup_dropped_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup DROP set (doc_id rows): LSH band candidates, exact
     Jaccard verified on candidates only, keep-first policy. Shared by
     q94's retention report and the q129 end-to-end curation pipeline."""
-    dsh = distinct_shingles(spark, sf_dir)
-    hot = (
-        dsh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
+    # the SIZED capped shingle set — one explode of the sized posting
+    # index (capped_postings): each (shingle, doc_id) row already
+    # carries its doc's capped-universe size, so the verification tail
+    # needs no joins against a per-doc sizes table (r12; the r11 shape
+    # paid two corpus-scale shuffled-hash joins here, plus a broadcast
+    # stop-shingle anti-join the index's df-cap already performs)
+    sized = (
+        capped_postings(spark, sf_dir)
+        .select("shingle", F.explode("docs").alias("dn"))
+        .select("shingle", F.col("dn.d").alias("doc_id"), F.col("dn.n").alias("n"))
     )
-    capped = dsh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sized.select(
+        "shingle", F.col("doc_id").alias("a_doc"), F.col("n").alias("na")
+    )
+    b = sized.select(
+        "shingle", F.col("doc_id").alias("b_doc"), F.col("n").alias("nb")
+    )
     cand = (
         q49_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b").distinct()
     )
     # cand is corpus-scale on real web data (the near-dup drop set is
     # 30-50% of documents, and each dropped doc implies >=1 candidate
-    # pair) — plain shuffle join, no hint; AQE broadcasts at toy SF
+    # pair) — plain shuffle join, no hint; AQE broadcasts at toy SF.
+    # na/nb ride the group keys (functionally dependent on the doc ids).
     inter = (
-        capped.alias("a")
-        .join(cand, F.col("a.doc_id") == F.col("doc_a"))
+        a.join(cand, F.col("a_doc") == F.col("doc_a"))
         .join(
-            capped.alias("b"),
-            (F.col("b.doc_id") == F.col("doc_b"))
-            & (F.col("b.shingle") == F.col("a.shingle")),
+            b,
+            (F.col("b_doc") == F.col("doc_b"))
+            & (b.shingle == a.shingle),
         )
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count("*").alias("i"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
-    # per-doc `sizes` is corpus-scale — no broadcast hint (at 100 TB it
-    # must not be executor-resident); shuffle-HASH beats sort-merge on
-    # the uniform doc_id keys (AQE may still broadcast at toy SF)
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
     return (
-        inter.join(
-            sa.hint("shuffle_hash"), F.col("doc_a") == F.col("sa.doc_id")
-        )
-        .join(sb.hint("shuffle_hash"), F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.5)
+        inter.filter(jac >= 0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -81,6 +81,15 @@ def pin_session(spark: SparkSession) -> SparkSession:
     sessions of any provenance; read_table routes every registered
     query through this function.
     """
+    # Memoized per session object: the registry wrapper pins on EVERY
+    # query build and read_table pins again per table — at 2 py4j RPCs
+    # per pin that was ~10-20 ms of pure chatter per bench rep (guide
+    # §7.3 driver overhead). The flag lives on the session instance, so
+    # a fresh driver session always pins once; nothing in the repo
+    # mutates these two confs afterwards (grep-audited r12).
+    if getattr(spark, "_hrs_pinned", False):
+        return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark._hrs_pinned = True
     return spark

@@ -69,11 +69,19 @@ def _local_fs_path(path: str) -> str | None:
     a remote URI silently matches nothing — which would read an existing
     topic as empty and mint duplicate offsets — so callers must branch
     to the Spark-read high-water mark instead."""
-    from urllib.parse import urlsplit
+    from urllib.parse import unquote, urlsplit
 
     parts = urlsplit(path)
-    if parts.scheme in ("", "file"):
-        return parts.path if parts.scheme else path
+    if parts.scheme == "":
+        return path
+    if parts.scheme == "file":
+        # percent-decode (file:///tmp/a%20b must glob "/tmp/a b") and
+        # treat an authority other than localhost as NON-local —
+        # file://host/path names host's filesystem, and globbing /path
+        # here would read the topic as empty and mint duplicate offsets
+        if parts.netloc not in ("", "localhost"):
+            return None
+        return unquote(parts.path)
     return None
 
 
@@ -87,8 +95,19 @@ def _read_hwm_spark(spark: SparkSession, tdir: str) -> dict[int, int]:
 
     try:
         df = spark.read.parquet(tdir)
-    except AnalysisException:
-        return {}
+    except AnalysisException as exc:
+        # only the two "empty/new topic" shapes may fall back to {}: a
+        # missing path, or schema inference over a dir with no footers.
+        # Any OTHER analysis failure (access denied, corrupt remote
+        # footer, ...) must re-raise — treating it as "new topic" would
+        # silently reset the high-water mark to 0 and mint duplicate
+        # offsets, the exact bug class this fallback exists to prevent.
+        cond = exc.getCondition() or ""
+        if cond.startswith("PATH_NOT_FOUND") or cond.startswith(
+            "UNABLE_TO_INFER_SCHEMA"
+        ):
+            return {}
+        raise
     rows = (
         df.groupBy("partition")
         .agg(F.max("offset").alias("mx"))

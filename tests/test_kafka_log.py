@@ -270,6 +270,11 @@ def test_q160b_log_produced_once_and_superseded_dirs_reaped(spark):
     # (new fingerprint) legitimately survives the 1h reaper and would
     # flake the exactly-one-dir assertion below
     for leftover in glob.glob(base + "*"):
+        if leftover.endswith(".lock"):
+            # never unlink a lock file, even in test cleanup: a
+            # concurrent sweep holding that flock would be split from
+            # future lockers (fresh inode) — the module's own rule
+            continue
         try:
             if os.path.isdir(leftover):
                 shutil.rmtree(leftover, ignore_errors=True)
@@ -308,7 +313,7 @@ def test_q160b_log_produced_once_and_superseded_dirs_reaped(spark):
     os.utime(base, (time.time() - 90000, time.time() - 90000))
     q(spark, SF_SMOKE).collect()
     assert not os.path.exists(base), "legacy dir kept past 24h idle"
-    os.unlink(stale + ".lock")
+    # stale's lock file is deliberately left behind: never-unlink-flock
 
 
 def test_local_fs_path_classification():
@@ -322,6 +327,12 @@ def test_local_fs_path_classification():
     assert _local_fs_path("file:///tmp/x/topic=t") == "/tmp/x/topic=t"
     assert _local_fs_path("hdfs://nn:8020/logs/topic=t") is None
     assert _local_fs_path("s3a://bucket/logs/topic=t") is None
+    # ADVICE r11: percent-encoded local paths must decode before the
+    # glob, and a file: URI with a foreign authority is NOT this host's
+    # filesystem — both misreads would mint duplicate offsets
+    assert _local_fs_path("file:///tmp/a%20b/topic=t") == "/tmp/a b/topic=t"
+    assert _local_fs_path("file://localhost/tmp/x") == "/tmp/x"
+    assert _local_fs_path("file://otherhost/tmp/x") is None
 
 
 def test_hwm_spark_fallback_matches_footer_path(spark, tmp_path):

@@ -212,14 +212,18 @@ def hinted_broadcasts_of(spark, name: str, sf_dir: str) -> int:
 
 
 def test_q94_no_corpus_scale_broadcast_hints(spark, sf_smoke):
-    """q94's scale claims: only the collision-sized sides are HINTED as
-    broadcasts (hot stop-shingles and q49's band internals = 4 hints);
-    the LSH candidate-PAIR table, the per-doc `sizes` table, and the
-    final drop set join with NO hint — at 100 TB they are corpus-scale
-    (the drop set derived from the pairs is 30-50% of a web corpus, so
-    the pair table is a superset of that) and a forced broadcast would
-    OOM. No cartesian products anywhere."""
-    assert hinted_broadcasts_of(spark, "q94_neardup_filter", sf_smoke) == 4
+    """q94's scale claims (r12): ZERO broadcast hints anywhere — the r11
+    shape's stop-shingle anti-join (one source-level broadcast that the
+    optimizer duplicated into 4 unshared subtree copies, re-shingling
+    the corpus 4x per cold run) is gone: the sized posting index
+    performs the df-cap once at build and is persisted, so the capped
+    sized shingle set is computed once and read from cache. The LSH
+    candidate-PAIR table, the per-posting doc sizes, and the final drop
+    set join with NO hint — at 100 TB they are corpus-scale (the drop
+    set derived from the pairs is 30-50% of a web corpus, so the pair
+    table is a superset of that) and a forced broadcast would OOM. No
+    cartesian products anywhere."""
+    assert hinted_broadcasts_of(spark, "q94_neardup_filter", sf_smoke) == 0
     plan = plan_of(spark, "q94_neardup_filter", sf_smoke)
     assert "CartesianProduct" not in plan
 
@@ -227,10 +231,10 @@ def test_q94_no_corpus_scale_broadcast_hints(spark, sf_smoke):
 def test_q129_no_corpus_scale_broadcast_hints(spark, sf_smoke):
     """The curation capstone: quality rejects, near-dup drops, LSH
     candidate pairs, and contamination hits are all corpus-derived sets
-    — none may carry a broadcast hint. The 6 remaining hints are q94's 4
-    plus q87's benchmark shingles and their dedup leg (all
-    bounded-small)."""
-    assert hinted_broadcasts_of(spark, "q129_curation_pipeline", sf_smoke) == 6
+    — none may carry a broadcast hint. The 2 remaining hints are q87's
+    benchmark shingles and their dedup leg (both bounded-small); q94's
+    contribution dropped to zero with the sized posting index (r12)."""
+    assert hinted_broadcasts_of(spark, "q129_curation_pipeline", sf_smoke) == 2
     plan = plan_of(spark, "q129_curation_pipeline", sf_smoke)
     assert "CartesianProduct" not in plan
 
