@@ -2115,21 +2115,31 @@ def q263_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count("*").alias("i"))
     )
+    # both directions from ONE pass: a unionAll of two selects over
+    # `pairs` would duplicate the whole pair-expansion subtree in the
+    # plan (Catalyst does not share unreferenced common subplans — the
+    # q94 lesson of this round), doubling the expansion work; a 2-row
+    # explode per pair is the single-pass form
     directed = pairs.select(
-        F.col("doc_a").alias("contained"),
-        F.col("doc_b").alias("container"),
-        F.col("na").alias("nc"),
-        F.col("nb").alias("ns"),
-        "i",
-    ).unionAll(
-        pairs.select(
-            F.col("doc_b").alias("contained"),
-            F.col("doc_a").alias("container"),
-            F.col("nb").alias("nc"),
-            F.col("na").alias("ns"),
-            "i",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("contained"),
+                    F.col("doc_b").alias("container"),
+                    F.col("na").alias("nc"),
+                    F.col("nb").alias("ns"),
+                    F.col("i"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("contained"),
+                    F.col("doc_a").alias("container"),
+                    F.col("nb").alias("nc"),
+                    F.col("na").alias("ns"),
+                    F.col("i"),
+                ),
+            )
+        ).alias("dr")
+    ).select("dr.contained", "dr.container", "dr.nc", "dr.ns", "dr.i")
     return (
         directed.filter(10 * F.col("i") >= 7 * F.col("nc"))
         .select(
