@@ -360,17 +360,19 @@ def q49_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = cached_df(("q49_bands", sf_dir), lambda: bands_from_minhash(mh))
     a = bands.alias("a")
     b = bands.alias("b")
+    # single-parse join predicate + aggregate — plan-identical (§7.3)
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band = b.band AND a.band_sig = b.band_sig"
+                " AND a.doc_id < b.doc_id"
+            ),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.expr("a.doc_id AS doc_a"), F.expr("b.doc_id AS doc_b")
         )
-        .agg(F.count("*").alias("n_shared_bands"))
+        .agg(F.expr("count(*) AS n_shared_bands"))
     )
 
 
@@ -1695,7 +1697,11 @@ def q247_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale (100 TB): the name dedup is one shuffle; each blocking pass is
     an equi-join on a bounded key; the refine is map-side on candidate
-    rows. This is the q49 LSH shape applied to entity resolution."""
+    rows. This is the q49 LSH shape applied to entity resolution.
+    The tokenized entity table is localCheckpointed (r12): four
+    downstream references (blocks + blocked in each of two block
+    passes) would otherwise each re-run the record-scale name dedup —
+    the unshared-subplan discipline of the graph family (guide §2.4)."""
     part = read_table(spark, sf_dir, "part")
     names = part.groupBy(F.col("p_name").alias("name")).agg(
         F.count("*").alias("n_parts")
@@ -1705,7 +1711,7 @@ def q247_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         F.split_part(F.col("name"), F.lit(" "), F.lit(1)).alias("t1"),
         F.split_part(F.col("name"), F.lit(" "), F.lit(2)).alias("t2"),
-    )
+    ).localCheckpoint()
 
     def _block_pass(key: str) -> DataFrame:
         blocks = (
@@ -1827,7 +1833,20 @@ def q258_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture's ~60-word vocabulary at 50k docs, where even the rarest
     shingle of a doc is common. Production corpora drop the fence;
     vocabulary-starved ones belong on q49's banded MinHash instead —
-    the docstring IS the decision rule."""
+    the docstring IS the decision rule.
+
+    Join-free tail (r12): the representative token stream carries its
+    family count (reps joined once, inner — reps.rep is unique so row
+    multiplicity is the old semi join's), the ranked prefix carries
+    |doc| = n, and both ride the candidate pairs through the
+    verification aggregate as extra group keys (functionally dependent
+    on the doc ids — no group changes). The r11 tail re-derived them
+    with FOUR corpus-scale shuffled-hash joins (sizes x2, fam x2) per
+    query (guide §2.4). rtoks and prefix are localCheckpointed: rtoks
+    has four downstream legs (dfreq, ranked, two verification sides)
+    and prefix two (the candidate self-join's sides), and each would
+    otherwise re-evaluate its whole upstream pipeline — the same
+    unshared-subplan discipline as the graph family."""
     toks = distinct_shingles(spark, sf_dir).filter(
         F.col("doc_id") < PPJOIN_CAP
     )
@@ -1839,18 +1858,18 @@ def q258_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = sigs.groupBy("sig").agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("fam")
     )
-    rep_ids = reps.select(F.col("rep").alias("doc_id"))
-    rtoks = toks.join(rep_ids, "doc_id", "left_semi")
+    rep_fams = reps.select(F.col("rep").alias("doc_id"), "fam")
+    rtoks = toks.join(rep_fams, "doc_id").localCheckpoint()
     dfreq = rtoks.groupBy("shingle").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
-        rtoks.join(dfreq, "shingle")
+        rtoks.join(dfreq.hint("shuffle_hash"), "shingle")
         .withColumn("pos", F.row_number().over(wdoc))
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("n") - F.expr("(n + 1) div 2") + 1
-    ).select("doc_id", "shingle", "pos", "n")
+    ).select("doc_id", "shingle", "pos", "n", "fam").localCheckpoint()
     a = prefix.alias("a")
     b = prefix.alias("b")
     cand = (
@@ -1872,43 +1891,34 @@ def q258_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("rep_a"),
             F.col("b.doc_id").alias("rep_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            F.col("a.fam").alias("fam_a"),
+            F.col("b.fam").alias("fam_b"),
         )
         .distinct()
     )
-    sizes = rtoks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ta = rtoks.alias("ta")
-    tb = rtoks.alias("tb")
+    ta = rtoks.select("doc_id", "shingle").alias("ta")
+    tb = rtoks.select("doc_id", "shingle").alias("tb")
     inter = (
-        cand.join(ta, F.col("rep_a") == F.col("ta.doc_id"))
+        cand.hint("shuffle_hash")
+        .join(ta, F.col("rep_a") == F.col("ta.doc_id"))
         .join(
             tb,
             (F.col("rep_b") == F.col("tb.doc_id"))
             & (F.col("ta.shingle") == F.col("tb.shingle")),
         )
-        .groupBy("rep_a", "rep_b")
+        .groupBy("rep_a", "rep_b", "na", "nb", "fam_a", "fam_b")
         .agg(F.count("*").alias("i"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    fam_of = sigs.join(reps, "sig").select(
-        F.col("doc_id").alias("fdoc"), "fam"
-    )
-    fa = fam_of.alias("fa")
-    fb = fam_of.alias("fb")
-    union_sz = F.col("sa.n") + F.col("sb.n") - F.col("i")
+    union_sz = F.col("na") + F.col("nb") - F.col("i")
     return (
-        inter.join(
-            sa.hint("shuffle_hash"), F.col("rep_a") == F.col("sa.doc_id")
-        )
-        .join(sb.hint("shuffle_hash"), F.col("rep_b") == F.col("sb.doc_id"))
-        .join(fa.hint("shuffle_hash"), F.col("rep_a") == F.col("fa.fdoc"))
-        .join(fb.hint("shuffle_hash"), F.col("rep_b") == F.col("fb.fdoc"))
-        .filter(2 * F.col("i") >= union_sz)
+        inter.filter(2 * F.col("i") >= union_sz)
         .select(
             "rep_a",
             "rep_b",
-            F.col("fa.fam").cast("long").alias("fam_a"),
-            F.col("fb.fam").cast("long").alias("fam_b"),
+            F.col("fam_a").cast("long").alias("fam_a"),
+            F.col("fam_b").cast("long").alias("fam_b"),
             F.col("i").cast("long").alias("intersection"),
             union_sz.cast("long").alias("union_size"),
             F.round(F.col("i") * 1.0 / union_sz, 6).alias("jaccard"),
@@ -2206,54 +2216,66 @@ def q264_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The df-cap applies to the same distinct-doc frequency rule as q47,
     so a viral shingle bounds this pair stream identically.
 
-    Scale (100 TB): one tf reduce keyed on (doc, shingle), one
-    co-occurrence join keyed on shingle over capped postings, totals
-    ride the doc key. Same cost envelope as q47."""
+    Scale (100 TB): one tf reduce keyed on (doc, shingle), two window
+    passes (df gate on the shingle key, totals on the doc key), one
+    posting regroup on the shingle key, one grouped sum over the
+    in-list pair expansion. Join-free (r12): each tf-weighted posting
+    carries its doc's capped-universe total, so the pair expansion
+    emits (doc_a, ta, doc_b, tb, min-tf) directly and ONE grouped sum
+    finishes the score — the r11 shape evaluated the tf subtree three
+    times (two self-join legs + totals) and paid two corpus-scale
+    shuffled-hash totals joins on every query (guide §2.4). The df gate
+    as a count-over-shingle window is the same distinct-doc frequency
+    rule as before: tf has exactly one row per (doc, shingle). ta/tb
+    are functionally dependent on the doc ids, so adding them to the
+    group keys changes no group."""
     sh_all = doc_shingles(spark, sf_dir)
-    dsh = distinct_shingles(spark, sf_dir)
-    hot = (
-        dsh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > MAX_SHINGLE_DF)
-        .select("shingle")
-    )
-    tf = (
-        sh_all.join(F.broadcast(hot), "shingle", "left_anti")
-        .groupBy("doc_id", "shingle")
-        .agg(F.count("*").alias("tf"))
-    )
-    totals = tf.groupBy("doc_id").agg(F.sum("tf").alias("total"))
-    a = tf.alias("a")
-    b = tf.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    tf = sh_all.groupBy("doc_id", "shingle").agg(F.count("*").alias("tf"))
+    tfd = (
+        tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("shingle"))
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .withColumn(
+            "total", F.sum("tf").over(Window.partitionBy("doc_id"))
         )
+    )
+    posts = (
+        tfd.groupBy("shingle")
         .agg(
-            F.sum(F.least(F.col("a.tf"), F.col("b.tf"))).alias("minsum")
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("doc_id").alias("d"),
+                        F.col("tf"),
+                        F.col("total").alias("t"),
+                    )
+                )
+            ).alias("docs")
         )
+        .filter(F.size("docs") >= 2)
     )
-    ta = totals.alias("ta")
-    tb = totals.alias("tb")
-    union_w = F.col("ta.total") + F.col("tb.total") - F.col("minsum")
+    pair_expr = F.expr(
+        "flatten(transform(docs, (x, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "y -> struct(x.d AS doc_a, x.t AS ta, y.d AS doc_b, y.t AS tb, "
+        "least(x.tf, y.tf) AS m))))"
+    )
+    shared = (
+        posts.select(F.explode(pair_expr).alias("pr"))
+        .select("pr.doc_a", "pr.ta", "pr.doc_b", "pr.tb", "pr.m")
+        .groupBy("doc_a", "ta", "doc_b", "tb")
+        .agg(F.sum("m").alias("minsum"))
+    )
+    union_w = F.col("ta") + F.col("tb") - F.col("minsum")
     return (
-        shared.join(
-            ta.hint("shuffle_hash"), F.col("doc_a") == F.col("ta.doc_id")
-        )
-        .join(tb.hint("shuffle_hash"), F.col("doc_b") == F.col("tb.doc_id"))
-        .filter(5 * F.col("minsum") >= 2 * union_w)
+        shared.filter(5 * F.col("minsum") >= 2 * union_w)
         .select(
             "doc_a",
             "doc_b",
             F.col("minsum").cast("long").alias("minsum"),
-            F.col("ta.total").cast("long").alias("total_a"),
-            F.col("tb.total").cast("long").alias("total_b"),
+            F.col("ta").cast("long").alias("total_a"),
+            F.col("tb").cast("long").alias("total_b"),
             F.round(F.col("minsum") * 1.0 / union_w, 6).alias(
                 "weighted_jaccard"
             ),

@@ -504,23 +504,25 @@ def q11_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative sum + lag over an ordered per-key window: the relational
     form of the reference's running averages / delta decode / flash-layout
     accumulation (SURVEY W7/W8/W11). Integer cents make the running sum
-    order-exact. One shuffle on o_custkey serves all three window exprs."""
+    order-exact. One shuffle on o_custkey serves all three window exprs.
+
+    Single-parse projection (plan-identical to the Column form; the
+    divisor is 1e2 because a bare SQL 100.0 parses as DECIMAL and would
+    change the result type — guide §7.3 driver-side chatter). Long
+    casts: DuckDB emits BIGINT for ROW_NUMBER/date_diff while Spark's
+    are int — exact arrow-dtype parity (check_oracle rule)."""
     orders = load_tables(spark, sf_dir, "orders")["orders"]
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return orders.select(
+    over = "OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    return orders.selectExpr(
         "o_custkey",
         "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(wcum) / 100.0)
-        .alias("running_total"),
-        # long casts: DuckDB emits BIGINT for ROW_NUMBER/date_diff while
-        # Spark's are int — exact arrow-dtype parity (check_oracle rule)
-        F.row_number().over(w).cast("long").alias("order_seq"),
-        F.coalesce(
-            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
-            F.lit(-1),
-        ).cast("long").alias("days_since_prev"),
+        "date_format(o_orderdate, 'yyyy-MM-dd') AS order_date",
+        f"sum(cast(round(o_totalprice * 100) as bigint)) {over} ROWS"
+        " BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e2"
+        " AS running_total",
+        f"cast(row_number() {over}) as bigint) AS order_seq",
+        "cast(coalesce(datediff(o_orderdate,"
+        f" lag(o_orderdate) {over})), -1) as bigint) AS days_since_prev",
     )
 
 
@@ -802,28 +804,31 @@ def q19_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: run-length grouping of consecutive equal values —
     the exact algorithm of the reference's greedy CPU/CIM partitioner
     (`mlir_compiler/partitioner.py:63-107`, SURVEY T4) and RLE encode (C1).
-    lag + conditional cumsum + groupBy; one shuffle on user_id."""
+    lag + conditional cumsum + groupBy; one shuffle on user_id.
+    Single-parse projections (plan-identical to the Column form —
+    `NOT (a <=> b)` is eqNullSafe's negation, the two window specs are
+    unchanged; guide §7.3 driver-side chatter)."""
     events = load_tables(spark, sf_dir, "events")["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    flagged = events.select(
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    flagged = events.selectExpr(
         "user_id",
         "event_id",
         "event_type",
         "ts",
-        F.when(
-            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
-        )
-        .otherwise(0)
-        .alias("is_boundary"),
+        "CASE WHEN NOT (event_type <=> lag(event_type)"
+        f" {over})) THEN 1 ELSE 0 END AS is_boundary",
     )
-    with_island = flagged.withColumn(
-        "island", F.sum("is_boundary").over(wcum).cast("long")
+    with_island = flagged.selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        f"cast(sum(is_boundary) {over} ROWS BETWEEN UNBOUNDED PRECEDING"
+        " AND CURRENT ROW) as bigint) AS island",
     )
     return with_island.groupBy("user_id", "island", "event_type").agg(
-        F.count("*").alias("run_length"),
-        F.min("event_id").alias("first_event"),
-        F.max("event_id").alias("last_event"),
+        F.expr("count(*) AS run_length"),
+        F.expr("min(event_id) AS first_event"),
+        F.expr("max(event_id) AS last_event"),
     )
 
 

@@ -234,13 +234,14 @@ def q30_coord_matmul_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding vectors — join on the contraction index (dim) + grouped
     exact sum, upper triangle only."""
     coords = embedding_coords(spark, sf_dir, max_vec=24)
-    a = coords.select(F.col("vec_id").alias("i"), F.col("dim").alias("k"), "v")
-    b = coords.select(F.col("vec_id").alias("j"), F.col("dim").alias("k"), "v")
+    # single-parse projections/predicate — plan-identical (guide §7.3)
+    a = coords.selectExpr("vec_id AS i", "dim AS k", "v")
+    b = coords.selectExpr("vec_id AS j", "dim AS k", "v")
     prod = (
         a.alias("a")
         .join(b.alias("b"), "k")
-        .filter(F.col("a.i") <= F.col("b.j"))
-        .select("i", "j", (F.col("a.v") * F.col("b.v")).alias("p"))
+        .filter("a.i <= b.j")
+        .selectExpr("i", "j", "a.v * b.v AS p")
     )
     return prod.groupBy("i", "j").agg(F.expr(f"{spark_exact_sum('p', 9)} AS dot"))
 

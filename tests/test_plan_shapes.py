@@ -329,6 +329,59 @@ def test_sized_postings_score_without_joins(spark, sf_smoke, name):
         )
 
 
+def test_q264_weighted_jaccard_join_free(spark, sf_smoke):
+    """r12 layout pin: q264's tf-weighted postings carry each doc's
+    capped-universe total, so the WHOLE plan is join-free — the pair
+    expansion plus one grouped sum replaces the r11 tf self-join and
+    its two shuffled-hash totals joins. Any Join node means a totals
+    or co-occurrence join crept back."""
+    plan = plan_of(spark, "q264_weighted_jaccard", sf_smoke)
+    for join_kind in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+    ):
+        assert join_kind not in plan, (
+            f"q264: {join_kind} reappeared — the posting layout no longer"
+            " carries tf totals"
+        )
+
+
+def test_q258_verification_tail_join_free(spark, sf_smoke):
+    """r12 tail pin: q258 carries |doc| (n) and family counts (fam)
+    through the candidate pairs as functionally-dependent group keys,
+    so above the verification aggregate (the count that produces the
+    intersection) there must be NO join — the r11 shape paid four
+    shuffled-hash joins (sizes x2, fam x2) there. The plan's join
+    budget is exactly: candidate self-join + two verification legs,
+    all reading the localCheckpointed token table."""
+    plan = plan_of(spark, "q258_prefix_filter_join", sf_smoke)
+    # tail = everything above the LAST aggregate-after-join segment:
+    # the final project/filter; assert no join sits above the last
+    # HashAggregate (the verification count)
+    tail = plan.split("HashAggregate", 1)[0]
+    for join_kind in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+    ):
+        assert join_kind not in tail, (
+            f"q258: {join_kind} above the verification aggregate —"
+            " the sizes/fam joins crept back"
+        )
+    n_joins = sum(
+        plan.count(k)
+        for k in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert n_joins <= 3, f"q258: {n_joins} joins (budget: self-join + 2 legs)"
+    assert "Scan ExistingRDD" in plan, (
+        "q258 lost its localCheckpoint — the shingling pipeline is"
+        " re-evaluated per downstream leg"
+    )
+
+
 def test_q92_bpe_winner_broadcasts(spark, sf_smoke):
     """BPE merge steps: each iteration's 1-row argmax must re-enter the
     plan as a broadcast nested-loop (scalar) join, never a shuffled join
