@@ -356,28 +356,30 @@ def q07_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     because every aggregate here is keyed solely by custkey. The naive
     join-then-group shape shuffles |orders| wide joined rows; this shape
     shuffles the pre-aggregated row per customer, which at 100 TB is the
-    whole ballgame."""
+    whole ballgame.
+
+    Single-parse expressions (plan-identical; 5e-1/1e2 keep the
+    literals DOUBLE — bare SQL 0.5/100.0 would parse as DECIMAL)."""
     t = load_tables(spark, sf_dir, "customer", "orders")
-    p = 100
     per_cust = (
         t["orders"]
         .groupBy("o_custkey")
         .agg(
-            F.count("o_orderkey").alias("_n_orders"),
+            F.expr("count(o_orderkey) AS _n_orders"),
             # o_totalprice is 2dp nonneg: unit-exact codegen rounding
-            F.sum(
-                (F.col("o_totalprice") * p + F.lit(0.5)).cast("long")
-            ).alias("_cents"),
+            F.expr(
+                "sum(cast(o_totalprice * 100 + 5e-1 as bigint)) AS _cents"
+            ),
         )
     )
     return (
         t["customer"]
-        .join(per_cust, t["customer"].c_custkey == per_cust.o_custkey, "left")
-        .select(
+        .join(per_cust, F.expr("c_custkey = o_custkey"), "left")
+        .selectExpr(
             "c_custkey",
             "c_mktsegment",
-            F.coalesce(F.col("_n_orders"), F.lit(0)).alias("n_orders"),
-            (F.coalesce(F.col("_cents"), F.lit(0)) / float(p)).alias("total_spent"),
+            "coalesce(_n_orders, 0) AS n_orders",
+            "coalesce(_cents, 0) / 1e2 AS total_spent",
         )
     )
 
@@ -631,12 +633,15 @@ def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparsity analysis (`sparsity_optimizer.py:66-112`, SURVEY A2): total
     count, conditional count, ratio-able aggregates in one pass."""
     events = load_tables(spark, sf_dir, "events")["events"]
+    # single-parse aggregate expressions — plan-identical (guide §7.3)
     return events.groupBy("event_type").agg(
-        F.count("*").alias("n_events"),
-        F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("n_high_value"),
+        F.expr("count(*) AS n_events"),
+        F.expr("count(DISTINCT user_id) AS n_users"),
+        F.expr(
+            "sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_high_value"
+        ),
         # events.value is 2dp nonneg: unit-exact codegen rounding
-        exact_sum_unit(F.col("value"), 2).alias("total_value"),
+        F.expr(f"{spark_exact_sum_unit('value', 2)} AS total_value"),
     )
 
 

@@ -507,22 +507,24 @@ def q34_sparsity_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's format recommendation rule (>50% sparse → CSR). This is the
     SURVEY §7 minimum end-to-end slice: scan → project → conditional agg."""
     coords = embedding_coords(spark, sf_dir)
-    near = F.sum(F.when(F.abs(F.col("v")) < 0.01, 1).otherwise(0))
+    # single-parse expressions — plan-identical; 1e-2/1e0/5e-1 keep the
+    # literals DOUBLE (bare SQL 0.01/1.0/0.5 would parse as DECIMAL)
     agged = coords.groupBy("label").agg(
-        F.count("*").alias("n_total"),
-        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).alias("n_zero"),
-        near.alias("n_near_zero"),
+        F.expr("count(*) AS n_total"),
+        F.expr("sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS n_zero"),
+        F.expr(
+            "sum(CASE WHEN abs(v) < 1e-2 THEN 1 ELSE 0 END) AS n_near_zero"
+        ),
     )
-    sparsity = F.col("n_near_zero") * 1.0 / F.col("n_total")
-    return agged.select(
+    sparsity = "n_near_zero * 1e0 / n_total"
+    return agged.selectExpr(
         "label",
         "n_total",
         "n_zero",
         "n_near_zero",
-        sparsity.alias("sparsity"),
-        F.when(sparsity > 0.5, "csr").otherwise("dense").alias(
-            "recommended_format"
-        ),
+        f"{sparsity} AS sparsity",
+        f"CASE WHEN {sparsity} > 5e-1 THEN 'csr' ELSE 'dense' END"
+        " AS recommended_format",
     )
 
 
