@@ -1464,7 +1464,11 @@ def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: both LNs and the softmax partition on the token key;
     K/V and the FFN weight are bounded broadcast operands — token rows
-    never shuffle except for the score/context reductions."""
+    never shuffle except for the score/context reductions. h1 and r1
+    are localCheckpointed (r12): three references to h1 (Q/K legs +
+    attention values) and two to r1 (FFN + residual) re-evaluated the
+    LayerNorm/attention pipeline per reference in the cold plan
+    (guide §2.4); values are unchanged."""
     coords = embedding_coords(spark, sf_dir, max_vec=TB_TOKENS)
     x = coords.select(
         F.col("vec_id").alias("p"), F.col("dim").alias("d"),
@@ -1492,7 +1496,7 @@ def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.drop("_n", "_mu", "_c", "_sv")
 
-    h1 = ln(x, "xv").select("p", "d", "h")
+    h1 = ln(x, "xv").select("p", "d", "h").localCheckpoint()
     a = h1.select(F.col("p").alias("pq"), "d", F.col("h").alias("ha"))
     b = h1.select(F.col("p").alias("pk"), "d", F.col("h").alias("hb"))
     sc = (
@@ -1516,7 +1520,7 @@ def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r1 = x.join(att, ["p", "d"]).select(
         "p", "d", (F.col("xv") + F.col("av")).alias("rv")
-    )
+    ).localCheckpoint()
     h2 = ln(r1, "rv").select("p", "d", "h")
     wt = spark.range(64 * 64).select(
         (F.col("id") / 64).cast("int").alias("i"),
@@ -1890,7 +1894,15 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Eight pinned stages compose through three transcendentals (cos/sin,
     softmax exp, SiLU) — each 6dp-rounded at the same point in both
-    engines; every contraction is an integer-unit sum."""
+    engines; every contraction is an integer-unit sum.
+
+    Stage materialization (r12): h1, the rotated pair table, r1 and h2
+    are localCheckpointed — the RoPE union references rot twice, the
+    score join references rq twice, and the residual/FFN legs
+    reference r1/h2 twice each, so the unmaterialized lineage
+    re-evaluated the RMSNorm pipeline ~8x per query (58 Exchange / 29
+    duplicated scans cold, 23/2 after; guide §2.4). Values are
+    unchanged — checkpointing only truncates lineage."""
     coords = embedding_coords(spark, sf_dir, max_vec=TB_TOKENS)
     x = coords.select(
         F.col("vec_id").alias("p"), F.col("dim").alias("d"),
@@ -1909,7 +1921,7 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_n", "_s2")
         )
 
-    h1 = rms(x, "xv").select("p", "d", "h")
+    h1 = rms(x, "xv").select("p", "d", "h").localCheckpoint()
     ev = h1.filter(F.col("d") % 2 == 0).select(
         "p", (F.col("d") / 2).cast("int").alias("pr"), F.col("h").alias("ev")
     )
@@ -1924,6 +1936,7 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(od, ["p", "pr"])
         .withColumn("cs", F.round(F.cos(theta), 6))
         .withColumn("sn", F.round(F.sin(theta), 6))
+        .localCheckpoint()
     )
     rq = rot.select(
         "p", (F.col("pr") * 2).cast("int").alias("d"),
@@ -1958,8 +1971,8 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r1 = x.join(att, ["p", "d"]).select(
         "p", "d", (F.col("xv") + F.col("av")).alias("rv")
-    )
-    h2 = rms(r1, "rv").select("p", "d", "h")
+    ).localCheckpoint()
+    h2 = rms(r1, "rv").select("p", "d", "h").localCheckpoint()
 
     def wt(aa: int, bb: int, rows: int, cols: int) -> DataFrame:
         return spark.range(rows * cols).select(

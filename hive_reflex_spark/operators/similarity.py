@@ -2321,7 +2321,13 @@ def q297_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: assignment reuses the shared array-fold join
     (ivf_own_arrays); everything after is |clusters| x |labels|
-    dimension-scale arithmetic."""
+    dimension-scale arithmetic. The contingency table is
+    localCheckpointed (r12): seven downstream references (marginals,
+    total, the three entropy/MI aggregates, purity) would otherwise
+    each re-run the corpus-scale assignment join — measured 74
+    Exchange / 35 duplicated scans in the cold plan before, 28/0
+    after (the survivors are |clusters| x |labels|-row aggregates;
+    guide §2.4 unshared-subplan discipline)."""
     per_vec = ivf_own_arrays(spark, sf_dir)
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label"
@@ -2331,6 +2337,7 @@ def q297_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(emb, "vec_id")
         .groupBy(F.col("own").alias("cid"), "label")
         .agg(F.count("*").cast("long").alias("n_cl"))
+        .localCheckpoint()
     )
     mc = joint.groupBy("cid").agg(F.sum("n_cl").cast("long").alias("n_c"))
     ml = joint.groupBy("label").agg(

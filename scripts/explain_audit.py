@@ -288,8 +288,9 @@ PICKS = {
     ),
     "q247_name_linkage": (
         "Blocked entity resolution: the pair source is two equi-joins on "
-        "name tokens (block-capped), levenshtein evaluates only on "
-        "candidate rows after the distinct — never an all-pairs product."
+        "name tokens (block-capped) over ONE localCheckpointed entity "
+        "table (r12), levenshtein evaluates only on candidate rows after "
+        "the distinct — never an all-pairs product."
     ),
     "q248_knn_graph_triangles": (
         "Triangle counting on the mutual-3NN graph: degree <= k bounds "
@@ -314,9 +315,11 @@ PICKS = {
     ),
     "q258_prefix_filter_join": (
         "PPJoin: the candidate join reads ONLY the prefix projection "
-        "(rarest floor(n/2)+1 shingles per set) with length+positional "
-        "predicates inline in the join condition; the exact-Jaccard "
-        "verify join is candidate-restricted."
+        "(rarest floor(n/2)+1 shingles per set, localCheckpointed) with "
+        "length+positional predicates inline in the join condition; the "
+        "exact-Jaccard verify legs are candidate-restricted and the "
+        "tail is join-free — |doc| and family counts ride the pairs as "
+        "functionally-dependent group keys (r12)."
     ),
     "q259_rbo_rank_stability": (
         "RBO: two windows per source partition, a depth fan-out bounded "
