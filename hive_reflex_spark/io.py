@@ -61,6 +61,33 @@ def df_cache_enabled() -> bool:
     return _DF_CACHE is not None
 
 
+# Multi-referenced intermediates inside query builders are materialized
+# with localCheckpoint (Catalyst does not share common subplans, so a
+# pipeline referenced N times is otherwise evaluated N times — guide
+# §3.3/§5). Plan-shape tests need to see THROUGH those materialization
+# points to pin the upstream join strategies, so builders route them via
+# maybe_local_checkpoint and tests flip the switch: the lazy tree is the
+# identical plan, just not truncated.
+_LAZY_PLANS = False
+
+
+def set_lazy_plans(on: bool) -> None:
+    """Test hook: when on, maybe_local_checkpoint is a no-op so the full
+    lazy plan (including subtrees normally hidden behind a checkpoint's
+    Scan ExistingRDD) is visible to plan-shape assertions."""
+    global _LAZY_PLANS
+    _LAZY_PLANS = on
+
+
+def maybe_local_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint unless a plan-shape test asked for the lazy tree.
+    Values are identical either way — checkpointing only truncates
+    lineage."""
+    if _LAZY_PLANS:
+        return df
+    return df.localCheckpoint()
+
+
 def cached_df(key: tuple, build):
     """Return a persisted DataFrame for ``key``, building it on first use.
     Pass-through (no persist) when the cache is disabled."""

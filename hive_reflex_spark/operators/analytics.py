@@ -13,7 +13,7 @@ from hive_reflex_spark.functions import (
     dyadic_md5_uniform,
     exact_sum,
 )
-from hive_reflex_spark.io import read_table
+from hive_reflex_spark.io import maybe_local_checkpoint, read_table
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -942,7 +942,10 @@ def q268_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     `tools/log_analyzer.py` aggregate exact sets per window; this is the
     sketch the same report ships at 100 TB when windows must compose."""
     ev = day_users(spark, sf_dir)
-    sk = kmv_day_sketches(spark, sf_dir)
+    # the |days| x k sketch table is referenced by the per-day stats AND
+    # the pairwise merge — materialized so the corpus-scale sketch
+    # reduce runs once (r12, guide §3.3/§5)
+    sk = maybe_local_checkpoint(kmv_day_sketches(spark, sf_dir))
     e_side = lambda n, kth: F.when(  # noqa: E731
         F.col(n) < KMV_K, F.col(n).cast("double")
     ).otherwise((KMV_K - 1) * 1.0 / F.col(kth))
@@ -962,6 +965,9 @@ def q268_kmv_set_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_b") == F.date_add(F.col("day_a"), 1),
         )
     )
+    # |days|-row pair table, referenced by the membership explode AND
+    # the estimate join — materialized (dimension-scale rows)
+    pairs = maybe_local_checkpoint(pairs)
     # |days| is dimension-scale: pair membership exploded to (pair, dday)
     # rows and EQUI-joined (a day belongs to <=2 consecutive pairs), so
     # both the sketch join and the exact audit are hash joins against a
@@ -1115,9 +1121,11 @@ def q277_rolling_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     `tools/log_analyzer.py` (SURVEY A6) — with the non-decomposable
     distinct replaced by the mergeable sketch."""
     ev = day_users(spark, sf_dir)
-    sk = kmv_day_sketches(spark, sf_dir)
-    days = ev.select("dday").distinct()
-    wdays = (
+    # sketch table + the |days| calendar tables are multi-referenced —
+    # materialized so the corpus reduces once per input (r12, §3.3/§5)
+    sk = maybe_local_checkpoint(kmv_day_sketches(spark, sf_dir))
+    days = maybe_local_checkpoint(ev.select("dday").distinct())
+    wdays = maybe_local_checkpoint(
         days.select(F.col("dday").alias("day"))
         .join(
             days.select(F.col("dday").alias("member")),
@@ -3831,16 +3839,24 @@ def _card_audit_df(
     spark: SparkSession, sf_dir: str, name: str,
     left: DataFrame, lkey: str, right: DataFrame, rkey: str,
 ) -> DataFrame:
-    lstats = left.agg(
-        F.count("*").alias("n_left"),
-        F.countDistinct(lkey).alias("ndv_left"),
+    # ONE scan per side: the per-key histogram is materialized and the
+    # row/ndv stats fold over it (sum of per-key counts = row count,
+    # histogram row count = ndv — exact integers either way); the r11
+    # shape scanned each side twice (stats pass + histogram pass)
+    lg = maybe_local_checkpoint(
+        left.groupBy(F.col(lkey).alias("k")).agg(F.count("*").alias("lc"))
     )
-    rstats = right.agg(
-        F.count("*").alias("n_right"),
-        F.countDistinct(rkey).alias("ndv_right"),
+    rg = maybe_local_checkpoint(
+        right.groupBy(F.col(rkey).alias("k")).agg(F.count("*").alias("rc"))
     )
-    lg = left.groupBy(F.col(lkey).alias("k")).agg(F.count("*").alias("lc"))
-    rg = right.groupBy(F.col(rkey).alias("k")).agg(F.count("*").alias("rc"))
+    lstats = lg.agg(
+        F.sum("lc").cast("long").alias("n_left"),
+        F.count("*").alias("ndv_left"),
+    )
+    rstats = rg.agg(
+        F.sum("rc").cast("long").alias("n_right"),
+        F.count("*").alias("ndv_right"),
+    )
     actual = lg.join(rg, "k").agg(
         F.sum(F.col("lc") * F.col("rc")).alias("actual_rows")
     )
@@ -4002,10 +4018,17 @@ def q239_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .alias("segment"),
     )
-    fit = (
+    # |type| x 24 predictor table, referenced by calibration AND test
+    # (and, via its per-cell counts, by the n_fit report — the r11 shape
+    # re-scanned segment 1 a third time for that count): materialized so
+    # the fitting scan runs once (r12, guide §3.3/§5)
+    fit = maybe_local_checkpoint(
         seg.filter(F.col("segment") == 1)
         .groupBy("event_type", "hod")
-        .agg(F.expr("(sum(vc) * 10000) div count(*)").alias("mu_c4"))
+        .agg(
+            F.expr("(sum(vc) * 10000) div count(*)").alias("mu_c4"),
+            F.count("*").alias("n_cell"),
+        )
     )
     cal = (
         seg.filter(F.col("segment") == 2)
@@ -4027,9 +4050,13 @@ def q239_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick = F.least(
         F.ceil((F.col("n_cal") + 1) * 0.9).cast("long"), F.col("n_cal")
     )
-    qhat = ranked.groupBy("event_type").agg(
-        F.max("n_cal").alias("n_cal"),
-        F.max(F.when(F.col("rn") == pick, F.col("r_c4"))).alias("q_c4"),
+    # |type|-row calibration quantile, referenced by the test join AND
+    # the final report — materialized so the calibration scan runs once
+    qhat = maybe_local_checkpoint(
+        ranked.groupBy("event_type").agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max(F.when(F.col("rn") == pick, F.col("r_c4"))).alias("q_c4"),
+        )
     )
     test = (
         seg.filter(F.col("segment") == 3)
@@ -4047,10 +4074,10 @@ def q239_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("covered"),
         )
     )
-    nfit = (
-        seg.filter(F.col("segment") == 1)
-        .groupBy("event_type")
-        .agg(F.count("*").alias("n_fit"))
+    # per-type fit count folded over the materialized predictor table —
+    # no third scan of segment 1
+    nfit = fit.groupBy("event_type").agg(
+        F.sum("n_cell").cast("long").alias("n_fit")
     )
     return (
         test.join(F.broadcast(qhat), "event_type")
@@ -5078,9 +5105,15 @@ def q282_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dow"),
     ).agg(F.count("*").alias("o"))
+    # the <=|types| x 7 observed table is referenced three times (both
+    # margin distincts + the grid join) and the grid four more (margins,
+    # total, scored) — materialized so the event-scale count runs ONCE,
+    # making the docstring's "no second pass over events" true in the
+    # plan as well (r12, guide §3.3/§5)
+    obs = maybe_local_checkpoint(obs)
     # full grid incl. structural zeros: a never-on-Tuesdays type still
     # owes its (O-E)^2/E = E term, and per-row deltas must sum to zero
-    cells = (
+    cells = maybe_local_checkpoint(
         obs.select("event_type")
         .distinct()
         .join(F.broadcast(obs.select("dow").distinct()))
@@ -5560,7 +5593,11 @@ def q289_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention); the permutation table is pairs x pool x B —
     calendar-bounded dimensions, never corpus rows — and each
     permutation is one 60-row window partition."""
-    daily = daily_cents(read_table(spark, sf_dir, "events"))
+    # |types| x |days| waist over the corpus-scale events aggregate,
+    # referenced by types + both pool legs (and via obs twice more) —
+    # localCheckpointed (r12) so events reduce exactly once instead of
+    # the plan re-scanning the corpus per reference (guide §3.3/§5)
+    daily = daily_cents(read_table(spark, sf_dir, "events")).transform(maybe_local_checkpoint)
     types = daily.select("event_type").distinct()
     prs = (
         types.select(F.col("event_type").alias("ta"))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.functions import lz4 as lz4c
-from hive_reflex_spark.io import read_table
+from hive_reflex_spark.io import maybe_local_checkpoint, read_table
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -284,6 +284,11 @@ def q81_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long"),
         )
     )
+    # the window-annotated encode stream is referenced by all three
+    # codec branches AND (via its (vec_id, dim, val) core) the original-
+    # values audit — materialized so the _DISPATCH_CAP-bounded windows
+    # run once instead of per branch (r12, guide §3.3/§5)
+    enc = maybe_local_checkpoint(enc)
 
     # ordered string_agg, Spark-style: collect (order, item) structs,
     # array_sort (lexicographic on the leading order field), project, join
@@ -367,12 +372,18 @@ def q81_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("body"),
         ).alias("artifact"),
     )
+    # artifacts feed the dispatch AND the final report; the parsed valid
+    # set feeds all three decoders AND the audit semi-join — both
+    # materialized (bounded by the dispatch cap)
+    arts = maybe_local_checkpoint(arts)
 
     # --- auto-detect + dispatch ------------------------------------------
-    valid = arts.filter(F.substring("artifact", 1, 4) == "HRZC").select(
-        "vec_id",
-        F.substring("artifact", 5, 1).cast("int").alias("typ"),
-        F.expr("substring(artifact, 7, length(artifact))").alias("body"),
+    valid = maybe_local_checkpoint(
+        arts.filter(F.substring("artifact", 1, 4) == "HRZC").select(
+            "vec_id",
+            F.substring("artifact", 5, 1).cast("int").alias("typ"),
+            F.expr("substring(artifact, 7, length(artifact))").alias("body"),
+        )
     )
     dec_raw = (
         valid.filter(F.col("typ") == 0)
@@ -401,8 +412,10 @@ def q81_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = dec_raw.unionByName(dec_rle).unionByName(dec_delta)
 
+    # original multisets from the materialized encode stream (enc is qdf
+    # plus derived columns, one row per (vec_id, dim) — identical rows)
     orig = (
-        qdf.join(valid.select("vec_id").distinct(), "vec_id")
+        enc.join(valid.select("vec_id").distinct(), "vec_id")
         .groupBy("vec_id", "val")
         .agg(F.count("*").alias("cnt"))
     )

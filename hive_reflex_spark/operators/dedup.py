@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.io import cached_df, read_table
+from hive_reflex_spark.io import cached_df, maybe_local_checkpoint, read_table
 from hive_reflex_spark.operators.text import (
     DUCK_SHINGLES,
     DUCK_WORDS,
@@ -816,14 +816,19 @@ def q269_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum(F.col("v") * F.col("cv"), 9).alias("dot"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid")
+    # (vec_id, cid) assignment and per-vector norms are each referenced
+    # twice downstream (ac self-join legs + members; na/nb broadcasts) —
+    # localCheckpointed (r12) so the corpus-scale IVF assignment and the
+    # norm reduce run once instead of per plan reference (guide §3.3/§5)
     assign = (
         cdots.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
+        .transform(maybe_local_checkpoint)
     )
     norms = coords.groupBy("vec_id").agg(
         F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
-    )
+    ).transform(maybe_local_checkpoint)
     ac = coords.join(assign, "vec_id")
     a = ac.alias("a")
     b = ac.alias("b")
@@ -850,6 +855,10 @@ def q269_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")) >= SEMDEDUP_TAU
         )
         .select("cid", "vec_a", "vec_b")
+        # the verified dup pair set feeds BOTH the pairs count and the
+        # dropped-set aggregates — materialized so the within-cluster
+        # self-join runs once (the q231 discipline)
+        .transform(maybe_local_checkpoint)
     )
     dropped = dup.select("cid", F.col("vec_b").alias("vec_id")).distinct()
     pairs = dup.groupBy("cid").agg(F.count("*").alias("n_dup_pairs"))
@@ -1091,13 +1100,30 @@ def q267_bleu_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     mh = minhash_signatures(spark, sf_dir)
     bands = cached_df(("q49_bands", sf_dir), lambda: bands_from_minhash(mh))
-    cand = star_candidates(bands).distinct()
+    # the candidate pair set is referenced three times (both clipped
+    # joins + the scored base) — localCheckpointed (r12) so the MinHash
+    # banding pipeline runs once, not per reference (guide §3.3/§5)
+    cand = star_candidates(bands).distinct().transform(maybe_local_checkpoint)
+    # verify-on-candidates-only, now enforced in the PLAN too (r12):
+    # only candidate docs' gram/length rows are ever joined (inner on
+    # doc_a/doc_b), so the tokenization is pruned to the candidate doc
+    # set BEFORE the n-gram aggregates and materialized — the corpus is
+    # scanned once and the per-leg self-join evaluations below re-read
+    # the bounded candidate-doc token table instead of re-tokenizing
+    cdocs = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
     # every gram/length table derives from ONE tokenization (toks.ws)
-    toks = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    toks = (
+        docs.join(F.broadcast(cdocs), "doc_id")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .transform(maybe_local_checkpoint)
+    )
     uni = (
         toks.select("doc_id", F.explode("ws").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
+        .transform(maybe_local_checkpoint)
     )
     bigram_arr = F.expr(
         "CASE WHEN size(ws) >= 2 THEN "
@@ -1109,6 +1135,7 @@ def q267_bleu_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", F.explode(bigram_arr).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
+        .transform(maybe_local_checkpoint)
     )
     lens = toks.select("doc_id", F.size("ws").cast("long").alias("n"))
 
@@ -1379,7 +1406,12 @@ def q186_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size."""
     dsh = distinct_shingles(spark, sf_dir)
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ssh = dsh.join(docs, "doc_id").select("source", "shingle").distinct()
+    # the distinct (source, shingle) table is referenced three times
+    # (sizes + both self-join legs) — materialized so the corpus-scale
+    # shingling + distinct run once (r12, guide §3.3/§5)
+    ssh = maybe_local_checkpoint(
+        dsh.join(docs, "doc_id").select("source", "shingle").distinct()
+    )
     sizes = ssh.groupBy("source").agg(F.count("*").alias("n"))
     pairs = (
         ssh.alias("a")

@@ -29,7 +29,7 @@ from hive_reflex_spark.functions import (
     spark_exact_sum,
     spark_exact_sum_unit,
 )
-from hive_reflex_spark.io import load_tables
+from hive_reflex_spark.io import load_tables, maybe_local_checkpoint
 from hive_reflex_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -2823,7 +2823,10 @@ def q245_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension) broadcasts into the basket build."""
     t = load_tables(spark, sf_dir, "lineitem", "part")
     li, part = t["lineitem"], t["part"]
-    baskets = (
+    # the distinct basket table is referenced FOUR times (order count,
+    # item counts, both pair-join legs) — materialized so the lineitem
+    # scan + distinct run once (r12, guide §3.3/§5)
+    baskets = maybe_local_checkpoint(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
         .distinct()

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.io import read_table
+from hive_reflex_spark.io import maybe_local_checkpoint, read_table
 from hive_reflex_spark.operators.tensor import _duck_coords
 from hive_reflex_spark.operators.text import DUCK_WORDS, doc_words
 from hive_reflex_spark.registry import query
@@ -382,9 +382,12 @@ def q275_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = scored.select(
         F.ntile(_ISO_BINS).over(w).cast("long").alias("bin"), "y"
     )
+    # {_ISO_BINS}-row waist below the corpus-scale DSIR pipeline,
+    # referenced three times (prefix, the i leg, the final join) —
+    # localCheckpointed (r12) so the q112 scoring runs once, not 3x
     bins = binned.groupBy("bin").agg(
         F.count("*").alias("n"), F.sum("y").cast("long").alias("pos")
-    )
+    ).transform(maybe_local_checkpoint)
     wcum = Window.orderBy("bin")
     prefix = bins.select(
         "bin",
@@ -485,7 +488,15 @@ def q122_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     term join — the same inverted-index shape as q110, with per-weight
     9dp integer freezing so both engines hash identically."""
     words = doc_words(spark, sf_dir).select("doc_id", "w")
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # the (doc, term) tf table is the inverted-index waist: df, n_docs
+    # and the weighted postings all derive from it, and the weighted
+    # postings are themselves referenced by norms, the query vector and
+    # the dot products — both localCheckpointed (r12) so the corpus
+    # tokenization and the idf-weighting each run exactly once instead
+    # of once per plan reference (guide §3.3/§5)
+    tf = words.groupBy("doc_id", "w").agg(
+        F.count("*").alias("tf")
+    ).transform(maybe_local_checkpoint)
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
     # corpus size as a broadcast 1-row table, not an eager driver count —
     # the whole query stays one lazy plan
@@ -505,7 +516,7 @@ def q122_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w9"),
         )
-    )
+    ).transform(maybe_local_checkpoint)
     wd = F.col("w9") / float(UNIT)
     nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(wd * wd)).alias("nrm"))
     qvec = wt.filter(F.col("doc_id") == TFIDF_QUERY_DOC).select(
@@ -645,7 +656,12 @@ def hybrid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_reflex_spark.functions import exact_sum
     from hive_reflex_spark.operators.tensor import embedding_coords
 
-    cand = bm25_topk(spark, sf_dir)
+    # the K-row candidate table is the waist below the corpus-scale
+    # BM25 pipeline; it is referenced by mx AND link, and link again by
+    # dots AND the final scored join — localCheckpointed (r12) so BM25
+    # and the |embeddings| count each run exactly once instead of the
+    # plan re-deriving them per reference (guide §3.3/§5)
+    cand = bm25_topk(spark, sf_dir).transform(maybe_local_checkpoint)
     emb = read_table(spark, sf_dir, "embeddings")
     nv = emb.agg(F.count("*").alias("n"))
     mx = cand.agg(F.max("bm25").alias("maxb"))
@@ -660,7 +676,7 @@ def hybrid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     link = cand.join(F.broadcast(nv)).select(
         "doc_id", "bm25", F.pmod(F.col("doc_id"), F.col("n")).alias("vec_id")
-    )
+    ).transform(maybe_local_checkpoint)
     dots = (
         F.broadcast(link)
         .join(coords, "vec_id")
@@ -668,8 +684,13 @@ def hybrid_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(exact_sum(F.col("v") * F.col("qv"), 9).alias("dot"))
     )
-    nd = coords.groupBy("vec_id").agg(
-        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+    # norms only for the K candidate vectors (the inner join against
+    # link keeps only those rows anyway): semi-join prune BEFORE the
+    # norm aggregate so the corpus-wide per-vector reduce never runs
+    nd = (
+        coords.join(F.broadcast(link.select("vec_id").distinct()), "vec_id")
+        .groupBy("vec_id")
+        .agg(F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm"))
     )
     cos = F.col("dot") / (F.col("nrm") * F.col("qnrm"))
     scored = (
@@ -894,17 +915,23 @@ def q232_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: grades are one filtered aggregate over the token explode;
     the ranking is k rows; all metric arithmetic happens on <= 2k
     rows."""
+    # k-row ranking (referenced by the prune broadcast AND the dcg
+    # aggregate) and the graded-relevance table (referenced by the
+    # prune, ideal and n_relevant) both sit below corpus-scale
+    # pipelines — localCheckpointed (r12) so BM25 and the token explode
+    # each run exactly once instead of per reference (guide §3.3/§5)
     ranking = bm25_topk(spark, sf_dir).select(
         "doc_id",
         F.row_number()
         .over(Window.orderBy(F.desc("bm25"), "doc_id"))
         .alias("rnk"),
-    )
+    ).transform(maybe_local_checkpoint)
     words = doc_words(spark, sf_dir).select("doc_id", "w")
     grades = (
         words.filter(F.col("w").isin(*REL_TERMS))
         .groupBy("doc_id")
         .agg(F.countDistinct("w").alias("g"))
+        .transform(maybe_local_checkpoint)
     )
     U = 1_000_000_000
     gain = lambda g, rnk: (  # noqa: E731
@@ -1220,9 +1247,12 @@ def q261_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hive_reflex_spark.operators.tensor import embedding_coords
 
     coords = embedding_coords(spark, sf_dir)
+    # per-vector norms are referenced FOUR times (nq/nc/na/nb
+    # broadcasts) — localCheckpointed (r12) so the corpus-scale norm
+    # reduce runs once instead of per broadcast (guide §3.3/§5)
     norms = coords.groupBy("vec_id").agg(
         F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
-    )
+    ).transform(maybe_local_checkpoint)
     q = coords.filter(F.col("vec_id") < _MMR_NQ).select(
         F.col("vec_id").alias("query_id"), "dim", F.col("v").alias("qv")
     )
@@ -1244,16 +1274,30 @@ def q261_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), "cand_id")
+    # the |queries| x CAND candidate table is referenced three times
+    # (both sims legs + triples) and sits below the corpus-scale
+    # relevance scoring — localCheckpointed (r12)
     cand = (
         rel.withColumn("rnk", F.row_number().over(wq))
         .filter(F.col("rnk") <= _MMR_CAND)
         .drop("rnk")
+        .transform(maybe_local_checkpoint)
     )
-    # candidate-pair similarity matrix: bounded |queries| x CAND^2
+    # candidate-pair similarity matrix: bounded |queries| x CAND^2.
+    # The x/y legs broadcast only the CANDIDATE vectors' coordinates
+    # (r12; the equality joins on cand_id keep exactly those rows, so
+    # pruning first is value-identical) — the r11 shape broadcast the
+    # FULL coordinate table twice, which is corpus-scale at 100 TB
+    cand_vecs = coords.join(
+        F.broadcast(
+            cand.select(F.col("cand_id").alias("vec_id")).distinct()
+        ),
+        "vec_id",
+    ).transform(maybe_local_checkpoint)
     ca = cand.alias("ca")
     cb = cand.alias("cb")
-    x = coords.alias("x")
-    y = coords.alias("y")
+    x = cand_vecs.alias("x")
+    y = cand_vecs.alias("y")
     na = norms.alias("na")
     nb = norms.alias("nb")
     sims = (

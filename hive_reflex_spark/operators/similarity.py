@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.functions import exact_sum
-from hive_reflex_spark.io import read_table
+from hive_reflex_spark.io import maybe_local_checkpoint, read_table
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -581,9 +581,19 @@ def q54b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid")
     ranked = cdots.withColumn("rn", F.row_number().over(wv))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
-    probes = (
+    # one materialized pass keeps the assignment rows + the queries'
+    # probe rows — the r11 shape referenced ranked twice and re-ran the
+    # corpus-scale centroid scoring per reference; the downstream
+    # filters re-apply their own predicates (r12, guide §3.3/§5)
+    keep = maybe_local_checkpoint(
         ranked.filter(
+            (F.col("rn") == 1)
+            | ((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        ).select("vec_id", "cid", "rn")
+    )
+    assign = keep.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        keep.filter(
             (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
         )
         .select(F.col("vec_id").alias("query_id"), "cid")
@@ -594,8 +604,11 @@ def q54b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    norms = coords.groupBy("vec_id").agg(
-        F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+    # per-vector norms feed both broadcast legs — materialized
+    norms = maybe_local_checkpoint(
+        coords.groupBy("vec_id").agg(
+            F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
+        )
     )
     q = coords.select(F.col("vec_id").alias("query_id"), "dim", F.col("v").alias("qv"))
     c = coords.select(F.col("vec_id").alias("neighbor_id"), "dim", F.col("v").alias("cv2"))
@@ -1115,6 +1128,10 @@ def pq_train(
     cb1 = seeds.join(F.broadcast(means), ["sub", "cid", "dim"], "left").select(
         "sub", "dim", "cid", F.coalesce("mv", "cv").alias("cv")
     )
+    # the k x d codebook is referenced by every caller TWICE (distance
+    # table + assignment), each reference re-running the corpus-scale
+    # Lloyd mean aggregate — materialized (r12, guide §3.3/§5)
+    cb1 = maybe_local_checkpoint(cb1)
     return cb1, _pq_assign(coords, cb1), a0
 
 
@@ -1287,8 +1304,19 @@ def q102b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wv = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "ccid")
     cranked = cdots.withColumn("rn", F.row_number().over(wv))
-    cassign = cranked.filter(F.col("rn") == 1).select("vec_id", "ccid")
-    probes = cranked.filter(
+    # one materialized pass keeps exactly the rows either consumer needs
+    # (assignment rn=1 rows + the queries' probe rows) — the r11 shape
+    # referenced cranked twice and re-ran the corpus-scale coarse
+    # scoring window per reference (r12, guide §3.3/§5); the downstream
+    # filters re-apply their own predicates, so values are identical
+    keep = maybe_local_checkpoint(
+        cranked.filter(
+            (F.col("rn") == 1)
+            | ((F.col("vec_id") < PQ_N_QUERIES) & (F.col("rn") <= N_PROBE))
+        ).select("vec_id", "ccid", "rn")
+    )
+    cassign = keep.filter(F.col("rn") == 1).select("vec_id", "ccid")
+    probes = keep.filter(
         (F.col("vec_id") < PQ_N_QUERIES) & (F.col("rn") <= N_PROBE)
     ).select(F.col("vec_id").alias("query_id"), "ccid")
     cand = (
@@ -1818,7 +1846,11 @@ def q228_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two candidate tables is per-query arithmetic on ≤ {TOP_K}
     rows."""
     exact = q51_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    buckets = lsh_bucket_assignment(spark, sf_dir)
+    # the (vec_id, bucket) index is referenced three times (query rows,
+    # probe expansion, candidate join) — materialized so the corpus-
+    # scale hashing runs once on cold paths (bench mode already persists
+    # it; r12, guide §3.3/§5)
+    buckets = maybe_local_checkpoint(lsh_bucket_assignment(spark, sf_dir))
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("bucket").alias("own_bucket")
     )
@@ -1850,6 +1882,9 @@ def q228_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_single")
         )
     )
+    # bounded candidate table (queries x probed-bucket members),
+    # referenced by counts AND hits — materialized
+    cand = maybe_local_checkpoint(cand)
     counts = cand.groupBy("query_id").agg(
         F.sum("in_single").cast("long").alias("n_single_cand"),
         F.count("*").alias("n_multi_cand"),

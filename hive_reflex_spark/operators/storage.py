@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.io import read_table
+from hive_reflex_spark.io import maybe_local_checkpoint, read_table
 from hive_reflex_spark.registry import query
 
 # events-table mapping to an NVS write log:
@@ -654,11 +654,15 @@ def q236_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("ck"),
         F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("days"),
     )
-    bounds = raw.agg(
-        F.min("ck").alias("klo"),
-        F.max("ck").alias("khi"),
-        F.min("days").alias("dlo"),
-        F.max("days").alias("dhi"),
+    # 1-row bounds, referenced by the bucketing AND the box replay —
+    # materialized so the min/max scan runs once (r12, guide §3.3/§5)
+    bounds = maybe_local_checkpoint(
+        raw.agg(
+            F.min("ck").alias("klo"),
+            F.max("ck").alias("khi"),
+            F.min("days").alias("dlo"),
+            F.max("days").alias("dhi"),
+        )
     )
     bucketed = raw.crossJoin(F.broadcast(bounds)).select(
         "ck",
@@ -680,24 +684,40 @@ def q236_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z_zone"),
     )
 
-    def zmap(layout: str, zcol: str) -> DataFrame:
-        return (
-            coded.groupBy(F.col(zcol).alias("z"))
-            .agg(
-                F.min("ck").alias("kmin"),
-                F.max("ck").alias("kmax"),
-                F.min("days").alias("dmin"),
-                F.max("days").alias("dmax"),
-                F.count("*").alias("cnt"),
-            )
-            .select(
-                F.lit(layout).alias("layout"), "z", "kmin", "kmax", "dmin",
-                "dmax", "cnt",
-            )
+    # both layouts' zone maps in ONE corpus pass: each row contributes
+    # its (layout, zone) membership twice via a 2-row explode — the
+    # q244 explode-array form of the union; grouped rows are identical
+    # to the former per-layout aggregates. The <=128-row result is
+    # materialized (referenced by totals AND the box replay); the r11
+    # shape evaluated the two-scan union twice more (r12, guide §2.4)
+    zones = maybe_local_checkpoint(
+        coded.select(
+            "ck",
+            "days",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("date_sorted").alias("layout"),
+                        F.col("lin_zone").alias("z"),
+                    ),
+                    F.struct(
+                        F.lit("zorder").alias("layout"),
+                        F.col("z_zone").alias("z"),
+                    ),
+                )
+            ).alias("lz"),
         )
-
-    zones = zmap("date_sorted", "lin_zone").unionByName(
-        zmap("zorder", "z_zone")
+        .select("ck", "days", F.col("lz.layout").alias("layout"),
+                F.col("lz.z").alias("z"))
+        .groupBy("layout", "z")
+        .agg(
+            F.min("ck").alias("kmin"),
+            F.max("ck").alias("kmax"),
+            F.min("days").alias("dmin"),
+            F.max("days").alias("dmax"),
+            F.count("*").alias("cnt"),
+        )
+        .select("layout", "z", "kmin", "kmax", "dmin", "dmax", "cnt")
     )
     tot = zones.groupBy("layout").agg(
         F.count("*").cast("long").alias("n_zones"),

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.io import read_table
+from hive_reflex_spark.io import maybe_local_checkpoint, read_table
 from hive_reflex_spark.registry import query
 
 # Tiny fixed vocab of the synthetic corpus; used as stopword/marker lists.
@@ -732,7 +732,16 @@ def _bpe_chain(
     spark: SparkSession, sf_dir: str
 ) -> tuple[list[DataFrame], DataFrame]:
     """The shared N_BPE_MERGES merge loop: returns (per-step 1-row
-    summary DataFrames, the final vocab table (w, freq, seq))."""
+    summary DataFrames, the final vocab table (w, freq, seq)).
+
+    The vocab table and each step's 1-row winner are localCheckpointed
+    (r12): every iteration's plan otherwise embeds the whole prior
+    iteration (pairs aggregate + broadcast winner + rewrite), so step k
+    re-evaluated the corpus-scale word-frequency groupBy O(2^k) times —
+    the classic iterative-lineage explosion (guide §3.3/§5). With the
+    checkpoints the corpus is read once and every merge iteration runs
+    on the materialized |vocab|-row table, which is the scale story the
+    docstrings already claimed."""
     words = doc_words(spark, sf_dir).groupBy("w").agg(
         F.count("*").cast("long").alias("freq")
     )
@@ -740,7 +749,7 @@ def _bpe_chain(
         "w",
         "freq",
         F.concat_ws(" ", F.split("w", r"(?!^)(?=.)")).alias("seq"),
-    )
+    ).transform(maybe_local_checkpoint)
     steps = []
     for k in range(1, N_BPE_MERGES + 1):
         pairs = (
@@ -759,7 +768,12 @@ def _bpe_chain(
             .groupBy("pair")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+        # 1-row winner + rewritten vocab, both materialized: `best` is
+        # referenced twice (merge + step summary) and `s` three times
+        # (pairs, rewrite, corpus-token count) per iteration
+        best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(
+            1
+        ).transform(maybe_local_checkpoint)
         s = s.crossJoin(
             F.broadcast(best.select(F.col("pair").alias("bp")))
         ).select(
@@ -771,7 +785,7 @@ def _bpe_chain(
                     "' ' || replace(bp, ' ', '') || ' ')"
                 )
             ).alias("seq"),
-        )
+        ).transform(maybe_local_checkpoint)
         toks_after = s.agg(
             F.sum(F.size(F.split("seq", " ")) * F.col("freq"))
             .cast("long")
@@ -1954,9 +1968,11 @@ def q292_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = words.groupBy("source", "w").agg(
         F.count("*").cast("long").alias("c")
-    )
-    # vocab and totals derive from the already-reduced count table —
-    # the corpus is exploded exactly once
+    ).transform(maybe_local_checkpoint)
+    # vocab and totals derive from the already-reduced count table,
+    # which is materialized (r12) so its three references (vocab,
+    # totals, grid) re-read |sources| x |vocab| rows — the corpus is
+    # exploded exactly once in the plan, as the docstring claims
     vocab = cnt.select("w").distinct()
     vsz = vocab.agg(F.count("*").cast("long").alias("v"))
     srcs = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
@@ -1970,11 +1986,12 @@ def q292_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("c", F.lit(0)).cast("long").alias("c"),
         )
     )
+    # smoothed LM table, referenced by both self-join legs — materialized
     p = grid.join(F.broadcast(vsz)).select(
         "source",
         "w",
         ((F.col("c") + 1) * 1.0 / (F.col("n") + F.col("v"))).alias("pr"),
-    )
+    ).transform(maybe_local_checkpoint)
     a = p.select(
         F.col("source").alias("source_a"), "w", F.col("pr").alias("pa")
     )

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.io import read_table
+from hive_reflex_spark.io import maybe_local_checkpoint, read_table
 from hive_reflex_spark.registry import query
 
 FRAME_SIZE = 256  # bytes per fake "frame"
@@ -406,10 +406,17 @@ def q278_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier), upgraded from equality-families to banded near-match."""
     docs = read_table(spark, sf_dir, "documents")
     rp = resize_payload(with_binary_payload(docs), n_buckets=16)
-    pool = rp.select(
-        "doc_id",
-        "bucket",
-        F.floor(F.col("mean_byte") / 4.0 + 0.5).cast("long").alias("qv"),
+    # 16 numeric rows per doc, distilled from the payload decode — the
+    # §8 "fingerprints only" waist. pool is referenced by the signature
+    # aggregate AND the family prune, fpool by the banding plus both
+    # verification legs: materialized so the mapInPandas decode runs
+    # ONCE instead of per plan reference (r12, guide §3.3/§5)
+    pool = maybe_local_checkpoint(
+        rp.select(
+            "doc_id",
+            "bucket",
+            F.floor(F.col("mean_byte") / 4.0 + 0.5).cast("long").alias("qv"),
+        )
     )
     sig = pool.groupBy("doc_id").agg(
         F.array_join(
@@ -423,8 +430,10 @@ def q278_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam = sig.groupBy("sig").agg(
         F.min("doc_id").alias("fam_doc"), F.count("*").alias("n_docs")
     )
-    fpool = pool.join(
-        fam.select(F.col("fam_doc").alias("doc_id")), "doc_id", "semi"
+    fpool = maybe_local_checkpoint(
+        pool.join(
+            fam.select(F.col("fam_doc").alias("doc_id")), "doc_id", "semi"
+        )
     )
     bands = (
         fpool.withColumn(

@@ -15,6 +15,20 @@ def plan_of(spark, name: str, sf_dir: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def lazy_plan_of(spark, name: str, sf_dir: str) -> str:
+    """plan_of with builder-internal localCheckpoints disabled, so pins
+    can assert on subtrees normally hidden behind a checkpoint's Scan
+    ExistingRDD (r12: multi-referenced pipelines are materialized; the
+    lazy tree is the identical plan, just not truncated)."""
+    from hive_reflex_spark.io import set_lazy_plans
+
+    set_lazy_plans(True)
+    try:
+        return plan_of(spark, name, sf_dir)
+    finally:
+        set_lazy_plans(False)
+
+
 BROADCAST_JOINS = [
     "q06_region_rollup",      # nation+region broadcast
     "q10_topk_per_nation",    # nation broadcast
@@ -707,11 +721,17 @@ def test_q267_feeds_from_star_not_all_pairs(spark, sf_smoke):
     """q267: candidates must come from the hub join (bands ⋈ hubs on the
     band keys), NEVER a bands self-join on doc_id inequality — the
     all-pairs feed is quadratic in bucket size on duplicate-dense
-    corpora (11.1M vs 143k pairs at sf1)."""
-    plan = plan_of(spark, "q267_bleu_candidate_score", sf_smoke)
+    corpora (11.1M vs 143k pairs at sf1). Asserted on the lazy tree —
+    the candidate feed is materialized behind a checkpoint in the
+    shipped plan (r12)."""
+    plan = lazy_plan_of(spark, "q267_bleu_candidate_score", sf_smoke)
     assert "CartesianProduct" not in plan
     # star feed: a min(doc_id) hub aggregate must exist in the plan
     assert "min(doc_id" in plan, "hub aggregate missing — not the star feed"
+    # and the shipped plan must keep the candidate/gram tables
+    # materialized (one MinHash pass, one tokenization of candidate docs)
+    shipped = plan_of(spark, "q267_bleu_candidate_score", sf_smoke)
+    assert "Scan ExistingRDD" in shipped, "q267 lost its checkpoints"
 
 
 def test_q268_sketch_is_partial_topk_and_equi_joins(spark, sf_smoke):
@@ -719,8 +739,10 @@ def test_q268_sketch_is_partial_topk_and_equi_joins(spark, sf_smoke):
     (partial top-k per partition, merged at the shuffle — the bounded
     sketch heap), and pair membership must reach the corpus through
     EQUI hash joins of the exploded (pair, day) table, never an
-    OR-condition nested loop over all pairs."""
-    plan = plan_of(spark, "q268_kmv_set_sketch", sf_smoke)
+    OR-condition nested loop over all pairs. Asserted on the lazy tree —
+    the sketch table is materialized behind a checkpoint in the shipped
+    plan (r12)."""
+    plan = lazy_plan_of(spark, "q268_kmv_set_sketch", sf_smoke)
     assert "WindowGroupLimit" in plan, "sketch lost the rank-limit pushdown"
     assert "BroadcastNestedLoopJoin" not in plan, (
         "pair membership degraded to an OR-condition nested loop"
@@ -733,11 +755,15 @@ def test_q269_centroids_broadcast_pairs_cluster_restricted(spark, sf_smoke):
     """q269 SemDeDup: the centroid table must BROADCAST into the
     assignment join (k x d doubles), and the pairwise stage must be an
     equi-join on (cid, dim) — cluster-restricted, never a cartesian
-    across clusters."""
-    plan = plan_of(spark, "q269_semantic_dedup", sf_smoke)
+    across clusters. Asserted on the lazy tree — assignment, norms and
+    the verified pair set are materialized behind checkpoints in the
+    shipped plan (r12)."""
+    plan = lazy_plan_of(spark, "q269_semantic_dedup", sf_smoke)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    shipped = plan_of(spark, "q269_semantic_dedup", sf_smoke)
+    assert "Scan ExistingRDD" in shipped, "q269 lost its checkpoints"
 
 
 def test_q270_benchmark_side_broadcasts(spark, sf_smoke):
