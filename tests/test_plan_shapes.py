@@ -734,6 +734,34 @@ def test_q267_feeds_from_star_not_all_pairs(spark, sf_smoke):
     assert "Scan ExistingRDD" in shipped, "q267 lost its checkpoints"
 
 
+def test_q236_dual_zonemap_is_one_pass(spark, sf_smoke):
+    """q236 (r12): the two layouts' zone maps must come from ONE corpus
+    pass — a 2-row (layout, zone) explode feeding a single aggregate —
+    never a Union of two per-layout scans; and the shipped plan must
+    read only materialized tables (bounds/zones checkpointed), so the
+    replay and totals never re-scan orders."""
+    lazy = lazy_plan_of(spark, "q236_zorder_layout", sf_smoke)
+    assert "Union" not in lazy, "zone maps regressed to a two-scan union"
+    assert "Generate explode" in lazy, "one-pass (layout, zone) explode missing"
+    shipped = plan_of(spark, "q236_zorder_layout", sf_smoke)
+    assert "Scan ExistingRDD" in shipped, "q236 lost its checkpoints"
+    assert "FileScan" not in shipped, (
+        "shipped q236 re-scans parquet above the checkpoints"
+    )
+
+
+def test_q237_stats_fold_over_histograms(spark, sf_smoke):
+    """q237 (r12): each side's row/ndv stats must FOLD over its
+    materialized per-key histogram (sum of counts / histogram rows) —
+    one scan per side — never a second countDistinct pass over the
+    table."""
+    shipped = plan_of(spark, "q237_join_cardinality", sf_smoke)
+    assert "distinct" not in shipped.lower(), (
+        "q237 regressed to a countDistinct stats pass over the side table"
+    )
+    assert "Scan ExistingRDD" in shipped, "q237 lost its histogram checkpoints"
+
+
 def test_q268_sketch_is_partial_topk_and_equi_joins(spark, sf_smoke):
     """q268: the per-day k-smallest must plan as WindowGroupLimit
     (partial top-k per partition, merged at the shuffle — the bounded
