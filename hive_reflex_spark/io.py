@@ -12,8 +12,10 @@ Nothing here collects to the driver.
 from __future__ import annotations
 
 import os
+from collections import deque
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from hive_reflex_spark.session import pin_session
 
@@ -80,11 +82,115 @@ def set_lazy_plans(on: bool) -> None:
 
 
 def maybe_local_checkpoint(df: DataFrame) -> DataFrame:
-    """localCheckpoint unless a plan-shape test asked for the lazy tree.
+    """DIMENSION-SCALE materialization tier (r12, unchanged): eager
+    localCheckpoint unless a plan-shape test asked for the lazy tree.
     Values are identical either way — checkpointing only truncates
-    lineage."""
+    lineage.
+
+    Tier rule (r13): use this ONLY for waists whose row count is bounded
+    by constants of the problem (k centroids, |days|, |types| x 24,
+    top-K candidates, 1-row bounds). localCheckpoint stores blocks
+    unreplicated on executors with lineage discarded — an executor loss
+    makes the job unrecoverable — which is an acceptable trade for
+    kilobyte tables but not for corpus-scale intermediates: those use
+    :func:`corpus_checkpoint`, and iterative chains whose lineage grows
+    per round use :func:`chain_checkpoint`."""
     if _LAZY_PLANS:
         return df
+    return df.localCheckpoint()
+
+
+# --- persisted-waist tracking (r13, VERDICT item 6) -----------------------
+# Cold-path persist() calls (index builds, corpus waists) used to leak one
+# persisted RDD per query build: a 340-query registry sweep in one session
+# accumulated unbounded storage. Every such persist now registers here;
+# beyond the cap the OLDEST entry is unpersisted. Eviction is always safe:
+# these DataFrames keep their lineage, so a later action on an evicted
+# waist recomputes instead of failing. The bench-mode _DF_CACHE is
+# deliberately NOT tracked (process-wide build-once-query-many by design).
+_PERSISTED: deque[DataFrame] = deque()
+PERSIST_CAP = 48  # >> max persists per query (6, q267) — never evicts
+# within the query being built; bounds a whole-registry sweep at ~48
+# cached waists of storage
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist(MEMORY_AND_DISK) with FIFO-bounded release (see above)."""
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > PERSIST_CAP:
+        _PERSISTED.popleft().unpersist(blocking=False)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every tracked waist (long-session / test hygiene)."""
+    while _PERSISTED:
+        _PERSISTED.popleft().unpersist(blocking=False)
+
+
+def corpus_checkpoint(df: DataFrame) -> DataFrame:
+    """CORPUS-SCALE materialization tier (r13, VERDICT item 2):
+    persist(MEMORY_AND_DISK) + an explicit materializing action, instead
+    of r12's localCheckpoint, for multi-referenced waists whose row
+    count grows with the corpus (per-document token tables, per-vector
+    norms and assignments, candidate pair sets).
+
+    Why not localCheckpoint here: it stores blocks unreplicated on
+    executors AND discards lineage — at cluster scale an executor loss
+    kills the job instead of recomputing (explicitly unsafe with dynamic
+    allocation), and its blocks are pinned storage, never spill-managed
+    or evicted (guide §5). The persist keeps lineage (executor loss
+    recomputes), stores blocks under the memory manager
+    (MEMORY_AND_DISK: evictable, spills), and every downstream reference
+    resolves to the same shared InMemoryRelation, so the r12 win
+    (Catalyst does not share unreferenced common subplans) is kept.
+    Values are identical either way.
+
+    The action is EAGER-ONCE (count() populates the FULL column
+    buffers — InMemoryRelation caches its complete output schema
+    regardless of the action's pruning): a lazy persist lets the first
+    query's concurrent stages RACE on the uncached waist, each
+    recomputing partitions until the cache wins — at corpus scale that
+    duplicates FULL passes, first-order waste against the second-order
+    overlap it buys (guide §2.6's overlap argument is for stage tails,
+    not saturating corpus stages). But re-running the action on every
+    REBUILD of the same plan (bench reps, repeated builds in one
+    session) pays a per-waist job floor for nothing — CacheManager
+    already resolves an identical rebuilt plan to the cached relation —
+    so the action is skipped when the plan is already registered
+    (measured: eager-always regressed steady-state builds ~40%)."""
+    if _LAZY_PLANS:
+        return df
+    cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+    already = cm.lookupCachedData(df._jdf).isDefined()
+    tracked_persist(df)
+    if not already:
+        df.count()
+    return df
+
+
+def chain_checkpoint(df: DataFrame) -> DataFrame:
+    """ITERATIVE-CHAIN materialization tier (r13): for loops where each
+    round references the previous round's result 2-3x (BPE merges, label
+    propagation, pagerank), lineage TRUNCATION is load-bearing — without
+    it the logical plan and Catalyst analysis time grow exponentially in
+    the round count, and persist() cannot help (it caches runtime blocks
+    but keeps the textual plan). Truncation requires a checkpoint; the
+    fault-tolerant form is the RELIABLE checkpoint (replicated files
+    under sc.setCheckpointDir — how Spark's own iterative algorithms
+    handle this), used whenever the deployment configured a dir. Local
+    mode falls back to localCheckpoint, which is safe there by
+    construction: the executor IS the driver, so there is no failure the
+    lineage could have recovered from anyway.
+
+    Deliberately does NOT honor the _LAZY_PLANS test hook: truncation
+    here is structural (a 20-round loop's un-truncated plan is 2^20
+    subtree copies — building it would hang any lazy-plan reader), and
+    no plan pin reads through a chain checkpoint."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint()
     return df.localCheckpoint()
 
 

@@ -13,7 +13,11 @@ from hive_reflex_spark.functions import (
     dyadic_md5_uniform,
     exact_sum,
 )
-from hive_reflex_spark.io import maybe_local_checkpoint, read_table
+from hive_reflex_spark.io import (
+    corpus_checkpoint,
+    maybe_local_checkpoint,
+    read_table,
+)
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -3841,21 +3845,29 @@ def _card_audit_df(
 ) -> DataFrame:
     # ONE scan per side: the per-key histogram is materialized and the
     # row/ndv stats fold over it (sum of per-key counts = row count,
-    # histogram row count = ndv — exact integers either way); the r11
-    # shape scanned each side twice (stats pass + histogram pass)
-    lg = maybe_local_checkpoint(
+    # non-NULL histogram rows = ndv — exact integers either way); the
+    # r11 shape scanned each side twice (stats pass + histogram pass).
+    # Corpus tier (r13): one histogram row per distinct key — ndv grows
+    # with the corpus on high-cardinality keys.
+    lg = corpus_checkpoint(
         left.groupBy(F.col(lkey).alias("k")).agg(F.count("*").alias("lc"))
     )
-    rg = maybe_local_checkpoint(
+    rg = corpus_checkpoint(
         right.groupBy(F.col(rkey).alias("k")).agg(F.count("*").alias("rc"))
     )
+    # ndv counts NON-NULL keys only (count(k)): COUNT(DISTINCT k) — the
+    # r11 shape and the oracle — excludes NULLs, but a bare count(*)
+    # over the histogram would count a NULL-key group; and the row-count
+    # sums coalesce to 0 so an EMPTY side reports 0, not NULL (ADVICE
+    # r12 — latent on the current non-null fixture keys, asserted
+    # value-identical against the unchanged oracle)
     lstats = lg.agg(
-        F.sum("lc").cast("long").alias("n_left"),
-        F.count("*").alias("ndv_left"),
+        F.coalesce(F.sum("lc"), F.lit(0)).cast("long").alias("n_left"),
+        F.count("k").alias("ndv_left"),
     )
     rstats = rg.agg(
-        F.sum("rc").cast("long").alias("n_right"),
-        F.count("*").alias("ndv_right"),
+        F.coalesce(F.sum("rc"), F.lit(0)).cast("long").alias("n_right"),
+        F.count("k").alias("ndv_right"),
     )
     actual = lg.join(rg, "k").agg(
         F.sum(F.col("lc") * F.col("rc")).alias("actual_rows")

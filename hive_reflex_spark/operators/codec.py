@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.functions import lz4 as lz4c
-from hive_reflex_spark.io import maybe_local_checkpoint, read_table
+from hive_reflex_spark.io import corpus_checkpoint, read_table
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -286,9 +286,11 @@ def q81_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the window-annotated encode stream is referenced by all three
     # codec branches AND (via its (vec_id, dim, val) core) the original-
-    # values audit — materialized so the _DISPATCH_CAP-bounded windows
-    # run once instead of per branch (r12, guide §3.3/§5)
-    enc = maybe_local_checkpoint(enc)
+    # values audit — materialized so the encode windows run once instead
+    # of per branch (r12, guide §3.3/§5). Corpus tier (r13): the fixture
+    # fence (_DISPATCH_CAP) bounds it here, but a production dispatch
+    # drops the fence and the stream is one row per (vec, dim)
+    enc = corpus_checkpoint(enc)
 
     # ordered string_agg, Spark-style: collect (order, item) structs,
     # array_sort (lexicographic on the leading order field), project, join
@@ -374,11 +376,12 @@ def q81_codec_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # artifacts feed the dispatch AND the final report; the parsed valid
     # set feeds all three decoders AND the audit semi-join — both
-    # materialized (bounded by the dispatch cap)
-    arts = maybe_local_checkpoint(arts)
+    # materialized (corpus tier r13: artifact volume tracks the corpus
+    # when the fixture fence is dropped)
+    arts = corpus_checkpoint(arts)
 
     # --- auto-detect + dispatch ------------------------------------------
-    valid = maybe_local_checkpoint(
+    valid = corpus_checkpoint(
         arts.filter(F.substring("artifact", 1, 4) == "HRZC").select(
             "vec_id",
             F.substring("artifact", 5, 1).cast("int").alias("typ"),

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.io import cached_df, maybe_local_checkpoint, read_table
+from hive_reflex_spark.io import (
+    cached_df,
+    corpus_checkpoint,
+    maybe_local_checkpoint,
+    read_table,
+    tracked_persist,
+)
 from hive_reflex_spark.operators.text import (
     DUCK_SHINGLES,
     DUCK_WORDS,
@@ -132,7 +138,9 @@ def capped_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     if df_cache_enabled():
         return cached_df(("q47_postings", sf_dir), _postings)
-    return _postings().persist()
+    # cold path: per-call persist, FIFO-tracked so repeated cold builds
+    # in one long session release old index storage (r13, VERDICT #6)
+    return tracked_persist(_postings())
 
 
 @query(
@@ -173,8 +181,10 @@ def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join shuffle, no O(df²) blowup from a viral phrase. Jaccard is
     computed consistently over the capped shingle universe; the oracle
     mirrors the cap. Pair generation + scoring live in
-    collision_jaccard_pairs (shared with q273's recall audit)."""
-    p = collision_jaccard_pairs(spark, sf_dir)
+    collision_jaccard_pairs (shared with q273's recall audit); q47's
+    expansion additionally prunes with the AllPairs/PPJoin LENGTH
+    filter (r13) — see collision_jaccard_pairs."""
+    p = collision_jaccard_pairs(spark, sf_dir, prune_below_half=True)
     return p.filter(F.col("jac") >= 0.5).select(
         "doc_a",
         "doc_b",
@@ -184,12 +194,14 @@ def q47_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def collision_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def collision_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, prune_below_half: bool = False
+) -> DataFrame:
     """Every pair sharing >= 1 capped shingle, exactly scored:
     (doc_a, doc_b, intersection, union_size, jac[double, unrounded]) —
     q47's generator BEFORE its J >= 0.5 gate, shared by q273's
-    LSH-recall audit so truth pairs and the gated report provably ride
-    one pair stream.
+    LSH-recall audit. q273 needs the UNPRUNED stream (its recall curve
+    buckets every collision pair by true Jaccard, deciles 0-9).
 
     Join-free (r12): each posting carries its doc's capped-universe size
     (capped_postings), so the pair expansion emits (doc_a, na, doc_b,
@@ -197,11 +209,33 @@ def collision_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape paid two corpus-scale shuffled-hash joins against a sizes
     table here, on every query, at every scale (guide §2.4: remove
     shuffles outright). na/nb are functionally dependent on the doc ids,
-    so adding them to the group keys changes no group."""
+    so adding them to the group keys changes no group.
+
+    ``prune_below_half`` (r13, the AllPairs/PPJoin LENGTH filter at
+    t = 1/2): drop a pair AT GENERATION when 2*min(na, nb) <
+    max(na, nb). LOSSLESS for any J >= 1/2 consumer: i <= min(na, nb)
+    and union = na+nb-i >= max(na, nb), so J <= min/max — a pair
+    failing the test provably has J < 1/2. EXACT for survivors: the
+    predicate depends only on (na, nb), constant per pair, so a pair
+    either keeps ALL its expansion records (intersection count intact)
+    or loses all of them. Applied inside the expansion lambda (filter()
+    before the struct transform), so pruned pairs never materialize —
+    measured 24% of expansion records and 25% of candidate pairs at
+    sf0.1/sf1 (scripts/q47_prune_study.py). The full PPJoin
+    prefix+verify was measured and rejected: mean intersection is 1.12
+    records/pair, so per-candidate O(na+nb) verification would cost
+    more than the count pass it replaces, and it would re-add the two
+    candidate-side joins r12 removed."""
     grouped = capped_postings(spark, sf_dir)
+    inner = "slice(docs, i + 2, size(docs))"
+    if prune_below_half:
+        inner = (
+            f"filter({inner}, "
+            "y -> 2 * least(x.n, y.n) >= greatest(x.n, y.n))"
+        )
     pair_expr = F.expr(
         "flatten(transform(docs, (x, i) -> "
-        "transform(slice(docs, i + 2, size(docs)), "
+        f"transform({inner}, "
         "y -> struct(x.d AS doc_a, x.n AS na, "
         "y.d AS doc_b, y.n AS nb))))"
     )
@@ -818,17 +852,19 @@ def q269_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("dot"), "cid")
     # (vec_id, cid) assignment and per-vector norms are each referenced
     # twice downstream (ac self-join legs + members; na/nb broadcasts) —
-    # localCheckpointed (r12) so the corpus-scale IVF assignment and the
-    # norm reduce run once instead of per plan reference (guide §3.3/§5)
+    # materialized so the corpus-scale IVF assignment and the norm
+    # reduce run once instead of per plan reference (guide §3.3/§5).
+    # Corpus tier (r13): one row per vector — lazy persist keeps lineage
+    # (executor-loss-recoverable at cluster scale) and evictable blocks
     assign = (
         cdots.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
-        .transform(maybe_local_checkpoint)
+        .transform(corpus_checkpoint)
     )
     norms = coords.groupBy("vec_id").agg(
         F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
-    ).transform(maybe_local_checkpoint)
+    ).transform(corpus_checkpoint)
     ac = coords.join(assign, "vec_id")
     a = ac.alias("a")
     b = ac.alias("b")
@@ -857,8 +893,9 @@ def q269_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "vec_a", "vec_b")
         # the verified dup pair set feeds BOTH the pairs count and the
         # dropped-set aggregates — materialized so the within-cluster
-        # self-join runs once (the q231 discipline)
-        .transform(maybe_local_checkpoint)
+        # self-join runs once (the q231 discipline); corpus tier (r13):
+        # pair volume grows with the corpus
+        .transform(corpus_checkpoint)
     )
     dropped = dup.select("cid", F.col("vec_b").alias("vec_id")).distinct()
     pairs = dup.groupBy("cid").agg(F.count("*").alias("n_dup_pairs"))
@@ -1101,9 +1138,10 @@ def q267_bleu_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh = minhash_signatures(spark, sf_dir)
     bands = cached_df(("q49_bands", sf_dir), lambda: bands_from_minhash(mh))
     # the candidate pair set is referenced three times (both clipped
-    # joins + the scored base) — localCheckpointed (r12) so the MinHash
-    # banding pipeline runs once, not per reference (guide §3.3/§5)
-    cand = star_candidates(bands).distinct().transform(maybe_local_checkpoint)
+    # joins + the scored base) — materialized so the MinHash banding
+    # pipeline runs once, not per reference (guide §3.3/§5); corpus
+    # tier (r13): candidate volume grows with the corpus
+    cand = star_candidates(bands).distinct().transform(corpus_checkpoint)
     # verify-on-candidates-only, now enforced in the PLAN too (r12):
     # only candidate docs' gram/length rows are ever joined (inner on
     # doc_a/doc_b), so the tokenization is pruned to the candidate doc
@@ -1117,13 +1155,13 @@ def q267_bleu_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         docs.join(F.broadcast(cdocs), "doc_id")
         .select("doc_id", F.split("text", " ").alias("ws"))
-        .transform(maybe_local_checkpoint)
+        .transform(corpus_checkpoint)
     )
     uni = (
         toks.select("doc_id", F.explode("ws").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
-        .transform(maybe_local_checkpoint)
+        .transform(corpus_checkpoint)
     )
     bigram_arr = F.expr(
         "CASE WHEN size(ws) >= 2 THEN "
@@ -1135,7 +1173,7 @@ def q267_bleu_candidate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("doc_id", F.explode(bigram_arr).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
-        .transform(maybe_local_checkpoint)
+        .transform(corpus_checkpoint)
     )
     lens = toks.select("doc_id", F.size("ws").cast("long").alias("n"))
 
@@ -1408,8 +1446,9 @@ def q186_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     # the distinct (source, shingle) table is referenced three times
     # (sizes + both self-join legs) — materialized so the corpus-scale
-    # shingling + distinct run once (r12, guide §3.3/§5)
-    ssh = maybe_local_checkpoint(
+    # shingling + distinct run once (r12, guide §3.3/§5); corpus tier
+    # (r13): |sources| x |shingle-vocab| grows with the corpus
+    ssh = corpus_checkpoint(
         dsh.join(docs, "doc_id").select("source", "shingle").distinct()
     )
     sizes = ssh.groupBy("source").agg(F.count("*").alias("n"))
@@ -1730,20 +1769,25 @@ def q247_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (100 TB): the name dedup is one shuffle; each blocking pass is
     an equi-join on a bounded key; the refine is map-side on candidate
     rows. This is the q49 LSH shape applied to entity resolution.
-    The tokenized entity table is localCheckpointed (r12): four
-    downstream references (blocks + blocked in each of two block
-    passes) would otherwise each re-run the record-scale name dedup —
-    the unshared-subplan discipline of the graph family (guide §2.4)."""
+    The tokenized entity table is corpus-tier materialized (r12;
+    r13: lazy persist): four downstream references (blocks + blocked
+    in each of two block passes) would otherwise each re-run the
+    record-scale name dedup — the unshared-subplan discipline of the
+    graph family (guide §2.4)."""
     part = read_table(spark, sf_dir, "part")
     names = part.groupBy(F.col("p_name").alias("name")).agg(
         F.count("*").alias("n_parts")
     )
-    toks = names.select(
-        "name",
-        "n_parts",
-        F.split_part(F.col("name"), F.lit(" "), F.lit(1)).alias("t1"),
-        F.split_part(F.col("name"), F.lit(" "), F.lit(2)).alias("t2"),
-    ).localCheckpoint()
+    # corpus tier (r13): one row per distinct entity name — grows with
+    # the catalog; lazy persist keeps lineage + evictable blocks
+    toks = corpus_checkpoint(
+        names.select(
+            "name",
+            "n_parts",
+            F.split_part(F.col("name"), F.lit(" "), F.lit(1)).alias("t1"),
+            F.split_part(F.col("name"), F.lit(" "), F.lit(2)).alias("t2"),
+        )
+    )
 
     def _block_pass(key: str) -> DataFrame:
         blocks = (
@@ -1874,11 +1918,13 @@ def q258_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification aggregate as extra group keys (functionally dependent
     on the doc ids — no group changes). The r11 tail re-derived them
     with FOUR corpus-scale shuffled-hash joins (sizes x2, fam x2) per
-    query (guide §2.4). rtoks and prefix are localCheckpointed: rtoks
-    has four downstream legs (dfreq, ranked, two verification sides)
-    and prefix two (the candidate self-join's sides), and each would
-    otherwise re-evaluate its whole upstream pipeline — the same
-    unshared-subplan discipline as the graph family."""
+    query (guide §2.4). rtoks and prefix are corpus-tier materialized
+    (r13: lazy persist — lineage kept for fault tolerance at cluster
+    scale, blocks evictable): rtoks has four downstream legs (dfreq,
+    ranked, two verification sides) and prefix two (the candidate
+    self-join's sides), and each would otherwise re-evaluate its whole
+    upstream pipeline — the same unshared-subplan discipline as the
+    graph family."""
     toks = distinct_shingles(spark, sf_dir).filter(
         F.col("doc_id") < PPJOIN_CAP
     )
@@ -1891,7 +1937,9 @@ def q258_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("rep"), F.count("*").alias("fam")
     )
     rep_fams = reps.select(F.col("rep").alias("doc_id"), "fam")
-    rtoks = toks.join(rep_fams, "doc_id").localCheckpoint()
+    # corpus tier (r13, VERDICT #2): rtoks is every shingle of every
+    # representative doc — the round's canonical corpus-scale waist
+    rtoks = corpus_checkpoint(toks.join(rep_fams, "doc_id"))
     dfreq = rtoks.groupBy("shingle").agg(F.count("*").alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "shingle")
     ranked = (
@@ -1899,9 +1947,11 @@ def q258_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(wdoc))
         .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
     )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("n") - F.expr("(n + 1) div 2") + 1
-    ).select("doc_id", "shingle", "pos", "n", "fam").localCheckpoint()
+    prefix = corpus_checkpoint(
+        ranked.filter(
+            F.col("pos") <= F.col("n") - F.expr("(n + 1) div 2") + 1
+        ).select("doc_id", "shingle", "pos", "n", "fam")
+    )
     a = prefix.alias("a")
     b = prefix.alias("b")
     cand = (

@@ -24,6 +24,7 @@ from hive_reflex_spark.operators.dedup import (
     _DUCK_MINHASH,
     q49a_lsh_candidates_star,
 )
+from hive_reflex_spark.io import chain_checkpoint, corpus_checkpoint
 from hive_reflex_spark.registry import query
 
 
@@ -33,7 +34,7 @@ def connected_components(
     """Label propagation to fixpoint: returns (vertex, component) with
     component = min vertex id in the component.
 
-    Scale discipline: the edge list is materialized once (localCheckpoint)
+    Scale discipline: the edge list is materialized once (corpus-tier persist)
     instead of recomputing its upstream lineage every round; each round's
     labels are eagerly checkpointed, which truncates the join-on-join
     lineage AND doubles as the round's single action; convergence is a
@@ -47,12 +48,17 @@ def connected_components(
     # computed the edge lineage (LSH banding for q78) FOUR times in
     # setup. Checkpoint the projected edges first; symmetrize and
     # collect vertices from the materialized rows.
-    e = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).localCheckpoint()
+    # corpus tier (r13): edge volume grows with the corpus — lazy
+    # persist keeps lineage (fault-tolerant) and is read by every round
+    e = corpus_checkpoint(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     verts = sym.select(F.col("a").alias("vertex")).distinct()
-    labels = verts.withColumn("component", F.col("vertex")).localCheckpoint()
+    # chain tier (r13): per-round truncation is structural (the loop's
+    # lineage compounds otherwise); reliable checkpoint when a dir is
+    # configured — the production answer for iterative graph lineage
+    labels = chain_checkpoint(verts.withColumn("component", F.col("vertex")))
     prev_ck = labels
     for _ in range(max_iter):
         # each vertex adopts min(own label, neighbors' labels)
@@ -76,7 +82,7 @@ def connected_components(
                     )
                 ).alias("_changed"),
             )
-            .localCheckpoint()  # eager: materializes round + truncates lineage
+            .transform(chain_checkpoint)  # eager: materializes round + truncates lineage
         )
         changed = new_labels.agg(F.max("_changed")).first()[0]
         labels = new_labels.drop("_changed")
@@ -203,7 +209,7 @@ def q231_dup_graph_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         q47_jaccard_pairs(spark, sf_dir)
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .localCheckpoint()
+        .transform(corpus_checkpoint)  # corpus tier (r13)
     )
     nodes = (
         edges.select(F.col("a").alias("v"))
@@ -313,7 +319,7 @@ def q244_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer score (float ranks would make ties engine-dependent).
 
     Scale (100 TB): each round is ONE shuffle of the edge list keyed on
-    vertex id (the connected_components discipline — localCheckpoint per
+    vertex id (the connected_components discipline — a chain checkpoint per
     round truncates the 20-round lineage); scores live with vertices,
     never collected. The verify-on-candidates edge set is linear in the
     corpus (q49a's star topology), so 20 rounds cost 20 edge-list
@@ -337,11 +343,11 @@ def q244_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .localCheckpoint()
+        .transform(corpus_checkpoint)  # corpus tier (r13)
     )
     deg = sym.groupBy(F.col("a").alias("v")).agg(F.count("*").alias("d"))
     scores = deg.select("v", F.lit(1_000_000).cast("long").alias("s"))
-    scores = scores.localCheckpoint()
+    scores = chain_checkpoint(scores)  # chain tier (r13)
     for _ in range(_PR_ITERS):
         shares = (
             sym.join(scores, sym.a == scores.v)
@@ -354,7 +360,7 @@ def q244_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s")
         )
         prev = scores
-        scores = nxt.localCheckpoint()
+        scores = chain_checkpoint(nxt)
         prev.unpersist()
     wr = Window.orderBy(F.desc("s"), "v")
     ranked = (
@@ -524,7 +530,7 @@ def q248_knn_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("k1.s") < F.col("k1.d"))
         .select(F.col("k1.s").alias("a"), F.col("k1.d").alias("b"))
-    ).localCheckpoint()  # reused by four downstream aggregates
+    ).transform(corpus_checkpoint)  # reused by four downstream aggregates (corpus tier r13)
     deg = (
         mutual.select(F.col("a").alias("v"))
         .unionAll(mutual.select(F.col("b").alias("v")))
@@ -718,12 +724,12 @@ def q285_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("e")
         )
         .select("e.u", "e.v")
-        .localCheckpoint(eager=True)
+        .transform(corpus_checkpoint)  # corpus tier (r13): edge-scale
     )
     nodes = docs.select(F.col("doc_id").alias("v"))
-    regs = hll_registers(nodes, ["v"], key_col="v").localCheckpoint(
-        eager=True
-    )
+    # chain tier (r13): each HyperBall round folds the previous round's
+    # registers — truncation is structural
+    regs = chain_checkpoint(hll_registers(nodes, ["v"], key_col="v"))
 
     def summarize(r: DataFrame, t: int) -> DataFrame:
         per = r.groupBy("v").agg(
@@ -762,7 +768,7 @@ def q285_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
             regs.unionByName(contrib)
             .groupBy("v", "bucket")
             .agg(F.max("m_j").alias("m_j"))
-            .localCheckpoint(eager=True)
+            .transform(chain_checkpoint)
         )
         summaries.append(summarize(regs, t))
     allr = summaries[0]

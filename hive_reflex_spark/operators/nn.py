@@ -29,7 +29,7 @@ from hive_reflex_spark.functions import (
     spark_exact_sum,
     spark_exact_sum_round6,
 )
-from hive_reflex_spark.io import read_table
+from hive_reflex_spark.io import corpus_checkpoint, read_table
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -491,7 +491,7 @@ def q68_lstm_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSTM hidden-state trace over each user's event-value sequence
     (4 hidden units, fixed deterministic weights). Rows-only driver check —
     the recurrence is numpy-oracled in tests/test_nn.py."""
-    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.io import corpus_checkpoint, read_table
 
     events = read_table(spark, sf_dir, "events").select(
         "event_id",
@@ -996,7 +996,7 @@ def q68a_lstm_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's event-value sequence (2 hidden units), replayed exactly by a
     recursive-CTE oracle. Closes J5's rows-only gap — q68 keeps the
     float LSTM (numpy-oracled), this pins the integer RTL semantics."""
-    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.io import corpus_checkpoint, read_table
 
     events = read_table(spark, sf_dir, "events").select(
         "event_id",
@@ -1269,7 +1269,7 @@ def q68b_gru_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked GRU twin of q68a (J5's second cell type,
     `nn_topology.h:51` LAYER_GRU): same event-value sequences, 2 hidden
     units, integer hard-gate algebra."""
-    from hive_reflex_spark.io import read_table
+    from hive_reflex_spark.io import corpus_checkpoint, read_table
 
     events = read_table(spark, sf_dir, "events").select(
         "event_id",
@@ -1465,7 +1465,7 @@ def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: both LNs and the softmax partition on the token key;
     K/V and the FFN weight are bounded broadcast operands — token rows
     never shuffle except for the score/context reductions. h1 and r1
-    are localCheckpointed (r12): three references to h1 (Q/K legs +
+    are corpus-tier materialized (r12/r13): three references to h1 (Q/K legs +
     attention values) and two to r1 (FFN + residual) re-evaluated the
     LayerNorm/attention pipeline per reference in the cold plan
     (guide §2.4); values are unchanged."""
@@ -1496,7 +1496,10 @@ def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out.drop("_n", "_mu", "_c", "_sv")
 
-    h1 = ln(x, "xv").select("p", "d", "h").localCheckpoint()
+    # corpus tier (r13): per-(token, dim) activations grow with the
+    # input — lazy persist keeps lineage (fault-tolerant at cluster
+    # scale) while every downstream reference still reads one evaluation
+    h1 = corpus_checkpoint(ln(x, "xv").select("p", "d", "h"))
     a = h1.select(F.col("p").alias("pq"), "d", F.col("h").alias("ha"))
     b = h1.select(F.col("p").alias("pk"), "d", F.col("h").alias("hb"))
     sc = (
@@ -1518,9 +1521,11 @@ def q109_transformer_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("pq").alias("p"), "d")
         .agg(exact_sum(F.col("w") * F.col("h"), 9).alias("av"))
     )
-    r1 = x.join(att, ["p", "d"]).select(
-        "p", "d", (F.col("xv") + F.col("av")).alias("rv")
-    ).localCheckpoint()
+    r1 = corpus_checkpoint(
+        x.join(att, ["p", "d"]).select(
+            "p", "d", (F.col("xv") + F.col("av")).alias("rv")
+        )
+    )
     h2 = ln(r1, "rv").select("p", "d", "h")
     wt = spark.range(64 * 64).select(
         (F.col("id") / 64).cast("int").alias("i"),
@@ -1897,7 +1902,7 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; every contraction is an integer-unit sum.
 
     Stage materialization (r12): h1, the rotated pair table, r1 and h2
-    are localCheckpointed — the RoPE union references rot twice, the
+    are corpus-tier materialized — the RoPE union references rot twice, the
     score join references rq twice, and the residual/FFN legs
     reference r1/h2 twice each, so the unmaterialized lineage
     re-evaluated the RMSNorm pipeline ~8x per query (58 Exchange / 29
@@ -1921,7 +1926,9 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_n", "_s2")
         )
 
-    h1 = rms(x, "xv").select("p", "d", "h").localCheckpoint()
+    # corpus tier (r13): same per-(token, dim) activation rationale as
+    # the transformer block above
+    h1 = corpus_checkpoint(rms(x, "xv").select("p", "d", "h"))
     ev = h1.filter(F.col("d") % 2 == 0).select(
         "p", (F.col("d") / 2).cast("int").alias("pr"), F.col("h").alias("ev")
     )
@@ -1936,7 +1943,7 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(od, ["p", "pr"])
         .withColumn("cs", F.round(F.cos(theta), 6))
         .withColumn("sn", F.round(F.sin(theta), 6))
-        .localCheckpoint()
+        .transform(corpus_checkpoint)
     )
     rq = rot.select(
         "p", (F.col("pr") * 2).cast("int").alias("d"),
@@ -1969,10 +1976,12 @@ def q109c_llama_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("pq").alias("p"), "d")
         .agg(exact_sum(F.col("w") * F.col("h"), 9).alias("av"))
     )
-    r1 = x.join(att, ["p", "d"]).select(
-        "p", "d", (F.col("xv") + F.col("av")).alias("rv")
-    ).localCheckpoint()
-    h2 = rms(r1, "rv").select("p", "d", "h").localCheckpoint()
+    r1 = corpus_checkpoint(
+        x.join(att, ["p", "d"]).select(
+            "p", "d", (F.col("xv") + F.col("av")).alias("rv")
+        )
+    )
+    h2 = corpus_checkpoint(rms(r1, "rv").select("p", "d", "h"))
 
     def wt(aa: int, bb: int, rows: int, cols: int) -> DataFrame:
         return spark.range(rows * cols).select(

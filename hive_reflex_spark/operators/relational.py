@@ -29,7 +29,7 @@ from hive_reflex_spark.functions import (
     spark_exact_sum,
     spark_exact_sum_unit,
 )
-from hive_reflex_spark.io import load_tables, maybe_local_checkpoint
+from hive_reflex_spark.io import corpus_checkpoint, load_tables
 from hive_reflex_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -2825,8 +2825,9 @@ def q245_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li, part = t["lineitem"], t["part"]
     # the distinct basket table is referenced FOUR times (order count,
     # item counts, both pair-join legs) — materialized so the lineitem
-    # scan + distinct run once (r12, guide §3.3/§5)
-    baskets = maybe_local_checkpoint(
+    # scan + distinct run once (r12, guide §3.3/§5); corpus tier (r13):
+    # one row per (order, item) — grows with the fact table
+    baskets = corpus_checkpoint(
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
         .distinct()

@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.io import maybe_local_checkpoint, read_table
+from hive_reflex_spark.io import (
+    corpus_checkpoint,
+    maybe_local_checkpoint,
+    read_table,
+)
 from hive_reflex_spark.operators.tensor import _duck_coords
 from hive_reflex_spark.operators.text import DUCK_WORDS, doc_words
 from hive_reflex_spark.registry import query
@@ -491,15 +495,16 @@ def q122_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (doc, term) tf table is the inverted-index waist: df, n_docs
     # and the weighted postings all derive from it, and the weighted
     # postings are themselves referenced by norms, the query vector and
-    # the dot products — both localCheckpointed (r12) so the corpus
+    # the dot products — both materialized (r12) so the corpus
     # tokenization and the idf-weighting each run exactly once instead
-    # of once per plan reference (guide §3.3/§5)
+    # of once per plan reference (guide §3.3/§5). Corpus tier (r13):
+    # (doc, term) rows grow with the corpus — lazy persist keeps
+    # lineage (fault-tolerant) and nothing executes at build time
     tf = words.groupBy("doc_id", "w").agg(
         F.count("*").alias("tf")
-    ).transform(maybe_local_checkpoint)
+    ).transform(corpus_checkpoint)
     df = tf.groupBy("w").agg(F.count("*").alias("df"))
-    # corpus size as a broadcast 1-row table, not an eager driver count —
-    # the whole query stays one lazy plan
+    # corpus size as a broadcast 1-row table, not an eager driver count
     nd = tf.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
     UNIT = 1_000_000_000
     wt = (
@@ -516,7 +521,7 @@ def q122_tfidf_doc_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("w9"),
         )
-    ).transform(maybe_local_checkpoint)
+    ).transform(corpus_checkpoint)
     wd = F.col("w9") / float(UNIT)
     nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(wd * wd)).alias("nrm"))
     qvec = wt.filter(F.col("doc_id") == TFIDF_QUERY_DOC).select(
@@ -931,7 +936,9 @@ def q232_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         words.filter(F.col("w").isin(*REL_TERMS))
         .groupBy("doc_id")
         .agg(F.countDistinct("w").alias("g"))
-        .transform(maybe_local_checkpoint)
+        # corpus tier (r13): one row per doc matching a REL term —
+        # a corpus-growing fraction, unlike the k-row ranking above
+        .transform(corpus_checkpoint)
     )
     U = 1_000_000_000
     gain = lambda g, rnk: (  # noqa: E731
@@ -1248,11 +1255,11 @@ def q261_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     coords = embedding_coords(spark, sf_dir)
     # per-vector norms are referenced FOUR times (nq/nc/na/nb
-    # broadcasts) — localCheckpointed (r12) so the corpus-scale norm
-    # reduce runs once instead of per broadcast (guide §3.3/§5)
+    # broadcasts) — materialized so the corpus-scale norm reduce runs
+    # once instead of per broadcast (guide §3.3/§5); corpus tier (r13)
     norms = coords.groupBy("vec_id").agg(
         F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
-    ).transform(maybe_local_checkpoint)
+    ).transform(corpus_checkpoint)
     q = coords.filter(F.col("vec_id") < _MMR_NQ).select(
         F.col("vec_id").alias("query_id"), "dim", F.col("v").alias("qv")
     )

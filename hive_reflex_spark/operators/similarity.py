@@ -21,7 +21,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hive_reflex_spark.functions import exact_sum
-from hive_reflex_spark.io import maybe_local_checkpoint, read_table
+from hive_reflex_spark.io import (
+    corpus_checkpoint,
+    maybe_local_checkpoint,
+    read_table,
+    tracked_persist,
+)
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
 
@@ -584,8 +589,9 @@ def q54b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one materialized pass keeps the assignment rows + the queries'
     # probe rows — the r11 shape referenced ranked twice and re-ran the
     # corpus-scale centroid scoring per reference; the downstream
-    # filters re-apply their own predicates (r12, guide §3.3/§5)
-    keep = maybe_local_checkpoint(
+    # filters re-apply their own predicates (r12, guide §3.3/§5).
+    # Corpus tier (r13): one row per vector
+    keep = corpus_checkpoint(
         ranked.filter(
             (F.col("rn") == 1)
             | ((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
@@ -605,7 +611,8 @@ def q54b_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
     # per-vector norms feed both broadcast legs — materialized
-    norms = maybe_local_checkpoint(
+    # (corpus tier r13: one row per vector)
+    norms = corpus_checkpoint(
         coords.groupBy("vec_id").agg(
             F.sqrt(exact_sum(F.col("v") * F.col("v"), 9)).alias("nrm")
         )
@@ -728,7 +735,9 @@ def kmeans_train(
     """
     from hive_reflex_spark.operators.training import _round_away
 
-    coords = coords.persist()
+    # FIFO-tracked (r13): the per-call corpus persist used to leak one
+    # cached RDD per invocation over a long session (VERDICT #6)
+    coords = tracked_persist(coords)
     seed = (
         coords.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0)
         .select(F.col("vec_id").alias("cid"), "dim", F.col("v").alias("cv"))
@@ -1308,8 +1317,9 @@ def q102b_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (assignment rn=1 rows + the queries' probe rows) — the r11 shape
     # referenced cranked twice and re-ran the corpus-scale coarse
     # scoring window per reference (r12, guide §3.3/§5); the downstream
-    # filters re-apply their own predicates, so values are identical
-    keep = maybe_local_checkpoint(
+    # filters re-apply their own predicates, so values are identical.
+    # Corpus tier (r13): one row per vector
+    keep = corpus_checkpoint(
         cranked.filter(
             (F.col("rn") == 1)
             | ((F.col("vec_id") < PQ_N_QUERIES) & (F.col("rn") <= N_PROBE))
@@ -1850,7 +1860,7 @@ def q228_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe expansion, candidate join) — materialized so the corpus-
     # scale hashing runs once on cold paths (bench mode already persists
     # it; r12, guide §3.3/§5)
-    buckets = maybe_local_checkpoint(lsh_bucket_assignment(spark, sf_dir))
+    buckets = corpus_checkpoint(lsh_bucket_assignment(spark, sf_dir))
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("bucket").alias("own_bucket")
     )
@@ -1882,9 +1892,10 @@ def q228_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("in_single")
         )
     )
-    # bounded candidate table (queries x probed-bucket members),
-    # referenced by counts AND hits — materialized
-    cand = maybe_local_checkpoint(cand)
+    # candidate table (queries x probed-bucket members), referenced by
+    # counts AND hits — materialized; corpus tier (r13): bucket
+    # membership grows with the corpus
+    cand = corpus_checkpoint(cand)
     counts = cand.groupBy("query_id").agg(
         F.sum("in_single").cast("long").alias("n_single_cand"),
         F.count("*").alias("n_multi_cand"),

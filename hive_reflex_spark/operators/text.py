@@ -20,7 +20,13 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.io import maybe_local_checkpoint, read_table
+from hive_reflex_spark.io import (
+    chain_checkpoint,
+    corpus_checkpoint,
+    maybe_local_checkpoint,
+    read_table,
+    tracked_persist,
+)
 from hive_reflex_spark.registry import query
 
 # Tiny fixed vocab of the synthetic corpus; used as stopword/marker lists.
@@ -491,8 +497,9 @@ def q272_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("fp.h").alias("h"))
     # three consumers (per-doc rollup, hash cardinality, sharing join)
     # would re-run the HOF selection 3x — persist the slim fingerprint
-    # stream once (the capped_postings build-once convention)
-    fp = fp.persist()
+    # stream once (the capped_postings build-once convention);
+    # FIFO-tracked (r13) so repeated cold builds release old storage
+    fp = tracked_persist(fp)
     perdoc = fp.groupBy("doc_id", "n_grams").agg(
         F.count("*").alias("n_fp")
     )
@@ -734,8 +741,9 @@ def _bpe_chain(
     """The shared N_BPE_MERGES merge loop: returns (per-step 1-row
     summary DataFrames, the final vocab table (w, freq, seq)).
 
-    The vocab table and each step's 1-row winner are localCheckpointed
-    (r12): every iteration's plan otherwise embeds the whole prior
+    The vocab table and each step's 1-row winner are chain-tier
+    checkpointed (r12; r13: reliable checkpoint when a dir is
+    configured): every iteration's plan otherwise embeds the whole prior
     iteration (pairs aggregate + broadcast winner + rewrite), so step k
     re-evaluated the corpus-scale word-frequency groupBy O(2^k) times —
     the classic iterative-lineage explosion (guide §3.3/§5). With the
@@ -745,11 +753,14 @@ def _bpe_chain(
     words = doc_words(spark, sf_dir).groupBy("w").agg(
         F.count("*").cast("long").alias("freq")
     )
+    # chain tier (r13): each merge iteration references the previous
+    # vocab 3x — truncation is structural (3^k plan growth otherwise);
+    # reliable checkpoint when a dir is configured, else localCheckpoint
     s = words.select(
         "w",
         "freq",
         F.concat_ws(" ", F.split("w", r"(?!^)(?=.)")).alias("seq"),
-    ).transform(maybe_local_checkpoint)
+    ).transform(chain_checkpoint)
     steps = []
     for k in range(1, N_BPE_MERGES + 1):
         pairs = (
@@ -773,7 +784,7 @@ def _bpe_chain(
         # (pairs, rewrite, corpus-token count) per iteration
         best = pairs.orderBy(F.desc("cnt"), F.asc("pair")).limit(
             1
-        ).transform(maybe_local_checkpoint)
+        ).transform(chain_checkpoint)
         s = s.crossJoin(
             F.broadcast(best.select(F.col("pair").alias("bp")))
         ).select(
@@ -785,7 +796,7 @@ def _bpe_chain(
                     "' ' || replace(bp, ' ', '') || ' ')"
                 )
             ).alias("seq"),
-        ).transform(maybe_local_checkpoint)
+        ).transform(chain_checkpoint)
         toks_after = s.agg(
             F.sum(F.size(F.split("seq", " ")) * F.col("freq"))
             .cast("long")
@@ -1966,9 +1977,10 @@ def q292_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split("text", " ")).alias("w")
     )
+    # corpus tier (r13): |sources| x |vocab| — vocab grows with the corpus
     cnt = words.groupBy("source", "w").agg(
         F.count("*").cast("long").alias("c")
-    ).transform(maybe_local_checkpoint)
+    ).transform(corpus_checkpoint)
     # vocab and totals derive from the already-reduced count table,
     # which is materialized (r12) so its three references (vocab,
     # totals, grid) re-read |sources| x |vocab| rows — the corpus is
@@ -1991,7 +2003,7 @@ def q292_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "w",
         ((F.col("c") + 1) * 1.0 / (F.col("n") + F.col("v"))).alias("pr"),
-    ).transform(maybe_local_checkpoint)
+    ).transform(corpus_checkpoint)
     a = p.select(
         F.col("source").alias("source_a"), "w", F.col("pr").alias("pa")
     )

@@ -39,6 +39,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hive_reflex_spark.io import tracked_persist
 from hive_reflex_spark.functions import exact_sum
 from hive_reflex_spark.operators.tensor import _duck_coords, embedding_coords
 from hive_reflex_spark.registry import query
@@ -154,7 +155,7 @@ def qat_train_logistic(
     full-precision weights and the per-epoch metric history (loss and
     accuracy measured with the epoch's QUANTIZED forward — what the
     deployed int8 model would score)."""
-    coords = coords.persist()
+    coords = tracked_persist(coords)  # FIFO-tracked (r13, VERDICT #6)
     n = 0  # example count rides in the first epoch's metric agg — no
     # separate distinct().count() job (fwd is grouped per vec_id)
     w = [0.0] * n_dims
@@ -214,7 +215,7 @@ def distill_train_logistic(
     soft targets are computed ONCE (it never trains) and re-joined each
     epoch; per-epoch metrics report both loss components and how often
     the student agrees with the teacher's hard call."""
-    coords = coords.persist()
+    coords = tracked_persist(coords)  # FIFO-tracked (r13, VERDICT #6)
     n = 0  # filled from the first epoch's metric agg (one row per vec_id)
     tfwd = (
         _forward(spark, coords, teacher_weights(n_dims), temp=temp)
@@ -223,7 +224,7 @@ def distill_train_logistic(
             F.col("p").alias("q"),
             F.col("p_t").alias("q_t"),
         )
-        .persist()
+        .transform(tracked_persist)
     )
     w = [0.0] * n_dims
     history: list[dict] = []

@@ -15,6 +15,9 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# pin_session re-asserts its confs every N-th call (see docstring)
+_PIN_REASSERT_EVERY = 64
+
 
 def get_spark(
     app_name: str = "hive-reflex-spark",
@@ -87,7 +90,16 @@ def pin_session(spark: SparkSession) -> SparkSession:
     # §7.3 driver overhead). The flag lives on the session instance, so
     # a fresh driver session always pins once; nothing in the repo
     # mutates these two confs afterwards (grep-audited r12).
-    if getattr(spark, "_hrs_pinned", False):
+    #
+    # Re-assert guard (r13, VERDICT #4): the memo trusts the instance
+    # flag, so a caller that re-sets ansi/timezone EXTERNALLY after the
+    # first pin would silently run queries unpinned. Every
+    # _PIN_REASSERT_EVERY-th call re-runs the two conf sets — 2 RPCs
+    # per 64 calls keeps ~98% of the r12 chatter saving while bounding
+    # how long an external drift can survive.
+    n = getattr(spark, "_hrs_pin_calls", 0)
+    spark._hrs_pin_calls = n + 1
+    if getattr(spark, "_hrs_pinned", False) and n % _PIN_REASSERT_EVERY:
         return spark
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hive_reflex_spark.io import maybe_local_checkpoint, read_table
+from hive_reflex_spark.io import corpus_checkpoint, read_table
 from hive_reflex_spark.registry import query
 
 FRAME_SIZE = 256  # bytes per fake "frame"
@@ -411,7 +411,8 @@ def q278_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate AND the family prune, fpool by the banding plus both
     # verification legs: materialized so the mapInPandas decode runs
     # ONCE instead of per plan reference (r12, guide §3.3/§5)
-    pool = maybe_local_checkpoint(
+    # corpus tier (r13): 16 rows per doc — grows with the corpus
+    pool = corpus_checkpoint(
         rp.select(
             "doc_id",
             "bucket",
@@ -430,7 +431,7 @@ def q278_phash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fam = sig.groupBy("sig").agg(
         F.min("doc_id").alias("fam_doc"), F.count("*").alias("n_docs")
     )
-    fpool = maybe_local_checkpoint(
+    fpool = corpus_checkpoint(
         pool.join(
             fam.select(F.col("fam_doc").alias("doc_id")), "doc_id", "semi"
         )

@@ -377,6 +377,57 @@ def test_prefix_filter_is_lossless(spark, sf_smoke):
     assert got == want
 
 
+def test_q47_length_filter_is_lossless(spark, sf_smoke):
+    """q47's r13 length filter (drop a pair at generation when
+    2*min(na,nb) < max(na,nb)) must change NOTHING about the J >= 0.5
+    output: every pruned pair provably has J <= min/max < 1/2, and a
+    surviving pair keeps its exact intersection count (the predicate is
+    constant per pair). Verified three ways: pruned-vs-unpruned gated
+    streams identical, the unpruned stream really contains pairs the
+    filter prunes (the test bites), and no surviving pair violates the
+    length bound."""
+    from pyspark.sql import functions as F
+
+    from hive_reflex_spark.operators.dedup import collision_jaccard_pairs
+
+    gate = F.col("jac") >= 0.5
+    pruned = {
+        (r.doc_a, r.doc_b): (r.intersection, r.union_size)
+        for r in collision_jaccard_pairs(
+            spark, sf_smoke, prune_below_half=True
+        ).filter(gate).collect()
+    }
+    full = collision_jaccard_pairs(spark, sf_smoke).collect()
+    unpruned = {
+        (r.doc_a, r.doc_b): (r.intersection, r.union_size)
+        for r in full
+        if r.jac >= 0.5
+    }
+    assert pruned == unpruned
+    assert unpruned, "fixture should contain J>=0.5 pairs"
+    # the filter must actually prune something on this fixture —
+    # otherwise the equality above is vacuous
+    pruned_all = collision_jaccard_pairs(
+        spark, sf_smoke, prune_below_half=True
+    ).count()
+    assert pruned_all < len(full), (
+        "length filter pruned nothing — the losslessness check is vacuous"
+    )
+    # and every pruned pair is below the gate: the pairs dropped from
+    # the full stream are exactly those with 2*min < max, all J < 0.5
+    kept = {
+        (r.doc_a, r.doc_b)
+        for r in collision_jaccard_pairs(
+            spark, sf_smoke, prune_below_half=True
+        ).collect()
+    }
+    for r in full:
+        if (r.doc_a, r.doc_b) not in kept:
+            assert r.jac < 0.5, (
+                f"length filter dropped a qualifying pair: {r}"
+            )
+
+
 def test_containment_dominates_jaccard(spark, sf_smoke):
     """Containment invariants: C >= 0.7 on every emitted row, and
     C >= J always (the union is at least the contained set), with
