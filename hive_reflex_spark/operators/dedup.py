@@ -218,33 +218,34 @@ def collision_jaccard_pairs(
     failing the test provably has J < 1/2. EXACT for survivors: the
     predicate depends only on (na, nb), constant per pair, so a pair
     either keeps ALL its expansion records (intersection count intact)
-    or loses all of them. Applied inside the expansion lambda (filter()
-    before the struct transform), so pruned pairs never materialize —
-    measured 24% of expansion records and 25% of candidate pairs at
-    sf0.1/sf1 (scripts/q47_prune_study.py). The full PPJoin
+    or loses all of them. Applied as a row filter IMMEDIATELY above the
+    explode — before the grouped count's exchange, so the pruned 24% of
+    expansion records / 25% of candidate pairs (measured,
+    scripts/q47_prune_study.py) never shuffle. Deliberately NOT inside
+    the expansion lambda: a filter() HOF there adds one more
+    interpreted O(df^2) array pass + copy per posting list, measured
+    SLOWER at sf1 (0.51 -> 0.79 s) than the codegen'd row filter; the
+    row form keeps the r12 lambda byte-identical. The full PPJoin
     prefix+verify was measured and rejected: mean intersection is 1.12
     records/pair, so per-candidate O(na+nb) verification would cost
     more than the count pass it replaces, and it would re-add the two
     candidate-side joins r12 removed."""
     grouped = capped_postings(spark, sf_dir)
-    inner = "slice(docs, i + 2, size(docs))"
-    if prune_below_half:
-        inner = (
-            f"filter({inner}, "
-            "y -> 2 * least(x.n, y.n) >= greatest(x.n, y.n))"
-        )
     pair_expr = F.expr(
         "flatten(transform(docs, (x, i) -> "
-        f"transform({inner}, "
+        "transform(slice(docs, i + 2, size(docs)), "
         "y -> struct(x.d AS doc_a, x.n AS na, "
         "y.d AS doc_b, y.n AS nb))))"
     )
-    pairs = (
+    recs = (
         grouped.filter(F.size("docs") >= 2)
         .select(F.explode(pair_expr).alias("pr"))
         .select("pr.doc_a", "pr.na", "pr.doc_b", "pr.nb")
-        .groupBy("doc_a", "na", "doc_b", "nb")
-        .agg(F.count("*").alias("intersection"))
+    )
+    if prune_below_half:
+        recs = recs.filter("2 * least(na, nb) >= greatest(na, nb)")
+    pairs = recs.groupBy("doc_a", "na", "doc_b", "nb").agg(
+        F.count("*").alias("intersection")
     )
     jac = F.col("intersection") * 1.0 / (
         F.col("na") + F.col("nb") - F.col("intersection")
