@@ -27,79 +27,78 @@ from hive_reflex_spark.streaming import ops as streaming_ops  # noqa: F401
 from hive_reflex_spark import registry as _registry
 
 # The driver verifies only the FIRST 50 registered queries, so this list IS
-# the judged correctness surface. Round-11 window (the r10 verdict's #1/#3:
-# land q246a's first driver row, keep the 35-slot staleness quota on the
-# r03/r04 backlog): 1 never-checked registration (q246a, pre-cleared at
-# sf0.001/sf0.01/10x + hostile in r10, judge re-verified independently)
-# + 1 r11 registration (q246b, the verdict-#7 skew-salted shuffle twin,
-# pre-cleared this round at all three fixtures + hostile) +
-# 2 changed-code slots (q246 — its inline window derivation folded into
-# the shared _ivj_windows helper per relational.py's own deferral note;
-# q160b — kafka_log hwm hardening + per-fixture log-dir lock, both ADVICE
-# items) + the 30 remaining r03 rows oldest-first (the 4 fills displaced
-# by r10's width casts lead) + the 16 stalest r04 rows as fill
-# (rotate_window.py order; q47 yielded its fill slot to q246b).
-# 4 + 46 stale = 50; quota 35 satisfied with headroom. q68/q28 stay
-# out: rows-only by design with standing rows
-# evidence and oracled twins (q68a/q118). Every query not listed keeps
-# its standing hash-green driver row and original registration order
-# after this block.
+# the judged correctness surface. Round-13 window (VERDICT r12 item 1: put
+# the restructured-but-unjudged queries in front of the driver's oracle,
+# plus this round's own touches, plus the stale-row quota):
+# - 29 changed-code slots: the r12 restructures the judge named (q47,
+#   q258, q264*, q236*, q237, q267, q269, q102b, q109c, q109, q297*,
+#   q94* — * = named but untouched in r13) AND every query whose
+#   materialization tier / generator changed this round (corpus-tier
+#   persist sweep, chain tier, q47 length filter, FIFO-tracked persists).
+# - 17 stale-fill slots: the stalest r04 rows in rotate_window.py order.
+# - 35 of the 50 rows are >5 rounds stale — the SLO quota (35) is met.
+# Documented exceptions to changed-code-rides-a-slot (all oracle-verified
+# locally this round, all behavior-identical in the driver's local mode):
+# q92/q98 (chain_checkpoint == the old localCheckpoint when no checkpoint
+# dir is set; hash r12), q263 (generator gained an unused default arg +
+# tracking-only cold persist; hash r08, re-verified at both small SFs).
+# q68/q28 stay out: rows-only by design with standing rows evidence and
+# oracled twins (q68a/q118). Every query not listed keeps its standing
+# hash-green driver row and original registration order after this block.
 _registry.finalize_order([
-    # new registrations — first driver rows (r10 verdict #1 / #7)
-    "q246a_multires_interval_join",
-    "q246b_salted_interval_join",  # skew-salted shuffle twin (verdict #7's pick)
-    # code changed this round — must be re-judged
-    "q246_interval_bucket_join",   # window derivation folded into _ivj_windows
-    "q160b_kafka_log_transport",   # hwm local-path guard + log-dir flock (ADVICE)
-    # r03 backlog, oldest-first: the four fills displaced by the r10
-    # width-cast swaps lead, then rotate_window.py order
-    "q80b_onnx_mobilenet",
-    "q91_repetition_metrics",
-    "q92_bpe_merges",
-    "q98_bpe_tokenize",
-    "q105_pii_scrub",
-    "q114_countmin_heavy_hitters",
-    "q93_domain_mixture",
-    "q113_shard_manifest",
-    "q54a_ivf_assign",
-    "q96_embedding_int8",
-    "q102_pq_encode",
-    "q106_diversity_sample",
-    "q117_embedding_drift",
-    "q103_repeated_spans",
-    "q115_cdc_chunks",
-    "q107_layernorm",
-    "q107a_rmsnorm",
-    "q68a_lstm_unrolled",
-    "q68b_gru_unrolled",
-    "q109b_rope",
-    "q110_bm25_topk",
-    "q111_quality_classifier",
-    "q112_dsir_importance",
-    "q122_tfidf_doc_similarity",
-    "q21a_event_unpivot",
-    "q125_data_profile",
-    "q99_resample_interpolate",
-    "q97_stream_dedup",
-    "q101_stream_interval_join",
-    "q104_incremental_rollup",
-    # fill: stalest r04 rows, rotate_window.py order
-    "q132_sparse_speedup_estimate",
-    "q145_csr_rowptr",
-    "q152_array_hof",
-    "q128_trend_ols",
-    "q153_sequence_pattern",
-    "q163_frame_sample",
-    "q164_media_features",
-    "q161_profile_csv_roundtrip",
-    "q162_jsonlog_roundtrip",
-    "q159_buffer_allocation",
-    "q137_rtl_prune",
-    "q138_schedule_levels",
-    "q166_layer_slices",
-    "q126_pmi_collocations",
-    "q141_grouped_udaf",
-    "q127_bloom_filter",
+    # changed code this round — must be re-judged (r13 touches)
+    "q47_jaccard_pairs",           # length-filter prune + tracked cold persist (r04!)
+    "q273_lsh_recall_curve",       # shares q47's generator (unpruned stream)
+    "q258_prefix_filter_join",     # rtoks/prefix -> corpus tier
+    "q269_semantic_dedup",         # assign/norms/dup -> corpus tier
+    "q247_name_linkage",           # tokenized entity table -> corpus tier
+    "q267_bleu_candidate_score",   # cand/toks/uni/bi -> corpus tier
+    "q186_source_overlap",         # ssh -> corpus tier
+    "q122_tfidf_doc_similarity",   # tf/wt -> corpus tier
+    "q232_retrieval_metrics",      # grades -> corpus tier
+    "q261_mmr_rerank",             # norms -> corpus tier
+    "q54b_ivf_topk",               # keep/norms -> corpus tier
+    "q102b_ivfpq_topk",            # keep -> corpus tier
+    "q228_ann_recall",             # buckets/cand -> corpus tier
+    "q237_join_cardinality",       # histograms -> corpus tier + NULL-key ndv fix
+    "q292_source_divergence",      # cnt/p -> corpus tier
+    "q245_market_basket",          # baskets -> corpus tier
+    "q81_codec_dispatch",          # enc/arts/valid -> corpus tier
+    "q278_phash_hamming_pairs",    # pool/fpool -> corpus tier
+    "q109_transformer_block",      # h1/r1 -> corpus tier
+    "q109c_llama_block",           # h1/rot/r1/h2 -> corpus tier
+    "q231_dup_graph_shape",        # edges -> corpus tier
+    "q244_dedup_pagerank",         # sym -> corpus tier; scores -> chain tier
+    "q248_knn_graph_triangles",    # mutual -> corpus tier
+    "q78_dedup_clusters",          # edges -> corpus tier; labels -> chain tier
+    "q285_hyperball",              # bidir -> corpus tier; regs -> chain tier
+    "q83_qat_probe",               # coords/tfwd FIFO-tracked (r04!)
+    "q84_distill_probe",           # coords/tfwd FIFO-tracked (r04!)
+    "q103_repeated_spans",         # fingerprint stream FIFO-tracked
+    "q88_ivf_kmeans",              # coords FIFO-tracked
+    # r12 restructures the verdict named, untouched in r13
+    "q94_neardup_filter",
+    "q264_weighted_jaccard",
+    "q236_zorder_layout",
+    "q297_cluster_label_nmi",
+    # stale fill: the stalest r04 rows, rotate_window.py order
+    "q146_batchnorm_fold",
+    "q130_flash_io_strategies",
+    "q131_layer_profile",
+    "q136_dvfs_governor",
+    "q133_regional_revenue",
+    "q134_small_quantity_revenue",
+    "q140_rollup_grouping",
+    "q142_salted_join",
+    "q148_waiting_suppliers",
+    "q149_dormant_customers",
+    "q150_cheapest_supplier",
+    "q151_analytic_functions",
+    "q156_table_fingerprint",
+    "q165_market_share",
+    "q167_activity_reconciliation",
+    "q135_nvs_compaction",
+    "q168_bucketed_colocated_join",
 ])
 
 __all__ = [
