@@ -197,61 +197,62 @@ def test_registry_window_covers_new_families():
 
     window = list(QUERIES)[:50]
     for must in (
-        # round-11 rotation (r10 verdict #1/#3/#7): q246a + q246b first
-        # driver rows, the two changed-code slots (q246 helper fold,
-        # q160b ADVICE hardening), the 30 remaining r03 rows, and 16
-        # stalest-r04 fill slots. q68/q28 stay out: rows-only by design
-        # with oracled twins (q68a/q118).
-        "q246a_multires_interval_join",
-        "q246b_salted_interval_join",
-        "q246_interval_bucket_join",
-        "q160b_kafka_log_transport",
-        "q80b_onnx_mobilenet",
-        "q91_repetition_metrics",
-        "q92_bpe_merges",
-        "q98_bpe_tokenize",
-        "q105_pii_scrub",
-        "q114_countmin_heavy_hitters",
-        "q93_domain_mixture",
-        "q113_shard_manifest",
-        "q54a_ivf_assign",
-        "q96_embedding_int8",
-        "q102_pq_encode",
-        "q106_diversity_sample",
-        "q117_embedding_drift",
-        "q103_repeated_spans",
-        "q115_cdc_chunks",
-        "q107_layernorm",
-        "q107a_rmsnorm",
-        "q68a_lstm_unrolled",
-        "q68b_gru_unrolled",
-        "q109b_rope",
-        "q110_bm25_topk",
-        "q111_quality_classifier",
-        "q112_dsir_importance",
+        # round-13 rotation (r12 verdict #1): every changed-code slot
+        # (corpus/chain materialization tiers, q47 length filter,
+        # FIFO-tracked persists), the four named r12 restructures, and
+        # the 17 stalest r04 fill rows — 35 of 50 rows >5 rounds stale
+        # (quota met). q68/q28 stay out: rows-only by design with
+        # oracled twins (q68a/q118).
+        "q47_jaccard_pairs",
+        "q273_lsh_recall_curve",
+        "q258_prefix_filter_join",
+        "q269_semantic_dedup",
+        "q247_name_linkage",
+        "q267_bleu_candidate_score",
+        "q186_source_overlap",
         "q122_tfidf_doc_similarity",
-        "q21a_event_unpivot",
-        "q125_data_profile",
-        "q99_resample_interpolate",
-        "q97_stream_dedup",
-        "q101_stream_interval_join",
-        "q104_incremental_rollup",
-        "q132_sparse_speedup_estimate",
-        "q145_csr_rowptr",
-        "q152_array_hof",
-        "q128_trend_ols",
-        "q153_sequence_pattern",
-        "q163_frame_sample",
-        "q164_media_features",
-        "q161_profile_csv_roundtrip",
-        "q162_jsonlog_roundtrip",
-        "q159_buffer_allocation",
-        "q137_rtl_prune",
-        "q138_schedule_levels",
-        "q166_layer_slices",
-        "q126_pmi_collocations",
-        "q141_grouped_udaf",
-        "q127_bloom_filter",
+        "q232_retrieval_metrics",
+        "q261_mmr_rerank",
+        "q54b_ivf_topk",
+        "q102b_ivfpq_topk",
+        "q228_ann_recall",
+        "q237_join_cardinality",
+        "q292_source_divergence",
+        "q245_market_basket",
+        "q81_codec_dispatch",
+        "q278_phash_hamming_pairs",
+        "q109_transformer_block",
+        "q109c_llama_block",
+        "q231_dup_graph_shape",
+        "q244_dedup_pagerank",
+        "q248_knn_graph_triangles",
+        "q78_dedup_clusters",
+        "q285_hyperball",
+        "q83_qat_probe",
+        "q84_distill_probe",
+        "q103_repeated_spans",
+        "q88_ivf_kmeans",
+        "q94_neardup_filter",
+        "q264_weighted_jaccard",
+        "q236_zorder_layout",
+        "q297_cluster_label_nmi",
+        "q146_batchnorm_fold",
+        "q130_flash_io_strategies",
+        "q131_layer_profile",
+        "q136_dvfs_governor",
+        "q133_regional_revenue",
+        "q134_small_quantity_revenue",
+        "q140_rollup_grouping",
+        "q142_salted_join",
+        "q148_waiting_suppliers",
+        "q149_dormant_customers",
+        "q150_cheapest_supplier",
+        "q151_analytic_functions",
+        "q156_table_fingerprint",
+        "q165_market_share",
+        "q167_activity_reconciliation",
+        "q135_nvs_compaction",
+        "q168_bucketed_colocated_join",
     ):
         assert must in window, must
 
