@@ -70,6 +70,27 @@ def test_corpus_checkpoint_honors_lazy_plans_hook(spark):
         hio.set_lazy_plans(False)
 
 
+def test_iterative_query_identical_with_reliable_checkpoint(spark, sf_smoke):
+    """The chain tier's production path (reliable checkpoint when a dir
+    is configured) must be value-identical to the local fallback on a
+    real iterative query — q78's label propagation runs its whole loop
+    through chain_checkpoint."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["q78_dedup_clusters"]
+    base = {tuple(r) for r in q(spark, sf_smoke).collect()}
+    with tempfile.TemporaryDirectory() as d:
+        spark.sparkContext.setCheckpointDir(d)
+        try:
+            reliable = {tuple(r) for r in q(spark, sf_smoke).collect()}
+        finally:
+            getattr(spark._jsc.sc(), "checkpointDir_$eq")(
+                spark._sc._jvm.scala.Option.empty()
+            )
+    assert base == reliable
+    assert base, "fixture should produce clusters"
+
+
 def test_chain_checkpoint_truncates_and_prefers_reliable(spark):
     """Chain tier: always truncates lineage (exponential-plan guard);
     uses the fault-tolerant reliable checkpoint when the deployment
